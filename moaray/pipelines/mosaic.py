@@ -1,0 +1,260 @@
+"""End-to-end mosaic pipeline (the reference's doMosaic, Ray-Data-native).
+
+ref lifecycle being replaced: /root/reference/moamosaic/mosaic.py:111-224.
+
+Dataflow (SURVEY.md §3.5) — ONE all-to-all shuffle:
+
+    read_parquet(images, pruned cols)                # S1
+      └─ probe_metadata (stateless map_batches)      # S2   (no bytes read)
+           └─ aggregate Min/Max → OutputGrid         # P1/P2 (tiny)
+    read_parquet(images, + bytes)
+      └─ DecodeSlice actor pool                      # P3-P5 + S4/K1 fused:
+         (spatial join fused into the scan;           #   join, window clip,
+          windows only — bytes never shuffle twice)   #   windowed decode
+           └─ [resume filter: drop committed tiles]
+           └─ groupby(tile_id).map_groups(assemble)  # K2/K9 — THE shuffle
+               ├─ write_tiles (committed partitions + manifest + lineage)
+               ├─ build_pyramids (map_batches)       # K3
+               └─ aggregate(band_stats)              # A1
+
+The planning-only path (``plan_assignments``) runs the same join standalone
+for parity checks and as a queryable operator.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Max, Min
+
+from ..geo import OutputGrid, make_output_grid
+from ..stages import plan as plan_stage
+from ..stages.assemble import (
+    assemble_tiles,
+    build_pyramids,
+    empty_tiles_table,
+    overview_dims,
+)
+from ..stages.decode import decode_windows
+from ..stages.plan import assign_cell_join, assign_direct, probe_metadata
+from ..stages.stats import compute_stats
+from ..state import manifest as manifest_mod
+from ..testgen import Layout, meta_for
+
+IMAGE_META_COLS = ["image_id", "w", "h", "fmt"]
+
+
+@dataclass
+class MosaicConfig:
+    layout: Layout
+    blocksize: int = 1024
+    nullval: float | None = None
+    merge: str = "last"  # "last" (parity) | "feather" (extended)
+    include_empty: bool = True  # emit all-null tiles (full-extent parity mode)
+    min_overview_size: int = 1024  # ref DFLT_MINOVERVIEWSIZE (mosaic.py:29)
+    do_pyramids: bool = True
+    do_stats: bool = True
+    join_strategy: str = "direct"  # "direct" | "cell_join"
+    decode_concurrency: tuple = (1, 8)
+    decode_batch_size: int = 16
+    validate_projections: bool = True
+
+
+@dataclass
+class MosaicResult:
+    grid: OutputGrid
+    tiles_ds: "ray.data.Dataset"
+    stats: dict | None = None
+    pyramids_ds: "ray.data.Dataset | None" = None
+    manifest: pa.Table | None = None
+    skipped_tiles: int = 0
+    metrics: dict = field(default_factory=dict)
+
+
+def read_images(images_path: str, columns: list[str] | None = None):
+    """Column-pruned parquet read (Lance per BASELINE.json; parquet fallback
+    since pylance is absent in this sandbox — SURVEY.md §1.3)."""
+    return ray.data.read_parquet(images_path, columns=columns)
+
+
+def compute_grid(meta_ds, cfg: MosaicConfig) -> OutputGrid:
+    """Union-extent aggregate (ref makeOutputGrid, mosaic.py:429-456).
+
+    Bounds come from a distributed Min/Max aggregate; resolution / dtype /
+    nullval / CRS come from the first input (seq == 0), matching the
+    reference's first-file-wins rule.
+    """
+    agg = meta_ds.aggregate(
+        Min("xmin"), Max("xmax"), Min("ymin"), Max("ymax")
+    )
+    first_rows = meta_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["seq"], 0)), batch_format="pyarrow"
+    ).take(1)
+    if not first_rows:
+        raise ValueError("no image with seq == 0 found")
+    first = first_rows[0]
+    gt = first["gt"]
+    x_min, x_max = agg["min(xmin)"], agg["max(xmax)"]
+    y_min, y_max = agg["min(ymin)"], agg["max(ymax)"]
+    x_res, y_res = gt[1], abs(gt[5])
+    ncols = int(round((x_max - x_min) / x_res))
+    nrows = int(round((y_max - y_min) / y_res))
+    return OutputGrid(
+        ncols=ncols,
+        nrows=nrows,
+        transform=(x_min, x_res, 0.0, y_max, 0.0, -y_res),
+        crs=first["crs"],
+        dtype=first["dtype"],
+        nullval=first["nullval"] if cfg.nullval is None else cfg.nullval,
+        nbands=1,
+        blocksize=cfg.blocksize,
+    )
+
+
+def grid_for(images_path: str, cfg: MosaicConfig) -> OutputGrid:
+    meta_ds = probe_metadata(read_images(images_path, IMAGE_META_COLS), cfg.layout)
+    return compute_grid(meta_ds, cfg)
+
+
+def plan_assignments(images_path: str, cfg: MosaicConfig, grid: OutputGrid | None = None):
+    """Standalone spatial-join operator: images -> assignment table."""
+    meta_ds = probe_metadata(read_images(images_path, IMAGE_META_COLS), cfg.layout)
+    if grid is None:
+        grid = compute_grid(meta_ds, cfg)
+        meta_ds = probe_metadata(
+            read_images(images_path, IMAGE_META_COLS), cfg.layout
+        )
+    if cfg.join_strategy == "cell_join":
+        return assign_cell_join(meta_ds, grid)
+    return assign_direct(meta_ds, grid)
+
+
+def do_mosaic(
+    images_path: str,
+    cfg: MosaicConfig,
+    out_dir: str | None = None,
+    resume: bool = False,
+) -> MosaicResult:
+    """Run the full mosaic. If ``out_dir`` is given, tiles are written through
+    the committed-partition sink (resumable); otherwise the tiles dataset is
+    returned lazily for the caller to consume."""
+    meta_ds = probe_metadata(read_images(images_path, IMAGE_META_COLS), cfg.layout)
+    grid = compute_grid(meta_ds, cfg)
+    if cfg.validate_projections:
+        plan_stage.check_projections(
+            probe_metadata(read_images(images_path, IMAGE_META_COLS), cfg.layout),
+            grid,
+        )
+
+    images_ds = read_images(images_path)  # all cols incl. bytes
+    windows = decode_windows(
+        images_ds,
+        grid,
+        cfg.layout,
+        concurrency=cfg.decode_concurrency,
+        batch_size=cfg.decode_batch_size,
+    )
+
+    skipped = 0
+    committed: set[int] = set()
+    if resume and out_dir:
+        committed = manifest_mod.committed_tile_ids(out_dir)
+        if committed:
+            skipped = len(committed)
+            committed_ref = ray.put(committed)
+
+            def drop_committed(batch: pa.Table) -> pa.Table:
+                done = ray.get(committed_ref)
+                keep = [
+                    tid not in done for tid in batch["tile_id"].to_pylist()
+                ]
+                return batch.filter(pa.array(keep, pa.bool_()))
+
+            windows = windows.map_batches(drop_committed, batch_format="pyarrow")
+
+    tiles = assemble_tiles(windows, grid, cfg.merge)
+
+    if cfg.include_empty:
+        # Tiles intersecting no input -> all-null canvases (ref
+        # mosaic.py:351-359). Assigned ids come back as a tiny column;
+        # at extreme tile counts this becomes an anti-join on tile_id.
+        meta_ds2 = probe_metadata(read_images(images_path, IMAGE_META_COLS), cfg.layout)
+        assigned = set(
+            r["tile_id"]
+            for r in assign_direct(meta_ds2, grid)
+            .select_columns(["tile_id"])
+            .take_all()
+        )
+        missing = [
+            t for t in range(grid.num_tiles)
+            if t not in assigned and t not in committed
+        ]
+        if missing:
+            tiles = tiles.union(
+                ray.data.from_arrow(empty_tiles_table(grid, missing))
+            )
+
+    result = MosaicResult(grid=grid, tiles_ds=tiles, skipped_tiles=skipped)
+
+    if out_dir is not None:
+        result.manifest = manifest_mod.write_tiles(tiles, out_dir)
+        result.tiles_ds = manifest_mod.read_committed_tiles(out_dir)
+
+    if cfg.do_pyramids:
+        result.pyramids_ds = build_pyramids(
+            result.tiles_ds, grid, cfg.min_overview_size
+        )
+    if cfg.do_stats:
+        result.stats = compute_stats(result.tiles_ds, grid.nullval, grid.dtype)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Test / small-scale helpers (drivers-side; NOT the scale path)
+# ---------------------------------------------------------------------------
+
+def mosaic_array(tiles_ds, grid: OutputGrid) -> np.ndarray:
+    """Reassemble the full mosaic ndarray from tile rows (tests only)."""
+    np_dtype = np.dtype(grid.dtype)
+    out = np.full((grid.nrows, grid.ncols), grid.nullval, dtype=np_dtype)
+    for batch in tiles_ds.iter_batches(batch_format="pyarrow"):
+        for i in range(batch.num_rows):
+            top = batch["out_top"][i].as_py()
+            left = batch["out_left"][i].as_py()
+            ys = batch["out_ysize"][i].as_py()
+            xs = batch["out_xsize"][i].as_py()
+            arr = np.frombuffer(batch["pixels"][i].as_py(), dtype=np_dtype)
+            out[top : top + ys, left : left + xs] = arr.reshape(ys, xs)
+    return out
+
+
+def overview_array(pyramids_ds, grid: OutputGrid, lvl: int) -> np.ndarray:
+    """Reassemble one overview level, pasting in row-major tile order like
+    the reference's ordered writer (tests only)."""
+    np_dtype = np.dtype(grid.dtype)
+    ov_r, ov_c = overview_dims(grid, lvl)
+    out = np.full((ov_r, ov_c), grid.nullval, dtype=np_dtype)
+    rows = []
+    for batch in pyramids_ds.iter_batches(batch_format="pyarrow"):
+        for i in range(batch.num_rows):
+            if batch["level"][i].as_py() != lvl:
+                continue
+            rows.append(
+                (
+                    batch["tile_id"][i].as_py(),
+                    batch["yoff"][i].as_py(),
+                    batch["xoff"][i].as_py(),
+                    batch["h"][i].as_py(),
+                    batch["w"][i].as_py(),
+                    batch["pixels"][i].as_py(),
+                )
+            )
+    for tid, yoff, xoff, h, w, buf in sorted(rows):
+        arr = np.frombuffer(buf, dtype=np_dtype).reshape(h, w)
+        out[yoff : yoff + h, xoff : xoff + w] = arr
+    return out

@@ -1,0 +1,223 @@
+"""Tile assembly: the groupby(tile_id) shuffle + merge kernel + pyramids.
+
+Replaces the reference's single-threaded ordered writer + BlockCache + queue
+(writeFunc, ref /root/reference/moamosaic/mosaic.py:286-394;
+BlockCache structures.py:173-205) with one ``groupby("tile_id").map_groups``
+shuffle: a group materializes exactly when all its inputs exist (the
+reference's readiness barrier, mosaic.py:568-601, for free), merge order is
+re-imposed by sorting on the explicit ``seq`` column, and tiles are written
+independently — no global write order needed in a tile-sharded layout.
+
+Merge kernels:
+- ``last``    — last-non-null-wins, bit-identical to mergeInputs
+  (ref mosaic.py:663-689): later seq overwrites wherever its pixel != null.
+- ``feather`` — extended mode (north rule): weighted blend on overlap, weight
+  = 1 + distance (in pixels) from the pixel to the nearest edge of its source
+  image, so seams fade linearly. No reference counterpart; gated by config.
+
+Pyramids reproduce writeBlockPyramids exactly (ref mosaic.py:720-743):
+per tile, per level `lvl`: subsample ``arr[lvl//2::lvl, lvl//2::lvl]``, write
+at ``(left//lvl, top//lvl)`` clipped to the overview raster size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..geo import OutputGrid
+
+TILE_SCHEMA = pa.schema(
+    [
+        ("tile_id", pa.int64()),
+        ("out_top", pa.int32()),
+        ("out_left", pa.int32()),
+        ("out_xsize", pa.int32()),
+        ("out_ysize", pa.int32()),
+        ("n_inputs", pa.int32()),
+        ("input_ids", pa.list_(pa.string())),  # lineage
+        ("nonnull_count", pa.int64()),
+        ("pixels", pa.binary()),
+    ]
+)
+
+PYRAMID_SCHEMA = pa.schema(
+    [
+        ("level", pa.int32()),
+        ("tile_id", pa.int64()),
+        ("yoff", pa.int32()),
+        ("xoff", pa.int32()),
+        ("h", pa.int32()),
+        ("w", pa.int32()),
+        ("pixels", pa.binary()),
+    ]
+)
+
+
+def _merge_last(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullval):
+    pixels = group["pixels"]
+    dst_top = group["dst_top"].to_numpy()
+    dst_left = group["dst_left"].to_numpy()
+    win_h = group["win_h"].to_numpy()
+    win_w = group["win_w"].to_numpy()
+    for i in order:
+        h, w = int(win_h[i]), int(win_w[i])
+        win = np.frombuffer(pixels[i].as_py(), dtype=canvas.dtype).reshape(h, w)
+        sub = canvas[dst_top[i] : dst_top[i] + h, dst_left[i] : dst_left[i] + w]
+        mask = win != nullval
+        sub[mask] = win[mask]
+
+
+def _merge_feather(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullval):
+    num = np.zeros(canvas.shape, dtype=np.float64)
+    den = np.zeros(canvas.shape, dtype=np.float64)
+    pixels = group["pixels"]
+    cols = {
+        n: group[n].to_numpy()
+        for n in ("dst_top", "dst_left", "win_h", "win_w",
+                  "src_top", "src_left", "src_h", "src_w")
+    }
+    for i in order:
+        h, w = int(cols["win_h"][i]), int(cols["win_w"][i])
+        win = np.frombuffer(pixels[i].as_py(), dtype=canvas.dtype).reshape(h, w)
+        # distance-to-source-edge weights (vectorized outer min)
+        rr = np.arange(cols["src_top"][i], cols["src_top"][i] + h, dtype=np.float64)
+        cc = np.arange(cols["src_left"][i], cols["src_left"][i] + w, dtype=np.float64)
+        wr = 1.0 + np.minimum(rr, cols["src_h"][i] - 1 - rr)
+        wc = 1.0 + np.minimum(cc, cols["src_w"][i] - 1 - cc)
+        wgt = np.minimum.outer(wr, wc)
+        mask = win != nullval
+        sl = (slice(cols["dst_top"][i], cols["dst_top"][i] + h),
+              slice(cols["dst_left"][i], cols["dst_left"][i] + w))
+        num[sl] += np.where(mask, wgt * win.astype(np.float64), 0.0)
+        den[sl] += np.where(mask, wgt, 0.0)
+    blended = np.where(den > 0, np.rint(num / np.maximum(den, 1e-12)), nullval)
+    canvas[:, :] = blended.astype(canvas.dtype)
+
+
+def make_assemble_fn(nullval: float, dtype: str, merge: str = "last"):
+    np_dtype = np.dtype(dtype)
+    nv = np_dtype.type(nullval) if not np.isnan(nullval) else nullval
+
+    def assemble(group: pa.Table) -> pa.Table:
+        # one group == one tile_id; re-impose input-list merge order
+        seq = group["seq"].to_numpy()
+        order = np.argsort(seq, kind="stable")
+        ysize = int(group["out_ysize"][0].as_py())
+        xsize = int(group["out_xsize"][0].as_py())
+        canvas = np.full((ysize, xsize), nv, dtype=np_dtype)
+        if merge == "last":
+            _merge_last(group, order, canvas, nv)
+        elif merge == "feather":
+            _merge_feather(group, order, canvas, nv)
+        else:
+            raise ValueError(f"unknown merge kernel {merge!r}")
+        input_ids = [group["image_id"][int(i)].as_py() for i in order]
+        if np.isnan(nullval):
+            nonnull = int(np.count_nonzero(~np.isnan(canvas)))
+        else:
+            nonnull = int(np.count_nonzero(canvas != nv))
+        return pa.Table.from_pydict(
+            {
+                "tile_id": [group["tile_id"][0].as_py()],
+                "out_top": [group["out_top"][0].as_py()],
+                "out_left": [group["out_left"][0].as_py()],
+                "out_xsize": [xsize],
+                "out_ysize": [ysize],
+                "n_inputs": [len(input_ids)],
+                "input_ids": [input_ids],
+                "nonnull_count": [nonnull],
+                "pixels": [canvas.tobytes()],
+            },
+            schema=TILE_SCHEMA,
+        )
+
+    return assemble
+
+
+def assemble_tiles(
+    windows_ds: "ray.data.Dataset",
+    grid: OutputGrid,
+    merge: str = "last",
+) -> "ray.data.Dataset":
+    """The one shuffle of the pipeline: hash-partition windows by tile_id,
+    then merge each group. Backpressure/spill handled by the streaming
+    executor (fixes the reference's unbounded-cache deadlock caveat,
+    exploratory/Notes_mosaicScheme.txt:45-47, for free)."""
+    fn = make_assemble_fn(grid.nullval, grid.dtype, merge)
+    return windows_ds.groupby("tile_id").map_groups(fn, batch_format="pyarrow")
+
+
+def empty_tiles_table(grid: OutputGrid, tile_ids: list[int]) -> pa.Table:
+    """All-null tiles for blocks intersecting no input (ref mosaic.py:351-359).
+
+    Pixels for empty tiles are synthesized, not stored per-pixel at the call
+    site — the canvas is materialized here per tile.
+    """
+    np_dtype = np.dtype(grid.dtype)
+    rows = {n: [] for n in TILE_SCHEMA.names}
+    for tid in tile_ids:
+        block = grid.block_for_tile(tid)
+        canvas = np.full((block.ysize, block.xsize), grid.nullval, dtype=np_dtype)
+        rows["tile_id"].append(tid)
+        rows["out_top"].append(block.top)
+        rows["out_left"].append(block.left)
+        rows["out_xsize"].append(block.xsize)
+        rows["out_ysize"].append(block.ysize)
+        rows["n_inputs"].append(0)
+        rows["input_ids"].append([])
+        rows["nonnull_count"].append(0)
+        rows["pixels"].append(canvas.tobytes())
+    return pa.Table.from_pydict(rows, schema=TILE_SCHEMA)
+
+
+def overview_dims(grid: OutputGrid, lvl: int) -> tuple[int, int]:
+    """Overview raster size: ceil(size/lvl) (GDAL convention)."""
+    return ((grid.nrows + lvl - 1) // lvl, (grid.ncols + lvl - 1) // lvl)
+
+
+def make_pyramid_fn(grid: OutputGrid, levels: list[int], dtype: str):
+    np_dtype = np.dtype(dtype)
+    dims = {lvl: overview_dims(grid, lvl) for lvl in levels}
+
+    def pyramids(batch: pa.Table) -> pa.Table:
+        rows = {n: [] for n in PYRAMID_SCHEMA.names}
+        for i in range(batch.num_rows):
+            top = batch["out_top"][i].as_py()
+            left = batch["out_left"][i].as_py()
+            ys = batch["out_ysize"][i].as_py()
+            xs = batch["out_xsize"][i].as_py()
+            arr = np.frombuffer(batch["pixels"][i].as_py(), dtype=np_dtype)
+            arr = arr.reshape(ys, xs)
+            for lvl in levels:
+                o = lvl // 2  # ref mosaic.py:731-734
+                sub = arr[o::lvl, o::lvl]
+                yoff, xoff = top // lvl, left // lvl
+                ov_r, ov_c = dims[lvl]
+                sub = sub[: max(ov_r - yoff, 0), : max(ov_c - xoff, 0)]
+                if sub.size == 0:
+                    continue
+                rows["level"].append(lvl)
+                rows["tile_id"].append(batch["tile_id"][i].as_py())
+                rows["yoff"].append(yoff)
+                rows["xoff"].append(xoff)
+                rows["h"].append(sub.shape[0])
+                rows["w"].append(sub.shape[1])
+                rows["pixels"].append(np.ascontiguousarray(sub).tobytes())
+        return pa.Table.from_pydict(rows, schema=PYRAMID_SCHEMA)
+
+    return pyramids
+
+
+def build_pyramids(
+    tiles_ds: "ray.data.Dataset", grid: OutputGrid, min_overview_size: int = 1024
+) -> "ray.data.Dataset":
+    levels = grid.overview_levels(min_overview_size)
+    if not levels:
+        return None
+    return tiles_ds.map_batches(
+        make_pyramid_fn(grid, levels, grid.dtype),
+        batch_format="pyarrow",
+        batch_size=4,
+    )

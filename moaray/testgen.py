@@ -1,0 +1,191 @@
+"""Deterministic synthetic image-table generator (FIXTURES.md).
+
+Produces the exact input_hint schema from BASELINE.json:
+``(image_id: string, bytes: binary, w: int32, h: int32, fmt: string,
+caption: string, phash: int64)`` — with pixel content and geo placement
+mirroring the reference's test construction
+(ref: /root/reference/moamosaic/tests.py:69-106): column-index ramp pixels
+(column 0 == nullval 0), EPSG:32756, 10 m pixels, origin (300000, 7000000),
+2-pixel overlaps between adjacent images.
+
+Placement is NOT stored in the table (input_hint carries no geo columns);
+it is derived by the pure function :func:`place` shared by the engine's
+probe stage, the test oracle, and bench — keyed only by (image index,
+layout params).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import codecs
+from .geo import GeoTransform, ImageMeta
+
+ORIGIN_X = 300000.0
+ORIGIN_Y = 7000000.0
+PIX = 10.0
+CRS = "EPSG:32756"
+OVERLAP = 2  # pixels of overlap between adjacent images (tests.py:84-87)
+
+
+@dataclass(frozen=True)
+class Layout:
+    """Deterministic placement spec carried in the pipeline config."""
+
+    name: str  # pair_overlap | grid | hotspot | sparse_gap | bench
+    n: int  # number of images
+    size: int  # w == h per image
+
+    def grid_side(self) -> int:
+        side = int(np.ceil(np.sqrt(self.n)))
+        return max(side, 1)
+
+
+def image_idx(image_id: str) -> int:
+    return int(image_id[3:])
+
+
+def make_image_id(idx: int) -> str:
+    return f"img{idx:08d}"
+
+
+def place(idx: int, layout: Layout) -> GeoTransform:
+    """Pure placement function: image index -> GDAL geotransform."""
+    s = layout.size
+    step = (s - OVERLAP) * PIX
+    if layout.name == "pair_overlap":
+        # ref tests.py:84-87 — second image shifted by (ncols-2)*xres
+        return (ORIGIN_X + idx * step, PIX, 0.0, ORIGIN_Y, 0.0, -PIX)
+    if layout.name in ("grid", "grid3x3"):
+        side = 3 if layout.name == "grid3x3" else layout.grid_side()
+        r, c = divmod(idx, side)
+        return (ORIGIN_X + c * step, PIX, 0.0, ORIGIN_Y - r * step, 0.0, -PIX)
+    if layout.name == "hotspot":
+        # n-8 images stacked on the same extent; last 8 form a sparse ring
+        # two image-widths out, exercising skew in the tile-assembly shuffle.
+        n_hot = max(layout.n - 8, 1)
+        if idx < n_hot:
+            return (ORIGIN_X, PIX, 0.0, ORIGIN_Y, 0.0, -PIX)
+        ring_positions = [(-2, -2), (-2, 0), (-2, 2), (0, -2),
+                          (0, 2), (2, -2), (2, 0), (2, 2)]
+        rr, cc = ring_positions[(idx - n_hot) % 8]
+        off = s * PIX
+        return (ORIGIN_X + cc * off, PIX, 0.0, ORIGIN_Y - rr * off, 0.0, -PIX)
+    if layout.name == "sparse_gap":
+        # Two pairs separated by a > one-image gap: middle tiles see no input
+        # (pins the all-null-tile path, ref mosaic.py:351-359).
+        col = idx if idx < 2 else idx + 2
+        return (ORIGIN_X + col * step, PIX, 0.0, ORIGIN_Y, 0.0, -PIX)
+    if layout.name == "bench":
+        # grid placement for the first 3/4, hotspot stack for the rest —
+        # realistic mix of sparse coverage and a skewed dense region.
+        n_grid = (layout.n * 3) // 4
+        if idx < n_grid:
+            side = max(int(np.ceil(np.sqrt(n_grid))), 1)
+            r, c = divmod(idx, side)
+            return (ORIGIN_X + c * step, PIX, 0.0, ORIGIN_Y - r * step, 0.0, -PIX)
+        return (ORIGIN_X, PIX, 0.0, ORIGIN_Y, 0.0, -PIX)
+    raise ValueError(f"unknown layout {layout.name!r}")
+
+
+def pixel_array(idx: int, layout: Layout) -> np.ndarray:
+    """Column-index ramp (column 0 == null 0), per-image offset for layouts
+    where overlapping images must be distinguishable (FIXTURES.md §1)."""
+    s = layout.size
+    arr = np.tile(np.arange(s, dtype=np.uint16), (s, 1))
+    if layout.name in ("hotspot", "bench"):
+        offset = np.uint16((idx % 7) + 1)
+        arr = arr + offset
+        arr[:, 0] = 0  # keep the null column null (tests.py:92-94 rule)
+    return arr
+
+
+def phash_for(image_id: str) -> int:
+    return int.from_bytes(
+        hashlib.sha256(image_id.encode()).digest()[:8], "little", signed=True
+    )
+
+
+def caption_for(image_id: str, seed: int = 42) -> str:
+    return f"synthetic tile {image_id} seed{seed}"
+
+
+def fmt_for(idx: int, fmts: tuple[str, ...]) -> str:
+    return fmts[idx % len(fmts)]
+
+
+def meta_for(idx: int, layout: Layout, fmt: str = "raw16") -> ImageMeta:
+    return ImageMeta(
+        image_id=make_image_id(idx),
+        ncols=layout.size,
+        nrows=layout.size,
+        transform=place(idx, layout),
+        crs=CRS,
+        dtype="uint16",
+        nullval=0.0,
+        nbands=1,
+        fmt=fmt,
+    )
+
+
+def metas_for_layout(layout: Layout, fmts: tuple[str, ...] = ("raw16",)) -> list[ImageMeta]:
+    return [meta_for(i, layout, fmt_for(i, fmts)) for i in range(layout.n)]
+
+
+def gen_images_table(
+    layout: Layout, fmts: tuple[str, ...] = ("raw16",), seed: int = 42
+) -> pa.Table:
+    """Build the full images table in memory (small scales only)."""
+    ids, blobs, ws, hs, fmt_col, captions, phashes = [], [], [], [], [], [], []
+    for idx in range(layout.n):
+        image_id = make_image_id(idx)
+        fmt = fmt_for(idx, fmts)
+        arr = pixel_array(idx, layout)
+        ids.append(image_id)
+        blobs.append(codecs.encode(arr, fmt))
+        ws.append(layout.size)
+        hs.append(layout.size)
+        fmt_col.append(fmt)
+        captions.append(caption_for(image_id, seed))
+        phashes.append(phash_for(image_id))
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmt_col, pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(phashes, pa.int64()),
+        }
+    )
+
+
+def images_path(
+    layout: Layout,
+    fmts: tuple[str, ...] = ("raw16",),
+    seed: int = 42,
+    root: str = "/tmp/moaray_fixtures",
+) -> str:
+    """Write (once, cached) the images table as parquet; return the path.
+
+    Lance is the nominal format per BASELINE.json but pylance is not in this
+    sandbox, so parquet is the documented fallback (SURVEY.md §1.3 S1). At
+    scale this writer shards: one row group per ~64 images so read tasks
+    parallelize.
+    """
+    os.makedirs(root, exist_ok=True)
+    tag = f"{layout.name}_n{layout.n}_s{layout.size}_{'-'.join(fmts)}_seed{seed}"
+    path = os.path.join(root, f"images_{tag}.parquet")
+    if not os.path.exists(path):
+        tbl = gen_images_table(layout, fmts, seed)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp, row_group_size=64)
+        os.replace(tmp, path)
+    return path

@@ -1,0 +1,186 @@
+"""End-to-end parity: engine output vs the reference-semantics numpy oracle.
+
+Mirrors the reference's single golden test (tests.py:63-177) across the
+FIXTURES.md layouts: exact pixel equality for lossless fmts, PSNR>=40dB for
+the lossy path, join-assignment parity vs the nested-loop oracle, stats and
+pyramid parity, caption passthrough.
+"""
+
+import numpy as np
+import pytest
+
+from moaray import MosaicConfig, do_mosaic, oracle
+from moaray.geo import make_output_grid
+from moaray.pipelines.mosaic import (
+    grid_for,
+    mosaic_array,
+    overview_array,
+    plan_assignments,
+)
+from moaray.testgen import (
+    Layout,
+    gen_images_table,
+    images_path,
+    metas_for_layout,
+    pixel_array,
+)
+
+
+def oracle_mosaic(layout, fmts=("raw16",), blocksize=64, decode_lossy=False):
+    metas = metas_for_layout(layout, fmts)
+    grid = make_output_grid(metas, blocksize=blocksize)
+    arrays = {}
+    from moaray import codecs
+
+    for i, m in enumerate(metas):
+        arr = pixel_array(i, layout)
+        if decode_lossy:
+            arr = codecs.decode(codecs.encode(arr, m.fmt), m.fmt)
+        arrays[m.image_id] = arr
+    return grid, oracle.build_mosaic(grid, metas, arrays)
+
+
+def run_engine(layout, fmts=("raw16",), blocksize=64, **cfg_kw):
+    path = images_path(layout, fmts)
+    cfg = MosaicConfig(layout=layout, blocksize=blocksize, **cfg_kw)
+    res = do_mosaic(path, cfg)
+    return res, mosaic_array(res.tiles_ds, res.grid)
+
+
+def test_pair_overlap_exact():
+    """The reference's own golden scenario (tests.py:69-106) at 64px."""
+    layout = Layout("pair_overlap", 2, 64)
+    grid, truth = oracle_mosaic(layout)
+    res, got = run_engine(layout)
+    assert res.grid.ncols == grid.ncols and res.grid.nrows == grid.nrows
+    assert (got == truth).all()
+    # overlap columns are 62,63 (= image2 cols 0,1). Image2's null col 0 must
+    # NOT overwrite image1 (tests.py:92-94) -> col 62 keeps image1's 62;
+    # image2's non-null col 1 DOES overwrite -> col 63 becomes 1.
+    assert got[0, 62] == 62 and got[0, 63] == 1
+
+
+def test_grid3x3_exact_and_stats_pyramids():
+    layout = Layout("grid3x3", 9, 64)
+    grid, truth = oracle_mosaic(layout)
+    res, got = run_engine(layout, min_overview_size=16)
+    assert (got == truth).all()
+
+    # stats parity (tests.py:117-132 semantics)
+    tmin, tmax, tmean, tstd, tcount = oracle.stats(truth, grid.nullval)
+    s = res.stats
+    assert s["min"] == tmin and s["max"] == tmax
+    assert s["mean"] == pytest.approx(tmean)
+    assert s["stddev"] == pytest.approx(tstd)
+    assert s["count"] == tcount
+
+    # pyramid parity (tests.py:134-177 semantics)
+    levels = res.grid.overview_levels(16)
+    assert levels, "expected at least one overview level"
+    for lvl in levels:
+        true_ov = oracle.overview(truth, lvl)
+        got_ov = overview_array(res.pyramids_ds, res.grid, lvl)
+        r = min(true_ov.shape[0], got_ov.shape[0])
+        c = min(true_ov.shape[1], got_ov.shape[1])
+        assert abs(true_ov.shape[0] - got_ov.shape[0]) <= lvl
+        assert abs(true_ov.shape[1] - got_ov.shape[1]) <= lvl
+        assert (true_ov[:r, :c] == got_ov[:r, :c]).all(), f"lvl={lvl}"
+
+
+def test_hotspot_merge_order_exact():
+    """16 fully-overlapping images: last-non-null must follow seq order."""
+    layout = Layout("hotspot", 16, 64)
+    grid, truth = oracle_mosaic(layout)
+    _res, got = run_engine(layout)
+    assert (got == truth).all()
+    # last image in seq order (idx 15 is a ring image; hot stack is 0..7) —
+    # sanity: the hot-extent pixels carry the highest-seq hot image's offset.
+    assert got.shape == truth.shape
+
+
+def test_sparse_gap_empty_tiles():
+    layout = Layout("sparse_gap", 4, 64)
+    grid, truth = oracle_mosaic(layout)
+    res, got = run_engine(layout)
+    assert (got == truth).all()
+    # the gap region must be all-null and must have produced empty tile rows
+    tiles = res.tiles_ds.select_columns(["tile_id", "n_inputs"]).take_all()
+    assert any(t["n_inputs"] == 0 for t in tiles)
+    assert len(tiles) == res.grid.num_tiles
+
+
+def test_lossless_z16_and_lossy_q12():
+    layout = Layout("grid3x3", 9, 64)
+    # z16 is lossless: exact parity
+    _grid, truth = oracle_mosaic(layout, fmts=("z16",))
+    _res, got = run_engine(layout, fmts=("z16",))
+    assert (got == truth).all()
+    # q12 is lossy: engine output must equal oracle built from decoded-lossy
+    # arrays exactly, and be within PSNR>=40dB of the pristine mosaic.
+    _grid, truth_lossy = oracle_mosaic(layout, fmts=("q12",), decode_lossy=True)
+    _res2, got2 = run_engine(layout, fmts=("q12",))
+    assert (got2 == truth_lossy).all()
+    _grid, truth_clean = oracle_mosaic(layout, fmts=("raw16",))
+    from moaray import codecs
+
+    assert codecs.psnr(truth_clean, got2) >= 40.0
+
+
+def test_mixed_blocksize_sliver_interaction():
+    """Non-divisible blocksize so the 25% sliver rule fires mid-grid."""
+    layout = Layout("grid3x3", 9, 64)  # grid is 186x186 px
+    for bs in (48, 100, 128):
+        grid, truth = oracle_mosaic(layout, blocksize=bs)
+        _res, got = run_engine(layout, blocksize=bs)
+        assert (got == truth).all(), f"blocksize={bs}"
+
+
+def assignments_set(ds):
+    rows = ds.take_all()
+    return {
+        (
+            r["tile_id"], r["image_id"], r["in_top"], r["in_left"],
+            r["in_xsize"], r["in_ysize"],
+        )
+        for r in rows
+    }
+
+
+@pytest.mark.parametrize("strategy", ["direct", "cell_join"])
+def test_join_assignment_parity(strategy):
+    """Engine spatial join == nested-loop reference semantics, both ways."""
+    layout = Layout("grid3x3", 9, 64)
+    metas = metas_for_layout(layout)
+    grid = make_output_grid(metas, blocksize=64)
+    truth = {
+        (tid, image_id, w[0], w[1], w[2], w[3])
+        for tid, _b, image_id, w in oracle.find_inputs_per_block(grid, metas)
+    }
+    path = images_path(layout)
+    cfg = MosaicConfig(layout=layout, blocksize=64, join_strategy=strategy)
+    got = assignments_set(plan_assignments(path, cfg))
+    assert got == truth
+    # row-count parity too (no dupes from multi-cell candidates)
+    assert len(got) == len(truth)
+
+
+def test_caption_passthrough_byte_equal():
+    layout = Layout("pair_overlap", 2, 64)
+    tbl = gen_images_table(layout)
+    caps = tbl["caption"].to_pylist()
+    assert caps == [
+        "synthetic tile img00000000 seed42",
+        "synthetic tile img00000001 seed42",
+    ]
+
+
+def test_feather_merge_shape_and_nulls():
+    """Extended feather kernel: same null geography, blended overlaps."""
+    layout = Layout("pair_overlap", 2, 64)
+    grid, truth = oracle_mosaic(layout)
+    _res, got = run_engine(layout, merge="feather")
+    assert got.shape == truth.shape
+    # identical null mask; non-overlap regions identical to last-merge
+    assert ((got == 0) == (truth == 0)).all()
+    assert (got[:, :62] == truth[:, :62]).all()
+    assert (got[:, 64:] == truth[:, 64:]).all()
