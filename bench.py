@@ -1,0 +1,212 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Default mode prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "mosaic": {tiles_per_s, images_joined_per_s, mpx_per_s}}
+
+--scaling runs the headline mosaic job twice in FRESH subprocesses
+(num_cpus=8 then num_cpus=32) on the same input and reports throughput at
+both plus scaling efficiency ((thr_4N / thr_N) / 4) — the in-sandbox
+evidence for the N->4N cluster-scaling criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_N_IMAGES = int(os.environ.get("MOARAY_BENCH_IMAGES", "64"))
+BENCH_IMG_SIZE = int(os.environ.get("MOARAY_BENCH_SIZE", "1024"))
+
+
+def sf_value(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_mosaic_bench(num_cpus: int) -> dict:
+    """Full mosaic pipeline (join + decode + assemble + committed sink +
+    stats) over the deterministic bench layout; returns timings/throughput."""
+    import ray
+
+    from moaray import MosaicConfig, do_mosaic
+    from moaray.pipelines.mosaic import plan_assignments
+    from moaray.testgen import Layout, images_path
+
+    layout = Layout("bench", BENCH_N_IMAGES, BENCH_IMG_SIZE)
+    path = images_path(layout)
+    cfg = MosaicConfig(
+        layout=layout,
+        blocksize=1024,
+        decode_concurrency=(1, max(2, num_cpus // 2)),
+        decode_batch_size=4,
+        do_pyramids=True,
+        do_stats=True,
+    )
+    # count assignments first (cheap, metadata only) for images-joined/sec
+    n_assign = plan_assignments(path, cfg).count()
+
+    out_dir = "/tmp/moaray_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    res = do_mosaic(path, cfg, out_dir=out_dir)
+    elapsed = time.monotonic() - t0
+    n_tiles = res.grid.num_tiles
+    total_px = res.grid.ncols * res.grid.nrows
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "elapsed_s": elapsed,
+        "n_tiles": n_tiles,
+        "n_assignments": n_assign,
+        "tiles_per_s": n_tiles / elapsed,
+        "images_joined_per_s": n_assign / elapsed,
+        "mpx_per_s": total_px / elapsed / 1e6,
+    }
+
+
+def run_ops_bench(sf_dir: str) -> dict:
+    import ray
+
+    from moaray.ops import ann, dedup, relational
+
+    timings = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    docs = lambda: ray.data.read_parquet(f"{sf_dir}/documents.parquet")  # noqa: E731
+    emb = lambda: ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")  # noqa: E731
+
+    timed("dedup_exact", lambda: dedup.exact_dedup(docs()).count())
+    timed(
+        "minhash_pairs",
+        lambda: dedup.minhash_lsh_pairs(docs(), threshold=0.5).count(),
+    )
+    timed("simhash_pairs", lambda: dedup.simhash_pairs(docs()).count())
+    timed(
+        "embedding_neardup",
+        lambda: dedup.embedding_neardup_pairs(emb(), threshold=0.35).count(),
+    )
+
+    def knn():
+        e = emb()
+        qids, qmat = ann.load_queries(e, n_queries=10)
+        ann.knn_bruteforce(e, qids, qmat, k=5).count()
+
+    timed("knn_topk", knn)
+    timed(
+        "pricing_summary",
+        lambda: relational.pricing_summary(
+            ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+        ).count(),
+    )
+    timed(
+        "events_daily",
+        lambda: relational.events_daily(
+            ray.data.read_parquet(f"{sf_dir}/events.parquet")
+        ).count(),
+    )
+    return timings
+
+
+def main_bench():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+    )
+    mosaic = run_mosaic_bench(NUM_CPUS)
+    queries = {"mosaic_full": round(mosaic["elapsed_s"], 3)}
+    queries.update(run_ops_bench(SF_DIR))
+    total = sum(queries.values())
+    out = {
+        "metric": "moaray_bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_value(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "mosaic": {k: round(v, 3) for k, v in mosaic.items()},
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def _subprocess_mosaic(num_cpus: int) -> dict:
+    """Run the mosaic bench in a fresh process with its own Ray session."""
+    code = (
+        "import json, ray, bench;"
+        f"ray.init(address='local', num_cpus={num_cpus}, include_dashboard=False);"
+        f"r = bench.run_mosaic_bench({num_cpus});"
+        "ray.shutdown();"
+        "print('RESULT ' + json.dumps(r))"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"subprocess (num_cpus={num_cpus}) failed:\n{proc.stderr[-2000:]}"
+    )
+
+
+def main_scaling():
+    lo, hi = 8, 32
+    r_lo = _subprocess_mosaic(lo)
+    r_hi = _subprocess_mosaic(hi)
+    eff = (r_hi["tiles_per_s"] / r_lo["tiles_per_s"]) / (hi / lo)
+    out = {
+        "metric": "moaray_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            f"mosaic_cpus{lo}": round(r_lo["elapsed_s"], 3),
+            f"mosaic_cpus{hi}": round(r_hi["elapsed_s"], 3),
+        },
+        "sf": sf_value(SF_DIR),
+        "num_cpus": hi,
+        "scaling": {
+            "cpus_low": lo,
+            "cpus_high": hi,
+            "tiles_per_s_low": round(r_lo["tiles_per_s"], 3),
+            "tiles_per_s_high": round(r_hi["tiles_per_s"], 3),
+            "images_joined_per_s_low": round(r_lo["images_joined_per_s"], 3),
+            "images_joined_per_s_high": round(r_hi["images_joined_per_s"], 3),
+            "mpx_per_s_low": round(r_lo["mpx_per_s"], 3),
+            "mpx_per_s_high": round(r_hi["mpx_per_s"], 3),
+            "efficiency": round(eff, 3),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_bench()

@@ -1,0 +1,195 @@
+"""Approximate-nearest-neighbour search over an embedding column.
+
+- ``knn_bruteforce``: exact cosine top-k. Query matrix broadcast once via
+  ray.put; each corpus batch computes one (queries × batch) matmul and emits
+  only its LOCAL top-k per query (the partial/combiner pattern), then a tiny
+  groupby(query_id) merges partials into the global top-k — so the shuffle
+  carries k·num_queries rows per batch, never the corpus.
+- ``knn_lsh``: random-hyperplane LSH variant (the scale path): corpus is
+  bucketed by sign-pattern; only buckets matching a query's pattern (within
+  ``probe_bits`` flips) are searched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def _topk_rows(qids, sims, cand_ids, k, exclude_self=True):
+    """Per query row: local top-k (sim desc, id asc) as flat arrays."""
+    out_q, out_n, out_s = [], [], []
+    for qi, qid in enumerate(qids):
+        s = sims[qi]
+        ids = cand_ids
+        if exclude_self:
+            mask = ids != qid
+            s, ids = s[mask], ids[mask]
+        if len(ids) == 0:
+            continue
+        kk = min(k, len(ids))
+        # deterministic order: sim desc, then id asc
+        order = np.lexsort((ids, -s))[:kk]
+        out_q.extend([qid] * kk)
+        out_n.extend(ids[order].tolist())
+        out_s.extend(s[order].tolist())
+    return out_q, out_n, out_s
+
+
+def knn_bruteforce(
+    emb_ds,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 5,
+):
+    """Exact cosine top-k: returns (query_id, neighbor_id, rank, cosine)."""
+    qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    ref = ray.put((qids, qmat))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat = ray.get(ref)
+        cids = batch["vec_id"].to_numpy()
+        cmat = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        sims = q_mat @ cmat.T
+        oq, on, os_ = _topk_rows(q_ids, sims, cids, k)
+        return pa.table(
+            {
+                "query_id": pa.array(oq, pa.int64()),
+                "neighbor_id": pa.array(on, pa.int64()),
+                "cosine": pa.array(os_, pa.float64()),
+            }
+        )
+
+    partial = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        ids = group["neighbor_id"].to_numpy()
+        sims = group["cosine"].to_numpy()
+        order = np.lexsort((ids, -sims))[:k]
+        n = len(order)
+        return pa.table(
+            {
+                "query_id": pa.array([group["query_id"][0].as_py()] * n, pa.int64()),
+                "neighbor_id": pa.array(ids[order], pa.int64()),
+                "rank": pa.array(np.arange(1, n + 1), pa.int64()),
+                "cosine": pa.array(np.round(sims[order], 4), pa.float64()),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_bits, dim)
+
+
+def _sign_bucket(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+    return bits.astype(np.int64) @ weights
+
+
+def knn_lsh(
+    emb_ds,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 5,
+    n_bits: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+):
+    """Multi-table random-hyperplane LSH ANN: ``n_tables`` independent
+    ``n_bits`` sign-hashes; a corpus vector is compared only when it collides
+    with a query in at least one table. Recall < 1 by design (tunable via
+    n_tables); the bruteforce op is the correctness baseline."""
+    qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    planes = [
+        _hyperplanes(qmat.shape[1], n_bits, seed + t) for t in range(n_tables)
+    ]
+    # wanted: (table, bucket) -> query indices
+    wanted: dict[tuple[int, int], list[int]] = {}
+    for t in range(n_tables):
+        qb = _sign_bucket(qmat, planes[t])
+        for qi, b in enumerate(qb):
+            wanted.setdefault((t, int(b)), []).append(qi)
+    ref = ray.put((qids, qmat, planes, wanted))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat, pl, want = ray.get(ref)
+        cids = batch["vec_id"].to_numpy()
+        cmat = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        # union of colliding (query, corpus-row) pairs across tables
+        pair_mask = np.zeros((len(q_ids), len(cids)), dtype=bool)
+        for t, planes_t in enumerate(pl):
+            cb = _sign_bucket(cmat, planes_t)
+            for b in np.unique(cb):
+                qis = want.get((t, int(b)))
+                if not qis:
+                    continue
+                sel = cb == b
+                pair_mask[np.ix_(qis, np.where(sel)[0])] = True
+        out_q, out_n, out_s = [], [], []
+        sims_full = q_mat @ cmat.T
+        for qi in range(len(q_ids)):
+            sel = pair_mask[qi]
+            if not sel.any():
+                continue
+            oq, on, os_ = _topk_rows(
+                q_ids[qi : qi + 1], sims_full[qi : qi + 1, sel], cids[sel], k
+            )
+            out_q.extend(oq)
+            out_n.extend(on)
+            out_s.extend(os_)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partial = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        ids = group["neighbor_id"].to_numpy()
+        sims = group["cosine"].to_numpy()
+        # a neighbor can arrive from several probed buckets -> dedup first
+        _, uniq = np.unique(ids, return_index=True)
+        ids, sims = ids[uniq], sims[uniq]
+        order = np.lexsort((ids, -sims))[:k]
+        n = len(order)
+        return pa.table(
+            {
+                "query_id": pa.array([group["query_id"][0].as_py()] * n, pa.int64()),
+                "neighbor_id": pa.array(ids[order], pa.int64()),
+                "rank": pa.array(np.arange(1, n + 1), pa.int64()),
+                "cosine": pa.array(np.round(sims[order], 4), pa.float64()),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
+
+
+def load_queries(emb_ds, n_queries: int = 10):
+    """First n vec_ids as the query set (deterministic, tiny driver read)."""
+    rows = (
+        emb_ds.select_columns(["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < n_queries)
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat

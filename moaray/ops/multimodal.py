@@ -1,0 +1,148 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with metadata columns
+(w, h, fmt / sample_rate / n_frames); the Ray-side plumbing — actor-pool
+stages, schemas, batch sizing — is real and tested. Actual codec work for
+container formats (PNG/JPEG/WAV/MP4) is STUBBED behind clearly-marked
+NotImplementedError gates because the sandbox has no media libraries; the
+engine's own MRAY codecs (moaray.codecs) exercise the same paths for real.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .. import codecs
+
+
+class ImageFeatures:
+    """Actor-pool stage: decode + feature-extract per image.
+
+    Setup (none needed for MRAY codecs, but the LRU and dispatch table are
+    per-actor state) happens once in __init__; __call__ handles one batch.
+    Emits per-image features: mean/std/nonnull fraction + a 16-bin histogram
+    — the shape of a real embedding/featurizer stage.
+    """
+
+    def __init__(self, bins: int = 16):
+        self.bins = bins
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {
+            "image_id": [], "mean": [], "std": [], "nonnull_frac": [],
+            "hist": [],
+        }
+        for i in range(batch.num_rows):
+            fmt = batch["fmt"][i].as_py()
+            buf = batch["bytes"][i].as_py()
+            if fmt in ("png", "jpeg"):
+                raise NotImplementedError(
+                    "PNG/JPEG decode requires Pillow (absent in sandbox); "
+                    "use MRAY fmts raw16/z16/q12"
+                )
+            arr = codecs.decode(buf, fmt)
+            valid = arr[arr != 0]
+            hist, _ = np.histogram(arr, bins=self.bins, range=(0, 65536))
+            rows["image_id"].append(batch["image_id"][i].as_py())
+            rows["mean"].append(round(float(valid.mean()) if valid.size else 0.0, 4))
+            rows["std"].append(round(float(valid.std()) if valid.size else 0.0, 4))
+            rows["nonnull_frac"].append(
+                round(float(valid.size) / arr.size if arr.size else 0.0, 4)
+            )
+            # histogram as a compact string so downstream consumers (pandas
+            # sorts, value hashing) never see an unhashable list cell
+            rows["hist"].append(",".join(map(str, hist.tolist())))
+        return pa.Table.from_pydict(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "mean": pa.array(rows["mean"], pa.float64()),
+                "std": pa.array(rows["std"], pa.float64()),
+                "nonnull_frac": pa.array(rows["nonnull_frac"], pa.float64()),
+                "hist": pa.array(rows["hist"], pa.string()),
+            }
+        )
+
+
+class ImageResize:
+    """Actor-pool stage: nearest-neighbour resize to (out_h, out_w).
+
+    Nearest resampling is implemented for real on MRAY payloads (it is the
+    reference's only overview resampler, mosaic.py:657); other interpolations
+    would need scipy/Pillow and are gated.
+    """
+
+    def __init__(self, out_h: int, out_w: int, method: str = "nearest"):
+        if method != "nearest":
+            raise NotImplementedError(
+                f"resample method {method!r} needs an image library; "
+                "only 'nearest' is implemented in-sandbox"
+            )
+        self.out_h = out_h
+        self.out_w = out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": []}
+        for i in range(batch.num_rows):
+            fmt = batch["fmt"][i].as_py()
+            arr = codecs.decode(batch["bytes"][i].as_py(), fmt)
+            h, w = arr.shape
+            ri = (np.arange(self.out_h) * h // self.out_h).clip(0, h - 1)
+            ci = (np.arange(self.out_w) * w // self.out_w).clip(0, w - 1)
+            small = arr[np.ix_(ri, ci)]
+            rows["image_id"].append(batch["image_id"][i].as_py())
+            rows["bytes"].append(codecs.encode(np.ascontiguousarray(small), "raw16"))
+            rows["w"].append(self.out_w)
+            rows["h"].append(self.out_h)
+            rows["fmt"].append("raw16")
+        return pa.Table.from_pydict(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "bytes": pa.array(rows["bytes"], pa.binary()),
+                "w": pa.array(rows["w"], pa.int32()),
+                "h": pa.array(rows["h"], pa.int32()),
+                "fmt": pa.array(rows["fmt"], pa.string()),
+            }
+        )
+
+
+class FrameSample:
+    """Video frame-sampling stage (STUB): real signature/schema, fake decode.
+
+    A 'video' here is a binary column assumed to hold n_frames stacked MRAY
+    images; a real deployment would swap the gated decode for pyav/ffmpeg.
+    Emits every ``stride``-th frame as its own image row.
+    """
+
+    def __init__(self, stride: int = 10):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "video container decode requires pyav/ffmpeg (absent in sandbox); "
+            "the stage contract is: (video_id, bytes, n_frames, fmt) -> "
+            "(video_id, frame_idx, bytes, w, h, fmt) every stride-th frame"
+        )
+
+
+def image_features(images_ds, *, concurrency=(1, 8), batch_size: int = 16):
+    return images_ds.map_batches(
+        ImageFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def image_resize(images_ds, out_h: int, out_w: int, *, concurrency=(1, 8),
+                 batch_size: int = 16):
+    return images_ds.map_batches(
+        ImageResize,
+        fn_constructor_args=(out_h, out_w),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

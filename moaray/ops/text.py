@@ -1,0 +1,140 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are vectorized pyarrow.compute kernels inside ``map_batches``
+(no per-row Python in the scan); each op has a DuckDB-SQL-equivalent
+definition where expressible so the correctness driver can value-hash it.
+
+Ops: token counting, character-class quality scoring, marker-based language
+ID, md5 document fingerprinting, and a rolling-hash fingerprint (the
+non-SQL-expressible variant).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Marker-word language-ID rule. Deliberately expressible as an SQL CASE
+# chain (see __ray_entry__.oracle_sql) so the heuristic itself is oracle-
+# checked; order of the WHEN branches is part of the definition.
+_LANG_RULES = [
+    ("de", [" der ", " und ", " die "]),
+    ("es", [" el ", " que ", " los "]),
+    ("fr", [" le ", " et ", " les "]),
+]
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """n_tokens = number of single-space-split pieces (== DuckDB
+    array_length(str_split(text, ' '))); n_ws_tokens = whitespace-regex
+    tokens (the BPE-ish variant)."""
+    text = batch["text"]
+    n_tokens = pc.list_value_length(pc.split_pattern(text, " "))
+    n_ws = pc.list_value_length(pc.split_pattern_regex(text, r"\s+"))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "n_ws_tokens": pc.cast(n_ws, pa.int64()),
+        }
+    )
+
+
+def _count_removed(text: pa.ChunkedArray | pa.Array, pattern: str):
+    """How many chars a regex class removes = count of matching chars."""
+    stripped = pc.replace_substring_regex(text, pattern, "")
+    return pc.subtract(pc.utf8_length(text), pc.utf8_length(stripped))
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Character-class quality counts + ratio (rounded for stable hashing)."""
+    text = batch["text"]
+    n_chars = pc.utf8_length(text)
+    n_alpha = _count_removed(text, "[a-zA-Z]")
+    n_digit = _count_removed(text, "[0-9]")
+    n_space = _count_removed(text, " ")
+    alpha_ratio = pc.round(
+        pc.divide(
+            pc.cast(n_alpha, pa.float64()),
+            pc.cast(pc.max_element_wise(n_chars, 1), pa.float64()),
+        ),
+        ndigits=4,
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_alpha": pc.cast(n_alpha, pa.int64()),
+            "n_digit": pc.cast(n_digit, pa.int64()),
+            "n_space": pc.cast(n_space, pa.int64()),
+            "alpha_ratio": alpha_ratio,
+        }
+    )
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """Marker-word language ID; CJK check first, then marker chains, else en.
+
+    Identical semantics to the SQL CASE chain in oracle_sql()["doc_langid"].
+    """
+    text = batch["text"]
+    pred = pa.array(["en"] * len(text), pa.string())
+    pred = pc.if_else(
+        pc.match_substring_regex(text, r"[一-鿿]"),
+        pa.scalar("zh"),
+        pred,
+    )
+    # apply rules in reverse so earlier rules win (first-match semantics)
+    for lang, markers in reversed(_LANG_RULES):
+        hit = pc.match_substring(text, markers[0])
+        for m in markers[1:]:
+            hit = pc.or_(hit, pc.match_substring(text, m))
+        # don't override a zh hit
+        hit = pc.and_(hit, pc.invert(pc.match_substring_regex(text, r"[一-鿿]")))
+        pred = pc.if_else(hit, pa.scalar(lang), pred)
+    return pa.table({"doc_id": batch["doc_id"], "pred_lang": pred})
+
+
+def md5_fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """md5 hex fingerprint (== DuckDB md5(text)); per-row hashlib is the
+    cost of SQL-checkability — the rolling-hash variant below is the
+    vectorized scale path."""
+    vals = batch[col].to_pylist()
+    digests = [hashlib.md5(v.encode("utf-8")).hexdigest() for v in vals]
+    return pa.table(
+        {"doc_id": batch["doc_id"], "fingerprint": pa.array(digests, pa.string())}
+    )
+
+
+_POLY_BASE = np.uint64(1000003)
+
+
+def rolling_hash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Vectorized polynomial rolling hash over utf-8 bytes (mod 2^64).
+
+    Non-SQL-expressible fingerprint; deterministic across runs/workers.
+    """
+    out = np.zeros(batch.num_rows, dtype=np.uint64)
+    vals = batch[col].to_pylist()
+    for i, v in enumerate(vals):
+        b = np.frombuffer(v.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        # Horner's rule, vectorized via cumulative powers
+        n = len(b)
+        if n == 0:
+            continue
+        with np.errstate(over="ignore"):
+            powers = np.empty(n, dtype=np.uint64)
+            powers[0] = np.uint64(1)
+            np.multiply.accumulate(
+                np.full(n - 1, _POLY_BASE, dtype=np.uint64), out=powers[1:]
+            )
+            out[i] = np.sum(b[::-1] * powers, dtype=np.uint64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "rolling_hash": pa.array(out.astype(np.int64), pa.int64()),
+        }
+    )

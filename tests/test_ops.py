@@ -1,0 +1,241 @@
+"""Training-data ops: Ray pipelines vs DuckDB truths + property checks."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["documents", "embeddings", "lineitem", "events"]:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+def emb():
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def assert_matches_sql(ds, con, sql):
+    got = canon(ds.to_pandas())
+    want = canon(con.sql(sql).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_token_count_vs_sql(con):
+    from moaray.ops.text import token_count_batch
+
+    ds = docs().map_batches(token_count_batch, batch_format="pyarrow")
+    assert_matches_sql(
+        ds,
+        con,
+        """SELECT doc_id,
+              CAST(array_length(str_split(text,' ')) AS BIGINT) AS n_tokens,
+              CAST(array_length(regexp_split_to_array(text,'\\s+')) AS BIGINT) AS n_ws_tokens
+           FROM documents""",
+    )
+
+
+def test_exact_dedup_vs_sql(con):
+    from moaray.ops.dedup import exact_dedup
+
+    ds = exact_dedup(docs())
+    assert_matches_sql(
+        ds,
+        con,
+        "SELECT min(doc_id) AS doc_id, md5(text) AS text_hash "
+        "FROM documents GROUP BY md5(text)",
+    )
+
+
+def test_exact_dedup_finds_duplicates():
+    """Synthesized dup rows: survivor must be the min doc_id per text."""
+    from moaray.ops.dedup import exact_dedup
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([5, 2, 9, 7], pa.int64()),
+            "text": ["aa", "aa", "bb", "aa"],
+        }
+    )
+    out = exact_dedup(ray.data.from_arrow(tbl)).to_pandas()
+    survivors = set(out["doc_id"])
+    assert survivors == {2, 9}
+
+
+def test_charset_jaccard_vs_sql(con):
+    from moaray.ops.dedup import charset_jaccard_pairs
+
+    ds = charset_jaccard_pairs(docs(), threshold=0.9)
+    assert_matches_sql(
+        ds,
+        con,
+        """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  round(jaccard(a.text, b.text), 4) AS jaccard
+           FROM documents a JOIN documents b
+             ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE jaccard(a.text, b.text) >= 0.9""",
+    )
+
+
+def test_minhash_detects_near_duplicates():
+    from moaray.ops.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    texts = [base, base + " extra", "completely different words here entirely",
+             base]
+    tbl = pa.table(
+        {"doc_id": pa.array([0, 1, 2, 3], pa.int64()), "text": texts}
+    )
+    pairs = minhash_lsh_pairs(
+        ray.data.from_arrow(tbl), threshold=0.5
+    ).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 3) in got  # identical docs must be found
+    assert (0, 1) in got  # near-identical must be found
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_simhash_identical_docs_pair():
+    from moaray.ops.dedup import simhash_pairs
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["alpha beta gamma delta", "alpha beta gamma delta",
+                     "unrelated totally different content words"],
+        }
+    )
+    pairs = simhash_pairs(ray.data.from_arrow(tbl)).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_knn_bruteforce_vs_numpy():
+    from moaray.ops.ann import knn_bruteforce, load_queries
+
+    e = emb()
+    qids, qmat = load_queries(e, n_queries=5)
+    got = knn_bruteforce(e, qids, qmat, k=4).to_pandas()
+
+    rows = e.take_all()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    sims = qn @ mat.T
+    for qi, qid in enumerate(qids):
+        s = sims[qi].copy()
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -s[mask]))[:4]
+        want = ids[mask][order].tolist()
+        have = got[got["query_id"] == qid].sort_values("rank")[
+            "neighbor_id"
+        ].tolist()
+        assert have == want, f"query {qid}"
+
+
+def test_knn_lsh_recall_vs_bruteforce():
+    from moaray.ops.ann import knn_bruteforce, knn_lsh, load_queries
+
+    e = emb()
+    qids, qmat = load_queries(e, n_queries=5)
+    bf = knn_bruteforce(e, qids, qmat, k=5).to_pandas()
+    lsh = knn_lsh(e, qids, qmat, k=5).to_pandas()
+    bf_set = set(zip(bf["query_id"], bf["neighbor_id"]))
+    lsh_set = set(zip(lsh["query_id"], lsh["neighbor_id"]))
+    recall = len(bf_set & lsh_set) / len(bf_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_pricing_summary_vs_sql(con):
+    from moaray.ops.relational import pricing_summary
+
+    ds = pricing_summary(ray.data.read_parquet(f"{SF}/lineitem.parquet"))
+    assert_matches_sql(
+        ds,
+        con,
+        """SELECT l_returnflag, l_linestatus,
+                  round(sum(l_quantity),2) AS sum_qty,
+                  round(sum(l_extendedprice),2) AS sum_base_price,
+                  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+                  round(sum(l_quantity)/count(*),4) AS avg_qty,
+                  count(*) AS count_order
+           FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           GROUP BY l_returnflag, l_linestatus""",
+    )
+
+
+def test_events_daily_vs_sql(con):
+    from moaray.ops.relational import events_daily
+
+    ds = events_daily(ray.data.read_parquet(f"{SF}/events.parquet"))
+    assert_matches_sql(
+        ds,
+        con,
+        """SELECT event_type, strftime(ts,'%Y-%m-%d') AS day,
+                  count(*) AS n_events, round(sum(value),2) AS sum_value
+           FROM events GROUP BY 1, 2""",
+    )
+
+
+def test_image_features_and_resize():
+    from moaray.ops.multimodal import image_features, image_resize
+    from moaray.testgen import Layout, images_path
+
+    path = images_path(Layout("grid3x3", 9, 64))
+    ds = ray.data.read_parquet(path)
+    feats = image_features(ds).to_pandas()
+    assert len(feats) == 9
+    # ramp 0..63, nonnull = cols 1..63 -> mean of 1..63 = 32
+    assert feats["mean"].iloc[0] == pytest.approx(32.0)
+    assert feats["nonnull_frac"].iloc[0] == pytest.approx(63 / 64, abs=1e-3)
+
+    small = image_resize(ds, 16, 16).to_pandas()
+    assert len(small) == 9
+    from moaray import codecs
+
+    arr = codecs.decode(small["bytes"].iloc[0], "raw16")
+    assert arr.shape == (16, 16)
+
+
+def test_frame_sample_is_gated_stub():
+    from moaray.ops.multimodal import FrameSample
+
+    with pytest.raises(NotImplementedError):
+        FrameSample()(pa.table({"video_id": ["v0"]}))
+
+
+def test_langid_markers():
+    from moaray.ops.text import langid_batch
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": [
+                "hello there general words",
+                "x der und y",
+                "x el que y",
+                "x le et y",
+                "中文 text",
+            ],
+        }
+    )
+    out = langid_batch(tbl)["pred_lang"].to_pylist()
+    assert out == ["en", "de", "es", "fr", "zh"]
