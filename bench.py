@@ -49,7 +49,6 @@ def run_mosaic_bench(num_cpus: int) -> dict:
     cfg = MosaicConfig(
         layout=layout,
         blocksize=1024,
-        decode_concurrency=(1, max(2, num_cpus // 2)),
         decode_batch_size=4,
         do_pyramids=True,
         do_stats=True,

@@ -42,7 +42,7 @@ from ..stages.assemble import (
 )
 from ..stages.decode import decode_windows
 from ..stages.plan import assign_cell_join, assign_direct, probe_metadata
-from ..stages.stats import compute_stats
+from ..stages.stats import stats_from_tile_columns as compute_stats_from_columns
 from ..state import manifest as manifest_mod
 from ..testgen import Layout, meta_for
 
@@ -60,9 +60,20 @@ class MosaicConfig:
     do_pyramids: bool = True
     do_stats: bool = True
     join_strategy: str = "direct"  # "direct" | "cell_join"
-    decode_concurrency: tuple = (1, 8)
+    decode_concurrency: tuple | None = None  # None = stateless tasks
     decode_batch_size: int = 16
     validate_projections: bool = True
+    # Tiles with >= salt_threshold contributing images get a salted
+    # two-level merge (contiguous-seq salts; SURVEY.md §4.2). None = off.
+    salt_threshold: int | None = 32
+    inputs_per_salt: int = 8
+    max_salts: int = 32
+    # Planning mode: "auto" collects metadata to the driver when the input
+    # is small (< driver_plan_limit images — the reference's whole analysis
+    # phase is driver-side, mosaic.py:187-195) and stays fully distributed
+    # beyond it. One metadata execution instead of five.
+    planning: str = "auto"  # "auto" | "driver" | "distributed"
+    driver_plan_limit: int = 100_000
 
 
 @dataclass
@@ -80,6 +91,23 @@ def read_images(images_path: str, columns: list[str] | None = None):
     """Column-pruned parquet read (Lance per BASELINE.json; parquet fallback
     since pylance is absent in this sandbox — SURVEY.md §1.3)."""
     return ray.data.read_parquet(images_path, columns=columns)
+
+
+def _parquet_num_rows(images_path: str) -> int:
+    """Row count straight from parquet footers — no Ray execution."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    if _os.path.isdir(images_path):
+        files = _glob.glob(_os.path.join(images_path, "*.parquet"))
+    else:
+        files = [images_path]
+    try:
+        return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return 1 << 62  # unknown -> fall back to distributed planning
 
 
 def compute_grid(meta_ds, cfg: MosaicConfig) -> OutputGrid:
@@ -143,13 +171,98 @@ def do_mosaic(
     """Run the full mosaic. If ``out_dir`` is given, tiles are written through
     the committed-partition sink (resumable); otherwise the tiles dataset is
     returned lazily for the caller to consume."""
-    meta_ds = probe_metadata(read_images(images_path, IMAGE_META_COLS), cfg.layout)
-    grid = compute_grid(meta_ds, cfg)
-    if cfg.validate_projections:
-        plan_stage.check_projections(
-            probe_metadata(read_images(images_path, IMAGE_META_COLS), cfg.layout),
-            grid,
-        )
+    from collections import Counter
+
+    from ..geo import covering_tile_range, window_overlap
+    from ..stages.plan import meta_from_row
+
+    if out_dir is not None and not resume:
+        # Fresh-run semantics (ref mosaic.py:634-636: existing output is
+        # deleted and recreated) — otherwise stale committed partitions from
+        # a prior run double-count in every read-back.
+        manifest_mod.clear_output(out_dir)
+
+    need_counts = cfg.salt_threshold is not None or cfg.include_empty
+
+    use_driver_plan = cfg.planning == "driver"
+    if cfg.planning == "auto":
+        use_driver_plan = _parquet_num_rows(images_path) <= cfg.driver_plan_limit
+
+    tile_counts: dict[int, int] = {}
+    if use_driver_plan:
+        # The reference's whole analysis phase is driver-side
+        # (mosaic.py:187-195); for small inputs one local pruned-column
+        # parquet read beats five distributed executions. Metadata only —
+        # never pixel bytes.
+        import pyarrow.parquet as _pq
+
+        tbl = _pq.read_table(images_path, columns=IMAGE_META_COLS)
+        from ..stages.plan import probe_batch
+
+        probed = probe_batch(tbl, cfg.layout)
+        rows = sorted(probed.to_pylist(), key=lambda r: r["seq"])
+        from ..geo import ImageMeta
+
+        metas = [
+            ImageMeta(
+                image_id=r["image_id"], ncols=r["w"], nrows=r["h"],
+                transform=tuple(r["gt"]), crs=r["crs"], dtype=r["dtype"],
+                nullval=r["nullval"], fmt=r["fmt"],
+            )
+            for r in rows
+        ]
+        grid = make_output_grid(metas, cfg.blocksize, cfg.nullval)
+        if cfg.validate_projections:
+            tol = 0.0001  # ref reproj.py:117-127
+            for m in metas:
+                if m.crs != grid.crs:
+                    raise ValueError(f"CRS mismatch: {m.image_id} {m.crs}")
+                if (
+                    abs(m.transform[1] - grid.transform[1]) > tol
+                    or abs(m.transform[5] - grid.transform[5]) > tol
+                ):
+                    raise ValueError(f"resolution mismatch: {m.image_id}")
+                dx = (m.transform[0] - grid.transform[0]) / grid.transform[1]
+                dy = (m.transform[3] - grid.transform[3]) / grid.transform[5]
+                if abs(dx - round(dx)) > tol or abs(dy - round(dy)) > tol:
+                    raise ValueError(f"grid misalignment: {m.image_id}")
+        if need_counts:
+            counter: Counter = Counter()
+            for m in metas:
+                tr0, tr1, tc0, tc1 = covering_tile_range(m, grid)
+                for trow in range(tr0, tr1):
+                    for tcol in range(tc0, tc1):
+                        tid = grid.tile_id(trow, tcol)
+                        if window_overlap(
+                            grid.block_for_tile(tid), grid.transform, m
+                        ):
+                            counter[tid] += 1
+            tile_counts = dict(counter)
+        n_images = len(metas)
+    else:
+        meta_ds = probe_metadata(
+            read_images(images_path, IMAGE_META_COLS), cfg.layout
+        ).materialize()
+        grid = compute_grid(meta_ds, cfg)
+        if cfg.validate_projections:
+            plan_stage.check_projections(meta_ds, grid)
+        if need_counts:
+            tile_counts = Counter(
+                r["tile_id"]
+                for r in assign_direct(meta_ds, grid)
+                .select_columns(["tile_id"])
+                .take_all()
+            )
+        n_images = meta_ds.count()
+
+    hot_tiles: dict[int, int] = {}
+    if cfg.salt_threshold is not None:
+        for tid, cnt in tile_counts.items():
+            if cnt >= cfg.salt_threshold:
+                hot_tiles[tid] = min(
+                    cfg.max_salts,
+                    max(2, -(-cnt // cfg.inputs_per_salt)),
+                )
 
     images_ds = read_images(images_path)  # all cols incl. bytes
     windows = decode_windows(
@@ -158,6 +271,8 @@ def do_mosaic(
         cfg.layout,
         concurrency=cfg.decode_concurrency,
         batch_size=cfg.decode_batch_size,
+        hot_tiles=hot_tiles,
+        n_seq=n_images,
     )
 
     skipped = 0
@@ -177,19 +292,18 @@ def do_mosaic(
 
             windows = windows.map_batches(drop_committed, batch_format="pyarrow")
 
-    tiles = assemble_tiles(windows, grid, cfg.merge)
+    if hot_tiles and cfg.merge == "last":
+        from ..stages.assemble import assemble_tiles_salted
+
+        tiles = assemble_tiles_salted(windows, grid, cfg.merge)
+    else:
+        tiles = assemble_tiles(windows, grid, cfg.merge)
 
     if cfg.include_empty:
         # Tiles intersecting no input -> all-null canvases (ref
         # mosaic.py:351-359). Assigned ids come back as a tiny column;
         # at extreme tile counts this becomes an anti-join on tile_id.
-        meta_ds2 = probe_metadata(read_images(images_path, IMAGE_META_COLS), cfg.layout)
-        assigned = set(
-            r["tile_id"]
-            for r in assign_direct(meta_ds2, grid)
-            .select_columns(["tile_id"])
-            .take_all()
-        )
+        assigned = set(tile_counts)
         missing = [
             t for t in range(grid.num_tiles)
             if t not in assigned and t not in committed
@@ -210,7 +324,17 @@ def do_mosaic(
             result.tiles_ds, grid, cfg.min_overview_size
         )
     if cfg.do_stats:
-        result.stats = compute_stats(result.tiles_ds, grid.nullval, grid.dtype)
+        # Pure columnar aggregate over the per-tile partials emitted by
+        # assemble — no pixel re-decode. When reading back from the sink,
+        # prune to just the stat columns.
+        if out_dir is not None:
+            stats_src = manifest_mod.read_committed_tiles(
+                out_dir,
+                columns=["px_sum", "px_ssq", "px_min", "px_max", "nonnull_count"],
+            )
+        else:
+            stats_src = result.tiles_ds
+        result.stats = compute_stats_from_columns(stats_src)
     return result
 
 

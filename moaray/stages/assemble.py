@@ -38,6 +38,13 @@ TILE_SCHEMA = pa.schema(
         ("n_inputs", pa.int32()),
         ("input_ids", pa.list_(pa.string())),  # lineage
         ("nonnull_count", pa.int64()),
+        # per-tile partial stats (StatsAccumulator partials, mosaic.py:758-771)
+        # carried as columns so the global stats aggregate never re-decodes
+        # pixel payloads.
+        ("px_sum", pa.float64()),
+        ("px_ssq", pa.float64()),
+        ("px_min", pa.float64()),
+        ("px_max", pa.float64()),
         ("pixels", pa.binary()),
     ]
 )
@@ -55,24 +62,39 @@ PYRAMID_SCHEMA = pa.schema(
 )
 
 
+def _binary_views(col: pa.ChunkedArray | pa.Array, dtype) -> list[np.ndarray]:
+    """Zero-copy numpy views over a binary column's cells (no .as_py() byte
+    copies — the values buffer is sliced in place)."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    views: list[np.ndarray] = []
+    for chunk in chunks:
+        # buffers(): [validity, offsets, data] for binary arrays
+        bufs = chunk.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=np.int32, count=len(chunk) + 1,
+                                offset=chunk.offset * 4)
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        for i in range(len(chunk)):
+            views.append(data[offsets[i] : offsets[i + 1]].view(dtype))
+    return views
+
+
 def _merge_last(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullval):
-    pixels = group["pixels"]
+    views = _binary_views(group["pixels"], canvas.dtype)
     dst_top = group["dst_top"].to_numpy()
     dst_left = group["dst_left"].to_numpy()
     win_h = group["win_h"].to_numpy()
     win_w = group["win_w"].to_numpy()
     for i in order:
         h, w = int(win_h[i]), int(win_w[i])
-        win = np.frombuffer(pixels[i].as_py(), dtype=canvas.dtype).reshape(h, w)
+        win = views[i].reshape(h, w)
         sub = canvas[dst_top[i] : dst_top[i] + h, dst_left[i] : dst_left[i] + w]
-        mask = win != nullval
-        sub[mask] = win[mask]
+        np.copyto(sub, win, where=(win != nullval))
 
 
 def _merge_feather(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullval):
     num = np.zeros(canvas.shape, dtype=np.float64)
     den = np.zeros(canvas.shape, dtype=np.float64)
-    pixels = group["pixels"]
+    views = _binary_views(group["pixels"], canvas.dtype)
     cols = {
         n: group[n].to_numpy()
         for n in ("dst_top", "dst_left", "win_h", "win_w",
@@ -80,7 +102,7 @@ def _merge_feather(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullv
     }
     for i in order:
         h, w = int(cols["win_h"][i]), int(cols["win_w"][i])
-        win = np.frombuffer(pixels[i].as_py(), dtype=canvas.dtype).reshape(h, w)
+        win = views[i].reshape(h, w)
         # distance-to-source-edge weights (vectorized outer min)
         rr = np.arange(cols["src_top"][i], cols["src_top"][i] + h, dtype=np.float64)
         cc = np.arange(cols["src_left"][i], cols["src_left"][i] + w, dtype=np.float64)
@@ -115,9 +137,11 @@ def make_assemble_fn(nullval: float, dtype: str, merge: str = "last"):
             raise ValueError(f"unknown merge kernel {merge!r}")
         input_ids = [group["image_id"][int(i)].as_py() for i in order]
         if np.isnan(nullval):
-            nonnull = int(np.count_nonzero(~np.isnan(canvas)))
+            valid = canvas[~np.isnan(canvas)]
         else:
-            nonnull = int(np.count_nonzero(canvas != nv))
+            valid = canvas[canvas != nv]
+        nonnull = int(valid.size)
+        v64 = valid.astype(np.float64)
         return pa.Table.from_pydict(
             {
                 "tile_id": [group["tile_id"][0].as_py()],
@@ -128,6 +152,10 @@ def make_assemble_fn(nullval: float, dtype: str, merge: str = "last"):
                 "n_inputs": [len(input_ids)],
                 "input_ids": [input_ids],
                 "nonnull_count": [nonnull],
+                "px_sum": [float(v64.sum()) if nonnull else 0.0],
+                "px_ssq": [float((v64 ** 2).sum()) if nonnull else 0.0],
+                "px_min": [float(valid.min()) if nonnull else None],
+                "px_max": [float(valid.max()) if nonnull else None],
                 "pixels": [canvas.tobytes()],
             },
             schema=TILE_SCHEMA,
@@ -149,6 +177,107 @@ def assemble_tiles(
     return windows_ds.groupby("tile_id").map_groups(fn, batch_format="pyarrow")
 
 
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("tile_id", pa.int64()),
+        ("salt", pa.int32()),
+        ("out_top", pa.int32()),
+        ("out_left", pa.int32()),
+        ("out_xsize", pa.int32()),
+        ("out_ysize", pa.int32()),
+        ("input_ids", pa.list_(pa.string())),
+        ("pixels", pa.binary()),
+    ]
+)
+
+
+def assemble_tiles_salted(
+    windows_ds: "ray.data.Dataset",
+    grid: OutputGrid,
+    merge: str = "last",
+) -> "ray.data.Dataset":
+    """Two-level merge for skewed tiles (SURVEY.md §4.2 salting plan).
+
+    Stage 1 groups by (tile_id, salt) and merges each contiguous seq range
+    into a partial full-tile canvas — hot tiles merge their inputs in
+    parallel across salts. Stage 2 groups by tile_id and overlays partial
+    canvases in salt order; because salts are contiguous seq ranges,
+    last-non-null over partials == last-non-null over the original sequence
+    (associativity over ordered partitions). Unsalted tiles (salt 0 only)
+    pass through stage 2 as singleton groups.
+
+    Only valid for ``merge == "last"`` — feather is a weighted sum and would
+    need num/den partials instead.
+    """
+    if merge != "last":
+        raise ValueError("salted assembly only supports the 'last' merge kernel")
+    np_dtype = np.dtype(grid.dtype)
+    nv = np_dtype.type(grid.nullval)
+
+    def partial_merge(group: pa.Table) -> pa.Table:
+        seq = group["seq"].to_numpy()
+        order = np.argsort(seq, kind="stable")
+        ysize = int(group["out_ysize"][0].as_py())
+        xsize = int(group["out_xsize"][0].as_py())
+        canvas = np.full((ysize, xsize), nv, dtype=np_dtype)
+        _merge_last(group, order, canvas, nv)
+        input_ids = [group["image_id"][int(i)].as_py() for i in order]
+        return pa.Table.from_pydict(
+            {
+                "tile_id": [group["tile_id"][0].as_py()],
+                "salt": [group["salt"][0].as_py()],
+                "out_top": [group["out_top"][0].as_py()],
+                "out_left": [group["out_left"][0].as_py()],
+                "out_xsize": [xsize],
+                "out_ysize": [ysize],
+                "input_ids": [input_ids],
+                "pixels": [canvas.tobytes()],
+            },
+            schema=PARTIAL_SCHEMA,
+        )
+
+    def final_merge(group: pa.Table) -> pa.Table:
+        salts = group["salt"].to_numpy()
+        order = np.argsort(salts, kind="stable")
+        ysize = int(group["out_ysize"][0].as_py())
+        xsize = int(group["out_xsize"][0].as_py())
+        canvas = np.full((ysize, xsize), nv, dtype=np_dtype)
+        views = _binary_views(group["pixels"], np_dtype)
+        input_ids: list[str] = []
+        for i in order:
+            part = views[int(i)].reshape(ysize, xsize)
+            np.copyto(canvas, part, where=(part != nv))
+            input_ids.extend(group["input_ids"][int(i)].as_py())
+        valid = canvas[canvas != nv]
+        v64 = valid.astype(np.float64)
+        nonnull = int(valid.size)
+        return pa.Table.from_pydict(
+            {
+                "tile_id": [group["tile_id"][0].as_py()],
+                "out_top": [group["out_top"][0].as_py()],
+                "out_left": [group["out_left"][0].as_py()],
+                "out_xsize": [xsize],
+                "out_ysize": [ysize],
+                "n_inputs": [len(input_ids)],
+                "input_ids": [input_ids],
+                "nonnull_count": [nonnull],
+                "px_sum": [float(v64.sum()) if nonnull else 0.0],
+                "px_ssq": [float((v64 ** 2).sum()) if nonnull else 0.0],
+                "px_min": [float(valid.min()) if nonnull else None],
+                "px_max": [float(valid.max()) if nonnull else None],
+                "pixels": [canvas.tobytes()],
+            },
+            schema=TILE_SCHEMA,
+        )
+
+    partials = windows_ds.groupby(["tile_id", "salt"]).map_groups(
+        partial_merge, batch_format="pyarrow"
+    )
+    return partials.groupby("tile_id").map_groups(
+        final_merge, batch_format="pyarrow"
+    )
+
+
 def empty_tiles_table(grid: OutputGrid, tile_ids: list[int]) -> pa.Table:
     """All-null tiles for blocks intersecting no input (ref mosaic.py:351-359).
 
@@ -168,6 +297,10 @@ def empty_tiles_table(grid: OutputGrid, tile_ids: list[int]) -> pa.Table:
         rows["n_inputs"].append(0)
         rows["input_ids"].append([])
         rows["nonnull_count"].append(0)
+        rows["px_sum"].append(0.0)
+        rows["px_ssq"].append(0.0)
+        rows["px_min"].append(None)
+        rows["px_max"].append(None)
         rows["pixels"].append(canvas.tobytes())
     return pa.Table.from_pydict(rows, schema=TILE_SCHEMA)
 
@@ -183,13 +316,13 @@ def make_pyramid_fn(grid: OutputGrid, levels: list[int], dtype: str):
 
     def pyramids(batch: pa.Table) -> pa.Table:
         rows = {n: [] for n in PYRAMID_SCHEMA.names}
+        views = _binary_views(batch["pixels"], np_dtype)
         for i in range(batch.num_rows):
             top = batch["out_top"][i].as_py()
             left = batch["out_left"][i].as_py()
             ys = batch["out_ysize"][i].as_py()
             xs = batch["out_xsize"][i].as_py()
-            arr = np.frombuffer(batch["pixels"][i].as_py(), dtype=np_dtype)
-            arr = arr.reshape(ys, xs)
+            arr = views[i].reshape(ys, xs)
             for lvl in levels:
                 o = lvl // 2  # ref mosaic.py:731-734
                 sub = arr[o::lvl, o::lvl]

@@ -36,6 +36,7 @@ from .plan import meta_from_row
 WINDOW_SCHEMA = pa.schema(
     [
         ("tile_id", pa.int64()),
+        ("salt", pa.int32()),
         ("seq", pa.int64()),
         ("image_id", pa.string()),
         ("out_top", pa.int32()),
@@ -59,14 +60,29 @@ WINDOW_SCHEMA = pa.schema(
 
 
 class DecodeSlice:
-    """Actor-pool callable: images batch -> per-(tile, image) window rows."""
+    """Callable: images batch -> per-(tile, image) window rows.
 
-    def __init__(self, grid_ref, layout: Layout, lru_images: int = 8):
+    ``hot_tiles`` maps tile_id -> num_salts for skewed tiles: their windows
+    get ``salt = seq * num_salts // n_seq`` (contiguous seq ranges, so the
+    two-level merge preserves last-non-null order — SURVEY.md §4.2); all
+    other windows get salt 0.
+    """
+
+    def __init__(
+        self,
+        grid_ref,
+        layout: Layout,
+        lru_images: int = 8,
+        hot_tiles: dict | None = None,
+        n_seq: int = 0,
+    ):
         self.grid: OutputGrid = (
             ray.get(grid_ref) if isinstance(grid_ref, ray.ObjectRef) else grid_ref
         )
         self.layout = layout
         self.lru_images = lru_images
+        self.hot_tiles = hot_tiles or {}
+        self.n_seq = max(n_seq, 1)
         self._cache: OrderedDict[str, np.ndarray] = OrderedDict()
 
     def _full_decode(self, image_id: str, buf: bytes, fmt: str) -> np.ndarray:
@@ -93,7 +109,8 @@ class DecodeSlice:
             image_id, fmt = ids[i], fmts[i]
             meta = meta_from_row(image_id, ws[i], hs[i], fmt, self.layout)
             seq = image_idx(image_id)
-            buf = blobs[i].as_py()
+            # zero-copy view of the arrow cell (no bytes copy per image)
+            buf = memoryview(blobs[i].as_buffer())
             trow0, trow1, tcol0, tcol1 = covering_tile_range(meta, grid)
             full = None
             for trow in range(trow0, trow1):
@@ -118,7 +135,10 @@ class DecodeSlice:
                         if full is None:
                             full = self._full_decode(image_id, buf, fmt)
                         clipped = full[t0:b0, l0:r0]
+                    n_salts = self.hot_tiles.get(tid, 0)
+                    salt = (seq * n_salts) // self.n_seq if n_salts > 1 else 0
                     rows["tile_id"].append(tid)
+                    rows["salt"].append(salt)
                     rows["seq"].append(seq)
                     rows["image_id"].append(image_id)
                     rows["out_top"].append(block.top)
@@ -144,21 +164,41 @@ def decode_windows(
     grid: OutputGrid,
     layout: Layout,
     *,
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int = 16,
     lru_images: int = 8,
+    hot_tiles: dict | None = None,
+    n_seq: int = 0,
 ) -> "ray.data.Dataset":
-    """images (with bytes) -> window rows, via the DecodeSlice actor pool.
+    """images (with bytes) -> window rows.
 
     ``batch_size`` counts images; keep it small — payloads are wide binary
     (a 1024² uint16 window is 2 MiB).
+
+    Default is stateless tasks with the grid broadcast via ray.put: in the
+    fused plan+decode design each image row is visited exactly once, so the
+    per-actor LRU never hits and actor-pool startup (~2 s for a 16-actor
+    pool) is pure overhead. Pass ``concurrency=(min, max)`` to switch to an
+    actor pool for workloads where decoder state IS reused (e.g. a decoder
+    with expensive codec init, or re-decode-heavy custom sources).
     """
     grid_ref = ray.put(grid)
+    hot_ref = ray.put(hot_tiles or {})
+    if concurrency is not None:
+        return images_ds.map_batches(
+            DecodeSlice,
+            fn_constructor_args=(grid_ref, layout, lru_images, hot_tiles, n_seq),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+
+    def decode_batch(batch: pa.Table) -> pa.Table:
+        return DecodeSlice(
+            ray.get(grid_ref), layout, lru_images, ray.get(hot_ref), n_seq
+        )(batch)
+
     return images_ds.map_batches(
-        DecodeSlice,
-        fn_constructor_args=(grid_ref, layout, lru_images),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
+        decode_batch, batch_format="pyarrow", batch_size=batch_size
     )

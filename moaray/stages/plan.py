@@ -204,16 +204,18 @@ class AssignDirect:
 
 
 def assign_direct(
-    meta_ds: "ray.data.Dataset", grid: OutputGrid, concurrency=(1, 8)
+    meta_ds: "ray.data.Dataset", grid: OutputGrid
 ) -> "ray.data.Dataset":
+    """Stateless-task join: the grid ships once to the object store
+    (ray.put) and every task reads it zero-copy — broadcast, not per-batch.
+    Tasks (not an actor pool) because there is no per-worker state to
+    amortize and task startup is free."""
     grid_ref = ray.put(grid)
-    return meta_ds.map_batches(
-        AssignDirect,
-        fn_constructor_args=(grid_ref,),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        return AssignDirect(ray.get(grid_ref))(batch)
+
+    return meta_ds.map_batches(assign_batch, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -86,3 +86,33 @@ def compute_stats(tiles_ds, nullval: float, dtype: str) -> dict:
     reference, mosaic.py:388-393)."""
     res = tiles_ds.aggregate(tile_stats_agg(nullval, dtype))
     return res["band_stats"] if isinstance(res, dict) and "band_stats" in res else res
+
+
+def stats_from_tile_columns(tiles_ds) -> dict:
+    """Final band stats from the per-tile partial columns written by the
+    assemble stage — a pure columnar aggregate, no pixel decode. Identical
+    float64 math to StatsAccumulator.finalStats (mosaic.py:779-794)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = tiles_ds.aggregate(
+        Sum("px_sum"),
+        Sum("px_ssq"),
+        Sum("nonnull_count"),
+        Min("px_min"),
+        Max("px_max"),
+    )
+    count = int(agg["sum(nonnull_count)"] or 0)
+    if count == 0:
+        return {"min": None, "max": None, "mean": None, "stddev": None, "count": 0}
+    s = float(agg["sum(px_sum)"])
+    ssq = float(agg["sum(px_ssq)"])
+    mean = s / count
+    var = ssq / count - mean ** 2
+    stddev = float(np.sqrt(var)) if var >= 0 else 0.0
+    return {
+        "min": float(agg["min(px_min)"]),
+        "max": float(agg["max(px_max)"]),
+        "mean": mean,
+        "stddev": stddev,
+        "count": count,
+    }

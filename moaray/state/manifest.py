@@ -88,21 +88,54 @@ def write_tiles(
     out_dir: str,
     *,
     tiles_per_file: int = 16,
-    concurrency=(1, 8),
 ):
     """Consume the tiles dataset through the committed sink. Returns the
-    (small) manifest summary rows as a pyarrow Table."""
+    (small) manifest summary rows as a pyarrow Table.
+
+    Stateless tasks (TileWriter instantiation is just two mkdirs) — writes
+    run wherever the assembled tile block already lives."""
     run_id = uuid.uuid4().hex
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        return TileWriter(out_dir, run_id)(batch)
+
     manifest_ds = tiles_ds.map_batches(
-        TileWriter,
-        fn_constructor_args=(out_dir, run_id),
+        write_batch,
         batch_format="pyarrow",
         batch_size=tiles_per_file,
-        concurrency=concurrency,
-        num_cpus=1,
     )
     # Manifest rows are tiny — materializing them IS the sink consumption.
     return pa.Table.from_pylist(manifest_ds.take_all())
+
+
+def clear_output(out_dir: str) -> None:
+    """Fresh-run semantics: delete any prior tiles + manifest under out_dir
+    (the reference deletes and recreates an existing output file,
+    ref /root/reference/moamosaic/mosaic.py:634-636). Without this, a
+    non-resume rerun into the same directory would leave two generations of
+    data files and double-count every read-back."""
+    import shutil
+
+    for sub in ("tiles", "manifest"):
+        d = os.path.join(out_dir, sub)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+
+def committed_paths(out_dir: str) -> list[str]:
+    """Data-file paths listed in the manifest — the only files a reader may
+    trust. Orphaned .parquet files from a killed run (data written, manifest
+    line not yet committed) are invisible here by construction."""
+    manifest_dir = os.path.join(out_dir, "manifest")
+    paths: list[str] = []
+    if not os.path.isdir(manifest_dir):
+        return paths
+    for name in sorted(os.listdir(manifest_dir)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(manifest_dir, name)) as f:
+            paths.append(json.load(f)["path"])
+    return paths
 
 
 def committed_tile_ids(out_dir: str) -> set[int]:
@@ -120,15 +153,11 @@ def committed_tile_ids(out_dir: str) -> set[int]:
     return out
 
 
-def read_committed_tiles(out_dir: str):
-    """All committed tile parquet files as one Dataset (for verification /
-    downstream reads)."""
+def read_committed_tiles(out_dir: str, columns: list[str] | None = None):
+    """Manifest-committed tile files as one Dataset (for verification /
+    downstream reads). Reads ONLY manifest-listed paths — never a raw
+    directory listing — so uncommitted orphans from a killed run are
+    excluded."""
     import ray
 
-    tiles_dir = os.path.join(out_dir, "tiles")
-    files = [
-        os.path.join(tiles_dir, f)
-        for f in sorted(os.listdir(tiles_dir))
-        if f.endswith(".parquet")
-    ]
-    return ray.data.read_parquet(files)
+    return ray.data.read_parquet(committed_paths(out_dir), columns=columns)

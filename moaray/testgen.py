@@ -172,20 +172,32 @@ def images_path(
     fmts: tuple[str, ...] = ("raw16",),
     seed: int = 42,
     root: str = "/tmp/moaray_fixtures",
+    images_per_shard: int = 16,
 ) -> str:
-    """Write (once, cached) the images table as parquet; return the path.
+    """Write (once, cached) the images table as sharded parquet; return the
+    dataset directory path.
 
     Lance is the nominal format per BASELINE.json but pylance is not in this
-    sandbox, so parquet is the documented fallback (SURVEY.md §1.3 S1). At
-    scale this writer shards: one row group per ~64 images so read tasks
-    parallelize.
+    sandbox, so parquet is the documented fallback (SURVEY.md §1.3 S1).
+    Sharding matters: Ray's read parallelism (and the fused decode stage's)
+    is bounded by input fragments, so one giant file would serialize the
+    whole scan — at real scale the 10^12-image table is thousands of Lance
+    fragments for exactly this reason.
     """
     os.makedirs(root, exist_ok=True)
     tag = f"{layout.name}_n{layout.n}_s{layout.size}_{'-'.join(fmts)}_seed{seed}"
-    path = os.path.join(root, f"images_{tag}.parquet")
-    if not os.path.exists(path):
+    path = os.path.join(root, f"images_{tag}")
+    done = path + ".done"  # marker outside the dir so dataset readers only
+    # ever see parquet files inside
+    if not os.path.exists(done):
         tbl = gen_images_table(layout, fmts, seed)
-        tmp = path + ".tmp"
-        pq.write_table(tbl, tmp, row_group_size=64)
-        os.replace(tmp, path)
+        os.makedirs(path, exist_ok=True)
+        n_shards = max(1, -(-layout.n // images_per_shard))
+        for s in range(n_shards):
+            shard = tbl.slice(s * images_per_shard, images_per_shard)
+            fp = os.path.join(path, f"part-{s:05d}.parquet")
+            pq.write_table(shard, fp + ".tmp", row_group_size=4)
+            os.replace(fp + ".tmp", fp)
+        with open(done, "w") as f:
+            f.write(tag)
     return path

@@ -98,6 +98,20 @@ def test_hotspot_merge_order_exact():
     assert got.shape == truth.shape
 
 
+def test_hotspot_salted_two_level_merge_exact():
+    """Force the salted (tile_id, salt) two-level merge on a skewed layout;
+    result must be bit-identical to the unsalted/oracle semantics."""
+    layout = Layout("hotspot", 16, 64)
+    grid, truth = oracle_mosaic(layout)
+    res, got = run_engine(layout, salt_threshold=4, inputs_per_salt=2)
+    assert (got == truth).all()
+    # stats must also match through the salted path
+    tmin, tmax, tmean, tstd, tcount = oracle.stats(truth, grid.nullval)
+    assert res.stats["min"] == tmin and res.stats["max"] == tmax
+    assert res.stats["mean"] == pytest.approx(tmean)
+    assert res.stats["count"] == tcount
+
+
 def test_sparse_gap_empty_tiles():
     layout = Layout("sparse_gap", 4, 64)
     grid, truth = oracle_mosaic(layout)
