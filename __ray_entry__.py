@@ -60,15 +60,35 @@ def _emb(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _decoded_crc(batch: pa.Table, dtype="<u2") -> list[int]:
+    """crc32 over DECODED pixel payloads (stable regardless of the
+    pixels_codec in use)."""
+    import numpy as np
+
+    from moaray.stages.assemble import decode_payload
+
+    codecs_col = (
+        batch["pixels_codec"].to_pylist()
+        if "pixels_codec" in batch.schema.names
+        else ["raw"] * batch.num_rows
+    )
+    return [
+        zlib.crc32(
+            decode_payload(
+                batch["pixels"][i].as_buffer(), codecs_col[i], np.dtype(dtype)
+            ).tobytes()
+        )
+        for i in range(batch.num_rows)
+    ]
+
+
 def _tiles_with_checksum(tiles_ds):
     """Replace pixel payloads with a crc32 checksum column: deterministic
     value evidence without shipping megabytes to the driver."""
 
     def summarize(batch: pa.Table) -> pa.Table:
-        crc = [
-            zlib.crc32(batch["pixels"][i].as_py()) for i in range(batch.num_rows)
-        ]
-        t = batch.drop_columns(["pixels", "input_ids"])
+        crc = _decoded_crc(batch)
+        t = batch.drop_columns(["pixels", "pixels_codec", "input_ids"])
         return t.append_column("pixels_crc32", pa.array(crc, pa.int64()))
 
     return tiles_ds.map_batches(summarize, batch_format="pyarrow").sort("tile_id")
@@ -142,11 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         def summarize(batch: pa.Table) -> pa.Table:
-            crc = [
-                zlib.crc32(batch["pixels"][i].as_py())
-                for i in range(batch.num_rows)
-            ]
-            return batch.drop_columns(["pixels"]).append_column(
+            crc = _decoded_crc(batch)
+            return batch.drop_columns(["pixels", "pixels_codec"]).append_column(
                 "pixels_crc32", pa.array(crc, pa.int64())
             )
 

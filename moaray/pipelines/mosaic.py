@@ -65,15 +65,28 @@ class MosaicConfig:
     validate_projections: bool = True
     # Tiles with >= salt_threshold contributing images get a salted
     # two-level merge (contiguous-seq salts; SURVEY.md §4.2). None = off.
-    salt_threshold: int | None = 32
-    inputs_per_salt: int = 8
-    max_salts: int = 32
+    # The threshold guards per-worker group bytes: with z16-compressed
+    # windows a few hundred inputs per tile merge fine in one task, and the
+    # two-level path costs a whole extra sort barrier — engage it only for
+    # genuinely pathological stacks.
+    salt_threshold: int | None = 256
+    inputs_per_salt: int = 32
+    max_salts: int = 64
     # Planning mode: "auto" collects metadata to the driver when the input
     # is small (< driver_plan_limit images — the reference's whole analysis
     # phase is driver-side, mosaic.py:187-195) and stays fully distributed
     # beyond it. One metadata execution instead of five.
     planning: str = "auto"  # "auto" | "driver" | "distributed"
     driver_plan_limit: int = 100_000
+    # Compress window payloads before the tile-assembly shuffle ("z16") —
+    # on a multi-node cluster the groupby moves every decoded window over
+    # the network, so shuffle bytes bound throughput. None = raw. Only
+    # applies to uint16 pixels (the codec's dtype).
+    shuffle_codec: str | None = "z16"
+    # Codec for assembled tile / pyramid payloads ("z16" | None=raw). Encoded
+    # tiles shrink the post-assembly object-store traffic and the sink files;
+    # rows are self-describing via the pixels_codec column.
+    tile_codec: str | None = "z16"
 
 
 @dataclass
@@ -170,11 +183,25 @@ def do_mosaic(
 ) -> MosaicResult:
     """Run the full mosaic. If ``out_dir`` is given, tiles are written through
     the committed-partition sink (resumable); otherwise the tiles dataset is
-    returned lazily for the caller to consume."""
+    returned lazily for the caller to consume.
+
+    ``result.metrics["phase_s"]`` records per-phase wall times (the
+    reference's Monitoring.timestamps phases "analysis"/"domosaic",
+    ref monitoring.py:64-217, mosaic.py:169-176)."""
+    import time as _time
     from collections import Counter
 
     from ..geo import covering_tile_range, window_overlap
     from ..stages.plan import meta_from_row
+
+    phase_s: dict[str, float] = {}
+    _t = _time.monotonic()
+
+    def _mark(name: str):
+        nonlocal _t
+        now = _time.monotonic()
+        phase_s[name] = round(now - _t, 4)
+        _t = now
 
     if out_dir is not None and not resume:
         # Fresh-run semantics (ref mosaic.py:634-636: existing output is
@@ -264,6 +291,7 @@ def do_mosaic(
                     max(2, -(-cnt // cfg.inputs_per_salt)),
                 )
 
+    shuffle_codec = cfg.shuffle_codec if grid.dtype == "uint16" else None
     images_ds = read_images(images_path)  # all cols incl. bytes
     windows = decode_windows(
         images_ds,
@@ -273,6 +301,7 @@ def do_mosaic(
         batch_size=cfg.decode_batch_size,
         hot_tiles=hot_tiles,
         n_seq=n_images,
+        shuffle_codec=shuffle_codec,
     )
 
     skipped = 0
@@ -292,12 +321,19 @@ def do_mosaic(
 
             windows = windows.map_batches(drop_committed, batch_format="pyarrow")
 
+    tile_codec = cfg.tile_codec if grid.dtype == "uint16" else None
     if hot_tiles and cfg.merge == "last":
         from ..stages.assemble import assemble_tiles_salted
 
-        tiles = assemble_tiles_salted(windows, grid, cfg.merge)
+        tiles = assemble_tiles_salted(
+            windows, grid, cfg.merge,
+            window_codec=shuffle_codec, tile_codec=tile_codec,
+        )
     else:
-        tiles = assemble_tiles(windows, grid, cfg.merge)
+        tiles = assemble_tiles(
+            windows, grid, cfg.merge,
+            windows_encoded=shuffle_codec is not None, tile_codec=tile_codec,
+        )
 
     if cfg.include_empty:
         # Tiles intersecting no input -> all-null canvases (ref
@@ -310,14 +346,18 @@ def do_mosaic(
         ]
         if missing:
             tiles = tiles.union(
-                ray.data.from_arrow(empty_tiles_table(grid, missing))
+                ray.data.from_arrow(
+                    empty_tiles_table(grid, missing, tile_codec)
+                )
             )
 
+    _mark("analysis")
     result = MosaicResult(grid=grid, tiles_ds=tiles, skipped_tiles=skipped)
 
     if out_dir is not None:
         result.manifest = manifest_mod.write_tiles(tiles, out_dir)
         result.tiles_ds = manifest_mod.read_committed_tiles(out_dir)
+        _mark("domosaic")
 
     if cfg.do_pyramids:
         result.pyramids_ds = build_pyramids(
@@ -328,13 +368,12 @@ def do_mosaic(
         # assemble — no pixel re-decode. When reading back from the sink,
         # prune to just the stat columns.
         if out_dir is not None:
-            stats_src = manifest_mod.read_committed_tiles(
-                out_dir,
-                columns=["px_sum", "px_ssq", "px_min", "px_max", "nonnull_count"],
-            )
+            # partials already rode the manifest rows — driver-side sum only
+            result.stats = manifest_mod.stats_from_manifest(out_dir)
         else:
-            stats_src = result.tiles_ds
-        result.stats = compute_stats_from_columns(stats_src)
+            result.stats = compute_stats_from_columns(result.tiles_ds)
+        _mark("stats")
+    result.metrics["phase_s"] = phase_s
     return result
 
 
@@ -346,13 +385,19 @@ def mosaic_array(tiles_ds, grid: OutputGrid) -> np.ndarray:
     """Reassemble the full mosaic ndarray from tile rows (tests only)."""
     np_dtype = np.dtype(grid.dtype)
     out = np.full((grid.nrows, grid.ncols), grid.nullval, dtype=np_dtype)
+    from ..stages.assemble import decode_payload
+
     for batch in tiles_ds.iter_batches(batch_format="pyarrow"):
         for i in range(batch.num_rows):
             top = batch["out_top"][i].as_py()
             left = batch["out_left"][i].as_py()
             ys = batch["out_ysize"][i].as_py()
             xs = batch["out_xsize"][i].as_py()
-            arr = np.frombuffer(batch["pixels"][i].as_py(), dtype=np_dtype)
+            arr = decode_payload(
+                batch["pixels"][i].as_buffer(),
+                batch["pixels_codec"][i].as_py(),
+                np_dtype,
+            )
             out[top : top + ys, left : left + xs] = arr.reshape(ys, xs)
     return out
 
@@ -375,10 +420,13 @@ def overview_array(pyramids_ds, grid: OutputGrid, lvl: int) -> np.ndarray:
                     batch["xoff"][i].as_py(),
                     batch["h"][i].as_py(),
                     batch["w"][i].as_py(),
+                    batch["pixels_codec"][i].as_py(),
                     batch["pixels"][i].as_py(),
                 )
             )
-    for tid, yoff, xoff, h, w, buf in sorted(rows):
-        arr = np.frombuffer(buf, dtype=np_dtype).reshape(h, w)
+    from ..stages.assemble import decode_payload
+
+    for tid, yoff, xoff, h, w, codec, buf in sorted(rows):
+        arr = decode_payload(buf, codec, np_dtype).reshape(h, w)
         out[yoff : yoff + h, xoff : xoff + w] = arr
     return out

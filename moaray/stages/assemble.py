@@ -45,6 +45,10 @@ TILE_SCHEMA = pa.schema(
         ("px_ssq", pa.float64()),
         ("px_min", pa.float64()),
         ("px_max", pa.float64()),
+        # payload codec: "raw" (C-order buffer of grid.dtype) or a codec name
+        # from moaray.codecs ("z16"). Self-describing per row so readers
+        # (pyramids, mosaic_array, external consumers) need no side-channel.
+        ("pixels_codec", pa.string()),
         ("pixels", pa.binary()),
     ]
 )
@@ -57,14 +61,79 @@ PYRAMID_SCHEMA = pa.schema(
         ("xoff", pa.int32()),
         ("h", pa.int32()),
         ("w", pa.int32()),
+        ("pixels_codec", pa.string()),
         ("pixels", pa.binary()),
     ]
 )
 
 
-def _binary_views(col: pa.ChunkedArray | pa.Array, dtype) -> list[np.ndarray]:
-    """Zero-copy numpy views over a binary column's cells (no .as_py() byte
-    copies — the values buffer is sliced in place)."""
+def decode_payload(buf: bytes, codec: str, dtype) -> np.ndarray:
+    """Decode one pixels cell per its pixels_codec value -> flat ndarray."""
+    from .. import codecs
+
+    if codec == "raw":
+        return np.frombuffer(buf, dtype=dtype)
+    return codecs.decode(bytes(buf)).ravel()
+
+
+def encode_payload(arr: np.ndarray, codec: str | None) -> tuple[bytes, str]:
+    """(payload bytes, codec tag) for a 2-D canvas."""
+    from .. import codecs
+
+    if codec:
+        return codecs.encode(arr, codec), codec
+    return arr.tobytes(), "raw"
+
+
+def _canvas_stats(canvas: np.ndarray, nv) -> tuple[int, float, float, object, object]:
+    """(nonnull, sum, ssq, min, max) of non-null pixels — float64 math
+    identical to StatsAccumulator (ref mosaic.py:758-771). For uint16 a
+    bincount histogram gives the same sums in one pass over the canvas
+    instead of materializing float64 copies of every pixel."""
+    if canvas.dtype == np.uint16:
+        counts = np.bincount(canvas.ravel(), minlength=65536).astype(np.int64)
+        if not np.isnan(nv) and 0 <= int(nv) < 65536:
+            counts[int(nv)] = 0
+        nz = np.nonzero(counts)[0]
+        if nz.size == 0:
+            return 0, 0.0, 0.0, None, None
+        vals = nz.astype(np.float64)
+        c = counts[nz].astype(np.float64)
+        nonnull = int(c.sum())
+        return (
+            nonnull,
+            float((vals * c).sum()),
+            float((vals * vals * c).sum()),
+            float(nz[0]),
+            float(nz[-1]),
+        )
+    if np.isnan(nv):
+        valid = canvas[~np.isnan(canvas)]
+    else:
+        valid = canvas[canvas != nv]
+    nonnull = int(valid.size)
+    if nonnull == 0:
+        return 0, 0.0, 0.0, None, None
+    v64 = valid.astype(np.float64)
+    return (
+        nonnull,
+        float(v64.sum()),
+        float((v64 ** 2).sum()),
+        float(valid.min()),
+        float(valid.max()),
+    )
+
+
+def _binary_views(
+    col: pa.ChunkedArray | pa.Array, dtype, encoded: bool = False
+) -> list[np.ndarray]:
+    """Numpy arrays over a binary column's cells: zero-copy buffer views for
+    raw payloads; codec decode when ``encoded`` (the shuffle-compressed
+    path — see DecodeSlice.shuffle_codec). Explicit flag, not sniffing —
+    at 10^12 windows, raw pixels that happen to start with the codec magic
+    would otherwise mis-decode."""
+    from .. import codecs
+
     chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
     views: list[np.ndarray] = []
     for chunk in chunks:
@@ -74,12 +143,17 @@ def _binary_views(col: pa.ChunkedArray | pa.Array, dtype) -> list[np.ndarray]:
                                 offset=chunk.offset * 4)
         data = np.frombuffer(bufs[2], dtype=np.uint8)
         for i in range(len(chunk)):
-            views.append(data[offsets[i] : offsets[i + 1]].view(dtype))
+            cell = data[offsets[i] : offsets[i + 1]]
+            if encoded:
+                views.append(codecs.decode(cell.tobytes()).ravel())
+            else:
+                views.append(cell.view(dtype))
     return views
 
 
-def _merge_last(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullval):
-    views = _binary_views(group["pixels"], canvas.dtype)
+def _merge_last(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullval,
+                encoded: bool = False):
+    views = _binary_views(group["pixels"], canvas.dtype, encoded)
     dst_top = group["dst_top"].to_numpy()
     dst_left = group["dst_left"].to_numpy()
     win_h = group["win_h"].to_numpy()
@@ -91,10 +165,11 @@ def _merge_last(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullval)
         np.copyto(sub, win, where=(win != nullval))
 
 
-def _merge_feather(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullval):
+def _merge_feather(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullval,
+                   encoded: bool = False):
     num = np.zeros(canvas.shape, dtype=np.float64)
     den = np.zeros(canvas.shape, dtype=np.float64)
-    views = _binary_views(group["pixels"], canvas.dtype)
+    views = _binary_views(group["pixels"], canvas.dtype, encoded)
     cols = {
         n: group[n].to_numpy()
         for n in ("dst_top", "dst_left", "win_h", "win_w",
@@ -118,7 +193,9 @@ def _merge_feather(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullv
     canvas[:, :] = blended.astype(canvas.dtype)
 
 
-def make_assemble_fn(nullval: float, dtype: str, merge: str = "last"):
+def make_assemble_fn(nullval: float, dtype: str, merge: str = "last",
+                     windows_encoded: bool = False,
+                     tile_codec: str | None = None):
     np_dtype = np.dtype(dtype)
     nv = np_dtype.type(nullval) if not np.isnan(nullval) else nullval
 
@@ -130,18 +207,14 @@ def make_assemble_fn(nullval: float, dtype: str, merge: str = "last"):
         xsize = int(group["out_xsize"][0].as_py())
         canvas = np.full((ysize, xsize), nv, dtype=np_dtype)
         if merge == "last":
-            _merge_last(group, order, canvas, nv)
+            _merge_last(group, order, canvas, nv, windows_encoded)
         elif merge == "feather":
-            _merge_feather(group, order, canvas, nv)
+            _merge_feather(group, order, canvas, nv, windows_encoded)
         else:
             raise ValueError(f"unknown merge kernel {merge!r}")
         input_ids = [group["image_id"][int(i)].as_py() for i in order]
-        if np.isnan(nullval):
-            valid = canvas[~np.isnan(canvas)]
-        else:
-            valid = canvas[canvas != nv]
-        nonnull = int(valid.size)
-        v64 = valid.astype(np.float64)
+        nonnull, px_sum, px_ssq, px_min, px_max = _canvas_stats(canvas, nv)
+        payload, codec_tag = encode_payload(canvas, tile_codec)
         return pa.Table.from_pydict(
             {
                 "tile_id": [group["tile_id"][0].as_py()],
@@ -152,11 +225,12 @@ def make_assemble_fn(nullval: float, dtype: str, merge: str = "last"):
                 "n_inputs": [len(input_ids)],
                 "input_ids": [input_ids],
                 "nonnull_count": [nonnull],
-                "px_sum": [float(v64.sum()) if nonnull else 0.0],
-                "px_ssq": [float((v64 ** 2).sum()) if nonnull else 0.0],
-                "px_min": [float(valid.min()) if nonnull else None],
-                "px_max": [float(valid.max()) if nonnull else None],
-                "pixels": [canvas.tobytes()],
+                "px_sum": [px_sum],
+                "px_ssq": [px_ssq],
+                "px_min": [px_min],
+                "px_max": [px_max],
+                "pixels_codec": [codec_tag],
+                "pixels": [payload],
             },
             schema=TILE_SCHEMA,
         )
@@ -168,12 +242,16 @@ def assemble_tiles(
     windows_ds: "ray.data.Dataset",
     grid: OutputGrid,
     merge: str = "last",
+    windows_encoded: bool = False,
+    tile_codec: str | None = None,
 ) -> "ray.data.Dataset":
     """The one shuffle of the pipeline: hash-partition windows by tile_id,
     then merge each group. Backpressure/spill handled by the streaming
     executor (fixes the reference's unbounded-cache deadlock caveat,
     exploratory/Notes_mosaicScheme.txt:45-47, for free)."""
-    fn = make_assemble_fn(grid.nullval, grid.dtype, merge)
+    fn = make_assemble_fn(
+        grid.nullval, grid.dtype, merge, windows_encoded, tile_codec
+    )
     return windows_ds.groupby("tile_id").map_groups(fn, batch_format="pyarrow")
 
 
@@ -195,6 +273,8 @@ def assemble_tiles_salted(
     windows_ds: "ray.data.Dataset",
     grid: OutputGrid,
     merge: str = "last",
+    window_codec: str | None = None,
+    tile_codec: str | None = None,
 ) -> "ray.data.Dataset":
     """Two-level merge for skewed tiles (SURVEY.md §4.2 salting plan).
 
@@ -211,8 +291,11 @@ def assemble_tiles_salted(
     """
     if merge != "last":
         raise ValueError("salted assembly only supports the 'last' merge kernel")
+    from .. import codecs
+
     np_dtype = np.dtype(grid.dtype)
     nv = np_dtype.type(grid.nullval)
+    encoded = window_codec is not None
 
     def partial_merge(group: pa.Table) -> pa.Table:
         seq = group["seq"].to_numpy()
@@ -220,8 +303,13 @@ def assemble_tiles_salted(
         ysize = int(group["out_ysize"][0].as_py())
         xsize = int(group["out_xsize"][0].as_py())
         canvas = np.full((ysize, xsize), nv, dtype=np_dtype)
-        _merge_last(group, order, canvas, nv)
+        _merge_last(group, order, canvas, nv, encoded)
         input_ids = [group["image_id"][int(i)].as_py() for i in order]
+        # partial canvases cross the second shuffle — compress them with the
+        # same codec the windows used
+        payload = (
+            codecs.encode(canvas, window_codec) if encoded else canvas.tobytes()
+        )
         return pa.Table.from_pydict(
             {
                 "tile_id": [group["tile_id"][0].as_py()],
@@ -231,7 +319,7 @@ def assemble_tiles_salted(
                 "out_xsize": [xsize],
                 "out_ysize": [ysize],
                 "input_ids": [input_ids],
-                "pixels": [canvas.tobytes()],
+                "pixels": [payload],
             },
             schema=PARTIAL_SCHEMA,
         )
@@ -242,15 +330,14 @@ def assemble_tiles_salted(
         ysize = int(group["out_ysize"][0].as_py())
         xsize = int(group["out_xsize"][0].as_py())
         canvas = np.full((ysize, xsize), nv, dtype=np_dtype)
-        views = _binary_views(group["pixels"], np_dtype)
+        views = _binary_views(group["pixels"], np_dtype, encoded)
         input_ids: list[str] = []
         for i in order:
             part = views[int(i)].reshape(ysize, xsize)
             np.copyto(canvas, part, where=(part != nv))
             input_ids.extend(group["input_ids"][int(i)].as_py())
-        valid = canvas[canvas != nv]
-        v64 = valid.astype(np.float64)
-        nonnull = int(valid.size)
+        nonnull, px_sum, px_ssq, px_min, px_max = _canvas_stats(canvas, nv)
+        payload, codec_tag = encode_payload(canvas, tile_codec)
         return pa.Table.from_pydict(
             {
                 "tile_id": [group["tile_id"][0].as_py()],
@@ -261,11 +348,12 @@ def assemble_tiles_salted(
                 "n_inputs": [len(input_ids)],
                 "input_ids": [input_ids],
                 "nonnull_count": [nonnull],
-                "px_sum": [float(v64.sum()) if nonnull else 0.0],
-                "px_ssq": [float((v64 ** 2).sum()) if nonnull else 0.0],
-                "px_min": [float(valid.min()) if nonnull else None],
-                "px_max": [float(valid.max()) if nonnull else None],
-                "pixels": [canvas.tobytes()],
+                "px_sum": [px_sum],
+                "px_ssq": [px_ssq],
+                "px_min": [px_min],
+                "px_max": [px_max],
+                "pixels_codec": [codec_tag],
+                "pixels": [payload],
             },
             schema=TILE_SCHEMA,
         )
@@ -278,7 +366,9 @@ def assemble_tiles_salted(
     )
 
 
-def empty_tiles_table(grid: OutputGrid, tile_ids: list[int]) -> pa.Table:
+def empty_tiles_table(
+    grid: OutputGrid, tile_ids: list[int], tile_codec: str | None = None
+) -> pa.Table:
     """All-null tiles for blocks intersecting no input (ref mosaic.py:351-359).
 
     Pixels for empty tiles are synthesized, not stored per-pixel at the call
@@ -301,7 +391,9 @@ def empty_tiles_table(grid: OutputGrid, tile_ids: list[int]) -> pa.Table:
         rows["px_ssq"].append(0.0)
         rows["px_min"].append(None)
         rows["px_max"].append(None)
-        rows["pixels"].append(canvas.tobytes())
+        payload, codec_tag = encode_payload(canvas, tile_codec)
+        rows["pixels_codec"].append(codec_tag)
+        rows["pixels"].append(payload)
     return pa.Table.from_pydict(rows, schema=TILE_SCHEMA)
 
 
@@ -316,13 +408,17 @@ def make_pyramid_fn(grid: OutputGrid, levels: list[int], dtype: str):
 
     def pyramids(batch: pa.Table) -> pa.Table:
         rows = {n: [] for n in PYRAMID_SCHEMA.names}
-        views = _binary_views(batch["pixels"], np_dtype)
+        codec_col = batch["pixels_codec"].to_pylist()
         for i in range(batch.num_rows):
             top = batch["out_top"][i].as_py()
             left = batch["out_left"][i].as_py()
             ys = batch["out_ysize"][i].as_py()
             xs = batch["out_xsize"][i].as_py()
-            arr = views[i].reshape(ys, xs)
+            codec = codec_col[i]
+            arr = decode_payload(
+                batch["pixels"][i].as_buffer(), codec, np_dtype
+            ).reshape(ys, xs)
+            out_codec = codec if codec != "raw" else None
             for lvl in levels:
                 o = lvl // 2  # ref mosaic.py:731-734
                 sub = arr[o::lvl, o::lvl]
@@ -331,13 +427,17 @@ def make_pyramid_fn(grid: OutputGrid, levels: list[int], dtype: str):
                 sub = sub[: max(ov_r - yoff, 0), : max(ov_c - xoff, 0)]
                 if sub.size == 0:
                     continue
+                payload, codec_tag = encode_payload(
+                    np.ascontiguousarray(sub), out_codec
+                )
                 rows["level"].append(lvl)
                 rows["tile_id"].append(batch["tile_id"][i].as_py())
                 rows["yoff"].append(yoff)
                 rows["xoff"].append(xoff)
                 rows["h"].append(sub.shape[0])
                 rows["w"].append(sub.shape[1])
-                rows["pixels"].append(np.ascontiguousarray(sub).tobytes())
+                rows["pixels_codec"].append(codec_tag)
+                rows["pixels"].append(payload)
         return pa.Table.from_pydict(rows, schema=PYRAMID_SCHEMA)
 
     return pyramids

@@ -75,6 +75,7 @@ class DecodeSlice:
         lru_images: int = 8,
         hot_tiles: dict | None = None,
         n_seq: int = 0,
+        shuffle_codec: str | None = None,
     ):
         self.grid: OutputGrid = (
             ray.get(grid_ref) if isinstance(grid_ref, ray.ObjectRef) else grid_ref
@@ -83,6 +84,12 @@ class DecodeSlice:
         self.lru_images = lru_images
         self.hot_tiles = hot_tiles or {}
         self.n_seq = max(n_seq, 1)
+        # When set ("z16"), window payloads are re-encoded before they enter
+        # the tile-assembly shuffle: on a multi-node cluster the groupby moves
+        # every window over the network, so shuffle bytes — not decode CPU —
+        # bound throughput. The codec header is self-describing (MRAY magic),
+        # so the merge kernels auto-detect compressed vs raw payloads.
+        self.shuffle_codec = shuffle_codec
         self._cache: OrderedDict[str, np.ndarray] = OrderedDict()
 
     def _full_decode(self, image_id: str, buf: bytes, fmt: str) -> np.ndarray:
@@ -153,9 +160,13 @@ class DecodeSlice:
                     rows["src_left"].append(l0)
                     rows["src_h"].append(meta.nrows)
                     rows["src_w"].append(meta.ncols)
-                    rows["pixels"].append(
-                        np.ascontiguousarray(clipped, dtype="<u2").tobytes()
-                    )
+                    win_arr = np.ascontiguousarray(clipped, dtype="<u2")
+                    if self.shuffle_codec:
+                        rows["pixels"].append(
+                            codecs.encode(win_arr, self.shuffle_codec)
+                        )
+                    else:
+                        rows["pixels"].append(win_arr.tobytes())
         return pa.Table.from_pydict(rows, schema=WINDOW_SCHEMA)
 
 
@@ -169,6 +180,7 @@ def decode_windows(
     lru_images: int = 8,
     hot_tiles: dict | None = None,
     n_seq: int = 0,
+    shuffle_codec: str | None = None,
 ) -> "ray.data.Dataset":
     """images (with bytes) -> window rows.
 
@@ -187,7 +199,9 @@ def decode_windows(
     if concurrency is not None:
         return images_ds.map_batches(
             DecodeSlice,
-            fn_constructor_args=(grid_ref, layout, lru_images, hot_tiles, n_seq),
+            fn_constructor_args=(
+                grid_ref, layout, lru_images, hot_tiles, n_seq, shuffle_codec
+            ),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
@@ -196,7 +210,8 @@ def decode_windows(
 
     def decode_batch(batch: pa.Table) -> pa.Table:
         return DecodeSlice(
-            ray.get(grid_ref), layout, lru_images, ray.get(hot_ref), n_seq
+            ray.get(grid_ref), layout, lru_images, ray.get(hot_ref), n_seq,
+            shuffle_codec,
         )(batch)
 
     return images_ds.map_batches(

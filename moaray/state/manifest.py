@@ -40,13 +40,19 @@ class TileWriter:
         os.makedirs(self.manifest_dir, exist_ok=True)
         self.run_id = run_id
 
+    _EMPTY = {
+        "path": pa.string(), "n_tiles": pa.int64(), "bytes": pa.int64(),
+        "wall_s": pa.float64(), "px_sum": pa.float64(), "px_ssq": pa.float64(),
+        "px_min": pa.float64(), "px_max": pa.float64(),
+        "nonnull_count": pa.int64(),
+    }
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         t0 = time.monotonic()
         if batch.num_rows == 0:
-            return pa.table({"path": pa.array([], pa.string()),
-                             "n_tiles": pa.array([], pa.int64()),
-                             "bytes": pa.array([], pa.int64()),
-                             "wall_s": pa.array([], pa.float64())})
+            return pa.table(
+                {n: pa.array([], t) for n, t in self._EMPTY.items()}
+            )
         tids = batch["tile_id"].to_pylist()
         lo, hi = min(tids), max(tids)
         part = f"part-{lo:010d}-{hi:010d}-{uuid.uuid4().hex[:8]}"
@@ -57,6 +63,16 @@ class TileWriter:
         lineage = sorted(
             {iid for ids in batch["input_ids"].to_pylist() for iid in ids}
         )
+        # Partial band stats ride the manifest row (StatsAccumulator partials,
+        # ref mosaic.py:758-771) so final stats are a driver-side sum over the
+        # tiny manifest table — no extra Ray execution, no pixel re-read.
+        import pyarrow.compute as pc
+
+        px_min = pc.min(batch["px_min"]).as_py()
+        px_max = pc.max(batch["px_max"]).as_py()
+        px_sum = pc.sum(batch["px_sum"]).as_py() or 0.0
+        px_ssq = pc.sum(batch["px_ssq"]).as_py() or 0.0
+        nonnull = pc.sum(batch["nonnull_count"]).as_py() or 0
         wall = time.monotonic() - t0
         record = {
             "run_id": self.run_id,
@@ -67,6 +83,11 @@ class TileWriter:
             "wall_s": wall,
             "lineage_images": lineage,
             "committed_at": time.time(),
+            "px_sum": px_sum,
+            "px_ssq": px_ssq,
+            "px_min": px_min,
+            "px_max": px_max,
+            "nonnull_count": nonnull,
         }
         man_path = os.path.join(self.manifest_dir, part + ".json")
         tmp = man_path + ".tmp"
@@ -79,6 +100,11 @@ class TileWriter:
                 "n_tiles": pa.array([len(tids)], pa.int64()),
                 "bytes": pa.array([record["bytes"]], pa.int64()),
                 "wall_s": pa.array([wall], pa.float64()),
+                "px_sum": pa.array([px_sum], pa.float64()),
+                "px_ssq": pa.array([px_ssq], pa.float64()),
+                "px_min": pa.array([px_min], pa.float64()),
+                "px_max": pa.array([px_max], pa.float64()),
+                "nonnull_count": pa.array([nonnull], pa.int64()),
             }
         )
 
@@ -151,6 +177,45 @@ def committed_tile_ids(out_dir: str) -> set[int]:
             rec = json.load(f)
         out.update(rec["tile_ids"])
     return out
+
+
+def stats_from_manifest(out_dir: str) -> dict:
+    """Final band stats from the partial-stat fields of the manifest records
+    — pure driver-side arithmetic over a tiny table. Identical float64 math
+    to StatsAccumulator.finalStats (ref mosaic.py:779-794). Covers resumed
+    runs too: committed records from prior runs carry their partials."""
+    import math
+
+    manifest_dir = os.path.join(out_dir, "manifest")
+    s = ssq = 0.0
+    count = 0
+    mn = mx = None
+    if os.path.isdir(manifest_dir):
+        for name in sorted(os.listdir(manifest_dir)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(manifest_dir, name)) as f:
+                rec = json.load(f)
+            s += rec.get("px_sum") or 0.0
+            ssq += rec.get("px_ssq") or 0.0
+            count += rec.get("nonnull_count") or 0
+            v = rec.get("px_min")
+            if v is not None:
+                mn = v if mn is None else min(mn, v)
+            v = rec.get("px_max")
+            if v is not None:
+                mx = v if mx is None else max(mx, v)
+    if count == 0:
+        return {"min": None, "max": None, "mean": None, "stddev": None, "count": 0}
+    mean = s / count
+    var = ssq / count - mean ** 2
+    return {
+        "min": mn,
+        "max": mx,
+        "mean": mean,
+        "stddev": math.sqrt(var) if var >= 0 else 0.0,
+        "count": count,
+    }
 
 
 def read_committed_tiles(out_dir: str, columns: list[str] | None = None):
