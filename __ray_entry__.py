@@ -127,6 +127,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = do_mosaic(_images("sparse"), _cfg("sparse"))
         return _tiles_with_checksum(res.tiles_ds)
 
+    def q_mosaic_reproject(sf_dir: str):  # rows-only (non-SQL)
+        # warp-on-read path: scale-2 affine CRS, nearest resample
+        res = do_mosaic(
+            _images("grid"), _cfg("grid", out_crs="AFFINE:0,2,0,0,0,2")
+        )
+        return _tiles_with_checksum(res.tiles_ds)
+
+    def q_mosaic_reproject_bilinear(sf_dir: str):  # rows-only (non-SQL)
+        res = do_mosaic(
+            _images("grid"),
+            _cfg(
+                "grid",
+                out_crs="AFFINE:0,2,0,0,0,2",
+                out_xres=5.0,
+                out_yres=5.0,
+                resample="bilinear",
+            ),
+        )
+        return _tiles_with_checksum(res.tiles_ds)
+
     def q_mosaic_tiles_feather(sf_dir: str):
         res = do_mosaic(_images("grid"), _cfg("grid", merge="feather"))
         return _tiles_with_checksum(res.tiles_ds)
@@ -283,6 +303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tiles_sparse": q_mosaic_tiles_sparse,
         "mosaic_tiles_feather": q_mosaic_tiles_feather,
         "mosaic_tiles_lossy": q_mosaic_tiles_lossy,
+        "mosaic_reproject": q_mosaic_reproject,
+        "mosaic_reproject_bilinear": q_mosaic_reproject_bilinear,
         "spatial_join": q_spatial_join,
         "spatial_join_cells": q_spatial_join_cells,
         "mosaic_stats": q_mosaic_stats,

@@ -1,0 +1,136 @@
+"""Command-line entry point (the reference's `moamosaic` console script).
+
+Mirrors mainCmd/getCmdargs (ref /root/reference/moamosaic/mosaic.py:38-108):
+an images table path replaces the text filelist (`-i`), a tile-sharded
+output directory replaces the single GDAL file (`-o`), and the projection
+trio collapses to one CRS string (`--outprojcrs`, see moaray/crs.py).
+
+Run standalone (owns its Ray session)::
+
+    python -m moaray -i /tmp/moaray_fixtures/images_grid3x3_... -o /tmp/out \
+        --layout grid3x3,9,64 --blocksize 64 --monitorjson /tmp/mon.json
+
+or submit to a cluster: ``ray job submit -- python -m moaray ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def get_cmdargs(argv=None):
+    p = argparse.ArgumentParser(
+        prog="moaray",
+        description="Make a mosaic of the input image table (Ray Data).",
+    )
+    p.add_argument("-i", "--infile", required=True,
+                   help="images table path (parquet dir/file; Lance at scale)")
+    p.add_argument("-o", "--outdir", required=True,
+                   help="output directory (tiles/ + manifest/)")
+    p.add_argument("--layout", default=None,
+                   help="synthetic placement spec 'name,n,size' "
+                        "(e.g. grid3x3,9,64); required for fixture tables")
+    p.add_argument("-b", "--blocksize", type=int, default=1024,
+                   help="output tile size in pixels (default %(default)s)")
+    p.add_argument("-n", "--nullval", type=float, default=None,
+                   help="null value override (default: first input's)")
+    p.add_argument("--merge", default="last", choices=["last", "feather"],
+                   help="overlap merge kernel (default %(default)s)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip tiles already committed in the output manifest")
+    p.add_argument("--nopyramids", action="store_true",
+                   help="skip overview pyramid generation")
+    p.add_argument("--minoverviewsize", type=int, default=1024,
+                   help="smallest overview dimension (default %(default)s)")
+    proj = p.add_argument_group("projection")
+    proj.add_argument("--outprojcrs", default=None,
+                      help="output CRS string (name or AFFINE:a,b,c,d,e,f); "
+                           "inputs are warped on read when set")
+    proj.add_argument("--xres", type=float, default=None,
+                      help="output X pixel size (default: first input's)")
+    proj.add_argument("--yres", type=float, default=None,
+                      help="output Y pixel size (default: first input's)")
+    proj.add_argument("--resamplemethod", default="near",
+                      choices=["near", "bilinear"],
+                      help="warp resampling method (default %(default)s)")
+    p.add_argument("--monitorjson", default=None,
+                   help="write run metrics (phase times, stats, manifest "
+                        "summary) to this JSON file")
+    p.add_argument("--numcpus", type=int, default=None,
+                   help="ray.init(num_cpus=...) when Ray is not already up")
+    return p.parse_args(argv)
+
+
+def main_cmd(argv=None) -> int:
+    args = get_cmdargs(argv)
+
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        kw = {"include_dashboard": False}
+        if args.numcpus:
+            kw["num_cpus"] = args.numcpus
+        ray.init(address="local", **kw)
+
+    try:
+        from .pipelines.mosaic import MosaicConfig, do_mosaic
+        from .testgen import Layout
+
+        if args.layout is None:
+            raise SystemExit(
+                "--layout name,n,size is required (image footprints derive "
+                "from the placement spec; tables with explicit gt/crs "
+                "columns are the at-scale path)"
+            )
+        name, n, size = args.layout.split(",")
+        layout = Layout(name, int(n), int(size))
+        cfg = MosaicConfig(
+            layout=layout,
+            blocksize=args.blocksize,
+            nullval=args.nullval,
+            merge=args.merge,
+            do_pyramids=not args.nopyramids,
+            min_overview_size=args.minoverviewsize,
+            out_crs=args.outprojcrs,
+            out_xres=args.xres,
+            out_yres=args.yres,
+            resample=args.resamplemethod,
+        )
+        res = do_mosaic(args.infile, cfg, out_dir=args.outdir,
+                        resume=args.resume)
+
+        n_tiles = res.grid.num_tiles
+        print(
+            f"mosaic: {res.grid.ncols}x{res.grid.nrows} px, "
+            f"{n_tiles} tiles ({res.skipped_tiles} skipped), "
+            f"stats={res.stats}"
+        )
+        if args.monitorjson:
+            record = {
+                "params": vars(args),
+                "grid": {
+                    "ncols": res.grid.ncols,
+                    "nrows": res.grid.nrows,
+                    "num_tiles": n_tiles,
+                    "crs": res.grid.crs,
+                },
+                "skipped_tiles": res.skipped_tiles,
+                "phase_s": res.metrics.get("phase_s", {}),
+                "stats": res.stats,
+                "manifest_files": (
+                    res.manifest.num_rows if res.manifest is not None else 0
+                ),
+            }
+            with open(args.monitorjson, "w") as f:
+                json.dump(record, f, indent=2)
+        return 0
+    finally:
+        if owns_ray:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main_cmd())

@@ -78,6 +78,14 @@ class MosaicConfig:
     # beyond it. One metadata execution instead of five.
     planning: str = "auto"  # "auto" | "driver" | "distributed"
     driver_plan_limit: int = 100_000
+    # Output projection (reference's outprojepsg/wktfile/wkt trio + res +
+    # resamplemethod, ref mosaic.py:111-116 / reproj.py:14-69). When out_crs
+    # is set every input is warped on read (the VRT analog); default output
+    # resolution is the first input's (reproj.py:183-192).
+    out_crs: str | None = None
+    out_xres: float | None = None
+    out_yres: float | None = None
+    resample: str = "near"  # "near" | "bilinear"
     # Compress window payloads before the tile-assembly shuffle ("z16") —
     # on a multi-node cluster the groupby moves every decoded window over
     # the network, so shuffle bytes bound throughput. None = raw. Only
@@ -209,6 +217,18 @@ def do_mosaic(
         # a prior run double-count in every read-back.
         manifest_mod.clear_output(out_dir)
 
+    warp = None
+    if cfg.out_crs is not None:
+        from ..stages.reproject import WarpSpec
+
+        xres, yres = cfg.out_xres, cfg.out_yres
+        if xres is None or yres is None:
+            # reference default: first input's resolution (reproj.py:183-192)
+            first = meta_for(0, cfg.layout)
+            xres = first.x_res if xres is None else xres
+            yres = first.y_res if yres is None else yres
+        warp = WarpSpec(cfg.out_crs, xres, yres, cfg.resample)
+
     need_counts = cfg.salt_threshold is not None or cfg.include_empty
 
     use_driver_plan = cfg.planning == "driver"
@@ -226,7 +246,7 @@ def do_mosaic(
         tbl = _pq.read_table(images_path, columns=IMAGE_META_COLS)
         from ..stages.plan import probe_batch
 
-        probed = probe_batch(tbl, cfg.layout)
+        probed = probe_batch(tbl, cfg.layout, warp)
         rows = sorted(probed.to_pylist(), key=lambda r: r["seq"])
         from ..geo import ImageMeta
 
@@ -240,19 +260,23 @@ def do_mosaic(
         ]
         grid = make_output_grid(metas, cfg.blocksize, cfg.nullval)
         if cfg.validate_projections:
+            from ..crs import ProjectionError
+
             tol = 0.0001  # ref reproj.py:117-127
             for m in metas:
                 if m.crs != grid.crs:
-                    raise ValueError(f"CRS mismatch: {m.image_id} {m.crs}")
+                    raise ProjectionError(
+                        f"CRS mismatch: {m.image_id} {m.crs}"
+                    )
                 if (
                     abs(m.transform[1] - grid.transform[1]) > tol
                     or abs(m.transform[5] - grid.transform[5]) > tol
                 ):
-                    raise ValueError(f"resolution mismatch: {m.image_id}")
+                    raise ProjectionError(f"resolution mismatch: {m.image_id}")
                 dx = (m.transform[0] - grid.transform[0]) / grid.transform[1]
                 dy = (m.transform[3] - grid.transform[3]) / grid.transform[5]
                 if abs(dx - round(dx)) > tol or abs(dy - round(dy)) > tol:
-                    raise ValueError(f"grid misalignment: {m.image_id}")
+                    raise ProjectionError(f"grid misalignment: {m.image_id}")
         if need_counts:
             counter: Counter = Counter()
             for m in metas:
@@ -268,7 +292,7 @@ def do_mosaic(
         n_images = len(metas)
     else:
         meta_ds = probe_metadata(
-            read_images(images_path, IMAGE_META_COLS), cfg.layout
+            read_images(images_path, IMAGE_META_COLS), cfg.layout, warp
         ).materialize()
         grid = compute_grid(meta_ds, cfg)
         if cfg.validate_projections:
@@ -302,6 +326,7 @@ def do_mosaic(
         hot_tiles=hot_tiles,
         n_seq=n_images,
         shuffle_codec=shuffle_codec,
+        warp=warp,
     )
 
     skipped = 0

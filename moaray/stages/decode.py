@@ -76,6 +76,7 @@ class DecodeSlice:
         hot_tiles: dict | None = None,
         n_seq: int = 0,
         shuffle_codec: str | None = None,
+        warp=None,
     ):
         self.grid: OutputGrid = (
             ray.get(grid_ref) if isinstance(grid_ref, ray.ObjectRef) else grid_ref
@@ -90,6 +91,11 @@ class DecodeSlice:
         # bound throughput. The codec header is self-describing (MRAY magic),
         # so the merge kernels auto-detect compressed vs raw payloads.
         self.shuffle_codec = shuffle_codec
+        # WarpSpec: warp-on-read, the analog of reading through the
+        # reference's per-input warp VRTs (reproj.py:130-218). Planning and
+        # window math run on the warped metadata; pixel fetch decodes the
+        # source and inverse-maps the requested window only.
+        self.warp = warp
         self._cache: OrderedDict[str, np.ndarray] = OrderedDict()
 
     def _full_decode(self, image_id: str, buf: bytes, fmt: str) -> np.ndarray:
@@ -118,23 +124,38 @@ class DecodeSlice:
             seq = image_idx(image_id)
             # zero-copy view of the arrow cell (no bytes copy per image)
             buf = memoryview(blobs[i].as_buffer())
-            trow0, trow1, tcol0, tcol1 = covering_tile_range(meta, grid)
+            if self.warp is not None:
+                from .reproject import dst_to_src_pixel, warp_window, warped_meta
+
+                plan_meta = warped_meta(meta, self.warp)
+                px_map = dst_to_src_pixel(meta, plan_meta)
+            else:
+                plan_meta = meta
+            trow0, trow1, tcol0, tcol1 = covering_tile_range(plan_meta, grid)
             full = None
             for trow in range(trow0, trow1):
                 for tcol in range(tcol0, tcol1):
                     tid = grid.tile_id(trow, tcol)
                     block = grid.block_for_tile(tid)
-                    win = window_overlap(block, grid.transform, meta)
+                    win = window_overlap(block, grid.transform, plan_meta)
                     if win is None:
                         continue
                     ftop, fleft, fxs, fys = win
-                    # clip to the image extent (ref mosaic.py:257-263)
+                    # clip to the (warped) image extent (ref mosaic.py:257-263)
                     t0, l0 = max(ftop, 0), max(fleft, 0)
-                    b0 = min(ftop + fys, meta.nrows)
-                    r0 = min(fleft + fxs, meta.ncols)
+                    b0 = min(ftop + fys, plan_meta.nrows)
+                    r0 = min(fleft + fxs, plan_meta.ncols)
                     if b0 <= t0 or r0 <= l0:
                         continue
-                    if fmt == "raw16":
+                    if self.warp is not None:
+                        if full is None:
+                            full = self._full_decode(image_id, buf, fmt)
+                        clipped = warp_window(
+                            full, px_map, t0, l0, b0 - t0, r0 - l0,
+                            np.dtype(grid.dtype).type(grid.nullval),
+                            self.warp.resample,
+                        )
+                    elif fmt == "raw16":
                         clipped = codecs.decode_window(
                             buf, t0, l0, b0 - t0, r0 - l0, fmt
                         )
@@ -158,8 +179,8 @@ class DecodeSlice:
                     rows["win_w"].append(clipped.shape[1])
                     rows["src_top"].append(t0)
                     rows["src_left"].append(l0)
-                    rows["src_h"].append(meta.nrows)
-                    rows["src_w"].append(meta.ncols)
+                    rows["src_h"].append(plan_meta.nrows)
+                    rows["src_w"].append(plan_meta.ncols)
                     win_arr = np.ascontiguousarray(clipped, dtype="<u2")
                     if self.shuffle_codec:
                         rows["pixels"].append(
@@ -181,6 +202,7 @@ def decode_windows(
     hot_tiles: dict | None = None,
     n_seq: int = 0,
     shuffle_codec: str | None = None,
+    warp=None,
 ) -> "ray.data.Dataset":
     """images (with bytes) -> window rows.
 
@@ -200,7 +222,8 @@ def decode_windows(
         return images_ds.map_batches(
             DecodeSlice,
             fn_constructor_args=(
-                grid_ref, layout, lru_images, hot_tiles, n_seq, shuffle_codec
+                grid_ref, layout, lru_images, hot_tiles, n_seq, shuffle_codec,
+                warp,
             ),
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -211,7 +234,7 @@ def decode_windows(
     def decode_batch(batch: pa.Table) -> pa.Table:
         return DecodeSlice(
             ray.get(grid_ref), layout, lru_images, ray.get(hot_ref), n_seq,
-            shuffle_codec,
+            shuffle_codec, warp,
         )(batch)
 
     return images_ds.map_batches(

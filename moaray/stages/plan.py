@@ -84,13 +84,20 @@ def meta_from_row(image_id: str, w: int, h: int, fmt: str, layout: Layout) -> Im
     return m
 
 
-def probe_batch(batch: pa.Table, layout: Layout) -> pa.Table:
+def probe_batch(
+    batch: pa.Table, layout: Layout, warp=None
+) -> pa.Table:
     """Derive footprint metadata columns from (image_id, w, h, fmt).
 
     The analog of the reference's ImageInfo open-probe (structures.py:11-58),
     vectorized per batch; placement comes from the shared pure function
-    testgen.place (FIXTURES.md §2).
+    testgen.place (FIXTURES.md §2). With ``warp`` (a reproject.WarpSpec),
+    emitted metadata describes the *virtual warped raster* — the analog of
+    probing the reference's warp VRTs (reproj.py:216-218) — so planning runs
+    entirely in the destination CRS without touching pixels.
     """
+    from .reproject import warped_meta
+
     ids = batch["image_id"].to_pylist()
     ws = batch["w"].to_pylist()
     hs = batch["h"].to_pylist()
@@ -98,6 +105,9 @@ def probe_batch(batch: pa.Table, layout: Layout) -> pa.Table:
     rows = {name: [] for name in META_SCHEMA.names}
     for image_id, w, h, fmt in zip(ids, ws, hs, fmts):
         m = meta_from_row(image_id, w, h, fmt, layout)
+        if warp is not None:
+            m = warped_meta(m, warp)
+        w, h = m.ncols, m.nrows
         rows["image_id"].append(image_id)
         rows["seq"].append(image_idx(image_id))
         rows["w"].append(w)
@@ -114,9 +124,11 @@ def probe_batch(batch: pa.Table, layout: Layout) -> pa.Table:
     return pa.Table.from_pydict(rows, schema=META_SCHEMA)
 
 
-def probe_metadata(images_ds: "ray.data.Dataset", layout: Layout) -> "ray.data.Dataset":
+def probe_metadata(
+    images_ds: "ray.data.Dataset", layout: Layout, warp=None
+) -> "ray.data.Dataset":
     return images_ds.map_batches(
-        lambda b: probe_batch(b, layout),
+        lambda b: probe_batch(b, layout, warp),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -147,7 +159,9 @@ def check_projections(meta_ds: "ray.data.Dataset", grid: OutputGrid) -> None:
 
     problems = meta_ds.map_batches(residuals, batch_format="pyarrow").take(5)
     if problems:
-        raise ValueError(f"Input projection/grid mismatch: {problems}")
+        from ..crs import ProjectionError
+
+        raise ProjectionError(f"Input projection/grid mismatch: {problems}")
 
 
 def _assign_rows_for_meta(m: ImageMeta, seq: int, grid: OutputGrid, rows: dict) -> None:

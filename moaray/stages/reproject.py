@@ -1,0 +1,194 @@
+"""Reprojection: per-input warp planning + inverse-mapping resample kernel.
+
+The reference builds one warp VRT per input (makeReprojVRTs,
+ref /root/reference/moamosaic/reproj.py:130-218) — a *lazy* warped raster
+whose windows are resampled on read. The moaray analog fuses the same
+semantics into the decode stage: planning runs on the warped metadata
+(computed here, pure math, no pixels), and window reads sample the source
+array through the composed dst-pixel -> src-pixel affine.
+
+Exact reference semantics preserved:
+- corner transform + min/max bounds  (reprojCorners, reproj.py:221-234)
+- floor/ceil grid snap to resolution multiples (alignGrid/snapValue,
+  reproj.py:237-261)
+- default output resolution = first input's resolution
+  (reproj.py:183-192; the linear-units guard is not applicable to the
+  affine CRS model — see moaray/crs.py)
+- src/dst nodata = the mosaic null value; resampleAlg near/bilinear
+  (WarpOptions, reproj.py:211-216)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import crs as crs_mod
+from ..geo import GeoTransform, ImageMeta, inv_geotransform
+
+
+@dataclass(frozen=True)
+class WarpSpec:
+    """Requested output projection (the outprojepsg/wktfile/wkt trio of the
+    reference collapses to one CRS string here; P9 dispatch,
+    reproj.py:14-69)."""
+
+    dst_crs: str
+    xres: float | None = None
+    yres: float | None = None
+    resample: str = "near"  # "near" | "bilinear"
+
+
+def snap_value(val: float, res: float, ceil: bool) -> float:
+    """Snap to a multiple of res (floor or ceil) — bit-identical to the
+    reference's snapValue (reproj.py:252-261)."""
+    n = val / res
+    n = math.ceil(n) if ceil else math.floor(n)
+    return res * n
+
+
+def align_grid(
+    x_min: float, x_max: float, y_min: float, y_max: float,
+    xres: float, yres: float,
+) -> tuple[float, float, float, float]:
+    """alignGrid semantics (reproj.py:237-249)."""
+    return (
+        snap_value(x_min, xres, False),
+        snap_value(x_max, xres, True),
+        snap_value(y_min, yres, False),
+        snap_value(y_max, yres, True),
+    )
+
+
+def reproj_corners(
+    t: crs_mod.Affine, meta: ImageMeta
+) -> tuple[float, float, float, float]:
+    """Transform the 4 extent corners, take min/max (reprojCorners,
+    reproj.py:221-234)."""
+    xs = np.array([meta.x_min, meta.x_max, meta.x_min, meta.x_max])
+    ys = np.array([meta.y_max, meta.y_max, meta.y_min, meta.y_min])
+    tx, ty = crs_mod.transform_points(t, xs, ys)
+    return (float(tx.min()), float(tx.max()), float(ty.min()), float(ty.max()))
+
+
+def warped_meta(meta: ImageMeta, spec: WarpSpec) -> ImageMeta:
+    """Metadata of the (virtual) warped raster — size, transform, CRS —
+    without touching pixels. The planning phase runs entirely on these."""
+    xres = spec.xres if spec.xres is not None else meta.x_res
+    yres = spec.yres if spec.yres is not None else meta.y_res
+    t = crs_mod.transform_affine(meta.crs, spec.dst_crs)
+    x_min, x_max, y_min, y_max = reproj_corners(t, meta)
+    x_min, x_max, y_min, y_max = align_grid(
+        x_min, x_max, y_min, y_max, xres, abs(yres)
+    )
+    ncols = max(1, int(round((x_max - x_min) / xres)))
+    nrows = max(1, int(round((y_max - y_min) / abs(yres))))
+    return ImageMeta(
+        image_id=meta.image_id,
+        ncols=ncols,
+        nrows=nrows,
+        transform=(x_min, xres, 0.0, y_max, 0.0, -abs(yres)),
+        crs=spec.dst_crs,
+        dtype=meta.dtype,
+        nullval=meta.nullval,
+        nbands=meta.nbands,
+        fmt=meta.fmt,
+    )
+
+
+def dst_to_src_pixel(meta: ImageMeta, wmeta: ImageMeta) -> crs_mod.Affine:
+    """Composed affine: warped-raster pixel coords -> source pixel coords.
+
+    dst px -> dst CRS (wmeta.transform) -> src CRS (crs transform) ->
+    src px (inverse of the source geotransform). All affine, so the warp
+    kernel evaluates ONE affine per output pixel.
+    """
+    to_src_crs = crs_mod.transform_affine(wmeta.crs, meta.crs)
+    return crs_mod.compose(
+        inv_geotransform(meta.transform),
+        crs_mod.compose(to_src_crs, wmeta.transform),
+    )
+
+
+def warp_window(
+    src: np.ndarray,
+    px_map: crs_mod.Affine,
+    top: int,
+    left: int,
+    h: int,
+    w: int,
+    nullval,
+    resample: str = "near",
+) -> np.ndarray:
+    """Resample one window of the warped raster by inverse mapping.
+
+    ``px_map`` is the dst->src pixel affine from :func:`dst_to_src_pixel`;
+    ``(top, left, h, w)`` the requested window in warped-raster pixel
+    coords. Out-of-source pixels get ``nullval`` (the src/dst nodata
+    semantics of WarpOptions, reproj.py:211-214).
+    """
+    rows = np.arange(top, top + h, dtype=np.float64) + 0.5
+    cols = np.arange(left, left + w, dtype=np.float64) + 0.5
+    # affine separates: evaluate per-axis then broadcast
+    sx = px_map[0] + px_map[1] * cols[None, :] + px_map[2] * rows[:, None]
+    sy = px_map[3] + px_map[4] * cols[None, :] + px_map[5] * rows[:, None]
+    out = np.full((h, w), nullval, dtype=src.dtype)
+    if resample == "near":
+        ci = np.floor(sx).astype(np.int64)
+        ri = np.floor(sy).astype(np.int64)
+        valid = (ri >= 0) & (ri < src.shape[0]) & (ci >= 0) & (ci < src.shape[1])
+        out[valid] = src[ri[valid], ci[valid]]
+        return out
+    if resample == "bilinear":
+        fx = sx - 0.5
+        fy = sy - 0.5
+        c0 = np.floor(fx).astype(np.int64)
+        r0 = np.floor(fy).astype(np.int64)
+        wx = fx - c0
+        wy = fy - r0
+        valid = (
+            (r0 >= 0) & (r0 + 1 < src.shape[0])
+            & (c0 >= 0) & (c0 + 1 < src.shape[1])
+        )
+        rv, cv = r0[valid], c0[valid]
+        wxv, wyv = wx[valid], wy[valid]
+        p00 = src[rv, cv].astype(np.float64)
+        p01 = src[rv, cv + 1].astype(np.float64)
+        p10 = src[rv + 1, cv].astype(np.float64)
+        p11 = src[rv + 1, cv + 1].astype(np.float64)
+        # null-aware: if any corner is null, fall back to nearest
+        if np.isnan(nullval):
+            anynull = np.isnan(p00) | np.isnan(p01) | np.isnan(p10) | np.isnan(p11)
+        else:
+            nv = float(nullval)
+            anynull = (p00 == nv) | (p01 == nv) | (p10 == nv) | (p11 == nv)
+        blend = (
+            p00 * (1 - wxv) * (1 - wyv)
+            + p01 * wxv * (1 - wyv)
+            + p10 * (1 - wxv) * wyv
+            + p11 * wxv * wyv
+        )
+        nearest = src[
+            np.clip(np.rint(fy[valid]).astype(np.int64), 0, src.shape[0] - 1),
+            np.clip(np.rint(fx[valid]).astype(np.int64), 0, src.shape[1] - 1),
+        ]
+        vals = np.where(anynull, nearest.astype(np.float64), blend)
+        if not np.isnan(nullval) and np.issubdtype(src.dtype, np.integer):
+            vals = np.rint(vals)
+        out[valid] = vals.astype(src.dtype)
+        # edge band where a 2x2 neighborhood doesn't exist: nearest
+        edge = (
+            ~valid
+            & (np.floor(sy).astype(np.int64) >= 0)
+            & (np.floor(sy).astype(np.int64) < src.shape[0])
+            & (np.floor(sx).astype(np.int64) >= 0)
+            & (np.floor(sx).astype(np.int64) < src.shape[1])
+        )
+        out[edge] = src[
+            np.floor(sy[edge]).astype(np.int64),
+            np.floor(sx[edge]).astype(np.int64),
+        ]
+        return out
+    raise ValueError(f"unknown resample method {resample!r}")

@@ -82,6 +82,16 @@ def place(idx: int, layout: Layout) -> GeoTransform:
         # (pins the all-null-tile path, ref mosaic.py:351-359).
         col = idx if idx < 2 else idx + 2
         return (ORIGIN_X + col * step, PIX, 0.0, ORIGIN_Y, 0.0, -PIX)
+    if layout.name == "mixed_crs":
+        # image 0 in the default CRS; images >0 in a scaled CRS
+        # ("AFFINE:0,2,0,0,0,2": crs coords -> world doubled) placed so their
+        # WORLD footprint continues the pair_overlap tiling. Pins the
+        # heterogeneous-projection error path (ref reproj.py:72-127) and the
+        # warp path that resolves it.
+        if idx == 0:
+            return (ORIGIN_X, PIX, 0.0, ORIGIN_Y, 0.0, -PIX)
+        world_x0 = ORIGIN_X + idx * step
+        return (world_x0 / 2.0, PIX / 2.0, 0.0, ORIGIN_Y / 2.0, 0.0, -PIX / 2.0)
     if layout.name == "bench":
         # grid placement for the first 3/4, hotspot stack for the rest —
         # realistic mix of sparse coverage and a skewed dense region.
@@ -120,13 +130,19 @@ def fmt_for(idx: int, fmts: tuple[str, ...]) -> str:
     return fmts[idx % len(fmts)]
 
 
+def crs_for(idx: int, layout: Layout) -> str:
+    if layout.name == "mixed_crs" and idx > 0:
+        return "AFFINE:0,2,0,0,0,2"
+    return CRS
+
+
 def meta_for(idx: int, layout: Layout, fmt: str = "raw16") -> ImageMeta:
     return ImageMeta(
         image_id=make_image_id(idx),
         ncols=layout.size,
         nrows=layout.size,
         transform=place(idx, layout),
-        crs=CRS,
+        crs=crs_for(idx, layout),
         dtype="uint16",
         nullval=0.0,
         nbands=1,

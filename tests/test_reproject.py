@@ -1,0 +1,160 @@
+"""Reprojection parity: warp planning math + warp-on-read mosaic results.
+
+The reference reprojects through per-input warp VRTs
+(/root/reference/moamosaic/reproj.py:130-218); moaray warps on read inside
+the decode stage over the affine CRS model (moaray/crs.py). These tests pin:
+
+- snapValue / alignGrid floor-ceil semantics (reproj.py:237-261)
+- identity warp == unwarped mosaic, bit-exact
+- 2x scale warp == strided subsample of the unwarped truth (exact nearest-
+  neighbour oracle by construction: grid origins divisible by 2*res)
+- explicit out_xres/out_yres override
+- heterogeneous-projection inputs fail without a warp (MoaProjectionError
+  analog, reproj.py:72-127) and succeed with one
+- bilinear on the ramp fixture interior == nearest of the ramp midpoint
+"""
+
+import numpy as np
+import pytest
+
+from moaray import MosaicConfig, do_mosaic
+from moaray.crs import ProjectionError, transform_affine
+from moaray.pipelines.mosaic import mosaic_array
+from moaray.stages.reproject import (
+    WarpSpec,
+    align_grid,
+    dst_to_src_pixel,
+    snap_value,
+    warp_window,
+    warped_meta,
+)
+from moaray.testgen import Layout, images_path, meta_for, pixel_array
+
+from test_mosaic_parity import oracle_mosaic, run_engine
+
+
+def test_snap_value_floor_ceil():
+    # reproj.py:252-261 semantics
+    assert snap_value(305.0, 10.0, False) == 300.0
+    assert snap_value(305.0, 10.0, True) == 310.0
+    assert snap_value(300.0, 10.0, False) == 300.0
+    assert snap_value(300.0, 10.0, True) == 300.0
+    assert snap_value(-305.0, 10.0, False) == -310.0
+    assert snap_value(-305.0, 10.0, True) == -300.0
+    assert align_grid(301.0, 649.0, -12.0, 95.0, 10.0, 10.0) == (
+        300.0, 650.0, -20.0, 100.0
+    )
+
+
+def test_identity_warp_bit_exact():
+    """Warping to a different CRS *name* with the identity affine must
+    reproduce the unwarped mosaic exactly."""
+    layout = Layout("grid3x3", 9, 64)
+    _grid, truth = oracle_mosaic(layout)
+    res, got = run_engine(layout, out_crs="AFFINE:0,1,0,0,0,1")
+    assert res.grid.crs == "AFFINE:0,1,0,0,0,1"
+    assert got.shape == truth.shape
+    assert (got == truth).all()
+
+
+def test_scale2_warp_strided_oracle():
+    """dst CRS = world/2 with the default (source) resolution: each output
+    pixel's center inverse-maps to source pixel (2r+1, 2c+1) exactly, so the
+    warped mosaic equals truth[1::2, 1::2]."""
+    layout = Layout("grid3x3", 9, 64)
+    _grid, truth = oracle_mosaic(layout)
+    res, got = run_engine(layout, out_crs="AFFINE:0,2,0,0,0,2")
+    expect = truth[1::2, 1::2]
+    assert got.shape == expect.shape
+    assert (got == expect).all()
+
+
+def test_warped_meta_and_res_override():
+    layout = Layout("grid3x3", 9, 64)
+    m = meta_for(0, layout)
+    wm = warped_meta(m, WarpSpec("AFFINE:0,2,0,0,0,2", xres=10.0, yres=10.0))
+    # source extent 640 world units -> 320 in dst CRS -> 32 pixels at res 10
+    assert (wm.ncols, wm.nrows) == (32, 32)
+    wm5 = warped_meta(m, WarpSpec("AFFINE:0,2,0,0,0,2", xres=5.0, yres=5.0))
+    assert (wm5.ncols, wm5.nrows) == (64, 64)
+    # default res = source res (reproj.py:183-192)
+    wmd = warped_meta(m, WarpSpec("AFFINE:0,2,0,0,0,2"))
+    assert (wmd.ncols, wmd.nrows) == (32, 32)
+
+
+def test_res_override_upsamples():
+    """out_xres/out_yres at half the native pixel size doubles output dims;
+    nearest-neighbour duplicates source pixels 2x2."""
+    layout = Layout("grid3x3", 1, 64)
+    res, got = run_engine(
+        layout, out_crs="AFFINE:0,1,0,0,0,1", out_xres=5.0, out_yres=5.0
+    )
+    src = pixel_array(0, layout)
+    assert got.shape == (128, 128)
+    assert (got == np.repeat(np.repeat(src, 2, axis=0), 2, axis=1)).all()
+
+
+def test_warp_window_bilinear_interior():
+    """Bilinear on the column-ramp at an offset sampling position blends the
+    two neighbouring columns."""
+    layout = Layout("grid3x3", 1, 64)
+    m = meta_for(0, layout)
+    src = pixel_array(0, layout)
+    # shift dst grid by half a pixel in x: dst px c samples src x = c + 1.0
+    spec = WarpSpec("AFFINE:0,1,0,0,0,1", resample="bilinear")
+    wm = warped_meta(m, spec)
+    px_map = dst_to_src_pixel(m, wm)
+    shifted = (px_map[0] + 0.5, *px_map[1:])
+    out = warp_window(src, shifted, 10, 10, 4, 4, np.uint16(0), "bilinear")
+    # src cols 10..13 have values 10..13 (ramp); sampling at col+0.5 centers
+    # blends cols c and c+1 -> value c + 0.5 -> rint -> even-round
+    expect_cols = np.rint(np.arange(10, 14) + 0.5)
+    assert (out == np.tile(expect_cols, (4, 1)).astype(np.uint16)).all()
+
+
+def test_mixed_projection_requires_warp(tmp_path):
+    """Two inputs in different CRSs: plain mosaic raises the projection
+    error (reproj.py:72-127); with out_crs set it succeeds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from moaray import codecs
+    from moaray.testgen import (
+        caption_for,
+        gen_images_table,
+        make_image_id,
+        phash_for,
+    )
+
+    # Build a 2-image table where image 1 claims a scaled CRS via the
+    # mixed-crs layout below.
+    layout = Layout("mixed_crs", 2, 64)
+    tbl = gen_images_table(layout, ("raw16",))
+    p = tmp_path / "imgs"
+    p.mkdir()
+    pq.write_table(tbl, str(p / "part-0.parquet"))
+
+    with pytest.raises(ProjectionError):
+        do_mosaic(str(p), MosaicConfig(layout=layout, blocksize=64))
+
+    res = do_mosaic(
+        str(p),
+        MosaicConfig(
+            layout=layout, blocksize=64, out_crs="AFFINE:0,1,0,0,0,1"
+        ),
+    )
+    arr = mosaic_array(res.tiles_ds, res.grid)
+    # image 0 occupies the left 64 cols; image 1 (scaled CRS, world extent
+    # 2x) occupies cols >= its warped offset — just assert both contributed
+    assert (arr[:, :64] != 0).any() and (arr[:, 80:] != 0).any()
+
+
+def test_transform_affine_roundtrip():
+    t = transform_affine("EPSG:32756", "AFFINE:100,2,0,-50,0,4")
+    inv = transform_affine("AFFINE:100,2,0,-50,0,4", "EPSG:32756")
+    x, y = 12345.0, -678.0
+    tx = t[0] + t[1] * x + t[2] * y
+    ty = t[3] + t[4] * x + t[5] * y
+    rx = inv[0] + inv[1] * tx + inv[2] * ty
+    ry = inv[3] + inv[4] * tx + inv[5] * ty
+    assert rx == pytest.approx(x) and ry == pytest.approx(y)
