@@ -30,8 +30,9 @@ def get_cmdargs(argv=None):
     p.add_argument("-o", "--outdir", required=True,
                    help="output directory (tiles/ + manifest/)")
     p.add_argument("--layout", default=None,
-                   help="synthetic placement spec 'name,n,size' "
-                        "(e.g. grid3x3,9,64); required for fixture tables")
+                   help="synthetic placement spec 'name,n,size' (e.g. "
+                        "grid3x3,9,64); omit when the images table carries "
+                        "explicit gt/crs metadata columns")
     p.add_argument("-b", "--blocksize", type=int, default=1024,
                    help="output tile size in pixels (default %(default)s)")
     p.add_argument("-n", "--nullval", type=float, default=None,
@@ -79,14 +80,12 @@ def main_cmd(argv=None) -> int:
         from .pipelines.mosaic import MosaicConfig, do_mosaic
         from .testgen import Layout
 
-        if args.layout is None:
-            raise SystemExit(
-                "--layout name,n,size is required (image footprints derive "
-                "from the placement spec; tables with explicit gt/crs "
-                "columns are the at-scale path)"
-            )
-        name, n, size = args.layout.split(",")
-        layout = Layout(name, int(n), int(size))
+        layout = None
+        if args.layout is not None:
+            name, n, size = args.layout.split(",")
+            layout = Layout(name, int(n), int(size))
+        # layout=None requires explicit gt/crs catalog columns on the table
+        # (stages/plan.py metas_from_batch)
         cfg = MosaicConfig(
             layout=layout,
             blocksize=args.blocksize,

@@ -44,14 +44,55 @@ from ..stages.decode import decode_windows
 from ..stages.plan import assign_cell_join, assign_direct, probe_metadata
 from ..stages.stats import stats_from_tile_columns as compute_stats_from_columns
 from ..state import manifest as manifest_mod
-from ..testgen import Layout, meta_for
+from ..testgen import Layout
 
 IMAGE_META_COLS = ["image_id", "w", "h", "fmt"]
+# Optional catalog columns: explicit per-image metadata wins over the
+# synthetic placement layout (stages/plan.py metas_from_batch).
+OPTIONAL_META_COLS = ["gt", "crs", "nullval", "seq"]
+
+
+def meta_columns(images_path: str) -> list[str]:
+    """Pruned metadata column list for this table (footer peek only)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    f = images_path
+    if _os.path.isdir(images_path):
+        files = sorted(_glob.glob(_os.path.join(images_path, "*.parquet")))
+        if not files:
+            return IMAGE_META_COLS
+        f = files[0]
+    try:
+        names = set(_pq.ParquetFile(f).schema_arrow.names)
+    except Exception:
+        return IMAGE_META_COLS
+    return IMAGE_META_COLS + [c for c in OPTIONAL_META_COLS if c in names]
+
+
+def _first_meta(images_path: str, layout):
+    """Metadata of the first image (row 0 of the first fragment) — supplies
+    warp default resolution (ref reproj.py:183-192) without a Ray execution."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from ..stages.plan import metas_from_batch
+
+    f = images_path
+    if _os.path.isdir(images_path):
+        f = sorted(_glob.glob(_os.path.join(images_path, "*.parquet")))[0]
+    tbl = _pq.ParquetFile(f).read_row_group(0, columns=meta_columns(images_path))
+    return metas_from_batch(tbl.slice(0, 1), layout)[0][1]
 
 
 @dataclass
 class MosaicConfig:
-    layout: Layout
+    layout: Layout | None = None  # synthetic placement; None => the images
+    # table must carry explicit gt/crs metadata columns
     blocksize: int = 1024
     nullval: float | None = None
     merge: str = "last"  # "last" (parity) | "feather" (extended)
@@ -224,7 +265,7 @@ def do_mosaic(
         xres, yres = cfg.out_xres, cfg.out_yres
         if xres is None or yres is None:
             # reference default: first input's resolution (reproj.py:183-192)
-            first = meta_for(0, cfg.layout)
+            first = _first_meta(images_path, cfg.layout)
             xres = first.x_res if xres is None else xres
             yres = first.y_res if yres is None else yres
         warp = WarpSpec(cfg.out_crs, xres, yres, cfg.resample)
@@ -243,21 +284,15 @@ def do_mosaic(
         # never pixel bytes.
         import pyarrow.parquet as _pq
 
-        tbl = _pq.read_table(images_path, columns=IMAGE_META_COLS)
-        from ..stages.plan import probe_batch
+        tbl = _pq.read_table(images_path, columns=meta_columns(images_path))
+        from ..stages.plan import metas_from_batch
 
-        probed = probe_batch(tbl, cfg.layout, warp)
-        rows = sorted(probed.to_pylist(), key=lambda r: r["seq"])
-        from ..geo import ImageMeta
+        pairs = metas_from_batch(tbl, cfg.layout)
+        if warp is not None:
+            from ..stages.reproject import warped_meta
 
-        metas = [
-            ImageMeta(
-                image_id=r["image_id"], ncols=r["w"], nrows=r["h"],
-                transform=tuple(r["gt"]), crs=r["crs"], dtype=r["dtype"],
-                nullval=r["nullval"], fmt=r["fmt"],
-            )
-            for r in rows
-        ]
+            pairs = [(seq, warped_meta(m, warp)) for seq, m in pairs]
+        metas = [m for _seq, m in sorted(pairs, key=lambda p: p[0])]
         grid = make_output_grid(metas, cfg.blocksize, cfg.nullval)
         if cfg.validate_projections:
             from ..crs import ProjectionError
@@ -292,7 +327,7 @@ def do_mosaic(
         n_images = len(metas)
     else:
         meta_ds = probe_metadata(
-            read_images(images_path, IMAGE_META_COLS), cfg.layout, warp
+            read_images(images_path, meta_columns(images_path)), cfg.layout, warp
         ).materialize()
         grid = compute_grid(meta_ds, cfg)
         if cfg.validate_projections:

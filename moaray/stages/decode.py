@@ -30,8 +30,7 @@ import ray
 
 from .. import codecs
 from ..geo import OutputGrid, covering_tile_range, window_overlap
-from ..testgen import Layout, image_idx
-from .plan import meta_from_row
+from ..testgen import Layout
 
 WINDOW_SCHEMA = pa.schema(
     [
@@ -112,16 +111,11 @@ class DecodeSlice:
     def __call__(self, batch: pa.Table) -> pa.Table:
         grid = self.grid
         rows = {name: [] for name in WINDOW_SCHEMA.names}
-        n = batch.num_rows
-        ids = batch["image_id"].to_pylist()
-        fmts = batch["fmt"].to_pylist()
-        ws = batch["w"].to_pylist()
-        hs = batch["h"].to_pylist()
         blobs = batch["bytes"]
-        for i in range(n):
-            image_id, fmt = ids[i], fmts[i]
-            meta = meta_from_row(image_id, ws[i], hs[i], fmt, self.layout)
-            seq = image_idx(image_id)
+        from .plan import metas_from_batch
+
+        for i, (seq, meta) in enumerate(metas_from_batch(batch, self.layout)):
+            image_id, fmt = meta.image_id, meta.fmt
             # zero-copy view of the arrow cell (no bytes copy per image)
             buf = memoryview(blobs[i].as_buffer())
             if self.warp is not None:

@@ -84,6 +84,50 @@ def meta_from_row(image_id: str, w: int, h: int, fmt: str, layout: Layout) -> Im
     return m
 
 
+def metas_from_batch(
+    batch: pa.Table, layout: Layout | None
+) -> list[tuple[int, ImageMeta]]:
+    """Per-row (seq, ImageMeta) for an images batch.
+
+    Explicit catalog columns win when present — ``gt`` (6-double
+    geotransform), ``crs``, ``nullval``, ``seq`` — the at-scale input shape
+    (the reference's per-file ImageInfo probe, structures.py:11-34). Without
+    them, footprints derive from the synthetic placement ``layout`` (which
+    is then required).
+    """
+    names = set(batch.schema.names)
+    ids = batch["image_id"].to_pylist()
+    ws = batch["w"].to_pylist()
+    hs = batch["h"].to_pylist()
+    fmts = batch["fmt"].to_pylist()
+    gts = batch["gt"].to_pylist() if "gt" in names else None
+    crss = batch["crs"].to_pylist() if "crs" in names else None
+    nulls = batch["nullval"].to_pylist() if "nullval" in names else None
+    seqs = batch["seq"].to_pylist() if "seq" in names else None
+    out: list[tuple[int, ImageMeta]] = []
+    for i, image_id in enumerate(ids):
+        seq = int(seqs[i]) if seqs is not None else image_idx(image_id)
+        if gts is not None:
+            m = ImageMeta(
+                image_id=image_id,
+                ncols=int(ws[i]),
+                nrows=int(hs[i]),
+                transform=tuple(gts[i]),
+                crs=crss[i] if crss is not None else "EPSG:32756",
+                nullval=float(nulls[i]) if nulls is not None else 0.0,
+                fmt=fmts[i],
+            )
+        else:
+            if layout is None:
+                raise ValueError(
+                    "images table has no 'gt' column and no placement "
+                    "layout was given"
+                )
+            m = meta_from_row(image_id, ws[i], hs[i], fmts[i], layout)
+        out.append((seq, m))
+    return out
+
+
 def probe_batch(
     batch: pa.Table, layout: Layout, warp=None
 ) -> pa.Table:
@@ -98,21 +142,15 @@ def probe_batch(
     """
     from .reproject import warped_meta
 
-    ids = batch["image_id"].to_pylist()
-    ws = batch["w"].to_pylist()
-    hs = batch["h"].to_pylist()
-    fmts = batch["fmt"].to_pylist()
     rows = {name: [] for name in META_SCHEMA.names}
-    for image_id, w, h, fmt in zip(ids, ws, hs, fmts):
-        m = meta_from_row(image_id, w, h, fmt, layout)
+    for seq, m in metas_from_batch(batch, layout):
         if warp is not None:
             m = warped_meta(m, warp)
-        w, h = m.ncols, m.nrows
-        rows["image_id"].append(image_id)
-        rows["seq"].append(image_idx(image_id))
-        rows["w"].append(w)
-        rows["h"].append(h)
-        rows["fmt"].append(fmt)
+        rows["image_id"].append(m.image_id)
+        rows["seq"].append(seq)
+        rows["w"].append(m.ncols)
+        rows["h"].append(m.nrows)
+        rows["fmt"].append(m.fmt)
         rows["crs"].append(m.crs)
         rows["gt"].append(list(m.transform))
         rows["xmin"].append(m.x_min)

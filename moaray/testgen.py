@@ -155,10 +155,21 @@ def metas_for_layout(layout: Layout, fmts: tuple[str, ...] = ("raw16",)) -> list
 
 
 def gen_images_table(
-    layout: Layout, fmts: tuple[str, ...] = ("raw16",), seed: int = 42
+    layout: Layout,
+    fmts: tuple[str, ...] = ("raw16",),
+    seed: int = 42,
+    explicit_meta: bool = False,
 ) -> pa.Table:
-    """Build the full images table in memory (small scales only)."""
+    """Build the full images table in memory (small scales only).
+
+    With ``explicit_meta``, per-image ``gt`` (6-double geotransform), ``crs``
+    and ``nullval`` columns are stored on the table — the at-scale input
+    shape where footprints come from the catalog itself (the analog of the
+    reference probing each file, structures.py:11-34) instead of the
+    synthetic placement function.
+    """
     ids, blobs, ws, hs, fmt_col, captions, phashes = [], [], [], [], [], [], []
+    gts, crss, nulls = [], [], []
     for idx in range(layout.n):
         image_id = make_image_id(idx)
         fmt = fmt_for(idx, fmts)
@@ -170,17 +181,24 @@ def gen_images_table(
         fmt_col.append(fmt)
         captions.append(caption_for(image_id, seed))
         phashes.append(phash_for(image_id))
-    return pa.table(
-        {
-            "image_id": pa.array(ids, pa.string()),
-            "bytes": pa.array(blobs, pa.binary()),
-            "w": pa.array(ws, pa.int32()),
-            "h": pa.array(hs, pa.int32()),
-            "fmt": pa.array(fmt_col, pa.string()),
-            "caption": pa.array(captions, pa.string()),
-            "phash": pa.array(phashes, pa.int64()),
-        }
-    )
+        if explicit_meta:
+            gts.append(list(place(idx, layout)))
+            crss.append(crs_for(idx, layout))
+            nulls.append(0.0)
+    cols = {
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "w": pa.array(ws, pa.int32()),
+        "h": pa.array(hs, pa.int32()),
+        "fmt": pa.array(fmt_col, pa.string()),
+        "caption": pa.array(captions, pa.string()),
+        "phash": pa.array(phashes, pa.int64()),
+    }
+    if explicit_meta:
+        cols["gt"] = pa.array(gts, pa.list_(pa.float64(), 6))
+        cols["crs"] = pa.array(crss, pa.string())
+        cols["nullval"] = pa.array(nulls, pa.float64())
+    return pa.table(cols)
 
 
 def images_path(

@@ -1,0 +1,69 @@
+"""Explicit catalog metadata: gt/crs/nullval/seq columns on the images table
+replace the synthetic placement layout (the at-scale input shape; analog of
+the reference's per-file ImageInfo probe, structures.py:11-34)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from moaray import MosaicConfig, do_mosaic
+from moaray.pipelines.mosaic import mosaic_array
+from moaray.testgen import Layout, gen_images_table
+
+from test_mosaic_parity import oracle_mosaic, run_engine
+
+
+def _write(tbl, tmp_path, name="imgs"):
+    p = tmp_path / name
+    p.mkdir()
+    pq.write_table(tbl, str(p / "part-0.parquet"))
+    return str(p)
+
+
+def test_explicit_meta_matches_layout_derived(tmp_path):
+    layout = Layout("grid3x3", 9, 64)
+    _grid, truth = oracle_mosaic(layout)
+    tbl = gen_images_table(layout, ("raw16",), explicit_meta=True)
+    assert "gt" in tbl.schema.names and "crs" in tbl.schema.names
+    path = _write(tbl, tmp_path)
+
+    # layout=None: all metadata from the catalog columns
+    res = do_mosaic(path, MosaicConfig(blocksize=64))
+    got = mosaic_array(res.tiles_ds, res.grid)
+    assert (got == truth).all()
+
+
+def test_explicit_seq_column_overrides_merge_order(tmp_path):
+    """A seq column reverses merge order: last-non-null now favors the
+    LOWEST image index (reversed ranks)."""
+    layout = Layout("hotspot", 16, 64)
+    tbl = gen_images_table(layout, ("raw16",), explicit_meta=True)
+    n = tbl.num_rows
+    rev = pa.array([n - 1 - i for i in range(n)], pa.int64())
+    tbl = tbl.append_column("seq", rev)
+    path = _write(tbl, tmp_path)
+
+    res = do_mosaic(path, MosaicConfig(blocksize=64))
+    got = mosaic_array(res.tiles_ds, res.grid)
+
+    # oracle with reversed merge order
+    from moaray import oracle
+    from moaray.geo import make_output_grid
+    from moaray.testgen import metas_for_layout, pixel_array
+
+    metas = metas_for_layout(layout)
+    grid = make_output_grid(metas, blocksize=64)
+    arrays = {m.image_id: pixel_array(i, layout) for i, m in enumerate(metas)}
+    truth = oracle.build_mosaic(grid, list(reversed(metas)), arrays)
+    assert (got == truth).all()
+
+
+def test_explicit_meta_distributed_planning(tmp_path):
+    """Force the fully-distributed planning path over the catalog columns."""
+    layout = Layout("grid3x3", 9, 64)
+    _grid, truth = oracle_mosaic(layout)
+    tbl = gen_images_table(layout, ("raw16",), explicit_meta=True)
+    path = _write(tbl, tmp_path)
+    res = do_mosaic(path, MosaicConfig(blocksize=64, planning="distributed"))
+    got = mosaic_array(res.tiles_ds, res.grid)
+    assert (got == truth).all()
