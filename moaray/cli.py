@@ -119,6 +119,7 @@ def main_cmd(argv=None) -> int:
                 "skipped_tiles": res.skipped_tiles,
                 "phase_s": res.metrics.get("phase_s", {}),
                 "stats": res.stats,
+                "stats_by_band": res.stats_by_band,
                 "manifest_files": (
                     res.manifest.num_rows if res.manifest is not None else 0
                 ),

@@ -72,6 +72,31 @@ def meta_columns(images_path: str) -> list[str]:
     return IMAGE_META_COLS + [c for c in OPTIONAL_META_COLS if c in names]
 
 
+def _bands_of(images_path: str) -> list[int]:
+    """Distinct band ids from the catalog's band column (single-column
+    driver-side read; bands are [0] when the column is absent). At extreme
+    catalog sizes the band set is known from schema metadata instead."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    f = images_path
+    if _os.path.isdir(images_path):
+        files = sorted(_glob.glob(_os.path.join(images_path, "*.parquet")))
+        if not files:
+            return [0]
+        f = files[0]
+    try:
+        names = set(_pq.ParquetFile(f).schema_arrow.names)
+    except Exception:
+        return [0]
+    if "band" not in names:
+        return [0]
+    tbl = _pq.read_table(images_path, columns=["band"])
+    return sorted(set(tbl["band"].to_pylist()))
+
+
 def _first_meta(images_path: str, layout):
     """Metadata of the first image (row 0 of the first fragment) — supplies
     warp default resolution (ref reproj.py:183-192) without a Ray execution."""
@@ -142,7 +167,8 @@ class MosaicConfig:
 class MosaicResult:
     grid: OutputGrid
     tiles_ds: "ray.data.Dataset"
-    stats: dict | None = None
+    stats: dict | None = None  # band-0 stats (single-band convenience)
+    stats_by_band: dict[int, dict] | None = None
     pyramids_ds: "ray.data.Dataset | None" = None
     manifest: pa.Table | None = None
     skipped_tiles: int = 0
@@ -270,6 +296,8 @@ def do_mosaic(
             yres = first.y_res if yres is None else yres
         warp = WarpSpec(cfg.out_crs, xres, yres, cfg.resample)
 
+    bands = _bands_of(images_path)
+
     need_counts = cfg.salt_threshold is not None or cfg.include_empty
 
     use_driver_plan = cfg.planning == "driver"
@@ -314,7 +342,12 @@ def do_mosaic(
                     raise ProjectionError(f"grid misalignment: {m.image_id}")
         if need_counts:
             counter: Counter = Counter()
+            seen_ids = set()
             for m in metas:
+                # bands of one image share a footprint — count each image once
+                if m.image_id in seen_ids:
+                    continue
+                seen_ids.add(m.image_id)
                 tr0, tr1, tc0, tc1 = covering_tile_range(m, grid)
                 for trow in range(tr0, tr1):
                     for tcol in range(tc0, tc1):
@@ -324,7 +357,7 @@ def do_mosaic(
                         ):
                             counter[tid] += 1
             tile_counts = dict(counter)
-        n_images = len(metas)
+        n_images = len({m.image_id for m in metas})
     else:
         meta_ds = probe_metadata(
             read_images(images_path, meta_columns(images_path)), cfg.layout, warp
@@ -333,13 +366,16 @@ def do_mosaic(
         if cfg.validate_projections:
             plan_stage.check_projections(meta_ds, grid)
         if need_counts:
-            tile_counts = Counter(
+            # per-band rows inflate counts by |bands| (same footprint per
+            # band) — normalize for the salt-threshold heuristic
+            raw = Counter(
                 r["tile_id"]
                 for r in assign_direct(meta_ds, grid)
                 .select_columns(["tile_id"])
                 .take_all()
             )
-        n_images = meta_ds.count()
+            tile_counts = {t: -(-c // len(bands)) for t, c in raw.items()}
+        n_images = meta_ds.count() // len(bands)
 
     hot_tiles: dict[int, int] = {}
     if cfg.salt_threshold is not None:
@@ -365,9 +401,9 @@ def do_mosaic(
     )
 
     skipped = 0
-    committed: set[int] = set()
+    committed: set[tuple[int, int]] = set()
     if resume and out_dir:
-        committed = manifest_mod.committed_tile_ids(out_dir)
+        committed = manifest_mod.committed_keys(out_dir)
         if committed:
             skipped = len(committed)
             committed_ref = ray.put(committed)
@@ -375,7 +411,11 @@ def do_mosaic(
             def drop_committed(batch: pa.Table) -> pa.Table:
                 done = ray.get(committed_ref)
                 keep = [
-                    tid not in done for tid in batch["tile_id"].to_pylist()
+                    (tid, band) not in done
+                    for tid, band in zip(
+                        batch["tile_id"].to_pylist(),
+                        batch["band"].to_pylist(),
+                    )
                 ]
                 return batch.filter(pa.array(keep, pa.bool_()))
 
@@ -400,14 +440,15 @@ def do_mosaic(
         # mosaic.py:351-359). Assigned ids come back as a tiny column;
         # at extreme tile counts this becomes an anti-join on tile_id.
         assigned = set(tile_counts)
+        committed_tids = {k[0] for k in committed}
         missing = [
             t for t in range(grid.num_tiles)
-            if t not in assigned and t not in committed
+            if t not in assigned and t not in committed_tids
         ]
         if missing:
             tiles = tiles.union(
                 ray.data.from_arrow(
-                    empty_tiles_table(grid, missing, tile_codec)
+                    empty_tiles_table(grid, missing, tile_codec, bands)
                 )
             )
 
@@ -429,9 +470,10 @@ def do_mosaic(
         # prune to just the stat columns.
         if out_dir is not None:
             # partials already rode the manifest rows — driver-side sum only
-            result.stats = manifest_mod.stats_from_manifest(out_dir)
+            result.stats_by_band = manifest_mod.stats_from_manifest(out_dir)
         else:
-            result.stats = compute_stats_from_columns(result.tiles_ds)
+            result.stats_by_band = compute_stats_from_columns(result.tiles_ds)
+        result.stats = result.stats_by_band.get(0)
         _mark("stats")
     result.metrics["phase_s"] = phase_s
     return result
@@ -441,14 +483,17 @@ def do_mosaic(
 # Test / small-scale helpers (drivers-side; NOT the scale path)
 # ---------------------------------------------------------------------------
 
-def mosaic_array(tiles_ds, grid: OutputGrid) -> np.ndarray:
-    """Reassemble the full mosaic ndarray from tile rows (tests only)."""
+def mosaic_array(tiles_ds, grid: OutputGrid, band: int = 0) -> np.ndarray:
+    """Reassemble one band's full mosaic ndarray from tile rows (tests
+    only)."""
     np_dtype = np.dtype(grid.dtype)
     out = np.full((grid.nrows, grid.ncols), grid.nullval, dtype=np_dtype)
     from ..stages.assemble import decode_payload
 
     for batch in tiles_ds.iter_batches(batch_format="pyarrow"):
         for i in range(batch.num_rows):
+            if batch["band"][i].as_py() != band:
+                continue
             top = batch["out_top"][i].as_py()
             left = batch["out_left"][i].as_py()
             ys = batch["out_ysize"][i].as_py()
@@ -462,7 +507,9 @@ def mosaic_array(tiles_ds, grid: OutputGrid) -> np.ndarray:
     return out
 
 
-def overview_array(pyramids_ds, grid: OutputGrid, lvl: int) -> np.ndarray:
+def overview_array(
+    pyramids_ds, grid: OutputGrid, lvl: int, band: int = 0
+) -> np.ndarray:
     """Reassemble one overview level, pasting in row-major tile order like
     the reference's ordered writer (tests only)."""
     np_dtype = np.dtype(grid.dtype)
@@ -472,6 +519,8 @@ def overview_array(pyramids_ds, grid: OutputGrid, lvl: int) -> np.ndarray:
     for batch in pyramids_ds.iter_batches(batch_format="pyarrow"):
         for i in range(batch.num_rows):
             if batch["level"][i].as_py() != lvl:
+                continue
+            if batch["band"][i].as_py() != band:
                 continue
             rows.append(
                 (

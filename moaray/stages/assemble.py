@@ -31,6 +31,7 @@ from ..geo import OutputGrid
 TILE_SCHEMA = pa.schema(
     [
         ("tile_id", pa.int64()),
+        ("band", pa.int32()),
         ("out_top", pa.int32()),
         ("out_left", pa.int32()),
         ("out_xsize", pa.int32()),
@@ -57,6 +58,7 @@ PYRAMID_SCHEMA = pa.schema(
     [
         ("level", pa.int32()),
         ("tile_id", pa.int64()),
+        ("band", pa.int32()),
         ("yoff", pa.int32()),
         ("xoff", pa.int32()),
         ("h", pa.int32()),
@@ -218,6 +220,7 @@ def make_assemble_fn(nullval: float, dtype: str, merge: str = "last",
         return pa.Table.from_pydict(
             {
                 "tile_id": [group["tile_id"][0].as_py()],
+                "band": [group["band"][0].as_py()],
                 "out_top": [group["out_top"][0].as_py()],
                 "out_left": [group["out_left"][0].as_py()],
                 "out_xsize": [xsize],
@@ -252,12 +255,15 @@ def assemble_tiles(
     fn = make_assemble_fn(
         grid.nullval, grid.dtype, merge, windows_encoded, tile_codec
     )
-    return windows_ds.groupby("tile_id").map_groups(fn, batch_format="pyarrow")
+    return windows_ds.groupby(["tile_id", "band"]).map_groups(
+        fn, batch_format="pyarrow"
+    )
 
 
 PARTIAL_SCHEMA = pa.schema(
     [
         ("tile_id", pa.int64()),
+        ("band", pa.int32()),
         ("salt", pa.int32()),
         ("out_top", pa.int32()),
         ("out_left", pa.int32()),
@@ -313,6 +319,7 @@ def assemble_tiles_salted(
         return pa.Table.from_pydict(
             {
                 "tile_id": [group["tile_id"][0].as_py()],
+                "band": [group["band"][0].as_py()],
                 "salt": [group["salt"][0].as_py()],
                 "out_top": [group["out_top"][0].as_py()],
                 "out_left": [group["out_left"][0].as_py()],
@@ -341,6 +348,7 @@ def assemble_tiles_salted(
         return pa.Table.from_pydict(
             {
                 "tile_id": [group["tile_id"][0].as_py()],
+                "band": [group["band"][0].as_py()],
                 "out_top": [group["out_top"][0].as_py()],
                 "out_left": [group["out_left"][0].as_py()],
                 "out_xsize": [xsize],
@@ -358,16 +366,19 @@ def assemble_tiles_salted(
             schema=TILE_SCHEMA,
         )
 
-    partials = windows_ds.groupby(["tile_id", "salt"]).map_groups(
+    partials = windows_ds.groupby(["tile_id", "band", "salt"]).map_groups(
         partial_merge, batch_format="pyarrow"
     )
-    return partials.groupby("tile_id").map_groups(
+    return partials.groupby(["tile_id", "band"]).map_groups(
         final_merge, batch_format="pyarrow"
     )
 
 
 def empty_tiles_table(
-    grid: OutputGrid, tile_ids: list[int], tile_codec: str | None = None
+    grid: OutputGrid,
+    tile_ids: list[int],
+    tile_codec: str | None = None,
+    bands: list[int] | None = None,
 ) -> pa.Table:
     """All-null tiles for blocks intersecting no input (ref mosaic.py:351-359).
 
@@ -377,9 +388,11 @@ def empty_tiles_table(
     np_dtype = np.dtype(grid.dtype)
     rows = {n: [] for n in TILE_SCHEMA.names}
     for tid in tile_ids:
+      for band in (bands or [0]):
         block = grid.block_for_tile(tid)
         canvas = np.full((block.ysize, block.xsize), grid.nullval, dtype=np_dtype)
         rows["tile_id"].append(tid)
+        rows["band"].append(band)
         rows["out_top"].append(block.top)
         rows["out_left"].append(block.left)
         rows["out_xsize"].append(block.xsize)
@@ -432,6 +445,7 @@ def make_pyramid_fn(grid: OutputGrid, levels: list[int], dtype: str):
                 )
                 rows["level"].append(lvl)
                 rows["tile_id"].append(batch["tile_id"][i].as_py())
+                rows["band"].append(batch["band"][i].as_py())
                 rows["yoff"].append(yoff)
                 rows["xoff"].append(xoff)
                 rows["h"].append(sub.shape[0])

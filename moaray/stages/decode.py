@@ -35,6 +35,7 @@ from ..testgen import Layout
 WINDOW_SCHEMA = pa.schema(
     [
         ("tile_id", pa.int64()),
+        ("band", pa.int32()),
         ("salt", pa.int32()),
         ("seq", pa.int64()),
         ("image_id", pa.string()),
@@ -97,21 +98,27 @@ class DecodeSlice:
         self.warp = warp
         self._cache: OrderedDict[str, np.ndarray] = OrderedDict()
 
-    def _full_decode(self, image_id: str, buf: bytes, fmt: str) -> np.ndarray:
-        arr = self._cache.get(image_id)
+    def _full_decode(self, key, buf: bytes, fmt: str) -> np.ndarray:
+        # key = (image_id, band): bands of one image carry distinct payloads
+        arr = self._cache.get(key)
         if arr is None:
             arr = codecs.decode(buf, fmt)
-            self._cache[image_id] = arr
+            self._cache[key] = arr
             while len(self._cache) > self.lru_images:
                 self._cache.popitem(last=False)
         else:
-            self._cache.move_to_end(image_id)
+            self._cache.move_to_end(key)
         return arr
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         grid = self.grid
         rows = {name: [] for name in WINDOW_SCHEMA.names}
         blobs = batch["bytes"]
+        bands = (
+            batch["band"].to_pylist()
+            if "band" in batch.schema.names
+            else [0] * batch.num_rows
+        )
         from .plan import metas_from_batch
 
         for i, (seq, meta) in enumerate(metas_from_batch(batch, self.layout)):
@@ -143,7 +150,9 @@ class DecodeSlice:
                         continue
                     if self.warp is not None:
                         if full is None:
-                            full = self._full_decode(image_id, buf, fmt)
+                            full = self._full_decode(
+                                (image_id, bands[i]), buf, fmt
+                            )
                         clipped = warp_window(
                             full, px_map, t0, l0, b0 - t0, r0 - l0,
                             np.dtype(grid.dtype).type(grid.nullval),
@@ -155,11 +164,14 @@ class DecodeSlice:
                         )
                     else:
                         if full is None:
-                            full = self._full_decode(image_id, buf, fmt)
+                            full = self._full_decode(
+                                (image_id, bands[i]), buf, fmt
+                            )
                         clipped = full[t0:b0, l0:r0]
                     n_salts = self.hot_tiles.get(tid, 0)
                     salt = (seq * n_salts) // self.n_seq if n_salts > 1 else 0
                     rows["tile_id"].append(tid)
+                    rows["band"].append(bands[i])
                     rows["salt"].append(salt)
                     rows["seq"].append(seq)
                     rows["image_id"].append(image_id)

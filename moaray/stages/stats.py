@@ -88,31 +88,44 @@ def compute_stats(tiles_ds, nullval: float, dtype: str) -> dict:
     return res["band_stats"] if isinstance(res, dict) and "band_stats" in res else res
 
 
-def stats_from_tile_columns(tiles_ds) -> dict:
-    """Final band stats from the per-tile partial columns written by the
-    assemble stage — a pure columnar aggregate, no pixel decode. Identical
-    float64 math to StatsAccumulator.finalStats (mosaic.py:779-794)."""
+def stats_from_tile_columns(tiles_ds) -> dict[int, dict]:
+    """Final per-band stats from the per-tile partial columns written by
+    the assemble stage — a pure columnar aggregate, no pixel decode.
+    Identical float64 math to StatsAccumulator.finalStats (mosaic.py:779-794,
+    one accumulator per band mosaic.py:204-208)."""
     from ray.data.aggregate import Max, Min, Sum
 
-    agg = tiles_ds.aggregate(
-        Sum("px_sum"),
-        Sum("px_ssq"),
-        Sum("nonnull_count"),
-        Min("px_min"),
-        Max("px_max"),
+    rows = (
+        tiles_ds.groupby("band")
+        .aggregate(
+            Sum("px_sum"),
+            Sum("px_ssq"),
+            Sum("nonnull_count"),
+            Min("px_min"),
+            Max("px_max"),
+        )
+        .take_all()
     )
-    count = int(agg["sum(nonnull_count)"] or 0)
-    if count == 0:
-        return {"min": None, "max": None, "mean": None, "stddev": None, "count": 0}
-    s = float(agg["sum(px_sum)"])
-    ssq = float(agg["sum(px_ssq)"])
-    mean = s / count
-    var = ssq / count - mean ** 2
-    stddev = float(np.sqrt(var)) if var >= 0 else 0.0
-    return {
-        "min": float(agg["min(px_min)"]),
-        "max": float(agg["max(px_max)"]),
-        "mean": mean,
-        "stddev": stddev,
-        "count": count,
-    }
+    out: dict[int, dict] = {}
+    for agg in rows:
+        band = int(agg["band"])
+        count = int(agg["sum(nonnull_count)"] or 0)
+        if count == 0:
+            out[band] = {"min": None, "max": None, "mean": None,
+                         "stddev": None, "count": 0}
+            continue
+        s = float(agg["sum(px_sum)"])
+        ssq = float(agg["sum(px_ssq)"])
+        mean = s / count
+        var = ssq / count - mean ** 2
+        out[band] = {
+            "min": float(agg["min(px_min)"]),
+            "max": float(agg["max(px_max)"]),
+            "mean": mean,
+            "stddev": float(np.sqrt(var)) if var >= 0 else 0.0,
+            "count": count,
+        }
+    if not out:
+        out[0] = {"min": None, "max": None, "mean": None, "stddev": None,
+                  "count": 0}
+    return out

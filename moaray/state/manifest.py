@@ -54,6 +54,7 @@ class TileWriter:
                 {n: pa.array([], t) for n, t in self._EMPTY.items()}
             )
         tids = batch["tile_id"].to_pylist()
+        bands_col = batch["band"].to_pylist()
         lo, hi = min(tids), max(tids)
         part = f"part-{lo:010d}-{hi:010d}-{uuid.uuid4().hex[:8]}"
         data_path = os.path.join(self.tiles_dir, part + ".parquet")
@@ -64,8 +65,9 @@ class TileWriter:
             {iid for ids in batch["input_ids"].to_pylist() for iid in ids}
         )
         # Partial band stats ride the manifest row (StatsAccumulator partials,
-        # ref mosaic.py:758-771) so final stats are a driver-side sum over the
-        # tiny manifest table — no extra Ray execution, no pixel re-read.
+        # ref mosaic.py:758-771, one accumulator per band mosaic.py:204-208)
+        # so final stats are a driver-side sum over the tiny manifest table —
+        # no extra Ray execution, no pixel re-read.
         import pyarrow.compute as pc
 
         px_min = pc.min(batch["px_min"]).as_py()
@@ -73,11 +75,22 @@ class TileWriter:
         px_sum = pc.sum(batch["px_sum"]).as_py() or 0.0
         px_ssq = pc.sum(batch["px_ssq"]).as_py() or 0.0
         nonnull = pc.sum(batch["nonnull_count"]).as_py() or 0
+        band_stats = {}
+        for band in set(batch["band"].to_pylist()):
+            bb = batch.filter(pc.equal(batch["band"], band))
+            band_stats[str(band)] = {
+                "px_sum": pc.sum(bb["px_sum"]).as_py() or 0.0,
+                "px_ssq": pc.sum(bb["px_ssq"]).as_py() or 0.0,
+                "px_min": pc.min(bb["px_min"]).as_py(),
+                "px_max": pc.max(bb["px_max"]).as_py(),
+                "nonnull_count": pc.sum(bb["nonnull_count"]).as_py() or 0,
+            }
         wall = time.monotonic() - t0
         record = {
             "run_id": self.run_id,
             "path": data_path,
             "tile_ids": tids,
+            "keys": [[t, b] for t, b in zip(tids, bands_col)],
             "n_tiles": len(tids),
             "bytes": os.path.getsize(data_path),
             "wall_s": wall,
@@ -88,6 +101,7 @@ class TileWriter:
             "px_min": px_min,
             "px_max": px_max,
             "nonnull_count": nonnull,
+            "band_stats": band_stats,
         }
         man_path = os.path.join(self.manifest_dir, part + ".json")
         tmp = man_path + ".tmp"
@@ -164,10 +178,11 @@ def committed_paths(out_dir: str) -> list[str]:
     return paths
 
 
-def committed_tile_ids(out_dir: str) -> set[int]:
-    """Read the manifest (never the data files) -> committed tile ids."""
+def committed_keys(out_dir: str) -> set[tuple[int, int]]:
+    """Read the manifest (never the data files) -> committed
+    (tile_id, band) pairs — the resume-filter key."""
     manifest_dir = os.path.join(out_dir, "manifest")
-    out: set[int] = set()
+    out: set[tuple[int, int]] = set()
     if not os.path.isdir(manifest_dir):
         return out
     for name in os.listdir(manifest_dir):
@@ -175,47 +190,71 @@ def committed_tile_ids(out_dir: str) -> set[int]:
             continue
         with open(os.path.join(manifest_dir, name)) as f:
             rec = json.load(f)
-        out.update(rec["tile_ids"])
+        if "keys" in rec:
+            out.update((int(t), int(b)) for t, b in rec["keys"])
+        else:
+            out.update((int(t), 0) for t in rec["tile_ids"])
     return out
 
 
-def stats_from_manifest(out_dir: str) -> dict:
-    """Final band stats from the partial-stat fields of the manifest records
-    — pure driver-side arithmetic over a tiny table. Identical float64 math
-    to StatsAccumulator.finalStats (ref mosaic.py:779-794). Covers resumed
-    runs too: committed records from prior runs carry their partials."""
+def _finalize(acc: dict) -> dict:
     import math
 
+    count = acc["nonnull_count"]
+    if count == 0:
+        return {"min": None, "max": None, "mean": None, "stddev": None,
+                "count": 0}
+    mean = acc["px_sum"] / count
+    var = acc["px_ssq"] / count - mean ** 2
+    return {
+        "min": acc["px_min"],
+        "max": acc["px_max"],
+        "mean": mean,
+        "stddev": math.sqrt(var) if var >= 0 else 0.0,
+        "count": count,
+    }
+
+
+def stats_from_manifest(out_dir: str) -> dict[int, dict]:
+    """Final per-band stats from the partial-stat fields of the manifest
+    records — pure driver-side arithmetic over a tiny table. Identical
+    float64 math to StatsAccumulator.finalStats (ref mosaic.py:779-794, one
+    accumulator per band mosaic.py:204-208). Covers resumed runs too:
+    committed records from prior runs carry their partials."""
     manifest_dir = os.path.join(out_dir, "manifest")
-    s = ssq = 0.0
-    count = 0
-    mn = mx = None
+    accs: dict[int, dict] = {}
     if os.path.isdir(manifest_dir):
         for name in sorted(os.listdir(manifest_dir)):
             if not name.endswith(".json"):
                 continue
             with open(os.path.join(manifest_dir, name)) as f:
                 rec = json.load(f)
-            s += rec.get("px_sum") or 0.0
-            ssq += rec.get("px_ssq") or 0.0
-            count += rec.get("nonnull_count") or 0
-            v = rec.get("px_min")
-            if v is not None:
-                mn = v if mn is None else min(mn, v)
-            v = rec.get("px_max")
-            if v is not None:
-                mx = v if mx is None else max(mx, v)
-    if count == 0:
-        return {"min": None, "max": None, "mean": None, "stddev": None, "count": 0}
-    mean = s / count
-    var = ssq / count - mean ** 2
-    return {
-        "min": mn,
-        "max": mx,
-        "mean": mean,
-        "stddev": math.sqrt(var) if var >= 0 else 0.0,
-        "count": count,
-    }
+            per_band = rec.get("band_stats") or {"0": rec}
+            for bkey, p in per_band.items():
+                acc = accs.setdefault(
+                    int(bkey),
+                    {"px_sum": 0.0, "px_ssq": 0.0, "nonnull_count": 0,
+                     "px_min": None, "px_max": None},
+                )
+                acc["px_sum"] += p.get("px_sum") or 0.0
+                acc["px_ssq"] += p.get("px_ssq") or 0.0
+                acc["nonnull_count"] += p.get("nonnull_count") or 0
+                v = p.get("px_min")
+                if v is not None:
+                    acc["px_min"] = (
+                        v if acc["px_min"] is None else min(acc["px_min"], v)
+                    )
+                v = p.get("px_max")
+                if v is not None:
+                    acc["px_max"] = (
+                        v if acc["px_max"] is None else max(acc["px_max"], v)
+                    )
+    if not accs:
+        return {0: _finalize(
+            {"px_sum": 0.0, "px_ssq": 0.0, "nonnull_count": 0,
+             "px_min": None, "px_max": None}
+        )}
+    return {b: _finalize(a) for b, a in sorted(accs.items())}
 
 
 def read_committed_tiles(out_dir: str, columns: list[str] | None = None):

@@ -154,11 +154,21 @@ def metas_for_layout(layout: Layout, fmts: tuple[str, ...] = ("raw16",)) -> list
     return [meta_for(i, layout, fmt_for(i, fmts)) for i in range(layout.n)]
 
 
+def band_pixel_array(idx: int, layout: Layout, band: int) -> np.ndarray:
+    """Band b = base ramp + 100*b (column 0 stays null)."""
+    arr = pixel_array(idx, layout)
+    if band:
+        arr = arr + np.uint16(100 * band)
+        arr[:, 0] = 0
+    return arr
+
+
 def gen_images_table(
     layout: Layout,
     fmts: tuple[str, ...] = ("raw16",),
     seed: int = 42,
     explicit_meta: bool = False,
+    nbands: int = 1,
 ) -> pa.Table:
     """Build the full images table in memory (small scales only).
 
@@ -169,11 +179,12 @@ def gen_images_table(
     synthetic placement function.
     """
     ids, blobs, ws, hs, fmt_col, captions, phashes = [], [], [], [], [], [], []
-    gts, crss, nulls = [], [], []
+    gts, crss, nulls, band_col = [], [], [], []
     for idx in range(layout.n):
+      for band in range(nbands):
         image_id = make_image_id(idx)
         fmt = fmt_for(idx, fmts)
-        arr = pixel_array(idx, layout)
+        arr = band_pixel_array(idx, layout, band)
         ids.append(image_id)
         blobs.append(codecs.encode(arr, fmt))
         ws.append(layout.size)
@@ -181,6 +192,7 @@ def gen_images_table(
         fmt_col.append(fmt)
         captions.append(caption_for(image_id, seed))
         phashes.append(phash_for(image_id))
+        band_col.append(band)
         if explicit_meta:
             gts.append(list(place(idx, layout)))
             crss.append(crs_for(idx, layout))
@@ -194,6 +206,8 @@ def gen_images_table(
         "caption": pa.array(captions, pa.string()),
         "phash": pa.array(phashes, pa.int64()),
     }
+    if nbands > 1:
+        cols["band"] = pa.array(band_col, pa.int32())
     if explicit_meta:
         cols["gt"] = pa.array(gts, pa.list_(pa.float64(), 6))
         cols["crs"] = pa.array(crss, pa.string())

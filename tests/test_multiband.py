@@ -1,0 +1,88 @@
+"""Multi-band mosaics: the band column parallelizes what the reference
+serializes (one ThreadPoolExecutor round per band, ref mosaic.py:206-219).
+
+Catalog shape: one row per (image, band); assembly groups by
+(tile_id, band); stats/pyramids carry the band dimension."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from moaray import MosaicConfig, do_mosaic, oracle
+from moaray.geo import make_output_grid
+from moaray.pipelines.mosaic import mosaic_array, overview_array
+from moaray.testgen import (
+    Layout,
+    band_pixel_array,
+    gen_images_table,
+    metas_for_layout,
+)
+
+
+def _band_truth(layout, band, blocksize=64):
+    metas = metas_for_layout(layout)
+    grid = make_output_grid(metas, blocksize=blocksize)
+    arrays = {
+        m.image_id: band_pixel_array(i, layout, band)
+        for i, m in enumerate(metas)
+    }
+    return grid, oracle.build_mosaic(grid, metas, arrays)
+
+
+def _write(tbl, tmp_path):
+    p = tmp_path / "imgs"
+    p.mkdir()
+    pq.write_table(tbl, str(p / "part-0.parquet"))
+    return str(p)
+
+
+def test_two_band_mosaic_per_band_parity(tmp_path):
+    layout = Layout("grid3x3", 9, 64)
+    tbl = gen_images_table(layout, ("raw16",), nbands=2)
+    assert "band" in tbl.schema.names and tbl.num_rows == 18
+    path = _write(tbl, tmp_path)
+
+    res = do_mosaic(path, MosaicConfig(layout=layout, blocksize=64,
+                                       min_overview_size=16))
+    for band in (0, 1):
+        grid, truth = _band_truth(layout, band)
+        got = mosaic_array(res.tiles_ds, res.grid, band=band)
+        assert (got == truth).all(), f"band {band} mismatch"
+
+    # per-band stats parity
+    assert set(res.stats_by_band) == {0, 1}
+    for band in (0, 1):
+        _grid, truth = _band_truth(layout, band)
+        tmin, tmax, tmean, tstd, tcount = oracle.stats(truth, 0.0)
+        s = res.stats_by_band[band]
+        assert s["min"] == tmin and s["max"] == tmax
+        assert abs(s["mean"] - tmean) < 1e-9
+        assert s["count"] == tcount
+    assert res.stats == res.stats_by_band[0]
+
+    # pyramids carry bands
+    for band in (0, 1):
+        _grid, truth = _band_truth(layout, band)
+        for lvl in res.grid.overview_levels(16):
+            true_ov = oracle.overview(truth, lvl)
+            got_ov = overview_array(res.pyramids_ds, res.grid, lvl, band=band)
+            r = min(true_ov.shape[0], got_ov.shape[0])
+            c = min(true_ov.shape[1], got_ov.shape[1])
+            assert (true_ov[:r, :c] == got_ov[:r, :c]).all()
+
+
+def test_two_band_resume_per_band(tmp_path):
+    layout = Layout("grid3x3", 4, 64)
+    tbl = gen_images_table(layout, ("raw16",), nbands=2)
+    path = _write(tbl, tmp_path)
+    out = tmp_path / "out"
+    cfg = MosaicConfig(layout=layout, blocksize=64)
+
+    res = do_mosaic(path, cfg, out_dir=str(out))
+    base0 = mosaic_array(res.tiles_ds, res.grid, band=0)
+    base1 = mosaic_array(res.tiles_ds, res.grid, band=1)
+    n_keys = res.grid.num_tiles * 2
+
+    res2 = do_mosaic(path, cfg, out_dir=str(out), resume=True)
+    assert res2.skipped_tiles == n_keys
+    assert (mosaic_array(res2.tiles_ds, res2.grid, band=0) == base0).all()
+    assert (mosaic_array(res2.tiles_ds, res2.grid, band=1) == base1).all()
