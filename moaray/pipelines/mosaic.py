@@ -428,11 +428,13 @@ def do_mosaic(
         tiles = assemble_tiles_salted(
             windows, grid, cfg.merge,
             window_codec=shuffle_codec, tile_codec=tile_codec,
+            multiband=len(bands) > 1,
         )
     else:
         tiles = assemble_tiles(
             windows, grid, cfg.merge,
             windows_encoded=shuffle_codec is not None, tile_codec=tile_codec,
+            multiband=len(bands) > 1,
         )
 
     if cfg.include_empty:

@@ -247,17 +247,20 @@ def assemble_tiles(
     merge: str = "last",
     windows_encoded: bool = False,
     tile_codec: str | None = None,
+    multiband: bool = True,
 ) -> "ray.data.Dataset":
-    """The one shuffle of the pipeline: hash-partition windows by tile_id,
-    then merge each group. Backpressure/spill handled by the streaming
-    executor (fixes the reference's unbounded-cache deadlock caveat,
-    exploratory/Notes_mosaicScheme.txt:45-47, for free)."""
+    """The one shuffle of the pipeline: hash-partition windows by
+    (tile_id, band), then merge each group. Backpressure/spill handled by
+    the streaming executor (fixes the reference's unbounded-cache deadlock
+    caveat, exploratory/Notes_mosaicScheme.txt:45-47, for free).
+
+    Single-band inputs (band == 0 everywhere) group by tile_id alone — a
+    one-key sort is measurably cheaper and the grouping is identical."""
     fn = make_assemble_fn(
         grid.nullval, grid.dtype, merge, windows_encoded, tile_codec
     )
-    return windows_ds.groupby(["tile_id", "band"]).map_groups(
-        fn, batch_format="pyarrow"
-    )
+    keys = ["tile_id", "band"] if multiband else "tile_id"
+    return windows_ds.groupby(keys).map_groups(fn, batch_format="pyarrow")
 
 
 PARTIAL_SCHEMA = pa.schema(
@@ -281,6 +284,7 @@ def assemble_tiles_salted(
     merge: str = "last",
     window_codec: str | None = None,
     tile_codec: str | None = None,
+    multiband: bool = True,
 ) -> "ray.data.Dataset":
     """Two-level merge for skewed tiles (SURVEY.md §4.2 salting plan).
 
@@ -366,12 +370,12 @@ def assemble_tiles_salted(
             schema=TILE_SCHEMA,
         )
 
-    partials = windows_ds.groupby(["tile_id", "band", "salt"]).map_groups(
+    k1 = ["tile_id", "band", "salt"] if multiband else ["tile_id", "salt"]
+    k2 = ["tile_id", "band"] if multiband else "tile_id"
+    partials = windows_ds.groupby(k1).map_groups(
         partial_merge, batch_format="pyarrow"
     )
-    return partials.groupby(["tile_id", "band"]).map_groups(
-        final_merge, batch_format="pyarrow"
-    )
+    return partials.groupby(k2).map_groups(final_merge, batch_format="pyarrow")
 
 
 def empty_tiles_table(
