@@ -269,6 +269,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .sort(["query_id", "rank"])
         )
 
+    def q_knn_ivf(sf_dir: str):  # rows-only (recall<1 by design)
+        e = _emb(sf_dir)
+        qids, qmat = ann.load_queries(e, n_queries=10)
+        return ann.knn_ivf(e, qids, qmat, k=5, n_centroids=16, nprobe=4)
+
+    def q_embedding_neardup_lsh(sf_dir: str):  # rows-only (recall<1)
+        return dedup.embedding_neardup_lsh_pairs(_emb(sf_dir), threshold=0.35)
+
     def q_knn_lsh(sf_dir: str):  # rows-only (recall<1 by design)
         emb = _emb(sf_dir)
         qids, qmat = ann.load_queries(emb, n_queries=10)
@@ -304,6 +312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tiles_feather": q_mosaic_tiles_feather,
         "mosaic_tiles_lossy": q_mosaic_tiles_lossy,
         "mosaic_reproject": q_mosaic_reproject,
+        "knn_ivf": q_knn_ivf,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "mosaic_reproject_bilinear": q_mosaic_reproject_bilinear,
         "spatial_join": q_spatial_join,
         "spatial_join_cells": q_spatial_join_cells,

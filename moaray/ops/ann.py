@@ -182,6 +182,81 @@ def knn_lsh(
     return partial.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
 
 
+def knn_ivf(
+    emb_ds,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+):
+    """IVF-flat ANN: corpus vectors are assigned to their nearest coarse
+    centroid; a query scans only its ``nprobe`` closest centroids' lists.
+
+    The coarse quantizer is the first ``n_centroids`` corpus vectors
+    (deterministic stand-in for a k-means training pass — at scale this is a
+    sampled k-means run once and broadcast, same interface). Centroids +
+    per-query probe sets broadcast once via ray.put; corpus embeddings never
+    shuffle. Recall < 1 by design; ``knn_bruteforce`` is the baseline."""
+    qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    cent_ids, cent = load_queries(emb_ds, n_centroids)
+    cent = _normalize(cent)
+    # per-query probe set: nprobe nearest centroids
+    qc = qmat @ cent.T
+    probes = np.argsort(-qc, axis=1)[:, :nprobe]
+    ref = ray.put((qids, qmat, cent, probes))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat, cents, prb = ray.get(ref)
+        cids = batch["vec_id"].to_numpy()
+        cmat = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        assign = np.argmax(cmat @ cents.T, axis=1)  # corpus -> centroid
+        probe_mask = np.zeros((len(q_ids), cents.shape[0]), dtype=bool)
+        for qi in range(len(q_ids)):
+            probe_mask[qi, prb[qi]] = True
+        pair_mask = probe_mask[:, assign]  # (query, corpus-row)
+        sims_full = q_mat @ cmat.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            sel = pair_mask[qi]
+            if not sel.any():
+                continue
+            oq, on, os_ = _topk_rows(
+                q_ids[qi : qi + 1], sims_full[qi : qi + 1, sel], cids[sel], k
+            )
+            out_q.extend(oq)
+            out_n.extend(on)
+            out_s.extend(os_)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partial = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        ids = group["neighbor_id"].to_numpy()
+        sims = group["cosine"].to_numpy()
+        order = np.lexsort((ids, -sims))[:k]
+        n = len(order)
+        return pa.table(
+            {
+                "query_id": pa.array([group["query_id"][0].as_py()] * n, pa.int64()),
+                "neighbor_id": pa.array(ids[order], pa.int64()),
+                "rank": pa.array(np.arange(1, n + 1), pa.int64()),
+                "cosine": pa.array(np.round(sims[order], 4), pa.float64()),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
+
+
 def load_queries(emb_ds, n_queries: int = 10):
     """First n vec_ids as the query set (deterministic, tiny driver read)."""
     rows = (

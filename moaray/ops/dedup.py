@@ -350,3 +350,74 @@ def embedding_neardup_pairs(emb_ds, threshold: float = 0.95):
         )
 
     return emb_ds.map_batches(pairs_batch, batch_format="pyarrow")
+
+
+def embedding_neardup_lsh_pairs(
+    emb_ds,
+    threshold: float = 0.95,
+    n_bits: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+):
+    """Scale path for embedding near-dup: NO driver-side corpus
+    materialization. Vectors are bucketed by random-hyperplane sign patterns
+    (``n_tables`` independent hashes); pairwise cosine runs only inside a
+    (table, bucket) group, then pairs found in multiple tables dedup through
+    a tiny groupby. Recall < 1 by design (raise n_tables to trade compute
+    for recall); ``embedding_neardup_pairs`` is the exact baseline."""
+    from .ann import _hyperplanes, _normalize, _sign_bucket
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        mat = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        dim = mat.shape[1]
+        out = {"table": [], "bucket": [], "vec_id": [], "embedding": []}
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_bits, seed + t)
+            b = _sign_bucket(mat, planes)
+            out["table"].extend([t] * len(ids))
+            out["bucket"].extend(b.tolist())
+            out["vec_id"].extend(ids.tolist())
+            out["embedding"].extend(mat.tolist())
+        return pa.Table.from_pydict(
+            {
+                "table": pa.array(out["table"], pa.int32()),
+                "bucket": pa.array(out["bucket"], pa.int64()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "embedding": pa.array(out["embedding"]),
+            }
+        )
+
+    buckets = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        to_buckets, batch_format="pyarrow"
+    )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+        if group.num_rows < 2:
+            return empty
+        ids = group["vec_id"].to_numpy()
+        mat = np.array(group["embedding"].to_pylist(), dtype=np.float64)
+        sims = mat @ mat.T
+        ia, ib = np.where(np.triu(sims >= threshold, k=1))
+        if len(ia) == 0:
+            return empty
+        a = np.minimum(ids[ia], ids[ib])
+        b = np.maximum(ids[ia], ids[ib])
+        return pa.table(
+            {
+                "vec_a": pa.array(a, pa.int64()),
+                "vec_b": pa.array(b, pa.int64()),
+                "cosine": pa.array(np.round(sims[ia, ib], 4), pa.float64()),
+            }
+        )
+
+    cand = buckets.groupby(["table", "bucket"]).map_groups(
+        pairs_in_bucket, batch_format="pyarrow"
+    )
+    return cand.groupby(["vec_a", "vec_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )

@@ -164,6 +164,37 @@ def test_knn_lsh_recall_vs_bruteforce():
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_knn_ivf_recall_vs_bruteforce():
+    from moaray.ops.ann import knn_bruteforce, knn_ivf, load_queries
+
+    e = emb()
+    qids, qmat = load_queries(e, n_queries=5)
+    bf = knn_bruteforce(e, qids, qmat, k=5).to_pandas()
+    ivf = knn_ivf(e, qids, qmat, k=5, n_centroids=8, nprobe=4).to_pandas()
+    bf_set = set(zip(bf["query_id"], bf["neighbor_id"]))
+    ivf_set = set(zip(ivf["query_id"], ivf["neighbor_id"]))
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_embedding_neardup_lsh_subset_of_exact():
+    from moaray.ops.dedup import (
+        embedding_neardup_lsh_pairs,
+        embedding_neardup_pairs,
+    )
+
+    e = emb()
+    exact = embedding_neardup_pairs(e, threshold=0.35).to_pandas()
+    lsh = embedding_neardup_lsh_pairs(e, threshold=0.35).to_pandas()
+    exact_set = set(zip(exact["vec_a"], exact["vec_b"]))
+    lsh_set = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    # every LSH pair must be a true pair (same cosine predicate)...
+    assert lsh_set <= exact_set
+    # ...and recall should be meaningful
+    if exact_set:
+        assert len(lsh_set) / len(exact_set) >= 0.3
+
+
 def test_pricing_summary_vs_sql(con):
     from moaray.ops.relational import pricing_summary
 
