@@ -282,6 +282,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qids, qmat = ann.load_queries(emb, n_queries=10)
         return ann.knn_lsh(emb, qids, qmat, k=5).sort(["query_id", "rank"])
 
+    def q_revenue_by_nation(sf_dir: str):
+        import ray
+
+        return relational.revenue_by_nation(
+            ray.data.read_parquet(f"{sf_dir}/orders.parquet"),
+            f"{sf_dir}/customer.parquet",
+            f"{sf_dir}/nation.parquet",
+        )
+
+    def q_top_orders(sf_dir: str):
+        import ray
+
+        return relational.top_orders(
+            ray.data.read_parquet(f"{sf_dir}/orders.parquet"), k=10
+        )
+
+    def q_segment_nation_stats(sf_dir: str):
+        import ray
+
+        return relational.segment_nation_stats(
+            ray.data.read_parquet(f"{sf_dir}/customer.parquet")
+        )
+
     def q_pricing_summary(sf_dir: str):
         import ray
 
@@ -336,6 +359,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": q_knn_topk,
         "knn_lsh": q_knn_lsh,
         "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_orders": q_top_orders,
+        "segment_nation_stats": q_segment_nation_stats,
         "events_daily": q_events_daily,
     }
 
@@ -407,6 +433,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (
+                        ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT
+                   ) AS rank
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10
+        """,
+        "segment_nation_stats": """
+            SELECT c_mktsegment,
+                   count(*) AS n_customers,
+                   CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+            FROM customer
+            GROUP BY c_mktsegment
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -128,3 +128,116 @@ def extent_union(meta_ds):
             "ymax": [agg["max(ymax)"]],
         }
     )
+
+
+def revenue_by_nation(orders_ds, customer_path: str, nation_path: str):
+    """Revenue per nation: the BROADCAST-JOIN pattern. The small sides
+    (customer -> nationkey, nation -> name) are read once driver-side,
+    shipped to the object store via ray.put, and looked up inside every
+    orders batch — no shuffle join for a dimension-table join (SURVEY.md
+    §4.2 'broadcast small sides'). Orders stream; partial per-nation sums
+    combine through a tiny groupby."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(customer_path, columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(nation_path, columns=["n_nationkey", "n_name"])
+    cust_map = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    )
+    nat_map = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+    ref = ray.put((cust_map, nat_map))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cmap, nmap = ray.get(ref)
+        custkeys = batch["o_custkey"].to_pylist()
+        names = [nmap[cmap[c]] for c in custkeys]
+        t = pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
+        g = t.group_by("n_name").aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+        return g.rename_columns(["n_name", "revenue", "n_orders"])
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": [group["n_name"][0].as_py()],
+                "revenue": [round(float(pc.sum(group["revenue"]).as_py()), 2)],
+                "n_orders": [int(pc.sum(group["n_orders"]).as_py())],
+            }
+        )
+
+    return (
+        orders_ds.select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def top_orders(orders_ds, k: int = 10):
+    """Global top-k orders by price WITHOUT a global sort: each batch emits
+    its local top-k (combiner), a single tiny merge takes the global top-k.
+    Deterministic tiebreak on o_orderkey asc."""
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        t = batch.select(["o_orderkey", "o_totalprice"])
+        keys = t["o_orderkey"].to_numpy()
+        prices = t["o_totalprice"].to_numpy()
+        order = np.lexsort((keys, -prices))[:k]
+        return t.take(pa.array(order, pa.int64()))
+
+    partial = orders_ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy()
+        prices = batch["o_totalprice"].to_numpy()
+        order = np.lexsort((keys, -prices))[:k]
+        out = batch.take(pa.array(order, pa.int64()))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, out.num_rows + 1), pa.int64())
+        )
+
+    # repartition(1): the partials are k rows per input block — tiny
+    return partial.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )
+
+
+def segment_nation_stats(customer_ds):
+    """Per market segment: customer count + COUNT(DISTINCT nation).
+    Distinct via per-batch sets (bounded: <=25 nations) merged in the final
+    combine — the 'partial distinct' shape that avoids a distinct shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["c_mktsegment", "c_nationkey"])
+        g = t.group_by("c_mktsegment").aggregate(
+            [("c_nationkey", "distinct"), ("c_nationkey", "count")]
+        )
+        return g.rename_columns(["c_mktsegment", "nations", "n_customers"])
+
+    def final(group: pa.Table) -> pa.Table:
+        nations = set()
+        for cell in group["nations"].to_pylist():
+            nations.update(cell)
+        return pa.table(
+            {
+                "c_mktsegment": [group["c_mktsegment"][0].as_py()],
+                "n_customers": [int(pc.sum(group["n_customers"]).as_py())],
+                "n_nations": [len(nations)],
+            }
+        )
+
+    return (
+        customer_ds.select_columns(["c_mktsegment", "c_nationkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .map_groups(final, batch_format="pyarrow")
+    )
