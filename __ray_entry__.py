@@ -305,6 +305,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(f"{sf_dir}/customer.parquet")
         )
 
+    def q_sessionize(sf_dir: str):
+        import ray
+
+        return relational.sessionize(
+            ray.data.read_parquet(f"{sf_dir}/events.parquet"), gap_minutes=30
+        )
+
+    def q_audio_features(sf_dir: str):  # rows-only (synthetic clips)
+        import ray
+
+        from moaray.ops.multimodal import audio_features, gen_audio_table
+
+        clips = ray.data.from_arrow(gen_audio_table(n_clips=32))
+        return audio_features(clips)
+
     def q_pricing_summary(sf_dir: str):
         import ray
 
@@ -362,6 +377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders": q_top_orders,
         "segment_nation_stats": q_segment_nation_stats,
+        "sessionize": q_sessionize,
+        "audio_features": q_audio_features,
         "events_daily": q_events_daily,
     }
 
@@ -468,6 +485,31 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "sessionize": """
+            WITH ordered AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT user_id, ts, value,
+                     SUM(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM ordered
+            )
+            SELECT user_id,
+                   CAST(session_id AS BIGINT) AS session_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM sess
+            GROUP BY user_id, session_id
         """,
         "events_daily": """
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

@@ -146,3 +146,79 @@ def image_resize(images_ds, out_h: int, out_w: int, *, concurrency=(1, 8),
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class AudioFeatures:
+    """Actor-pool stage: per-clip audio features.
+
+    Real kernel for raw PCM16 payloads (``fmt == "pcm16"``: little-endian
+    mono int16; ``sample_rate`` metadata column): duration, RMS, peak,
+    zero-crossing rate. Container formats (wav/mp3/flac) are gated behind
+    NotImplementedError — the sandbox has no audio libraries — but the
+    stage signature, schema and batch plumbing are the real thing.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"clip_id": [], "duration_s": [], "rms": [], "peak": [],
+                "zcr": []}
+        for i in range(batch.num_rows):
+            fmt = batch["fmt"][i].as_py()
+            if fmt != "pcm16":
+                raise NotImplementedError(
+                    f"audio container fmt {fmt!r} needs soundfile/ffmpeg "
+                    "(absent in sandbox); use raw 'pcm16'"
+                )
+            sr = int(batch["sample_rate"][i].as_py())
+            pcm = np.frombuffer(batch["bytes"][i].as_py(), dtype="<i2")
+            x = pcm.astype(np.float64) / 32768.0
+            zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+            rows["clip_id"].append(batch["clip_id"][i].as_py())
+            rows["duration_s"].append(round(len(pcm) / sr, 4))
+            rows["rms"].append(round(float(np.sqrt((x ** 2).mean())), 6)
+                               if len(x) else 0.0)
+            rows["peak"].append(round(float(np.abs(x).max()), 6)
+                                if len(x) else 0.0)
+            rows["zcr"].append(round(zc / max(len(x) - 1, 1), 6))
+        return pa.Table.from_pydict(
+            {
+                "clip_id": pa.array(rows["clip_id"], pa.string()),
+                "duration_s": pa.array(rows["duration_s"], pa.float64()),
+                "rms": pa.array(rows["rms"], pa.float64()),
+                "peak": pa.array(rows["peak"], pa.float64()),
+                "zcr": pa.array(rows["zcr"], pa.float64()),
+            }
+        )
+
+
+def audio_features(clips_ds, *, concurrency=(1, 8), batch_size: int = 32):
+    return clips_ds.map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def gen_audio_table(n_clips: int = 16, sample_rate: int = 8000,
+                    seconds: float = 0.5, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic PCM16 clips (pure sine + per-clip frequency)
+    for testing the audio plumbing without external data."""
+    rows = {"clip_id": [], "bytes": [], "sample_rate": [], "fmt": []}
+    n = int(sample_rate * seconds)
+    t = np.arange(n) / sample_rate
+    for i in range(n_clips):
+        freq = 110.0 * (1 + (i * 7 + seed) % 13)
+        x = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+        rows["clip_id"].append(f"clip{i:06d}")
+        rows["bytes"].append(x.tobytes())
+        rows["sample_rate"].append(sample_rate)
+        rows["fmt"].append("pcm16")
+    return pa.Table.from_pydict(
+        {
+            "clip_id": pa.array(rows["clip_id"], pa.string()),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "sample_rate": pa.array(rows["sample_rate"], pa.int32()),
+            "fmt": pa.array(rows["fmt"], pa.string()),
+        }
+    )

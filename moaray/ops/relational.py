@@ -241,3 +241,58 @@ def segment_nation_stats(customer_ds):
         .groupby("c_mktsegment")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def sessionize(events_ds, gap_minutes: int = 30):
+    """Gap-based session windows per user (the streaming-window custom
+    operator class): events shuffle once by user_id, each group sorts
+    locally by (ts, event_id) and splits where the gap to the previous
+    event exceeds ``gap_minutes``. Emits one row per session.
+
+    Scales because sessions are user-local: the shuffle key is the natural
+    partitioning key and group size is bounded by per-user activity (salt a
+    pathological power user by day before this op if needed)."""
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+
+    def sessions(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = group["event_id"].to_numpy()
+        val = group["value"].to_numpy()
+        order = np.lexsort((eid, ts))
+        ts, eid, val = ts[order], eid[order], val[order]
+        new_session = np.ones(len(ts), dtype=bool)
+        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sess = np.cumsum(new_session)  # 1-based session index
+        uid = group["user_id"][0].as_py()
+        rows = {"user_id": [], "session_id": [], "session_start": [],
+                "session_end": [], "n_events": [], "sum_value": []}
+        for s in range(1, sess[-1] + 1):
+            m = sess == s
+            rows["user_id"].append(uid)
+            rows["session_id"].append(int(s))
+            rows["session_start"].append(
+                np.datetime64(int(ts[m].min()), "us").item()
+                .strftime("%Y-%m-%d %H:%M:%S")
+            )
+            rows["session_end"].append(
+                np.datetime64(int(ts[m].max()), "us").item()
+                .strftime("%Y-%m-%d %H:%M:%S")
+            )
+            rows["n_events"].append(int(m.sum()))
+            rows["sum_value"].append(round(float(val[m].sum()), 2))
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(rows["user_id"], pa.int64()),
+                "session_id": pa.array(rows["session_id"], pa.int64()),
+                "session_start": pa.array(rows["session_start"], pa.string()),
+                "session_end": pa.array(rows["session_end"], pa.string()),
+                "n_events": pa.array(rows["n_events"], pa.int64()),
+                "sum_value": pa.array(rows["sum_value"], pa.float64()),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["user_id", "event_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pyarrow")
+    )

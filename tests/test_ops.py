@@ -270,3 +270,46 @@ def test_langid_markers():
     )
     out = langid_batch(tbl)["pred_lang"].to_pylist()
     assert out == ["en", "de", "es", "fr", "zh"]
+
+
+def test_sessionize_vs_sql(con):
+    from moaray.ops.relational import sessionize
+
+    ds = sessionize(ray.data.read_parquet(f"{SF}/events.parquet"), 30)
+    assert_matches_sql(
+        ds,
+        con,
+        """WITH ordered AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts, value,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM ordered
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM sess GROUP BY user_id, session_id""",
+    )
+
+
+def test_audio_features_pcm16():
+    import numpy as np
+
+    from moaray.ops.multimodal import audio_features, gen_audio_table
+
+    tbl = gen_audio_table(n_clips=8, sample_rate=8000, seconds=0.25)
+    got = audio_features(ray.data.from_arrow(tbl)).to_pandas()
+    assert len(got) == 8
+    assert (got["duration_s"] == 0.25).all()
+    # sine at amplitude 0.5 -> rms ~ 0.3536, peak ~ 0.5
+    assert np.allclose(got["rms"], 0.3536, atol=0.01)
+    assert np.allclose(got["peak"], 0.5, atol=0.01)
+    # zcr scales with frequency -> all distinct clip frequencies distinct zcr
+    assert got["zcr"].nunique() == 8
