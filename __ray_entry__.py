@@ -305,6 +305,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(f"{sf_dir}/customer.parquet")
         )
 
+    def q_props_extract(sf_dir: str):
+        import ray
+
+        return text.extract_props_k(
+            ray.data.read_parquet(f"{sf_dir}/events.parquet")
+        )
+
     def q_sessionize(sf_dir: str):
         import ray
 
@@ -378,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": q_top_orders,
         "segment_nation_stats": q_segment_nation_stats,
         "sessionize": q_sessionize,
+        "props_extract": q_props_extract,
         "audio_features": q_audio_features,
         "events_daily": q_events_daily,
     }
@@ -485,6 +493,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "props_extract": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
         """,
         "sessionize": """
             WITH ordered AS (

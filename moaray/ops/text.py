@@ -138,3 +138,19 @@ def rolling_hash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
             "rolling_hash": pa.array(out.astype(np.int64), pa.int64()),
         }
     )
+
+
+def extract_props_k(events_ds):
+    """JSON field extraction over the events props column: vectorized arrow
+    string kernel (no per-row json.loads in the hot path — the '{"k": N}'
+    shape is extracted with one regexp per batch). Emits (event_id, k)."""
+    import pyarrow.compute as pc
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ks = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
+        kvals = pc.cast(pc.struct_field(ks, "k"), pa.int64())
+        return pa.table({"event_id": batch["event_id"], "k": kvals})
+
+    return events_ds.select_columns(["event_id", "props"]).map_batches(
+        extract, batch_format="pyarrow"
+    )

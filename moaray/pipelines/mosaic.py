@@ -176,8 +176,19 @@ class MosaicResult:
 
 
 def read_images(images_path: str, columns: list[str] | None = None):
-    """Column-pruned parquet read (Lance per BASELINE.json; parquet fallback
-    since pylance is absent in this sandbox — SURVEY.md §1.3)."""
+    """Column-pruned catalog read. Lance is the nominal format per
+    BASELINE.json (`.lance` paths dispatch to ray.data.read_lance when
+    pylance is installed); parquet is the in-sandbox fallback
+    (SURVEY.md §1.3). Both prune columns at the scan."""
+    if images_path.endswith(".lance"):
+        try:
+            return ray.data.read_lance(images_path, columns=columns)
+        except (ImportError, AttributeError) as exc:
+            raise ImportError(
+                "reading a .lance dataset requires the pylance package, "
+                "which is not installed in this environment; materialize "
+                "the table as parquet instead"
+            ) from exc
     return ray.data.read_parquet(images_path, columns=columns)
 
 
