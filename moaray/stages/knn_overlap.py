@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..testgen import Layout, image_idx, meta_for, phash_for
+from ..testgen import phash_for
 
 
 def knn_overlap_resolution(images_path: str, cfg, k: int = 3):
@@ -26,7 +26,6 @@ def knn_overlap_resolution(images_path: str, cfg, k: int = 3):
     from ..geo import apply_geotransform
     from ..pipelines.mosaic import grid_for, plan_assignments
 
-    layout: Layout = cfg.layout
     grid = grid_for(images_path, cfg)
     grid_gt = grid.transform
     assignments = plan_assignments(images_path, cfg, grid=grid)
@@ -38,14 +37,13 @@ def knn_overlap_resolution(images_path: str, cfg, k: int = 3):
         ys = group["out_ysize"][0].as_py()
         xs = group["out_xsize"][0].as_py()
         ids = group["image_id"].to_pylist()
-        metas = [meta_for(image_idx(i), layout) for i in ids]
-        # tile center and image centroids both in WORLD coordinates
+        # tile center and image centroids both in WORLD coordinates; the
+        # centroids rode the assignment rows (works for explicit catalogs
+        # and layout-derived metadata alike)
         cx, cy = apply_geotransform(grid_gt, left + xs / 2.0, top + ys / 2.0)
-        dists = np.empty(len(ids))
-        for j, m in enumerate(metas):
-            wx = m.transform[0] + m.ncols / 2.0 * m.transform[1]
-            wy = m.transform[3] + m.nrows / 2.0 * m.transform[5]
-            dists[j] = np.hypot(wx - cx, wy - cy)
+        dists = np.hypot(
+            group["img_cx"].to_numpy() - cx, group["img_cy"].to_numpy() - cy
+        )
         phashes = np.array([phash_for(i) for i in ids], dtype=np.int64)
         order = np.lexsort((np.array(ids), phashes, np.round(dists, 6)))[:k]
         n = len(order)

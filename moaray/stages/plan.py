@@ -72,6 +72,10 @@ ASSIGN_SCHEMA = pa.schema(
         ("in_left", pa.int32()),
         ("in_xsize", pa.int32()),
         ("in_ysize", pa.int32()),
+        # image footprint centroid in world coords (feeds kNN overlap
+        # resolution without a second metadata join)
+        ("img_cx", pa.float64()),
+        ("img_cy", pa.float64()),
     ]
 )
 
@@ -223,6 +227,12 @@ def _assign_rows_for_meta(m: ImageMeta, seq: int, grid: OutputGrid, rows: dict) 
             rows["in_left"].append(fleft)
             rows["in_xsize"].append(fxs)
             rows["in_ysize"].append(fys)
+            rows["img_cx"].append(
+                m.transform[0] + m.ncols / 2.0 * m.transform[1]
+            )
+            rows["img_cy"].append(
+                m.transform[3] + m.nrows / 2.0 * m.transform[5]
+            )
 
 
 class AssignDirect:
@@ -407,6 +417,8 @@ def _refine_joined(batch: pa.Table, grid_transform, res: int) -> pa.Table:
         rows["in_left"].append(fleft)
         rows["in_xsize"].append(fxs)
         rows["in_ysize"].append(fys)
+        rows["img_cx"].append(m.transform[0] + m.ncols / 2.0 * m.transform[1])
+        rows["img_cy"].append(m.transform[3] + m.nrows / 2.0 * m.transform[5])
     return pa.Table.from_pydict(rows, schema=ASSIGN_SCHEMA)
 
 
