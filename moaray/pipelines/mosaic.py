@@ -144,6 +144,9 @@ class MosaicConfig:
     # beyond it. One metadata execution instead of five.
     planning: str = "auto"  # "auto" | "driver" | "distributed"
     driver_plan_limit: int = 100_000
+    # commit granularity of the tile sink (tiles per parquet file/manifest
+    # record) — smaller = finer resume, more files
+    tiles_per_file: int = 16
     # Output projection (reference's outprojepsg/wktfile/wkt trio + res +
     # resamplemethod, ref mosaic.py:111-116 / reproj.py:14-69). When out_crs
     # is set every input is warped on read (the VRT analog); default output
@@ -469,7 +472,9 @@ def do_mosaic(
     result = MosaicResult(grid=grid, tiles_ds=tiles, skipped_tiles=skipped)
 
     if out_dir is not None:
-        result.manifest = manifest_mod.write_tiles(tiles, out_dir)
+        result.manifest = manifest_mod.write_tiles(
+            tiles, out_dir, tiles_per_file=cfg.tiles_per_file
+        )
         result.tiles_ds = manifest_mod.read_committed_tiles(out_dir)
         _mark("domosaic")
 

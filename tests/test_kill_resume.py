@@ -1,0 +1,101 @@
+"""Checkpoint/resume under a REAL kill (north rule: a killed job resumes
+from the last committed tile set).
+
+A subprocess runs the mosaic with the committed sink and is SIGKILLed as
+soon as the first manifest record lands; a resumed run in a fresh process
+must skip the committed partitions and produce the exact oracle mosaic."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_CODE = """
+import sys
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False)
+from moaray import MosaicConfig, do_mosaic
+from moaray.testgen import Layout, images_path
+layout = Layout("grid", 36, 64)
+path = images_path(layout)
+cfg = MosaicConfig(layout=layout, blocksize=64, do_pyramids=False,
+                   tiles_per_file=1)
+do_mosaic(path, cfg, out_dir=sys.argv[1],
+          resume=(len(sys.argv) > 2 and sys.argv[2] == "resume"))
+ray.shutdown()
+print("RUN-DONE")
+"""
+
+
+def _spawn(out_dir, resume=False):
+    args = [sys.executable, "-c", RUN_CODE, out_dir] + (
+        ["resume"] if resume else []
+    )
+    env = dict(os.environ, PYTHONPATH=REPO)
+    return subprocess.Popen(
+        args, env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+    )
+
+
+def test_sigkill_mid_run_then_resume(tmp_path):
+    out = str(tmp_path / "out")
+    manifest = os.path.join(out, "manifest")
+
+    proc = _spawn(out)
+    # kill as soon as the first commit lands (or give up waiting: the run
+    # may finish first on a fast box — then the resume path is a no-op
+    # check, still valid)
+    deadline = time.monotonic() + 180
+    killed = False
+    while time.monotonic() < deadline and proc.poll() is None:
+        if os.path.isdir(manifest) and any(
+            n.endswith(".json") for n in os.listdir(manifest)
+        ):
+            proc.send_signal(signal.SIGKILL)
+            killed = True
+            break
+        time.sleep(0.05)
+    proc.wait(timeout=180)
+
+    from moaray.state.manifest import committed_keys
+
+    committed_before = committed_keys(out)
+    if killed:
+        # every committed record must be complete (data file exists and has
+        # the advertised size) — the atomicity claim
+        for name in os.listdir(manifest):
+            rec = json.load(open(os.path.join(manifest, name)))
+            assert os.path.isfile(rec["path"])
+            assert os.path.getsize(rec["path"]) == rec["bytes"]
+
+    proc2 = _spawn(out, resume=True)
+    stdout, _ = proc2.communicate(timeout=300)
+    assert proc2.returncode == 0 and b"RUN-DONE" in stdout
+
+    committed_after = committed_keys(out)
+    assert committed_before <= committed_after
+
+    # full-parity check of the resumed output against the oracle
+    import ray
+
+    from moaray import oracle
+    from moaray.geo import make_output_grid
+    from moaray.pipelines.mosaic import mosaic_array
+    from moaray.state.manifest import read_committed_tiles
+    from moaray.testgen import Layout, metas_for_layout, pixel_array
+
+    layout = Layout("grid", 36, 64)
+    metas = metas_for_layout(layout)
+    grid = make_output_grid(metas, blocksize=64)
+    assert len(committed_after) == grid.num_tiles
+    arrays = {m.image_id: pixel_array(i, layout) for i, m in enumerate(metas)}
+    truth = oracle.build_mosaic(grid, metas, arrays)
+    got = mosaic_array(read_committed_tiles(out), grid)
+    assert (got == truth).all()
