@@ -436,7 +436,15 @@ def do_mosaic(
             windows = windows.map_batches(drop_committed, batch_format="pyarrow")
 
     tile_codec = cfg.tile_codec if grid.dtype == "uint16" else None
-    if hot_tiles and cfg.merge == "last":
+    if hot_tiles and cfg.merge == "feather":
+        from ..stages.assemble import assemble_tiles_salted_feather
+
+        tiles = assemble_tiles_salted_feather(
+            windows, grid,
+            window_codec=shuffle_codec, tile_codec=tile_codec,
+            multiband=len(bands) > 1,
+        )
+    elif hot_tiles and cfg.merge == "last":
         from ..stages.assemble import assemble_tiles_salted
 
         tiles = assemble_tiles_salted(

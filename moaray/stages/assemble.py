@@ -167,11 +167,10 @@ def _merge_last(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullval,
         np.copyto(sub, win, where=(win != nullval))
 
 
-def _merge_feather(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullval,
-                   encoded: bool = False):
-    num = np.zeros(canvas.shape, dtype=np.float64)
-    den = np.zeros(canvas.shape, dtype=np.float64)
-    views = _binary_views(group["pixels"], canvas.dtype, encoded)
+def _accum_feather(group: pa.Table, order: np.ndarray, num: np.ndarray,
+                   den: np.ndarray, dtype, nullval, encoded: bool = False):
+    """Accumulate feather-blend weighted sums into num/den (order-free)."""
+    views = _binary_views(group["pixels"], dtype, encoded)
     cols = {
         n: group[n].to_numpy()
         for n in ("dst_top", "dst_left", "win_h", "win_w",
@@ -191,8 +190,19 @@ def _merge_feather(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullv
               slice(cols["dst_left"][i], cols["dst_left"][i] + w))
         num[sl] += np.where(mask, wgt * win.astype(np.float64), 0.0)
         den[sl] += np.where(mask, wgt, 0.0)
+
+
+def _blend_feather(num: np.ndarray, den: np.ndarray, canvas: np.ndarray, nullval):
     blended = np.where(den > 0, np.rint(num / np.maximum(den, 1e-12)), nullval)
     canvas[:, :] = blended.astype(canvas.dtype)
+
+
+def _merge_feather(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullval,
+                   encoded: bool = False):
+    num = np.zeros(canvas.shape, dtype=np.float64)
+    den = np.zeros(canvas.shape, dtype=np.float64)
+    _accum_feather(group, order, num, den, canvas.dtype, nullval, encoded)
+    _blend_feather(num, den, canvas, nullval)
 
 
 def make_assemble_fn(nullval: float, dtype: str, merge: str = "last",
@@ -376,6 +386,113 @@ def assemble_tiles_salted(
         partial_merge, batch_format="pyarrow"
     )
     return partials.groupby(k2).map_groups(final_merge, batch_format="pyarrow")
+
+
+FEATHER_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("tile_id", pa.int64()),
+        ("band", pa.int32()),
+        ("salt", pa.int32()),
+        ("out_top", pa.int32()),
+        ("out_left", pa.int32()),
+        ("out_xsize", pa.int32()),
+        ("out_ysize", pa.int32()),
+        ("input_ids", pa.list_(pa.string())),
+        ("num", pa.binary()),  # zlib(float64 C-order)
+        ("den", pa.binary()),
+    ]
+)
+
+
+def assemble_tiles_salted_feather(
+    windows_ds: "ray.data.Dataset",
+    grid: OutputGrid,
+    window_codec: str | None = None,
+    tile_codec: str | None = None,
+    multiband: bool = True,
+) -> "ray.data.Dataset":
+    """Salted two-level FEATHER merge. The blend is a weighted sum, so
+    partials are (num, den) float64 canvases summed in any order — salting
+    needs no seq-contiguity here (unlike last-non-null). Partials are
+    zlib-compressed for the second shuffle."""
+    import zlib as _zlib
+
+    np_dtype = np.dtype(grid.dtype)
+    nv = np_dtype.type(grid.nullval)
+    encoded = window_codec is not None
+
+    def partial(group: pa.Table) -> pa.Table:
+        seq = group["seq"].to_numpy()
+        order = np.argsort(seq, kind="stable")
+        ysize = int(group["out_ysize"][0].as_py())
+        xsize = int(group["out_xsize"][0].as_py())
+        num = np.zeros((ysize, xsize), dtype=np.float64)
+        den = np.zeros((ysize, xsize), dtype=np.float64)
+        _accum_feather(group, order, num, den, np_dtype, nv, encoded)
+        input_ids = [group["image_id"][int(i)].as_py() for i in order]
+        return pa.Table.from_pydict(
+            {
+                "tile_id": [group["tile_id"][0].as_py()],
+                "band": [group["band"][0].as_py()],
+                "salt": [group["salt"][0].as_py()],
+                "out_top": [group["out_top"][0].as_py()],
+                "out_left": [group["out_left"][0].as_py()],
+                "out_xsize": [xsize],
+                "out_ysize": [ysize],
+                "input_ids": [input_ids],
+                "num": [_zlib.compress(num.tobytes(), 1)],
+                "den": [_zlib.compress(den.tobytes(), 1)],
+            },
+            schema=FEATHER_PARTIAL_SCHEMA,
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        ysize = int(group["out_ysize"][0].as_py())
+        xsize = int(group["out_xsize"][0].as_py())
+        num = np.zeros((ysize, xsize), dtype=np.float64)
+        den = np.zeros((ysize, xsize), dtype=np.float64)
+        input_ids: list[str] = []
+        salts = group["salt"].to_numpy()
+        for i in np.argsort(salts, kind="stable"):
+            i = int(i)
+            num += np.frombuffer(
+                _zlib.decompress(group["num"][i].as_py()), dtype=np.float64
+            ).reshape(ysize, xsize)
+            den += np.frombuffer(
+                _zlib.decompress(group["den"][i].as_py()), dtype=np.float64
+            ).reshape(ysize, xsize)
+            input_ids.extend(group["input_ids"][i].as_py())
+        canvas = np.empty((ysize, xsize), dtype=np_dtype)
+        _blend_feather(num, den, canvas, nv)
+        nonnull, px_sum, px_ssq, px_min, px_max = _canvas_stats(canvas, nv)
+        payload, codec_tag = encode_payload(canvas, tile_codec)
+        return pa.Table.from_pydict(
+            {
+                "tile_id": [group["tile_id"][0].as_py()],
+                "band": [group["band"][0].as_py()],
+                "out_top": [group["out_top"][0].as_py()],
+                "out_left": [group["out_left"][0].as_py()],
+                "out_xsize": [xsize],
+                "out_ysize": [ysize],
+                "n_inputs": [len(input_ids)],
+                "input_ids": [input_ids],
+                "nonnull_count": [nonnull],
+                "px_sum": [px_sum],
+                "px_ssq": [px_ssq],
+                "px_min": [px_min],
+                "px_max": [px_max],
+                "pixels_codec": [codec_tag],
+                "pixels": [payload],
+            },
+            schema=TILE_SCHEMA,
+        )
+
+    k1 = ["tile_id", "band", "salt"] if multiband else ["tile_id", "salt"]
+    k2 = ["tile_id", "band"] if multiband else "tile_id"
+    partials = windows_ds.groupby(k1).map_groups(
+        partial, batch_format="pyarrow"
+    )
+    return partials.groupby(k2).map_groups(final, batch_format="pyarrow")
 
 
 def empty_tiles_table(

@@ -198,3 +198,20 @@ def test_feather_merge_shape_and_nulls():
     assert ((got == 0) == (truth == 0)).all()
     assert (got[:, :62] == truth[:, :62]).all()
     assert (got[:, 64:] == truth[:, 64:]).all()
+
+
+def test_feather_salted_matches_unsalted():
+    """Salted (num/den partial) feather == single-level feather. The blend
+    is a weighted sum, so partial-sum regrouping must not change results
+    beyond float addition reordering (tolerance 1 after rint)."""
+    import numpy as np
+
+    layout = Layout("hotspot", 16, 64)
+    _res, plain = run_engine(layout, merge="feather", salt_threshold=None)
+    _res2, salted = run_engine(
+        layout, merge="feather", salt_threshold=4, inputs_per_salt=2
+    )
+    assert salted.shape == plain.shape
+    diff = np.abs(salted.astype(np.int64) - plain.astype(np.int64))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.001
