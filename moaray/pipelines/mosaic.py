@@ -380,15 +380,21 @@ def do_mosaic(
         if cfg.validate_projections:
             plan_stage.check_projections(meta_ds, grid)
         if need_counts:
-            # per-band rows inflate counts by |bands| (same footprint per
-            # band) — normalize for the salt-threshold heuristic
-            raw = Counter(
-                r["tile_id"]
-                for r in assign_direct(meta_ds, grid)
+            # distributed count per tile: only num_tiles rows reach the
+            # driver, never the raw assignment rows. Per-band rows inflate
+            # counts by |bands| (same footprint per band) — normalize for
+            # the salt-threshold heuristic.
+            count_rows = (
+                assign_direct(meta_ds, grid)
                 .select_columns(["tile_id"])
+                .groupby("tile_id")
+                .count()
                 .take_all()
             )
-            tile_counts = {t: -(-c // len(bands)) for t, c in raw.items()}
+            tile_counts = {
+                r["tile_id"]: -(-r["count()"] // len(bands))
+                for r in count_rows
+            }
         n_images = meta_ds.count() // len(bands)
 
     hot_tiles: dict[int, int] = {}
