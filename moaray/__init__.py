@@ -15,8 +15,12 @@ from .pipelines.mosaic import (  # noqa: F401
     MosaicConfig,
     MosaicResult,
     do_mosaic,
+    mosaic_array,
+    overview_array,
     plan_assignments,
 )
+from .crs import ProjectionError  # noqa: F401
+from .stages.reproject import WarpSpec  # noqa: F401
 from .testgen import Layout  # noqa: F401
 
 __version__ = "0.1.0"
