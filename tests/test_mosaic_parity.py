@@ -215,3 +215,25 @@ def test_feather_salted_matches_unsalted():
     diff = np.abs(salted.astype(np.int64) - plain.astype(np.int64))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 0.001
+
+
+def test_nullval_override():
+    """cfg.nullval overrides the first input's null value (ref
+    mosaic.py:184-185): with nullval=65535 the ramp's zero column is DATA
+    and later images overwrite earlier ones everywhere they overlap."""
+    import numpy as np
+
+    from moaray.testgen import metas_for_layout, pixel_array
+
+    layout = Layout("pair_overlap", 2, 64)
+    metas = metas_for_layout(layout)
+    for m in metas:
+        m.nullval = 65535.0
+    grid = make_output_grid(metas, blocksize=64, nullval=65535.0)
+    arrays = {m.image_id: pixel_array(i, layout) for i, m in enumerate(metas)}
+    truth = oracle.build_mosaic(grid, metas, arrays)
+    res, got = run_engine(layout, nullval=65535.0)
+    assert res.grid.nullval == 65535.0
+    assert (got == truth).all()
+    # the overlap columns now take image2's values INCLUDING its zero col
+    assert got[0, 62] == 0 and got[0, 63] == 1
