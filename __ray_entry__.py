@@ -229,6 +229,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_langid(sf_dir: str):
         return _docs(sf_dir).map_batches(text.langid_batch, batch_format="pyarrow")
 
+    def q_quality_extended(sf_dir: str):
+        return text.quality_extended(_docs(sf_dir))
+
     def q_fingerprint(sf_dir: str):
         return _docs(sf_dir).map_batches(
             text.md5_fingerprint_batch, batch_format="pyarrow"
@@ -370,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extent_union": q_extent_union,
         "doc_token_count": q_token_count,
         "doc_quality": q_quality,
+        "doc_quality_extended": q_quality_extended,
         "doc_langid": q_langid,
         "doc_fingerprint": q_fingerprint,
         "doc_rolling_fingerprint": q_rolling_fingerprint,
@@ -412,6 +416,28 @@ def oracle_sql() -> dict[str, str]:
                    round((length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))
                          / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS alpha_ratio
             FROM documents
+        """,
+        "doc_quality_extended": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     str_split(lower(text), ' ') AS toks,
+                     length(text) - length(
+                       regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')
+                     ) AS n_punct
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n_punct AS BIGINT) AS n_punct,
+                   CAST(len(list_filter(toks, x -> x IN
+                     ('the','a','an','and','or','of','to','in','is','it')
+                   )) AS BIGINT) AS n_stopwords,
+                   round(n_punct / CAST(greatest(length(text), 1) AS DOUBLE), 4)
+                     AS punct_ratio,
+                   round(len(list_filter(toks, x -> x IN
+                     ('the','a','an','and','or','of','to','in','is','it')
+                   )) / CAST(greatest(len(toks), 1) AS DOUBLE), 4)
+                     AS stopword_ratio
+            FROM t
         """,
         "doc_langid": """
             SELECT doc_id,

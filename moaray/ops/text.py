@@ -62,6 +62,7 @@ def quality_batch(batch: pa.Table) -> pa.Table:
             pc.cast(pc.max_element_wise(n_chars, 1), pa.float64()),
         ),
         ndigits=4,
+        round_mode="half_towards_infinity",
     )
     return pa.table(
         {
@@ -153,4 +154,70 @@ def extract_props_k(events_ds):
 
     return events_ds.select_columns(["event_id", "props"]).map_batches(
         extract, batch_format="pyarrow"
+    )
+
+
+_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def quality_extended_batch(batch: pa.Table) -> pa.Table:
+    """Punctuation + stopword ratios (the length/punct/stopword trio of a
+    training-data quality filter). Vectorized: punct via one regex removal,
+    stopword hits via list membership over single-space tokens."""
+    text = batch["text"]
+    n_chars = pc.utf8_length(text)
+    n_punct = _count_removed(text, r"""[!-/:-@\[-`{-~]""")
+    toks_col = pc.split_pattern(pc.utf8_lower(text), " ")
+    n_tokens = pc.list_value_length(toks_col)
+    # flatten the token lists once; per-row stopword hits via cumsum over
+    # the list offsets (vectorized, handles consecutive stopwords correctly)
+    stop_set = pa.array(list(_STOPWORDS), pa.string())
+    hit_counts = []
+    chunks = (
+        toks_col.chunks
+        if isinstance(toks_col, pa.ChunkedArray)
+        else [toks_col]
+    )
+    for chunk in chunks:
+        flat = chunk.flatten()
+        offsets = chunk.offsets.to_numpy()
+        isin = (
+            pc.is_in(flat, value_set=stop_set)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        c = np.concatenate(([0], np.cumsum(isin)))
+        base = offsets[0]
+        hit_counts.append(c[offsets[1:] - base] - c[offsets[:-1] - base])
+    stop_hits = pa.array(np.concatenate(hit_counts), pa.int64())
+    punct_ratio = pc.round(
+        pc.divide(
+            pc.cast(n_punct, pa.float64()),
+            pc.cast(pc.max_element_wise(n_chars, 1), pa.float64()),
+        ),
+        ndigits=4,
+        round_mode="half_towards_infinity",
+    )
+    stop_ratio = pc.round(
+        pc.divide(
+            pc.cast(stop_hits, pa.float64()),
+            pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64()),
+        ),
+        ndigits=4,
+        round_mode="half_towards_infinity",
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_punct": pc.cast(n_punct, pa.int64()),
+            "n_stopwords": pc.cast(stop_hits, pa.int64()),
+            "punct_ratio": punct_ratio,
+            "stopword_ratio": stop_ratio,
+        }
+    )
+
+
+def quality_extended(docs_ds):
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        quality_extended_batch, batch_format="pyarrow"
     )
