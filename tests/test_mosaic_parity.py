@@ -237,3 +237,32 @@ def test_nullval_override():
     assert (got == truth).all()
     # the overlap columns now take image2's values INCLUDING its zero col
     assert got[0, 62] == 0 and got[0, 63] == 1
+
+
+def test_reference_golden_scale_5000px():
+    """The reference's own golden scenario at its LITERAL scale
+    (tests.py:69-106: two 5000x5000 uint16 rasters, 2-px overlap, 10 m
+    pixels, nullval 0): exact pixel, stats, and pyramid parity."""
+    layout = Layout("pair_overlap", 2, 5000)
+    metas = metas_for_layout(layout)
+    grid = make_output_grid(metas, blocksize=1024)
+    arrays = {m.image_id: pixel_array(i, layout) for i, m in enumerate(metas)}
+    truth = oracle.build_mosaic(grid, metas, arrays)
+
+    res, got = run_engine(layout, blocksize=1024)
+    assert got.shape == (5000, 9998)
+    assert (got == truth).all()
+
+    tmin, tmax, tmean, tstd, tcount = oracle.stats(truth, 0.0)
+    s = res.stats
+    assert s["min"] == tmin and s["max"] == tmax and s["count"] == tcount
+    assert abs(s["mean"] - tmean) < 1e-6 and abs(s["stddev"] - tstd) < 1e-6
+
+    levels = res.grid.overview_levels(1024)
+    assert levels == [4, 8]  # ref K4 semantics at this size
+    for lvl in levels:
+        ov = overview_array(res.pyramids_ds, res.grid, lvl)
+        tov = oracle.overview(truth, lvl)
+        r = min(ov.shape[0], tov.shape[0])
+        c = min(ov.shape[1], tov.shape[1])
+        assert (ov[:r, :c] == tov[:r, :c]).all(), f"overview {lvl}"
