@@ -56,7 +56,17 @@ class TileWriter:
         tids = batch["tile_id"].to_pylist()
         bands_col = batch["band"].to_pylist()
         lo, hi = min(tids), max(tids)
-        part = f"part-{lo:010d}-{hi:010d}-{uuid.uuid4().hex[:8]}"
+        # Deterministic, content-keyed partition name: a Ray task RETRY of
+        # the same batch rewrites the same files (tmp+rename = idempotent
+        # replace) instead of minting a duplicate partition — exactly-once
+        # output under task retries without any coordination.
+        import hashlib as _hashlib
+
+        key = _hashlib.sha256(
+            (",".join(f"{t}:{b}" for t, b in sorted(zip(tids, bands_col))))
+            .encode()
+        ).hexdigest()[:12]
+        part = f"part-{lo:010d}-{hi:010d}-{key}"
         data_path = os.path.join(self.tiles_dir, part + ".parquet")
         tmp = data_path + ".tmp"
         pq.write_table(batch, tmp)
