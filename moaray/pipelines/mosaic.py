@@ -247,18 +247,18 @@ def compute_grid(meta_ds, cfg: MosaicConfig) -> OutputGrid:
 
 
 def grid_for(images_path: str, cfg: MosaicConfig) -> OutputGrid:
-    meta_ds = probe_metadata(read_images(images_path, IMAGE_META_COLS), cfg.layout)
+    cols = meta_columns(images_path)
+    meta_ds = probe_metadata(read_images(images_path, cols), cfg.layout)
     return compute_grid(meta_ds, cfg)
 
 
 def plan_assignments(images_path: str, cfg: MosaicConfig, grid: OutputGrid | None = None):
     """Standalone spatial-join operator: images -> assignment table."""
-    meta_ds = probe_metadata(read_images(images_path, IMAGE_META_COLS), cfg.layout)
+    cols = meta_columns(images_path)
+    meta_ds = probe_metadata(read_images(images_path, cols), cfg.layout)
     if grid is None:
         grid = compute_grid(meta_ds, cfg)
-        meta_ds = probe_metadata(
-            read_images(images_path, IMAGE_META_COLS), cfg.layout
-        )
+        meta_ds = probe_metadata(read_images(images_path, cols), cfg.layout)
     if cfg.join_strategy == "cell_join":
         return assign_cell_join(meta_ds, grid)
     return assign_direct(meta_ds, grid)

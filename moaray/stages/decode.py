@@ -1,8 +1,9 @@
 """Decode + window-slice stage: the engine's hot path.
 
 Replaces the reference's threaded block reader (readFunc,
-ref /root/reference/moamosaic/mosaic.py:227-283) with a stateful actor-pool
-``map_batches`` stage. For each image row it:
+ref /root/reference/moamosaic/mosaic.py:227-283) with a ``map_batches``
+stage (stateless tasks by default; an actor pool when decoder state is
+worth caching). For each image row it:
 
 1. derives the footprint (shared pure placement fn),
 2. finds the covering output tiles via searchsorted on broadcast tile edges
@@ -88,8 +89,8 @@ class DecodeSlice:
         # When set ("z16"), window payloads are re-encoded before they enter
         # the tile-assembly shuffle: on a multi-node cluster the groupby moves
         # every window over the network, so shuffle bytes — not decode CPU —
-        # bound throughput. The codec header is self-describing (MRAY magic),
-        # so the merge kernels auto-detect compressed vs raw payloads.
+        # bound throughput. The merge kernels are told explicitly
+        # (windows_encoded / window_codec) whether payloads are encoded.
         self.shuffle_codec = shuffle_codec
         # WarpSpec: warp-on-read, the analog of reading through the
         # reference's per-input warp VRTs (reproj.py:130-218). Planning and

@@ -9,6 +9,7 @@ import pyarrow.parquet as pq
 from moaray import MosaicConfig, do_mosaic
 from moaray.pipelines.mosaic import mosaic_array
 from moaray.testgen import Layout, gen_images_table
+from moaray.testgen import images_path as images_path_mod
 
 from test_mosaic_parity import oracle_mosaic, run_engine
 
@@ -67,3 +68,23 @@ def test_explicit_meta_distributed_planning(tmp_path):
     res = do_mosaic(path, MosaicConfig(blocksize=64, planning="distributed"))
     got = mosaic_array(res.tiles_ds, res.grid)
     assert (got == truth).all()
+
+
+def test_plan_assignments_explicit_catalog(tmp_path):
+    """The standalone spatial-join operator must read the catalog's gt/crs
+    columns (regression: static column pruning dropped them)."""
+    layout = Layout("grid3x3", 9, 64)
+    tbl = gen_images_table(layout, ("raw16",), explicit_meta=True)
+    path = _write(tbl, tmp_path)
+
+    from moaray import plan_assignments
+
+    df = plan_assignments(path, MosaicConfig(blocksize=64)).to_pandas()
+    # compare against the layout-derived run
+    df2 = plan_assignments(
+        images_path_mod(layout), MosaicConfig(layout=layout, blocksize=64)
+    ).to_pandas()
+    key = ["tile_id", "image_id"]
+    assert sorted(map(tuple, df[key].values.tolist())) == sorted(
+        map(tuple, df2[key].values.tolist())
+    )
