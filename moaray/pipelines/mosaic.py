@@ -281,7 +281,6 @@ def do_mosaic(
     from collections import Counter
 
     from ..geo import covering_tile_range, window_overlap
-    from ..stages.plan import meta_from_row
 
     phase_s: dict[str, float] = {}
     _t = _time.monotonic()

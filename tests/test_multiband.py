@@ -86,3 +86,52 @@ def test_two_band_resume_per_band(tmp_path):
     assert res2.skipped_tiles == n_keys
     assert (mosaic_array(res2.tiles_ds, res2.grid, band=0) == base0).all()
     assert (mosaic_array(res2.tiles_ds, res2.grid, band=1) == base1).all()
+
+
+def test_multiband_with_warp(tmp_path):
+    """2-band catalog warped to a scale-2 CRS: each band equals the strided
+    subsample of its own unwarped truth."""
+    from moaray.geo import make_output_grid
+    from moaray.testgen import metas_for_layout
+
+    layout = Layout("grid3x3", 4, 64)
+    tbl = gen_images_table(layout, ("raw16",), nbands=2)
+    path = _write(tbl, tmp_path)
+    res = do_mosaic(
+        path,
+        MosaicConfig(layout=layout, blocksize=64, do_pyramids=False,
+                     out_crs="AFFINE:0,2,0,0,0,2"),
+    )
+    for band in (0, 1):
+        _grid, truth = _band_truth(layout, band)
+        got = mosaic_array(res.tiles_ds, res.grid, band=band)
+        expect = truth[1::2, 1::2]
+        assert got.shape == expect.shape
+        assert (got == expect).all(), f"band {band}"
+
+
+def test_resume_through_salted_path(tmp_path):
+    """Kill nothing — just verify a resumed run whose remaining windows go
+    through the SALTED merge produces the same mosaic as one fresh run."""
+    import json, os
+
+    layout = Layout("hotspot", 16, 64)
+    from moaray.testgen import images_path as ip
+
+    path = ip(layout)
+    cfg = MosaicConfig(layout=layout, blocksize=64, do_pyramids=False,
+                       salt_threshold=4, inputs_per_salt=2, tiles_per_file=1)
+    out = tmp_path / "out"
+    res = do_mosaic(path, cfg, out_dir=str(out))
+    full = mosaic_array(res.tiles_ds, res.grid)
+
+    # drop half the committed partitions, resume
+    mans = sorted((out / "manifest").glob("*.json"))
+    for m in mans[::2]:
+        rec = json.loads(m.read_text())
+        os.remove(rec["path"])
+        m.unlink()
+    res2 = do_mosaic(path, cfg, out_dir=str(out), resume=True)
+    assert res2.skipped_tiles > 0
+    got = mosaic_array(res2.tiles_ds, res2.grid)
+    assert (got == full).all()
