@@ -114,10 +114,34 @@ def run_ops_bench(sf_dir: str) -> dict:
         ann.knn_bruteforce(e, qids, qmat, k=5).count()
 
     timed("knn_topk", knn)
+    def ivf():
+        e = emb()
+        qids, qmat = ann.load_queries(e, n_queries=10)
+        ann.knn_ivf(e, qids, qmat, k=5).count()
+
+    timed("knn_ivf", ivf)
+    timed(
+        "neardup_lsh",
+        lambda: dedup.embedding_neardup_lsh_pairs(emb(), threshold=0.35).count(),
+    )
     timed(
         "pricing_summary",
         lambda: relational.pricing_summary(
             ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+        ).count(),
+    )
+    timed(
+        "revenue_by_nation",
+        lambda: relational.revenue_by_nation(
+            ray.data.read_parquet(f"{sf_dir}/orders.parquet"),
+            f"{sf_dir}/customer.parquet",
+            f"{sf_dir}/nation.parquet",
+        ).count(),
+    )
+    timed(
+        "sessionize",
+        lambda: relational.sessionize(
+            ray.data.read_parquet(f"{sf_dir}/events.parquet")
         ).count(),
     )
     timed(
