@@ -191,6 +191,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             summarize, batch_format="pyarrow"
         ).sort(["level", "tile_id"])
 
+    def q_footprint_coverage(sf_dir: str):  # rows-only (geometry op)
+        from moaray.ops.vector import footprint_tile_coverage
+
+        return footprint_tile_coverage(_images("grid"), _cfg("grid")).sort(
+            ["tile_id", "image_id"]
+        )
+
+    def q_polygonize(sf_dir: str):  # rows-only (geometry op)
+        from moaray.ops.vector import polygonize_footprints
+        from moaray.pipelines.mosaic import meta_columns, read_images
+        from moaray.stages.plan import probe_metadata
+
+        path = _images("grid")
+        return polygonize_footprints(
+            probe_metadata(
+                read_images(path, meta_columns(path)), _layout("grid")
+            )
+        ).sort("image_id")
+
     def q_knn_overlap(sf_dir: str):
         return knn_overlap_resolution(
             _images("hotspot"), _cfg("hotspot"), k=3
@@ -368,6 +387,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_stats": q_mosaic_stats,
         "pyramids": q_pyramids,
         "knn_overlap": q_knn_overlap,
+        "footprint_coverage": q_footprint_coverage,
+        "polygonize_footprints": q_polygonize,
         "image_features": q_image_features,
         "image_resize": q_image_resize,
         "extent_union": q_extent_union,

@@ -1,0 +1,212 @@
+"""Raster <-> vector operators (north-star component; no reference
+counterpart — moamosaic's join is rect-rect only, mosaic.py:501-535).
+
+Pure-numpy computational geometry as Arrow-native batch kernels:
+
+- ``polygonize_footprints``: image raster -> footprint polygon in WORLD
+  coordinates (a rotated quad under a rotated/sheared AFFINE CRS).
+- ``point_in_polygon``: vectorized ray-casting over point arrays.
+- ``clip_polygon``: Sutherland–Hodgman polygon ∩ axis-aligned rect
+  (tile-extent clipping).
+- ``footprint_tile_coverage``: per (tile, image) assignment, the exact
+  clipped-polygon area fraction of the tile — the polygon-refine analog of
+  the engine's window-overlap join (for axis-aligned footprints the two
+  agree exactly; the polygon path additionally handles rotated footprints).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import crs as crs_mod
+from ..geo import ImageMeta, OutputGrid, apply_geotransform
+
+
+def footprint_polygon(meta: ImageMeta) -> np.ndarray:
+    """(4, 2) world-coordinate corners of the image footprint, CCW-ordered
+    for a north-up image; rotation/shear of the CRS carries through."""
+    w = crs_mod.to_world(meta.crs)
+    corners_px = [(0.0, 0.0), (meta.ncols, 0.0),
+                  (meta.ncols, meta.nrows), (0.0, meta.nrows)]
+    out = []
+    for px, py in corners_px:
+        x, y = apply_geotransform(meta.transform, px, py)
+        out.append((w[0] + w[1] * x + w[2] * y, w[3] + w[4] * x + w[5] * y))
+    return np.asarray(out, dtype=np.float64)
+
+
+def polygon_wkt(poly: np.ndarray) -> str:
+    pts = ", ".join(f"{x:.6f} {y:.6f}" for x, y in poly)
+    first = f"{poly[0][0]:.6f} {poly[0][1]:.6f}"
+    return f"POLYGON (({pts}, {first}))"
+
+
+def polygon_area(poly: np.ndarray) -> float:
+    """Shoelace |area| (works for any simple polygon, any orientation)."""
+    if len(poly) < 3:
+        return 0.0
+    x, y = poly[:, 0], poly[:, 1]
+    return 0.5 * abs(
+        float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+    )
+
+
+def point_in_polygon(
+    xs: np.ndarray, ys: np.ndarray, poly: np.ndarray
+) -> np.ndarray:
+    """Vectorized ray casting: bool mask for points inside a simple polygon
+    (edge-inclusive behaviour follows the standard crossing rule)."""
+    n = len(poly)
+    inside = np.zeros(len(xs), dtype=bool)
+    px, py = poly[:, 0], poly[:, 1]
+    for i in range(n):
+        x1, y1 = px[i], py[i]
+        x2, y2 = px[(i + 1) % n], py[(i + 1) % n]
+        crosses = (y1 > ys) != (y2 > ys)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1 + (ys - y1) * (x2 - x1) / (y2 - y1)
+        inside ^= crosses & (xs < xint)
+    return inside
+
+
+def clip_polygon(
+    poly: np.ndarray, x_min: float, y_min: float, x_max: float, y_max: float
+) -> np.ndarray:
+    """Sutherland–Hodgman clip of a polygon against an axis-aligned rect.
+    Returns the clipped polygon's vertices ((0, 2) if no intersection)."""
+
+    def clip_edge(pts, inside_fn, intersect_fn):
+        out = []
+        n = len(pts)
+        for i in range(n):
+            cur, nxt = pts[i], pts[(i + 1) % n]
+            cin, nin = inside_fn(cur), inside_fn(nxt)
+            if cin:
+                out.append(cur)
+                if not nin:
+                    out.append(intersect_fn(cur, nxt))
+            elif nin:
+                out.append(intersect_fn(cur, nxt))
+        return out
+
+    def ix_at_x(x0):
+        def f(a, b):
+            t = (x0 - a[0]) / (b[0] - a[0])
+            return (x0, a[1] + t * (b[1] - a[1]))
+        return f
+
+    def ix_at_y(y0):
+        def f(a, b):
+            t = (y0 - a[1]) / (b[1] - a[1])
+            return (a[0] + t * (b[0] - a[0]), y0)
+        return f
+
+    pts = [tuple(p) for p in poly]
+    for inside_fn, intersect_fn in (
+        (lambda p: p[0] >= x_min, ix_at_x(x_min)),
+        (lambda p: p[0] <= x_max, ix_at_x(x_max)),
+        (lambda p: p[1] >= y_min, ix_at_y(y_min)),
+        (lambda p: p[1] <= y_max, ix_at_y(y_max)),
+    ):
+        if not pts:
+            break
+        pts = clip_edge(pts, inside_fn, intersect_fn)
+    return np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+
+
+def polygonize_footprints(meta_ds) -> "object":
+    """probe-metadata Dataset -> (image_id, footprint_wkt, area) — the
+    footprint-polygonization raster->vector op, batch-kernel only."""
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        ids, wkts, areas = [], [], []
+        for i in range(batch.num_rows):
+            m = ImageMeta(
+                image_id=batch["image_id"][i].as_py(),
+                ncols=batch["w"][i].as_py(),
+                nrows=batch["h"][i].as_py(),
+                transform=tuple(batch["gt"][i].as_py()),
+                crs=batch["crs"][i].as_py(),
+            )
+            poly = footprint_polygon(m)
+            ids.append(m.image_id)
+            wkts.append(polygon_wkt(poly))
+            areas.append(round(polygon_area(poly), 4))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "footprint_wkt": pa.array(wkts, pa.string()),
+                "area": pa.array(areas, pa.float64()),
+            }
+        )
+
+    return meta_ds.map_batches(batch_fn, batch_format="pyarrow")
+
+
+def footprint_tile_coverage(images_path: str, cfg) -> "object":
+    """Per (tile, image) assignment: exact clipped-footprint area and its
+    fraction of the tile — polygon-refine over the cell/direct join output
+    (tile-extent clipping as an Arrow batch kernel)."""
+    from ..pipelines.mosaic import grid_for, plan_assignments, meta_columns, read_images
+    from ..stages.plan import metas_from_batch, probe_metadata
+
+    grid = grid_for(images_path, cfg)
+    gt = grid.transform
+    assignments = plan_assignments(images_path, cfg, grid=grid)
+
+    # footprint polygons are derived per row from the carried geometry; the
+    # tile rect comes straight from the assignment columns
+    meta_ds = probe_metadata(
+        read_images(images_path, meta_columns(images_path)), cfg.layout
+    )
+    # small side: image_id -> (gt, crs, w, h) broadcast once
+    import ray
+
+    meta_rows = meta_ds.select_columns(["image_id", "gt", "crs", "w", "h"]).take_all()
+    meta_map = {
+        r["image_id"]: (tuple(r["gt"]), r["crs"], r["w"], r["h"])
+        for r in meta_rows
+    }
+    ref = ray.put(meta_map)
+
+    def refine(batch: pa.Table) -> pa.Table:
+        mmap = ray.get(ref)
+        rows = {"tile_id": [], "image_id": [], "clip_area": [],
+                "tile_fraction": [], "clipped_wkt": []}
+        for i in range(batch.num_rows):
+            image_id = batch["image_id"][i].as_py()
+            g, crs_str, w, h = mmap[image_id]
+            m = ImageMeta(image_id=image_id, ncols=w, nrows=h,
+                          transform=g, crs=crs_str)
+            poly = footprint_polygon(m)
+            top = batch["out_top"][i].as_py()
+            left = batch["out_left"][i].as_py()
+            xs = batch["out_xsize"][i].as_py()
+            ys = batch["out_ysize"][i].as_py()
+            x0, y0 = apply_geotransform(gt, left, top + ys)
+            x1, y1 = apply_geotransform(gt, left + xs, top)
+            clipped = clip_polygon(poly, min(x0, x1), min(y0, y1),
+                                   max(x0, x1), max(y0, y1))
+            area = polygon_area(clipped)
+            tile_area = abs((x1 - x0) * (y1 - y0))
+            rows["tile_id"].append(batch["tile_id"][i].as_py())
+            rows["image_id"].append(image_id)
+            rows["clip_area"].append(round(area, 4))
+            rows["tile_fraction"].append(
+                round(area / tile_area if tile_area else 0.0, 6)
+            )
+            rows["clipped_wkt"].append(
+                polygon_wkt(clipped) if len(clipped) >= 3 else "POLYGON EMPTY"
+            )
+        return pa.table(
+            {
+                "tile_id": pa.array(rows["tile_id"], pa.int64()),
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "clip_area": pa.array(rows["clip_area"], pa.float64()),
+                "tile_fraction": pa.array(rows["tile_fraction"], pa.float64()),
+                "clipped_wkt": pa.array(rows["clipped_wkt"], pa.string()),
+            }
+        )
+
+    return assignments.map_batches(refine, batch_format="pyarrow")

@@ -1,0 +1,92 @@
+"""Raster<->vector operators: polygonization, point-in-polygon, clipping,
+and the polygon-refined tile coverage (agrees exactly with the window-math
+join for axis-aligned footprints)."""
+
+import numpy as np
+
+from moaray import MosaicConfig
+from moaray.geo import make_output_grid, window_overlap
+from moaray.ops.vector import (
+    clip_polygon,
+    footprint_polygon,
+    footprint_tile_coverage,
+    point_in_polygon,
+    polygon_area,
+)
+from moaray.testgen import Layout, images_path, meta_for, metas_for_layout
+
+PIX = 10.0
+
+
+def test_footprint_polygon_axis_aligned():
+    m = meta_for(0, Layout("grid3x3", 9, 64))
+    poly = footprint_polygon(m)
+    assert polygon_area(poly) == 640.0 * 640.0
+    assert poly[0].tolist() == [300000.0, 7000000.0]
+
+
+def test_footprint_polygon_rotated_crs():
+    """A 45-degree-rotation AFFINE CRS rotates the footprint but preserves
+    its area (rotation is an isometry)."""
+    import math
+
+    a = math.pi / 6  # 30 degrees: no symmetry-induced coordinate ties
+    c, s_ = math.cos(a), math.sin(a)
+    m = meta_for(0, Layout("grid3x3", 1, 64))
+    m.crs = f"AFFINE:0,{c},{-s_},0,{s_},{c}"
+    poly = footprint_polygon(m)
+    assert abs(polygon_area(poly) - 640.0 * 640.0) < 0.1
+    # corners are genuinely rotated: no two share an x or y
+    assert len(set(np.round(poly[:, 0], 3))) == 4
+
+
+def test_point_in_polygon_square_and_triangle():
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float)
+    xs = np.array([5.0, 15.0, 9.9, -0.1])
+    ys = np.array([5.0, 5.0, 0.1, 5.0])
+    assert point_in_polygon(xs, ys, sq).tolist() == [True, False, True, False]
+    tri = np.array([[0, 0], [10, 0], [0, 10]], dtype=float)
+    xs = np.array([1.0, 6.0, 4.0])
+    ys = np.array([1.0, 6.0, 4.0])
+    assert point_in_polygon(xs, ys, tri).tolist() == [True, False, True]
+
+
+def test_clip_polygon_cases():
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float)
+    # fully inside
+    assert polygon_area(clip_polygon(sq, -5, -5, 15, 15)) == 100.0
+    # half clip
+    assert polygon_area(clip_polygon(sq, 5, 0, 15, 10)) == 50.0
+    # corner clip
+    assert polygon_area(clip_polygon(sq, 8, 8, 20, 20)) == 4.0
+    # disjoint
+    assert polygon_area(clip_polygon(sq, 20, 20, 30, 30)) == 0.0
+    # triangle diagonal against rect
+    tri = np.array([[0, 0], [10, 0], [0, 10]], dtype=float)
+    assert abs(polygon_area(clip_polygon(tri, 0, 0, 5, 10)) - 37.5) < 1e-9
+
+
+def test_coverage_matches_window_math():
+    """Axis-aligned: clipped-polygon area == window-overlap pixel area x
+    pixel area, for every assignment."""
+    layout = Layout("grid3x3", 9, 64)
+    path = images_path(layout)
+    cfg = MosaicConfig(layout=layout, blocksize=64)
+    cov = footprint_tile_coverage(path, cfg).to_pandas()
+    assert len(cov) > 0
+
+    metas = {m.image_id: m for m in metas_for_layout(layout)}
+    grid = make_output_grid(list(metas.values()), blocksize=64)
+    for _i, row in cov.iterrows():
+        m = metas[row["image_id"]]
+        block = grid.block_for_tile(int(row["tile_id"]))
+        win = window_overlap(block, grid.transform, m)
+        assert win is not None
+        ftop, fleft, fxs, fys = win
+        # clip the window to the image extent (the polygon clip does the
+        # same geometrically)
+        t0, l0 = max(ftop, 0), max(fleft, 0)
+        b0 = min(ftop + fys, m.nrows)
+        r0 = min(fleft + fxs, m.ncols)
+        want = max(b0 - t0, 0) * max(r0 - l0, 0) * PIX * PIX
+        assert abs(row["clip_area"] - want) < 1e-6, row["image_id"]
