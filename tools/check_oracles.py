@@ -34,8 +34,14 @@ for name, sql in osql.items():
         for c in g.columns:
             gv, wv = g[c], w[c]
             if np.issubdtype(gv.dtype, np.floating) or np.issubdtype(wv.dtype, np.floating):
-                if not np.allclose(gv.astype(float), wv.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True):
-                    ok = False; fails.append((name, f"values col {c}")); break
+                ga = gv.astype(float).to_numpy(); wa = wv.astype(float).to_numpy()
+                exact = (ga == wa) | (np.isnan(ga) & np.isnan(wa))
+                if not exact.all():
+                    bad = (~exact).sum()
+                    mx = np.nanmax(np.abs(ga - wa))
+                    ok = False
+                    fails.append((name, f"values col {c}: {bad} inexact, max diff {mx:.2e}"))
+                    break
             else:
                 if not (gv.astype(str).values == wv.astype(str).values).all():
                     ok = False; fails.append((name, f"values col {c}")); break
