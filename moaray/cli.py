@@ -56,6 +56,10 @@ def get_cmdargs(argv=None):
     proj.add_argument("--resamplemethod", default="near",
                       choices=["near", "bilinear"],
                       help="warp resampling method (default %(default)s)")
+    p.add_argument("--gtiff", default=None,
+                   help="also export the (band-0) mosaic as a single GeoTIFF "
+                        "file at this path (driver-side assembly; the "
+                        "tile-sharded parquet sink remains the scale output)")
     p.add_argument("--monitorjson", default=None,
                    help="write run metrics (phase times, stats, manifest "
                         "summary) to this JSON file")
@@ -100,6 +104,11 @@ def main_cmd(argv=None) -> int:
         )
         res = do_mosaic(args.infile, cfg, out_dir=args.outdir,
                         resume=args.resume)
+
+        if args.gtiff:
+            from .sinks.gtiff import export_gtiff
+
+            export_gtiff(res, args.gtiff)
 
         n_tiles = res.grid.num_tiles
         print(

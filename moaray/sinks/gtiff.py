@@ -1,0 +1,209 @@
+"""Minimal single-band GeoTIFF writer/reader (no GDAL, from the public TIFF
+6.0 + GeoTIFF 1.1 specs).
+
+The reference's primary sink is a single GDAL raster file (openOutfile,
+ref /root/reference/moamosaic/mosaic.py:604-660). moaray's native sink is
+the tile-sharded parquet layout (resumable, parallel); this module is the
+single-file assembly step for GDAL-parity workflows: little-endian,
+uncompressed, strip-organized uint16, carrying the geotransform
+(ModelPixelScale + ModelTiepoint), a minimal GeoKey directory, and GDAL's
+NODATA ASCII tag — the fields GDAL reads back for georeferencing.
+
+Write path is deliberately a serial driver-side step (the reference's
+single-writer constraint, README.md:21); at scale the parquet sink is the
+real output and this is an export.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..geo import GeoTransform
+
+_II = b"II*\x00"
+
+# TIFF tag ids
+T_WIDTH = 256
+T_LENGTH = 257
+T_BITSPERSAMPLE = 258
+T_COMPRESSION = 259
+T_PHOTOMETRIC = 262
+T_STRIPOFFSETS = 273
+T_SAMPLESPERPIXEL = 277
+T_ROWSPERSTRIP = 278
+T_STRIPBYTECOUNTS = 279
+T_SAMPLEFORMAT = 339
+T_MODELPIXELSCALE = 33550
+T_MODELTIEPOINT = 33922
+T_GEOKEYDIR = 34735
+T_GDAL_NODATA = 42113
+
+TYPE_SHORT = 3
+TYPE_LONG = 4
+TYPE_DOUBLE = 12
+TYPE_ASCII = 2
+
+_TYPE_SIZE = {TYPE_SHORT: 2, TYPE_LONG: 4, TYPE_DOUBLE: 8, TYPE_ASCII: 1}
+
+
+def write_gtiff(
+    path: str,
+    arr: np.ndarray,
+    transform: GeoTransform,
+    crs: str = "",
+    nullval: float | None = None,
+    rows_per_strip: int = 256,
+) -> None:
+    """Write a 2-D uint16 array as an uncompressed little-endian GeoTIFF."""
+    if arr.ndim != 2 or arr.dtype != np.uint16:
+        raise ValueError(f"expected 2-D uint16, got {arr.dtype} {arr.shape}")
+    nrows, ncols = arr.shape
+    strips = [
+        np.ascontiguousarray(arr[r : r + rows_per_strip]).astype("<u2").tobytes()
+        for r in range(0, nrows, rows_per_strip)
+    ]
+
+    # out-of-line payloads
+    pixel_scale = struct.pack("<3d", transform[1], abs(transform[5]), 0.0)
+    tiepoint = struct.pack("<6d", 0.0, 0.0, 0.0, transform[0], transform[3], 0.0)
+    # minimal GeoKey directory: version 1.1.0, 1 key:
+    # GTModelTypeGeoKey(1024) = 1 (projected)
+    geokeys = struct.pack("<8H", 1, 1, 0, 1, 1024, 0, 1, 1)
+    nodata_ascii = (
+        (f"{nullval:g}".encode() + b"\x00") if nullval is not None else None
+    )
+
+    entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, payload)
+
+    def entry(tag, typ, values):
+        if typ == TYPE_ASCII:
+            payload = values
+            count = len(values)
+        else:
+            fmt = {TYPE_SHORT: "H", TYPE_LONG: "I", TYPE_DOUBLE: "d"}[typ]
+            if not isinstance(values, (list, tuple)):
+                values = [values]
+            payload = struct.pack(f"<{len(values)}{fmt}", *values)
+            count = len(values)
+        entries.append((tag, typ, count, payload))
+
+    n_strips = len(strips)
+    entry(T_WIDTH, TYPE_LONG, ncols)
+    entry(T_LENGTH, TYPE_LONG, nrows)
+    entry(T_BITSPERSAMPLE, TYPE_SHORT, 16)
+    entry(T_COMPRESSION, TYPE_SHORT, 1)
+    entry(T_PHOTOMETRIC, TYPE_SHORT, 1)
+    entry(T_STRIPOFFSETS, TYPE_LONG, [0] * n_strips)  # patched below
+    entry(T_SAMPLESPERPIXEL, TYPE_SHORT, 1)
+    entry(T_ROWSPERSTRIP, TYPE_LONG, rows_per_strip)
+    entry(T_STRIPBYTECOUNTS, TYPE_LONG, [len(s) for s in strips])
+    entry(T_SAMPLEFORMAT, TYPE_SHORT, 1)
+    entries.append((T_MODELPIXELSCALE, TYPE_DOUBLE, 3, pixel_scale))
+    entries.append((T_MODELTIEPOINT, TYPE_DOUBLE, 6, tiepoint))
+    entries.append((T_GEOKEYDIR, TYPE_SHORT, 8, geokeys))
+    if nodata_ascii:
+        entries.append((T_GDAL_NODATA, TYPE_ASCII, len(nodata_ascii), nodata_ascii))
+    entries.sort(key=lambda e: e[0])
+
+    # layout: header(8) | IFD | out-of-line payloads | strips
+    ifd_offset = 8
+    ifd_size = 2 + len(entries) * 12 + 4
+    payload_offset = ifd_offset + ifd_size
+    # assign out-of-line payload offsets
+    inline: list[bytes] = []
+    offsets: list[int] = []
+    pos = payload_offset
+    for tag, typ, count, payload in entries:
+        if len(payload) <= 4:
+            inline.append(payload.ljust(4, b"\x00"))
+            offsets.append(-1)
+        else:
+            inline.append(b"")
+            offsets.append(pos)
+            pos += len(payload)
+    strips_start = pos
+    # patch strip offsets payload
+    strip_offsets = []
+    sp = strips_start
+    for s in strips:
+        strip_offsets.append(sp)
+        sp += len(s)
+    for i, (tag, typ, count, payload) in enumerate(entries):
+        if tag == T_STRIPOFFSETS:
+            payload = struct.pack(f"<{n_strips}I", *strip_offsets)
+            entries[i] = (tag, typ, count, payload)
+            if len(payload) <= 4:
+                inline[i] = payload.ljust(4, b"\x00")
+
+    with open(path, "wb") as f:
+        f.write(_II + struct.pack("<I", ifd_offset))
+        f.write(struct.pack("<H", len(entries)))
+        for i, (tag, typ, count, payload) in enumerate(entries):
+            f.write(struct.pack("<HHI", tag, typ, count))
+            if len(payload) <= 4:
+                f.write(inline[i])
+            else:
+                f.write(struct.pack("<I", offsets[i]))
+        f.write(struct.pack("<I", 0))  # next IFD
+        for tag, typ, count, payload in entries:
+            if len(payload) > 4:
+                f.write(payload)
+        for s in strips:
+            f.write(s)
+
+
+def read_gtiff(path: str) -> tuple[np.ndarray, GeoTransform, float | None]:
+    """Read back a GeoTIFF written by :func:`write_gtiff` (little-endian,
+    uncompressed, single-band uint16). Returns (array, transform, nodata)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != _II:
+        raise ValueError("not a little-endian TIFF")
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n_entries,) = struct.unpack_from("<H", data, ifd_off)
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + i * 12
+        tag, typ, count = struct.unpack_from("<HHI", data, base)
+        size = _TYPE_SIZE[typ] * count
+        if size <= 4:
+            payload = data[base + 8 : base + 8 + size]
+        else:
+            (off,) = struct.unpack_from("<I", data, base + 8)
+            payload = data[off : off + size]
+        tags[tag] = (typ, count, payload)
+
+    def vals(tag, fmt):
+        typ, count, payload = tags[tag]
+        return struct.unpack(f"<{count}{fmt}", payload)
+
+    ncols = vals(T_WIDTH, "I")[0]
+    nrows = vals(T_LENGTH, "I")[0]
+    assert vals(T_BITSPERSAMPLE, "H")[0] == 16
+    assert vals(T_COMPRESSION, "H")[0] == 1
+    strip_offs = vals(T_STRIPOFFSETS, "I")
+    strip_counts = vals(T_STRIPBYTECOUNTS, "I")
+    buf = b"".join(
+        data[o : o + c] for o, c in zip(strip_offs, strip_counts)
+    )
+    arr = np.frombuffer(buf, dtype="<u2").reshape(nrows, ncols)
+    sx, sy, _ = vals(T_MODELPIXELSCALE, "d")
+    tp = vals(T_MODELTIEPOINT, "d")
+    transform = (tp[3], sx, 0.0, tp[4], 0.0, -sy)
+    nodata = None
+    if T_GDAL_NODATA in tags:
+        nodata = float(tags[T_GDAL_NODATA][2].rstrip(b"\x00").decode())
+    return arr, transform, nodata
+
+
+def export_gtiff(res, path: str, band: int = 0) -> None:
+    """MosaicResult -> single-file GeoTIFF (driver-side assembly of one
+    band; the parallel parquet sink remains the at-scale output)."""
+    from ..pipelines.mosaic import mosaic_array
+
+    arr = mosaic_array(res.tiles_ds, res.grid, band=band)
+    write_gtiff(
+        path, arr, res.grid.transform, res.grid.crs, res.grid.nullval
+    )
