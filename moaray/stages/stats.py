@@ -35,8 +35,17 @@ def tile_stats_agg(nullval: float, dtype: str, pixels_col: str = "pixels") -> Ag
     np_dtype = np.dtype(dtype)
 
     def accumulate_block(acc, block: pa.Table):
+        from .assemble import decode_payload
+
+        codecs_col = (
+            block["pixels_codec"].to_pylist()
+            if "pixels_codec" in block.schema.names
+            else ["raw"] * block.num_rows
+        )
         for i in range(block.num_rows):
-            arr = np.frombuffer(block[pixels_col][i].as_py(), dtype=np_dtype)
+            arr = decode_payload(
+                block[pixels_col][i].as_buffer(), codecs_col[i], np_dtype
+            )
             if nullval is None:
                 values = arr
             elif np.isnan(nullval):

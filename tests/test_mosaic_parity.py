@@ -266,3 +266,18 @@ def test_reference_golden_scale_5000px():
         r = min(ov.shape[0], tov.shape[0])
         c = min(ov.shape[1], tov.shape[1])
         assert (ov[:r, :c] == tov[:r, :c]).all(), f"overview {lvl}"
+
+
+def test_aggregatefn_stats_path():
+    """The custom-AggregateFn stats path (decodes tile payloads) agrees with
+    the manifest-partial path and the oracle."""
+    from moaray.stages.stats import compute_stats
+
+    layout = Layout("grid3x3", 9, 64)
+    grid, truth = oracle_mosaic(layout)
+    res, _got = run_engine(layout)
+    s = compute_stats(res.tiles_ds, res.grid.nullval, res.grid.dtype)
+    tmin, tmax, tmean, tstd, tcount = oracle.stats(truth, grid.nullval)
+    assert s["min"] == tmin and s["max"] == tmax and s["count"] == tcount
+    assert abs(s["mean"] - tmean) < 1e-9
+    assert s == res.stats or abs(s["stddev"] - res.stats["stddev"]) < 1e-9
