@@ -19,6 +19,12 @@ worth caching). For each image row it:
 
 The per-row Python loop iterates *images* (each iteration slices KBs..MBs of
 pixels with numpy) — the per-pixel work is fully vectorized.
+
+Scale note: the broadcast OutputGrid stays tiny at ANY grid size because the
+tile-edge arrays are PER-AXIS — O(sqrt(num_tiles)) entries each (a 10^8-tile
+grid broadcasts ~10^4 + 10^4 int64 edges). The cell-keyed join
+(stages/plan.py assign_cell_join) remains as the equi-join alternative for
+planning-side joins against materialized tile tables.
 """
 
 from __future__ import annotations
