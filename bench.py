@@ -50,7 +50,6 @@ def run_mosaic_bench(num_cpus: int) -> dict:
     cfg = MosaicConfig(
         layout=layout,
         blocksize=1024,
-        decode_batch_size=8,
         do_pyramids=True,
         do_stats=True,
     )

@@ -127,7 +127,11 @@ class MosaicConfig:
     do_stats: bool = True
     join_strategy: str = "direct"  # "direct" | "cell_join"
     decode_concurrency: tuple | None = None  # None = stateless tasks
-    decode_batch_size: int = 16
+    # None = whole-block batches: the decode map fuses with the parquet read
+    # into one task (no rebatch barrier, no extra object-store round-trip);
+    # block size is bounded by DataContext.target_max_block_size. Set an int
+    # to cap images per batch when payloads are very large.
+    decode_batch_size: int | None = None
     validate_projections: bool = True
     # Tiles with >= salt_threshold contributing images get a salted
     # two-level merge (contiguous-seq salts; SURVEY.md §4.2). None = off.
