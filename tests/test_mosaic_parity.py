@@ -281,3 +281,24 @@ def test_aggregatefn_stats_path():
     assert s["min"] == tmin and s["max"] == tmax and s["count"] == tcount
     assert abs(s["mean"] - tmean) < 1e-9
     assert s == res.stats or abs(s["stddev"] - res.stats["stddev"]) < 1e-9
+
+
+def test_actor_pool_decode_path():
+    """decode_concurrency=(min,max) switches the decode stage to an actor
+    pool (the GdalObjCache-analog state path); results identical."""
+    layout = Layout("grid3x3", 4, 64)
+    _grid, truth = oracle_mosaic(layout)
+    _res, got = run_engine(layout, decode_concurrency=(1, 2))
+    assert (got == truth).all()
+
+
+def test_frame_sample_stub_contract():
+    """The gated video stub raises NotImplementedError with the documented
+    contract (sandbox has no media libs)."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from moaray.ops.multimodal import FrameSample
+
+    with _pytest.raises(NotImplementedError, match="frame"):
+        FrameSample()(pa.table({"video_id": ["v0"]}))
