@@ -273,18 +273,11 @@ def assemble_tiles(
     return windows_ds.groupby(keys).map_groups(fn, batch_format="pyarrow")
 
 
+# stage-1 output of the salted merge: a full TILE row + the salt rank, so
+# singleton groups (cold tiles) pass through stage 2 without any decode,
+# stats, or re-encode work.
 PARTIAL_SCHEMA = pa.schema(
-    [
-        ("tile_id", pa.int64()),
-        ("band", pa.int32()),
-        ("salt", pa.int32()),
-        ("out_top", pa.int32()),
-        ("out_left", pa.int32()),
-        ("out_xsize", pa.int32()),
-        ("out_ysize", pa.int32()),
-        ("input_ids", pa.list_(pa.string())),
-        ("pixels", pa.binary()),
-    ]
+    [pa.field("salt", pa.int32())] + list(TILE_SCHEMA)
 )
 
 
@@ -325,38 +318,50 @@ def assemble_tiles_salted(
         canvas = np.full((ysize, xsize), nv, dtype=np_dtype)
         _merge_last(group, order, canvas, nv, encoded)
         input_ids = [group["image_id"][int(i)].as_py() for i in order]
-        # partial canvases cross the second shuffle — compress them with the
-        # same codec the windows used
-        payload = (
-            codecs.encode(canvas, window_codec) if encoded else canvas.tobytes()
-        )
+        # full tile row incl. stats + tile-codec payload: cold tiles (one
+        # salt) need NO further work in stage 2
+        nonnull, px_sum, px_ssq, px_min, px_max = _canvas_stats(canvas, nv)
+        payload, codec_tag = encode_payload(canvas, tile_codec)
         return pa.Table.from_pydict(
             {
+                "salt": [group["salt"][0].as_py()],
                 "tile_id": [group["tile_id"][0].as_py()],
                 "band": [group["band"][0].as_py()],
-                "salt": [group["salt"][0].as_py()],
                 "out_top": [group["out_top"][0].as_py()],
                 "out_left": [group["out_left"][0].as_py()],
                 "out_xsize": [xsize],
                 "out_ysize": [ysize],
+                "n_inputs": [len(input_ids)],
                 "input_ids": [input_ids],
+                "nonnull_count": [nonnull],
+                "px_sum": [px_sum],
+                "px_ssq": [px_ssq],
+                "px_min": [px_min],
+                "px_max": [px_max],
+                "pixels_codec": [codec_tag],
                 "pixels": [payload],
             },
             schema=PARTIAL_SCHEMA,
         )
 
     def final_merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 1:
+            # cold tile: stage-1 already produced the finished TILE row
+            return group.drop_columns(["salt"])
         salts = group["salt"].to_numpy()
         order = np.argsort(salts, kind="stable")
         ysize = int(group["out_ysize"][0].as_py())
         xsize = int(group["out_xsize"][0].as_py())
         canvas = np.full((ysize, xsize), nv, dtype=np_dtype)
-        views = _binary_views(group["pixels"], np_dtype, encoded)
+        codecs_col = group["pixels_codec"].to_pylist()
         input_ids: list[str] = []
         for i in order:
-            part = views[int(i)].reshape(ysize, xsize)
+            i = int(i)
+            part = decode_payload(
+                group["pixels"][i].as_buffer(), codecs_col[i], np_dtype
+            ).reshape(ysize, xsize)
             np.copyto(canvas, part, where=(part != nv))
-            input_ids.extend(group["input_ids"][int(i)].as_py())
+            input_ids.extend(group["input_ids"][i].as_py())
         nonnull, px_sum, px_ssq, px_min, px_max = _canvas_stats(canvas, nv)
         payload, codec_tag = encode_payload(canvas, tile_codec)
         return pa.Table.from_pydict(
