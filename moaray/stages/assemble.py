@@ -304,8 +304,6 @@ def assemble_tiles_salted(
     """
     if merge != "last":
         raise ValueError("salted assembly only supports the 'last' merge kernel")
-    from .. import codecs
-
     np_dtype = np.dtype(grid.dtype)
     nv = np_dtype.type(grid.nullval)
     encoded = window_codec is not None
