@@ -334,6 +334,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(f"{sf_dir}/events.parquet")
         )
 
+    def q_hll_distinct_users(sf_dir: str):  # rows-only (approximate sketch)
+        import ray
+
+        from moaray.ops.sketch import hll_distinct
+
+        return hll_distinct(
+            ray.data.read_parquet(f"{sf_dir}/events.parquet"),
+            "user_id",
+            "event_type",
+        ).sort("group")
+
+    def q_heavy_hitters(sf_dir: str):  # rows-only (approximate sketch)
+        import ray
+
+        from moaray.ops.sketch import cm_heavy_hitters
+
+        return cm_heavy_hitters(
+            ray.data.read_parquet(f"{sf_dir}/events.parquet"), "user_id", k=10
+        )
+
     def q_sessionize(sf_dir: str):
         import ray
 
@@ -410,6 +430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": q_top_orders,
         "segment_nation_stats": q_segment_nation_stats,
         "sessionize": q_sessionize,
+        "hll_distinct_users": q_hll_distinct_users,
+        "heavy_hitters": q_heavy_hitters,
         "props_extract": q_props_extract,
         "audio_features": q_audio_features,
         "events_daily": q_events_daily,

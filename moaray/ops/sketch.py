@@ -1,0 +1,165 @@
+"""Sketch aggregates: HyperLogLog distinct counting and count-min heavy
+hitters, shaped as partial-aggregate pipelines (register arrays combine
+inside ``map_batches``; only fixed-size sketches cross the shuffle — the
+shape that makes a 100 TB DISTINCT tractable).
+
+Both are implemented from the published algorithms (Flajolet et al. 2007
+HyperLogLog with the standard bias corrections; Cormode & Muthukrishnan
+2005 count-min) in vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_HLL_P = 12  # 4096 registers, ~1.6% standard error
+_HLL_M = 1 << _HLL_P
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _hash64(values: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (splitmix64) over int64/uint64 inputs."""
+    x = values.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK64
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK64
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK64
+        return x ^ (x >> np.uint64(31))
+
+
+def _hll_registers(values: np.ndarray) -> np.ndarray:
+    """Build an HLL register array from raw int values."""
+    h = _hash64(values)
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(_HLL_P)) & _MASK64
+    # rank = leading zeros of the remaining bits + 1 (capped)
+    nz = rest != 0
+    lz = np.full(len(h), 64 - _HLL_P, dtype=np.int64)
+    # bit_length via log2 on the nonzero values
+    lz[nz] = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+    rank = np.minimum(lz + 1, 64 - _HLL_P + 1)
+    regs = np.zeros(_HLL_M, dtype=np.int8)
+    np.maximum.at(regs, idx, rank.astype(np.int8))
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with small-range correction."""
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting
+    return float(est)
+
+
+def hll_distinct(ds, value_col: str, group_col: str | None = None):
+    """Approximate COUNT(DISTINCT value) [per group] via HyperLogLog.
+
+    map_batches builds one register array per (batch, group); a groupby
+    merges registers with elementwise max and finalizes. Only 4 KiB
+    sketches shuffle, never values."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[value_col].to_numpy()
+        if group_col is None:
+            groups = {None: np.arange(len(vals))}
+        else:
+            keys = batch[group_col].to_numpy(zero_copy_only=False)
+            groups = {
+                k: np.where(keys == k)[0] for k in np.unique(keys)
+            }
+        out_k, out_r = [], []
+        for k, sel in groups.items():
+            out_k.append("__all__" if k is None else str(k))
+            out_r.append(_hll_registers(vals[sel]).tobytes())
+        return pa.table(
+            {
+                "group": pa.array(out_k, pa.string()),
+                "regs": pa.array(out_r, pa.binary()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        regs = np.zeros(_HLL_M, dtype=np.int8)
+        for i in range(group.num_rows):
+            r = np.frombuffer(group["regs"][i].as_py(), dtype=np.int8)
+            np.maximum(regs, r, out=regs)
+        return pa.table(
+            {
+                "group": [group["group"][0].as_py()],
+                "approx_distinct": pa.array(
+                    [int(round(_hll_estimate(regs)))], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("group")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+_CM_W = 2048
+_CM_D = 4
+
+
+def cm_heavy_hitters(ds, value_col: str, k: int = 10):
+    """Approximate top-k most frequent values via count-min + per-batch
+    candidate tracking: each batch emits its sketch AND its local value
+    counts (bounded to 4k candidates); the merge sums sketches, unions
+    candidates, and scores each candidate by its count-min estimate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(vals, return_counts=True)
+        if len(uniq) > 4096:
+            top = np.argsort(-counts)[:4096]
+            uniq, counts = uniq[top], counts[top]
+        sketch = np.zeros((_CM_D, _CM_W), dtype=np.int64)
+        iv = uniq.astype(np.int64)
+        for d in range(_CM_D):
+            idx = (
+                _hash64(iv + np.int64(d * 0x51_7C_C1)) % np.uint64(_CM_W)
+            ).astype(np.int64)
+            np.add.at(sketch[d], idx, counts)
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int32()),
+                "sketch": pa.array([sketch.tobytes()], pa.binary()),
+                "candidates": pa.array([iv.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        sketch = np.zeros((_CM_D, _CM_W), dtype=np.int64)
+        cands: set[int] = set()
+        for i in range(group.num_rows):
+            sketch += np.frombuffer(
+                group["sketch"][i].as_py(), dtype=np.int64
+            ).reshape(_CM_D, _CM_W)
+            cands.update(group["candidates"][i].as_py())
+        cand = np.array(sorted(cands), dtype=np.int64)
+        est = np.full(len(cand), np.iinfo(np.int64).max, dtype=np.int64)
+        for d in range(_CM_D):
+            idx = (
+                _hash64(cand + np.int64(d * 0x51_7C_C1)) % np.uint64(_CM_W)
+            ).astype(np.int64)
+            est = np.minimum(est, sketch[d, idx])
+        order = np.lexsort((cand, -est))[:k]
+        return pa.table(
+            {
+                "value": pa.array(cand[order], pa.int64()),
+                "approx_count": pa.array(est[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("one")
+        .map_groups(merge, batch_format="pyarrow")
+    )

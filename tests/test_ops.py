@@ -313,3 +313,34 @@ def test_audio_features_pcm16():
     assert np.allclose(got["peak"], 0.5, atol=0.01)
     # zcr scales with frequency -> all distinct clip frequencies distinct zcr
     assert got["zcr"].nunique() == 8
+
+
+def test_hll_distinct_accuracy(con):
+    from moaray.ops.sketch import hll_distinct
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    df = hll_distinct(ev, "user_id", "event_type").to_pandas()
+    exact = con.execute(
+        "SELECT event_type, count(DISTINCT user_id) AS c "
+        "FROM events GROUP BY event_type"
+    ).df()
+    exact_map = dict(zip(exact["event_type"].astype(str), exact["c"]))
+    assert len(df) == len(exact_map)
+    for _, r in df.iterrows():
+        e = exact_map[r["group"]]
+        assert abs(r["approx_distinct"] - e) / e < 0.05
+
+
+def test_cm_heavy_hitters_contains_true_top(con):
+    from moaray.ops.sketch import cm_heavy_hitters
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    hh = cm_heavy_hitters(ev, "user_id", k=10).to_pandas()
+    true_top = con.execute(
+        "SELECT user_id FROM events GROUP BY user_id "
+        "ORDER BY count(*) DESC, user_id LIMIT 3"
+    ).df()["user_id"].tolist()
+    # count-min overestimates but never underestimates: the true heaviest
+    # users must appear among the approximate top-10
+    got = set(hh["value"].tolist())
+    assert sum(1 for u in true_top if u in got) >= 2
