@@ -267,6 +267,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_charset_jaccard(sf_dir: str):
         return dedup.charset_jaccard_pairs(_docs(sf_dir), threshold=0.9)
 
+    def q_ngram_jaccard(sf_dir: str):  # rows-only (list-SQL too gnarly)
+        return dedup.ngram_jaccard_pairs(_docs(sf_dir), threshold=0.3)
+
     def q_minhash_pairs(sf_dir: str):  # rows-only (non-SQL)
         return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
 
@@ -420,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rolling_fingerprint": q_rolling_fingerprint,
         "dedup_exact": q_dedup_exact,
         "charset_jaccard_pairs": q_charset_jaccard,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,

@@ -421,3 +421,58 @@ def embedding_neardup_lsh_pairs(
     return cand.groupby(["vec_a", "vec_b"]).map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
+
+
+def ngram_jaccard_pairs(
+    docs_ds, threshold: float = 0.5, k: int = 3, block_col: str = "lang"
+):
+    """Exact word-k-gram Jaccard near-dup pairs within blocks.
+
+    The exact counterpart of the MinHash estimate (same shingle
+    definition, _shingle_hashes): per block, each doc's k-gram set becomes
+    a row of a docs x shingle-vocab boolean matrix; intersections are one
+    integer matmul. Blocked by ``block_col`` so group sizes stay bounded —
+    at scale, block by (lang, LSH bucket) instead."""
+
+    def pairs_in_group(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy()
+        texts = group["text"].to_pylist()
+        gram_sets = []
+        for t in texts:
+            toks = t.split(" ")
+            if len(toks) < k:
+                gram_sets.append({" ".join(toks)})
+            else:
+                gram_sets.append(
+                    {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+                )
+        vocab = {}
+        for gs in gram_sets:
+            for g in gs:
+                vocab.setdefault(g, len(vocab))
+        m = np.zeros((len(texts), len(vocab)), dtype=np.int32)
+        for i, gs in enumerate(gram_sets):
+            for g in gs:
+                m[i, vocab[g]] = 1
+        inter = m @ m.T
+        sizes = m.sum(axis=1)
+        union = sizes[:, None] + sizes[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        ia, ib = np.where(np.triu(jac >= threshold, k=1))
+        a = np.minimum(ids[ia], ids[ib])
+        b = np.maximum(ids[ia], ids[ib])
+        order = np.lexsort((b, a))
+        return pa.table(
+            {
+                "doc_a": pa.array(a[order], pa.int64()),
+                "doc_b": pa.array(b[order], pa.int64()),
+                "jaccard": pa.array(
+                    np.round(jac[ia, ib][order], 4), pa.float64()
+                ),
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id", "text", block_col]).groupby(
+        block_col
+    ).map_groups(pairs_in_group, batch_format="pyarrow")

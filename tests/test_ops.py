@@ -344,3 +344,51 @@ def test_cm_heavy_hitters_contains_true_top(con):
     # users must appear among the approximate top-10
     got = set(hh["value"].tolist())
     assert sum(1 for u in true_top if u in got) >= 2
+
+
+def test_ngram_jaccard_exact_vs_bruteforce():
+    from moaray.ops.dedup import ngram_jaccard_pairs
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    got = ngram_jaccard_pairs(docs, threshold=0.3, k=3).to_pandas()
+
+    # brute-force oracle over the same blocks
+    import itertools
+
+    rows = docs.select_columns(["doc_id", "text", "lang"]).take_all()
+    want = set()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    def grams(t):
+        toks = t.split(" ")
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i+3]) for i in range(len(toks)-2)}
+    for lang, rs in by_lang.items():
+        for a, b in itertools.combinations(rs, 2):
+            ga, gb = grams(a["text"]), grams(b["text"])
+            j = len(ga & gb) / len(ga | gb)
+            if j >= 0.3:
+                want.add((min(a["doc_id"], b["doc_id"]),
+                          max(a["doc_id"], b["doc_id"])))
+    assert set(zip(got["doc_a"], got["doc_b"])) == want
+
+
+def test_minhash_estimates_ngram_jaccard():
+    """MinHash est_jaccard approximates the exact n-gram jaccard for found
+    pairs (same shingle definition)."""
+    from moaray.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    exact = ngram_jaccard_pairs(docs, threshold=0.5, k=3).to_pandas()
+    mh = minhash_lsh_pairs(docs, threshold=0.5, k_shingle=3).to_pandas()
+    exact_map = {
+        (a, b): j for a, b, j in zip(exact["doc_a"], exact["doc_b"], exact["jaccard"])
+    }
+    checked = 0
+    for a, b, est in zip(mh["doc_a"], mh["doc_b"], mh["est_jaccard"]):
+        if (a, b) in exact_map:
+            assert abs(est - exact_map[(a, b)]) < 0.35
+            checked += 1
+    assert checked > 0
