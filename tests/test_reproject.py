@@ -158,3 +158,29 @@ def test_transform_affine_roundtrip():
     rx = inv[0] + inv[1] * tx + inv[2] * ty
     ry = inv[3] + inv[4] * tx + inv[5] * ty
     assert rx == pytest.approx(x) and ry == pytest.approx(y)
+
+
+def test_rotation_warp_exact_rot90():
+    """A 90-degree rotation CRS ("AFFINE:0,0,1,0,-1,0") warps the mosaic to
+    exactly numpy.rot90 of the source — pixel centers align, nearest
+    sampling is an exact permutation."""
+    from moaray import do_mosaic as dm
+
+    layout = Layout("grid3x3", 1, 64)
+    res, got = run_engine(
+        layout, out_crs="AFFINE:0,0,1,0,-1,0", do_pyramids=False
+    )
+    src = pixel_array(0, layout)
+    assert (got == np.rot90(src, 1)).all()
+
+
+def test_crs_error_paths():
+    import pytest as _pytest
+
+    from moaray.crs import ProjectionError, invert, to_world
+
+    with _pytest.raises(ProjectionError):
+        to_world("AFFINE:1,2,3")  # wrong arity
+    with _pytest.raises(ProjectionError):
+        invert((0.0, 0.0, 0.0, 0.0, 0.0, 0.0))  # singular
+    assert to_world("EPSG:32756") == (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
