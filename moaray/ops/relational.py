@@ -30,14 +30,36 @@ def _partial_q1(batch: pa.Table) -> pa.Table:
                 "count_order": pa.array([], pa.int64()),
             }
         )
-    disc_price = pc.multiply(
-        batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+    # Money columns carry fixed decimals (price 2, discount 2 -> product 4):
+    # sum them as exact INTEGER ten-thousandths so the total is independent
+    # of float summation order — a float sum can land on a round-half
+    # boundary and differ from the oracle's own order by 0.01.
+    disc_price = pc.cast(
+        pc.round(
+            pc.multiply(
+                pc.multiply(
+                    batch["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                ),
+                pa.scalar(10000.0),
+            ),
+            round_mode="half_towards_infinity",  # SQL round() semantics
+        ),
+        pa.int64(),
+    )
+    base_price = pc.cast(
+        pc.round(
+            pc.multiply(batch["l_extendedprice"], pa.scalar(100.0)),
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
     )
     batch = batch.append_column("disc_price", disc_price)
+    batch = batch.append_column("base_price", base_price)
     grouped = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
         [
             ("l_quantity", "sum"),
-            ("l_extendedprice", "sum"),
+            ("base_price", "sum"),
             ("disc_price", "sum"),
             ("l_quantity", "count"),
         ]
@@ -60,11 +82,16 @@ def _final_q1(group: pa.Table) -> pa.Table:
             "l_returnflag": [group["l_returnflag"][0].as_py()],
             "l_linestatus": [group["l_linestatus"][0].as_py()],
             "sum_qty": [round(float(pc.sum(group["sum_qty"]).as_py()), 2)],
+            # exact integer half-away rounding: (s + half) // step — the
+            # final float round was the last order-dependent step (python
+            # round() is banker's, SQL round() is half-away; a total landing
+            # exactly on .xx5 flips between them)
             "sum_base_price": [
-                round(float(pc.sum(group["sum_base_price"]).as_py()), 2)
+                int(pc.sum(group["sum_base_price"]).as_py()) / 100.0
             ],
             "sum_disc_price": [
-                round(float(pc.sum(group["sum_disc_price"]).as_py()), 2)
+                ((int(pc.sum(group["sum_disc_price"]).as_py()) + 50) // 100)
+                / 100.0
             ],
             "avg_qty": [
                 round(

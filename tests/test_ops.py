@@ -204,8 +204,8 @@ def test_pricing_summary_vs_sql(con):
         con,
         """SELECT l_returnflag, l_linestatus,
                   round(sum(l_quantity),2) AS sum_qty,
-                  round(sum(l_extendedprice),2) AS sum_base_price,
-                  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+                  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+                  ((sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))+50)//100)/100.0 AS sum_disc_price,
                   round(sum(l_quantity)/count(*),4) AS avg_qty,
                   count(*) AS count_order
            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -7,7 +7,8 @@ ray.init(address="local", num_cpus=8, include_dashboard=False)
 sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 import __ray_entry__ as e
 
-SF = "/root/testdata/sf0.01"
+import os
+SF = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
