@@ -533,7 +533,9 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "revenue_by_nation": """
-            SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+            SELECT n_name,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                     AS revenue,
                    count(*) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -595,14 +597,14 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS sum_value
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
             FROM sess
             GROUP BY user_id, session_id
         """,
         "events_daily": """
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS sum_value
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
             FROM events
             GROUP BY event_type, strftime(ts, '%Y-%m-%d')
         """,

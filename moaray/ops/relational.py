@@ -115,9 +115,16 @@ def pricing_summary(lineitem_ds):
 
 def _partial_events(batch: pa.Table) -> pa.Table:
     day = pc.strftime(batch["ts"], format="%Y-%m-%d")
-    batch = batch.append_column("day", day)
+    cents = pc.cast(
+        pc.round(
+            pc.multiply(batch["value"], pa.scalar(100.0)),
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
+    batch = batch.append_column("day", day).append_column("cents", cents)
     grouped = batch.group_by(["event_type", "day"]).aggregate(
-        [("value", "sum"), ("value", "count")]
+        [("cents", "sum"), ("cents", "count")]
     )
     return grouped.rename_columns(["event_type", "day", "sum_value", "n_events"])
 
@@ -128,7 +135,7 @@ def _final_events(group: pa.Table) -> pa.Table:
             "event_type": [group["event_type"][0].as_py()],
             "day": [group["day"][0].as_py()],
             "n_events": [int(pc.sum(group["n_events"]).as_py())],
-            "sum_value": [round(float(pc.sum(group["sum_value"]).as_py()), 2)],
+            "sum_value": [int(pc.sum(group["sum_value"]).as_py()) / 100.0],
         }
     )
 
@@ -181,14 +188,23 @@ def revenue_by_nation(orders_ds, customer_path: str, nation_path: str):
         cmap, nmap = ray.get(ref)
         custkeys = batch["o_custkey"].to_pylist()
         names = [nmap[cmap[c]] for c in custkeys]
+        # exact integer cents: immune to float summation order + rounding
+        # mode (see pricing_summary)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch["o_totalprice"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
         t = pa.table(
             {
                 "n_name": pa.array(names, pa.string()),
-                "o_totalprice": batch["o_totalprice"],
+                "cents": cents,
             }
         )
         g = t.group_by("n_name").aggregate(
-            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+            [("cents", "sum"), ("cents", "count")]
         )
         return g.rename_columns(["n_name", "revenue", "n_orders"])
 
@@ -196,7 +212,7 @@ def revenue_by_nation(orders_ds, customer_path: str, nation_path: str):
         return pa.table(
             {
                 "n_name": [group["n_name"][0].as_py()],
-                "revenue": [round(float(pc.sum(group["revenue"]).as_py()), 2)],
+                "revenue": [int(pc.sum(group["revenue"]).as_py()) / 100.0],
                 "n_orders": [int(pc.sum(group["n_orders"]).as_py())],
             }
         )
@@ -284,7 +300,12 @@ def sessionize(events_ds, gap_minutes: int = 30):
     def sessions(group: pa.Table) -> pa.Table:
         ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         eid = group["event_id"].to_numpy()
-        val = group["value"].to_numpy()
+        # exact integer cents, half-away rounding like SQL round()
+        # (np.round is half-even)
+        v100 = group["value"].to_numpy() * 100.0
+        val = np.where(
+            v100 >= 0, np.floor(v100 + 0.5), np.ceil(v100 - 0.5)
+        ).astype(np.int64)
         order = np.lexsort((eid, ts))
         ts, eid, val = ts[order], eid[order], val[order]
         new_session = np.ones(len(ts), dtype=bool)
@@ -306,7 +327,7 @@ def sessionize(events_ds, gap_minutes: int = 30):
                 .strftime("%Y-%m-%d %H:%M:%S")
             )
             rows["n_events"].append(int(m.sum()))
-            rows["sum_value"].append(round(float(val[m].sum()), 2))
+            rows["sum_value"].append(int(val[m].sum()) / 100.0)
         return pa.Table.from_pydict(
             {
                 "user_id": pa.array(rows["user_id"], pa.int64()),

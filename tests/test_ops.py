@@ -221,7 +221,7 @@ def test_events_daily_vs_sql(con):
         ds,
         con,
         """SELECT event_type, strftime(ts,'%Y-%m-%d') AS day,
-                  count(*) AS n_events, round(sum(value),2) AS sum_value
+                  count(*) AS n_events, sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
            FROM events GROUP BY 1, 2""",
     )
 
@@ -294,7 +294,7 @@ def test_sessionize_vs_sql(con):
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+                   count(*) AS n_events, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
             FROM sess GROUP BY user_id, session_id""",
     )
 
