@@ -20,6 +20,15 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+
+def _round_half_away(x: np.ndarray, ndigits: int) -> np.ndarray:
+    """SQL round() semantics (np.round is half-even and can differ by one
+    ulp-of-the-last-digit on exact rational boundaries like 1/32)."""
+    f = 10.0 ** ndigits
+    return np.where(
+        x >= 0, np.floor(x * f + 0.5), np.ceil(x * f - 0.5)
+    ) / f
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -87,7 +96,9 @@ def charset_jaccard_pairs(docs_ds, threshold: float = 0.5, block_col: str = "lan
             {
                 "doc_a": pa.array(a[order], pa.int64()),
                 "doc_b": pa.array(b[order], pa.int64()),
-                "jaccard": pa.array(np.round(jac[ia, ib][order], 4), pa.float64()),
+                "jaccard": pa.array(
+                    _round_half_away(jac[ia, ib][order], 4), pa.float64()
+                ),
             }
         )
 

@@ -93,12 +93,15 @@ def _final_q1(group: pa.Table) -> pa.Table:
                 ((int(pc.sum(group["sum_disc_price"]).as_py()) + 50) // 100)
                 / 100.0
             ],
+            # avg = s/c rounded half-away at 4 digits via exact integer
+            # arithmetic (quantities are integer-valued): floor(s*1e4/c + .5)
             "avg_qty": [
-                round(
-                    float(pc.sum(group["sum_qty"]).as_py())
-                    / float(pc.sum(group["count_order"]).as_py()),
-                    4,
+                (
+                    int(pc.sum(group["sum_qty"]).as_py()) * 20000
+                    + int(pc.sum(group["count_order"]).as_py())
                 )
+                // (2 * int(pc.sum(group["count_order"]).as_py()))
+                / 10000.0
             ],
             "count_order": [int(pc.sum(group["count_order"]).as_py())],
         }
