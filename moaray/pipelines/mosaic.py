@@ -426,6 +426,7 @@ def do_mosaic(
     skipped = 0
     committed: set[tuple[int, int]] = set()
     if resume and out_dir:
+        manifest_mod.sweep_tmp(out_dir)
         committed = manifest_mod.committed_keys(out_dir)
         if committed:
             skipped = len(committed)

@@ -172,6 +172,22 @@ def clear_output(out_dir: str) -> None:
             shutil.rmtree(d)
 
 
+def sweep_tmp(out_dir: str) -> int:
+    """Remove *.tmp orphans left by a killed run (write happens as
+    tmp+atomic-rename, so a .tmp file is never a commit). Called on resume;
+    returns the number of files removed."""
+    n = 0
+    for sub in ("tiles", "manifest"):
+        d = os.path.join(out_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        for name in os.listdir(d):
+            if name.endswith(".tmp"):
+                os.remove(os.path.join(d, name))
+                n += 1
+    return n
+
+
 def committed_paths(out_dir: str) -> list[str]:
     """Data-file paths listed in the manifest — the only files a reader may
     trust. Orphaned .parquet files from a killed run (data written, manifest

@@ -69,8 +69,11 @@ def test_sigkill_mid_run_then_resume(tmp_path):
     committed_before = committed_keys(out)
     if killed:
         # every committed record must be complete (data file exists and has
-        # the advertised size) — the atomicity claim
+        # the advertised size) — the atomicity claim. A SIGKILL can leave
+        # *.json.tmp files behind; only .json files are commits.
         for name in os.listdir(manifest):
+            if not name.endswith(".json"):
+                continue
             rec = json.load(open(os.path.join(manifest, name)))
             assert os.path.isfile(rec["path"])
             assert os.path.getsize(rec["path"]) == rec["bytes"]
