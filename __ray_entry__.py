@@ -323,6 +323,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(f"{sf_dir}/orders.parquet"), k=10
         )
 
+    def q_top_orders_per_customer(sf_dir: str):
+        import ray
+
+        return relational.top_orders_per_customer(
+            ray.data.read_parquet(f"{sf_dir}/orders.parquet"), n=2
+        )
+
     def q_segment_nation_stats(sf_dir: str):
         import ray
 
@@ -432,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders": q_top_orders,
+        "top_orders_per_customer": q_top_orders_per_customer,
         "segment_nation_stats": q_segment_nation_stats,
         "sessionize": q_sessionize,
         "hll_distinct_users": q_hll_distinct_users,
@@ -550,6 +558,18 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 10
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(rn AS BIGINT) AS rn
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey) AS rn
+              FROM orders
+            )
+            WHERE rn <= 2
         """,
         "segment_nation_stats": """
             SELECT c_mktsegment,

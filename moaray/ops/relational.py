@@ -347,3 +347,26 @@ def sessionize(events_ds, gap_minutes: int = 30):
         .groupby("user_id")
         .map_groups(sessions, batch_format="pyarrow")
     )
+
+
+def top_orders_per_customer(orders_ds, n: int = 2):
+    """Ranked-window operator: the top-n orders per customer by price
+    (ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY price DESC, key)).
+    One shuffle on the partition key; ranking is group-local."""
+
+    def ranked(group: pa.Table) -> pa.Table:
+        keys = group["o_orderkey"].to_numpy()
+        prices = group["o_totalprice"].to_numpy()
+        order = np.lexsort((keys, -prices))[:n]
+        out = group.select(["o_custkey", "o_orderkey", "o_totalprice"]).take(
+            pa.array(order, pa.int64())
+        )
+        return out.append_column(
+            "rn", pa.array(np.arange(1, len(order) + 1), pa.int64())
+        )
+
+    return (
+        orders_ds.select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .map_groups(ranked, batch_format="pyarrow")
+    )
