@@ -323,6 +323,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(f"{sf_dir}/orders.parquet"), k=10
         )
 
+    def q_revenue_by_priority(sf_dir: str):
+        import ray
+
+        return relational.revenue_by_priority(
+            ray.data.read_parquet(f"{sf_dir}/lineitem.parquet"),
+            f"{sf_dir}/orders.parquet",
+        )
+
     def q_top_orders_per_customer(sf_dir: str):
         import ray
 
@@ -440,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders": q_top_orders,
         "top_orders_per_customer": q_top_orders_per_customer,
+        "revenue_by_priority": q_revenue_by_priority,
         "segment_nation_stats": q_segment_nation_stats,
         "sessionize": q_sessionize,
         "hll_distinct_users": q_hll_distinct_users,
@@ -558,6 +567,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 10
+        """,
+        "revenue_by_priority": """
+            SELECT o_orderpriority,
+                   ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100) / 100.0
+                     AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "top_orders_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice,

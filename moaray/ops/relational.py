@@ -370,3 +370,67 @@ def top_orders_per_customer(orders_ds, n: int = 2):
         .groupby("o_custkey")
         .map_groups(ranked, batch_format="pyarrow")
     )
+
+
+def revenue_by_priority(lineitem_ds, orders_path: str):
+    """Fact-to-dimension join at fact scale: lineitem streams, the
+    orderkey -> priority map (orders is ~1.5% of lineitem's rows) broadcasts
+    once via ray.put; revenue sums as exact integer ten-thousandths
+    (see pricing_summary)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    orders = pq.read_table(orders_path, columns=["o_orderkey", "o_orderpriority"])
+    omap = dict(
+        zip(
+            orders["o_orderkey"].to_pylist(),
+            orders["o_orderpriority"].to_pylist(),
+        )
+    )
+    ref = ray.put(omap)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        prios = [m[k] for k in batch["l_orderkey"].to_pylist()]
+        units = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        batch["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                    ),
+                    pa.scalar(10000.0),
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "o_orderpriority": pa.array(prios, pa.string()),
+                "units": units,
+            }
+        )
+        g = t.group_by("o_orderpriority").aggregate(
+            [("units", "sum"), ("units", "count")]
+        )
+        return g.rename_columns(["o_orderpriority", "revenue", "n_items"])
+
+    def final(group: pa.Table) -> pa.Table:
+        s = int(pc.sum(group["revenue"]).as_py())
+        return pa.table(
+            {
+                "o_orderpriority": [group["o_orderpriority"][0].as_py()],
+                "revenue": [((s + 50) // 100) / 100.0],
+                "n_items": [int(pc.sum(group["n_items"]).as_py())],
+            }
+        )
+
+    return (
+        lineitem_ds.select_columns(
+            ["l_orderkey", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(final, batch_format="pyarrow")
+    )
