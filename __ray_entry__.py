@@ -82,12 +82,14 @@ def _decoded_crc(batch: pa.Table, dtype="<u2") -> list[int]:
     ]
 
 
-def _tiles_with_checksum(tiles_ds):
+def _tiles_with_checksum(tiles_ds, dtype: str = "uint16"):
     """Replace pixel payloads with a crc32 checksum column: deterministic
     value evidence without shipping megabytes to the driver."""
+    wire = np.dtype(dtype)
+    wire = wire.newbyteorder("<") if wire.itemsize > 1 else wire
 
     def summarize(batch: pa.Table) -> pa.Table:
-        crc = _decoded_crc(batch)
+        crc = _decoded_crc(batch, wire)
         t = batch.drop_columns(["pixels", "pixels_codec", "input_ids"])
         return t.append_column("pixels_crc32", pa.array(crc, pa.int64()))
 
@@ -153,6 +155,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_mosaic_tiles_lossy(sf_dir: str):
         res = do_mosaic(_images("grid", MIXED_FMTS), _cfg("grid"))
+        return _tiles_with_checksum(res.tiles_ds)
+
+    def q_mosaic_tiles_f32(sf_dir: str):  # rows-only (non-SQL)
+        # float32 + NaN-null catalog (explicit gt/crs/nullval/dtype columns):
+        # the reference's any-GDAL-dtype capability (mosaic.py:16,354).
+        from moaray.testgen import images_path as _ipath
+
+        path = _ipath(
+            _layout("grid"), fmts=("z16",), explicit_meta=True,
+            dtype="float32", nullval=float("nan"),
+        )
+        res = do_mosaic(path, _cfg("grid"))
+        return _tiles_with_checksum(res.tiles_ds, "float32")
+
+    def q_mosaic_tiles_png(sf_dir: str):  # rows-only (non-SQL)
+        # real PNG-encoded inputs through the from-scratch PNG codec
+        res = do_mosaic(_images("grid", ("png",)), _cfg("grid"))
         return _tiles_with_checksum(res.tiles_ds)
 
     def q_spatial_join(sf_dir: str):
@@ -416,6 +435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tiles_sparse": q_mosaic_tiles_sparse,
         "mosaic_tiles_feather": q_mosaic_tiles_feather,
         "mosaic_tiles_lossy": q_mosaic_tiles_lossy,
+        "mosaic_tiles_f32": q_mosaic_tiles_f32,
+        "mosaic_tiles_png": q_mosaic_tiles_png,
         "mosaic_reproject": q_mosaic_reproject,
         "knn_ivf": q_knn_ivf,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,

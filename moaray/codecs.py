@@ -1,24 +1,36 @@
 """Image codecs for the `bytes` column of the image table.
 
 The sandbox ships no image libraries (no Pillow / imagecodecs / GDAL), so the
-engine defines three self-describing single-band codecs that cover the three
-parity regimes demanded by BASELINE.json:
+engine defines self-describing single-band codecs covering the parity regimes
+demanded by BASELINE.json, plus a from-scratch PNG codec:
 
-- ``raw16``  — uncompressed little-endian uint16, C-order. Exact-parity path;
-  supports *windowed* decode (row-strided reads straight out of the buffer,
-  the analog of GDAL's windowed ReadAsArray, ref:
+- ``raw16``  — uncompressed little-endian pixels, C-order (any supported
+  dtype — the name is historical, the header carries the dtype). Exact-parity
+  path; supports *windowed* decode (row-strided reads straight out of the
+  buffer, the analog of GDAL's windowed ReadAsArray, ref:
   /root/reference/moamosaic/mosaic.py:257-263).
-- ``z16``    — zlib-compressed raw16. Lossless codec path (PNG stand-in);
-  requires full-image decode, which is why the decode stage is an actor pool
-  with a per-image LRU (the reference's GdalObjCache analog, ref:
+- ``z16``    — zlib-compressed raw (any dtype). Lossless codec path; requires
+  full-image decode, which is why the decode stage keeps a per-image LRU
+  (the reference's GdalObjCache analog, ref:
   /root/reference/moamosaic/structures.py:208-242).
-- ``q12``    — deterministic lossy path (JPEG stand-in): values quantized by a
-  4-bit right-shift then zlib-coded; dequantize restores the mid-bucket value.
-  Null pixels (value 0) survive exactly, so merge semantics are preserved;
-  PSNR vs the original is far above the 40 dB gate.
+- ``q12``    — deterministic lossy path (JPEG stand-in, uint16 only): values
+  quantized by a 4-bit right-shift then zlib-coded; dequantize restores the
+  mid-bucket value. Null pixels (value 0) survive exactly, so merge semantics
+  are preserved; PSNR vs the original is far above the 40 dB gate.
+- ``png``    — real PNG (grayscale, 8- or 16-bit), implemented from scratch
+  per the public spec (RFC 2083): zlib + the five scanline filters. Encoder
+  emits filter 0 rows; decoder handles all five filter types, so
+  foreign-encoded grayscale PNGs decode too. Matches the reference's ability
+  to read standard image formats via GDAL (ref mosaic.py:203-211) without
+  any image library.
 
-If Pillow is ever present, ``png``/``jpeg`` dispatch to it; otherwise those
-fmts raise NotImplementedError (clearly-gated stub per the build brief).
+``jpeg`` stays a declared NotImplementedError gate (a conformant DCT decoder
+is out of scope); ``q12`` is the lossy stand-in.
+
+The reference handles any GDAL band dtype (GDALTypeCodeToNumericTypeCode,
+ref mosaic.py:16,354); the MRAY header's dtype byte covers uint8/uint16/
+int16/int32/uint32/float32/float64. NaN-null float rasters round-trip
+losslessly through raw16/z16.
 
 Header layout (14 bytes): magic ``MRAY`` | fmt u8 | dtype u8 | h u32 | w u32.
 """
@@ -36,35 +48,52 @@ HEADER_SIZE = _HEADER.size
 
 _FMT_CODES = {"raw16": 1, "z16": 2, "q12": 3}
 _FMT_NAMES = {v: k for k, v in _FMT_CODES.items()}
-_DTYPES = {1: np.uint16}
+# dtype codes in the MRAY header (1 == uint16 kept from the v1 format)
+_DTYPE_CODES = {
+    "uint16": 1,
+    "uint8": 2,
+    "int16": 3,
+    "int32": 4,
+    "uint32": 5,
+    "float32": 6,
+    "float64": 7,
+}
+_DTYPES = {v: np.dtype(k) for k, v in _DTYPE_CODES.items()}
 _Q12_SHIFT = 4
 
-try:  # pragma: no cover - not present in this sandbox
-    from PIL import Image  # noqa: F401
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
+
+def _le(dtype: np.dtype) -> np.dtype:
+    return dtype.newbyteorder("<") if dtype.itemsize > 1 else dtype
 
 
 def encode(arr: np.ndarray, fmt: str) -> bytes:
-    """Encode a 2-D uint16 array into the given fmt."""
-    if arr.dtype != np.uint16 or arr.ndim != 2:
-        raise ValueError(f"expected 2-D uint16, got {arr.dtype} {arr.shape}")
-    h, w = arr.shape
-    if fmt in ("png", "jpeg"):
+    """Encode a 2-D array into the given fmt. raw16/z16 accept any supported
+    dtype (the header records it); q12 is uint16-only; png is uint8/uint16."""
+    if arr.ndim != 2:
+        raise ValueError(f"expected a 2-D array, got shape {arr.shape}")
+    if fmt == "png":
+        return png_encode(arr)
+    if fmt == "jpeg":
         raise NotImplementedError(
-            f"fmt={fmt!r} needs Pillow, which is not installed in this "
-            "environment; use raw16/z16 (lossless) or q12 (lossy)"
+            "fmt='jpeg' is a declared gate (no DCT codec in this "
+            "environment); use png/raw16/z16 (lossless) or q12 (lossy)"
         )
+    dname = arr.dtype.newbyteorder("=").name
+    if dname not in _DTYPE_CODES:
+        raise ValueError(f"unsupported pixel dtype {arr.dtype}")
+    h, w = arr.shape
     code = _FMT_CODES[fmt]
-    header = _HEADER.pack(MAGIC, code, 1, h, w)
-    raw = np.ascontiguousarray(arr, dtype="<u2").tobytes()
+    header = _HEADER.pack(MAGIC, code, _DTYPE_CODES[dname], h, w)
+    raw = np.ascontiguousarray(arr, dtype=_le(np.dtype(dname))).tobytes()
     if fmt == "raw16":
         return header + raw
     if fmt == "z16":
         return header + zlib.compress(raw, level=1)
     if fmt == "q12":
+        if dname != "uint16":
+            raise ValueError("q12 (lossy) codec supports uint16 only")
         # Bucket 0 is reserved for null so lossy coding never creates or
         # destroys null pixels: q = ((v-1) >> shift) + 1 for v > 0.
         q = np.where(
@@ -78,24 +107,48 @@ def probe_header(buf: bytes) -> tuple[str, int, int]:
     """Read (fmt, h, w) from the header without decoding pixels.
 
     The analog of the reference's ImageInfo open-time probe
-    (ref: /root/reference/moamosaic/structures.py:11-34).
+    (ref: /root/reference/moamosaic/structures.py:11-34). Handles both MRAY
+    and PNG containers.
     """
+    if bytes(buf[:8]) == PNG_SIG:
+        w, h = struct.unpack_from(">II", buf, 16)  # IHDR is always first
+        return ("png", h, w)
     magic, code, dcode, h, w = _HEADER.unpack_from(buf, 0)
     if magic != MAGIC:
-        raise ValueError("bad magic; not a MRAY-coded image")
+        raise ValueError("bad magic; not a MRAY- or PNG-coded image")
     return (_FMT_NAMES[code], h, w)
 
 
+def header_dtype(buf: bytes) -> np.dtype:
+    """Pixel dtype recorded in the container header (no pixel decode)."""
+    if bytes(buf[:8]) == PNG_SIG:
+        bitdepth = buf[24]
+        return np.dtype("uint16" if bitdepth == 16 else "uint8")
+    _magic, _code, dcode, _h, _w = _HEADER.unpack_from(buf, 0)
+    return _DTYPES[dcode]
+
+
 def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
-    """Decode the full image to a (h, w) uint16 array."""
+    """Decode the full image to an (h, w) array of the header's dtype."""
+    if bytes(buf[:8]) == PNG_SIG:
+        if fmt is not None and fmt != "png":
+            raise ValueError(f"fmt column says {fmt!r}, payload is PNG")
+        return png_decode(buf)
     name, h, w = probe_header(buf)
     if fmt is not None and fmt != name:
         raise ValueError(f"fmt column says {fmt!r}, header says {name!r}")
+    dtype = header_dtype(buf)
     payload = memoryview(buf)[HEADER_SIZE:]
     if name == "raw16":
-        return np.frombuffer(payload, dtype="<u2").reshape(h, w)
+        return np.frombuffer(payload, dtype=_le(dtype)).reshape(h, w).astype(
+            dtype, copy=False
+        )
     if name == "z16":
-        return np.frombuffer(zlib.decompress(payload), dtype="<u2").reshape(h, w)
+        return (
+            np.frombuffer(zlib.decompress(payload), dtype=_le(dtype))
+            .reshape(h, w)
+            .astype(dtype, copy=False)
+        )
     if name == "q12":
         q = np.frombuffer(zlib.decompress(payload), dtype="<u2").reshape(h, w)
         # Mid-bucket dequantize; bucket 0 stays exactly null.
@@ -113,11 +166,13 @@ def decode_window(
     For raw16 this is a zero-copy strided view over the buffer — no full
     decode — which is the scale path for large images feeding one tile.
     """
-    name, h, w = probe_header(buf)
-    if name == "raw16":
-        full = np.frombuffer(memoryview(buf)[HEADER_SIZE:], dtype="<u2")
-        full = full.reshape(h, w)
-        return full[top : top + ysize, left : left + xsize]
+    if bytes(buf[:8]) != PNG_SIG:
+        name, h, w = probe_header(buf)
+        if name == "raw16":
+            dtype = header_dtype(buf)
+            full = np.frombuffer(memoryview(buf)[HEADER_SIZE:], dtype=_le(dtype))
+            full = full.reshape(h, w)
+            return full[top : top + ysize, left : left + xsize]
     arr = decode(buf, fmt)
     return arr[top : top + ysize, left : left + xsize]
 
@@ -129,3 +184,118 @@ def psnr(a: np.ndarray, b: np.ndarray, peak: float = 65535.0) -> float:
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(peak * peak / mse)
+
+
+# ---------------------------------------------------------------------------
+# PNG (grayscale 8/16-bit), from scratch per the public spec (RFC 2083).
+# ---------------------------------------------------------------------------
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """Grayscale PNG bytes (bit depth 8 for uint8, 16 for uint16).
+
+    Scanlines use filter 0 (None) — zlib still compresses the synthetic
+    ramps well, and decode stays trivially vectorizable.
+    """
+    if arr.ndim != 2:
+        raise ValueError(f"png_encode expects 2-D, got {arr.shape}")
+    if arr.dtype == np.uint8:
+        bitdepth, data = 8, np.ascontiguousarray(arr)
+    elif arr.dtype == np.uint16:
+        bitdepth = 16
+        data = np.ascontiguousarray(arr, dtype=">u2")  # PNG is big-endian
+    else:
+        raise ValueError(f"png supports uint8/uint16, got {arr.dtype}")
+    h, w = arr.shape
+    row_bytes = data.view(np.uint8).reshape(h, -1)
+    # filter byte 0 prepended to every scanline
+    scan = np.zeros((h, row_bytes.shape[1] + 1), dtype=np.uint8)
+    scan[:, 1:] = row_bytes
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, 0, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(scan.tobytes(), level=1))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_decode(buf: bytes) -> np.ndarray:
+    """Decode a grayscale (color type 0) 8/16-bit PNG, all 5 filters."""
+    if bytes(buf[:8]) != PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos = 8
+    w = h = bitdepth = colortype = interlace = None
+    idat = []
+    n = len(buf)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", buf, pos)
+        ctype = bytes(buf[pos + 4 : pos + 8])
+        data = bytes(buf[pos + 8 : pos + 8 + length])
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, bitdepth, colortype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if colortype != 0 or bitdepth not in (8, 16) or interlace != 0:
+        raise NotImplementedError(
+            f"only non-interlaced grayscale 8/16-bit PNG supported "
+            f"(colortype={colortype}, bitdepth={bitdepth})"
+        )
+    bpp = bitdepth // 8
+    stride = w * bpp
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    raw = raw.reshape(h, stride + 1)
+    filters = raw[:, 0]
+    out = np.empty((h, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        cur = raw[y, 1:]
+        prev = out[y - 1] if y else zero_row
+        if f == 0:  # None
+            out[y] = cur
+        elif f == 2:  # Up — fully vectorized
+            out[y] = cur + prev  # uint8 wraps mod 256 as required
+        elif f == 1:  # Sub — cumulative sum per byte lane, mod 256
+            lanes = cur.reshape(-1, bpp).astype(np.int64)
+            out[y] = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(-1)
+        elif f == 3:  # Average
+            row = out[y]
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            row = out[y]
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                row[x] = (int(cur[x]) + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+    if bitdepth == 16:
+        return (
+            out.reshape(-1).view(">u2").reshape(h, w).astype(np.uint16)
+        )
+    return out.reshape(h, w).copy()

@@ -37,14 +37,18 @@ class ImageFeatures:
         for i in range(batch.num_rows):
             fmt = batch["fmt"][i].as_py()
             buf = batch["bytes"][i].as_py()
-            if fmt in ("png", "jpeg"):
-                raise NotImplementedError(
-                    "PNG/JPEG decode requires Pillow (absent in sandbox); "
-                    "use MRAY fmts raw16/z16/q12"
-                )
+            # png decodes through the from-scratch codec (codecs.png_decode);
+            # jpeg stays gated inside codecs.encode/decode.
             arr = codecs.decode(buf, fmt)
-            valid = arr[arr != 0]
-            hist, _ = np.histogram(arr, bins=self.bins, range=(0, 65536))
+            if np.issubdtype(arr.dtype, np.floating):
+                valid = arr[~np.isnan(arr)]
+                lo = float(valid.min()) if valid.size else 0.0
+                hi = float(valid.max()) if valid.size else 1.0
+                hist_range = (lo, hi if hi > lo else lo + 1.0)
+            else:
+                valid = arr[arr != 0]
+                hist_range = (0, int(np.iinfo(arr.dtype).max) + 1)
+            hist, _ = np.histogram(arr, bins=self.bins, range=hist_range)
             rows["image_id"].append(batch["image_id"][i].as_py())
             rows["mean"].append(round(float(valid.mean()) if valid.size else 0.0, 4))
             rows["std"].append(round(float(valid.std()) if valid.size else 0.0, 4))

@@ -69,7 +69,10 @@ def build_mosaic(
                    l0 - fleft : l0 - fleft + clipped.shape[1]] = clipped
         dst = mosaic[block.top : block.top + block.ysize,
                      block.left : block.left + block.xsize]
-        non_null = padded != nullval
+        if nullval is not None and np.isnan(nullval):
+            non_null = ~np.isnan(padded)
+        else:
+            non_null = padded != nullval
         dst[non_null] = padded[non_null]
     return mosaic
 

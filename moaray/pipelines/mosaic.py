@@ -49,7 +49,7 @@ from ..testgen import Layout
 IMAGE_META_COLS = ["image_id", "w", "h", "fmt"]
 # Optional catalog columns: explicit per-image metadata wins over the
 # synthetic placement layout (stages/plan.py metas_from_batch).
-OPTIONAL_META_COLS = ["gt", "crs", "nullval", "seq"]
+OPTIONAL_META_COLS = ["gt", "crs", "nullval", "seq", "dtype"]
 
 
 def meta_columns(images_path: str) -> list[str]:
@@ -409,7 +409,11 @@ def do_mosaic(
                     max(2, -(-cnt // cfg.inputs_per_salt)),
                 )
 
-    shuffle_codec = cfg.shuffle_codec if grid.dtype == "uint16" else None
+    # z16 (zlib raw) is dtype-generic; only the lossy q12 is uint16-bound.
+    def _codec_for_dtype(codec):
+        return None if (codec == "q12" and grid.dtype != "uint16") else codec
+
+    shuffle_codec = _codec_for_dtype(cfg.shuffle_codec)
     images_ds = read_images(images_path)  # all cols incl. bytes
     windows = decode_windows(
         images_ds,
@@ -445,7 +449,7 @@ def do_mosaic(
 
             windows = windows.map_batches(drop_committed, batch_format="pyarrow")
 
-    tile_codec = cfg.tile_codec if grid.dtype == "uint16" else None
+    tile_codec = _codec_for_dtype(cfg.tile_codec)
     if hot_tiles and cfg.merge == "feather":
         from ..stages.assemble import assemble_tiles_salted_feather
 

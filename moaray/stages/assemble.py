@@ -87,6 +87,22 @@ def encode_payload(arr: np.ndarray, codec: str | None) -> tuple[bytes, str]:
     return arr.tobytes(), "raw"
 
 
+def _is_nan_null(nv) -> bool:
+    try:
+        return bool(np.isnan(nv))
+    except TypeError:
+        return False
+
+
+def _nonnull_mask(arr: np.ndarray, nv) -> np.ndarray:
+    """Boolean mask of non-null pixels; NaN-null rasters (the reference's
+    float special case, ref mosaic.py:762-767) compare via isnan because
+    NaN != NaN."""
+    if _is_nan_null(nv):
+        return ~np.isnan(arr)
+    return arr != nv
+
+
 def _canvas_stats(canvas: np.ndarray, nv) -> tuple[int, float, float, object, object]:
     """(nonnull, sum, ssq, min, max) of non-null pixels — float64 math
     identical to StatsAccumulator (ref mosaic.py:758-771). For uint16 a
@@ -94,7 +110,7 @@ def _canvas_stats(canvas: np.ndarray, nv) -> tuple[int, float, float, object, ob
     instead of materializing float64 copies of every pixel."""
     if canvas.dtype == np.uint16:
         counts = np.bincount(canvas.ravel(), minlength=65536).astype(np.int64)
-        if not np.isnan(nv) and 0 <= int(nv) < 65536:
+        if not _is_nan_null(nv) and 0 <= int(nv) < 65536:
             counts[int(nv)] = 0
         nz = np.nonzero(counts)[0]
         if nz.size == 0:
@@ -109,10 +125,7 @@ def _canvas_stats(canvas: np.ndarray, nv) -> tuple[int, float, float, object, ob
             float(nz[0]),
             float(nz[-1]),
         )
-    if np.isnan(nv):
-        valid = canvas[~np.isnan(canvas)]
-    else:
-        valid = canvas[canvas != nv]
+    valid = canvas[_nonnull_mask(canvas, nv)]
     nonnull = int(valid.size)
     if nonnull == 0:
         return 0, 0.0, 0.0, None, None
@@ -164,7 +177,7 @@ def _merge_last(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullval,
         h, w = int(win_h[i]), int(win_w[i])
         win = views[i].reshape(h, w)
         sub = canvas[dst_top[i] : dst_top[i] + h, dst_left[i] : dst_left[i] + w]
-        np.copyto(sub, win, where=(win != nullval))
+        np.copyto(sub, win, where=_nonnull_mask(win, nullval))
 
 
 def _accum_feather(group: pa.Table, order: np.ndarray, num: np.ndarray,
@@ -185,7 +198,7 @@ def _accum_feather(group: pa.Table, order: np.ndarray, num: np.ndarray,
         wr = 1.0 + np.minimum(rr, cols["src_h"][i] - 1 - rr)
         wc = 1.0 + np.minimum(cc, cols["src_w"][i] - 1 - cc)
         wgt = np.minimum.outer(wr, wc)
-        mask = win != nullval
+        mask = _nonnull_mask(win, nullval)
         sl = (slice(cols["dst_top"][i], cols["dst_top"][i] + h),
               slice(cols["dst_left"][i], cols["dst_left"][i] + w))
         num[sl] += np.where(mask, wgt * win.astype(np.float64), 0.0)
@@ -193,7 +206,22 @@ def _accum_feather(group: pa.Table, order: np.ndarray, num: np.ndarray,
 
 
 def _blend_feather(num: np.ndarray, den: np.ndarray, canvas: np.ndarray, nullval):
-    blended = np.where(den > 0, np.rint(num / np.maximum(den, 1e-12)), nullval)
+    if np.issubdtype(canvas.dtype, np.floating):
+        blended = np.where(den > 0, num / np.maximum(den, 1e-12), nullval)
+    else:
+        blended = np.where(den > 0, np.rint(num / np.maximum(den, 1e-12)), nullval)
+    if not _is_nan_null(nullval):
+        # A legitimately blended pixel whose weighted mean lands exactly on
+        # the null value would read back as a hole (round-1 ADVICE): nudge it
+        # one code value away from null.
+        info = (
+            np.iinfo(canvas.dtype)
+            if np.issubdtype(canvas.dtype, np.integer)
+            else None
+        )
+        bump = 1 if (info is None or nullval < info.max) else -1
+        blended = np.where((den > 0) & (blended == nullval),
+                           blended + bump, blended)
     canvas[:, :] = blended.astype(canvas.dtype)
 
 
@@ -209,7 +237,7 @@ def make_assemble_fn(nullval: float, dtype: str, merge: str = "last",
                      windows_encoded: bool = False,
                      tile_codec: str | None = None):
     np_dtype = np.dtype(dtype)
-    nv = np_dtype.type(nullval) if not np.isnan(nullval) else nullval
+    nv = nullval if _is_nan_null(nullval) else np_dtype.type(nullval)
 
     def assemble(group: pa.Table) -> pa.Table:
         # one group == one tile_id; re-impose input-list merge order
@@ -305,7 +333,7 @@ def assemble_tiles_salted(
     if merge != "last":
         raise ValueError("salted assembly only supports the 'last' merge kernel")
     np_dtype = np.dtype(grid.dtype)
-    nv = np_dtype.type(grid.nullval)
+    nv = grid.nullval if _is_nan_null(grid.nullval) else np_dtype.type(grid.nullval)
     encoded = window_codec is not None
 
     def partial_merge(group: pa.Table) -> pa.Table:
@@ -358,7 +386,7 @@ def assemble_tiles_salted(
             part = decode_payload(
                 group["pixels"][i].as_buffer(), codecs_col[i], np_dtype
             ).reshape(ysize, xsize)
-            np.copyto(canvas, part, where=(part != nv))
+            np.copyto(canvas, part, where=_nonnull_mask(part, nv))
             input_ids.extend(group["input_ids"][i].as_py())
         nonnull, px_sum, px_ssq, px_min, px_max = _canvas_stats(canvas, nv)
         payload, codec_tag = encode_payload(canvas, tile_codec)
@@ -421,7 +449,7 @@ def assemble_tiles_salted_feather(
     import zlib as _zlib
 
     np_dtype = np.dtype(grid.dtype)
-    nv = np_dtype.type(grid.nullval)
+    nv = grid.nullval if _is_nan_null(grid.nullval) else np_dtype.type(grid.nullval)
     encoded = window_codec is not None
 
     def partial(group: pa.Table) -> pa.Table:

@@ -103,6 +103,15 @@ class DecodeSlice:
         # window math run on the warped metadata; pixel fetch decodes the
         # source and inverse-maps the requested window only.
         self.warp = warp
+        # windows shuffle in the OUTPUT grid's dtype (little-endian): inputs
+        # whose codec dtype differs are cast here, matching the reference's
+        # write-through-GDAL cast on output (ref mosaic.py:340-348).
+        self.np_dtype = np.dtype(self.grid.dtype)
+        self.wire_dtype = (
+            self.np_dtype.newbyteorder("<")
+            if self.np_dtype.itemsize > 1
+            else self.np_dtype
+        )
         self._cache: OrderedDict[str, np.ndarray] = OrderedDict()
 
     def _full_decode(self, key, buf: bytes, fmt: str) -> np.ndarray:
@@ -130,6 +139,15 @@ class DecodeSlice:
 
         for i, (seq, meta) in enumerate(metas_from_batch(batch, self.layout)):
             image_id, fmt = meta.image_id, meta.fmt
+            if fmt == "q12" and meta.nullval != 0:
+                # q12 reserves bucket 0: only pixel value 0 survives
+                # quantization exactly, so a nonzero nullval would let lossy
+                # coding create/destroy null pixels and corrupt the
+                # last-non-null merge (ADVICE round 1).
+                raise ValueError(
+                    f"image {image_id}: fmt='q12' requires nullval == 0 "
+                    f"(got {meta.nullval}); use z16/raw16/png for this input"
+                )
             # zero-copy view of the arrow cell (no bytes copy per image)
             buf = memoryview(blobs[i].as_buffer())
             if self.warp is not None:
@@ -194,7 +212,7 @@ class DecodeSlice:
                     rows["src_left"].append(l0)
                     rows["src_h"].append(plan_meta.nrows)
                     rows["src_w"].append(plan_meta.ncols)
-                    win_arr = np.ascontiguousarray(clipped, dtype="<u2")
+                    win_arr = np.ascontiguousarray(clipped, dtype=self.wire_dtype)
                     if self.shuffle_codec:
                         rows["pixels"].append(
                             codecs.encode(win_arr, self.shuffle_codec)

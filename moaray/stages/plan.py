@@ -108,6 +108,7 @@ def metas_from_batch(
     crss = batch["crs"].to_pylist() if "crs" in names else None
     nulls = batch["nullval"].to_pylist() if "nullval" in names else None
     seqs = batch["seq"].to_pylist() if "seq" in names else None
+    dtypes = batch["dtype"].to_pylist() if "dtype" in names else None
     out: list[tuple[int, ImageMeta]] = []
     for i, image_id in enumerate(ids):
         seq = int(seqs[i]) if seqs is not None else image_idx(image_id)
@@ -119,6 +120,7 @@ def metas_from_batch(
                 transform=tuple(gts[i]),
                 crs=crss[i] if crss is not None else "EPSG:32756",
                 nullval=float(nulls[i]) if nulls is not None else 0.0,
+                dtype=dtypes[i] if dtypes is not None else "uint16",
                 fmt=fmts[i],
             )
         else:

@@ -104,15 +104,28 @@ def place(idx: int, layout: Layout) -> GeoTransform:
     raise ValueError(f"unknown layout {layout.name!r}")
 
 
-def pixel_array(idx: int, layout: Layout) -> np.ndarray:
-    """Column-index ramp (column 0 == null 0), per-image offset for layouts
-    where overlapping images must be distinguishable (FIXTURES.md §1)."""
+def pixel_array(
+    idx: int, layout: Layout, dtype: str = "uint16", nullval: float = 0.0
+) -> np.ndarray:
+    """Column-index ramp (column 0 == null), per-image offset for layouts
+    where overlapping images must be distinguishable (FIXTURES.md §1).
+
+    Non-uint16 dtypes mirror the reference's any-GDAL-dtype capability
+    (ref mosaic.py:16,354): the ramp is cast, column 0 carries ``nullval``
+    (NaN for NaN-null float rasters, exercising the StatsAccumulator NaN
+    case, ref mosaic.py:762-767)."""
     s = layout.size
-    arr = np.tile(np.arange(s, dtype=np.uint16), (s, 1))
+    np_dtype = np.dtype(dtype)
+    if np.issubdtype(np_dtype, np.floating):
+        arr = np.tile(
+            np.arange(s, dtype=np.float64) + 0.5, (s, 1)
+        ).astype(np_dtype)
+    else:
+        arr = np.tile(np.arange(s, dtype=np_dtype), (s, 1))
     if layout.name in ("hotspot", "bench"):
-        offset = np.uint16((idx % 7) + 1)
-        arr = arr + offset
-        arr[:, 0] = 0  # keep the null column null (tests.py:92-94 rule)
+        offset = np_dtype.type((idx % 7) + 1)
+        arr = (arr + offset).astype(np_dtype)
+    arr[:, 0] = np_dtype.type(nullval) if not np.isnan(nullval) else np.nan
     return arr
 
 
@@ -154,12 +167,16 @@ def metas_for_layout(layout: Layout, fmts: tuple[str, ...] = ("raw16",)) -> list
     return [meta_for(i, layout, fmt_for(i, fmts)) for i in range(layout.n)]
 
 
-def band_pixel_array(idx: int, layout: Layout, band: int) -> np.ndarray:
+def band_pixel_array(
+    idx: int, layout: Layout, band: int,
+    dtype: str = "uint16", nullval: float = 0.0,
+) -> np.ndarray:
     """Band b = base ramp + 100*b (column 0 stays null)."""
-    arr = pixel_array(idx, layout)
+    arr = pixel_array(idx, layout, dtype, nullval)
     if band:
-        arr = arr + np.uint16(100 * band)
-        arr[:, 0] = 0
+        np_dtype = np.dtype(dtype)
+        arr = (arr + np_dtype.type(100 * band)).astype(np_dtype)
+        arr[:, 0] = np_dtype.type(nullval) if not np.isnan(nullval) else np.nan
     return arr
 
 
@@ -169,6 +186,8 @@ def gen_images_table(
     seed: int = 42,
     explicit_meta: bool = False,
     nbands: int = 1,
+    dtype: str = "uint16",
+    nullval: float = 0.0,
 ) -> pa.Table:
     """Build the full images table in memory (small scales only).
 
@@ -178,13 +197,18 @@ def gen_images_table(
     reference probing each file, structures.py:11-34) instead of the
     synthetic placement function.
     """
+    if dtype != "uint16" and not explicit_meta:
+        raise ValueError(
+            "non-uint16 fixtures need explicit_meta=True so the catalog "
+            "carries the dtype/nullval columns"
+        )
     ids, blobs, ws, hs, fmt_col, captions, phashes = [], [], [], [], [], [], []
-    gts, crss, nulls, band_col = [], [], [], []
+    gts, crss, nulls, band_col, dtypes = [], [], [], [], []
     for idx in range(layout.n):
       for band in range(nbands):
         image_id = make_image_id(idx)
         fmt = fmt_for(idx, fmts)
-        arr = band_pixel_array(idx, layout, band)
+        arr = band_pixel_array(idx, layout, band, dtype, nullval)
         ids.append(image_id)
         blobs.append(codecs.encode(arr, fmt))
         ws.append(layout.size)
@@ -196,7 +220,8 @@ def gen_images_table(
         if explicit_meta:
             gts.append(list(place(idx, layout)))
             crss.append(crs_for(idx, layout))
-            nulls.append(0.0)
+            nulls.append(nullval)
+            dtypes.append(dtype)
     cols = {
         "image_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
@@ -212,6 +237,7 @@ def gen_images_table(
         cols["gt"] = pa.array(gts, pa.list_(pa.float64(), 6))
         cols["crs"] = pa.array(crss, pa.string())
         cols["nullval"] = pa.array(nulls, pa.float64())
+        cols["dtype"] = pa.array(dtypes, pa.string())
     return pa.table(cols)
 
 
@@ -221,6 +247,10 @@ def images_path(
     seed: int = 42,
     root: str = "/tmp/moaray_fixtures",
     images_per_shard: int = 16,
+    explicit_meta: bool = False,
+    nbands: int = 1,
+    dtype: str = "uint16",
+    nullval: float = 0.0,
 ) -> str:
     """Write (once, cached) the images table as sharded parquet; return the
     dataset directory path.
@@ -234,15 +264,23 @@ def images_path(
     """
     os.makedirs(root, exist_ok=True)
     tag = f"{layout.name}_n{layout.n}_s{layout.size}_{'-'.join(fmts)}_seed{seed}"
+    if explicit_meta or nbands > 1 or dtype != "uint16":
+        nv_tag = "nan" if np.isnan(nullval) else f"{nullval:g}"
+        tag += f"_x{int(explicit_meta)}_b{nbands}_{dtype}_nv{nv_tag}"
     path = os.path.join(root, f"images_{tag}")
     done = path + ".done"  # marker outside the dir so dataset readers only
     # ever see parquet files inside
     if not os.path.exists(done):
-        tbl = gen_images_table(layout, fmts, seed)
+        tbl = gen_images_table(
+            layout, fmts, seed,
+            explicit_meta=explicit_meta, nbands=nbands,
+            dtype=dtype, nullval=nullval,
+        )
         os.makedirs(path, exist_ok=True)
-        n_shards = max(1, -(-layout.n // images_per_shard))
+        rows_per_shard = images_per_shard * nbands
+        n_shards = max(1, -(-tbl.num_rows // rows_per_shard))
         for s in range(n_shards):
-            shard = tbl.slice(s * images_per_shard, images_per_shard)
+            shard = tbl.slice(s * rows_per_shard, rows_per_shard)
             fp = os.path.join(path, f"part-{s:05d}.parquet")
             pq.write_table(shard, fp + ".tmp", row_group_size=4)
             os.replace(fp + ".tmp", fp)
