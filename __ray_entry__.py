@@ -286,7 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_charset_jaccard(sf_dir: str):
         return dedup.charset_jaccard_pairs(_docs(sf_dir), threshold=0.9)
 
-    def q_ngram_jaccard(sf_dir: str):  # rows-only (list-SQL too gnarly)
+    def q_ngram_jaccard(sf_dir: str):
         return dedup.ngram_jaccard_pairs(_docs(sf_dir), threshold=0.3)
 
     def q_minhash_pairs(sf_dir: str):  # rows-only (non-SQL)
@@ -377,6 +377,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from moaray.ops.sketch import hll_distinct
 
         return hll_distinct(
+            ray.data.read_parquet(f"{sf_dir}/events.parquet"),
+            "user_id",
+            "event_type",
+        ).sort("group")
+
+    def q_exact_distinct_users(sf_dir: str):
+        import ray
+
+        return relational.exact_distinct(
             ray.data.read_parquet(f"{sf_dir}/events.parquet"),
             "user_id",
             "event_type",
@@ -473,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_nation_stats": q_segment_nation_stats,
         "sessionize": q_sessionize,
         "hll_distinct_users": q_hll_distinct_users,
+        "exact_distinct_users": q_exact_distinct_users,
         "heavy_hitters": q_heavy_hitters,
         "props_extract": q_props_extract,
         "audio_features": q_audio_features,
@@ -548,6 +558,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a JOIN documents b
               ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE jaccard(a.text, b.text) >= 0.9
+        """,
+        "ngram_jaccard_pairs": """
+            WITH t AS (
+              SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents
+            ),
+            g AS (
+              SELECT doc_id, lang,
+                     CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' ')))
+                     END AS grams
+              FROM t
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.grams, b.grams))), 4)
+                     AS jaccard
+            FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3
+        """,
+        "exact_distinct_users": """
+            SELECT CAST(event_type AS VARCHAR) AS "group",
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events
+            GROUP BY event_type
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -258,10 +258,12 @@ def knn_ivf(
 
 
 def load_queries(emb_ds, n_queries: int = 10):
-    """First n vec_ids as the query set (deterministic, tiny driver read)."""
+    """First n vec_ids as the query set (deterministic, tiny driver read).
+    Expression filter (not a per-row Python fn) so the predicate pushes into
+    the vectorized scan."""
     rows = (
         emb_ds.select_columns(["vec_id", "embedding"])
-        .filter(lambda r: r["vec_id"] < n_queries)
+        .filter(expr=f"vec_id < {int(n_queries)}")
         .take_all()
     )
     rows.sort(key=lambda r: r["vec_id"])

@@ -190,7 +190,9 @@ def revenue_by_nation(orders_ds, customer_path: str, nation_path: str):
     def partial(batch: pa.Table) -> pa.Table:
         cmap, nmap = ray.get(ref)
         custkeys = batch["o_custkey"].to_pylist()
-        names = [nmap[cmap[c]] for c in custkeys]
+        # .get(): a fact row with no dimension match DROPS, mirroring the
+        # inner-join SQL semantics instead of KeyError-ing the task
+        names = [nmap.get(cmap.get(c)) for c in custkeys]
         # exact integer cents: immune to float summation order + rounding
         # mode (see pricing_summary)
         cents = pc.cast(
@@ -205,7 +207,7 @@ def revenue_by_nation(orders_ds, customer_path: str, nation_path: str):
                 "n_name": pa.array(names, pa.string()),
                 "cents": cents,
             }
-        )
+        ).filter(pc.is_valid(pa.array(names, pa.string())))
         g = t.group_by("n_name").aggregate(
             [("cents", "sum"), ("cents", "count")]
         )
@@ -372,26 +374,67 @@ def top_orders_per_customer(orders_ds, n: int = 2):
     )
 
 
-def revenue_by_priority(lineitem_ds, orders_path: str):
-    """Fact-to-dimension join at fact scale: lineitem streams, the
-    orderkey -> priority map (orders is ~1.5% of lineitem's rows) broadcasts
-    once via ray.put; revenue sums as exact integer ten-thousandths
-    (see pricing_summary)."""
-    import pyarrow.parquet as pq
+def exact_distinct(ds, value_col: str, group_col: str):
+    """Exact distributed COUNT(DISTINCT value) per group — the in-driver
+    accuracy anchor for the HLL sketch (same 'group' key column).
+
+    Shape: per-batch local distinct (Arrow group_by — shrinks the shuffle to
+    the batch's distinct pairs), one shuffle on (group, value) to global
+    distinct, then a partial count + tiny groupby sum. The raw values never
+    shuffle more than once and never reach the driver."""
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "group": pc.cast(batch[group_col], pa.string()),
+                "value": pc.cast(batch[value_col], pa.string()),
+            }
+        )
+        return t.group_by(["group", "value"]).aggregate([])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("group").aggregate([("value", "count")])
+        return g.rename_columns(["group", "n_distinct"])
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "group": [group["group"][0].as_py()],
+                "n_distinct": pa.array(
+                    [int(pc.sum(group["n_distinct"]).as_py())], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["group", "value"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("group")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def revenue_by_priority(lineitem_ds, orders_path: str, num_partitions: int = 32):
+    """Fact-to-fact join done as a real distributed hash join.
+
+    Orders is a FACT table (~1/4 of lineitem's rows — round-1 verdict: a
+    driver-side dict of o_orderkey -> priority is not broadcastable at
+    sf1000), so both sides shuffle through Ray's hash join on the order key.
+    Lineitem is pre-combined per batch to one (l_orderkey, units, n) partial
+    row per distinct key — the per-orderkey partial shrinks the probe side
+    ~4x before it ever enters the join shuffle. Revenue sums as exact
+    integer ten-thousandths (see pricing_summary); inner join drops
+    unmatched keys exactly like the SQL oracle."""
     import ray
 
-    orders = pq.read_table(orders_path, columns=["o_orderkey", "o_orderpriority"])
-    omap = dict(
-        zip(
-            orders["o_orderkey"].to_pylist(),
-            orders["o_orderpriority"].to_pylist(),
-        )
+    orders_ds = ray.data.read_parquet(
+        orders_path, columns=["o_orderkey", "o_orderpriority"]
     )
-    ref = ray.put(omap)
 
-    def partial(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        prios = [m[k] for k in batch["l_orderkey"].to_pylist()]
+    def lineitem_partial(batch: pa.Table) -> pa.Table:
         units = pc.cast(
             pc.round(
                 pc.multiply(
@@ -405,15 +448,28 @@ def revenue_by_priority(lineitem_ds, orders_path: str):
             ),
             pa.int64(),
         )
-        t = pa.table(
-            {
-                "o_orderpriority": pa.array(prios, pa.string()),
-                "units": units,
-            }
-        )
-        g = t.group_by("o_orderpriority").aggregate(
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "units": units})
+        g = t.group_by("l_orderkey").aggregate(
             [("units", "sum"), ("units", "count")]
         )
+        return g.rename_columns(["l_orderkey", "units", "n_items"])
+
+    lpart = lineitem_ds.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(lineitem_partial, batch_format="pyarrow")
+
+    joined = lpart.join(
+        orders_ds,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def prio_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["o_orderpriority", "units", "n_items"]).group_by(
+            "o_orderpriority"
+        ).aggregate([("units", "sum"), ("n_items", "sum")])
         return g.rename_columns(["o_orderpriority", "revenue", "n_items"])
 
     def final(group: pa.Table) -> pa.Table:
@@ -427,10 +483,7 @@ def revenue_by_priority(lineitem_ds, orders_path: str):
         )
 
     return (
-        lineitem_ds.select_columns(
-            ["l_orderkey", "l_extendedprice", "l_discount"]
-        )
-        .map_batches(partial, batch_format="pyarrow")
+        joined.map_batches(prio_partial, batch_format="pyarrow")
         .groupby("o_orderpriority")
         .map_groups(final, batch_format="pyarrow")
     )

@@ -37,7 +37,6 @@ from ..stages import plan as plan_stage
 from ..stages.assemble import (
     assemble_tiles,
     build_pyramids,
-    empty_tiles_table,
     overview_dims,
 )
 from ..stages.decode import decode_windows
@@ -93,8 +92,14 @@ def _bands_of(images_path: str) -> list[int]:
         return [0]
     if "band" not in names:
         return [0]
-    tbl = _pq.read_table(images_path, columns=["band"])
-    return sorted(set(tbl["band"].to_pylist()))
+    if _parquet_num_rows(images_path) <= 1_000_000:
+        tbl = _pq.read_table(images_path, columns=["band"])
+        return sorted(set(tbl["band"].to_pylist()))
+    # extreme catalogs: distributed unique() — only the distinct band ids
+    # reach the driver (round-1 ADVICE)
+    return sorted(
+        ray.data.read_parquet(images_path, columns=["band"]).unique("band")
+    )
 
 
 def _first_meta(images_path: str, layout):
@@ -475,20 +480,16 @@ def do_mosaic(
 
     if cfg.include_empty:
         # Tiles intersecting no input -> all-null canvases (ref
-        # mosaic.py:351-359). Assigned ids come back as a tiny column;
-        # at extreme tile counts this becomes an anti-join on tile_id.
-        assigned = set(tile_counts)
-        committed_tids = {k[0] for k in committed}
-        missing = [
-            t for t in range(grid.num_tiles)
-            if t not in assigned and t not in committed_tids
-        ]
-        if missing:
-            tiles = tiles.union(
-                ray.data.from_arrow(
-                    empty_tiles_table(grid, missing, tile_codec, bands)
-                )
-            )
+        # mosaic.py:351-359), synthesized DISTRIBUTED: an anti-join of
+        # range(num_tiles) against the broadcast assigned ids, filtered per
+        # (tile_id, band) against the resume keys so a kill landing between
+        # two partitions of one empty tile's bands re-emits only the
+        # uncommitted band (round-1 ADVICE).
+        from ..stages.assemble import empty_tiles_ds
+
+        tiles = tiles.union(
+            empty_tiles_ds(grid, set(tile_counts), committed, bands, tile_codec)
+        )
 
     _mark("analysis")
     result = MosaicResult(grid=grid, tiles_ds=tiles, skipped_tiles=skipped)

@@ -76,6 +76,13 @@ ASSIGN_SCHEMA = pa.schema(
         # resolution without a second metadata join)
         ("img_cx", pa.float64()),
         ("img_cy", pa.float64()),
+        # full image geometry carried on the row so downstream geometry ops
+        # (footprint_tile_coverage) never re-join or driver-materialize the
+        # catalog (round-1 verdict fix)
+        ("img_gt", pa.list_(pa.float64(), 6)),
+        ("img_crs", pa.string()),
+        ("img_w", pa.int32()),
+        ("img_h", pa.int32()),
     ]
 )
 
@@ -235,6 +242,10 @@ def _assign_rows_for_meta(m: ImageMeta, seq: int, grid: OutputGrid, rows: dict) 
             rows["img_cy"].append(
                 m.transform[3] + m.nrows / 2.0 * m.transform[5]
             )
+            rows["img_gt"].append(list(m.transform))
+            rows["img_crs"].append(m.crs)
+            rows["img_w"].append(m.ncols)
+            rows["img_h"].append(m.nrows)
 
 
 class AssignDirect:
@@ -421,6 +432,10 @@ def _refine_joined(batch: pa.Table, grid_transform, res: int) -> pa.Table:
         rows["in_ysize"].append(fys)
         rows["img_cx"].append(m.transform[0] + m.ncols / 2.0 * m.transform[1])
         rows["img_cy"].append(m.transform[3] + m.nrows / 2.0 * m.transform[5])
+        rows["img_gt"].append(list(m.transform))
+        rows["img_crs"].append(m.crs)
+        rows["img_w"].append(m.ncols)
+        rows["img_h"].append(m.nrows)
     return pa.Table.from_pydict(rows, schema=ASSIGN_SCHEMA)
 
 

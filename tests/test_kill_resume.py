@@ -44,6 +44,58 @@ def _spawn(out_dir, resume=False):
     )
 
 
+def test_multiband_empty_tile_band_resume(tmp_path):
+    """Round-1 ADVICE (medium): a kill landing between the two partitions
+    carrying one EMPTY tile's bands must re-emit the uncommitted band on
+    resume — the resume filter keys on (tile_id, band), never tile_id alone.
+    Simulated by deleting exactly one committed (empty-tile, band 1)
+    partition from a finished multiband run."""
+    import ray
+
+    from moaray import MosaicConfig, do_mosaic
+    from moaray.state.manifest import committed_keys, read_committed_tiles
+    from moaray.testgen import Layout, images_path
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False)
+    layout = Layout("sparse_gap", 4, 64)
+    path = images_path(layout, explicit_meta=True, nbands=2)
+    cfg = MosaicConfig(layout=layout, blocksize=64, do_pyramids=False,
+                       do_stats=False, tiles_per_file=1)
+    out = str(tmp_path / "out")
+    res = do_mosaic(path, cfg, out_dir=out)
+    keys_full = committed_keys(out)
+    assert keys_full == {
+        (t, b) for t in range(res.grid.num_tiles) for b in (0, 1)
+    }
+
+    rows = read_committed_tiles(out).take_all()
+    empty_b1 = next(
+        r for r in rows if r["n_inputs"] == 0 and r["band"] == 1
+    )
+    tid = empty_b1["tile_id"]
+    manifest = os.path.join(out, "manifest")
+    removed = 0
+    for name in list(os.listdir(manifest)):
+        if not name.endswith(".json"):
+            continue
+        rec = json.load(open(os.path.join(manifest, name)))
+        if rec["keys"] == [[tid, 1]]:
+            os.remove(rec["path"])
+            os.remove(os.path.join(manifest, name))
+            removed += 1
+    assert removed == 1
+    assert (tid, 1) not in committed_keys(out)
+    assert (tid, 0) in committed_keys(out)  # the trap: tile_id IS committed
+
+    res2 = do_mosaic(path, cfg, out_dir=out, resume=True)
+    keys_after = committed_keys(out)
+    assert (tid, 1) in keys_after
+    assert keys_after == keys_full
+    rows_after = read_committed_tiles(out).take_all()
+    assert len(rows_after) == len(rows)
+
+
 def test_sigkill_mid_run_then_resume(tmp_path):
     out = str(tmp_path / "out")
     manifest = os.path.join(out, "manifest")
