@@ -48,16 +48,21 @@ def _cfg(kind: str, **kw):
     return MosaicConfig(layout=_layout(kind), blocksize=QUERY_BLOCKSIZE, **kw)
 
 
-def _docs(sf_dir: str):
-    import ray
+def _rpc(path: str, columns=None):
+    """Column-pruned parquet read with pandas schema metadata stripped (the
+    driver testdata carries a b'pandas' blob Ray's schema-dedup can't hash —
+    round-1 verdict cosmetic)."""
+    from moaray.io import read_parquet_clean
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return read_parquet_clean(path, columns)
+
+
+def _docs(sf_dir: str):
+    return _rpc(f"{sf_dir}/documents.parquet")
 
 
 def _emb(sf_dir: str):
-    import ray
-
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _rpc(f"{sf_dir}/embeddings.parquet")
 
 
 def _decoded_crc(batch: pa.Table, dtype="<u2") -> list[int]:
@@ -145,6 +150,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 out_xres=5.0,
                 out_yres=5.0,
                 resample="bilinear",
+            ),
+        )
+        return _tiles_with_checksum(res.tiles_ds)
+
+    def q_mosaic_reproject_cubic(sf_dir: str):  # rows-only (non-SQL)
+        res = do_mosaic(
+            _images("grid"),
+            _cfg(
+                "grid", out_crs="AFFINE:0,2,0,0,0,2",
+                out_xres=5.0, out_yres=5.0, resample="cubic",
+            ),
+        )
+        return _tiles_with_checksum(res.tiles_ds)
+
+    def q_mosaic_reproject_average(sf_dir: str):  # rows-only (non-SQL)
+        res = do_mosaic(
+            _images("grid"),
+            _cfg(
+                "grid", out_crs="AFFINE:0,2,0,0,0,2",
+                out_xres=20.0, out_yres=20.0, resample="average",
             ),
         )
         return _tiles_with_checksum(res.tiles_ds)
@@ -330,7 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray
 
         return relational.revenue_by_nation(
-            ray.data.read_parquet(f"{sf_dir}/orders.parquet"),
+            _rpc(f"{sf_dir}/orders.parquet"),
             f"{sf_dir}/customer.parquet",
             f"{sf_dir}/nation.parquet",
         )
@@ -339,14 +364,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray
 
         return relational.top_orders(
-            ray.data.read_parquet(f"{sf_dir}/orders.parquet"), k=10
+            _rpc(f"{sf_dir}/orders.parquet"), k=10
         )
 
     def q_revenue_by_priority(sf_dir: str):
         import ray
 
         return relational.revenue_by_priority(
-            ray.data.read_parquet(f"{sf_dir}/lineitem.parquet"),
+            _rpc(f"{sf_dir}/lineitem.parquet"),
             f"{sf_dir}/orders.parquet",
         )
 
@@ -354,21 +379,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray
 
         return relational.top_orders_per_customer(
-            ray.data.read_parquet(f"{sf_dir}/orders.parquet"), n=2
+            _rpc(f"{sf_dir}/orders.parquet"), n=2
         )
 
     def q_segment_nation_stats(sf_dir: str):
         import ray
 
         return relational.segment_nation_stats(
-            ray.data.read_parquet(f"{sf_dir}/customer.parquet")
+            _rpc(f"{sf_dir}/customer.parquet")
         )
 
     def q_props_extract(sf_dir: str):
         import ray
 
         return text.extract_props_k(
-            ray.data.read_parquet(f"{sf_dir}/events.parquet")
+            _rpc(f"{sf_dir}/events.parquet")
         )
 
     def q_hll_distinct_users(sf_dir: str):  # rows-only (approximate sketch)
@@ -377,7 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from moaray.ops.sketch import hll_distinct
 
         return hll_distinct(
-            ray.data.read_parquet(f"{sf_dir}/events.parquet"),
+            _rpc(f"{sf_dir}/events.parquet"),
             "user_id",
             "event_type",
         ).sort("group")
@@ -386,7 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray
 
         return relational.exact_distinct(
-            ray.data.read_parquet(f"{sf_dir}/events.parquet"),
+            _rpc(f"{sf_dir}/events.parquet"),
             "user_id",
             "event_type",
         ).sort("group")
@@ -397,14 +422,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from moaray.ops.sketch import cm_heavy_hitters
 
         return cm_heavy_hitters(
-            ray.data.read_parquet(f"{sf_dir}/events.parquet"), "user_id", k=10
+            _rpc(f"{sf_dir}/events.parquet"), "user_id", k=10
         )
 
     def q_sessionize(sf_dir: str):
         import ray
 
         return relational.sessionize(
-            ray.data.read_parquet(f"{sf_dir}/events.parquet"), gap_minutes=30
+            _rpc(f"{sf_dir}/events.parquet"), gap_minutes=30
         )
 
     def q_audio_features(sf_dir: str):  # rows-only (synthetic clips)
@@ -419,14 +444,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray
 
         return relational.pricing_summary(
-            ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+            _rpc(f"{sf_dir}/lineitem.parquet")
         ).sort(["l_returnflag", "l_linestatus"])
 
     def q_events_daily(sf_dir: str):
         import ray
 
         return relational.events_daily(
-            ray.data.read_parquet(f"{sf_dir}/events.parquet")
+            _rpc(f"{sf_dir}/events.parquet")
         ).sort(["event_type", "day"])
 
     def q_extent_union(sf_dir: str):  # rows-only (image table not a view)
@@ -450,6 +475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "mosaic_reproject_bilinear": q_mosaic_reproject_bilinear,
+        "mosaic_reproject_cubic": q_mosaic_reproject_cubic,
+        "mosaic_reproject_average": q_mosaic_reproject_average,
         "spatial_join": q_spatial_join,
         "spatial_join_cells": q_spatial_join_cells,
         "mosaic_stats": q_mosaic_stats,

@@ -84,6 +84,7 @@ def run_mosaic_bench(num_cpus: int) -> dict:
 def run_ops_bench(sf_dir: str) -> dict:
     import ray
 
+    from moaray.io import read_parquet_clean as _rpc
     from moaray.ops import ann, dedup, relational
 
     timings = {}
@@ -93,8 +94,8 @@ def run_ops_bench(sf_dir: str) -> dict:
         fn()
         timings[name] = round(time.monotonic() - t0, 3)
 
-    docs = lambda: ray.data.read_parquet(f"{sf_dir}/documents.parquet")  # noqa: E731
-    emb = lambda: ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")  # noqa: E731
+    docs = lambda: _rpc(f"{sf_dir}/documents.parquet")  # noqa: E731
+    emb = lambda: _rpc(f"{sf_dir}/embeddings.parquet")  # noqa: E731
 
     timed("dedup_exact", lambda: dedup.exact_dedup(docs()).count())
     timed(
@@ -126,13 +127,13 @@ def run_ops_bench(sf_dir: str) -> dict:
     timed(
         "pricing_summary",
         lambda: relational.pricing_summary(
-            ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+            _rpc(f"{sf_dir}/lineitem.parquet")
         ).count(),
     )
     timed(
         "revenue_by_nation",
         lambda: relational.revenue_by_nation(
-            ray.data.read_parquet(f"{sf_dir}/orders.parquet"),
+            _rpc(f"{sf_dir}/orders.parquet"),
             f"{sf_dir}/customer.parquet",
             f"{sf_dir}/nation.parquet",
         ).count(),
@@ -140,13 +141,13 @@ def run_ops_bench(sf_dir: str) -> dict:
     timed(
         "sessionize",
         lambda: relational.sessionize(
-            ray.data.read_parquet(f"{sf_dir}/events.parquet")
+            _rpc(f"{sf_dir}/events.parquet")
         ).count(),
     )
     timed(
         "events_daily",
         lambda: relational.events_daily(
-            ray.data.read_parquet(f"{sf_dir}/events.parquet")
+            _rpc(f"{sf_dir}/events.parquet")
         ).count(),
     )
     return timings

@@ -54,7 +54,7 @@ def get_cmdargs(argv=None):
     proj.add_argument("--yres", type=float, default=None,
                       help="output Y pixel size (default: first input's)")
     proj.add_argument("--resamplemethod", default="near",
-                      choices=["near", "bilinear"],
+                      choices=["near", "bilinear", "cubic", "average"],
                       help="warp resampling method (default %(default)s)")
     p.add_argument("--gtiff", default=None,
                    help="also export the (band-0) mosaic as a single GeoTIFF "

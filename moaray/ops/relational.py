@@ -430,7 +430,9 @@ def revenue_by_priority(lineitem_ds, orders_path: str, num_partitions: int = 32)
     unmatched keys exactly like the SQL oracle."""
     import ray
 
-    orders_ds = ray.data.read_parquet(
+    from ..io import read_parquet_clean
+
+    orders_ds = read_parquet_clean(
         orders_path, columns=["o_orderkey", "o_orderpriority"]
     )
 

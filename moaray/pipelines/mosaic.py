@@ -163,7 +163,7 @@ class MosaicConfig:
     out_crs: str | None = None
     out_xres: float | None = None
     out_yres: float | None = None
-    resample: str = "near"  # "near" | "bilinear"
+    resample: str = "near"  # "near" | "bilinear" | "cubic" | "average"
     # Compress window payloads before the tile-assembly shuffle ("z16") —
     # on a multi-node cluster the groupby moves every decoded window over
     # the network, so shuffle bytes bound throughput. None = raw. Only

@@ -38,7 +38,7 @@ class WarpSpec:
     dst_crs: str
     xres: float | None = None
     yres: float | None = None
-    resample: str = "near"  # "near" | "bilinear"
+    resample: str = "near"  # "near" | "bilinear" | "cubic" | "average"
 
 
 def snap_value(val: float, res: float, ceil: bool) -> float:
@@ -191,4 +191,120 @@ def warp_window(
             np.floor(sx[edge]).astype(np.int64),
         ]
         return out
+    if resample == "cubic":
+        return _warp_cubic(src, sx, sy, out, nullval)
+    if resample == "average":
+        return _warp_average(src, px_map, top, left, h, w, out, nullval)
     raise ValueError(f"unknown resample method {resample!r}")
+
+
+def _cubic_weights(t: np.ndarray) -> list[np.ndarray]:
+    """Cubic-convolution (Keys, a=-0.5 — GDAL's 'cubic') weights for the 4
+    taps at offsets -1..2 around the sample, t = fractional position."""
+    a = -0.5
+    d0, d1, d2, d3 = 1.0 + t, t, 1.0 - t, 2.0 - t
+
+    def outer(d):  # 1 < |d| <= 2
+        return a * d ** 3 - 5 * a * d ** 2 + 8 * a * d - 4 * a
+
+    def inner(d):  # |d| <= 1
+        return (a + 2) * d ** 3 - (a + 3) * d ** 2 + 1
+
+    return [outer(d0), inner(d1), inner(d2), outer(d3)]
+
+
+def _warp_cubic(src, sx, sy, out, nullval):
+    """4x4 cubic convolution; any-null neighborhood and the edge band fall
+    back to nearest (mirrors the bilinear kernel's null policy)."""
+    fx = sx - 0.5
+    fy = sy - 0.5
+    c0 = np.floor(fx).astype(np.int64)
+    r0 = np.floor(fy).astype(np.int64)
+    tx = fx - c0
+    ty = fy - r0
+    valid = (
+        (r0 >= 1) & (r0 + 2 < src.shape[0]) & (c0 >= 1) & (c0 + 2 < src.shape[1])
+    )
+    rv, cv = r0[valid], c0[valid]
+    wxs = [w[valid] for w in _cubic_weights(tx)]
+    wys = [w[valid] for w in _cubic_weights(ty)]
+    acc = np.zeros(rv.shape, dtype=np.float64)
+    anynull = np.zeros(rv.shape, dtype=bool)
+    nan_null = isinstance(nullval, float) and np.isnan(nullval)
+    for i in range(4):
+        for j in range(4):
+            p = src[rv + i - 1, cv + j - 1].astype(np.float64)
+            if nan_null:
+                anynull |= np.isnan(p)
+            else:
+                anynull |= p == float(nullval)
+            acc += wys[i] * wxs[j] * p
+    nearest = src[
+        np.clip(np.rint(fy[valid]).astype(np.int64), 0, src.shape[0] - 1),
+        np.clip(np.rint(fx[valid]).astype(np.int64), 0, src.shape[1] - 1),
+    ]
+    vals = np.where(anynull, nearest.astype(np.float64), acc)
+    if np.issubdtype(src.dtype, np.integer):
+        info = np.iinfo(src.dtype)
+        vals = np.clip(np.rint(vals), info.min, info.max)
+    out[valid] = vals.astype(src.dtype)
+    # pixels whose 4x4 neighborhood leaves the source: nearest
+    ri = np.floor(sy).astype(np.int64)
+    ci = np.floor(sx).astype(np.int64)
+    edge = (
+        ~valid
+        & (ri >= 0) & (ri < src.shape[0])
+        & (ci >= 0) & (ci < src.shape[1])
+    )
+    out[edge] = src[ri[edge], ci[edge]]
+    return out
+
+
+def _warp_average(src, px_map, top, left, h, w, out, nullval):
+    """GDAL-'average' semantics: each destination pixel is the mean of the
+    non-null SOURCE pixels whose centers fall inside the destination pixel's
+    footprint (exact for axis-aligned affines — the moaray warp model; a
+    rotated map would need a polygon coverage test)."""
+    # dst pixel corner grid -> src coords (corners, not centers)
+    rows_c = np.arange(top, top + h + 1, dtype=np.float64)
+    cols_c = np.arange(left, left + w + 1, dtype=np.float64)
+    gx = px_map[0] + px_map[1] * cols_c[None, :] + px_map[2] * rows_c[:, None]
+    gy = px_map[3] + px_map[4] * cols_c[None, :] + px_map[5] * rows_c[:, None]
+    x_lo = np.minimum(gx[:-1, :-1], gx[1:, 1:])
+    x_hi = np.maximum(gx[:-1, :-1], gx[1:, 1:])
+    y_lo = np.minimum(gy[:-1, :-1], gy[1:, 1:])
+    y_hi = np.maximum(gy[:-1, :-1], gy[1:, 1:])
+    kx = max(1, int(math.ceil(float(np.max(x_hi - x_lo)))) + 1)
+    ky = max(1, int(math.ceil(float(np.max(y_hi - y_lo)))) + 1)
+    base_c = np.floor(x_lo).astype(np.int64)
+    base_r = np.floor(y_lo).astype(np.int64)
+    nan_null = isinstance(nullval, float) and np.isnan(nullval)
+    acc = np.zeros((h, w), dtype=np.float64)
+    cnt = np.zeros((h, w), dtype=np.int64)
+    for i in range(ky):
+        rr = base_r + i
+        cy = rr + 0.5  # src pixel center
+        in_y = (cy >= y_lo) & (cy < y_hi) & (rr >= 0) & (rr < src.shape[0])
+        if not in_y.any():
+            continue
+        for j in range(kx):
+            cc = base_c + j
+            cx = cc + 0.5
+            sel = in_y & (cx >= x_lo) & (cx < x_hi) & (cc >= 0) & (cc < src.shape[1])
+            if not sel.any():
+                continue
+            p = src[rr[sel], cc[sel]].astype(np.float64)
+            nonnull = ~np.isnan(p) if nan_null else p != float(nullval)
+            vals = np.where(nonnull, p, 0.0)
+            a = acc[sel]
+            a += vals
+            acc[sel] = a
+            c = cnt[sel]
+            c += nonnull.astype(np.int64)
+            cnt[sel] = c
+    have = cnt > 0
+    vals = acc[have] / cnt[have]
+    if np.issubdtype(src.dtype, np.integer):
+        vals = np.rint(vals)
+    out[have] = vals.astype(src.dtype)
+    return out

@@ -184,3 +184,93 @@ def test_crs_error_paths():
     with _pytest.raises(ProjectionError):
         invert((0.0, 0.0, 0.0, 0.0, 0.0, 0.0))  # singular
     assert to_world("EPSG:32756") == (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# cubic + average resample kernels (round 2; ref reproj.py:207 resample set)
+# ---------------------------------------------------------------------------
+
+def _ident():
+    return (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+
+def test_cubic_identity_reproduces_source():
+    # cubic convolution interpolates exactly at sample points: an identity
+    # warp must return the source bit-for-bit on the interior
+    from moaray.stages.reproject import warp_window
+
+    rng = np.random.RandomState(5)
+    src = (rng.rand(16, 16) * 1000 + 1).astype(np.uint16)
+    out = warp_window(src, _ident(), 0, 0, 16, 16, np.uint16(0), "cubic")
+    assert np.array_equal(out[2:14, 2:14], src[2:14, 2:14])
+
+
+def test_cubic_linear_precision():
+    # Keys a=-0.5 kernel reproduces linear functions exactly: upsampling a
+    # ramp must yield the ramp evaluated at the sample positions
+    from moaray.stages.reproject import warp_window
+
+    rr, cc = np.mgrid[0:32, 0:32]
+    src = (2.0 * cc + 3.0 * rr + 5.0).astype(np.float64)
+    # scale-0.5 map: dst has twice the resolution
+    px_map = (0.0, 0.5, 0.0, 0.0, 0.0, 0.5)
+    out = warp_window(src, px_map, 4, 4, 40, 40, float("nan"), "cubic")
+    rows = np.arange(4, 44, dtype=np.float64) + 0.5
+    cols = np.arange(4, 44, dtype=np.float64) + 0.5
+    sx = 0.5 * cols[None, :] - 0.5
+    sy = 0.5 * rows[:, None] - 0.5
+    expected = 2.0 * sx + 3.0 * sy + 5.0
+    inner = np.s_[4:36, 4:36]
+    assert np.allclose(out[inner], expected[inner], atol=1e-9)
+
+
+def test_average_downsample_equals_block_mean():
+    from moaray.stages.reproject import warp_window
+
+    rng = np.random.RandomState(9)
+    src = (rng.rand(20, 24) * 1000 + 1).astype(np.float64)
+    px_map = (0.0, 2.0, 0.0, 0.0, 0.0, 2.0)  # dst pixel covers 2x2 src
+    out = warp_window(src, px_map, 0, 0, 10, 12, float("nan"), "average")
+    expected = src.reshape(10, 2, 12, 2).mean(axis=(1, 3))
+    assert np.allclose(out, expected)
+
+
+def test_average_excludes_nulls():
+    from moaray.stages.reproject import warp_window
+
+    src = np.full((4, 4), 0, dtype=np.uint16)
+    src[0, 0] = 10
+    src[0, 1] = 20
+    # 2x2 block (0,0): values 10,20,null,null -> mean 15
+    px_map = (0.0, 2.0, 0.0, 0.0, 0.0, 2.0)
+    out = warp_window(src, px_map, 0, 0, 2, 2, np.uint16(0), "average")
+    assert out[0, 0] == 15
+    assert out[1, 1] == 0  # all-null block stays null
+
+
+@pytest.mark.parametrize("method", ["cubic", "average"])
+def test_mosaic_warp_methods_end_to_end(ray_session, method):
+    # scale-2 affine CRS warp through the full pipeline: output must cover
+    # the same extent as nearest and carry plausible ramp statistics
+    from moaray.pipelines.mosaic import MosaicConfig, do_mosaic, mosaic_array
+    from moaray.testgen import Layout, images_path
+
+    layout = Layout("grid3x3", 9, 96)
+    path = images_path(layout)
+    cfg = MosaicConfig(
+        layout=layout, blocksize=64, out_crs="AFFINE:0,2,0,0,0,2",
+        out_xres=5.0, out_yres=5.0, resample=method,
+        do_pyramids=False, do_stats=True,
+    )
+    res = do_mosaic(path, cfg)
+    arr = mosaic_array(res.tiles_ds, res.grid)
+    base_cfg = MosaicConfig(
+        layout=layout, blocksize=64, out_crs="AFFINE:0,2,0,0,0,2",
+        out_xres=5.0, out_yres=5.0, resample="near",
+        do_pyramids=False, do_stats=True,
+    )
+    base = do_mosaic(path, base_cfg)
+    assert arr.shape == mosaic_array(base.tiles_ds, base.grid).shape
+    # ramp range preserved (interpolation never extrapolates past the ramp)
+    assert res.stats["min"] >= 1 and res.stats["max"] <= 95
+    assert abs(res.stats["mean"] - base.stats["mean"]) < 2.0
