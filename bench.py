@@ -99,6 +99,10 @@ def run_ops_bench(sf_dir: str) -> dict:
 
     timed("dedup_exact", lambda: dedup.exact_dedup(docs()).count())
     timed(
+        "charset_jaccard",
+        lambda: dedup.charset_jaccard_pairs(docs(), threshold=0.9).count(),
+    )
+    timed(
         "minhash_pairs",
         lambda: dedup.minhash_lsh_pairs(docs(), threshold=0.5).count(),
     )
@@ -136,6 +140,13 @@ def run_ops_bench(sf_dir: str) -> dict:
             _rpc(f"{sf_dir}/orders.parquet"),
             f"{sf_dir}/customer.parquet",
             f"{sf_dir}/nation.parquet",
+        ).count(),
+    )
+    timed(
+        "revenue_by_priority",
+        lambda: relational.revenue_by_priority(
+            _rpc(f"{sf_dir}/lineitem.parquet"),
+            f"{sf_dir}/orders.parquet",
         ).count(),
     )
     timed(

@@ -417,40 +417,126 @@ def exact_distinct(ds, value_col: str, group_col: str):
     )
 
 
-def revenue_by_priority(lineitem_ds, orders_path: str, num_partitions: int = 32):
-    """Fact-to-fact join done as a real distributed hash join.
+def _li_units(batch: pa.Table) -> pa.Array:
+    """Exact integer ten-thousandths of extendedprice*(1-discount) — see
+    pricing_summary for why money never sums as floats."""
+    return pc.cast(
+        pc.round(
+            pc.multiply(
+                pc.multiply(
+                    batch["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                ),
+                pa.scalar(10000.0),
+            ),
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
+
+
+def _prio_final(group: pa.Table) -> pa.Table:
+    s = int(pc.sum(group["revenue"]).as_py())
+    return pa.table(
+        {
+            "o_orderpriority": [group["o_orderpriority"][0].as_py()],
+            "revenue": [((s + 50) // 100) / 100.0],
+            "n_items": [int(pc.sum(group["n_items"]).as_py())],
+        }
+    )
+
+
+def revenue_by_priority(
+    lineitem_ds,
+    orders_path: str,
+    num_partitions: int = 32,
+    broadcast_limit: int = 5_000_000,
+):
+    """Fact-to-fact join with size-aware strategy dispatch.
 
     Orders is a FACT table (~1/4 of lineitem's rows — round-1 verdict: a
-    driver-side dict of o_orderkey -> priority is not broadcastable at
-    sf1000), so both sides shuffle through Ray's hash join on the order key.
-    Lineitem is pre-combined per batch to one (l_orderkey, units, n) partial
-    row per distinct key — the per-orderkey partial shrinks the probe side
-    ~4x before it ever enters the join shuffle. Revenue sums as exact
-    integer ten-thousandths (see pricing_summary); inner join drops
-    unmatched keys exactly like the SQL oracle."""
+    driver Python dict of o_orderkey -> priority is not broadcastable at
+    sf1000). Two join paths, identical results (pytest-asserted):
+
+    - build side <= ``broadcast_limit`` rows (parquet footer count): map-side
+      broadcast join — the key column ships ONCE via ray.put as a sorted
+      int64 numpy array + int8 priority codes (~9 bytes/row vs ~100 for a
+      dict entry), probed per batch with np.searchsorted (vectorized, no
+      Python loop); unmatched keys drop (inner-join semantics).
+    - above the limit: Ray's distributed hash join on the order key, with a
+      per-batch per-orderkey combiner shrinking the probe side ~4x before
+      the shuffle.
+    """
+    import pyarrow.parquet as pq
     import ray
 
     from ..io import read_parquet_clean
+
+    try:
+        n_orders = pq.ParquetFile(orders_path).metadata.num_rows
+    except Exception:
+        n_orders = 1 << 62
+
+    if n_orders <= broadcast_limit:
+        orders = pq.read_table(
+            orders_path, columns=["o_orderkey", "o_orderpriority"]
+        )
+        keys = orders["o_orderkey"].to_numpy()
+        prio_dict = orders["o_orderpriority"].dictionary_encode().combine_chunks()
+        names = prio_dict.dictionary.to_pylist()
+        codes = prio_dict.indices.to_numpy(zero_copy_only=False).astype(np.int8)
+        order_idx = np.argsort(keys, kind="stable")
+        ref = ray.put((keys[order_idx], codes[order_idx], names))
+
+        def bcast_partial(batch: pa.Table) -> pa.Table:
+            skeys, scodes, snames = ray.get(ref)
+            bkeys = batch["l_orderkey"].to_numpy()
+            pos = np.searchsorted(skeys, bkeys)
+            pos_c = np.clip(pos, 0, len(skeys) - 1)
+            hit = skeys[pos_c] == bkeys
+            units = _li_units(batch).to_numpy()[hit]
+            code = scodes[pos_c[hit]]
+            sums = np.zeros(len(snames), dtype=np.int64)
+            cnts = np.zeros(len(snames), dtype=np.int64)
+            np.add.at(sums, code, units)
+            np.add.at(cnts, code, 1)
+            nz = np.nonzero(cnts)[0]
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array(
+                        [snames[i] for i in nz], pa.string()
+                    ),
+                    "revenue": pa.array(sums[nz], pa.int64()),
+                    "n_items": pa.array(cnts[nz], pa.int64()),
+                }
+            )
+
+        return (
+            lineitem_ds.select_columns(
+                ["l_orderkey", "l_extendedprice", "l_discount"]
+            )
+            .map_batches(bcast_partial, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .map_groups(_prio_final, batch_format="pyarrow")
+        )
 
     orders_ds = read_parquet_clean(
         orders_path, columns=["o_orderkey", "o_orderpriority"]
     )
 
+    # Cap partitions to the session's CPU budget: Ray 2.49's hash-join
+    # operator stalls when partition count far exceeds available slots
+    # (observed at 32 partitions on a 4-CPU session).
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    num_partitions = max(2, min(num_partitions, cpus))
+
     def lineitem_partial(batch: pa.Table) -> pa.Table:
-        units = pc.cast(
-            pc.round(
-                pc.multiply(
-                    pc.multiply(
-                        batch["l_extendedprice"],
-                        pc.subtract(pa.scalar(1.0), batch["l_discount"]),
-                    ),
-                    pa.scalar(10000.0),
-                ),
-                round_mode="half_towards_infinity",
-            ),
-            pa.int64(),
+        t = pa.table(
+            {"l_orderkey": batch["l_orderkey"], "units": _li_units(batch)}
         )
-        t = pa.table({"l_orderkey": batch["l_orderkey"], "units": units})
         g = t.group_by("l_orderkey").aggregate(
             [("units", "sum"), ("units", "count")]
         )
@@ -474,18 +560,8 @@ def revenue_by_priority(lineitem_ds, orders_path: str, num_partitions: int = 32)
         ).aggregate([("units", "sum"), ("n_items", "sum")])
         return g.rename_columns(["o_orderpriority", "revenue", "n_items"])
 
-    def final(group: pa.Table) -> pa.Table:
-        s = int(pc.sum(group["revenue"]).as_py())
-        return pa.table(
-            {
-                "o_orderpriority": [group["o_orderpriority"][0].as_py()],
-                "revenue": [((s + 50) // 100) / 100.0],
-                "n_items": [int(pc.sum(group["n_items"]).as_py())],
-            }
-        )
-
     return (
         joined.map_batches(prio_partial, batch_format="pyarrow")
         .groupby("o_orderpriority")
-        .map_groups(final, batch_format="pyarrow")
+        .map_groups(_prio_final, batch_format="pyarrow")
     )

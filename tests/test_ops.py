@@ -392,3 +392,23 @@ def test_minhash_estimates_ngram_jaccard():
             assert abs(est - exact_map[(a, b)]) < 0.35
             checked += 1
     assert checked > 0
+
+
+def test_revenue_by_priority_join_paths_agree(ray_session):
+    """Size-aware dispatch: the broadcast (searchsorted) path and the
+    distributed hash-join path must produce identical rows."""
+    import ray
+
+    from moaray.io import read_parquet_clean
+    from moaray.ops.relational import revenue_by_priority
+
+    sf = "/root/testdata/sf0.001"
+    li = f"{sf}/lineitem.parquet"
+    orders = f"{sf}/orders.parquet"
+    bcast = revenue_by_priority(
+        read_parquet_clean(li), orders
+    ).to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    joined = revenue_by_priority(
+        read_parquet_clean(li), orders, broadcast_limit=0
+    ).to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    assert bcast.equals(joined)
