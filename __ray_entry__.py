@@ -425,6 +425,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _rpc(f"{sf_dir}/events.parquet"), "user_id", k=10
         )
 
+    def q_exact_top_users(sf_dir: str):
+        return relational.exact_top_counts(
+            _rpc(f"{sf_dir}/events.parquet"), "user_id", k=10
+        )
+
     def q_sessionize(sf_dir: str):
         import ray
 
@@ -511,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": q_hll_distinct_users,
         "exact_distinct_users": q_exact_distinct_users,
         "heavy_hitters": q_heavy_hitters,
+        "exact_top_users": q_exact_top_users,
         "props_extract": q_props_extract,
         "audio_features": q_audio_features,
         "events_daily": q_events_daily,
@@ -606,6 +612,17 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3
+        """,
+        "exact_top_users": """
+            SELECT CAST(user_id AS VARCHAR) AS value,
+                   count(*) AS n,
+                   CAST(row_number() OVER (
+                        ORDER BY count(*) DESC, CAST(user_id AS VARCHAR)
+                   ) AS BIGINT) AS rank
+            FROM events
+            GROUP BY user_id
+            ORDER BY n DESC, value
+            LIMIT 10
         """,
         "exact_distinct_users": """
             SELECT CAST(event_type AS VARCHAR) AS "group",

@@ -81,6 +81,51 @@ def run_mosaic_bench(num_cpus: int) -> dict:
     }
 
 
+SOAK_N_IMAGES = int(os.environ.get("MOARAY_SOAK_IMAGES", "4096"))
+SOAK_IMG_SIZE = int(os.environ.get("MOARAY_SOAK_SIZE", "512"))
+
+
+def run_soak_bench(num_cpus: int) -> dict:
+    """Combined stress: multiband (2 bands) + warp-on-read (scale-2 affine
+    CRS, bilinear) + salted skew merge (the 'bench' layout stacks 1/4 of the
+    images on one extent, far past salt_threshold) at SOAK_N_IMAGES images.
+    Exercises every hot path of the engine simultaneously."""
+    import ray
+
+    from moaray import MosaicConfig, do_mosaic
+    from moaray.testgen import Layout, images_path
+
+    layout = Layout("bench", SOAK_N_IMAGES, SOAK_IMG_SIZE)
+    path = images_path(layout, fmts=("z16",), nbands=2)
+    cfg = MosaicConfig(
+        layout=layout,
+        blocksize=1024,
+        out_crs="AFFINE:0,2,0,0,0,2",
+        resample="bilinear",
+        salt_threshold=256,
+        do_pyramids=False,
+        do_stats=True,
+    )
+    out_dir = "/tmp/moaray_soak_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    do_mosaic(path, cfg, out_dir=out_dir)  # warmup (page-fault amortization)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    res = do_mosaic(path, cfg, out_dir=out_dir)
+    elapsed = time.monotonic() - t0
+    n_tiles = res.grid.num_tiles
+    total_px = res.grid.ncols * res.grid.nrows * 2  # 2 bands
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "elapsed_s": elapsed,
+        "n_tiles": n_tiles,
+        "tiles_per_s": n_tiles / elapsed,
+        "mpx_per_s": total_px / elapsed / 1e6,
+        "n_images": SOAK_N_IMAGES,
+        "bands": 2,
+    }
+
+
 def run_ops_bench(sf_dir: str) -> dict:
     import ray
 
@@ -190,12 +235,12 @@ def main_bench():
     print(json.dumps(out))
 
 
-def _subprocess_mosaic(num_cpus: int) -> dict:
-    """Run the mosaic bench in a fresh process with its own Ray session."""
+def _subprocess_mosaic(num_cpus: int, fn: str = "run_mosaic_bench") -> dict:
+    """Run a bench fn in a fresh process with its own Ray session."""
     code = (
         "import json, ray, bench;"
         f"ray.init(address='local', num_cpus={num_cpus}, include_dashboard=False);"
-        f"r = bench.run_mosaic_bench({num_cpus});"
+        f"r = bench.{fn}({num_cpus});"
         "ray.shutdown();"
         "print('RESULT ' + json.dumps(r))"
     )
@@ -247,8 +292,40 @@ def main_scaling():
     print(json.dumps(out))
 
 
+def main_soak():
+    """Combined multiband+warp+salted soak at 8 vs 32 cpus (fresh
+    processes); reports both throughputs + scaling efficiency."""
+    lo, hi = 8, 32
+    r_lo = _subprocess_mosaic(lo, "run_soak_bench")
+    r_hi = _subprocess_mosaic(hi, "run_soak_bench")
+    eff = (r_hi["tiles_per_s"] / r_lo["tiles_per_s"]) / (hi / lo)
+    out = {
+        "metric": "moaray_soak_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            f"soak_cpus{lo}": round(r_lo["elapsed_s"], 3),
+            f"soak_cpus{hi}": round(r_hi["elapsed_s"], 3),
+        },
+        "num_cpus": hi,
+        "soak": {
+            "n_images": r_lo["n_images"],
+            "bands": 2,
+            "warp": "AFFINE scale-2, bilinear",
+            "tiles_per_s_low": round(r_lo["tiles_per_s"], 3),
+            "tiles_per_s_high": round(r_hi["tiles_per_s"], 3),
+            "mpx_per_s_low": round(r_lo["mpx_per_s"], 3),
+            "mpx_per_s_high": round(r_hi["mpx_per_s"], 3),
+            "efficiency": round(eff, 3),
+        },
+    }
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
+    elif "--soak" in sys.argv:
+        main_soak()
     else:
         main_bench()

@@ -446,6 +446,68 @@ def _prio_final(group: pa.Table) -> pa.Table:
     )
 
 
+def exact_top_counts(ds, value_col: str, k: int = 10):
+    """Exact top-k values by occurrence count — the accuracy anchor for the
+    count-min heavy-hitters sketch. Per-batch partial counts combine through
+    one groupby(value); each count batch then emits only its local top-k
+    (sort desc, value asc ties) and a final single-group merge picks the
+    global top-k — k rows per batch is all that reaches the last stage."""
+
+    def local_count(batch: pa.Table) -> pa.Table:
+        t = pa.table({"value": pc.cast(batch[value_col], pa.string())})
+        g = t.group_by("value").aggregate([("value", "count")])
+        return g.rename_columns(["value", "n"])
+
+    def merge_count(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "value": [group["value"][0].as_py()],
+                "n": pa.array([int(pc.sum(group["n"]).as_py())], pa.int64()),
+            }
+        )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy()
+        vals = np.array(batch["value"].to_pylist())
+        order = np.lexsort((vals, -n))[:k]
+        return pa.table(
+            {
+                "value": pa.array(vals[order], pa.string()),
+                "n": pa.array(n[order], pa.int64()),
+            }
+        )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        n = group["n"].to_numpy()
+        vals = np.array(group["value"].to_pylist())
+        order = np.lexsort((vals, -n))[:k]
+        return pa.table(
+            {
+                "value": pa.array(vals[order], pa.string()),
+                "n": pa.array(n[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.select_columns([value_col])
+        .map_batches(local_count, batch_format="pyarrow")
+        .groupby("value")
+        .map_groups(merge_count, batch_format="pyarrow")
+    )
+    partial = counts.map_batches(local_topk, batch_format="pyarrow")
+    return (
+        partial.map_batches(
+            lambda t: t.append_column("one", pa.array([1] * t.num_rows, pa.int32())),
+            batch_format="pyarrow",
+        )
+        .groupby("one")
+        .map_groups(
+            lambda g: final_topk(g), batch_format="pyarrow"
+        )
+    )
+
+
 def revenue_by_priority(
     lineitem_ds,
     orders_path: str,

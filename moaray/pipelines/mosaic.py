@@ -173,6 +173,13 @@ class MosaicConfig:
     # tiles shrink the post-assembly object-store traffic and the sink files;
     # rows are self-describing via the pixels_codec column.
     tile_codec: str | None = "z16"
+    # Ray Data reserves op_resource_reservation_ratio (default 0.5) of the
+    # cluster equally across ALL operators in a plan. The mosaic plan has up
+    # to 6 operators but ~95% of its CPU-seconds live in ONE (the fused
+    # read+decode), so at low CPU counts reservation starves decode to ~1
+    # concurrent task (measured: salted soak 76s -> 41s at 8 cpus, 12.8s ->
+    # 7.2s at 32 cpus with the ratio at 0). None = leave Ray's default.
+    op_reservation_ratio: float | None = 0.0
 
 
 @dataclass
@@ -286,6 +293,25 @@ def do_mosaic(
     ``result.metrics["phase_s"]`` records per-phase wall times (the
     reference's Monitoring.timestamps phases "analysis"/"domosaic",
     ref monitoring.py:64-217, mosaic.py:169-176)."""
+    if cfg.op_reservation_ratio is None:
+        return _do_mosaic_impl(images_path, cfg, out_dir, resume)
+    data_ctx = ray.data.DataContext.get_current()
+    prev = data_ctx.op_resource_reservation_ratio
+    data_ctx.op_resource_reservation_ratio = cfg.op_reservation_ratio
+    try:
+        # Datasets capture the context at creation, so the whole plan —
+        # including a lazily-returned tiles_ds — runs with the tuned ratio.
+        return _do_mosaic_impl(images_path, cfg, out_dir, resume)
+    finally:
+        data_ctx.op_resource_reservation_ratio = prev
+
+
+def _do_mosaic_impl(
+    images_path: str,
+    cfg: MosaicConfig,
+    out_dir: str | None = None,
+    resume: bool = False,
+) -> MosaicResult:
     import time as _time
     from collections import Counter
 
@@ -327,6 +353,7 @@ def do_mosaic(
         use_driver_plan = _parquet_num_rows(images_path) <= cfg.driver_plan_limit
 
     tile_counts: dict[int, int] = {}
+    tile_seq_bounds: dict[int, tuple[int, int]] = {}
     if use_driver_plan:
         # The reference's whole analysis phase is driver-side
         # (mosaic.py:187-195); for small inputs one local pruned-column
@@ -365,7 +392,7 @@ def do_mosaic(
         if need_counts:
             counter: Counter = Counter()
             seen_ids = set()
-            for m in metas:
+            for seq, m in sorted(pairs, key=lambda p: p[0]):
                 # bands of one image share a footprint — count each image once
                 if m.image_id in seen_ids:
                     continue
@@ -378,6 +405,8 @@ def do_mosaic(
                             grid.block_for_tile(tid), grid.transform, m
                         ):
                             counter[tid] += 1
+                            lo, hi = tile_seq_bounds.get(tid, (seq, seq))
+                            tile_seq_bounds[tid] = (min(lo, seq), max(hi, seq))
             tile_counts = dict(counter)
         n_images = len({m.image_id for m in metas})
     else:
@@ -388,30 +417,42 @@ def do_mosaic(
         if cfg.validate_projections:
             plan_stage.check_projections(meta_ds, grid)
         if need_counts:
-            # distributed count per tile: only num_tiles rows reach the
-            # driver, never the raw assignment rows. Per-band rows inflate
-            # counts by |bands| (same footprint per band) — normalize for
-            # the salt-threshold heuristic.
+            # distributed count + seq extent per tile: only num_tiles rows
+            # reach the driver, never the raw assignment rows. Per-band rows
+            # inflate counts by |bands| (same footprint per band) —
+            # normalize for the salt-threshold heuristic.
+            from ray.data.aggregate import Count
+
             count_rows = (
                 assign_direct(meta_ds, grid)
-                .select_columns(["tile_id"])
+                .select_columns(["tile_id", "seq"])
                 .groupby("tile_id")
-                .count()
+                .aggregate(Count(), Min("seq"), Max("seq"))
                 .take_all()
             )
             tile_counts = {
                 r["tile_id"]: -(-r["count()"] // len(bands))
                 for r in count_rows
             }
+            tile_seq_bounds = {
+                r["tile_id"]: (r["min(seq)"], r["max(seq)"])
+                for r in count_rows
+            }
         n_images = meta_ds.count() // len(bands)
 
-    hot_tiles: dict[int, int] = {}
+    # hot_tiles: tile_id -> (n_salts, seq_min, seq_span). Salting over the
+    # TILE's own seq extent keeps salts evenly loaded when a hot stack sits
+    # in a narrow slice of the global input list (a global-range mapping
+    # left 3/4 of the salts empty on the soak workload).
+    hot_tiles: dict[int, tuple[int, int, int]] = {}
     if cfg.salt_threshold is not None:
         for tid, cnt in tile_counts.items():
             if cnt >= cfg.salt_threshold:
-                hot_tiles[tid] = min(
-                    cfg.max_salts,
-                    max(2, -(-cnt // cfg.inputs_per_salt)),
+                mn, mx = tile_seq_bounds.get(tid, (0, max(n_images - 1, 0)))
+                hot_tiles[tid] = (
+                    min(cfg.max_salts, max(2, -(-cnt // cfg.inputs_per_salt))),
+                    int(mn),
+                    max(int(mx) - int(mn) + 1, 1),
                 )
 
     # z16 (zlib raw) is dtype-generic; only the lossy q12 is uint16-bound.
@@ -427,7 +468,6 @@ def do_mosaic(
         concurrency=cfg.decode_concurrency,
         batch_size=cfg.decode_batch_size,
         hot_tiles=hot_tiles,
-        n_seq=n_images,
         shuffle_codec=shuffle_codec,
         warp=warp,
     )
@@ -487,9 +527,17 @@ def do_mosaic(
         # uncommitted band (round-1 ADVICE).
         from ..stages.assemble import empty_tiles_ds
 
-        tiles = tiles.union(
-            empty_tiles_ds(grid, set(tile_counts), committed, bands, tile_codec)
-        )
+        # Materialize the (tiny, z16-compressed all-null) empty-tile branch
+        # BEFORE the union: a lazy union adds its operators to the main
+        # plan and the streaming executor's slot split starves the
+        # CPU-heavy decode stage at low CPU counts (measured 2x on the
+        # 8-cpu soak). The branch stays distributed — only its execution is
+        # decoupled.
+        empties = empty_tiles_ds(
+            grid, set(tile_counts), committed, bands, tile_codec
+        ).materialize()
+        if empties.count() > 0:
+            tiles = tiles.union(empties)
 
     _mark("analysis")
     result = MosaicResult(grid=grid, tiles_ds=tiles, skipped_tiles=skipped)

@@ -69,9 +69,12 @@ WINDOW_SCHEMA = pa.schema(
 class DecodeSlice:
     """Callable: images batch -> per-(tile, image) window rows.
 
-    ``hot_tiles`` maps tile_id -> num_salts for skewed tiles: their windows
-    get ``salt = seq * num_salts // n_seq`` (contiguous seq ranges, so the
-    two-level merge preserves last-non-null order — SURVEY.md §4.2); all
+    ``hot_tiles`` maps tile_id -> (num_salts, seq_min, seq_span) for skewed
+    tiles: their windows get ``salt = (seq - seq_min) * num_salts //
+    seq_span`` — contiguous seq ranges, so the two-level merge preserves
+    last-non-null order (SURVEY.md §4.2), and the range is the TILE's own
+    seq extent (not the global input count) so salts stay evenly loaded
+    even when a hot stack occupies a narrow slice of the input list. All
     other windows get salt 0.
     """
 
@@ -81,7 +84,6 @@ class DecodeSlice:
         layout: Layout,
         lru_images: int = 8,
         hot_tiles: dict | None = None,
-        n_seq: int = 0,
         shuffle_codec: str | None = None,
         warp=None,
     ):
@@ -91,7 +93,6 @@ class DecodeSlice:
         self.layout = layout
         self.lru_images = lru_images
         self.hot_tiles = hot_tiles or {}
-        self.n_seq = max(n_seq, 1)
         # When set ("z16"), window payloads are re-encoded before they enter
         # the tile-assembly shuffle: on a multi-node cluster the groupby moves
         # every window over the network, so shuffle bytes — not decode CPU —
@@ -193,8 +194,15 @@ class DecodeSlice:
                                 (image_id, bands[i]), buf, fmt
                             )
                         clipped = full[t0:b0, l0:r0]
-                    n_salts = self.hot_tiles.get(tid, 0)
-                    salt = (seq * n_salts) // self.n_seq if n_salts > 1 else 0
+                    hot = self.hot_tiles.get(tid)
+                    if hot is not None and hot[0] > 1:
+                        n_salts, seq_min, seq_span = hot
+                        salt = min(
+                            ((seq - seq_min) * n_salts) // seq_span,
+                            n_salts - 1,
+                        )
+                    else:
+                        salt = 0
                     rows["tile_id"].append(tid)
                     rows["band"].append(bands[i])
                     rows["salt"].append(salt)
@@ -231,7 +239,6 @@ def decode_windows(
     batch_size: int = 16,
     lru_images: int = 8,
     hot_tiles: dict | None = None,
-    n_seq: int = 0,
     shuffle_codec: str | None = None,
     warp=None,
 ) -> "ray.data.Dataset":
@@ -253,7 +260,7 @@ def decode_windows(
         return images_ds.map_batches(
             DecodeSlice,
             fn_constructor_args=(
-                grid_ref, layout, lru_images, hot_tiles, n_seq, shuffle_codec,
+                grid_ref, layout, lru_images, hot_tiles, shuffle_codec,
                 warp,
             ),
             batch_format="pyarrow",
@@ -264,7 +271,7 @@ def decode_windows(
 
     def decode_batch(batch: pa.Table) -> pa.Table:
         return DecodeSlice(
-            ray.get(grid_ref), layout, lru_images, ray.get(hot_ref), n_seq,
+            ray.get(grid_ref), layout, lru_images, ray.get(hot_ref),
             shuffle_codec, warp,
         )(batch)
 
