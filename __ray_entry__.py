@@ -459,6 +459,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _rpc(f"{sf_dir}/events.parquet")
         ).sort(["event_type", "day"])
 
+    def q_events_moving_avg(sf_dir: str):
+        return relational.events_moving_avg(
+            _rpc(f"{sf_dir}/events.parquet"), window=7
+        ).sort(["event_type", "day"])
+
+    def q_events_median(sf_dir: str):
+        return relational.events_median_value(
+            _rpc(f"{sf_dir}/events.parquet")
+        ).sort("event_type")
+
+    def q_mosaic_multiband_stats(sf_dir: str):  # rows-only (non-SQL)
+        # per-band stats parity surface (T4): 3-band catalog, one row per
+        # band with the finalized StatsAccumulator values
+        from moaray.testgen import images_path as _ipath
+
+        path = _ipath(_layout("grid"), explicit_meta=True, nbands=3)
+        res = do_mosaic(path, _cfg("grid", do_pyramids=False))
+        bands = sorted(res.stats_by_band)
+        return pa.table(
+            {
+                "band": pa.array(bands, pa.int32()),
+                "min": [res.stats_by_band[b]["min"] for b in bands],
+                "max": [res.stats_by_band[b]["max"] for b in bands],
+                "mean": [round(res.stats_by_band[b]["mean"], 6) for b in bands],
+                "stddev": [
+                    round(res.stats_by_band[b]["stddev"], 6) for b in bands
+                ],
+                "count": [res.stats_by_band[b]["count"] for b in bands],
+            }
+        )
+
     def q_extent_union(sf_dir: str):  # rows-only (image table not a view)
         from moaray.stages.plan import probe_metadata
         from moaray.pipelines.mosaic import read_images, IMAGE_META_COLS
@@ -520,6 +551,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": q_props_extract,
         "audio_features": q_audio_features,
         "events_daily": q_events_daily,
+        "events_moving_avg": q_events_moving_avg,
+        "events_median": q_events_median,
+        "mosaic_multiband_stats": q_mosaic_multiband_stats,
     }
 
 
@@ -746,5 +780,26 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
             FROM events
             GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        """,
+        "events_moving_avg": """
+            WITH daily AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                     sum(CAST(round(value * 100) AS BIGINT)) AS cents
+              FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, day,
+                   round(sum(cents) OVER w / (100.0 * count(*) OVER w), 4)
+                     AS moving_avg
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS 6 PRECEDING)
+        """,
+        "events_median": """
+            SELECT event_type,
+                   median(CAST(round(value * 100) AS BIGINT)) / 100.0
+                     AS median_value,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY event_type
         """,
     }

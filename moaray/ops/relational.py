@@ -151,6 +151,85 @@ def events_daily(events_ds):
     )
 
 
+def events_moving_avg(events_ds, window: int = 7):
+    """Per-event-type moving average of daily revenue over a trailing
+    ``window`` days (ROWS window-1 PRECEDING semantics over the ordered
+    day sequence). Composition: the existing events_daily partial-agg
+    pipeline collapses the input to one row per (event_type, day) — tiny —
+    then one groupby(event_type) computes the windowed mean group-locally
+    with a vectorized cumulative sum. Money stays integer cents until the
+    final divide; the result is rounded half-away like SQL round()."""
+    daily = events_daily(events_ds)
+
+    def moving(group: pa.Table) -> pa.Table:
+        days = np.array(group["day"].to_pylist())
+        order = np.argsort(days, kind="stable")
+        days = days[order]
+        # exact cents (events_daily emits cents/100.0 — reconstruct ints)
+        cents = np.rint(
+            group["sum_value"].to_numpy()[order] * 100.0
+        ).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        n = len(cents)
+        lo = np.maximum(np.arange(n) - (window - 1), 0)
+        wsum = csum[1:] - csum[lo]
+        wlen = np.arange(n) - lo + 1
+        # SQL avg of cents/100: round(sum/(100*len), 4) half-away
+        avg = wsum / (100.0 * wlen)
+        f = 1e4
+        avg = np.where(
+            avg >= 0, np.floor(avg * f + 0.5), np.ceil(avg * f - 0.5)
+        ) / f
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [group["event_type"][0].as_py()] * n, pa.string()
+                ),
+                "day": pa.array(days, pa.string()),
+                "moving_avg": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return daily.groupby("event_type").map_groups(
+        moving, batch_format="pyarrow"
+    )
+
+
+def events_median_value(events_ds):
+    """Exact per-event-type median of the value column (DuckDB median():
+    lower-middle/mean-of-middles interpolation). One shuffle on event_type;
+    the median is group-local numpy over exact cents.
+
+    Scale note: group size is bounded by per-type event counts; for a
+    100-TB stream swap the exact kernel for a t-digest/KLL partial (the
+    sketch module's pattern) — this op is the exact oracle anchor."""
+
+    def med(group: pa.Table) -> pa.Table:
+        cents = np.sort(
+            np.rint(group["value"].to_numpy() * 100.0).astype(np.int64)
+        )
+        n = len(cents)
+        if n % 2:
+            m = cents[n // 2] / 100.0
+        else:
+            # mirror DuckDB's op order exactly: mean of middles as a double
+            # FIRST, then the /100.0 of the SQL expression (one-ulp parity)
+            m = ((cents[n // 2 - 1] + cents[n // 2]) / 2.0) / 100.0
+        return pa.table(
+            {
+                "event_type": [group["event_type"][0].as_py()],
+                "median_value": pa.array([m], pa.float64()),
+                "n_events": pa.array([n], pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["event_type", "value"])
+        .groupby("event_type")
+        .map_groups(med, batch_format="pyarrow")
+    )
+
+
 def extent_union(meta_ds):
     """The mosaic's P1 union-extent aggregate exposed as a standalone op:
     global min/max over per-image bounds (ref mosaic.py:434-440)."""
