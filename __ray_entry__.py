@@ -199,6 +199,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = do_mosaic(_images("grid", ("png",)), _cfg("grid"))
         return _tiles_with_checksum(res.tiles_ds)
 
+    def q_mosaic_update(sf_dir: str):  # rows-only (non-SQL)
+        # incremental update: commit a mosaic missing the center image, fold
+        # the center in, return the winning-generation tile checksums
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from moaray import update_mosaic
+        from moaray.testgen import gen_images_table
+
+        tbl = gen_images_table(_layout("grid"))
+        root = "/tmp/moaray_q_update"
+        shutil.rmtree(root, ignore_errors=True)
+        base, upd = f"{root}/base", f"{root}/upd"
+        os.makedirs(base)
+        os.makedirs(upd)
+        keep = pa.array([0, 1, 2, 3, 5, 6, 7, 8])
+        pq.write_table(tbl.take(keep), f"{base}/part-0.parquet")
+        pq.write_table(tbl.take(pa.array([4])), f"{upd}/part-0.parquet")
+        cfg = _cfg("grid", do_pyramids=False)
+        do_mosaic(base, cfg, out_dir=f"{root}/out")
+        res = update_mosaic(upd, cfg, f"{root}/out")
+        return _tiles_with_checksum(res.tiles_ds)
+
     def q_spatial_join(sf_dir: str):
         return plan_assignments(_images("grid"), _cfg("grid")).sort(
             ["tile_id", "seq"]
@@ -507,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tiles_lossy": q_mosaic_tiles_lossy,
         "mosaic_tiles_f32": q_mosaic_tiles_f32,
         "mosaic_tiles_png": q_mosaic_tiles_png,
+        "mosaic_update": q_mosaic_update,
         "mosaic_reproject": q_mosaic_reproject,
         "knn_ivf": q_knn_ivf,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,

@@ -543,6 +543,9 @@ def _do_mosaic_impl(
     result = MosaicResult(grid=grid, tiles_ds=tiles, skipped_tiles=skipped)
 
     if out_dir is not None:
+        # grid + seq high-water mark persist beside the manifest so
+        # incremental updates (pipelines/update.py) plan on the same grid
+        manifest_mod.write_grid_meta(out_dir, grid, n_images, bands)
         result.manifest = manifest_mod.write_tiles(
             tiles, out_dir, tiles_per_file=cfg.tiles_per_file
         )

@@ -1,0 +1,216 @@
+"""Incremental mosaic update: merge NEW images into a committed output.
+
+Beyond-reference capability (the reference always deletes and rebuilds the
+whole output, ref /root/reference/moamosaic/mosaic.py:634-636): given an
+out_dir produced by ``do_mosaic(..., out_dir=...)``, ``update_mosaic`` folds
+a new image catalog in by rewriting ONLY the tiles the new footprints touch.
+
+Mechanics (all streaming, one shuffle over the affected subset):
+
+1. The stored grid + seq high-water mark load from ``grid.json``
+   (state/manifest.py) — planning runs on the exact original grid, and new
+   images get sequence numbers ABOVE every original input, so last-non-null
+   gives them precedence exactly as if they had been appended to the input
+   list of a full rebuild.
+2. New windows decode through the normal fused join+decode stage.
+3. Committed tiles for the affected (tile, band) keys are read back (column
+   pruned? no — pixels needed) and converted to synthetic full-canvas window
+   rows with ``seq = -1`` (before every real input), so one groupby merge
+   overlays new windows onto the existing canvas.
+4. Updated tiles write through the SAME committed sink. Old partitions are
+   not touched: each tile row carries a ``committed_at`` stamp and readers
+   resolve the newest generation per key (manifest.read_committed_tiles), so
+   a kill mid-update leaves a readable output (old generation) and the
+   update is idempotent — rerunning it converges to the same content.
+
+Stats after an update are recomputed from the winning tiles' stat COLUMNS
+(pixels pruned at the scan) — the manifest partial-sum fast path would
+double-count superseded generations.
+
+Restrictions: ``merge="last"`` only (feather would need the original
+num/den partials), and the new catalog's CRS/alignment must match the
+stored grid (validated like any mosaic input).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..stages.assemble import TILE_SCHEMA, assemble_tiles, decode_payload
+from ..stages.decode import WINDOW_SCHEMA, decode_windows
+from ..state import manifest as manifest_mod
+from .mosaic import MosaicConfig, MosaicResult, meta_columns, read_images
+
+
+def _existing_as_windows(tiles_ds, affected_ref, np_dtype, shuffle_codec):
+    """Committed tile rows -> synthetic WINDOW_SCHEMA rows (seq = -1)."""
+    from .. import codecs
+
+    def to_windows(batch: pa.Table) -> pa.Table:
+        affected = ray.get(affected_ref)
+        rows = {n: [] for n in WINDOW_SCHEMA.names}
+        codec_col = batch["pixels_codec"].to_pylist()
+        for i in range(batch.num_rows):
+            tid = batch["tile_id"][i].as_py()
+            band = batch["band"][i].as_py()
+            if (tid, band) not in affected:
+                continue
+            ys = batch["out_ysize"][i].as_py()
+            xs = batch["out_xsize"][i].as_py()
+            canvas = decode_payload(
+                batch["pixels"][i].as_buffer(), codec_col[i], np_dtype
+            ).reshape(ys, xs)
+            rows["tile_id"].append(tid)
+            rows["band"].append(band)
+            rows["salt"].append(0)
+            rows["seq"].append(-1)  # before every real input
+            rows["image_id"].append("__existing__")
+            rows["out_top"].append(batch["out_top"][i].as_py())
+            rows["out_left"].append(batch["out_left"][i].as_py())
+            rows["out_xsize"].append(xs)
+            rows["out_ysize"].append(ys)
+            rows["dst_top"].append(0)
+            rows["dst_left"].append(0)
+            rows["win_h"].append(ys)
+            rows["win_w"].append(xs)
+            rows["src_top"].append(0)
+            rows["src_left"].append(0)
+            rows["src_h"].append(ys)
+            rows["src_w"].append(xs)
+            wire = (
+                np_dtype.newbyteorder("<") if np_dtype.itemsize > 1 else np_dtype
+            )
+            arr = np.ascontiguousarray(canvas, dtype=wire)
+            if shuffle_codec:
+                rows["pixels"].append(codecs.encode(arr, shuffle_codec))
+            else:
+                rows["pixels"].append(arr.tobytes())
+        return pa.Table.from_pydict(rows, schema=WINDOW_SCHEMA)
+
+    return tiles_ds.map_batches(to_windows, batch_format="pyarrow")
+
+
+def update_mosaic(
+    images_path: str,
+    cfg: MosaicConfig,
+    out_dir: str,
+) -> MosaicResult:
+    """Fold a new image catalog into the committed mosaic at ``out_dir``."""
+    if cfg.merge != "last":
+        raise ValueError("update_mosaic supports the 'last' merge kernel only")
+    grid, n_seq0, bands = manifest_mod.load_grid_meta(out_dir)
+    np_dtype = np.dtype(grid.dtype)
+
+    # --- plan the new images on the stored grid -------------------------
+    import pyarrow.parquet as _pq
+
+    from ..geo import covering_tile_range, window_overlap
+    from ..stages.plan import metas_from_batch
+
+    tbl = _pq.read_table(images_path, columns=meta_columns(images_path))
+    pairs = metas_from_batch(tbl, cfg.layout)
+    new_bands = (
+        sorted(set(tbl["band"].to_pylist()))
+        if "band" in tbl.schema.names
+        else [0]
+    )
+    affected: set[tuple[int, int]] = set()
+    seen = set()
+    for _seq, m in pairs:
+        if m.image_id in seen:
+            continue
+        seen.add(m.image_id)
+        tr0, tr1, tc0, tc1 = covering_tile_range(m, grid)
+        for tr in range(tr0, tr1):
+            for tc in range(tc0, tc1):
+                tid = grid.tile_id(tr, tc)
+                if window_overlap(grid.block_for_tile(tid), grid.transform, m):
+                    for b in new_bands:
+                        affected.add((tid, b))
+    n_new = len(seen)
+    if not affected:
+        return MosaicResult(
+            grid=grid,
+            tiles_ds=manifest_mod.read_committed_tiles(out_dir),
+        )
+
+    def _codec_for_dtype(codec):
+        return None if (codec == "q12" and grid.dtype != "uint16") else codec
+
+    shuffle_codec = _codec_for_dtype(cfg.shuffle_codec)
+    tile_codec = _codec_for_dtype(cfg.tile_codec)
+
+    # --- new windows, seqs shifted above the original high-water mark ---
+    has_seq_col = "seq" in tbl.schema.names
+    if has_seq_col:
+        # explicit catalog seq: shift BEFORE decode so merge order among the
+        # new inputs is preserved above the original high-water mark
+        def shift_seq(batch: pa.Table) -> pa.Table:
+            names = batch.schema.names
+            shifted = pa.compute.add(batch["seq"], pa.scalar(n_seq0))
+            return batch.set_column(names.index("seq"), "seq", shifted)
+
+        images_ds = read_images(images_path).map_batches(
+            shift_seq, batch_format="pyarrow"
+        )
+    else:
+        images_ds = read_images(images_path)
+    new_windows = decode_windows(
+        images_ds, grid, cfg.layout, shuffle_codec=shuffle_codec
+    )
+    if not has_seq_col:
+        # layout-derived seq (= image index): shift after decode
+        def shift_window_seq(batch: pa.Table) -> pa.Table:
+            names = batch.schema.names
+            shifted = pa.compute.add(batch["seq"], pa.scalar(n_seq0))
+            return batch.set_column(names.index("seq"), "seq", shifted)
+
+        new_windows = new_windows.map_batches(
+            shift_window_seq, batch_format="pyarrow"
+        )
+
+    # drop windows of unaffected tiles? impossible: every new window's tile
+    # is affected by construction.
+
+    # --- existing affected tiles as base windows ------------------------
+    affected_ref = ray.put(affected)
+    existing = manifest_mod.read_committed_tiles(out_dir)
+    base_windows = _existing_as_windows(
+        existing, affected_ref, np_dtype, shuffle_codec
+    ).materialize()
+
+    merged = assemble_tiles(
+        base_windows.union(new_windows),
+        grid,
+        "last",
+        windows_encoded=shuffle_codec is not None,
+        tile_codec=tile_codec,
+        multiband=len(set(bands) | set(new_bands)) > 1,
+    )
+
+    result = MosaicResult(grid=grid, tiles_ds=merged)
+    result.manifest = manifest_mod.write_tiles(
+        merged, out_dir, tiles_per_file=cfg.tiles_per_file
+    )
+    manifest_mod.write_grid_meta(
+        out_dir, grid, n_seq0 + n_new, sorted(set(bands) | set(new_bands))
+    )
+    result.tiles_ds = manifest_mod.read_committed_tiles(out_dir)
+    if cfg.do_stats:
+        # manifest partial-sums would double-count superseded generations:
+        # aggregate the WINNING tiles' stat columns (pixels pruned upstream
+        # by the resolve filter reading only stat columns would be ideal;
+        # the resolve filter needs tile_id/band/committed_at which the
+        # pruned read includes)
+        from ..stages.stats import stats_from_tile_columns
+
+        stat_cols = [
+            "tile_id", "band", "nonnull_count", "px_sum", "px_ssq",
+            "px_min", "px_max", "committed_at",
+        ]
+        pruned = manifest_mod.read_committed_tiles(out_dir, columns=stat_cols)
+        result.stats_by_band = stats_from_tile_columns(pruned)
+        result.stats = result.stats_by_band.get(0)
+    return result

@@ -53,6 +53,14 @@ class TileWriter:
             return pa.table(
                 {n: pa.array([], t) for n, t in self._EMPTY.items()}
             )
+        # Version stamp per row: an incremental update writes NEW partitions
+        # for affected (tile, band) keys without touching old files; readers
+        # resolve the winner per key by the newest committed_at (see
+        # read_committed_tiles). Monotonic within a run_id by wall clock.
+        commit_ts = time.time()
+        batch = batch.append_column(
+            "committed_at", pa.array([commit_ts] * batch.num_rows, pa.float64())
+        )
         tids = batch["tile_id"].to_pylist()
         bands_col = batch["band"].to_pylist()
         lo, hi = min(tids), max(tids)
@@ -105,7 +113,7 @@ class TileWriter:
             "bytes": os.path.getsize(data_path),
             "wall_s": wall,
             "lineage_images": lineage,
-            "committed_at": time.time(),
+            "committed_at": commit_ts,
             "px_sum": px_sum,
             "px_ssq": px_ssq,
             "px_min": px_min,
@@ -283,11 +291,122 @@ def stats_from_manifest(out_dir: str) -> dict[int, dict]:
     return {b: _finalize(a) for b, a in sorted(accs.items())}
 
 
+def winning_commits(out_dir: str) -> dict[tuple[int, int], float]:
+    """(tile_id, band) -> newest committed_at across all manifest records.
+
+    After an incremental update (pipelines/update.py) a key can appear in
+    two generations of partitions; the newest record wins. Pure driver-side
+    read of the tiny manifest."""
+    manifest_dir = os.path.join(out_dir, "manifest")
+    winners: dict[tuple[int, int], float] = {}
+    if not os.path.isdir(manifest_dir):
+        return winners
+    for name in os.listdir(manifest_dir):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(manifest_dir, name)) as f:
+            rec = json.load(f)
+        ts = rec.get("committed_at", 0.0)
+        keys = rec.get("keys") or [[t, 0] for t in rec["tile_ids"]]
+        for t, b in keys:
+            k = (int(t), int(b))
+            if ts >= winners.get(k, -1.0):
+                winners[k] = ts
+    return winners
+
+
 def read_committed_tiles(out_dir: str, columns: list[str] | None = None):
     """Manifest-committed tile files as one Dataset (for verification /
     downstream reads). Reads ONLY manifest-listed paths — never a raw
     directory listing — so uncommitted orphans from a killed run are
-    excluded."""
+    excluded. When incremental updates left superseded generations of a
+    (tile, band) key, only the newest generation's rows survive (winner map
+    broadcast once via ray.put; vectorized filter per batch); the
+    version-stamp column is dropped so downstream schemas are unchanged."""
+    import numpy as np
     import ray
 
-    return ray.data.read_parquet(committed_paths(out_dir), columns=columns)
+    ds = ray.data.read_parquet(committed_paths(out_dir), columns=columns)
+    winners = winning_commits(out_dir)
+    n_keys = len(winners)
+    total_keys = sum(
+        len(json.load(open(os.path.join(out_dir, "manifest", n))).get("keys")
+            or json.load(open(os.path.join(out_dir, "manifest", n)))["tile_ids"])
+        for n in os.listdir(os.path.join(out_dir, "manifest"))
+        if n.endswith(".json")
+    ) if os.path.isdir(os.path.join(out_dir, "manifest")) else 0
+    has_dupes = total_keys > n_keys
+
+    if not has_dupes:
+        # fresh output: no superseded generations, no filter stage needed
+        def drop_stamp(batch: pa.Table) -> pa.Table:
+            if "committed_at" in batch.schema.names:
+                return batch.drop_columns(["committed_at"])
+            return batch
+
+        return ds.map_batches(drop_stamp, batch_format="pyarrow")
+
+    ref = ray.put(winners)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        win = ray.get(ref)
+        if "committed_at" not in batch.schema.names:
+            return batch
+        ts = batch["committed_at"].to_numpy()
+        tids = batch["tile_id"].to_numpy()
+        bands = batch["band"].to_numpy()
+        keep = np.array(
+            [
+                ts[i] >= win.get((int(tids[i]), int(bands[i])), -1.0)
+                for i in range(len(ts))
+            ],
+            dtype=bool,
+        )
+        return batch.filter(pa.array(keep)).drop_columns(["committed_at"])
+
+    return ds.map_batches(resolve, batch_format="pyarrow")
+
+
+GRID_META = "grid.json"
+
+
+def write_grid_meta(out_dir: str, grid, n_seq: int, bands: list[int]) -> None:
+    """Persist the output grid + input-sequence high-water mark so a later
+    incremental update can plan against the exact same grid."""
+    os.makedirs(out_dir, exist_ok=True)
+    rec = {
+        "ncols": grid.ncols,
+        "nrows": grid.nrows,
+        "transform": list(grid.transform),
+        "crs": grid.crs,
+        "dtype": grid.dtype,
+        "nullval": grid.nullval if grid.nullval == grid.nullval else "nan",
+        "nbands": grid.nbands,
+        "blocksize": grid.blocksize,
+        "n_seq": n_seq,
+        "bands": bands,
+    }
+    tmp = os.path.join(out_dir, GRID_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, os.path.join(out_dir, GRID_META))
+
+
+def load_grid_meta(out_dir: str):
+    """(OutputGrid, n_seq, bands) from a committed output directory."""
+    from ..geo import OutputGrid
+
+    with open(os.path.join(out_dir, GRID_META)) as f:
+        rec = json.load(f)
+    nv = float("nan") if rec["nullval"] == "nan" else float(rec["nullval"])
+    grid = OutputGrid(
+        ncols=rec["ncols"],
+        nrows=rec["nrows"],
+        transform=tuple(rec["transform"]),
+        crs=rec["crs"],
+        dtype=rec["dtype"],
+        nullval=nv,
+        nbands=rec["nbands"],
+        blocksize=rec["blocksize"],
+    )
+    return grid, int(rec["n_seq"]), list(rec["bands"])

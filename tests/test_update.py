@@ -1,0 +1,141 @@
+"""Incremental mosaic update (pipelines/update.py): folding new images into
+a committed output must equal a full rebuild with the concatenated input
+list, rewrite only affected tiles, and be idempotent."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from moaray import MosaicConfig, do_mosaic, oracle
+from moaray.geo import make_output_grid
+from moaray.pipelines.mosaic import mosaic_array
+from moaray.pipelines.update import update_mosaic
+from moaray.state.manifest import read_committed_tiles, winning_commits
+from moaray.testgen import (
+    Layout,
+    gen_images_table,
+    metas_for_layout,
+    pixel_array,
+)
+
+LAYOUT = Layout("grid3x3", 9, 96)
+# base = every image except the center one (so the base grid already spans
+# the full extent — an update cannot extend the stored grid); the update
+# appends the center image, which overlaps all its neighbours
+BASE_IDX = [0, 1, 2, 3, 5, 6, 7, 8]
+UPD_IDX = [4]
+
+
+@pytest.fixture()
+def split_catalogs(tmp_path):
+    import pyarrow as pa
+
+    tbl = gen_images_table(LAYOUT)
+    base = str(tmp_path / "base")
+    upd = str(tmp_path / "update")
+    os.makedirs(base)
+    os.makedirs(upd)
+    pq.write_table(
+        tbl.take(pa.array(BASE_IDX)), os.path.join(base, "part-0.parquet")
+    )
+    pq.write_table(
+        tbl.take(pa.array(UPD_IDX)), os.path.join(upd, "part-0.parquet")
+    )
+    return base, upd
+
+
+def _truth():
+    """Full-rebuild oracle with the APPEND input order: base images in
+    catalog order, then the update images — update semantics are exactly
+    'extend the input list'."""
+    metas = metas_for_layout(LAYOUT)
+    grid = make_output_grid([metas[i] for i in BASE_IDX], 64)
+    ordered = [metas[i] for i in BASE_IDX] + [metas[i] for i in UPD_IDX]
+    arrays = {
+        m.image_id: pixel_array(i, LAYOUT) for i, m in enumerate(metas)
+    }
+    return grid, oracle.build_mosaic(grid, ordered, arrays)
+
+
+def test_update_equals_full_rebuild(ray_session, tmp_path, split_catalogs):
+    base, upd = split_catalogs
+    out = str(tmp_path / "out")
+    cfg = MosaicConfig(layout=LAYOUT, blocksize=64, do_pyramids=False)
+
+    res_base = do_mosaic(base, cfg, out_dir=out)
+    n_records_base = len(
+        [n for n in os.listdir(os.path.join(out, "manifest"))
+         if n.endswith(".json")]
+    )
+
+    res = update_mosaic(upd, cfg, out)
+    grid, truth = _truth()
+    got = mosaic_array(res.tiles_ds, grid)
+    assert np.array_equal(got, truth)
+
+    # stats recomputed over winning generations must match the oracle
+    omin, omax, omean, ostd, ocount = oracle.stats(truth, grid.nullval)
+    s = res.stats
+    assert s["count"] == ocount and s["min"] == omin and s["max"] == omax
+    assert abs(s["mean"] - omean) < 1e-9 and abs(s["stddev"] - ostd) < 1e-9
+
+    # only affected tiles gained a new generation; unaffected tiles keep
+    # exactly one committed generation
+    winners = winning_commits(out)
+    assert len(winners) == grid.num_tiles
+    n_records_after = len(
+        [n for n in os.listdir(os.path.join(out, "manifest"))
+         if n.endswith(".json")]
+    )
+    assert n_records_after > n_records_base  # new generation appended
+    # the base generation is still on disk (append-only update)
+    assert res_base.manifest.num_rows <= n_records_after
+
+
+def test_update_idempotent(ray_session, tmp_path, split_catalogs):
+    base, upd = split_catalogs
+    out = str(tmp_path / "out")
+    cfg = MosaicConfig(layout=LAYOUT, blocksize=64, do_pyramids=False,
+                       do_stats=False)
+    do_mosaic(base, cfg, out_dir=out)
+    update_mosaic(upd, cfg, out)
+    first = mosaic_array(read_committed_tiles(out), _truth()[0])
+    # a crashed-and-rerun update converges: same content, newer generation
+    update_mosaic(upd, cfg, out)
+    second = mosaic_array(read_committed_tiles(out), _truth()[0])
+    assert np.array_equal(first, second)
+
+
+def test_update_disjoint_noop(ray_session, tmp_path):
+    # an update whose footprints touch nothing (empty catalog intersection)
+    # must leave the output untouched
+    lay = Layout("pair_overlap", 2, 64)
+    tbl = gen_images_table(lay)
+    base = str(tmp_path / "base")
+    os.makedirs(base)
+    pq.write_table(tbl, os.path.join(base, "part-0.parquet"))
+    out = str(tmp_path / "out")
+    cfg = MosaicConfig(layout=lay, blocksize=64, do_pyramids=False,
+                       do_stats=False)
+    do_mosaic(base, cfg, out_dir=out)
+    before = winning_commits(out)
+
+    far = str(tmp_path / "far")
+    os.makedirs(far)
+    # second catalog placed far outside the grid: reuse image 1 bytes but
+    # with an explicit geotransform 100 km east
+    import pyarrow as pa
+
+    row = tbl.slice(0, 1)
+    gt = [400000.0 + 1e5, 10.0, 0.0, 7000000.0, 0.0, -10.0]
+    row = row.append_column("gt", pa.array([gt], pa.list_(pa.float64(), 6)))
+    row = row.append_column("crs", pa.array(["EPSG:32756"], pa.string()))
+    row = row.append_column("nullval", pa.array([0.0], pa.float64()))
+    row = row.append_column("seq", pa.array([0], pa.int64()))
+    pq.write_table(row, os.path.join(far, "part-0.parquet"))
+
+    res = update_mosaic(far, cfg, out)
+    assert winning_commits(out) == before
+    assert res.tiles_ds.count() == len(before)
