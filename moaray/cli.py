@@ -41,6 +41,10 @@ def get_cmdargs(argv=None):
                    help="overlap merge kernel (default %(default)s)")
     p.add_argument("--resume", action="store_true",
                    help="skip tiles already committed in the output manifest")
+    p.add_argument("--update", action="store_true",
+                   help="incremental update: fold the input catalog's images "
+                        "into the EXISTING committed mosaic at -o, rewriting "
+                        "only affected tiles (merge=last only)")
     p.add_argument("--nopyramids", action="store_true",
                    help="skip overview pyramid generation")
     p.add_argument("--minoverviewsize", type=int, default=1024,
@@ -102,8 +106,13 @@ def main_cmd(argv=None) -> int:
             out_yres=args.yres,
             resample=args.resamplemethod,
         )
-        res = do_mosaic(args.infile, cfg, out_dir=args.outdir,
-                        resume=args.resume)
+        if args.update:
+            from .pipelines.update import update_mosaic
+
+            res = update_mosaic(args.infile, cfg, args.outdir)
+        else:
+            res = do_mosaic(args.infile, cfg, out_dir=args.outdir,
+                            resume=args.resume)
 
         if args.gtiff:
             from .sinks.gtiff import export_gtiff

@@ -277,21 +277,29 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(docs_ds, num_perm, k_shingle, seed)
 
     def to_buckets(batch: pa.Table) -> pa.Table:
-        out = {"band": [], "bucket": [], "doc_id": [], "sig": []}
-        for i in range(batch.num_rows):
-            sig = batch["sig"][i].as_py()
-            for band in range(bands):
-                chunk = tuple(sig[band * rows_per_band : (band + 1) * rows_per_band])
-                out["band"].append(band)
-                out["bucket"].append(hash(chunk) & 0x7FFFFFFFFFFFFFFF)
-                out["doc_id"].append(batch["doc_id"][i].as_py())
-                out["sig"].append(sig)
+        """Vectorized band-bucket expansion: one FNV-style polynomial hash
+        over each band's minhash chunk (equality-preserving, so true
+        candidates always collide; a cross-chunk hash collision only adds a
+        candidate that the est_jaccard threshold re-checks)."""
+        n = batch.num_rows
+        ids = batch["doc_id"].to_numpy()
+        sig_mat = np.array(batch["sig"].to_pylist(), dtype=np.int64)
+        chunks = sig_mat.reshape(n, bands, rows_per_band).astype(np.uint64)
+        h = np.full((n, bands), 0xCBF29CE484222325, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(rows_per_band):
+                h = (h ^ chunks[:, :, j]) * np.uint64(1099511628211)
+        bucket = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        rep = pa.array(np.repeat(np.arange(n), bands))
+        sig_col = batch["sig"].take(rep)
         return pa.Table.from_pydict(
             {
-                "band": pa.array(out["band"], pa.int32()),
-                "bucket": pa.array(out["bucket"], pa.int64()),
-                "doc_id": pa.array(out["doc_id"], pa.int64()),
-                "sig": pa.array(out["sig"], pa.list_(pa.int64(), num_perm)),
+                "band": pa.array(
+                    np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()
+                ),
+                "bucket": pa.array(bucket.reshape(-1), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+                "sig": sig_col,
             }
         )
 
@@ -531,23 +539,29 @@ def embedding_neardup_lsh_pairs(
     from .ann import _hyperplanes, _normalize, _sign_bucket
 
     def to_buckets(batch: pa.Table) -> pa.Table:
+        """Vectorized: bucket ids for all tables in one matmul pass; the
+        embedding column replicates via Arrow take (no Python list
+        materialization — the raw vectors ship, normalization happens once
+        inside the bucket kernel)."""
+        n = batch.num_rows
         ids = batch["vec_id"].to_numpy()
-        mat = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        mat = _normalize(
+            np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        )
         dim = mat.shape[1]
-        out = {"table": [], "bucket": [], "vec_id": [], "embedding": []}
+        buckets = np.empty((n_tables, n), dtype=np.int64)
         for t in range(n_tables):
-            planes = _hyperplanes(dim, n_bits, seed + t)
-            b = _sign_bucket(mat, planes)
-            out["table"].extend([t] * len(ids))
-            out["bucket"].extend(b.tolist())
-            out["vec_id"].extend(ids.tolist())
-            out["embedding"].extend(mat.tolist())
+            buckets[t] = _sign_bucket(mat, _hyperplanes(dim, n_bits, seed + t))
+        rep = pa.array(np.tile(np.arange(n), n_tables))
         return pa.Table.from_pydict(
             {
-                "table": pa.array(out["table"], pa.int32()),
-                "bucket": pa.array(out["bucket"], pa.int64()),
-                "vec_id": pa.array(out["vec_id"], pa.int64()),
-                "embedding": pa.array(out["embedding"]),
+                "table": pa.array(
+                    np.repeat(np.arange(n_tables, dtype=np.int32), n),
+                    pa.int32(),
+                ),
+                "bucket": pa.array(buckets.reshape(-1), pa.int64()),
+                "vec_id": pa.array(np.tile(ids, n_tables), pa.int64()),
+                "embedding": batch["embedding"].take(rep),
             }
         )
 
@@ -563,7 +577,9 @@ def embedding_neardup_lsh_pairs(
         if group.num_rows < 2:
             return empty
         ids = group["vec_id"].to_numpy()
-        mat = np.array(group["embedding"].to_pylist(), dtype=np.float64)
+        mat = _normalize(
+            np.array(group["embedding"].to_pylist(), dtype=np.float64)
+        )
         sims = mat @ mat.T
         ia, ib = np.where(np.triu(sims >= threshold, k=1))
         if len(ia) == 0:

@@ -116,6 +116,32 @@ def update_mosaic(
         if "band" in tbl.schema.names
         else [0]
     )
+    # same homogeneity validation as a fresh mosaic (ref reproj.py:72-127):
+    # an update cannot warp, so inputs must already live on the stored grid
+    if cfg.validate_projections:
+        from ..crs import ProjectionError
+
+        tol = 0.0001
+        for _seq, m in pairs:
+            if m.crs != grid.crs:
+                raise ProjectionError(
+                    f"update input {m.image_id}: CRS {m.crs} != stored grid "
+                    f"CRS {grid.crs} (updates cannot warp)"
+                )
+            if (
+                abs(m.transform[1] - grid.transform[1]) > tol
+                or abs(m.transform[5] - grid.transform[5]) > tol
+            ):
+                raise ProjectionError(
+                    f"update input {m.image_id}: resolution mismatch"
+                )
+            dx = (m.transform[0] - grid.transform[0]) / grid.transform[1]
+            dy = (m.transform[3] - grid.transform[3]) / grid.transform[5]
+            if abs(dx - round(dx)) > tol or abs(dy - round(dy)) > tol:
+                raise ProjectionError(
+                    f"update input {m.image_id}: grid misalignment"
+                )
+
     affected: set[tuple[int, int]] = set()
     seen = set()
     for _seq, m in pairs:
