@@ -234,22 +234,67 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 def minhash_signatures(
     docs_ds, num_perm: int = 64, k_shingle: int = 3, seed: int = 42
 ):
-    """(doc_id, sig: list<int64>[num_perm]) via k-word shingles + CRC32 base
-    hash + universal-hash permutations (vectorized outer product per doc)."""
+    """(doc_id, sig: list<int64>[num_perm]) via k-word shingles +
+    universal-hash permutations.
+
+    Vectorized across the WHOLE batch: shingle hashes combine per-token
+    CRC32s with a positional mixer (no per-shingle string joins), all docs'
+    distinct shingles concatenate into one array, the (num_perm x total)
+    permutation matrix evaluates once, and per-doc minima come from one
+    ``np.minimum.reduceat`` over the doc offsets."""
     a, b = _minhash_params(num_perm, seed)
+    mix = np.array(
+        [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9],
+        dtype=np.uint64,
+    )[:k_shingle if k_shingle <= 3 else 3]
+
+    def finalize(h: np.ndarray) -> np.ndarray:
+        # splitmix64 avalanche: without it, degenerate combinations (e.g. a
+        # window of empty tokens XORs to h == 0, and (a*0 + b) % M == b for
+        # EVERY permutation) become the argmin of ~all signature positions,
+        # welding unrelated docs into est~1.0 pairs.
+        h = h + np.uint64(0x9E3779B97F4A7C15)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
 
     def sig_batch(batch: pa.Table) -> pa.Table:
-        sigs = []
-        for text in batch["text"].to_pylist():
-            h = _shingle_hashes(text, k_shingle)
-            with np.errstate(over="ignore"):
-                vals = (h[None, :] * a[:, None] + b[:, None]) % _MERSENNE
-            sigs.append(vals.min(axis=1).astype(np.int64))
+        texts = batch["text"].to_pylist()
+        if not texts:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "sig": pa.array([], pa.list_(pa.int64(), num_perm)),
+                }
+            )
+        per_doc: list[np.ndarray] = []
+        with np.errstate(over="ignore"):
+            for text in texts:
+                toks = text.split(" ")
+                th = np.array(
+                    [zlib.crc32(t.encode("utf-8")) for t in toks],
+                    dtype=np.uint64,
+                )
+                if len(toks) < k_shingle:
+                    h = (th * mix[: len(th)]).sum(keepdims=True)
+                else:
+                    h = np.zeros(len(toks) - k_shingle + 1, dtype=np.uint64)
+                    for j in range(k_shingle):
+                        m = mix[j % len(mix)] + np.uint64(j)
+                        h ^= th[j : len(th) - k_shingle + 1 + j] * m
+                per_doc.append(np.unique(finalize(h)))
+            counts = np.array([len(h) for h in per_doc], dtype=np.int64)
+            offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            allh = np.concatenate(per_doc) if per_doc else np.array([], np.uint64)
+            vals = (allh[None, :] * a[:, None] + b[:, None]) % _MERSENNE
+            mins = np.minimum.reduceat(vals, offsets, axis=1)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "sig": pa.array([s.tolist() for s in sigs],
-                                pa.list_(pa.int64(), num_perm)),
+                "sig": pa.array(
+                    mins.T.astype(np.int64).tolist(),
+                    pa.list_(pa.int64(), num_perm),
+                ),
             }
         )
 
