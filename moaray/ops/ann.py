@@ -182,6 +182,63 @@ def knn_lsh(
     return partial.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
 
 
+def kmeans_fit(
+    emb_ds,
+    k: int,
+    n_iters: int = 5,
+    seed_rows: int | None = None,
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd's) over the embedding column.
+
+    The classic iterative Ray Data aggregation: centroids broadcast via
+    ray.put; each batch computes assignments and emits PARTIAL per-centroid
+    (sum, count) — (k x d + k) floats per batch, never the vectors — which a
+    tiny driver-side reduce turns into the next centroids. ``n_iters``
+    passes over the data; deterministic init from the first ``k`` vectors
+    (``seed_rows`` overrides the deterministic scan count). Empty clusters
+    keep their previous centroid."""
+    _ids, init = load_queries(emb_ds, seed_rows or k)
+    cent = _normalize(init[:k])
+
+    def partials_fn(cent_ref):
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            mat = _normalize(
+                np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+            )
+            assign = np.argmax(mat @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=c.shape[0])
+            return pa.table(
+                {
+                    "sums": pa.array([sums.tobytes()], pa.binary()),
+                    "counts": pa.array([counts.tobytes()], pa.binary()),
+                }
+            )
+
+        return partials
+
+    dim = cent.shape[1]
+    for _ in range(n_iters):
+        ref = ray.put(cent)
+        rows = (
+            emb_ds.select_columns(["embedding"])
+            .map_batches(partials_fn(ref), batch_format="pyarrow")
+            .take_all()
+        )
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums += np.frombuffer(r["sums"], dtype=np.float64).reshape(k, dim)
+            counts += np.frombuffer(r["counts"], dtype=np.int64)
+        nonempty = counts > 0
+        new_cent = cent.copy()
+        new_cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cent = _normalize(new_cent)
+    return cent
+
+
 def knn_ivf(
     emb_ds,
     query_ids: np.ndarray,
@@ -189,19 +246,19 @@ def knn_ivf(
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    kmeans_iters: int = 3,
 ):
     """IVF-flat ANN: corpus vectors are assigned to their nearest coarse
     centroid; a query scans only its ``nprobe`` closest centroids' lists.
 
-    The coarse quantizer is the first ``n_centroids`` corpus vectors
-    (deterministic stand-in for a k-means training pass — at scale this is a
-    sampled k-means run once and broadcast, same interface). Centroids +
-    per-query probe sets broadcast once via ray.put; corpus embeddings never
-    shuffle. Recall < 1 by design; ``knn_bruteforce`` is the baseline."""
+    The coarse quantizer is a real distributed spherical k-means
+    (``kmeans_fit``: deterministic first-k init, ``kmeans_iters`` Lloyd
+    passes of partial-sum aggregation). Centroids + per-query probe sets
+    broadcast once via ray.put; corpus embeddings never shuffle. Recall < 1
+    by design; ``knn_bruteforce`` is the baseline."""
     qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
-    cent_ids, cent = load_queries(emb_ds, n_centroids)
-    cent = _normalize(cent)
+    cent = kmeans_fit(emb_ds, n_centroids, n_iters=kmeans_iters)
     # per-query probe set: nprobe nearest centroids
     qc = qmat @ cent.T
     probes = np.argsort(-qc, axis=1)[:, :nprobe]

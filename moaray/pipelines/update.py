@@ -224,6 +224,15 @@ def update_mosaic(
         out_dir, grid, n_seq0 + n_new, sorted(set(bands) | set(new_bands))
     )
     result.tiles_ds = manifest_mod.read_committed_tiles(out_dir)
+    if cfg.do_pyramids:
+        # overviews regenerate from the WINNING tile generations (pyramids
+        # are derived data — never persisted by the sink — so a full-extent
+        # rebuild from the resolved tiles is always consistent)
+        from ..stages.assemble import build_pyramids
+
+        result.pyramids_ds = build_pyramids(
+            result.tiles_ds, grid, cfg.min_overview_size
+        )
     if cfg.do_stats:
         # manifest partial-sums would double-count superseded generations:
         # aggregate the WINNING tiles' stat columns (pixels pruned upstream

@@ -48,6 +48,11 @@ TYPE_ASCII = 2
 _TYPE_SIZE = {TYPE_SHORT: 2, TYPE_LONG: 4, TYPE_DOUBLE: 8, TYPE_ASCII: 1}
 
 
+# TIFF SampleFormat values per dtype kind
+_SAMPLEFORMAT = {"u": 1, "i": 2, "f": 3}
+_KIND_FOR_FORMAT = {v: k for k, v in _SAMPLEFORMAT.items()}
+
+
 def write_gtiff(
     path: str,
     arr: np.ndarray,
@@ -56,12 +61,15 @@ def write_gtiff(
     nullval: float | None = None,
     rows_per_strip: int = 256,
 ) -> None:
-    """Write a 2-D uint16 array as an uncompressed little-endian GeoTIFF."""
-    if arr.ndim != 2 or arr.dtype != np.uint16:
-        raise ValueError(f"expected 2-D uint16, got {arr.dtype} {arr.shape}")
+    """Write a 2-D array (any uint/int/float dtype — the reference writes
+    whatever GDAL dtype the inputs carry, mosaic.py:16,354) as an
+    uncompressed little-endian GeoTIFF."""
+    if arr.ndim != 2 or arr.dtype.kind not in _SAMPLEFORMAT:
+        raise ValueError(f"expected a 2-D numeric array, got {arr.dtype} {arr.shape}")
     nrows, ncols = arr.shape
+    wire = arr.dtype.newbyteorder("<") if arr.dtype.itemsize > 1 else arr.dtype
     strips = [
-        np.ascontiguousarray(arr[r : r + rows_per_strip]).astype("<u2").tobytes()
+        np.ascontiguousarray(arr[r : r + rows_per_strip]).astype(wire).tobytes()
         for r in range(0, nrows, rows_per_strip)
     ]
 
@@ -92,14 +100,14 @@ def write_gtiff(
     n_strips = len(strips)
     entry(T_WIDTH, TYPE_LONG, ncols)
     entry(T_LENGTH, TYPE_LONG, nrows)
-    entry(T_BITSPERSAMPLE, TYPE_SHORT, 16)
+    entry(T_BITSPERSAMPLE, TYPE_SHORT, arr.dtype.itemsize * 8)
     entry(T_COMPRESSION, TYPE_SHORT, 1)
     entry(T_PHOTOMETRIC, TYPE_SHORT, 1)
     entry(T_STRIPOFFSETS, TYPE_LONG, [0] * n_strips)  # patched below
     entry(T_SAMPLESPERPIXEL, TYPE_SHORT, 1)
     entry(T_ROWSPERSTRIP, TYPE_LONG, rows_per_strip)
     entry(T_STRIPBYTECOUNTS, TYPE_LONG, [len(s) for s in strips])
-    entry(T_SAMPLEFORMAT, TYPE_SHORT, 1)
+    entry(T_SAMPLEFORMAT, TYPE_SHORT, _SAMPLEFORMAT[arr.dtype.kind])
     entries.append((T_MODELPIXELSCALE, TYPE_DOUBLE, 3, pixel_scale))
     entries.append((T_MODELTIEPOINT, TYPE_DOUBLE, 6, tiepoint))
     entries.append((T_GEOKEYDIR, TYPE_SHORT, 8, geokeys))
@@ -156,7 +164,8 @@ def write_gtiff(
 
 def read_gtiff(path: str) -> tuple[np.ndarray, GeoTransform, float | None]:
     """Read back a GeoTIFF written by :func:`write_gtiff` (little-endian,
-    uncompressed, single-band uint16). Returns (array, transform, nodata)."""
+    uncompressed, single-band, any uint/int/float sample format).
+    Returns (array, transform, nodata)."""
     with open(path, "rb") as f:
         data = f.read()
     if data[:4] != _II:
@@ -181,14 +190,23 @@ def read_gtiff(path: str) -> tuple[np.ndarray, GeoTransform, float | None]:
 
     ncols = vals(T_WIDTH, "I")[0]
     nrows = vals(T_LENGTH, "I")[0]
-    assert vals(T_BITSPERSAMPLE, "H")[0] == 16
+    bits = vals(T_BITSPERSAMPLE, "H")[0]
+    fmt_code = (
+        vals(T_SAMPLEFORMAT, "H")[0] if T_SAMPLEFORMAT in tags else 1
+    )
+    kind = _KIND_FOR_FORMAT.get(fmt_code)
+    if kind is None:
+        raise ValueError(f"unsupported TIFF SampleFormat {fmt_code}")
     assert vals(T_COMPRESSION, "H")[0] == 1
     strip_offs = vals(T_STRIPOFFSETS, "I")
     strip_counts = vals(T_STRIPBYTECOUNTS, "I")
     buf = b"".join(
         data[o : o + c] for o, c in zip(strip_offs, strip_counts)
     )
-    arr = np.frombuffer(buf, dtype="<u2").reshape(nrows, ncols)
+    dt = np.dtype(f"<{kind}{bits // 8}") if bits > 8 else np.dtype(f"{kind}1")
+    arr = np.frombuffer(buf, dtype=dt).reshape(nrows, ncols).astype(
+        np.dtype(f"{kind}{bits // 8}"), copy=False
+    )
     sx, sy, _ = vals(T_MODELPIXELSCALE, "d")
     tp = vals(T_MODELTIEPOINT, "d")
     transform = (tp[3], sx, 0.0, tp[4], 0.0, -sy)

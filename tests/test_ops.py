@@ -412,3 +412,22 @@ def test_revenue_by_priority_join_paths_agree(ray_session):
         read_parquet_clean(li), orders, broadcast_limit=0
     ).to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
     assert bcast.equals(joined)
+
+
+def test_kmeans_fit_reduces_inertia(ray_session):
+    """Lloyd iterations must not increase spherical inertia (sum of 1 -
+    max-cosine to the assigned centroid)."""
+    import numpy as np
+
+    from moaray.ops.ann import _normalize, kmeans_fit
+
+    e = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    rows = e.select_columns(["embedding"]).take_all()
+    mat = _normalize(np.array([r["embedding"] for r in rows], np.float64))
+
+    def inertia(cent):
+        return float((1.0 - (mat @ cent.T).max(axis=1)).sum())
+
+    c0 = kmeans_fit(e, k=8, n_iters=0)  # init only
+    c3 = kmeans_fit(e, k=8, n_iters=3)
+    assert inertia(c3) <= inertia(c0) + 1e-9
