@@ -109,7 +109,13 @@ def update_mosaic(
     from ..geo import covering_tile_range, window_overlap
     from ..stages.plan import metas_from_batch
 
-    tbl = _pq.read_table(images_path, columns=meta_columns(images_path))
+    cols = meta_columns(images_path)
+    try:
+        # band is not a planning column (meta_columns prunes it) but the
+        # affected-key set is per (tile, band) — read it when present
+        tbl = _pq.read_table(images_path, columns=cols + ["band"])
+    except Exception:
+        tbl = _pq.read_table(images_path, columns=cols)
     pairs = metas_from_batch(tbl, cfg.layout)
     new_bands = (
         sorted(set(tbl["band"].to_pylist()))

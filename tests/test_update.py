@@ -139,3 +139,39 @@ def test_update_disjoint_noop(ray_session, tmp_path):
     res = update_mosaic(far, cfg, out)
     assert winning_commits(out) == before
     assert res.tiles_ds.count() == len(before)
+
+
+def test_update_multiband(ray_session, tmp_path):
+    """Multiband incremental update: both bands of the affected tiles merge
+    the new image; unaffected tiles keep one generation per band."""
+    import pyarrow as pa
+
+    from moaray.testgen import band_pixel_array
+
+    tbl = gen_images_table(LAYOUT, nbands=2)
+    base = str(tmp_path / "base")
+    upd = str(tmp_path / "upd")
+    os.makedirs(base)
+    os.makedirs(upd)
+    # rows are (image, band) pairs: image i occupies rows 2i, 2i+1
+    base_rows = [r for i in BASE_IDX for r in (2 * i, 2 * i + 1)]
+    upd_rows = [r for i in UPD_IDX for r in (2 * i, 2 * i + 1)]
+    pq.write_table(tbl.take(pa.array(base_rows)), os.path.join(base, "p.parquet"))
+    pq.write_table(tbl.take(pa.array(upd_rows)), os.path.join(upd, "p.parquet"))
+    out = str(tmp_path / "out")
+    cfg = MosaicConfig(layout=LAYOUT, blocksize=64, do_pyramids=False)
+    do_mosaic(base, cfg, out_dir=out)
+    res = update_mosaic(upd, cfg, out)
+
+    metas = metas_for_layout(LAYOUT)
+    grid = make_output_grid([metas[i] for i in BASE_IDX], 64)
+    ordered = [metas[i] for i in BASE_IDX] + [metas[i] for i in UPD_IDX]
+    for band in (0, 1):
+        arrays = {
+            m.image_id: band_pixel_array(i, LAYOUT, band)
+            for i, m in enumerate(metas)
+        }
+        truth = oracle.build_mosaic(grid, ordered, arrays)
+        got = mosaic_array(read_committed_tiles(out), grid, band=band)
+        assert np.array_equal(got, truth), f"band {band}"
+    assert res.stats_by_band.keys() == {0, 1}
