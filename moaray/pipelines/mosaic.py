@@ -479,18 +479,20 @@ def _do_mosaic_impl(
         committed = manifest_mod.committed_keys(out_dir)
         if committed:
             skipped = len(committed)
-            committed_ref = ray.put(committed)
+            # pack (tile_id, band) into one int64 so the filter is a single
+            # vectorized np.isin against a sorted array (a committed set at
+            # scale is millions of keys — no per-row Python membership)
+            packed = np.sort(np.array(
+                [(t << 20) | b for t, b in committed], dtype=np.int64
+            ))
+            committed_ref = ray.put(packed)
 
             def drop_committed(batch: pa.Table) -> pa.Table:
                 done = ray.get(committed_ref)
-                keep = [
-                    (tid, band) not in done
-                    for tid, band in zip(
-                        batch["tile_id"].to_pylist(),
-                        batch["band"].to_pylist(),
-                    )
-                ]
-                return batch.filter(pa.array(keep, pa.bool_()))
+                keys = (
+                    batch["tile_id"].to_numpy().astype(np.int64) << 20
+                ) | batch["band"].to_numpy().astype(np.int64)
+                return batch.filter(pa.array(~np.isin(keys, done)))
 
             windows = windows.map_batches(drop_committed, batch_format="pyarrow")
 

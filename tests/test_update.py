@@ -175,3 +175,33 @@ def test_update_multiband(ray_session, tmp_path):
         got = mosaic_array(read_committed_tiles(out), grid, band=band)
         assert np.array_equal(got, truth), f"band {band}"
     assert res.stats_by_band.keys() == {0, 1}
+
+
+def test_update_rejects_crs_mismatch(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from moaray.crs import ProjectionError
+
+    lay = Layout("pair_overlap", 2, 64)
+    tbl = gen_images_table(lay)
+    base = str(tmp_path / "base")
+    os.makedirs(base)
+    pq.write_table(tbl, os.path.join(base, "p.parquet"))
+    out = str(tmp_path / "out")
+    cfg = MosaicConfig(layout=lay, blocksize=64, do_pyramids=False,
+                       do_stats=False)
+    do_mosaic(base, cfg, out_dir=out)
+
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    row = tbl.slice(0, 1)
+    row = row.append_column(
+        "gt", pa.array([[300000.0, 10.0, 0.0, 7000000.0, 0.0, -10.0]],
+                       pa.list_(pa.float64(), 6))
+    )
+    row = row.append_column("crs", pa.array(["AFFINE:0,2,0,0,0,2"]))
+    row = row.append_column("nullval", pa.array([0.0], pa.float64()))
+    row = row.append_column("seq", pa.array([0], pa.int64()))
+    pq.write_table(row, os.path.join(bad, "p.parquet"))
+    with pytest.raises(ProjectionError, match="cannot warp"):
+        update_mosaic(bad, cfg, out)
