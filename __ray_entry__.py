@@ -311,6 +311,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             text.token_count_batch, batch_format="pyarrow"
         )
 
+    def q_bpe_tokens(sf_dir: str):
+        return _docs(sf_dir).map_batches(
+            text.bpe_token_count_batch, batch_format="pyarrow"
+        )
+
     def q_quality(sf_dir: str):
         return _docs(sf_dir).map_batches(text.quality_batch, batch_format="pyarrow")
 
@@ -338,6 +343,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_ngram_jaccard(sf_dir: str):
         return dedup.ngram_jaccard_pairs(_docs(sf_dir), threshold=0.3)
+
+    def q_neardup_clusters(sf_dir: str):  # rows-only (transitive closure)
+        pairs = dedup.charset_jaccard_pairs(_docs(sf_dir), threshold=0.9)
+        return dedup.neardup_clusters(pairs)
 
     def q_minhash_pairs(sf_dir: str):  # rows-only (non-SQL)
         return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
@@ -550,6 +559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": q_image_resize,
         "extent_union": q_extent_union,
         "doc_token_count": q_token_count,
+        "doc_bpe_tokens": q_bpe_tokens,
         "doc_quality": q_quality,
         "doc_quality_extended": q_quality_extended,
         "doc_langid": q_langid,
@@ -557,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rolling_fingerprint": q_rolling_fingerprint,
         "dedup_exact": q_dedup_exact,
         "charset_jaccard_pairs": q_charset_jaccard,
+        "neardup_clusters": q_neardup_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -593,6 +604,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(array_length(str_split(text, ' ')) AS BIGINT) AS n_tokens,
                    CAST(array_length(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_ws_tokens
+            FROM documents
+        """,
+        "doc_bpe_tokens": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                        text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'
+                   )) AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "doc_quality": """

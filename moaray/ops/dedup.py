@@ -647,6 +647,51 @@ def embedding_neardup_lsh_pairs(
     )
 
 
+def neardup_clusters(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b"):
+    """Connected components over a near-dup PAIR list -> (doc_id,
+    cluster_id) with cluster_id = min doc id in the component (the canonical
+    dedup-survivor labeling).
+
+    Pairs stream to the driver in batches and fold into a union-find whose
+    memory is O(#docs that appear in any pair) — the pair set is the
+    (already thresholded) output of a near-dup op, orders of magnitude
+    smaller than the corpus. At a scale where even that breaks, swap in
+    log-round large-star/small-star label propagation; this op is the exact
+    baseline."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-root union keeps the canonical min-id labeling trivial
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+        parent.setdefault(a, find(a))
+        parent.setdefault(b, find(b))
+
+    for batch in pairs_ds.select_columns([a_col, b_col]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for a, b in zip(batch[a_col].to_pylist(), batch[b_col].to_pylist()):
+            union(int(a), int(b))
+
+    ids = sorted(parent)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array([find(i) for i in ids], pa.int64()),
+        }
+    )
+
+
 def ngram_jaccard_pairs(
     docs_ds, threshold: float = 0.5, k: int = 3, block_col: str = "lang",
     n_blocks: int = 4,

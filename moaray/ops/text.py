@@ -43,6 +43,23 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# BPE-ish pre-tokenization pattern (GPT-2-style word/number/punct runs;
+# whitespace separates, never tokenizes). RE2 syntax — the same engine
+# family pyarrow and DuckDB both embed, so the SQL oracle counts
+# identically.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_bpe_tokens): regex pre-tokenizer counts, fully vectorized
+    (one pc.count_substring_regex kernel per batch — no Python per-row
+    loop)."""
+    n = pc.cast(
+        pc.count_substring_regex(batch["text"], BPE_PATTERN), pa.int64()
+    )
+    return pa.table({"doc_id": batch["doc_id"], "n_bpe_tokens": n})
+
+
 def _count_removed(text: pa.ChunkedArray | pa.Array, pattern: str):
     """How many chars a regex class removes = count of matching chars."""
     stripped = pc.replace_substring_regex(text, pattern, "")

@@ -431,3 +431,53 @@ def test_kmeans_fit_reduces_inertia(ray_session):
     c0 = kmeans_fit(e, k=8, n_iters=0)  # init only
     c3 = kmeans_fit(e, k=8, n_iters=3)
     assert inertia(c3) <= inertia(c0) + 1e-9
+
+
+def test_neardup_clusters_vs_bfs_oracle(ray_session):
+    """Union-find clustering equals an independent BFS connected-components
+    oracle on the same pair list."""
+    from collections import defaultdict, deque
+
+    from moaray.ops.dedup import charset_jaccard_pairs, neardup_clusters
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    pairs_ds = charset_jaccard_pairs(docs, threshold=0.9)
+    pairs = pairs_ds.select_columns(["doc_a", "doc_b"]).take_all()
+    got = neardup_clusters(charset_jaccard_pairs(docs, threshold=0.9))
+    got_map = dict(zip(got["doc_id"].to_pylist(), got["cluster_id"].to_pylist()))
+
+    adj = defaultdict(set)
+    for r in pairs:
+        adj[r["doc_a"]].add(r["doc_b"])
+        adj[r["doc_b"]].add(r["doc_a"])
+    seen = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, q = [], deque([start])
+        seen.add(start)
+        while q:
+            u = q.popleft()
+            comp.append(u)
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    q.append(v)
+        label = min(comp)
+        for u in comp:
+            assert got_map[u] == label
+    assert len(got_map) == len(adj)
+
+
+def test_bpe_token_count_simple(ray_session):
+    from moaray.ops.text import bpe_token_count_batch
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": ["Hello, world! 42x", ""],
+        }
+    )
+    out = bpe_token_count_batch(tbl)
+    # Hello | , | world | ! | 42 | x  -> 6
+    assert out["n_bpe_tokens"].to_pylist() == [6, 0]
