@@ -152,14 +152,71 @@ def image_resize(images_ds, out_h: int, out_w: int, *, concurrency=(1, 8),
     )
 
 
+def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
+    """Parse a RIFF/WAVE container (PCM16) from scratch — no audio library.
+
+    Returns (mono int16 samples, sample_rate); multi-channel audio is
+    downmixed by averaging channels. Compressed WAV (non-PCM format codes)
+    raises — mp3/flac remain the declared codec gates."""
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    sr = None
+    n_channels = 1
+    bits = 16
+    data = None
+    while pos + 8 <= len(buf):
+        cid = bytes(buf[pos : pos + 4])
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt_code, n_channels, sr = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt_code != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 WAV supported (fmt={fmt_code}, bits={bits});"
+                    " compressed audio needs soundfile/ffmpeg"
+                )
+        elif cid == b"data":
+            data = body
+    if sr is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    pcm = np.frombuffer(data, dtype="<i2")
+    if n_channels > 1:
+        pcm = pcm[: len(pcm) - len(pcm) % n_channels]
+        pcm = (
+            pcm.reshape(-1, n_channels).mean(axis=1).round().astype(np.int16)
+        )
+    return pcm, int(sr)
+
+
+def wav_encode(pcm: np.ndarray, sample_rate: int) -> bytes:
+    """Mono PCM16 -> RIFF/WAVE bytes (for fixtures and round-trip tests)."""
+    import struct
+
+    raw = np.ascontiguousarray(pcm, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 class AudioFeatures:
     """Actor-pool stage: per-clip audio features.
 
-    Real kernel for raw PCM16 payloads (``fmt == "pcm16"``: little-endian
-    mono int16; ``sample_rate`` metadata column): duration, RMS, peak,
-    zero-crossing rate. Container formats (wav/mp3/flac) are gated behind
-    NotImplementedError — the sandbox has no audio libraries — but the
-    stage signature, schema and batch plumbing are the real thing.
+    Real kernels for raw PCM16 payloads (``fmt == "pcm16"``: little-endian
+    mono int16; ``sample_rate`` metadata column) AND RIFF/WAVE containers
+    (``fmt == "wav"``: sample rate read from the fmt chunk, multi-channel
+    downmixed): duration, RMS, peak, zero-crossing rate. Compressed formats
+    (mp3/flac) stay gated behind NotImplementedError — the sandbox has no
+    codec libraries — but the stage signature, schema and batch plumbing
+    are the real thing.
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -167,13 +224,16 @@ class AudioFeatures:
                 "zcr": []}
         for i in range(batch.num_rows):
             fmt = batch["fmt"][i].as_py()
-            if fmt != "pcm16":
+            if fmt == "wav":
+                pcm, sr = wav_decode(batch["bytes"][i].as_py())
+            elif fmt == "pcm16":
+                sr = int(batch["sample_rate"][i].as_py())
+                pcm = np.frombuffer(batch["bytes"][i].as_py(), dtype="<i2")
+            else:
                 raise NotImplementedError(
-                    f"audio container fmt {fmt!r} needs soundfile/ffmpeg "
-                    "(absent in sandbox); use raw 'pcm16'"
+                    f"audio fmt {fmt!r} needs soundfile/ffmpeg (absent in "
+                    "sandbox); use raw 'pcm16' or container 'wav'"
                 )
-            sr = int(batch["sample_rate"][i].as_py())
-            pcm = np.frombuffer(batch["bytes"][i].as_py(), dtype="<i2")
             x = pcm.astype(np.float64) / 32768.0
             zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
             rows["clip_id"].append(batch["clip_id"][i].as_py())

@@ -481,3 +481,50 @@ def test_bpe_token_count_simple(ray_session):
     out = bpe_token_count_batch(tbl)
     # Hello | , | world | ! | 42 | x  -> 6
     assert out["n_bpe_tokens"].to_pylist() == [6, 0]
+
+
+def test_wav_roundtrip_and_features(ray_session):
+    import numpy as np
+
+    from moaray.ops.multimodal import (
+        AudioFeatures,
+        gen_audio_table,
+        wav_decode,
+        wav_encode,
+    )
+
+    rng = np.random.RandomState(2)
+    pcm = (rng.randn(8000) * 3000).astype(np.int16)
+    buf = wav_encode(pcm, 8000)
+    back, sr = wav_decode(buf)
+    assert sr == 8000 and np.array_equal(back, pcm)
+
+    # stereo downmix: L/R average
+    import struct
+
+    stereo = np.empty(16, np.int16)
+    stereo[0::2] = 100
+    stereo[1::2] = 200
+    raw = stereo.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(raw)) + raw)
+    mono, _ = wav_decode(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert (mono == 150).all()
+
+    # identical samples through fmt="wav" and fmt="pcm16" give identical
+    # features
+    clips = gen_audio_table(n_clips=4)
+    wav_rows = {
+        "clip_id": clips["clip_id"],
+        "bytes": pa.array(
+            [wav_encode(np.frombuffer(b.as_py(), dtype="<i2"), 8000)
+             for b in clips["bytes"]],
+            pa.binary(),
+        ),
+        "sample_rate": clips["sample_rate"],
+        "fmt": pa.array(["wav"] * 4, pa.string()),
+    }
+    feats_pcm = AudioFeatures()(clips)
+    feats_wav = AudioFeatures()(pa.table(wav_rows))
+    assert feats_pcm.equals(feats_wav)
