@@ -129,6 +129,20 @@ def _exact_pair_table(ids_l, sets_l, ids_r, sets_r, threshold, same_block,
     )
 
 
+def _auto_blocks(ds, n_blocks, rows_per_block: int = 2000) -> int:
+    """Resolve n_blocks=None to ceil(rows / rows_per_block) clamped to
+    [2, 64] — bounds per-task bytes as the corpus grows (block-pair group
+    size ~ 2·rows/B). Row count comes from Dataset.count(), which parquet
+    inputs answer from footer metadata."""
+    if n_blocks is not None:
+        return n_blocks
+    try:
+        n = ds.count()
+    except Exception:
+        n = 0
+    return max(2, min(64, -(-max(n, 1) // rows_per_block)))
+
+
 def _blocked_jaccard_pairs(docs_ds, tokenize_batch, threshold: float,
                            block_col: str, n_blocks: int):
     """Shared block-pair driver: tokenize -> replicate to block-pair groups ->
@@ -189,12 +203,13 @@ def _blocked_jaccard_pairs(docs_ds, tokenize_batch, threshold: float,
 
 def charset_jaccard_pairs(
     docs_ds, threshold: float = 0.5, block_col: str = "lang",
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
 ):
     """Pairs (doc_a < doc_b) within a ``block_col`` partition whose
     distinct-character-set Jaccard >= threshold — exactly DuckDB's
     jaccard(s1, s2) semantics. Tokens ship as unicode codepoints (exact, no
-    hashing) through the bounded block-pair groups."""
+    hashing) through the bounded block-pair groups; ``n_blocks=None``
+    auto-scales with corpus size (see _auto_blocks)."""
 
     def tokenize(batch: pa.Table):
         return [
@@ -202,7 +217,7 @@ def charset_jaccard_pairs(
         ]
 
     return _blocked_jaccard_pairs(
-        docs_ds, tokenize, threshold, block_col, n_blocks
+        docs_ds, tokenize, threshold, block_col, _auto_blocks(docs_ds, n_blocks)
     )
 
 
@@ -482,7 +497,9 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_neardup_pairs(emb_ds, threshold: float = 0.95, n_blocks: int = 8):
+def embedding_neardup_pairs(
+    emb_ds, threshold: float = 0.95, n_blocks: int | None = None
+):
     """EXACT pairs (vec_a < vec_b) with cosine >= threshold, fully
     distributed: no driver-side corpus materialization (round-1 verdict fix).
 
@@ -492,7 +509,9 @@ def embedding_neardup_pairs(emb_ds, threshold: float = 0.95, n_blocks: int = 8):
     a pair meets in exactly one group — one float64 matmul per group, no
     dedup shuffle. Replication is n_blocks rows per vector; the LSH variant
     (embedding_neardup_lsh_pairs) stays the subquadratic path when
-    approximate recall is acceptable."""
+    approximate recall is acceptable. ``n_blocks=None`` auto-scales with
+    corpus size (see _auto_blocks)."""
+    n_blocks = _auto_blocks(emb_ds, n_blocks)
 
     def to_blockpairs(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy()
@@ -694,7 +713,7 @@ def neardup_clusters(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b"):
 
 def ngram_jaccard_pairs(
     docs_ds, threshold: float = 0.5, k: int = 3, block_col: str = "lang",
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
 ):
     """Exact word-k-gram Jaccard near-dup pairs within ``block_col``
     partitions, via the same bounded block-pair decomposition as
@@ -725,5 +744,5 @@ def ngram_jaccard_pairs(
         return out
 
     return _blocked_jaccard_pairs(
-        docs_ds, tokenize, threshold, block_col, n_blocks
+        docs_ds, tokenize, threshold, block_col, _auto_blocks(docs_ds, n_blocks)
     )
