@@ -316,6 +316,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             text.bpe_token_count_batch, batch_format="pyarrow"
         )
 
+    def q_quality_filter(sf_dir: str):
+        return text.quality_filter(
+            _docs(sf_dir), min_alpha_ratio=0.8, min_tokens=40, max_tokens=90
+        )
+
+    def q_events_sample(sf_dir: str):
+        return text.hash_sample(
+            _rpc(f"{sf_dir}/events.parquet"),
+            "event_id",
+            hex_lt="40",
+            columns=["event_id", "user_id", "event_type", "value"],
+        )
+
+    def q_events_quantiles(sf_dir: str):  # rows-only (approximate sketch)
+        from moaray.ops.sketch import quantile_sketch
+
+        return quantile_sketch(
+            _rpc(f"{sf_dir}/events.parquet"), "value", qs=(0.5, 0.9, 0.99)
+        )
+
     def q_quality(sf_dir: str):
         return _docs(sf_dir).map_batches(text.quality_batch, batch_format="pyarrow")
 
@@ -561,6 +581,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": q_token_count,
         "doc_bpe_tokens": q_bpe_tokens,
         "doc_quality": q_quality,
+        "quality_filter": q_quality_filter,
+        "events_sample": q_events_sample,
+        "events_quantiles": q_events_quantiles,
         "doc_quality_extended": q_quality_extended,
         "doc_langid": q_langid,
         "doc_fingerprint": q_fingerprint,
@@ -644,6 +667,16 @@ def oracle_sql() -> dict[str, str]:
                    )) / CAST(greatest(len(toks), 1) AS DOUBLE), 4)
                      AS stopword_ratio
             FROM t
+        """,
+        "quality_filter": """
+            SELECT doc_id FROM documents
+            WHERE (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+                  / CAST(greatest(length(text), 1) AS DOUBLE) >= 0.8
+              AND array_length(str_split(text, ' ')) BETWEEN 40 AND 90
+        """,
+        "events_sample": """
+            SELECT event_id, user_id, event_type, value FROM events
+            WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '40'
         """,
         "doc_langid": """
             SELECT doc_id,

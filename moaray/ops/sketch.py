@@ -163,3 +163,86 @@ def cm_heavy_hitters(ds, value_col: str, k: int = 10):
         .groupby("one")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable weighted-sample quantile sketch (GK/KLL-style compaction)
+# ---------------------------------------------------------------------------
+
+def _compact(vals: np.ndarray, wgts: np.ndarray, k: int):
+    """Compact a weighted sample to <= k points, preserving ranks: sort,
+    then pick the value at each of k evenly-spaced weighted ranks, giving
+    each survivor the weight of its rank slice. Deterministic (no RNG)."""
+    order = np.argsort(vals, kind="stable")
+    v, w = vals[order], wgts[order].astype(np.float64)
+    if len(v) <= k:
+        return v, w
+    cw = np.cumsum(w)
+    total = cw[-1]
+    # slice boundaries at ranks total*i/k; survivor = value covering the
+    # slice midpoint
+    mids = (np.arange(k) + 0.5) * total / k
+    idx = np.searchsorted(cw, mids, side="left")
+    idx = np.clip(idx, 0, len(v) - 1)
+    out_w = np.full(k, total / k)
+    return v[idx], out_w
+
+
+def quantile_sketch(ds, value_col: str, qs=(0.5, 0.9, 0.99), k: int = 2048):
+    """Approximate quantiles via a mergeable weighted-sample sketch.
+
+    Per batch: sort + rank-compact to <= k weighted points (the
+    GK/KLL-style compaction); only (k values + k weights) cross the
+    shuffle per batch. A single-group merge concatenates, re-compacts and
+    answers the quantile queries by weighted rank. Deterministic (no
+    sampling RNG); error ~ O(1/k) in rank. ``events_median_value`` is the
+    exact in-driver anchor for q=0.5."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy().astype(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table(
+                {"vals": pa.array([], pa.binary()),
+                 "wgts": pa.array([], pa.binary()),
+                 "one": pa.array([], pa.int32())}
+            )
+        cv, cw = _compact(v, np.ones(len(v)), k)
+        return pa.table(
+            {
+                "vals": pa.array([cv.tobytes()], pa.binary()),
+                "wgts": pa.array([cw.tobytes()], pa.binary()),
+                "one": pa.array([1], pa.int32()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        vs, ws = [], []
+        for i in range(group.num_rows):
+            vs.append(np.frombuffer(group["vals"][i].as_py(), np.float64))
+            ws.append(np.frombuffer(group["wgts"][i].as_py(), np.float64))
+        v = np.concatenate(vs)
+        w = np.concatenate(ws)
+        cv, cw = _compact(v, w, k)
+        order = np.argsort(cv, kind="stable")
+        cv, cw = cv[order], cw[order]
+        cum = np.cumsum(cw)
+        total = cum[-1]
+        out_q, out_v = [], []
+        for q in qs:
+            pos = int(np.searchsorted(cum, q * total, side="left"))
+            out_q.append(float(q))
+            out_v.append(float(cv[min(pos, len(cv) - 1)]))
+        return pa.table(
+            {
+                "q": pa.array(out_q, pa.float64()),
+                "value": pa.array(out_v, pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns([value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("one")
+        .map_groups(merge, batch_format="pyarrow")
+    )

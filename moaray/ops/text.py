@@ -60,6 +60,68 @@ def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch["doc_id"], "n_bpe_tokens": n})
 
 
+def hash_sample_batch(batch: pa.Table, id_col: str, hex_lt: str) -> pa.Table:
+    """Deterministic content-hash sampling: keep a row iff the first
+    ``len(hex_lt)`` hex chars of md5(str(id)) sort below ``hex_lt`` — e.g.
+    '40' keeps 64/256 = 25%. The reproducible-pipeline sampling primitive:
+    the same id always lands in the same split, on any engine (the DuckDB
+    oracle computes the identical predicate)."""
+    keep = [
+        hashlib.md5(str(v).encode()).hexdigest()[: len(hex_lt)] < hex_lt
+        for v in batch[id_col].to_pylist()
+    ]
+    return batch.filter(pa.array(keep, pa.bool_()))
+
+
+def hash_sample(ds, id_col: str, hex_lt: str = "40", columns=None):
+    """Dataset-level deterministic sample (see hash_sample_batch)."""
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds.map_batches(
+        lambda b: hash_sample_batch(b, id_col, hex_lt),
+        batch_format="pyarrow",
+    )
+
+
+def quality_filter(
+    docs_ds,
+    min_alpha_ratio: float = 0.5,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+):
+    """Survivor doc ids under the standard quality gates (alpha ratio +
+    token-count band) — the composition of the quality/token kernels into
+    the filter a training-data pipeline actually runs. Pure pyarrow.compute
+    per batch; emits (doc_id) only."""
+
+    def gate(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.utf8_length(text)
+        n_alpha = pc.subtract(
+            n_chars,
+            pc.utf8_length(pc.replace_substring_regex(text, "[a-zA-Z]", "")),
+        )
+        alpha_ratio = pc.divide(
+            pc.cast(n_alpha, pa.float64()),
+            pc.cast(pc.max_element_wise(n_chars, 1), pa.float64()),
+        )
+        n_tokens = pc.add(
+            pc.count_substring(text, " "), 1
+        )  # split-on-single-space count, matching token_count_batch
+        keep = pc.and_(
+            pc.greater_equal(alpha_ratio, min_alpha_ratio),
+            pc.and_(
+                pc.greater_equal(n_tokens, min_tokens),
+                pc.less_equal(n_tokens, max_tokens),
+            ),
+        )
+        return pa.table({"doc_id": batch["doc_id"].filter(keep)})
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        gate, batch_format="pyarrow"
+    )
+
+
 def _count_removed(text: pa.ChunkedArray | pa.Array, pattern: str):
     """How many chars a regex class removes = count of matching chars."""
     stripped = pc.replace_substring_regex(text, pattern, "")

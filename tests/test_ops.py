@@ -528,3 +528,33 @@ def test_wav_roundtrip_and_features(ray_session):
     feats_pcm = AudioFeatures()(clips)
     feats_wav = AudioFeatures()(pa.table(wav_rows))
     assert feats_pcm.equals(feats_wav)
+
+
+def test_quantile_sketch_accuracy(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from moaray.ops.sketch import quantile_sketch
+
+    e = ray.data.read_parquet(f"{SF}/events.parquet")
+    rows = quantile_sketch(e, "value", qs=(0.1, 0.5, 0.9, 0.99)).take_all()
+    vals = pq.read_table(f"{SF}/events.parquet", columns=["value"])[
+        "value"
+    ].to_numpy()
+    spread = float(np.quantile(vals, 0.99) - np.quantile(vals, 0.01))
+    for r in rows:
+        exact = float(np.quantile(vals, r["q"]))
+        assert abs(r["value"] - exact) < 0.02 * spread, (r["q"], r["value"], exact)
+
+
+def test_hash_sample_deterministic(ray_session):
+    from moaray.ops.text import hash_sample
+
+    e = ray.data.read_parquet(f"{SF}/events.parquet")
+    a = sorted(hash_sample(e, "event_id", "40", ["event_id"]).take_all(),
+               key=lambda r: r["event_id"])
+    b = sorted(hash_sample(e, "event_id", "40", ["event_id"]).take_all(),
+               key=lambda r: r["event_id"])
+    assert a == b and 0 < len(a) < e.count()
+    # ~25% of rows survive the '40' prefix gate
+    assert abs(len(a) / e.count() - 0.25) < 0.03
