@@ -154,3 +154,99 @@ def test_sigkill_mid_run_then_resume(tmp_path):
     truth = oracle.build_mosaic(grid, metas, arrays)
     got = mosaic_array(read_committed_tiles(out), grid)
     assert (got == truth).all()
+
+
+UPDATE_RUN_CODE = """
+import os, sys
+import pyarrow as pa, pyarrow.parquet as pq
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False)
+from moaray import MosaicConfig, do_mosaic, update_mosaic
+from moaray.testgen import Layout, gen_images_table
+out = sys.argv[1]
+stage = sys.argv[2]  # "base" | "update"
+layout = Layout("grid", 36, 64)
+tbl = gen_images_table(layout)
+d = os.path.dirname(out)
+base_dir, upd_dir = d + "/base_cat", d + "/upd_cat"
+if not os.path.isdir(base_dir):
+    os.makedirs(base_dir); os.makedirs(upd_dir)
+    keep = [i for i in range(36) if i != 14]
+    pq.write_table(tbl.take(pa.array(keep)), base_dir + "/p.parquet")
+    pq.write_table(tbl.take(pa.array([14])), upd_dir + "/p.parquet")
+cfg = MosaicConfig(layout=layout, blocksize=64, do_pyramids=False,
+                   do_stats=False, tiles_per_file=1)
+if stage == "base":
+    do_mosaic(base_dir, cfg, out_dir=out)
+else:
+    update_mosaic(upd_dir, cfg, out)
+ray.shutdown()
+print("RUN-DONE")
+"""
+
+
+def test_sigkill_mid_update_then_rerun(tmp_path):
+    """Append-only update under a real kill: SIGKILL once the first
+    new-generation record commits; the output stays readable (old
+    generation), and a rerun of the SAME update converges to the append-
+    order oracle mosaic."""
+    out = str(tmp_path / "out")
+    manifest = os.path.join(out, "manifest")
+
+    def spawn(stage):
+        env = dict(os.environ, PYTHONPATH=REPO)
+        return subprocess.Popen(
+            [sys.executable, "-c", UPDATE_RUN_CODE, out, stage],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        )
+
+    p = spawn("base")
+    stdout, _ = p.communicate(timeout=300)
+    assert p.returncode == 0 and b"RUN-DONE" in stdout
+    base_records = {
+        n for n in os.listdir(manifest) if n.endswith(".json")
+    }
+
+    p = spawn("update")
+    deadline = time.monotonic() + 180
+    killed = False
+    while time.monotonic() < deadline and p.poll() is None:
+        now = {n for n in os.listdir(manifest) if n.endswith(".json")}
+        if now - base_records:
+            p.send_signal(signal.SIGKILL)
+            killed = True
+            break
+        time.sleep(0.02)
+    p.wait(timeout=180)
+
+    from moaray.state.manifest import read_committed_tiles, winning_commits
+
+    # output must be readable mid-crash: every key still resolves
+    assert len(winning_commits(out)) > 0
+
+    p = spawn("update")
+    stdout, _ = p.communicate(timeout=300)
+    assert p.returncode == 0 and b"RUN-DONE" in stdout
+
+    # final content == append-order full rebuild oracle
+    import numpy as np
+
+    import ray as _ray
+
+    from moaray import oracle
+    from moaray.geo import make_output_grid
+    from moaray.pipelines.mosaic import mosaic_array
+    from moaray.testgen import Layout, metas_for_layout, pixel_array
+
+    if not _ray.is_initialized():
+        _ray.init(address="local", num_cpus=4, include_dashboard=False)
+    layout = Layout("grid", 36, 64)
+    metas = metas_for_layout(layout)
+    keep = [i for i in range(36) if i != 14]
+    grid = make_output_grid([metas[i] for i in keep], blocksize=64)
+    ordered = [metas[i] for i in keep] + [metas[14]]
+    arrays = {m.image_id: pixel_array(i, layout) for i, m in enumerate(metas)}
+    truth = oracle.build_mosaic(grid, ordered, arrays)
+    got = mosaic_array(read_committed_tiles(out), grid)
+    assert np.array_equal(got, truth), f"killed={killed}"
