@@ -35,7 +35,21 @@ def get_cmdargs(argv=None):
                         "explicit gt/crs metadata columns")
     p.add_argument("-b", "--blocksize", type=int, default=1024,
                    help="output tile size in pixels (default %(default)s)")
-    p.add_argument("-n", "--nullval", type=float, default=None,
+    p.add_argument("-n", "--numthreads", type=int, default=None,
+                   help="reference-compat alias for --numcpus (the engine "
+                        "parallelism knob is the Ray session CPU count)")
+    p.add_argument("-d", "--driver", default="parquet",
+                   choices=["parquet", "GTiff"],
+                   help="output driver: 'parquet' = tile-sharded resumable "
+                        "sink at -o (the scale path); 'GTiff' = single "
+                        "GeoTIFF FILE at -o (reference-compat; tiles spool "
+                        "through a temp dir)")
+    p.add_argument("--co", action="append", default=[],
+                   help="creation option, reference-style KEY=VALUE; "
+                        "COMPRESS=NONE disables the z16 tile codec, "
+                        "COMPRESS=DEFLATE (default) keeps it; other keys "
+                        "are accepted and ignored with a note")
+    p.add_argument("--nullval", type=float, default=None,
                    help="null value override (default: first input's)")
     p.add_argument("--merge", default="last", choices=["last", "feather"],
                    help="overlap merge kernel (default %(default)s)")
@@ -53,13 +67,20 @@ def get_cmdargs(argv=None):
     proj.add_argument("--outprojcrs", default=None,
                       help="output CRS string (name or AFFINE:a,b,c,d,e,f); "
                            "inputs are warped on read when set")
+    proj.add_argument("--outprojepsg", type=int, default=None,
+                      help="reference-compat: output EPSG number "
+                           "(becomes CRS 'EPSG:<n>')")
+    proj.add_argument("--outprojwktfile", default=None,
+                      help="reference-compat: file whose contents name the "
+                           "output CRS")
     proj.add_argument("--xres", type=float, default=None,
                       help="output X pixel size (default: first input's)")
     proj.add_argument("--yres", type=float, default=None,
                       help="output Y pixel size (default: first input's)")
-    proj.add_argument("--resamplemethod", default="near",
+    proj.add_argument("--resamplemethod", "--resample", default="near",
                       choices=["near", "bilinear", "cubic", "average"],
-                      help="warp resampling method (default %(default)s)")
+                      help="warp resampling method (default %(default)s); "
+                           "--resample is the reference-compat alias")
     p.add_argument("--gtiff", default=None,
                    help="also export the (band-0) mosaic as a single GeoTIFF "
                         "file at this path (driver-side assembly; the "
@@ -80,8 +101,9 @@ def main_cmd(argv=None) -> int:
     owns_ray = not ray.is_initialized()
     if owns_ray:
         kw = {"include_dashboard": False}
-        if args.numcpus:
-            kw["num_cpus"] = args.numcpus
+        cpus = args.numcpus or args.numthreads
+        if cpus:
+            kw["num_cpus"] = cpus
         ray.init(address="local", **kw)
 
     try:
@@ -92,6 +114,24 @@ def main_cmd(argv=None) -> int:
         if args.layout is not None:
             name, n, size = args.layout.split(",")
             layout = Layout(name, int(n), int(size))
+        # reference projection trio collapses to one CRS string
+        out_crs = args.outprojcrs
+        if out_crs is None and args.outprojepsg is not None:
+            out_crs = f"EPSG:{args.outprojepsg}"
+        if out_crs is None and args.outprojwktfile is not None:
+            with open(args.outprojwktfile) as f:
+                out_crs = f.read().strip()
+        # creation options (reference --co KEY=VALUE): COMPRESS toggles the
+        # tile codec; anything else is accepted with a note (the parquet
+        # sink has no GDAL creation-option surface)
+        tile_codec = "z16"
+        for co in args.co:
+            key, _, val = co.partition("=")
+            if key.upper() == "COMPRESS":
+                tile_codec = None if val.upper() == "NONE" else "z16"
+            else:
+                print(f"note: creation option {co!r} not applicable to the "
+                      "parquet sink; ignored")
         # layout=None requires explicit gt/crs catalog columns on the table
         # (stages/plan.py metas_from_batch)
         cfg = MosaicConfig(
@@ -101,19 +141,30 @@ def main_cmd(argv=None) -> int:
             merge=args.merge,
             do_pyramids=not args.nopyramids,
             min_overview_size=args.minoverviewsize,
-            out_crs=args.outprojcrs,
+            out_crs=out_crs,
             out_xres=args.xres,
             out_yres=args.yres,
             resample=args.resamplemethod,
+            tile_codec=tile_codec,
         )
+        single_file = args.driver == "GTiff"
+        out_dir = args.outdir
+        if single_file:
+            # reference-compat: -o names a single GeoTIFF FILE; the
+            # resumable tile sink spools through a sibling work dir
+            out_dir = args.outdir + ".tiles"
         if args.update:
             from .pipelines.update import update_mosaic
 
-            res = update_mosaic(args.infile, cfg, args.outdir)
+            res = update_mosaic(args.infile, cfg, out_dir)
         else:
-            res = do_mosaic(args.infile, cfg, out_dir=args.outdir,
+            res = do_mosaic(args.infile, cfg, out_dir=out_dir,
                             resume=args.resume)
 
+        if single_file:
+            from .sinks.gtiff import export_gtiff
+
+            export_gtiff(res, args.outdir)
         if args.gtiff:
             from .sinks.gtiff import export_gtiff
 
