@@ -114,6 +114,27 @@ def main_cmd(argv=None) -> int:
         if args.layout is not None:
             name, n, size = args.layout.split(",")
             layout = Layout(name, int(n), int(size))
+        # file-based input (reference-style): a directory of loose
+        # png/mray/tif files (world-file georeferencing), or a .txt
+        # filelist, imports to a parquet catalog first
+        infile = args.infile
+        import glob as _glob
+        import os as _os
+
+        is_file_input = infile.endswith(".txt") or (
+            _os.path.isdir(infile)
+            and not _glob.glob(_os.path.join(infile, "*.parquet"))
+            and any(
+                _glob.glob(_os.path.join(infile, f"*{ext}"))
+                for ext in (".png", ".mray", ".tif", ".tiff")
+            )
+        )
+        if is_file_input:
+            from .sources.files import catalog_from_files
+
+            infile = catalog_from_files(
+                infile, args.outdir.rstrip("/") + ".catalog"
+            )
         # reference projection trio collapses to one CRS string
         out_crs = args.outprojcrs
         if out_crs is None and args.outprojepsg is not None:
@@ -156,9 +177,9 @@ def main_cmd(argv=None) -> int:
         if args.update:
             from .pipelines.update import update_mosaic
 
-            res = update_mosaic(args.infile, cfg, out_dir)
+            res = update_mosaic(infile, cfg, out_dir)
         else:
-            res = do_mosaic(args.infile, cfg, out_dir=out_dir,
+            res = do_mosaic(infile, cfg, out_dir=out_dir,
                             resume=args.resume)
 
         if single_file:

@@ -167,7 +167,14 @@ def read_gtiff(path: str) -> tuple[np.ndarray, GeoTransform, float | None]:
     uncompressed, single-band, any uint/int/float sample format).
     Returns (array, transform, nodata)."""
     with open(path, "rb") as f:
-        data = f.read()
+        return read_gtiff_bytes(f.read())
+
+
+def read_gtiff_bytes(
+    data: bytes,
+) -> tuple[np.ndarray, GeoTransform, float | None]:
+    """Parse a GeoTIFF from an in-memory buffer (the streaming-ingest path:
+    file bytes arrive via ray.data.read_binary_files, never a second open)."""
     if data[:4] != _II:
         raise ValueError("not a little-endian TIFF")
     (ifd_off,) = struct.unpack_from("<I", data, 4)

@@ -1,0 +1,161 @@
+"""File-based image ingestion: a directory of loose rasters -> image catalog.
+
+The reference consumes a text filelist of raster FILES (makeFilelist, ref
+/root/reference/moamosaic/mosaic.py:112-128, GDAL opens each path); moaray's
+native input is a catalog table. This source closes the gap: point the
+engine at a directory (or explicit path list) of ``.png`` / ``.mray`` /
+``.tif`` files and get the standard images Dataset, georeferenced from
+sidecar metadata:
+
+- ``<name>.wld`` — the six-line ESRI world file (public spec: x-res, rot,
+  rot, -y-res, center-x of top-left pixel, center-y). GDAL reads the same
+  sidecars for PNG; we translate to the GDAL geotransform convention
+  (corner-anchored).
+- ``<name>.tif`` — the geotransform comes from the GeoTIFF tags themselves
+  (from-scratch reader, sinks/gtiff.py); pixels are re-encoded as raw16
+  MRAY payloads so the fused decode stage gets its windowed zero-copy path.
+- ``crs.txt`` in the directory (optional) — one CRS string for all files.
+- ``seq`` = lexicographic filename rank (the reference's filelist order).
+
+Reads stream through ``ray.data.read_binary_files`` — file bytes never
+gather on the driver; probing/transcoding happens inside ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .. import codecs
+
+IMG_EXTS = (".png", ".mray", ".tif", ".tiff")
+
+
+def _world_file_for(path: str) -> str | None:
+    base, ext = os.path.splitext(path)
+    for cand in (base + ".wld", base + ext[:2] + ext[-1] + "w", base + ".pgw",
+                 base + ".tfw"):
+        if os.path.isfile(cand):
+            return cand
+    return None
+
+
+def read_world_file(path: str):
+    """Six-line world file -> GDAL geotransform (corner-anchored: the world
+    file stores the CENTER of the top-left pixel)."""
+    with open(path) as f:
+        vals = [float(line.strip()) for line in f if line.strip()][:6]
+    a, d, b, e, cx, cy = vals
+    # corner = center - half a pixel step
+    x0 = cx - a / 2.0 - b / 2.0
+    y0 = cy - d / 2.0 - e / 2.0
+    return (x0, a, b, y0, d, e)
+
+
+def list_image_files(src) -> list[str]:
+    """Directory, text filelist (reference-style), or explicit list ->
+    sorted image paths."""
+    if isinstance(src, (list, tuple)):
+        return sorted(src)
+    if os.path.isdir(src):
+        out = []
+        for ext in IMG_EXTS:
+            out.extend(glob.glob(os.path.join(src, f"*{ext}")))
+        return sorted(out)
+    # reference-style text filelist: one path per line (mosaic.py:112-128)
+    with open(src) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def read_image_files(src, crs: str | None = None, nullval: float = 0.0):
+    """Loose image files -> the standard images Dataset (explicit-catalog
+    shape: image_id/bytes/w/h/fmt + gt/crs/nullval/seq/dtype columns)."""
+    import ray
+
+    paths = list_image_files(src)
+    if not paths:
+        raise ValueError(f"no image files found under {src!r}")
+    seq_of = {p: i for i, p in enumerate(paths)}
+    # sidecar CRS (one per directory) — tiny driver-side read
+    if crs is None:
+        for p in paths:
+            cand = os.path.join(os.path.dirname(p), "crs.txt")
+            if os.path.isfile(cand):
+                with open(cand) as f:
+                    crs = f.read().strip()
+                break
+    crs = crs or "EPSG:32756"
+    seq_ref = ray.put(seq_of)
+
+    def to_catalog(batch: pa.Table) -> pa.Table:
+        seqs = ray.get(seq_ref)
+        rows = {
+            "image_id": [], "bytes": [], "w": [], "h": [], "fmt": [],
+            "gt": [], "crs": [], "nullval": [], "seq": [], "dtype": [],
+        }
+        for i in range(batch.num_rows):
+            path = batch["path"][i].as_py()
+            buf = batch["bytes"][i].as_py()
+            ext = os.path.splitext(path)[1].lower()
+            nv = nullval
+            if ext in (".tif", ".tiff"):
+                from ..sinks.gtiff import read_gtiff_bytes
+
+                arr, gt, nodata = read_gtiff_bytes(buf)
+                buf = codecs.encode(np.ascontiguousarray(arr), "raw16")
+                fmt, (h, w) = "raw16", arr.shape
+                dtype = arr.dtype.name
+                if nodata is not None:
+                    nv = nodata
+            else:
+                fmt, h, w = codecs.probe_header(buf)
+                dtype = codecs.header_dtype(buf).name
+                wld = _world_file_for(path)
+                gt = read_world_file(wld) if wld else None
+            if ext not in (".tif", ".tiff"):
+                if gt is None:
+                    raise ValueError(
+                        f"{path}: no world file (.wld) found — loose "
+                        "png/mray files need sidecar georeferencing"
+                    )
+            rows["image_id"].append(
+                os.path.splitext(os.path.basename(path))[0]
+            )
+            rows["bytes"].append(buf)
+            rows["w"].append(w)
+            rows["h"].append(h)
+            rows["fmt"].append(fmt)
+            rows["gt"].append(list(gt))
+            rows["crs"].append(crs)
+            rows["nullval"].append(float(nv))
+            rows["seq"].append(seqs[path])
+            rows["dtype"].append(dtype)
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "bytes": pa.array(rows["bytes"], pa.binary()),
+                "w": pa.array(rows["w"], pa.int32()),
+                "h": pa.array(rows["h"], pa.int32()),
+                "fmt": pa.array(rows["fmt"], pa.string()),
+                "gt": pa.array(rows["gt"], pa.list_(pa.float64(), 6)),
+                "crs": pa.array(rows["crs"], pa.string()),
+                "nullval": pa.array(rows["nullval"], pa.float64()),
+                "seq": pa.array(rows["seq"], pa.int64()),
+                "dtype": pa.array(rows["dtype"], pa.string()),
+            }
+        )
+
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+    return ds.map_batches(to_catalog, batch_format="pyarrow")
+
+
+def catalog_from_files(src, out_path: str, crs: str | None = None,
+                       nullval: float = 0.0) -> str:
+    """Materialize a file directory as a parquet catalog (one-time import;
+    do_mosaic then runs on the catalog with full column pruning)."""
+    ds = read_image_files(src, crs, nullval)
+    ds.write_parquet(out_path)
+    return out_path
