@@ -491,6 +491,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _rpc(f"{sf_dir}/events.parquet"), gap_minutes=30
         )
 
+    def q_video_frame_sample(sf_dir: str):  # rows-only (synthetic clips)
+        import ray
+
+        from moaray.ops.multimodal import frame_sample, gen_video_table
+
+        vids = ray.data.from_arrow(gen_video_table(n_videos=4, n_frames=30))
+        out = frame_sample(vids, stride=10)
+
+        def crc(batch: pa.Table) -> pa.Table:
+            c = [zlib.crc32(batch["bytes"][i].as_py())
+                 for i in range(batch.num_rows)]
+            return batch.drop_columns(["bytes"]).append_column(
+                "bytes_crc32", pa.array(c, pa.int64())
+            )
+
+        return out.map_batches(crc, batch_format="pyarrow").sort(
+            ["video_id", "frame_idx"]
+        )
+
     def q_audio_features(sf_dir: str):  # rows-only (synthetic clips)
         import ray
 
@@ -610,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_top_users": q_exact_top_users,
         "props_extract": q_props_extract,
         "audio_features": q_audio_features,
+        "video_frame_sample": q_video_frame_sample,
         "events_daily": q_events_daily,
         "events_moving_avg": q_events_moving_avg,
         "events_median": q_events_median,

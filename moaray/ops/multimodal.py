@@ -112,22 +112,104 @@ class ImageResize:
 
 
 class FrameSample:
-    """Video frame-sampling stage (STUB): real signature/schema, fake decode.
+    """Video frame-sampling stage.
 
-    A 'video' here is a binary column assumed to hold n_frames stacked MRAY
-    images; a real deployment would swap the gated decode for pyav/ffmpeg.
-    Emits every ``stride``-th frame as its own image row.
+    Real kernel for ``fmt == "mvid"`` — an uncompressed stacked-frame
+    container (4-byte LE frame count, then n_frames back-to-back MRAY
+    payloads of identical shape): every ``stride``-th frame is sliced out
+    ZERO-COPY (raw16 frames are fixed-size, so frame k is a pure offset
+    view) and emitted as its own image row. Compressed containers (mp4 &
+    co.) stay gated behind NotImplementedError — no pyav/ffmpeg in this
+    sandbox — but the stage contract, schema and batch plumbing run for
+    real on mvid.
     """
 
     def __init__(self, stride: int = 10):
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "video container decode requires pyav/ffmpeg (absent in sandbox); "
-            "the stage contract is: (video_id, bytes, n_frames, fmt) -> "
-            "(video_id, frame_idx, bytes, w, h, fmt) every stride-th frame"
+        import struct
+
+        rows = {"video_id": [], "frame_idx": [], "bytes": [], "w": [],
+                "h": [], "fmt": []}
+        for i in range(batch.num_rows):
+            fmt = batch["fmt"][i].as_py()
+            if fmt != "mvid":
+                raise NotImplementedError(
+                    f"video container fmt {fmt!r} needs pyav/ffmpeg (absent "
+                    "in sandbox); use the 'mvid' stacked-MRAY container"
+                )
+            buf = memoryview(batch["bytes"][i].as_buffer())
+            (n_frames,) = struct.unpack_from("<I", buf, 0)
+            body = buf[4:]
+            _fmt0, h, w = codecs.probe_header(body)
+            frame_bytes = codecs.HEADER_SIZE + h * w * 2  # raw16 frames
+            vid = batch["video_id"][i].as_py()
+            for k in range(0, n_frames, self.stride):
+                frame = bytes(body[k * frame_bytes : (k + 1) * frame_bytes])
+                rows["video_id"].append(vid)
+                rows["frame_idx"].append(k)
+                rows["bytes"].append(frame)
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["fmt"].append("raw16")
+        return pa.Table.from_pydict(
+            {
+                "video_id": pa.array(rows["video_id"], pa.string()),
+                "frame_idx": pa.array(rows["frame_idx"], pa.int32()),
+                "bytes": pa.array(rows["bytes"], pa.binary()),
+                "w": pa.array(rows["w"], pa.int32()),
+                "h": pa.array(rows["h"], pa.int32()),
+                "fmt": pa.array(rows["fmt"], pa.string()),
+            }
         )
+
+
+def frame_sample(videos_ds, stride: int = 10, *, concurrency=(1, 8),
+                 batch_size: int = 4):
+    """Dataset-level frame sampling (small batch size: video payloads are
+    the widest binary column in the system)."""
+    return videos_ds.map_batches(
+        FrameSample,
+        fn_constructor_args=(stride,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def mvid_encode(frames) -> bytes:
+    """Stack 2-D uint16 frames into the mvid container (raw16 payloads)."""
+    import struct
+
+    out = [struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(codecs.encode(np.ascontiguousarray(f, np.uint16), "raw16"))
+    return b"".join(out)
+
+
+def gen_video_table(n_videos: int = 4, n_frames: int = 30, size: int = 32,
+                    seed: int = 42) -> pa.Table:
+    """Deterministic synthetic mvid clips (per-frame brightness ramp)."""
+    rows = {"video_id": [], "bytes": [], "n_frames": [], "fmt": []}
+    for v in range(n_videos):
+        frames = [
+            np.full((size, size), (v * 1000 + k) % 60000, np.uint16)
+            for k in range(n_frames)
+        ]
+        rows["video_id"].append(f"vid{v:04d}")
+        rows["bytes"].append(mvid_encode(frames))
+        rows["n_frames"].append(n_frames)
+        rows["fmt"].append("mvid")
+    return pa.table(
+        {
+            "video_id": pa.array(rows["video_id"], pa.string()),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "n_frames": pa.array(rows["n_frames"], pa.int32()),
+            "fmt": pa.array(rows["fmt"], pa.string()),
+        }
+    )
 
 
 def image_features(images_ds, *, concurrency=(1, 8), batch_size: int = 16):

@@ -292,13 +292,16 @@ def test_actor_pool_decode_path():
     assert (got == truth).all()
 
 
-def test_frame_sample_stub_contract():
-    """The gated video stub raises NotImplementedError with the documented
-    contract (sandbox has no media libs)."""
+def test_frame_sample_compressed_gate_contract():
+    """mvid frame sampling runs for real (tests/test_ops.py); compressed
+    video containers remain declared NotImplementedError gates (sandbox has
+    no pyav/ffmpeg)."""
     import pyarrow as pa
     import pytest as _pytest
 
     from moaray.ops.multimodal import FrameSample
 
-    with _pytest.raises(NotImplementedError, match="frame"):
-        FrameSample()(pa.table({"video_id": ["v0"]}))
+    with _pytest.raises(NotImplementedError, match="mvid"):
+        FrameSample()(
+            pa.table({"video_id": ["v0"], "bytes": [b"x"], "fmt": ["mp4"]})
+        )

@@ -246,11 +246,17 @@ def test_image_features_and_resize():
     assert arr.shape == (16, 16)
 
 
-def test_frame_sample_is_gated_stub():
+def test_frame_sample_compressed_containers_gated():
+    # mvid decodes for real (test_frame_sample_mvid); compressed containers
+    # stay declared gates
     from moaray.ops.multimodal import FrameSample
 
-    with pytest.raises(NotImplementedError):
-        FrameSample()(pa.table({"video_id": ["v0"]}))
+    with pytest.raises(NotImplementedError, match="pyav/ffmpeg"):
+        FrameSample()(
+            pa.table(
+                {"video_id": ["v0"], "bytes": [b"\x00"], "fmt": ["mp4"]}
+            )
+        )
 
 
 def test_langid_markers():
@@ -558,3 +564,25 @@ def test_hash_sample_deterministic(ray_session):
     assert a == b and 0 < len(a) < e.count()
     # ~25% of rows survive the '40' prefix gate
     assert abs(len(a) / e.count() - 0.25) < 0.03
+
+
+def test_frame_sample_mvid(ray_session):
+    import numpy as np
+
+    from moaray import codecs
+    from moaray.ops.multimodal import frame_sample, gen_video_table
+
+    vids = ray.data.from_arrow(gen_video_table(n_videos=3, n_frames=25))
+    rows = frame_sample(vids, stride=10).take_all()
+    # frames 0, 10, 20 per video
+    assert len(rows) == 9
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    for v, rs in by_vid.items():
+        assert sorted(r["frame_idx"] for r in rs) == [0, 10, 20]
+        for r in rs:
+            arr = codecs.decode(r["bytes"], "raw16")
+            vidx = int(v[3:])
+            assert (arr == (vidx * 1000 + r["frame_idx"]) % 60000).all()
+            assert arr.shape == (r["h"], r["w"])
