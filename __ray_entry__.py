@@ -311,6 +311,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             text.token_count_batch, batch_format="pyarrow"
         )
 
+    def q_doc_chunks(sf_dir: str):
+        return text.chunk_documents(_docs(sf_dir), window=20, stride=15)
+
     def q_bpe_tokens(sf_dir: str):
         return _docs(sf_dir).map_batches(
             text.bpe_token_count_batch, batch_format="pyarrow"
@@ -599,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extent_union": q_extent_union,
         "doc_token_count": q_token_count,
         "doc_bpe_tokens": q_bpe_tokens,
+        "doc_chunks": q_doc_chunks,
         "doc_quality": q_quality,
         "quality_filter": q_quality_filter,
         "events_sample": q_events_sample,
@@ -648,6 +652,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(array_length(str_split(text, ' ')) AS BIGINT) AS n_tokens,
                    CAST(array_length(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_ws_tokens
             FROM documents
+        """,
+        "doc_chunks": """
+            WITH t AS (
+              SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, CAST(ceil(len(toks) / 15.0) AS BIGINT)))
+                       AS i
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   array_to_string(toks[i*15 + 1 : i*15 + 20], ' ')
+                     AS chunk_text
+            FROM idx
         """,
         "doc_bpe_tokens": """
             SELECT doc_id,

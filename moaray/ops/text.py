@@ -122,6 +122,41 @@ def quality_filter(
     )
 
 
+def chunk_documents(docs_ds, window: int = 20, stride: int = 15):
+    """Split documents into overlapping token-window chunks — the flat_map
+    primitive of a training-data pipeline (one input row -> many chunk
+    rows). Chunk i covers tokens [i*stride, i*stride + window); emitted
+    while the start index is inside the doc. Pure per-batch expansion, no
+    shuffle; at 100 TB the output is written partition-per-input-shard so
+    chunking re-runs per shard on failure."""
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        out_id, out_idx, out_text = [], [], []
+        for i in range(batch.num_rows):
+            doc_id = batch["doc_id"][i].as_py()
+            toks = batch["text"][i].as_py().split(" ")
+            n = len(toks)
+            idx = 0
+            start = 0
+            while start < n:
+                out_id.append(doc_id)
+                out_idx.append(idx)
+                out_text.append(" ".join(toks[start : start + window]))
+                idx += 1
+                start += stride
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_idx": pa.array(out_idx, pa.int64()),
+                "chunk_text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow"
+    )
+
+
 def _count_removed(text: pa.ChunkedArray | pa.Array, pattern: str):
     """How many chars a regex class removes = count of matching chars."""
     stripped = pc.replace_substring_regex(text, pattern, "")
