@@ -328,14 +328,16 @@ def read_committed_tiles(out_dir: str, columns: list[str] | None = None):
 
     ds = ray.data.read_parquet(committed_paths(out_dir), columns=columns)
     winners = winning_commits(out_dir)
-    n_keys = len(winners)
-    total_keys = sum(
-        len(json.load(open(os.path.join(out_dir, "manifest", n))).get("keys")
-            or json.load(open(os.path.join(out_dir, "manifest", n)))["tile_ids"])
-        for n in os.listdir(os.path.join(out_dir, "manifest"))
-        if n.endswith(".json")
-    ) if os.path.isdir(os.path.join(out_dir, "manifest")) else 0
-    has_dupes = total_keys > n_keys
+    total_keys = 0
+    manifest_dir = os.path.join(out_dir, "manifest")
+    if os.path.isdir(manifest_dir):
+        for name in os.listdir(manifest_dir):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(manifest_dir, name)) as f:
+                rec = json.load(f)
+            total_keys += len(rec.get("keys") or rec["tile_ids"])
+    has_dupes = total_keys > len(winners)
 
     if not has_dupes:
         # fresh output: no superseded generations, no filter stage needed
