@@ -119,7 +119,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from moaray import do_mosaic, plan_assignments
     from moaray.ops import ann, dedup, relational, text
     from moaray.ops.multimodal import image_features, image_resize
-    from moaray.pipelines.mosaic import grid_for
     from moaray.stages.knn_overlap import knn_overlap_resolution
 
     def q_mosaic_tiles(sf_dir: str):

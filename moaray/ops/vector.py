@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from .. import crs as crs_mod
-from ..geo import ImageMeta, OutputGrid, apply_geotransform
+from ..geo import ImageMeta, apply_geotransform
 
 
 def footprint_polygon(meta: ImageMeta) -> np.ndarray:

@@ -38,7 +38,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from ..stages.assemble import TILE_SCHEMA, assemble_tiles, decode_payload
+from ..stages.assemble import assemble_tiles, decode_payload
 from ..stages.decode import WINDOW_SCHEMA, decode_windows
 from ..state import manifest as manifest_mod
 from .mosaic import MosaicConfig, MosaicResult, meta_columns, read_images
