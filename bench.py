@@ -292,6 +292,90 @@ def main_scaling():
     print(json.dumps(out))
 
 
+def run_cluster_mosaic(n_nodes: int, cpus_per_node: int = 4) -> dict:
+    """Run the mosaic bench on a SIMULATED multi-node Ray cluster
+    (ray.cluster_utils.Cluster: one raylet + object store per node, real
+    inter-node object transfer through the distributed object store). The
+    closest in-sandbox analog to the two-cluster-size criterion: the
+    groupby shuffle genuinely moves window payloads BETWEEN nodes."""
+    import ray
+    from ray.cluster_utils import Cluster
+
+    store = 8 * 1024**3  # 8 GiB per node: far above the known small-store
+    # sort-crash zone (CLAUDE.md), small enough for n_nodes of them
+    cluster = Cluster(
+        initialize_head=True,
+        head_node_args={
+            "num_cpus": cpus_per_node,
+            "object_store_memory": store,
+            "include_dashboard": False,
+        },
+    )
+    for _ in range(n_nodes - 1):
+        cluster.add_node(num_cpus=cpus_per_node, object_store_memory=store)
+    ray.init(address=cluster.address)
+    try:
+        alive = len([n for n in ray.nodes() if n["Alive"]])
+        r = run_mosaic_bench(n_nodes * cpus_per_node)
+        r["n_nodes"] = alive
+        r["cpus_per_node"] = cpus_per_node
+        return r
+    finally:
+        ray.shutdown()
+        cluster.shutdown()
+
+
+def main_cluster_scaling():
+    """2-node vs 8-node simulated clusters (4 cpus each): throughput at both
+    plus scaling efficiency over cluster SIZE."""
+    lo_nodes, hi_nodes = 2, 8
+    r_lo = _subprocess_fn(f"run_cluster_mosaic({lo_nodes})")
+    r_hi = _subprocess_fn(f"run_cluster_mosaic({hi_nodes})")
+    eff = (r_hi["tiles_per_s"] / r_lo["tiles_per_s"]) / (hi_nodes / lo_nodes)
+    out = {
+        "metric": "moaray_cluster_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            f"mosaic_nodes{lo_nodes}": round(r_lo["elapsed_s"], 3),
+            f"mosaic_nodes{hi_nodes}": round(r_hi["elapsed_s"], 3),
+        },
+        "num_cpus": hi_nodes * 4,
+        "cluster_scaling": {
+            "nodes_low": lo_nodes,
+            "nodes_high": hi_nodes,
+            "cpus_per_node": 4,
+            "tiles_per_s_low": round(r_lo["tiles_per_s"], 3),
+            "tiles_per_s_high": round(r_hi["tiles_per_s"], 3),
+            "mpx_per_s_low": round(r_lo["mpx_per_s"], 3),
+            "mpx_per_s_high": round(r_hi["mpx_per_s"], 3),
+            "efficiency": round(eff, 3),
+        },
+    }
+    print(json.dumps(out))
+
+
+def _subprocess_fn(call: str) -> dict:
+    """Run an arbitrary bench function call in a fresh process (it owns its
+    Ray session / simulated cluster)."""
+    code = (
+        "import json, bench;"
+        f"r = bench.{call};"
+        "print('RESULT ' + json.dumps(r))"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=1800, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"subprocess failed:\n{proc.stderr[-2000:]}")
+
+
 def main_soak():
     """Combined multiband+warp+salted soak at 8 vs 32 cpus (fresh
     processes); reports both throughputs + scaling efficiency."""
@@ -327,5 +411,7 @@ if __name__ == "__main__":
         main_scaling()
     elif "--soak" in sys.argv:
         main_soak()
+    elif "--cluster-scaling" in sys.argv:
+        main_cluster_scaling()
     else:
         main_bench()
