@@ -146,10 +146,15 @@ def main_cmd(argv=None) -> int:
         # tile codec; anything else is accepted with a note (the parquet
         # sink has no GDAL creation-option surface)
         tile_codec = "z16"
+        gtiff_tiled = False
         for co in args.co:
             key, _, val = co.partition("=")
             if key.upper() == "COMPRESS":
                 tile_codec = None if val.upper() == "NONE" else "z16"
+            elif key.upper() == "TILED":
+                # reference GTiff creation option: tiled organization with
+                # embedded overview IFDs (sinks/gtiff.py write_gtiff_tiled)
+                gtiff_tiled = val.upper() in ("YES", "TRUE", "1")
             else:
                 print(f"note: creation option {co!r} not applicable to the "
                       "parquet sink; ignored")
@@ -185,11 +190,13 @@ def main_cmd(argv=None) -> int:
         if single_file:
             from .sinks.gtiff import export_gtiff
 
-            export_gtiff(res, args.outdir)
+            export_gtiff(res, args.outdir, tiled=gtiff_tiled,
+                         min_overview_size=args.minoverviewsize)
         if args.gtiff:
             from .sinks.gtiff import export_gtiff
 
-            export_gtiff(res, args.gtiff)
+            export_gtiff(res, args.gtiff, tiled=gtiff_tiled,
+                         min_overview_size=args.minoverviewsize)
 
         n_tiles = res.grid.num_tiles
         print(

@@ -174,10 +174,209 @@ def read_gtiff_bytes(
     data: bytes,
 ) -> tuple[np.ndarray, GeoTransform, float | None]:
     """Parse a GeoTIFF from an in-memory buffer (the streaming-ingest path:
-    file bytes arrive via ray.data.read_binary_files, never a second open)."""
+    file bytes arrive via ray.data.read_binary_files, never a second open).
+    Handles both strip- and tile-organized layouts; returns the full-res
+    (first) IFD only — use read_gtiff_full for embedded overviews."""
     if data[:4] != _II:
         raise ValueError("not a little-endian TIFF")
     (ifd_off,) = struct.unpack_from("<I", data, 4)
+    tags, _next = _parse_ifd(data, ifd_off)
+
+    def vals(tag, fmt):
+        typ, count, payload = tags[tag]
+        return struct.unpack(f"<{count}{fmt}", payload)
+
+    fmt_code = vals(T_SAMPLEFORMAT, "H")[0] if T_SAMPLEFORMAT in tags else 1
+    if fmt_code not in _KIND_FOR_FORMAT:
+        raise ValueError(f"unsupported TIFF SampleFormat {fmt_code}")
+    assert vals(T_COMPRESSION, "H")[0] == 1
+    arr = _ifd_image(data, tags)
+    sx, sy, _ = vals(T_MODELPIXELSCALE, "d")
+    tp = vals(T_MODELTIEPOINT, "d")
+    transform = (tp[3], sx, 0.0, tp[4], 0.0, -sy)
+    nodata = None
+    if T_GDAL_NODATA in tags:
+        nodata = float(tags[T_GDAL_NODATA][2].rstrip(b"\x00").decode())
+    return arr, transform, nodata
+
+
+def export_gtiff(res, path: str, band: int = 0, tiled: bool = False,
+                 min_overview_size: int = 1024) -> None:
+    """MosaicResult -> single-file GeoTIFF (driver-side assembly of one
+    band; the parallel parquet sink remains the at-scale output).
+
+    ``tiled=True`` writes the reference's default output shape — TILED
+    organization with embedded strided-overview IFDs (GTiff TILED +
+    writeBlockPyramids, ref mosaic.py:604-660, 720-743)."""
+    from ..pipelines.mosaic import mosaic_array
+
+    arr = mosaic_array(res.tiles_ds, res.grid, band=band)
+    if tiled:
+        write_gtiff_tiled(
+            path, arr, res.grid.transform, res.grid.crs, res.grid.nullval,
+            min_overview_size=min_overview_size,
+        )
+    else:
+        write_gtiff(
+            path, arr, res.grid.transform, res.grid.crs, res.grid.nullval
+        )
+
+
+# ---------------------------------------------------------------------------
+# Tiled multi-IFD GeoTIFF with embedded overviews (the reference's default
+# output shape: GTiff TILED + overview levels, ref mosaic.py:604-660 +
+# writeBlockPyramids mosaic.py:720-743)
+# ---------------------------------------------------------------------------
+
+T_NEWSUBFILETYPE = 254
+T_TILEWIDTH = 322
+T_TILELENGTH = 323
+T_TILEOFFSETS = 324
+T_TILEBYTECOUNTS = 325
+
+
+def _tile_bytes(arr: np.ndarray, tile: int) -> tuple[list[bytes], int, int]:
+    """Row-major tile payloads, edge tiles padded to the full tile size
+    (TIFF 6.0 requires complete tiles)."""
+    wire = arr.dtype.newbyteorder("<") if arr.dtype.itemsize > 1 else arr.dtype
+    nrows, ncols = arr.shape
+    tiles_down = -(-nrows // tile)
+    tiles_across = -(-ncols // tile)
+    out = []
+    for tr in range(tiles_down):
+        for tc in range(tiles_across):
+            block = arr[tr * tile : (tr + 1) * tile, tc * tile : (tc + 1) * tile]
+            if block.shape != (tile, tile):
+                padded = np.zeros((tile, tile), dtype=arr.dtype)
+                padded[: block.shape[0], : block.shape[1]] = block
+                block = padded
+            out.append(np.ascontiguousarray(block).astype(wire).tobytes())
+    return out, tiles_down, tiles_across
+
+
+def write_gtiff_tiled(
+    path: str,
+    arr: np.ndarray,
+    transform: GeoTransform,
+    crs: str = "",
+    nullval: float | None = None,
+    tile: int = 256,
+    min_overview_size: int = 256,
+) -> list[int]:
+    """Tiled GeoTIFF with embedded overview IFDs.
+
+    Overview levels follow the reference rule (2**i while size//lvl >=
+    min_overview_size, mosaic.py:646-658) and each overview is the exact
+    strided subsample ``arr[lvl//2::lvl, lvl//2::lvl]`` (nearest, the
+    reference's only overview resampler). Returns the level list."""
+    if arr.ndim != 2 or arr.dtype.kind not in _SAMPLEFORMAT:
+        raise ValueError(f"expected a 2-D numeric array, got {arr.dtype} {arr.shape}")
+    out_size = max(arr.shape)
+    levels = []
+    i = 2
+    while out_size // (2 ** i) >= min_overview_size:
+        levels.append(2 ** i)
+        i += 1
+    images = [arr] + [arr[lvl // 2 :: lvl, lvl // 2 :: lvl] for lvl in levels]
+
+    pixel_scale = struct.pack("<3d", transform[1], abs(transform[5]), 0.0)
+    tiepoint = struct.pack("<6d", 0.0, 0.0, 0.0, transform[0], transform[3], 0.0)
+    geokeys = struct.pack("<8H", 1, 1, 0, 1, 1024, 0, 1, 1)
+    nodata_ascii = (
+        (f"{nullval:g}".encode() + b"\x00") if nullval is not None else None
+    )
+
+    # build per-IFD entry lists with placeholder tile offsets
+    per_ifd = []  # (entries, tiles)
+    for idx, img in enumerate(images):
+        tiles, _td, _ta = _tile_bytes(img, tile)
+        nrows, ncols = img.shape
+        entries = []
+
+        def entry(tag, typ, values):
+            fmt = {TYPE_SHORT: "H", TYPE_LONG: "I", TYPE_DOUBLE: "d"}[typ]
+            if not isinstance(values, (list, tuple)):
+                values = [values]
+            entries.append(
+                (tag, typ, len(values), struct.pack(f"<{len(values)}{fmt}", *values))
+            )
+
+        if idx > 0:
+            entry(T_NEWSUBFILETYPE, TYPE_LONG, 1)  # reduced-resolution image
+        entry(T_WIDTH, TYPE_LONG, ncols)
+        entry(T_LENGTH, TYPE_LONG, nrows)
+        entry(T_BITSPERSAMPLE, TYPE_SHORT, img.dtype.itemsize * 8)
+        entry(T_COMPRESSION, TYPE_SHORT, 1)
+        entry(T_PHOTOMETRIC, TYPE_SHORT, 1)
+        entry(T_SAMPLESPERPIXEL, TYPE_SHORT, 1)
+        entry(T_SAMPLEFORMAT, TYPE_SHORT, _SAMPLEFORMAT[img.dtype.kind])
+        entry(T_TILEWIDTH, TYPE_LONG, tile)
+        entry(T_TILELENGTH, TYPE_LONG, tile)
+        entry(T_TILEOFFSETS, TYPE_LONG, [0] * len(tiles))  # patched
+        entry(T_TILEBYTECOUNTS, TYPE_LONG, [len(t) for t in tiles])
+        if idx == 0:
+            entries.append((T_MODELPIXELSCALE, TYPE_DOUBLE, 3, pixel_scale))
+            entries.append((T_MODELTIEPOINT, TYPE_DOUBLE, 6, tiepoint))
+            entries.append((T_GEOKEYDIR, TYPE_SHORT, 8, geokeys))
+            if nodata_ascii:
+                entries.append(
+                    (T_GDAL_NODATA, TYPE_ASCII, len(nodata_ascii), nodata_ascii)
+                )
+        entries.sort(key=lambda e: e[0])
+        per_ifd.append((entries, tiles))
+
+    # layout pass: header | (IFD + payloads)* | tile data
+    pos = 8
+    ifd_offsets = []
+    payload_offsets = []  # per ifd: list parallel to entries (-1 = inline)
+    for entries, _tiles in per_ifd:
+        ifd_offsets.append(pos)
+        pos += 2 + len(entries) * 12 + 4
+        offs = []
+        for _tag, _typ, _count, payload in entries:
+            if len(payload) <= 4:
+                offs.append(-1)
+            else:
+                offs.append(pos)
+                pos += len(payload)
+        payload_offsets.append(offs)
+    data_start = pos
+    # assign tile data offsets + patch the TileOffsets payloads
+    dp = data_start
+    for i_ifd, (entries, tiles) in enumerate(per_ifd):
+        tile_offs = []
+        for t in tiles:
+            tile_offs.append(dp)
+            dp += len(t)
+        for j, (tag, typ, count, payload) in enumerate(entries):
+            if tag == T_TILEOFFSETS:
+                entries[j] = (
+                    tag, typ, count,
+                    struct.pack(f"<{len(tile_offs)}I", *tile_offs),
+                )
+
+    with open(path, "wb") as f:
+        f.write(_II + struct.pack("<I", ifd_offsets[0]))
+        for i_ifd, (entries, _tiles) in enumerate(per_ifd):
+            f.write(struct.pack("<H", len(entries)))
+            for j, (tag, typ, count, payload) in enumerate(entries):
+                f.write(struct.pack("<HHI", tag, typ, count))
+                if len(payload) <= 4:
+                    f.write(payload.ljust(4, b"\x00"))
+                else:
+                    f.write(struct.pack("<I", payload_offsets[i_ifd][j]))
+            nxt = ifd_offsets[i_ifd + 1] if i_ifd + 1 < len(per_ifd) else 0
+            f.write(struct.pack("<I", nxt))
+            for j, (tag, typ, count, payload) in enumerate(entries):
+                if len(payload) > 4:
+                    f.write(payload)
+        for _entries, tiles in per_ifd:
+            for t in tiles:
+                f.write(t)
+    return levels
+
+
+def _parse_ifd(data: bytes, ifd_off: int):
     (n_entries,) = struct.unpack_from("<H", data, ifd_off)
     tags: dict[int, tuple[int, int, bytes]] = {}
     for i in range(n_entries):
@@ -190,7 +389,11 @@ def read_gtiff_bytes(
             (off,) = struct.unpack_from("<I", data, base + 8)
             payload = data[off : off + size]
         tags[tag] = (typ, count, payload)
+    (nxt,) = struct.unpack_from("<I", data, ifd_off + 2 + n_entries * 12)
+    return tags, nxt
 
+
+def _ifd_image(data: bytes, tags) -> np.ndarray:
     def vals(tag, fmt):
         typ, count, payload = tags[tag]
         return struct.unpack(f"<{count}{fmt}", payload)
@@ -198,37 +401,61 @@ def read_gtiff_bytes(
     ncols = vals(T_WIDTH, "I")[0]
     nrows = vals(T_LENGTH, "I")[0]
     bits = vals(T_BITSPERSAMPLE, "H")[0]
-    fmt_code = (
-        vals(T_SAMPLEFORMAT, "H")[0] if T_SAMPLEFORMAT in tags else 1
-    )
-    kind = _KIND_FOR_FORMAT.get(fmt_code)
-    if kind is None:
-        raise ValueError(f"unsupported TIFF SampleFormat {fmt_code}")
-    assert vals(T_COMPRESSION, "H")[0] == 1
+    fmt_code = vals(T_SAMPLEFORMAT, "H")[0] if T_SAMPLEFORMAT in tags else 1
+    kind = _KIND_FOR_FORMAT[fmt_code]
+    dt_le = np.dtype(f"<{kind}{bits // 8}") if bits > 8 else np.dtype(f"{kind}1")
+    dt = np.dtype(f"{kind}{bits // 8}")
+    if T_TILEOFFSETS in tags:
+        tile_w = vals(T_TILEWIDTH, "I")[0]
+        tile_h = vals(T_TILELENGTH, "I")[0]
+        offs = vals(T_TILEOFFSETS, "I")
+        counts = vals(T_TILEBYTECOUNTS, "I")
+        tiles_across = -(-ncols // tile_w)
+        out = np.zeros((nrows, ncols), dtype=dt)
+        for k, (o, c) in enumerate(zip(offs, counts)):
+            block = np.frombuffer(data[o : o + c], dtype=dt_le).reshape(
+                tile_h, tile_w
+            )
+            tr, tc = divmod(k, tiles_across)
+            r0, c0 = tr * tile_h, tc * tile_w
+            h = min(tile_h, nrows - r0)
+            w = min(tile_w, ncols - c0)
+            out[r0 : r0 + h, c0 : c0 + w] = block[:h, :w]
+        return out
     strip_offs = vals(T_STRIPOFFSETS, "I")
     strip_counts = vals(T_STRIPBYTECOUNTS, "I")
-    buf = b"".join(
-        data[o : o + c] for o, c in zip(strip_offs, strip_counts)
+    buf = b"".join(data[o : o + c] for o, c in zip(strip_offs, strip_counts))
+    return np.frombuffer(buf, dtype=dt_le).reshape(nrows, ncols).astype(
+        dt, copy=False
     )
-    dt = np.dtype(f"<{kind}{bits // 8}") if bits > 8 else np.dtype(f"{kind}1")
-    arr = np.frombuffer(buf, dtype=dt).reshape(nrows, ncols).astype(
-        np.dtype(f"{kind}{bits // 8}"), copy=False
-    )
+
+
+def read_gtiff_full(
+    path: str,
+) -> tuple[np.ndarray, list[np.ndarray], GeoTransform, float | None]:
+    """Read a (possibly tiled, possibly multi-IFD) GeoTIFF: returns
+    (full-res array, [overview arrays], transform, nodata)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != _II:
+        raise ValueError("not a little-endian TIFF")
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    images = []
+    geo_tags = None
+    while ifd_off:
+        tags, ifd_off = _parse_ifd(data, ifd_off)
+        if geo_tags is None:
+            geo_tags = tags
+        images.append(_ifd_image(data, tags))
+
+    def vals(tag, fmt):
+        typ, count, payload = geo_tags[tag]
+        return struct.unpack(f"<{count}{fmt}", payload)
+
     sx, sy, _ = vals(T_MODELPIXELSCALE, "d")
     tp = vals(T_MODELTIEPOINT, "d")
     transform = (tp[3], sx, 0.0, tp[4], 0.0, -sy)
     nodata = None
-    if T_GDAL_NODATA in tags:
-        nodata = float(tags[T_GDAL_NODATA][2].rstrip(b"\x00").decode())
-    return arr, transform, nodata
-
-
-def export_gtiff(res, path: str, band: int = 0) -> None:
-    """MosaicResult -> single-file GeoTIFF (driver-side assembly of one
-    band; the parallel parquet sink remains the at-scale output)."""
-    from ..pipelines.mosaic import mosaic_array
-
-    arr = mosaic_array(res.tiles_ds, res.grid, band=band)
-    write_gtiff(
-        path, arr, res.grid.transform, res.grid.crs, res.grid.nullval
-    )
+    if T_GDAL_NODATA in geo_tags:
+        nodata = float(geo_tags[T_GDAL_NODATA][2].rstrip(b"\x00").decode())
+    return images[0], images[1:], transform, nodata
