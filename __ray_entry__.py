@@ -338,6 +338,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _rpc(f"{sf_dir}/events.parquet"), "value", qs=(0.5, 0.9, 0.99)
         )
 
+    def q_events_quantiles_by_type(sf_dir: str):  # rows-only (approx sketch)
+        from moaray.ops.sketch import grouped_quantile_sketch
+
+        return grouped_quantile_sketch(
+            _rpc(f"{sf_dir}/events.parquet"), "value", "event_type",
+            qs=(0.5, 0.9),
+        ).sort(["group", "q"])
+
     def q_quality(sf_dir: str):
         return _docs(sf_dir).map_batches(text.quality_batch, batch_format="pyarrow")
 
@@ -606,6 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "events_sample": q_events_sample,
         "events_quantiles": q_events_quantiles,
+        "events_quantiles_by_type": q_events_quantiles_by_type,
         "doc_quality_extended": q_quality_extended,
         "doc_langid": q_langid,
         "doc_fingerprint": q_fingerprint,

@@ -246,3 +246,64 @@ def quantile_sketch(ds, value_col: str, qs=(0.5, 0.9, 0.99), k: int = 2048):
         .groupby("one")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def grouped_quantile_sketch(
+    ds, value_col: str, group_col: str, qs=(0.5, 0.9), k: int = 1024
+):
+    """Per-group approximate quantiles: one compacted weighted sample per
+    (batch, group) — k points max — shuffles to a groupby(group) merge.
+    ``events_median_value`` is the exact anchor for q=0.5 per group."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = batch[group_col].to_numpy(zero_copy_only=False)
+        vals = batch[value_col].to_numpy().astype(np.float64)
+        out = {"group": [], "vals": [], "wgts": []}
+        for key in np.unique(keys):
+            v = vals[keys == key]
+            v = v[~np.isnan(v)]
+            if len(v) == 0:
+                continue
+            cv, cw = _compact(v, np.ones(len(v)), k)
+            out["group"].append(str(key))
+            out["vals"].append(cv.tobytes())
+            out["wgts"].append(cw.tobytes())
+        return pa.table(
+            {
+                "group": pa.array(out["group"], pa.string()),
+                "vals": pa.array(out["vals"], pa.binary()),
+                "wgts": pa.array(out["wgts"], pa.binary()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        vs = [np.frombuffer(b.as_py(), np.float64) for b in group["vals"]]
+        ws = [np.frombuffer(b.as_py(), np.float64) for b in group["wgts"]]
+        cv, cw = _compact(np.concatenate(vs), np.concatenate(ws), k)
+        order = np.argsort(cv, kind="stable")
+        cv, cw = cv[order], cw[order]
+        cum = np.cumsum(cw)
+        total = cum[-1]
+        name = group["group"][0].as_py()
+        out_g, out_q, out_v = [], [], []
+        for q in qs:
+            pos = int(np.searchsorted(cum, q * total, side="left"))
+            out_g.append(name)
+            out_q.append(float(q))
+            out_v.append(float(cv[min(pos, len(cv) - 1)]))
+        return pa.table(
+            {
+                "group": pa.array(out_g, pa.string()),
+                "q": pa.array(out_q, pa.float64()),
+                "value": pa.array(out_v, pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("group")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -586,3 +586,24 @@ def test_frame_sample_mvid(ray_session):
             vidx = int(v[3:])
             assert (arr == (vidx * 1000 + r["frame_idx"]) % 60000).all()
             assert arr.shape == (r["h"], r["w"])
+
+
+def test_grouped_quantile_sketch_accuracy(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from moaray.ops.sketch import grouped_quantile_sketch
+
+    e = ray.data.read_parquet(f"{SF}/events.parquet")
+    rows = grouped_quantile_sketch(
+        e, "value", "event_type", qs=(0.5, 0.9)
+    ).take_all()
+    tbl = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "value"])
+    keys = np.array(tbl["event_type"].to_pylist())
+    vals = tbl["value"].to_numpy()
+    assert len({r["group"] for r in rows}) == len(set(keys))
+    for r in rows:
+        sel = vals[keys == r["group"]]
+        exact = float(np.quantile(sel, r["q"]))
+        spread = float(np.quantile(sel, 0.99) - np.quantile(sel, 0.01))
+        assert abs(r["value"] - exact) < 0.03 * max(spread, 1e-9)
