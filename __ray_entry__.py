@@ -378,6 +378,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = dedup.charset_jaccard_pairs(_docs(sf_dir), threshold=0.9)
         return dedup.neardup_clusters(pairs)
 
+    def q_neardup_clusters_dist(sf_dir: str):  # rows-only (iterative CC)
+        pairs = dedup.charset_jaccard_pairs(_docs(sf_dir), threshold=0.9)
+        return dedup.neardup_clusters_distributed(pairs).sort("doc_id")
+
     def q_minhash_pairs(sf_dir: str):  # rows-only (non-SQL)
         return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
 
@@ -622,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "charset_jaccard_pairs": q_charset_jaccard,
         "neardup_clusters": q_neardup_clusters,
+        "neardup_clusters_dist": q_neardup_clusters_dist,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,

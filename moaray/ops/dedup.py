@@ -711,6 +711,126 @@ def neardup_clusters(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b"):
     )
 
 
+def neardup_clusters_distributed(
+    pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
+    max_iters: int = 30,
+):
+    """Fully distributed connected components over a pair list: the
+    alternating large-star / small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the scale
+    path behind :func:`neardup_clusters` (whose driver union-find is the
+    exact baseline; both are pytest-asserted equal).
+
+    Each round is ONE groupby shuffle over the (symmetrized) edge list:
+    large-star hangs every neighbor larger than u off u's minimum
+    neighbor, small-star re-roots the small side; the edge set converges
+    to stars rooted at component minima in O(log n) rounds. Convergence is
+    detected from a tiny order-free signature aggregate (count + hashed
+    sum) — the driver never sees an edge."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].to_numpy()
+        b = batch[b_col].to_numpy()
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b]), pa.int64()),
+                "v": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    def star(large: bool):
+        def per_group(group: pa.Table) -> pa.Table:
+            u = int(group["u"][0].as_py())
+            nbrs = np.unique(group["v"].to_numpy())
+            m = int(min(u, int(nbrs.min())))
+            if large:
+                vs = nbrs[nbrs > u]
+            else:
+                vs = np.concatenate([nbrs[nbrs < u], [u]])
+            vs = vs[vs != m]
+            return pa.table(
+                {
+                    a_col: pa.array(
+                        np.full(len(vs), m, dtype=np.int64), pa.int64()
+                    ),
+                    b_col: pa.array(vs.astype(np.int64), pa.int64()),
+                }
+            )
+
+        return per_group
+
+    def signature(ds):
+        def hash_batch(batch: pa.Table) -> pa.Table:
+            a = batch[a_col].to_numpy().astype(np.uint64)
+            b = batch[b_col].to_numpy().astype(np.uint64)
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            with np.errstate(over="ignore"):
+                h = (lo * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                    hi * np.uint64(0xC2B2AE3D27D4EB4F)
+                )
+            return pa.table(
+                {"h": pa.array(h.astype(np.int64), pa.int64())}
+            )
+
+        agg = ds.map_batches(hash_batch, batch_format="pyarrow").aggregate(
+            Sum("h"), Count()
+        )
+        return (agg.get("sum(h)"), agg.get("count()"))
+
+    edges = pairs_ds.select_columns([a_col, b_col])
+    prev_sig = None
+    for it in range(max_iters):
+        edges = (
+            edges.map_batches(symmetrize, batch_format="pyarrow")
+            .groupby("u")
+            .map_groups(star(large=True), batch_format="pyarrow")
+        )
+        edges = (
+            edges.map_batches(symmetrize, batch_format="pyarrow")
+            .groupby("u")
+            .map_groups(star(large=False), batch_format="pyarrow")
+        ).materialize()
+        sig = signature(edges)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # converged stars: every edge is (root, node); labels = per-node min
+    # partner, plus each root labels itself
+    def to_labels(batch: pa.Table) -> pa.Table:
+        roots = batch[a_col].to_numpy()
+        nodes = batch[b_col].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([nodes, roots]), pa.int64()
+                ),
+                "cand": pa.array(
+                    np.concatenate([roots, roots]), pa.int64()
+                ),
+            }
+        )
+
+    def min_label(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array([group["doc_id"][0].as_py()], pa.int64()),
+                "cluster_id": pa.array(
+                    [int(group["cand"].to_numpy().min())], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        edges.map_batches(to_labels, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(min_label, batch_format="pyarrow")
+    )
+
+
 def ngram_jaccard_pairs(
     docs_ds, threshold: float = 0.5, k: int = 3, block_col: str = "lang",
     n_blocks: int | None = None,

@@ -607,3 +607,21 @@ def test_grouped_quantile_sketch_accuracy(ray_session):
         exact = float(np.quantile(sel, r["q"]))
         spread = float(np.quantile(sel, 0.99) - np.quantile(sel, 0.01))
         assert abs(r["value"] - exact) < 0.03 * max(spread, 1e-9)
+
+
+def test_distributed_cc_equals_union_find(ray_session):
+    """Alternating large/small-star distributed connected components must
+    label every node identically to the driver union-find baseline."""
+    from moaray.ops.dedup import (
+        charset_jaccard_pairs,
+        neardup_clusters,
+        neardup_clusters_distributed,
+    )
+
+    uf = neardup_clusters(charset_jaccard_pairs(docs(), threshold=0.9))
+    dist = neardup_clusters_distributed(
+        charset_jaccard_pairs(docs(), threshold=0.9)
+    ).take_all()
+    uf_map = dict(zip(uf["doc_id"].to_pylist(), uf["cluster_id"].to_pylist()))
+    dist_map = {r["doc_id"]: r["cluster_id"] for r in dist}
+    assert uf_map == dist_map and len(uf_map) > 0
