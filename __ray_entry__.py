@@ -586,7 +586,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return relational.extent_union(meta)
 
+    # Ordering contract: the driver grades the FIRST 50 entries against
+    # oracle_sql(). All 27 oracle-backed queries come first so every one is
+    # inside the grading window; rows-only queries (mosaic pixel parity,
+    # approximate sketches, geometry/media ops) follow.
     return {
+        # ---- 27 oracle-backed (DuckDB hash-checked) ----
+        "doc_token_count": q_token_count,
+        "doc_bpe_tokens": q_bpe_tokens,
+        "doc_chunks": q_doc_chunks,
+        "doc_quality": q_quality,
+        "doc_quality_extended": q_quality_extended,
+        "quality_filter": q_quality_filter,
+        "events_sample": q_events_sample,
+        "doc_langid": q_langid,
+        "doc_fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "charset_jaccard_pairs": q_charset_jaccard,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "exact_top_users": q_exact_top_users,
+        "exact_distinct_users": q_exact_distinct_users,
+        "embedding_neardup": q_embedding_neardup,
+        "knn_topk": q_knn_topk,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_orders": q_top_orders,
+        "revenue_by_priority": q_revenue_by_priority,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "segment_nation_stats": q_segment_nation_stats,
+        "pricing_summary": q_pricing_summary,
+        "props_extract": q_props_extract,
+        "sessionize": q_sessionize,
+        "events_daily": q_events_daily,
+        "events_moving_avg": q_events_moving_avg,
+        "events_median": q_events_median,
+        # ---- rows-only (no SQL oracle by design) ----
         "mosaic_tiles": q_mosaic_tiles,
         "mosaic_tiles_hotspot": q_mosaic_tiles_hotspot,
         "mosaic_tiles_sparse": q_mosaic_tiles_sparse,
@@ -596,61 +629,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tiles_png": q_mosaic_tiles_png,
         "mosaic_update": q_mosaic_update,
         "mosaic_reproject": q_mosaic_reproject,
-        "knn_ivf": q_knn_ivf,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "mosaic_reproject_bilinear": q_mosaic_reproject_bilinear,
         "mosaic_reproject_cubic": q_mosaic_reproject_cubic,
         "mosaic_reproject_average": q_mosaic_reproject_average,
         "spatial_join": q_spatial_join,
         "spatial_join_cells": q_spatial_join_cells,
         "mosaic_stats": q_mosaic_stats,
+        "mosaic_multiband_stats": q_mosaic_multiband_stats,
         "pyramids": q_pyramids,
         "knn_overlap": q_knn_overlap,
+        "knn_ivf": q_knn_ivf,
+        "knn_lsh": q_knn_lsh,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "neardup_clusters": q_neardup_clusters,
+        "neardup_clusters_dist": q_neardup_clusters_dist,
         "footprint_coverage": q_footprint_coverage,
         "polygonize_footprints": q_polygonize,
         "image_features": q_image_features,
         "image_resize": q_image_resize,
         "extent_union": q_extent_union,
-        "doc_token_count": q_token_count,
-        "doc_bpe_tokens": q_bpe_tokens,
-        "doc_chunks": q_doc_chunks,
-        "doc_quality": q_quality,
-        "quality_filter": q_quality_filter,
-        "events_sample": q_events_sample,
         "events_quantiles": q_events_quantiles,
         "events_quantiles_by_type": q_events_quantiles_by_type,
-        "doc_quality_extended": q_quality_extended,
-        "doc_langid": q_langid,
-        "doc_fingerprint": q_fingerprint,
         "doc_rolling_fingerprint": q_rolling_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "charset_jaccard_pairs": q_charset_jaccard,
-        "neardup_clusters": q_neardup_clusters,
-        "neardup_clusters_dist": q_neardup_clusters_dist,
-        "ngram_jaccard_pairs": q_ngram_jaccard,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "embedding_neardup": q_embedding_neardup,
-        "knn_topk": q_knn_topk,
-        "knn_lsh": q_knn_lsh,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "top_orders": q_top_orders,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "revenue_by_priority": q_revenue_by_priority,
-        "segment_nation_stats": q_segment_nation_stats,
-        "sessionize": q_sessionize,
         "hll_distinct_users": q_hll_distinct_users,
-        "exact_distinct_users": q_exact_distinct_users,
         "heavy_hitters": q_heavy_hitters,
-        "exact_top_users": q_exact_top_users,
-        "props_extract": q_props_extract,
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
-        "events_daily": q_events_daily,
-        "events_moving_avg": q_events_moving_avg,
-        "events_median": q_events_median,
-        "mosaic_multiband_stats": q_mosaic_multiband_stats,
     }
 
 
