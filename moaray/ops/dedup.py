@@ -291,7 +291,12 @@ def minhash_signatures(
                     dtype=np.uint64,
                 )
                 if len(toks) < k_shingle:
-                    h = (th * mix[: len(th)]).sum(keepdims=True)
+                    # cyclic mixer indexing: mix holds at most 3 constants,
+                    # so with k_shingle > 3 a 4..k_shingle-1-token doc would
+                    # broadcast-error against mix[:len(th)]
+                    idx = np.arange(len(th), dtype=np.uint64)
+                    m = mix[np.arange(len(th)) % len(mix)] + idx
+                    h = (th * m).sum(keepdims=True)
                 else:
                     h = np.zeros(len(toks) - k_shingle + 1, dtype=np.uint64)
                     for j in range(k_shingle):

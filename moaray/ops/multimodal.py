@@ -143,7 +143,10 @@ class FrameSample:
             (n_frames,) = struct.unpack_from("<I", buf, 0)
             body = buf[4:]
             _fmt0, h, w = codecs.probe_header(body)
-            frame_bytes = codecs.HEADER_SIZE + h * w * 2  # raw16 frames
+            # raw16 payloads are dtype-generic — size frames by the actual
+            # item size, not a hardcoded 2 bytes/px
+            itemsize = codecs.header_dtype(body).itemsize
+            frame_bytes = codecs.HEADER_SIZE + h * w * itemsize
             vid = batch["video_id"][i].as_py()
             for k in range(0, n_frames, self.stride):
                 frame = bytes(body[k * frame_bytes : (k + 1) * frame_bytes])

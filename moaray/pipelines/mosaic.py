@@ -546,8 +546,17 @@ def _do_mosaic_impl(
 
     if out_dir is not None:
         # grid + seq high-water mark persist beside the manifest so
-        # incremental updates (pipelines/update.py) plan on the same grid
-        manifest_mod.write_grid_meta(out_dir, grid, n_images, bands)
+        # incremental updates (pipelines/update.py) plan on the same grid.
+        # The mark is max(seq)+1, NOT the image count: an explicit catalog
+        # seq column may be non-dense/non-0-based, and a later update must
+        # hand out seqs strictly above every existing one or last-non-null
+        # precedence inverts vs append order.
+        if use_driver_plan:
+            n_seq_hwm = (max(s for s, _ in pairs) + 1) if pairs else 0
+        else:
+            mx = meta_ds.max("seq")
+            n_seq_hwm = int(mx) + 1 if mx is not None else 0
+        manifest_mod.write_grid_meta(out_dir, grid, n_seq_hwm, bands)
         result.manifest = manifest_mod.write_tiles(
             tiles, out_dir, tiles_per_file=cfg.tiles_per_file
         )

@@ -226,8 +226,18 @@ def update_mosaic(
     result.manifest = manifest_mod.write_tiles(
         merged, out_dir, tiles_per_file=cfg.tiles_per_file
     )
+    # seq high-water mark for the NEXT update: with an explicit (possibly
+    # non-dense / non-0-based) catalog seq the shifted seqs reach
+    # n_seq0 + max(seq), so recording n_seq0 + n_new would let a later
+    # update hand out seqs BELOW this one's, inverting last-non-null
+    # precedence vs the append-order full rebuild.
+    if has_seq_col:
+        max_seq = pa.compute.max(tbl["seq"]).as_py()
+        n_seq_next = n_seq0 + int(max_seq) + 1
+    else:
+        n_seq_next = n_seq0 + n_new
     manifest_mod.write_grid_meta(
-        out_dir, grid, n_seq0 + n_new, sorted(set(bands) | set(new_bands))
+        out_dir, grid, n_seq_next, sorted(set(bands) | set(new_bands))
     )
     result.tiles_ds = manifest_mod.read_committed_tiles(out_dir)
     if cfg.do_pyramids:

@@ -291,14 +291,16 @@ def stats_from_manifest(out_dir: str) -> dict[int, dict]:
     return {b: _finalize(a) for b, a in sorted(accs.items())}
 
 
-def winning_commits(out_dir: str) -> dict[tuple[int, int], float]:
-    """(tile_id, band) -> newest committed_at across all manifest records.
+def winning_commits(out_dir: str) -> dict[tuple[int, int], tuple[float, str]]:
+    """(tile_id, band) -> (newest committed_at, data path) across all
+    manifest records.
 
     After an incremental update (pipelines/update.py) a key can appear in
-    two generations of partitions; the newest record wins. Pure driver-side
-    read of the tiny manifest."""
+    two generations of partitions; the newest record wins, with the data
+    path as a deterministic tie-break when two commits share an identical
+    float timestamp. Pure driver-side read of the tiny manifest."""
     manifest_dir = os.path.join(out_dir, "manifest")
-    winners: dict[tuple[int, int], float] = {}
+    winners: dict[tuple[int, int], tuple[float, str]] = {}
     if not os.path.isdir(manifest_dir):
         return winners
     for name in os.listdir(manifest_dir):
@@ -306,12 +308,12 @@ def winning_commits(out_dir: str) -> dict[tuple[int, int], float]:
             continue
         with open(os.path.join(manifest_dir, name)) as f:
             rec = json.load(f)
-        ts = rec.get("committed_at", 0.0)
+        cand = (rec.get("committed_at", 0.0), rec.get("path", ""))
         keys = rec.get("keys") or [[t, 0] for t in rec["tile_ids"]]
         for t, b in keys:
             k = (int(t), int(b))
-            if ts >= winners.get(k, -1.0):
-                winners[k] = ts
+            if k not in winners or cand > winners[k]:
+                winners[k] = cand
     return winners
 
 
@@ -326,7 +328,6 @@ def read_committed_tiles(out_dir: str, columns: list[str] | None = None):
     import numpy as np
     import ray
 
-    ds = ray.data.read_parquet(committed_paths(out_dir), columns=columns)
     winners = winning_commits(out_dir)
     total_keys = 0
     manifest_dir = os.path.join(out_dir, "manifest")
@@ -341,6 +342,8 @@ def read_committed_tiles(out_dir: str, columns: list[str] | None = None):
 
     if not has_dupes:
         # fresh output: no superseded generations, no filter stage needed
+        ds = ray.data.read_parquet(committed_paths(out_dir), columns=columns)
+
         def drop_stamp(batch: pa.Table) -> pa.Table:
             if "committed_at" in batch.schema.names:
                 return batch.drop_columns(["committed_at"])
@@ -348,23 +351,47 @@ def read_committed_tiles(out_dir: str, columns: list[str] | None = None):
 
         return ds.map_batches(drop_stamp, batch_format="pyarrow")
 
-    ref = ray.put(winners)
+    # superseded generations exist: the resolve filter NEEDS the key + stamp
+    # columns regardless of the caller's pruned column list — force-include
+    # them in the read (and include per-row file provenance for the
+    # timestamp tie-break), then drop whatever the caller didn't ask for.
+    read_cols = columns
+    if columns is not None:
+        read_cols = list(columns)
+        for c in ("tile_id", "band", "committed_at"):
+            if c not in read_cols:
+                read_cols.append(c)
+    drop_after = ["committed_at", "path"] + [
+        c
+        for c in ("tile_id", "band")
+        if columns is not None and c not in columns
+    ]
+    ds = ray.data.read_parquet(
+        committed_paths(out_dir), columns=read_cols, include_paths=True
+    )
+    # normalize both sides of the tie-break to absolute paths — Ray's
+    # include_paths reports resolved filesystem paths, the manifest stores
+    # whatever data_path the writer was given
+    ref = ray.put(
+        {k: (ts, os.path.abspath(p)) for k, (ts, p) in winners.items()}
+    )
 
     def resolve(batch: pa.Table) -> pa.Table:
         win = ray.get(ref)
-        if "committed_at" not in batch.schema.names:
-            return batch
         ts = batch["committed_at"].to_numpy()
+        paths = [os.path.abspath(p) for p in batch["path"].to_pylist()]
         tids = batch["tile_id"].to_numpy()
         bands = batch["band"].to_numpy()
         keep = np.array(
             [
-                ts[i] >= win.get((int(tids[i]), int(bands[i])), -1.0)
+                (ts[i], paths[i])
+                >= win.get((int(tids[i]), int(bands[i])), (-1.0, ""))
                 for i in range(len(ts))
             ],
             dtype=bool,
         )
-        return batch.filter(pa.array(keep)).drop_columns(["committed_at"])
+        out = batch.filter(pa.array(keep))
+        return out.drop_columns([c for c in drop_after if c in out.schema.names])
 
     return ds.map_batches(resolve, batch_format="pyarrow")
 

@@ -111,6 +111,25 @@ def test_minhash_detects_near_duplicates():
     assert (0, 2) not in got and (1, 2) not in got
 
 
+def test_minhash_short_docs_large_shingle():
+    """k_shingle > 3 with docs of 4..k_shingle-1 tokens used to broadcast-
+    error against the 3-constant mixer (round-2 ADVICE); identical short
+    docs must still pair."""
+    from moaray.ops.dedup import minhash_lsh_pairs
+
+    texts = ["four tokens right here", "four tokens right here",
+             "one", "totally different things spoken aloud"]
+    tbl = pa.table(
+        {"doc_id": pa.array([0, 1, 2, 3], pa.int64()), "text": texts}
+    )
+    pairs = minhash_lsh_pairs(
+        ray.data.from_arrow(tbl), threshold=0.5, k_shingle=5
+    ).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 1) in got
+    assert (0, 2) not in got and (0, 3) not in got
+
+
 def test_simhash_identical_docs_pair():
     from moaray.ops.dedup import simhash_pairs
 
@@ -625,3 +644,31 @@ def test_distributed_cc_equals_union_find(ray_session):
     uf_map = dict(zip(uf["doc_id"].to_pylist(), uf["cluster_id"].to_pylist()))
     dist_map = {r["doc_id"]: r["cluster_id"] for r in dist}
     assert uf_map == dist_map and len(uf_map) > 0
+
+
+def test_frame_sample_non_uint16_frames():
+    """mvid frames are dtype-generic raw16 payloads — frame slicing must
+    size frames by the actual itemsize (round-2 ADVICE, multimodal.py)."""
+    import struct
+
+    from moaray import codecs
+    from moaray.ops.multimodal import frame_sample
+
+    frames = [np.full((8, 8), float(k) + 0.5, np.float32) for k in range(4)]
+    blob = b"".join(
+        [struct.pack("<I", len(frames))]
+        + [codecs.encode(f, "raw16") for f in frames]
+    )
+    tbl = pa.table(
+        {
+            "video_id": pa.array(["v0"], pa.string()),
+            "bytes": pa.array([blob], pa.binary()),
+            "fmt": pa.array(["mvid"], pa.string()),
+        }
+    )
+    out = frame_sample(ray.data.from_arrow(tbl), stride=1).take_all()
+    assert [r["frame_idx"] for r in out] == [0, 1, 2, 3]
+    for r in out:
+        arr = codecs.decode(r["bytes"])
+        assert arr.dtype == np.float32
+        assert float(arr[0, 0]) == r["frame_idx"] + 0.5

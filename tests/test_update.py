@@ -205,3 +205,72 @@ def test_update_rejects_crs_mismatch(ray_session, tmp_path):
     pq.write_table(row, os.path.join(bad, "p.parquet"))
     with pytest.raises(ProjectionError, match="cannot warp"):
         update_mosaic(bad, cfg, out)
+
+
+def test_update_explicit_sparse_seq(ray_session, tmp_path):
+    """Non-dense explicit seq columns: the persisted high-water mark must be
+    max(seq)+1, not the image count, or a second update hands out seqs BELOW
+    the first update's and last-non-null precedence inverts vs the
+    append-order full rebuild (round-2 ADVICE, pipelines/update.py)."""
+    from dataclasses import replace
+
+    import pyarrow as pa
+
+    lay = Layout("pair_overlap", 2, 64)
+    tbl = gen_images_table(lay, explicit_meta=True)
+    base = str(tmp_path / "base")
+    upd1 = str(tmp_path / "u1")
+    upd2 = str(tmp_path / "u2")
+    for d in (base, upd1, upd2):
+        os.makedirs(d)
+    # base: image 0 alone, at explicit SPARSE seq 10 (HWM must become 11)
+    r0 = tbl.slice(0, 1).append_column("seq", pa.array([10], pa.int64()))
+    pq.write_table(r0, os.path.join(base, "p.parquet"))
+    # update 1: image 1 at explicit seq 5
+    r1 = tbl.slice(1, 1).append_column("seq", pa.array([5], pa.int64()))
+    pq.write_table(r1, os.path.join(upd1, "p.parquet"))
+    # update 2: image 0's pixels under a NEW id at explicit seq 0 — must
+    # land ABOVE update 1's image in merge order (append semantics)
+    r2 = tbl.slice(0, 1).append_column("seq", pa.array([0], pa.int64()))
+    idx = r2.schema.get_field_index("image_id")
+    r2 = r2.set_column(idx, "image_id", pa.array(["img0b"], pa.string()))
+    pq.write_table(r2, os.path.join(upd2, "p.parquet"))
+
+    out = str(tmp_path / "out")
+    cfg = MosaicConfig(layout=lay, blocksize=64, do_pyramids=False,
+                       do_stats=False)
+    do_mosaic(base, cfg, out_dir=out)
+    update_mosaic(upd1, cfg, out)
+    update_mosaic(upd2, cfg, out)
+
+    metas = metas_for_layout(lay)
+    grid = make_output_grid([metas[0]], 64)
+    m0b = replace(metas[0], image_id="img0b")
+    arrays = {
+        metas[0].image_id: pixel_array(0, lay),
+        metas[1].image_id: pixel_array(1, lay),
+        "img0b": pixel_array(0, lay),
+    }
+    truth = oracle.build_mosaic(grid, [metas[0], metas[1], m0b], arrays)
+    got = mosaic_array(read_committed_tiles(out), grid)
+    assert np.array_equal(got, truth)
+
+
+def test_read_committed_pruned_columns_resolves_generations(
+    ray_session, tmp_path, split_catalogs
+):
+    """A pruned column list omitting committed_at/tile_id/band must still
+    filter superseded generations (round-2 ADVICE, manifest.py): the resolve
+    columns are force-included in the read and dropped after."""
+    base, upd = split_catalogs
+    out = str(tmp_path / "out")
+    cfg = MosaicConfig(layout=LAYOUT, blocksize=64, do_pyramids=False,
+                       do_stats=False)
+    do_mosaic(base, cfg, out_dir=out)
+    update_mosaic(upd, cfg, out)  # leaves superseded generations on disk
+
+    n_keys = len(winning_commits(out))
+    pruned = read_committed_tiles(out, columns=["pixels", "pixels_codec"])
+    rows = pruned.count()
+    assert rows == n_keys  # superseded rows filtered, one row per key
+    assert set(pruned.schema().names) == {"pixels", "pixels_codec"}
