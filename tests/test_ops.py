@@ -672,3 +672,14 @@ def test_frame_sample_non_uint16_frames():
         arr = codecs.decode(r["bytes"])
         assert arr.dtype == np.float32
         assert float(arr[0, 0]) == r["frame_idx"] + 0.5
+
+
+def test_kmeans_fit_sample_deterministic(ray_session):
+    from moaray.ops.ann import kmeans_fit_sample
+
+    e = emb()
+    c1 = kmeans_fit_sample(e, k=8)
+    c2 = kmeans_fit_sample(e, k=8)
+    assert c1.shape == (8, c1.shape[1])
+    assert np.allclose(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
