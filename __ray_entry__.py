@@ -198,6 +198,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = do_mosaic(_images("grid", ("png",)), _cfg("grid"))
         return _tiles_with_checksum(res.tiles_ds)
 
+    def q_mosaic_tiles_jpeg(sf_dir: str):  # rows-only (non-SQL)
+        # real baseline-DCT JPEG inputs (uint8) through the from-scratch
+        # decoder in moaray/jpeg.py; PSNR>=40dB parity pytest covers it
+        from moaray.testgen import images_path as _ipath
+
+        path = _ipath(
+            _layout("grid"), fmts=("jpeg",), explicit_meta=True, dtype="uint8"
+        )
+        res = do_mosaic(path, _cfg("grid"))
+        return _tiles_with_checksum(res.tiles_ds, "uint8")
+
     def q_mosaic_update(sf_dir: str):  # rows-only (non-SQL)
         # incremental update: commit a mosaic missing the center image, fold
         # the center in, return the winning-generation tile checksums
@@ -627,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tiles_lossy": q_mosaic_tiles_lossy,
         "mosaic_tiles_f32": q_mosaic_tiles_f32,
         "mosaic_tiles_png": q_mosaic_tiles_png,
+        "mosaic_tiles_jpeg": q_mosaic_tiles_jpeg,
         "mosaic_update": q_mosaic_update,
         "mosaic_reproject": q_mosaic_reproject,
         "mosaic_reproject_bilinear": q_mosaic_reproject_bilinear,

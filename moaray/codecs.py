@@ -24,8 +24,10 @@ demanded by BASELINE.json, plus a from-scratch PNG codec:
   to read standard image formats via GDAL (ref mosaic.py:203-211) without
   any image library.
 
-``jpeg`` stays a declared NotImplementedError gate (a conformant DCT decoder
-is out of scope); ``q12`` is the lossy stand-in.
+- ``jpeg``   — real baseline-DCT JPEG (grayscale, 8-bit), implemented from
+  scratch per ITU-T T.81 in moaray/jpeg.py: Annex-K tables, zigzag, 8x8
+  DCT, canonical Huffman. The lossy path for uint8 imagery (PSNR gate
+  applies); ``q12`` remains the lossy stand-in for uint16.
 
 The reference handles any GDAL band dtype (GDALTypeCodeToNumericTypeCode,
 ref mosaic.py:16,354); the MRAY header's dtype byte covers uint8/uint16/
@@ -62,6 +64,7 @@ _DTYPES = {v: np.dtype(k) for k, v in _DTYPE_CODES.items()}
 _Q12_SHIFT = 4
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+JPEG_SIG = b"\xff\xd8"
 
 
 def _le(dtype: np.dtype) -> np.dtype:
@@ -76,10 +79,9 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return png_encode(arr)
     if fmt == "jpeg":
-        raise NotImplementedError(
-            "fmt='jpeg' is a declared gate (no DCT codec in this "
-            "environment); use png/raw16/z16 (lossless) or q12 (lossy)"
-        )
+        from .jpeg import jpeg_encode
+
+        return jpeg_encode(arr)
     dname = arr.dtype.newbyteorder("=").name
     if dname not in _DTYPE_CODES:
         raise ValueError(f"unsupported pixel dtype {arr.dtype}")
@@ -113,6 +115,11 @@ def probe_header(buf: bytes) -> tuple[str, int, int]:
     if bytes(buf[:8]) == PNG_SIG:
         w, h = struct.unpack_from(">II", buf, 16)  # IHDR is always first
         return ("png", h, w)
+    if bytes(buf[:2]) == JPEG_SIG:
+        from .jpeg import jpeg_probe
+
+        h, w = jpeg_probe(buf)
+        return ("jpeg", h, w)
     magic, code, dcode, h, w = _HEADER.unpack_from(buf, 0)
     if magic != MAGIC:
         raise ValueError("bad magic; not a MRAY- or PNG-coded image")
@@ -124,6 +131,8 @@ def header_dtype(buf: bytes) -> np.dtype:
     if bytes(buf[:8]) == PNG_SIG:
         bitdepth = buf[24]
         return np.dtype("uint16" if bitdepth == 16 else "uint8")
+    if bytes(buf[:2]) == JPEG_SIG:
+        return np.dtype("uint8")  # baseline JPEG is 8-bit
     _magic, _code, dcode, _h, _w = _HEADER.unpack_from(buf, 0)
     return _DTYPES[dcode]
 
@@ -134,6 +143,12 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
         if fmt is not None and fmt != "png":
             raise ValueError(f"fmt column says {fmt!r}, payload is PNG")
         return png_decode(buf)
+    if bytes(buf[:2]) == JPEG_SIG:
+        if fmt is not None and fmt != "jpeg":
+            raise ValueError(f"fmt column says {fmt!r}, payload is JPEG")
+        from .jpeg import jpeg_decode
+
+        return jpeg_decode(buf)
     name, h, w = probe_header(buf)
     if fmt is not None and fmt != name:
         raise ValueError(f"fmt column says {fmt!r}, header says {name!r}")

@@ -37,8 +37,8 @@ class ImageFeatures:
         for i in range(batch.num_rows):
             fmt = batch["fmt"][i].as_py()
             buf = batch["bytes"][i].as_py()
-            # png decodes through the from-scratch codec (codecs.png_decode);
-            # jpeg stays gated inside codecs.encode/decode.
+            # png/jpeg decode through the from-scratch codecs
+            # (codecs.png_decode, jpeg.jpeg_decode).
             arr = codecs.decode(buf, fmt)
             if np.issubdtype(arr.dtype, np.floating):
                 valid = arr[~np.isnan(arr)]

@@ -1,0 +1,72 @@
+"""From-scratch baseline JPEG codec (moaray/jpeg.py): round trips, PSNR
+gate, container dispatch through codecs.*, honest gates."""
+
+import numpy as np
+import pytest
+
+from moaray import codecs
+from moaray.jpeg import jpeg_decode, jpeg_encode, jpeg_probe
+
+
+def test_flat_image_roundtrips_exactly():
+    flat = np.full((40, 56), 77, np.uint8)  # non-multiple-of-8 shape
+    out = jpeg_decode(jpeg_encode(flat, quality=90))
+    assert out.shape == (40, 56)
+    assert np.array_equal(out, flat)
+
+
+def test_ramp_psnr_above_gate():
+    x, y = np.meshgrid(np.arange(96), np.arange(96))
+    img = ((x + y) * 2 % 256).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(img))
+    assert codecs.psnr(img, out, peak=255.0) >= 40.0
+
+
+def test_noise_psnr_above_gate_at_default_quality():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (64, 64)).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(img))
+    assert codecs.psnr(img, out, peak=255.0) >= 40.0
+
+
+def test_quality_trades_size_for_error():
+    x, y = np.meshgrid(np.arange(64), np.arange(64))
+    img = ((x * 3 + y * 5) % 256).astype(np.uint8)
+    lo = jpeg_encode(img, quality=30)
+    hi = jpeg_encode(img, quality=95)
+    assert len(lo) < len(hi)
+    e_lo = codecs.psnr(img, jpeg_decode(lo), peak=255.0)
+    e_hi = codecs.psnr(img, jpeg_decode(hi), peak=255.0)
+    assert e_hi >= e_lo
+
+
+def test_codecs_dispatch_and_probe():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    buf = codecs.encode(img, "jpeg")
+    assert codecs.probe_header(buf) == ("jpeg", 8, 8)
+    assert codecs.header_dtype(buf) == np.dtype("uint8")
+    assert jpeg_probe(buf) == (8, 8)
+    out = codecs.decode(buf, "jpeg")
+    assert out.shape == (8, 8) and out.dtype == np.uint8
+    # windowed decode falls back to full-decode + slice
+    win = codecs.decode_window(buf, 2, 3, 4, 5)
+    assert np.array_equal(win, out[2:6, 3:8])
+
+
+def test_uint16_encode_rejected():
+    with pytest.raises(ValueError, match="8-bit"):
+        codecs.encode(np.zeros((8, 8), np.uint16), "jpeg")
+
+
+def test_progressive_stream_gated():
+    img = np.zeros((8, 8), np.uint8)
+    buf = bytearray(jpeg_encode(img))
+    idx = buf.find(b"\xff\xc0")
+    buf[idx + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg_decode(bytes(buf))
+
+
+def test_garbage_rejected():
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\x00\x01\x02\x03")

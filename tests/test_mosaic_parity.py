@@ -305,3 +305,36 @@ def test_frame_sample_compressed_gate_contract():
         FrameSample()(
             pa.table({"video_id": ["v0"], "bytes": [b"x"], "fmt": ["mp4"]})
         )
+
+
+def test_lossy_jpeg_uint8():
+    """Real JPEG-encoded uint8 inputs through the from-scratch baseline
+    decoder (moaray/jpeg.py): engine mosaic must EXACTLY equal the oracle
+    built from decode(encode(...)) arrays (same lossy pixels -> same merge
+    decisions), and sit above the PSNR>=40dB gate vs the pristine mosaic
+    (the reference's any-GDAL-format capability, ref mosaic.py:16)."""
+    from dataclasses import replace
+
+    from moaray import codecs
+    from moaray.testgen import images_path as _ipath
+
+    layout = Layout("grid3x3", 9, 64)
+    path = _ipath(layout, fmts=("jpeg",), explicit_meta=True, dtype="uint8")
+    res = do_mosaic(path, MosaicConfig(layout=layout, blocksize=64))
+    got = mosaic_array(res.tiles_ds, res.grid)
+    assert got.dtype == np.uint8
+
+    metas = [
+        replace(m, dtype="uint8", fmt="jpeg") for m in metas_for_layout(layout)
+    ]
+    grid = make_output_grid(metas, blocksize=64)
+    lossy = {}
+    clean = {}
+    for i, m in enumerate(metas):
+        arr = pixel_array(i, layout, dtype="uint8")
+        clean[m.image_id] = arr
+        lossy[m.image_id] = codecs.decode(codecs.encode(arr, "jpeg"))
+    truth_lossy = oracle.build_mosaic(grid, metas, lossy)
+    assert (got == truth_lossy).all()
+    truth_clean = oracle.build_mosaic(grid, metas, clean)
+    assert codecs.psnr(truth_clean, got, peak=255.0) >= 40.0
