@@ -354,6 +354,7 @@ def _do_mosaic_impl(
 
     tile_counts: dict[int, int] = {}
     tile_seq_bounds: dict[int, tuple[int, int]] = {}
+    assigned_ids_ds = None  # distributed-plan assigned-tile ids (Dataset)
     if use_driver_plan:
         # The reference's whole analysis phase is driver-side
         # (mosaic.py:187-195); for small inputs one local pruned-column
@@ -417,27 +418,42 @@ def _do_mosaic_impl(
         if cfg.validate_projections:
             plan_stage.check_projections(meta_ds, grid)
         if need_counts:
-            # distributed count + seq extent per tile: only num_tiles rows
-            # reach the driver, never the raw assignment rows. Per-band rows
+            # distributed count + seq extent per tile. Only OVER-THRESHOLD
+            # (hot) tiles ever reach the driver — the full per-tile count
+            # table stays a Dataset (round-2 verdict: a take_all of one row
+            # per assigned tile is several GB of driver dict at the
+            # ~10^8-tile grids the 100 TB target implies). Per-band rows
             # inflate counts by |bands| (same footprint per band) —
             # normalize for the salt-threshold heuristic.
             from ray.data.aggregate import Count
 
-            count_rows = (
+            counts_ds = (
                 assign_direct(meta_ds, grid)
                 .select_columns(["tile_id", "seq"])
                 .groupby("tile_id")
                 .aggregate(Count(), Min("seq"), Max("seq"))
-                .take_all()
+                .materialize()
             )
-            tile_counts = {
-                r["tile_id"]: -(-r["count()"] // len(bands))
-                for r in count_rows
-            }
-            tile_seq_bounds = {
-                r["tile_id"]: (r["min(seq)"], r["max(seq)"])
-                for r in count_rows
-            }
+            if cfg.salt_threshold is not None:
+                nb = len(bands)
+                thr = cfg.salt_threshold
+
+                def hot_only(b: pa.Table) -> pa.Table:
+                    cnt = b["count()"].to_numpy()
+                    return b.filter(pa.array(-(-cnt // nb) >= thr))
+
+                hot_rows = counts_ds.map_batches(
+                    hot_only, batch_format="pyarrow"
+                ).take_all()
+                tile_counts = {
+                    r["tile_id"]: -(-r["count()"] // nb) for r in hot_rows
+                }
+                tile_seq_bounds = {
+                    r["tile_id"]: (r["min(seq)"], r["max(seq)"])
+                    for r in hot_rows
+                }
+            if cfg.include_empty:
+                assigned_ids_ds = counts_ds.select_columns(["tile_id"])
         n_images = meta_ds.count() // len(bands)
 
     # hot_tiles: tile_id -> (n_salts, seq_min, seq_span). Salting over the
@@ -527,7 +543,7 @@ def _do_mosaic_impl(
         # (tile_id, band) against the resume keys so a kill landing between
         # two partitions of one empty tile's bands re-emits only the
         # uncommitted band (round-1 ADVICE).
-        from ..stages.assemble import empty_tiles_ds
+        from ..stages.assemble import empty_tiles_ds, empty_tiles_ds_from_assigned
 
         # Materialize the (tiny, z16-compressed all-null) empty-tile branch
         # BEFORE the union: a lazy union adds its operators to the main
@@ -535,9 +551,16 @@ def _do_mosaic_impl(
         # CPU-heavy decode stage at low CPU counts (measured 2x on the
         # 8-cpu soak). The branch stays distributed — only its execution is
         # decoupled.
-        empties = empty_tiles_ds(
-            grid, set(tile_counts), committed, bands, tile_codec
-        ).materialize()
+        if assigned_ids_ds is not None:
+            # distributed plan: the assigned set never touches the driver —
+            # the anti-join is a bucket groupby against the id dataset
+            empties = empty_tiles_ds_from_assigned(
+                grid, assigned_ids_ds, committed, bands, tile_codec
+            ).materialize()
+        else:
+            empties = empty_tiles_ds(
+                grid, set(tile_counts), committed, bands, tile_codec
+            ).materialize()
         if empties.count() > 0:
             tiles = tiles.union(empties)
 

@@ -233,10 +233,27 @@ def _merge_feather(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullv
     _blend_feather(num, den, canvas, nullval)
 
 
+# Per-tile lineage carried on the SHUFFLED row is bounded: a 1024-input
+# hotspot tile must not drag 1024 strings through the shuffle, the sink and
+# every update read-back (round-2 verdict #5). n_inputs stays exact; the
+# row keeps the first/last LINEAGE_CAP//2 ids (seq order, so the endpoints
+# of the merge sequence survive); the manifest record flags truncation.
+LINEAGE_CAP = 16
+
+
+def _cap_lineage(ids: list, cap: int | None = None) -> list:
+    cap = LINEAGE_CAP if cap is None else cap
+    if len(ids) <= cap:
+        return ids
+    half = cap // 2
+    return ids[:half] + ids[-half:]
+
+
 def make_assemble_fn(nullval: float, dtype: str, merge: str = "last",
                      windows_encoded: bool = False,
                      tile_codec: str | None = None):
     np_dtype = np.dtype(dtype)
+    lineage_cap = LINEAGE_CAP  # captured at build time, ships with the closure
     nv = nullval if _is_nan_null(nullval) else np_dtype.type(nullval)
 
     def assemble(group: pa.Table) -> pa.Table:
@@ -264,7 +281,7 @@ def make_assemble_fn(nullval: float, dtype: str, merge: str = "last",
                 "out_xsize": [xsize],
                 "out_ysize": [ysize],
                 "n_inputs": [len(input_ids)],
-                "input_ids": [input_ids],
+                "input_ids": [_cap_lineage(input_ids, lineage_cap)],
                 "nonnull_count": [nonnull],
                 "px_sum": [px_sum],
                 "px_ssq": [px_ssq],
@@ -332,6 +349,7 @@ def assemble_tiles_salted(
     """
     if merge != "last":
         raise ValueError("salted assembly only supports the 'last' merge kernel")
+    lineage_cap = LINEAGE_CAP
     np_dtype = np.dtype(grid.dtype)
     nv = grid.nullval if _is_nan_null(grid.nullval) else np_dtype.type(grid.nullval)
     encoded = window_codec is not None
@@ -358,7 +376,7 @@ def assemble_tiles_salted(
                 "out_xsize": [xsize],
                 "out_ysize": [ysize],
                 "n_inputs": [len(input_ids)],
-                "input_ids": [input_ids],
+                "input_ids": [_cap_lineage(input_ids, lineage_cap)],
                 "nonnull_count": [nonnull],
                 "px_sum": [px_sum],
                 "px_ssq": [px_ssq],
@@ -390,6 +408,8 @@ def assemble_tiles_salted(
             input_ids.extend(group["input_ids"][i].as_py())
         nonnull, px_sum, px_ssq, px_min, px_max = _canvas_stats(canvas, nv)
         payload, codec_tag = encode_payload(canvas, tile_codec)
+        # exact input count from the partial rows (their lists may be capped)
+        n_in = int(pa.compute.sum(group["n_inputs"]).as_py() or 0)
         return pa.Table.from_pydict(
             {
                 "tile_id": [group["tile_id"][0].as_py()],
@@ -398,8 +418,8 @@ def assemble_tiles_salted(
                 "out_left": [group["out_left"][0].as_py()],
                 "out_xsize": [xsize],
                 "out_ysize": [ysize],
-                "n_inputs": [len(input_ids)],
-                "input_ids": [input_ids],
+                "n_inputs": [n_in],
+                "input_ids": [_cap_lineage(input_ids, lineage_cap)],
                 "nonnull_count": [nonnull],
                 "px_sum": [px_sum],
                 "px_ssq": [px_ssq],
@@ -428,6 +448,7 @@ FEATHER_PARTIAL_SCHEMA = pa.schema(
         ("out_left", pa.int32()),
         ("out_xsize", pa.int32()),
         ("out_ysize", pa.int32()),
+        ("n_inputs", pa.int64()),  # exact count (input_ids may be capped)
         ("input_ids", pa.list_(pa.string())),
         ("num", pa.binary()),  # zlib(float64 C-order)
         ("den", pa.binary()),
@@ -448,6 +469,7 @@ def assemble_tiles_salted_feather(
     zlib-compressed for the second shuffle."""
     import zlib as _zlib
 
+    lineage_cap = LINEAGE_CAP
     np_dtype = np.dtype(grid.dtype)
     nv = grid.nullval if _is_nan_null(grid.nullval) else np_dtype.type(grid.nullval)
     encoded = window_codec is not None
@@ -470,7 +492,8 @@ def assemble_tiles_salted_feather(
                 "out_left": [group["out_left"][0].as_py()],
                 "out_xsize": [xsize],
                 "out_ysize": [ysize],
-                "input_ids": [input_ids],
+                "n_inputs": [len(input_ids)],
+                "input_ids": [_cap_lineage(input_ids, lineage_cap)],
                 "num": [_zlib.compress(num.tobytes(), 1)],
                 "den": [_zlib.compress(den.tobytes(), 1)],
             },
@@ -497,6 +520,7 @@ def assemble_tiles_salted_feather(
         _blend_feather(num, den, canvas, nv)
         nonnull, px_sum, px_ssq, px_min, px_max = _canvas_stats(canvas, nv)
         payload, codec_tag = encode_payload(canvas, tile_codec)
+        n_in = int(pa.compute.sum(group["n_inputs"]).as_py() or 0)
         return pa.Table.from_pydict(
             {
                 "tile_id": [group["tile_id"][0].as_py()],
@@ -505,8 +529,8 @@ def assemble_tiles_salted_feather(
                 "out_left": [group["out_left"][0].as_py()],
                 "out_xsize": [xsize],
                 "out_ysize": [ysize],
-                "n_inputs": [len(input_ids)],
-                "input_ids": [input_ids],
+                "n_inputs": [n_in],
+                "input_ids": [_cap_lineage(input_ids, lineage_cap)],
                 "nonnull_count": [nonnull],
                 "px_sum": [px_sum],
                 "px_ssq": [px_ssq],
@@ -584,7 +608,7 @@ def empty_tiles_ds(
     canvases for its own slice only. No canvas ever exists on the driver."""
     assigned_arr = np.sort(np.fromiter(assigned_ids, dtype=np.int64))
     a_ref = ray.put(assigned_arr)
-    c_ref = ray.put(committed or set())
+    c_ref = ray.put(_pack_committed(committed))
     grid_ref = ray.put(grid)
     band_list = bands or [0]
 
@@ -594,16 +618,102 @@ def empty_tiles_ds(
         done = ray.get(c_ref)
         tids = batch["id"].to_numpy()
         missing = tids[~np.isin(tids, assigned)]
-        pairs = [
-            (int(t), b)
-            for t in missing
-            for b in band_list
-            if (int(t), b) not in done
-        ]
+        pairs = _uncommitted_pairs(missing, band_list, done)
         return empty_tiles_table(g, [], tile_codec, pairs=pairs)
 
     return ray.data.range(grid.num_tiles).map_batches(
         gen, batch_format="pyarrow"
+    )
+
+
+def _pack_committed(committed: set | None) -> np.ndarray:
+    """(tile_id, band) keys packed into one sorted int64 array — the same
+    vectorized resume-filter representation the main pipeline uses
+    (pipelines/mosaic.py drop_committed), so membership is one np.isin."""
+    if not committed:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(
+        np.array([(t << 20) | b for t, b in committed], dtype=np.int64)
+    )
+
+
+def _uncommitted_pairs(
+    tids: np.ndarray, band_list: list[int], done_packed: np.ndarray
+) -> list[tuple[int, int]]:
+    """(tile, band) cross product minus committed keys, fully vectorized."""
+    if len(tids) == 0:
+        return []
+    t = np.repeat(tids.astype(np.int64), len(band_list))
+    b = np.tile(np.asarray(band_list, dtype=np.int64), len(tids))
+    keep = ~np.isin((t << 20) | b, done_packed)
+    return list(zip(t[keep].tolist(), b[keep].tolist()))
+
+
+def empty_tiles_ds_from_assigned(
+    grid: OutputGrid,
+    assigned_ds: "ray.data.Dataset",
+    committed: set | None,
+    bands: list[int] | None,
+    tile_codec: str | None = None,
+    bucket_size: int = 4096,
+) -> "ray.data.Dataset":
+    """Fully-distributed all-null-tile synthesis: the anti-join runs as a
+    bucket groupby against a DATASET of assigned tile ids — no driver-side
+    assigned set, no broadcast id array (round-2 verdict: the broadcast
+    array is O(assigned tiles) driver memory, several GB at the ~10^8-tile
+    grids a 100 TB mosaic implies).
+
+    Shuffle volume is num_assigned + num_buckets int rows: every tile id
+    maps to bucket = tile_id // bucket_size; a seed row per bucket (from
+    ``ray.data.range``) guarantees all-empty buckets still form a group;
+    each group knows its bucket's full id range statically and emits the
+    set difference as null canvases. Canvases only ever exist inside the
+    group task."""
+    c_ref = ray.put(_pack_committed(committed))
+    grid_ref = ray.put(grid)
+    band_list = bands or [0]
+    num_tiles = grid.num_tiles
+    n_buckets = -(-num_tiles // bucket_size)
+
+    def mark_assigned(batch: pa.Table) -> pa.Table:
+        tids = batch["tile_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(tids // bucket_size, pa.int64()),
+                "tile_id": pa.array(tids, pa.int64()),
+            }
+        )
+
+    def seed(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ids, pa.int64()),
+                "tile_id": pa.array(np.full(len(ids), -1), pa.int64()),
+            }
+        )
+
+    marked = assigned_ds.map_batches(mark_assigned, batch_format="pyarrow")
+    seeds = ray.data.range(n_buckets).map_batches(seed, batch_format="pyarrow")
+
+    def gen(group: pa.Table) -> pa.Table:
+        g: OutputGrid = ray.get(grid_ref)
+        done = ray.get(c_ref)
+        bucket = int(group["bucket"][0].as_py())
+        lo = bucket * bucket_size
+        hi = min(lo + bucket_size, num_tiles)
+        tids = group["tile_id"].to_numpy()
+        assigned = tids[tids >= 0]
+        missing = np.setdiff1d(
+            np.arange(lo, hi, dtype=np.int64), assigned, assume_unique=False
+        )
+        pairs = _uncommitted_pairs(missing, band_list, done)
+        return empty_tiles_table(g, [], tile_codec, pairs=pairs)
+
+    return (
+        marked.union(seeds)
+        .groupby("bucket")
+        .map_groups(gen, batch_format="pyarrow")
     )
 
 

@@ -79,8 +79,14 @@ class TileWriter:
         tmp = data_path + ".tmp"
         pq.write_table(batch, tmp)
         os.replace(tmp, data_path)
-        lineage = sorted(
-            {iid for ids in batch["input_ids"].to_pylist() for iid in ids}
+        id_lists = batch["input_ids"].to_pylist()
+        lineage = sorted({iid for ids in id_lists for iid in ids})
+        # tile rows carry BOUNDED lineage (assemble.LINEAGE_CAP: first/last
+        # ids only on hot tiles) — record when this partition's lineage is
+        # therefore a sample, not the full input set
+        n_inputs_col = batch["n_inputs"].to_pylist()
+        lineage_truncated = any(
+            n > len(ids) for n, ids in zip(n_inputs_col, id_lists)
         )
         # Partial band stats ride the manifest row (StatsAccumulator partials,
         # ref mosaic.py:758-771, one accumulator per band mosaic.py:204-208)
@@ -113,6 +119,7 @@ class TileWriter:
             "bytes": os.path.getsize(data_path),
             "wall_s": wall,
             "lineage_images": lineage,
+            "lineage_truncated": lineage_truncated,
             "committed_at": commit_ts,
             "px_sum": px_sum,
             "px_ssq": px_ssq,

@@ -88,3 +88,37 @@ def test_plan_assignments_explicit_catalog(tmp_path):
     assert sorted(map(tuple, df[key].values.tolist())) == sorted(
         map(tuple, df2[key].values.tolist())
     )
+
+
+def test_distributed_planning_salted_matches_driver_plan(tmp_path):
+    """Distributed plan with driver-free salting: only over-threshold tiles
+    reach the driver (round-2 verdict #4); pixels must equal the
+    driver-planned salted run exactly."""
+    layout = Layout("hotspot", 16, 64)
+    tbl = gen_images_table(layout, ("raw16",), explicit_meta=True)
+    path = _write(tbl, tmp_path)
+    kw = dict(blocksize=64, salt_threshold=4, inputs_per_salt=2)
+    res_d = do_mosaic(path, MosaicConfig(planning="distributed", **kw))
+    got_d = mosaic_array(res_d.tiles_ds, res_d.grid)
+    res_v = do_mosaic(path, MosaicConfig(planning="driver", **kw))
+    got_v = mosaic_array(res_v.tiles_ds, res_v.grid)
+    assert np.array_equal(got_d, got_v)
+
+
+def test_distributed_planning_sparse_empty_tiles(tmp_path):
+    """Distributed plan over a gappy layout: the empty-tile anti-join runs
+    as a bucket groupby against the assigned-id DATASET (no driver set, no
+    broadcast id array) and must still emit every all-null tile."""
+    layout = Layout("sparse_gap", 4, 64)
+    tbl = gen_images_table(layout, ("raw16",), explicit_meta=True)
+    path = _write(tbl, tmp_path)
+    res_d = do_mosaic(path, MosaicConfig(blocksize=64, planning="distributed"))
+    res_v = do_mosaic(path, MosaicConfig(blocksize=64, planning="driver"))
+    assert res_d.tiles_ds.count() == res_d.grid.num_tiles
+    assert res_d.tiles_ds.count() == res_v.tiles_ds.count()
+    got_d = mosaic_array(res_d.tiles_ds, res_d.grid)
+    got_v = mosaic_array(res_v.tiles_ds, res_v.grid)
+    assert np.array_equal(got_d, got_v)
+    # the gap region is genuinely null
+    empt = res_d.tiles_ds.select_columns(["n_inputs"]).take_all()
+    assert any(r["n_inputs"] == 0 for r in empt)
