@@ -173,6 +173,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _tiles_with_checksum(res.tiles_ds)
 
+    def q_mosaic_reproject_utm(sf_dir: str):  # rows-only (non-SQL)
+        # real curvilinear warp: EPSG:4326 catalog -> UTM 56S grid through
+        # the from-scratch Transverse Mercator (moaray/tmerc.py)
+        import os
+        import shutil
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from moaray import codecs
+
+        root = "/tmp/moaray_q_utm"
+        if not os.path.isdir(root):
+            os.makedirs(root, exist_ok=True)
+            size = 64
+            rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": [],
+                    "gt": [], "crs": [], "nullval": [], "seq": []}
+            for i in range(4):
+                ramp = np.tile(
+                    np.arange(size, dtype=np.uint16) + i, (size, 1)
+                )
+                ramp[:, 0] = 0
+                r, c = divmod(i, 2)
+                gt = [152.90 + c * 0.055, 0.001, 0.0,
+                      -29.90 - r * 0.055, 0.0, -0.001]
+                rows["image_id"].append(f"ll{i:04d}")
+                rows["bytes"].append(codecs.encode(ramp, "z16"))
+                rows["w"].append(size)
+                rows["h"].append(size)
+                rows["fmt"].append("z16")
+                rows["gt"].append(gt)
+                rows["crs"].append("EPSG:4326")
+                rows["nullval"].append(0.0)
+                rows["seq"].append(i)
+            tbl = pa.table(
+                {
+                    "image_id": pa.array(rows["image_id"], pa.string()),
+                    "bytes": pa.array(rows["bytes"], pa.binary()),
+                    "w": pa.array(rows["w"], pa.int32()),
+                    "h": pa.array(rows["h"], pa.int32()),
+                    "fmt": pa.array(rows["fmt"], pa.string()),
+                    "gt": pa.array(rows["gt"], pa.list_(pa.float64(), 6)),
+                    "crs": pa.array(rows["crs"], pa.string()),
+                    "nullval": pa.array(rows["nullval"], pa.float64()),
+                    "seq": pa.array(rows["seq"], pa.int64()),
+                }
+            )
+            pq.write_table(tbl, os.path.join(root, "p.parquet"))
+        from moaray import MosaicConfig, do_mosaic as _dm
+
+        res = _dm(
+            root,
+            MosaicConfig(
+                blocksize=32, out_crs="EPSG:32756",
+                out_xres=100.0, out_yres=100.0, resample="near",
+                do_pyramids=False, do_stats=False,
+            ),
+        )
+        return _tiles_with_checksum(res.tiles_ds)
+
     def q_mosaic_tiles_feather(sf_dir: str):
         res = do_mosaic(_images("grid"), _cfg("grid", merge="feather"))
         return _tiles_with_checksum(res.tiles_ds)
@@ -644,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_reproject_bilinear": q_mosaic_reproject_bilinear,
         "mosaic_reproject_cubic": q_mosaic_reproject_cubic,
         "mosaic_reproject_average": q_mosaic_reproject_average,
+        "mosaic_reproject_utm": q_mosaic_reproject_utm,
         "spatial_join": q_spatial_join,
         "spatial_join_cells": q_spatial_join_cells,
         "mosaic_stats": q_mosaic_stats,

@@ -89,3 +89,17 @@ def transform_points(
         t[0] + t[1] * xs + t[2] * ys,
         t[3] + t[4] * xs + t[5] * ys,
     )
+
+
+def point_transformer(src_crs: str, dst_crs: str):
+    """General point transform src CRS -> dst CRS.
+
+    Returns a callable ``(xs, ys) -> (xs', ys')`` for recognized CURVILINEAR
+    pairs — WGS84 geographic (EPSG:4326) <-> UTM (EPSG:326zz/327zz) and
+    UTM <-> UTM, via the from-scratch Transverse Mercator in moaray/tmerc.py
+    (the reference's arbitrary-SRS gdal.Warp path, ref reproj.py:194-216).
+    Returns ``None`` when the pair is expressible as an affine — callers
+    then use :func:`transform_affine`, which stays the exact fast path."""
+    from . import tmerc
+
+    return tmerc.geodetic_transformer(src_crs, dst_crs)

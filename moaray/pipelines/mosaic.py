@@ -339,7 +339,17 @@ def _do_mosaic_impl(
         xres, yres = cfg.out_xres, cfg.out_yres
         if xres is None or yres is None:
             # reference default: first input's resolution (reproj.py:183-192)
+            from .. import crs as _crs
+
             first = _first_meta(images_path, cfg.layout)
+            if _crs.point_transformer(first.crs, cfg.out_crs) is not None:
+                # curvilinear pair (e.g. degrees -> metres): the source
+                # resolution is in different units and is not a usable
+                # default
+                raise _crs.ProjectionError(
+                    f"warping {first.crs} -> {cfg.out_crs} changes units; "
+                    "set out_xres/out_yres explicitly"
+                )
             xres = first.x_res if xres is None else xres
             yres = first.y_res if yres is None else yres
         warp = WarpSpec(cfg.out_crs, xres, yres, cfg.resample)

@@ -152,10 +152,12 @@ class DecodeSlice:
             # zero-copy view of the arrow cell (no bytes copy per image)
             buf = memoryview(blobs[i].as_buffer())
             if self.warp is not None:
-                from .reproject import dst_to_src_pixel, warp_window, warped_meta
+                from .reproject import dst_to_src_mapper, warp_window, warped_meta
 
                 plan_meta = warped_meta(meta, self.warp)
-                px_map = dst_to_src_pixel(meta, plan_meta)
+                # affine 6-tuple for affine CRS pairs; a vectorized TM
+                # callable for curvilinear ones (EPSG:4326 <-> UTM)
+                px_map = dst_to_src_mapper(meta, plan_meta)
             else:
                 plan_meta = meta
             trow0, trow1, tcol0, tcol1 = covering_tile_range(plan_meta, grid)

@@ -73,13 +73,40 @@ def reproj_corners(
     return (float(tx.min()), float(tx.max()), float(ty.min()), float(ty.max()))
 
 
+def _edge_points(meta: ImageMeta, per_edge: int = 33):
+    """Points along the 4 extent edges — a curvilinear transform bows the
+    edges, so corner-only bounds (exact for affines) under-cover; GDAL's
+    SuggestedWarpOutput samples edges the same way."""
+    xs = np.linspace(meta.x_min, meta.x_max, per_edge)
+    ys = np.linspace(meta.y_min, meta.y_max, per_edge)
+    ex = np.concatenate([xs, xs, np.full(per_edge, meta.x_min),
+                         np.full(per_edge, meta.x_max)])
+    ey = np.concatenate([np.full(per_edge, meta.y_min),
+                         np.full(per_edge, meta.y_max), ys, ys])
+    return ex, ey
+
+
 def warped_meta(meta: ImageMeta, spec: WarpSpec) -> ImageMeta:
     """Metadata of the (virtual) warped raster — size, transform, CRS —
     without touching pixels. The planning phase runs entirely on these."""
     xres = spec.xres if spec.xres is not None else meta.x_res
     yres = spec.yres if spec.yres is not None else meta.y_res
-    t = crs_mod.transform_affine(meta.crs, spec.dst_crs)
-    x_min, x_max, y_min, y_max = reproj_corners(t, meta)
+    fn = crs_mod.point_transformer(meta.crs, spec.dst_crs)
+    if fn is not None:
+        # curvilinear pair (e.g. EPSG:4326 -> UTM): units change, so the
+        # source resolution is not a meaningful default
+        if spec.xres is None or spec.yres is None:
+            raise crs_mod.ProjectionError(
+                f"warping {meta.crs} -> {spec.dst_crs} changes units; "
+                "out_xres/out_yres must be given explicitly"
+            )
+        ex, ey = _edge_points(meta)
+        tx, ty = fn(ex, ey)
+        x_min, x_max = float(tx.min()), float(tx.max())
+        y_min, y_max = float(ty.min()), float(ty.max())
+    else:
+        t = crs_mod.transform_affine(meta.crs, spec.dst_crs)
+        x_min, x_max, y_min, y_max = reproj_corners(t, meta)
     x_min, x_max, y_min, y_max = align_grid(
         x_min, x_max, y_min, y_max, xres, abs(yres)
     )
@@ -112,6 +139,27 @@ def dst_to_src_pixel(meta: ImageMeta, wmeta: ImageMeta) -> crs_mod.Affine:
     )
 
 
+def dst_to_src_mapper(meta: ImageMeta, wmeta: ImageMeta):
+    """dst-pixel -> src-pixel mapping: the affine 6-tuple when the CRS pair
+    is affine (fast separable path in warp_window), else a vectorized
+    callable ``(cols, rows) -> (sx, sy)`` chaining dst-px -> dst CRS
+    (affine) -> src CRS (Transverse Mercator point transform) -> src px
+    (inverse source geotransform)."""
+    fn = crs_mod.point_transformer(wmeta.crs, meta.crs)
+    if fn is None:
+        return dst_to_src_pixel(meta, wmeta)
+    wt = wmeta.transform
+    src_inv = inv_geotransform(meta.transform)
+
+    def mapper(cols, rows):
+        wx = wt[0] + wt[1] * cols + wt[2] * rows
+        wy = wt[3] + wt[4] * cols + wt[5] * rows
+        cx, cy = fn(wx, wy)
+        return crs_mod.transform_points(src_inv, cx, cy)
+
+    return mapper
+
+
 def warp_window(
     src: np.ndarray,
     px_map: crs_mod.Affine,
@@ -124,16 +172,21 @@ def warp_window(
 ) -> np.ndarray:
     """Resample one window of the warped raster by inverse mapping.
 
-    ``px_map`` is the dst->src pixel affine from :func:`dst_to_src_pixel`;
-    ``(top, left, h, w)`` the requested window in warped-raster pixel
-    coords. Out-of-source pixels get ``nullval`` (the src/dst nodata
+    ``px_map`` is the dst->src pixel affine from :func:`dst_to_src_pixel`,
+    or a vectorized callable from :func:`dst_to_src_mapper` (curvilinear
+    CRS pairs); ``(top, left, h, w)`` the requested window in warped-raster
+    pixel coords. Out-of-source pixels get ``nullval`` (the src/dst nodata
     semantics of WarpOptions, reproj.py:211-214).
     """
     rows = np.arange(top, top + h, dtype=np.float64) + 0.5
     cols = np.arange(left, left + w, dtype=np.float64) + 0.5
-    # affine separates: evaluate per-axis then broadcast
-    sx = px_map[0] + px_map[1] * cols[None, :] + px_map[2] * rows[:, None]
-    sy = px_map[3] + px_map[4] * cols[None, :] + px_map[5] * rows[:, None]
+    if callable(px_map):
+        cg, rg = np.meshgrid(cols, rows)
+        sx, sy = px_map(cg, rg)
+    else:
+        # affine separates: evaluate per-axis then broadcast
+        sx = px_map[0] + px_map[1] * cols[None, :] + px_map[2] * rows[:, None]
+        sy = px_map[3] + px_map[4] * cols[None, :] + px_map[5] * rows[:, None]
     out = np.full((h, w), nullval, dtype=src.dtype)
     if resample == "near":
         ci = np.floor(sx).astype(np.int64)
@@ -268,8 +321,12 @@ def _warp_average(src, px_map, top, left, h, w, out, nullval):
     # dst pixel corner grid -> src coords (corners, not centers)
     rows_c = np.arange(top, top + h + 1, dtype=np.float64)
     cols_c = np.arange(left, left + w + 1, dtype=np.float64)
-    gx = px_map[0] + px_map[1] * cols_c[None, :] + px_map[2] * rows_c[:, None]
-    gy = px_map[3] + px_map[4] * cols_c[None, :] + px_map[5] * rows_c[:, None]
+    if callable(px_map):
+        cg, rg = np.meshgrid(cols_c, rows_c)
+        gx, gy = px_map(cg, rg)
+    else:
+        gx = px_map[0] + px_map[1] * cols_c[None, :] + px_map[2] * rows_c[:, None]
+        gy = px_map[3] + px_map[4] * cols_c[None, :] + px_map[5] * rows_c[:, None]
     x_lo = np.minimum(gx[:-1, :-1], gx[1:, 1:])
     x_hi = np.maximum(gx[:-1, :-1], gx[1:, 1:])
     y_lo = np.minimum(gy[:-1, :-1], gy[1:, 1:])

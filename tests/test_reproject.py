@@ -274,3 +274,137 @@ def test_mosaic_warp_methods_end_to_end(ray_session, method):
     # ramp range preserved (interpolation never extrapolates past the ramp)
     assert res.stats["min"] >= 1 and res.stats["max"] <= 95
     assert abs(res.stats["mean"] - base.stats["mean"]) < 2.0
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator (moaray/tmerc.py): property pins + UTM warp end-to-end
+# ---------------------------------------------------------------------------
+
+def test_tm_roundtrip_zone_wide():
+    from moaray.tmerc import tm_forward, tm_inverse
+
+    lat = np.linspace(-80, 80, 33)
+    lon = np.linspace(148, 158, 11)
+    LA, LO = np.meshgrid(lat, lon)
+    E, N = tm_forward(LA, LO, 153.0, false_n=1e7)
+    la2, lo2 = tm_inverse(E, N, 153.0, false_n=1e7)
+    assert np.abs(la2 - LA).max() < 1e-9
+    assert np.abs(lo2 - LO).max() < 1e-9
+
+
+def test_tm_absolute_anchors():
+    """Anchors derivable from the public definition of UTM/WGS84: the
+    central-meridian equator point, the quarter-meridian arc length
+    (10001965.7293 m), central-meridian scale 0.9996, and E/W symmetry."""
+    from moaray.tmerc import tm_forward
+
+    E, N = tm_forward(np.array([0.0]), np.array([153.0]), 153.0)
+    assert abs(E[0] - 500000.0) < 1e-6 and abs(N[0]) < 1e-6
+    _E90, N90 = tm_forward(np.array([90.0]), np.array([153.0]), 153.0)
+    assert abs(N90[0] / 0.9996 - 10001965.7293) < 0.01
+    # scale on the central meridian == k0 (numeric derivative vs the
+    # meridional radius of curvature)
+    d = 1e-7
+    _x, N1 = tm_forward(np.array([-33.0]), np.array([153.0]), 153.0)
+    _x, N2 = tm_forward(np.array([-33.0 + d]), np.array([153.0]), 153.0)
+    e2 = 0.0066943799901413165
+    M = 6378137.0 * (1 - e2) / (1 - e2 * np.sin(np.deg2rad(-33.0)) ** 2) ** 1.5
+    k = (N2[0] - N1[0]) / np.deg2rad(d) / M
+    assert abs(k - 0.9996) < 1e-6
+    Ea, Na = tm_forward(np.array([-30.0]), np.array([151.0]), 153.0)
+    Eb, Nb = tm_forward(np.array([-30.0]), np.array([155.0]), 153.0)
+    assert abs((Ea[0] - 500000.0) + (Eb[0] - 500000.0)) < 1e-6
+    assert abs(Na[0] - Nb[0]) < 1e-6
+
+
+def test_tm_utm_zone_parsing_and_transformer():
+    from moaray.crs import point_transformer
+    from moaray.tmerc import parse_utm
+
+    assert parse_utm("EPSG:32756") == (153.0, 10000000.0)
+    assert parse_utm("EPSG:32631") == (3.0, 0.0)
+    assert parse_utm("EPSG:4326") is None
+    assert parse_utm("EPSG:99999") is None
+    assert point_transformer("EPSG:32756", "EPSG:32756") is None
+    assert point_transformer("AFFINE:0,2,0,0,0,2", "EPSG:32756") is None
+    fn = point_transformer("EPSG:4326", "EPSG:32756")
+    x, y = fn(np.array([153.0]), np.array([0.0]))
+    assert abs(x[0] - 500000.0) < 1e-6 and abs(y[0] - 1e7) < 1e-6
+    # zone-to-zone chains inverse+forward
+    chain = point_transformer("EPSG:32756", "EPSG:32755")
+    x2, y2 = chain(np.array([500000.0]), np.array([1e7]))
+    fn55 = point_transformer("EPSG:4326", "EPSG:32755")
+    ex, ey = fn55(np.array([153.0]), np.array([0.0]))
+    assert abs(x2[0] - ex[0]) < 1e-6 and abs(y2[0] - ey[0]) < 1e-6
+
+
+def test_mosaic_latlon_to_utm_nearest(ray_session, tmp_path):
+    """End-to-end curvilinear warp: an EPSG:4326 catalog mosaicked onto a
+    UTM 56S grid; every output pixel must equal the source pixel its
+    UTM-center inverse-projects into (nearest), nulls outside."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from moaray import MosaicConfig, codecs, do_mosaic
+    from moaray.pipelines.mosaic import mosaic_array
+    from moaray.tmerc import tm_inverse
+
+    size = 64
+    ramp = np.tile(np.arange(size, dtype=np.uint16), (size, 1))
+    ramp[:, 0] = 0  # null column, as in the standard fixtures
+    gt = (152.90, 0.001, 0.0, -29.90, 0.0, -0.001)  # ~100m pixels
+    tbl = pa.table(
+        {
+            "image_id": pa.array(["ll0000"], pa.string()),
+            "bytes": pa.array([codecs.encode(ramp, "z16")], pa.binary()),
+            "w": pa.array([size], pa.int32()),
+            "h": pa.array([size], pa.int32()),
+            "fmt": pa.array(["z16"], pa.string()),
+            "gt": pa.array([list(gt)], pa.list_(pa.float64(), 6)),
+            "crs": pa.array(["EPSG:4326"], pa.string()),
+            "nullval": pa.array([0.0], pa.float64()),
+            "seq": pa.array([0], pa.int64()),
+        }
+    )
+    path = str(tmp_path / "ll")
+    os.makedirs(path)
+    pq.write_table(tbl, os.path.join(path, "p.parquet"))
+
+    cfg = MosaicConfig(
+        blocksize=32, out_crs="EPSG:32756", out_xres=100.0, out_yres=100.0,
+        resample="near", do_pyramids=False, do_stats=False,
+    )
+    res = do_mosaic(path, cfg)
+    assert res.grid.crs == "EPSG:32756"
+    got = mosaic_array(res.tiles_ds, res.grid)
+
+    # independent per-pixel oracle: output UTM center -> lat/lon -> src px
+    t = res.grid.transform
+    rows = np.arange(res.grid.nrows, dtype=np.float64) + 0.5
+    cols = np.arange(res.grid.ncols, dtype=np.float64) + 0.5
+    cg, rg = np.meshgrid(cols, rows)
+    ux = t[0] + t[1] * cg
+    uy = t[3] + t[5] * rg
+    lat, lon = tm_inverse(ux, uy, 153.0, false_n=1e7)
+    sc = np.floor((lon - gt[0]) / gt[1]).astype(np.int64)
+    sr = np.floor((lat - gt[3]) / gt[5]).astype(np.int64)
+    truth = np.zeros_like(got)
+    valid = (sr >= 0) & (sr < size) & (sc >= 0) & (sc < size)
+    truth[valid] = ramp[sr[valid], sc[valid]]
+    assert got.shape == truth.shape
+    assert (got == truth).all()
+    # the warp actually bent the grid: output must contain real data
+    assert (got != 0).sum() > 1000
+
+
+def test_mosaic_latlon_to_utm_requires_res(tmp_path):
+    from moaray.crs import ProjectionError
+    from moaray.geo import ImageMeta
+    from moaray.stages.reproject import WarpSpec, warped_meta
+
+    m = ImageMeta("x", 64, 64, (152.9, 0.001, 0.0, -29.9, 0.0, -0.001),
+                  crs="EPSG:4326")
+    with pytest.raises(ProjectionError, match="units"):
+        warped_meta(m, WarpSpec("EPSG:32756"))
