@@ -147,10 +147,17 @@ def main_cmd(argv=None) -> int:
         # sink has no GDAL creation-option surface)
         tile_codec = "z16"
         gtiff_tiled = False
+        gtiff_compress = "deflate"  # reference default: COMPRESS=DEFLATE
+        gtiff_predictor = 1
         for co in args.co:
             key, _, val = co.partition("=")
             if key.upper() == "COMPRESS":
                 tile_codec = None if val.upper() == "NONE" else "z16"
+                gtiff_compress = (
+                    None if val.upper() == "NONE" else "deflate"
+                )
+            elif key.upper() == "PREDICTOR":
+                gtiff_predictor = int(val)
             elif key.upper() == "TILED":
                 # reference GTiff creation option: tiled organization with
                 # embedded overview IFDs (sinks/gtiff.py write_gtiff_tiled)
@@ -191,12 +198,14 @@ def main_cmd(argv=None) -> int:
             from .sinks.gtiff import export_gtiff
 
             export_gtiff(res, args.outdir, tiled=gtiff_tiled,
-                         min_overview_size=args.minoverviewsize)
+                         min_overview_size=args.minoverviewsize,
+                         compress=gtiff_compress, predictor=gtiff_predictor)
         if args.gtiff:
             from .sinks.gtiff import export_gtiff
 
             export_gtiff(res, args.gtiff, tiled=gtiff_tiled,
-                         min_overview_size=args.minoverviewsize)
+                         min_overview_size=args.minoverviewsize,
+                         compress=gtiff_compress, predictor=gtiff_predictor)
 
         n_tiles = res.grid.num_tiles
         print(

@@ -17,6 +17,7 @@ real output and this is an export.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -34,6 +35,7 @@ T_STRIPOFFSETS = 273
 T_SAMPLESPERPIXEL = 277
 T_ROWSPERSTRIP = 278
 T_STRIPBYTECOUNTS = 279
+T_PREDICTOR = 317
 T_SAMPLEFORMAT = 339
 T_MODELPIXELSCALE = 33550
 T_MODELTIEPOINT = 33922
@@ -52,6 +54,37 @@ _TYPE_SIZE = {TYPE_SHORT: 2, TYPE_LONG: 4, TYPE_DOUBLE: 8, TYPE_ASCII: 1}
 _SAMPLEFORMAT = {"u": 1, "i": 2, "f": 3}
 _KIND_FOR_FORMAT = {v: k for k, v in _SAMPLEFORMAT.items()}
 
+COMPRESSION_NONE = 1
+COMPRESSION_DEFLATE = 8  # zlib streams, the reference's default GTiff
+                         # creation option (COMPRESS=DEFLATE, mosaic.py:30-35)
+
+
+def _encode_block(block: np.ndarray, wire, compress: str | None,
+                  predictor: int) -> bytes:
+    """Serialize one tile/strip: optional horizontal differencing
+    (TIFF Predictor=2, per-sample diff along rows) then optional DEFLATE."""
+    if predictor == 2:
+        d = block.astype(wire).astype(np.int64)
+        d[:, 1:] = d[:, 1:] - d[:, :-1]
+        # differences wrap modulo the sample width (TIFF spec)
+        block = d.astype(wire)
+    raw = np.ascontiguousarray(block).astype(wire).tobytes()
+    if compress == "deflate":
+        return zlib.compress(raw, 6)
+    return raw
+
+
+def _decode_block(buf: bytes, shape, dt_le, compression: int,
+                  predictor: int) -> np.ndarray:
+    if compression == COMPRESSION_DEFLATE:
+        buf = zlib.decompress(buf)
+    elif compression != COMPRESSION_NONE:
+        raise ValueError(f"unsupported TIFF compression {compression}")
+    arr = np.frombuffer(buf, dtype=dt_le).reshape(shape)
+    if predictor == 2:
+        arr = np.cumsum(arr.astype(np.int64), axis=1).astype(dt_le)
+    return arr
+
 
 def write_gtiff(
     path: str,
@@ -60,16 +93,22 @@ def write_gtiff(
     crs: str = "",
     nullval: float | None = None,
     rows_per_strip: int = 256,
+    compress: str | None = None,
+    predictor: int = 1,
 ) -> None:
     """Write a 2-D array (any uint/int/float dtype — the reference writes
-    whatever GDAL dtype the inputs carry, mosaic.py:16,354) as an
-    uncompressed little-endian GeoTIFF."""
+    whatever GDAL dtype the inputs carry, mosaic.py:16,354) as a
+    little-endian GeoTIFF; ``compress="deflate"`` writes zlib strips
+    (TIFF Compression=8), optional integer horizontal-differencing
+    Predictor=2."""
     if arr.ndim != 2 or arr.dtype.kind not in _SAMPLEFORMAT:
         raise ValueError(f"expected a 2-D numeric array, got {arr.dtype} {arr.shape}")
+    if predictor == 2 and arr.dtype.kind == "f":
+        raise ValueError("Predictor=2 is integer-only (use 1 for floats)")
     nrows, ncols = arr.shape
     wire = arr.dtype.newbyteorder("<") if arr.dtype.itemsize > 1 else arr.dtype
     strips = [
-        np.ascontiguousarray(arr[r : r + rows_per_strip]).astype(wire).tobytes()
+        _encode_block(arr[r : r + rows_per_strip], wire, compress, predictor)
         for r in range(0, nrows, rows_per_strip)
     ]
 
@@ -101,8 +140,11 @@ def write_gtiff(
     entry(T_WIDTH, TYPE_LONG, ncols)
     entry(T_LENGTH, TYPE_LONG, nrows)
     entry(T_BITSPERSAMPLE, TYPE_SHORT, arr.dtype.itemsize * 8)
-    entry(T_COMPRESSION, TYPE_SHORT, 1)
+    entry(T_COMPRESSION, TYPE_SHORT,
+          COMPRESSION_DEFLATE if compress == "deflate" else COMPRESSION_NONE)
     entry(T_PHOTOMETRIC, TYPE_SHORT, 1)
+    if predictor == 2:
+        entry(T_PREDICTOR, TYPE_SHORT, 2)
     entry(T_STRIPOFFSETS, TYPE_LONG, [0] * n_strips)  # patched below
     entry(T_SAMPLESPERPIXEL, TYPE_SHORT, 1)
     entry(T_ROWSPERSTRIP, TYPE_LONG, rows_per_strip)
@@ -189,7 +231,6 @@ def read_gtiff_bytes(
     fmt_code = vals(T_SAMPLEFORMAT, "H")[0] if T_SAMPLEFORMAT in tags else 1
     if fmt_code not in _KIND_FOR_FORMAT:
         raise ValueError(f"unsupported TIFF SampleFormat {fmt_code}")
-    assert vals(T_COMPRESSION, "H")[0] == 1
     arr = _ifd_image(data, tags)
     sx, sy, _ = vals(T_MODELPIXELSCALE, "d")
     tp = vals(T_MODELTIEPOINT, "d")
@@ -201,7 +242,9 @@ def read_gtiff_bytes(
 
 
 def export_gtiff(res, path: str, band: int = 0, tiled: bool = False,
-                 min_overview_size: int = 1024) -> None:
+                 min_overview_size: int = 1024,
+                 compress: str | None = "deflate",
+                 predictor: int = 1) -> None:
     """MosaicResult -> single-file GeoTIFF (driver-side assembly of one
     band; the parallel parquet sink remains the at-scale output).
 
@@ -211,14 +254,18 @@ def export_gtiff(res, path: str, band: int = 0, tiled: bool = False,
     from ..pipelines.mosaic import mosaic_array
 
     arr = mosaic_array(res.tiles_ds, res.grid, band=band)
+    if predictor == 2 and arr.dtype.kind == "f":
+        predictor = 1  # Predictor=2 is integer-only
     if tiled:
         write_gtiff_tiled(
             path, arr, res.grid.transform, res.grid.crs, res.grid.nullval,
             min_overview_size=min_overview_size,
+            compress=compress, predictor=predictor,
         )
     else:
         write_gtiff(
-            path, arr, res.grid.transform, res.grid.crs, res.grid.nullval
+            path, arr, res.grid.transform, res.grid.crs, res.grid.nullval,
+            compress=compress, predictor=predictor,
         )
 
 
@@ -235,9 +282,10 @@ T_TILEOFFSETS = 324
 T_TILEBYTECOUNTS = 325
 
 
-def _tile_bytes(arr: np.ndarray, tile: int) -> tuple[list[bytes], int, int]:
+def _tile_bytes(arr: np.ndarray, tile: int, compress: str | None = None,
+                predictor: int = 1) -> tuple[list[bytes], int, int]:
     """Row-major tile payloads, edge tiles padded to the full tile size
-    (TIFF 6.0 requires complete tiles)."""
+    (TIFF 6.0 requires complete tiles); optional DEFLATE + Predictor=2."""
     wire = arr.dtype.newbyteorder("<") if arr.dtype.itemsize > 1 else arr.dtype
     nrows, ncols = arr.shape
     tiles_down = -(-nrows // tile)
@@ -250,7 +298,7 @@ def _tile_bytes(arr: np.ndarray, tile: int) -> tuple[list[bytes], int, int]:
                 padded = np.zeros((tile, tile), dtype=arr.dtype)
                 padded[: block.shape[0], : block.shape[1]] = block
                 block = padded
-            out.append(np.ascontiguousarray(block).astype(wire).tobytes())
+            out.append(_encode_block(block, wire, compress, predictor))
     return out, tiles_down, tiles_across
 
 
@@ -262,6 +310,8 @@ def write_gtiff_tiled(
     nullval: float | None = None,
     tile: int = 256,
     min_overview_size: int = 256,
+    compress: str | None = "deflate",
+    predictor: int = 1,
 ) -> list[int]:
     """Tiled GeoTIFF with embedded overview IFDs.
 
@@ -289,7 +339,7 @@ def write_gtiff_tiled(
     # build per-IFD entry lists with placeholder tile offsets
     per_ifd = []  # (entries, tiles)
     for idx, img in enumerate(images):
-        tiles, _td, _ta = _tile_bytes(img, tile)
+        tiles, _td, _ta = _tile_bytes(img, tile, compress, predictor)
         nrows, ncols = img.shape
         entries = []
 
@@ -306,8 +356,12 @@ def write_gtiff_tiled(
         entry(T_WIDTH, TYPE_LONG, ncols)
         entry(T_LENGTH, TYPE_LONG, nrows)
         entry(T_BITSPERSAMPLE, TYPE_SHORT, img.dtype.itemsize * 8)
-        entry(T_COMPRESSION, TYPE_SHORT, 1)
+        entry(T_COMPRESSION, TYPE_SHORT,
+              COMPRESSION_DEFLATE if compress == "deflate"
+              else COMPRESSION_NONE)
         entry(T_PHOTOMETRIC, TYPE_SHORT, 1)
+        if predictor == 2:
+            entry(T_PREDICTOR, TYPE_SHORT, 2)
         entry(T_SAMPLESPERPIXEL, TYPE_SHORT, 1)
         entry(T_SAMPLEFORMAT, TYPE_SHORT, _SAMPLEFORMAT[img.dtype.kind])
         entry(T_TILEWIDTH, TYPE_LONG, tile)
@@ -405,6 +459,11 @@ def _ifd_image(data: bytes, tags) -> np.ndarray:
     kind = _KIND_FOR_FORMAT[fmt_code]
     dt_le = np.dtype(f"<{kind}{bits // 8}") if bits > 8 else np.dtype(f"{kind}1")
     dt = np.dtype(f"{kind}{bits // 8}")
+    compression = (
+        vals(T_COMPRESSION, "H")[0] if T_COMPRESSION in tags
+        else COMPRESSION_NONE
+    )
+    predictor = vals(T_PREDICTOR, "H")[0] if T_PREDICTOR in tags else 1
     if T_TILEOFFSETS in tags:
         tile_w = vals(T_TILEWIDTH, "I")[0]
         tile_h = vals(T_TILELENGTH, "I")[0]
@@ -413,8 +472,9 @@ def _ifd_image(data: bytes, tags) -> np.ndarray:
         tiles_across = -(-ncols // tile_w)
         out = np.zeros((nrows, ncols), dtype=dt)
         for k, (o, c) in enumerate(zip(offs, counts)):
-            block = np.frombuffer(data[o : o + c], dtype=dt_le).reshape(
-                tile_h, tile_w
+            block = _decode_block(
+                data[o : o + c], (tile_h, tile_w), dt_le, compression,
+                predictor,
             )
             tr, tc = divmod(k, tiles_across)
             r0, c0 = tr * tile_h, tc * tile_w
@@ -424,10 +484,15 @@ def _ifd_image(data: bytes, tags) -> np.ndarray:
         return out
     strip_offs = vals(T_STRIPOFFSETS, "I")
     strip_counts = vals(T_STRIPBYTECOUNTS, "I")
-    buf = b"".join(data[o : o + c] for o, c in zip(strip_offs, strip_counts))
-    return np.frombuffer(buf, dtype=dt_le).reshape(nrows, ncols).astype(
-        dt, copy=False
-    )
+    rps = vals(T_ROWSPERSTRIP, "I")[0] if T_ROWSPERSTRIP in tags else nrows
+    parts = []
+    for si, (o, c) in enumerate(zip(strip_offs, strip_counts)):
+        h = min(rps, nrows - si * rps)
+        parts.append(
+            _decode_block(data[o : o + c], (h, ncols), dt_le, compression,
+                          predictor)
+        )
+    return np.vstack(parts).astype(dt, copy=False)
 
 
 def read_gtiff_full(

@@ -4,6 +4,7 @@ openOutfile mosaic.py:604-660): byte-level round-trip + mosaic export."""
 import struct
 
 import numpy as np
+import pytest
 
 from moaray import MosaicConfig, do_mosaic
 from moaray.sinks.gtiff import export_gtiff, read_gtiff, write_gtiff
@@ -95,3 +96,52 @@ def test_cli_gtiff_tiled_export(tmp_path, ray_session):
     assert len(ovs) >= 1  # embedded overview IFDs present
     for lvl, ov in zip([4, 8], ovs):
         assert np.array_equal(ov, full[lvl // 2 :: lvl, lvl // 2 :: lvl])
+
+
+def test_deflate_tiled_roundtrip_and_predictor():
+    """DEFLATE-compressed tiled GeoTIFF (the reference's default creation
+    options COMPRESS=DEFLATE TILED=YES, ref mosaic.py:30-35): bit-exact
+    round trip for predictor 1 and 2, and the compressed file is actually
+    smaller on smooth content."""
+    import os
+    import tempfile
+
+    from moaray.sinks.gtiff import read_gtiff_full, write_gtiff_tiled
+
+    gt = (300000.0, 10.0, 0.0, 7000000.0, 0.0, -10.0)
+    ramp = np.tile(np.arange(512, dtype=np.uint16), (512, 1))
+    with tempfile.TemporaryDirectory() as d:
+        p_none = os.path.join(d, "n.tif")
+        p_defl = os.path.join(d, "z.tif")
+        write_gtiff_tiled(p_none, ramp, gt, nullval=0.0, compress=None,
+                          min_overview_size=64)
+        write_gtiff_tiled(p_defl, ramp, gt, nullval=0.0, compress="deflate",
+                          predictor=2, min_overview_size=64)
+        for p in (p_none, p_defl):
+            full, ovs, t, nd = read_gtiff_full(p)
+            assert np.array_equal(full, ramp)
+            assert t == gt and nd == 0.0
+            for lvl, ov in zip([4, 8], ovs):
+                assert np.array_equal(ov, ramp[lvl // 2 :: lvl, lvl // 2 :: lvl])
+        assert os.path.getsize(p_defl) < os.path.getsize(p_none) / 5
+
+
+def test_deflate_strip_roundtrip_float_nan():
+    import os
+    import tempfile
+
+    from moaray.sinks.gtiff import read_gtiff, write_gtiff
+
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    arr = np.arange(80 * 60, dtype=np.float32).reshape(80, 60) / 7.0
+    arr[0, 0] = np.nan
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "f.tif")
+        write_gtiff(p, arr, gt, compress="deflate")
+        back, t, _ = read_gtiff(p)
+        assert t == gt
+        assert np.array_equal(
+            np.nan_to_num(back, nan=-1), np.nan_to_num(arr, nan=-1)
+        )
+    with pytest.raises(ValueError, match="integer-only"):
+        write_gtiff("/tmp/never.tif", arr, gt, compress="deflate", predictor=2)
