@@ -97,7 +97,14 @@ def update_mosaic(
     cfg: MosaicConfig,
     out_dir: str,
 ) -> MosaicResult:
-    """Fold a new image catalog into the committed mosaic at ``out_dir``."""
+    """Fold a new image catalog into the committed mosaic at ``out_dir``.
+
+    Planning is deliberately driver-side: an incremental update's catalog is
+    the DELTA (typically a few images against a huge committed mosaic), so a
+    pruned-column local read of the delta is the right cost model. A delta
+    too large for the driver (>~10^6 rows) is no longer an "update" — run
+    ``do_mosaic`` (which auto-dispatches to distributed planning above
+    ``driver_plan_limit``) over the concatenated catalog instead."""
     if cfg.merge != "last":
         raise ValueError("update_mosaic supports the 'last' merge kernel only")
     grid, n_seq0, bands = manifest_mod.load_grid_meta(out_dir)

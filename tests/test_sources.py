@@ -94,3 +94,20 @@ def test_gtiff_file_ingest_roundtrip(ray_session, tmp_path):
     )
     got = mosaic_array(res.tiles_ds, res.grid)
     assert np.array_equal(got, expected)
+
+
+def test_catalog_read_through_uri_scheme(ray_session):
+    """Remote-path catalog ingestion: the planner (pyarrow) and the decode
+    scan (ray.data.read_parquet) both resolve URI schemes via
+    FileSystem.from_uri, so an object-store catalog (s3://...) uses the
+    exact same code path as this file:// rehearsal — the reference's
+    /vsis3/ story (moamosaic/__init__.py:4-7) without GDAL."""
+    from moaray import MosaicConfig, do_mosaic
+    from moaray.testgen import Layout, images_path
+
+    lay = Layout("grid3x3", 9, 64)
+    uri = "file://" + images_path(lay)
+    res = do_mosaic(uri, MosaicConfig(layout=lay, blocksize=64,
+                                      do_pyramids=False))
+    assert res.stats["count"] == 35156
+    assert res.stats["min"] == 1 and res.stats["max"] == 63
