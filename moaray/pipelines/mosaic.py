@@ -153,6 +153,13 @@ class MosaicConfig:
     # beyond it. One metadata execution instead of five.
     planning: str = "auto"  # "auto" | "driver" | "distributed"
     driver_plan_limit: int = 100_000
+    # Distributed-plan collection guard: the per-tile count/seq aggregate is
+    # collected to the driver (old fast path — one tiny take_all) while the
+    # assigned-tile count stays below this; above it, only over-threshold
+    # (hot) tiles reach the driver and the empty-tile anti-join runs as a
+    # bucket groupby against the assigned-id DATASET (round-2 verdict #4:
+    # a 10^8-tile grid is several GB of driver dict).
+    plan_collect_limit: int = 1_000_000
     # commit granularity of the tile sink (tiles per parquet file/manifest
     # record) — smaller = finer resume, more files
     tiles_per_file: int = 16
@@ -444,26 +451,38 @@ def _do_mosaic_impl(
                 .aggregate(Count(), Min("seq"), Max("seq"))
                 .materialize()
             )
-            if cfg.salt_threshold is not None:
-                nb = len(bands)
-                thr = cfg.salt_threshold
-
-                def hot_only(b: pa.Table) -> pa.Table:
-                    cnt = b["count()"].to_numpy()
-                    return b.filter(pa.array(-(-cnt // nb) >= thr))
-
-                hot_rows = counts_ds.map_batches(
-                    hot_only, batch_format="pyarrow"
-                ).take_all()
+            nb = len(bands)
+            if counts_ds.count() <= cfg.plan_collect_limit:
+                # small assigned set: one tiny take_all is cheaper than the
+                # extra filter pass + bucket-groupby of the driver-free path
+                count_rows = counts_ds.take_all()
                 tile_counts = {
-                    r["tile_id"]: -(-r["count()"] // nb) for r in hot_rows
+                    r["tile_id"]: -(-r["count()"] // nb) for r in count_rows
                 }
                 tile_seq_bounds = {
                     r["tile_id"]: (r["min(seq)"], r["max(seq)"])
-                    for r in hot_rows
+                    for r in count_rows
                 }
-            if cfg.include_empty:
-                assigned_ids_ds = counts_ds.select_columns(["tile_id"])
+            else:
+                if cfg.salt_threshold is not None:
+                    thr = cfg.salt_threshold
+
+                    def hot_only(b: pa.Table) -> pa.Table:
+                        cnt = b["count()"].to_numpy()
+                        return b.filter(pa.array(-(-cnt // nb) >= thr))
+
+                    hot_rows = counts_ds.map_batches(
+                        hot_only, batch_format="pyarrow"
+                    ).take_all()
+                    tile_counts = {
+                        r["tile_id"]: -(-r["count()"] // nb) for r in hot_rows
+                    }
+                    tile_seq_bounds = {
+                        r["tile_id"]: (r["min(seq)"], r["max(seq)"])
+                        for r in hot_rows
+                    }
+                if cfg.include_empty:
+                    assigned_ids_ds = counts_ds.select_columns(["tile_id"])
         n_images = meta_ds.count() // len(bands)
 
     # hot_tiles: tile_id -> (n_salts, seq_min, seq_span). Salting over the

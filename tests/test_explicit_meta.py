@@ -98,7 +98,7 @@ def test_distributed_planning_salted_matches_driver_plan(tmp_path):
     tbl = gen_images_table(layout, ("raw16",), explicit_meta=True)
     path = _write(tbl, tmp_path)
     kw = dict(blocksize=64, salt_threshold=4, inputs_per_salt=2)
-    res_d = do_mosaic(path, MosaicConfig(planning="distributed", **kw))
+    res_d = do_mosaic(path, MosaicConfig(planning="distributed", plan_collect_limit=0, **kw))
     got_d = mosaic_array(res_d.tiles_ds, res_d.grid)
     res_v = do_mosaic(path, MosaicConfig(planning="driver", **kw))
     got_v = mosaic_array(res_v.tiles_ds, res_v.grid)
@@ -112,7 +112,7 @@ def test_distributed_planning_sparse_empty_tiles(tmp_path):
     layout = Layout("sparse_gap", 4, 64)
     tbl = gen_images_table(layout, ("raw16",), explicit_meta=True)
     path = _write(tbl, tmp_path)
-    res_d = do_mosaic(path, MosaicConfig(blocksize=64, planning="distributed"))
+    res_d = do_mosaic(path, MosaicConfig(blocksize=64, planning="distributed", plan_collect_limit=0))
     res_v = do_mosaic(path, MosaicConfig(blocksize=64, planning="driver"))
     assert res_d.tiles_ds.count() == res_d.grid.num_tiles
     assert res_d.tiles_ds.count() == res_v.tiles_ds.count()
