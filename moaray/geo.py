@@ -66,6 +66,9 @@ class ImageMeta:
     nullval: float = 0.0
     nbands: int = 1
     fmt: str = "raw16"
+    # per-band LAYER_TYPE metadata (thematic = categorical, athematic =
+    # continuous; ref structures.py:31-34) — propagated to the output
+    layer_type: str = "athematic"
 
     @property
     def x_min(self) -> float:
@@ -140,6 +143,7 @@ class OutputGrid:
     nullval: float
     nbands: int
     blocksize: int
+    layer_type: str = "athematic"  # LAYER_TYPE passthrough (ref mosaic.py:627-633)
     row_edges: np.ndarray = field(default=None, repr=False)  # len n_tile_rows+1
     col_edges: np.ndarray = field(default=None, repr=False)
 
@@ -245,6 +249,7 @@ def make_output_grid(
         nullval=first.nullval if nullval is None else nullval,
         nbands=first.nbands,
         blocksize=blocksize,
+        layer_type=first.layer_type,
     )
 
 

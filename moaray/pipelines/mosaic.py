@@ -48,7 +48,7 @@ from ..testgen import Layout
 IMAGE_META_COLS = ["image_id", "w", "h", "fmt"]
 # Optional catalog columns: explicit per-image metadata wins over the
 # synthetic placement layout (stages/plan.py metas_from_batch).
-OPTIONAL_META_COLS = ["gt", "crs", "nullval", "seq", "dtype"]
+OPTIONAL_META_COLS = ["gt", "crs", "nullval", "seq", "dtype", "layer_type"]
 
 
 def meta_columns(images_path: str) -> list[str]:
@@ -266,6 +266,7 @@ def compute_grid(meta_ds, cfg: MosaicConfig) -> OutputGrid:
         nullval=first["nullval"] if cfg.nullval is None else cfg.nullval,
         nbands=1,
         blocksize=cfg.blocksize,
+        layer_type=first.get("layer_type", "athematic"),
     )
 
 

@@ -40,6 +40,7 @@ T_SAMPLEFORMAT = 339
 T_MODELPIXELSCALE = 33550
 T_MODELTIEPOINT = 33922
 T_GEOKEYDIR = 34735
+T_GDAL_METADATA = 42112
 T_GDAL_NODATA = 42113
 
 TYPE_SHORT = 3
@@ -95,6 +96,7 @@ def write_gtiff(
     rows_per_strip: int = 256,
     compress: str | None = None,
     predictor: int = 1,
+    layer_type: str | None = None,
 ) -> None:
     """Write a 2-D array (any uint/int/float dtype — the reference writes
     whatever GDAL dtype the inputs carry, mosaic.py:16,354) as a
@@ -121,6 +123,7 @@ def write_gtiff(
     nodata_ascii = (
         (f"{nullval:g}".encode() + b"\x00") if nullval is not None else None
     )
+    meta_ascii = _gdal_metadata_xml(layer_type)
 
     entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, payload)
 
@@ -155,6 +158,8 @@ def write_gtiff(
     entries.append((T_GEOKEYDIR, TYPE_SHORT, 8, geokeys))
     if nodata_ascii:
         entries.append((T_GDAL_NODATA, TYPE_ASCII, len(nodata_ascii), nodata_ascii))
+    if meta_ascii:
+        entries.append((T_GDAL_METADATA, TYPE_ASCII, len(meta_ascii), meta_ascii))
     entries.sort(key=lambda e: e[0])
 
     # layout: header(8) | IFD | out-of-line payloads | strips
@@ -241,6 +246,24 @@ def read_gtiff_bytes(
     return arr, transform, nodata
 
 
+def read_layer_type(path: str) -> str | None:
+    """LAYER_TYPE from the GDAL_METADATA tag (None when absent)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    tags, _ = _parse_ifd(data, ifd_off)
+    if T_GDAL_METADATA not in tags:
+        return None
+    xml = tags[T_GDAL_METADATA][2].rstrip(b"\x00").decode()
+    key = 'name="LAYER_TYPE"'
+    i = xml.find(key)
+    if i < 0:
+        return None
+    j = xml.find(">", i)
+    k = xml.find("<", j)
+    return xml[j + 1 : k]
+
+
 def export_gtiff(res, path: str, band: int = 0, tiled: bool = False,
                  min_overview_size: int = 1024,
                  compress: str | None = "deflate",
@@ -256,16 +279,17 @@ def export_gtiff(res, path: str, band: int = 0, tiled: bool = False,
     arr = mosaic_array(res.tiles_ds, res.grid, band=band)
     if predictor == 2 and arr.dtype.kind == "f":
         predictor = 1  # Predictor=2 is integer-only
+    ltype = getattr(res.grid, "layer_type", None)
     if tiled:
         write_gtiff_tiled(
             path, arr, res.grid.transform, res.grid.crs, res.grid.nullval,
             min_overview_size=min_overview_size,
-            compress=compress, predictor=predictor,
+            compress=compress, predictor=predictor, layer_type=ltype,
         )
     else:
         write_gtiff(
             path, arr, res.grid.transform, res.grid.crs, res.grid.nullval,
-            compress=compress, predictor=predictor,
+            compress=compress, predictor=predictor, layer_type=ltype,
         )
 
 
@@ -280,6 +304,20 @@ T_TILEWIDTH = 322
 T_TILELENGTH = 323
 T_TILEOFFSETS = 324
 T_TILEBYTECOUNTS = 325
+
+
+def _gdal_metadata_xml(layer_type: str | None) -> bytes | None:
+    """GDAL_METADATA (tag 42112) XML carrying per-band LAYER_TYPE — the
+    reference propagates thematic/athematic onto the output band
+    (ref structures.py:31-34, mosaic.py:627-633)."""
+    if not layer_type:
+        return None
+    xml = (
+        "<GDALMetadata>\n"
+        f'  <Item name="LAYER_TYPE" sample="0">{layer_type}</Item>\n'
+        "</GDALMetadata>\n"
+    )
+    return xml.encode() + b"\x00"
 
 
 def _tile_bytes(arr: np.ndarray, tile: int, compress: str | None = None,
@@ -312,6 +350,7 @@ def write_gtiff_tiled(
     min_overview_size: int = 256,
     compress: str | None = "deflate",
     predictor: int = 1,
+    layer_type: str | None = None,
 ) -> list[int]:
     """Tiled GeoTIFF with embedded overview IFDs.
 
@@ -335,6 +374,7 @@ def write_gtiff_tiled(
     nodata_ascii = (
         (f"{nullval:g}".encode() + b"\x00") if nullval is not None else None
     )
+    meta_ascii = _gdal_metadata_xml(layer_type)
 
     # build per-IFD entry lists with placeholder tile offsets
     per_ifd = []  # (entries, tiles)
@@ -375,6 +415,10 @@ def write_gtiff_tiled(
             if nodata_ascii:
                 entries.append(
                     (T_GDAL_NODATA, TYPE_ASCII, len(nodata_ascii), nodata_ascii)
+                )
+            if meta_ascii:
+                entries.append(
+                    (T_GDAL_METADATA, TYPE_ASCII, len(meta_ascii), meta_ascii)
                 )
         entries.sort(key=lambda e: e[0])
         per_ifd.append((entries, tiles))

@@ -56,6 +56,7 @@ META_SCHEMA = pa.schema(
         ("ymax", pa.float64()),
         ("nullval", pa.float64()),
         ("dtype", pa.string()),
+        ("layer_type", pa.string()),
     ]
 )
 
@@ -116,6 +117,7 @@ def metas_from_batch(
     nulls = batch["nullval"].to_pylist() if "nullval" in names else None
     seqs = batch["seq"].to_pylist() if "seq" in names else None
     dtypes = batch["dtype"].to_pylist() if "dtype" in names else None
+    ltypes = batch["layer_type"].to_pylist() if "layer_type" in names else None
     out: list[tuple[int, ImageMeta]] = []
     for i, image_id in enumerate(ids):
         seq = int(seqs[i]) if seqs is not None else image_idx(image_id)
@@ -129,6 +131,7 @@ def metas_from_batch(
                 nullval=float(nulls[i]) if nulls is not None else 0.0,
                 dtype=dtypes[i] if dtypes is not None else "uint16",
                 fmt=fmts[i],
+                layer_type=ltypes[i] if ltypes is not None else "athematic",
             )
         else:
             if layout is None:
@@ -172,6 +175,7 @@ def probe_batch(
         rows["ymax"].append(m.y_max)
         rows["nullval"].append(m.nullval)
         rows["dtype"].append(m.dtype)
+        rows["layer_type"].append(m.layer_type)
     return pa.Table.from_pydict(rows, schema=META_SCHEMA)
 
 

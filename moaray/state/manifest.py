@@ -419,6 +419,7 @@ def write_grid_meta(out_dir: str, grid, n_seq: int, bands: list[int]) -> None:
         "nullval": grid.nullval if grid.nullval == grid.nullval else "nan",
         "nbands": grid.nbands,
         "blocksize": grid.blocksize,
+        "layer_type": grid.layer_type,
         "n_seq": n_seq,
         "bands": bands,
     }
@@ -444,5 +445,6 @@ def load_grid_meta(out_dir: str):
         nullval=nv,
         nbands=rec["nbands"],
         blocksize=rec["blocksize"],
+        layer_type=rec.get("layer_type", "athematic"),
     )
     return grid, int(rec["n_seq"]), list(rec["bands"])

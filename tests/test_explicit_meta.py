@@ -122,3 +122,31 @@ def test_distributed_planning_sparse_empty_tiles(tmp_path):
     # the gap region is genuinely null
     empt = res_d.tiles_ds.select_columns(["n_inputs"]).take_all()
     assert any(r["n_inputs"] == 0 for r in empt)
+
+
+def test_layer_type_passthrough(tmp_path):
+    """The catalog's LAYER_TYPE band metadata (thematic/athematic, ref
+    structures.py:31-34) flows catalog -> grid -> grid.json -> GeoTIFF
+    GDAL_METADATA tag (ref mosaic.py:627-633)."""
+    import pyarrow as pa
+
+    from moaray.sinks.gtiff import export_gtiff, read_layer_type
+    from moaray.state.manifest import load_grid_meta
+
+    layout = Layout("grid3x3", 9, 64)
+    tbl = gen_images_table(layout, ("raw16",), explicit_meta=True)
+    tbl = tbl.append_column(
+        "layer_type", pa.array(["thematic"] * tbl.num_rows, pa.string())
+    )
+    path = _write(tbl, tmp_path)
+    out = str(tmp_path / "out")
+    res = do_mosaic(
+        path, MosaicConfig(blocksize=64, do_pyramids=False, do_stats=False),
+        out_dir=out,
+    )
+    assert res.grid.layer_type == "thematic"
+    grid2, _n, _b = load_grid_meta(out)
+    assert grid2.layer_type == "thematic"
+    tif = str(tmp_path / "m.tif")
+    export_gtiff(res, tif)
+    assert read_layer_type(tif) == "thematic"
