@@ -354,15 +354,20 @@ def minhash_lsh_pairs(
         with np.errstate(over="ignore"):
             for j in range(rows_per_band):
                 h = (h ^ chunks[:, :, j]) * np.uint64(1099511628211)
-        bucket = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        # fold the band index into the bucket hash -> ONE groupby key (a
+        # single-key sort shuffle is measurably cheaper than two-key, and
+        # the fold is equality-preserving per band)
+        band_ix = np.tile(np.arange(bands, dtype=np.uint64), n)
+        with np.errstate(over="ignore"):
+            folded = (
+                h.reshape(-1) ^ (band_ix * np.uint64(0x9E3779B97F4A7C15))
+            )
+        bucket = (folded & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         rep = pa.array(np.repeat(np.arange(n), bands))
         sig_col = batch["sig"].take(rep)
         return pa.Table.from_pydict(
             {
-                "band": pa.array(
-                    np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()
-                ),
-                "bucket": pa.array(bucket.reshape(-1), pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
                 "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
                 "sig": sig_col,
             }
@@ -374,11 +379,16 @@ def minhash_lsh_pairs(
         n = group.num_rows
         if n < 2:
             return pa.table(
-                {"doc_a": pa.array([], pa.int64()),
+                {"pair_key": pa.array([], pa.int64()),
+                 "doc_a": pa.array([], pa.int64()),
                  "doc_b": pa.array([], pa.int64()),
                  "est_jaccard": pa.array([], pa.float64())}
             )
         ids = group["doc_id"].to_numpy()
+        if ids.max() >= (1 << 32):
+            # the packed single-key dedup assumes doc_id < 2^32 (4e9 docs);
+            # re-key the corpus (dense ids) beyond that
+            raise ValueError("minhash_lsh_pairs: doc_id must fit in uint32")
         sig_mat = np.array(group["sig"].to_pylist(), dtype=np.int64)
         eq = (sig_mat[:, None, :] == sig_mat[None, :, :]).mean(axis=2)
         ia, ib = np.where(np.triu(eq >= threshold, k=1))
@@ -386,21 +396,25 @@ def minhash_lsh_pairs(
         b = np.maximum(ids[ia], ids[ib])
         return pa.table(
             {
+                # packed single-key pair id for the one-key dedup shuffle
+                "pair_key": pa.array((a << 32) | b, pa.int64()),
                 "doc_a": pa.array(a, pa.int64()),
                 "doc_b": pa.array(b, pa.int64()),
                 "est_jaccard": pa.array(np.round(eq[ia, ib], 4), pa.float64()),
             }
         )
 
-    cand = buckets.groupby(["band", "bucket"]).map_groups(
+    cand = buckets.groupby("bucket").map_groups(
         candidates, batch_format="pyarrow"
     )
 
     def dedup_pair(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
 
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        dedup_pair, batch_format="pyarrow"
+    return (
+        cand.groupby("pair_key")
+        .map_groups(dedup_pair, batch_format="pyarrow")
+        .drop_columns(["pair_key"])
     )
 
 
@@ -445,17 +459,18 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
         h = batch["simhash"].to_numpy().astype(np.uint64)
-        out = {"band": [], "value": [], "doc_id": [], "simhash": []}
+        out = {"bkey": [], "doc_id": [], "simhash": []}
         for band in range(4):
             vals = (h >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-            out["band"].extend([band] * len(ids))
-            out["value"].extend(vals.astype(np.int64).tolist())
+            # (band, value) packed into ONE groupby key — single-key sort
+            out["bkey"].extend(
+                ((np.int64(band) << 16) | vals.astype(np.int64)).tolist()
+            )
             out["doc_id"].extend(ids.tolist())
             out["simhash"].extend(h.astype(np.int64).tolist())
         return pa.Table.from_pydict(
             {
-                "band": pa.array(out["band"], pa.int32()),
-                "value": pa.array(out["value"], pa.int64()),
+                "bkey": pa.array(out["bkey"], pa.int64()),
                 "doc_id": pa.array(out["doc_id"], pa.int64()),
                 "simhash": pa.array(out["simhash"], pa.int64()),
             }
@@ -466,7 +481,8 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
     def candidates(group: pa.Table) -> pa.Table:
         n = group.num_rows
         empty = pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+            {"pair_key": pa.array([], pa.int64()),
+             "doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
              "hamming": pa.array([], pa.int32())}
         )
         if n < 2:
@@ -480,21 +496,26 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
         ia, ib = np.where(np.triu(ham <= 3, k=1) & (ids[:, None] != ids[None, :]))
         if len(ia) == 0:
             return empty
+        if ids.max() >= (1 << 32):
+            raise ValueError("simhash_pairs: doc_id must fit in uint32")
         a = np.minimum(ids[ia], ids[ib])
         b = np.maximum(ids[ia], ids[ib])
         return pa.table(
             {
+                "pair_key": pa.array((a << 32) | b, pa.int64()),
                 "doc_a": pa.array(a, pa.int64()),
                 "doc_b": pa.array(b, pa.int64()),
                 "hamming": pa.array(ham[ia, ib], pa.int32()),
             }
         )
 
-    cand = bands_ds.groupby(["band", "value"]).map_groups(
+    cand = bands_ds.groupby("bkey").map_groups(
         candidates, batch_format="pyarrow"
     )
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    return (
+        cand.groupby("pair_key")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .drop_columns(["pair_key"])
     )
 
 
@@ -622,13 +643,14 @@ def embedding_neardup_lsh_pairs(
         for t in range(n_tables):
             buckets[t] = _sign_bucket(mat, _hyperplanes(dim, n_bits, seed + t))
         rep = pa.array(np.tile(np.arange(n), n_tables))
+        # (table, bucket) packed into ONE groupby key (bucket < 2^n_bits)
+        tkey = (
+            np.repeat(np.arange(n_tables, dtype=np.int64), n)
+            << np.int64(n_bits)
+        ) | buckets.reshape(-1)
         return pa.Table.from_pydict(
             {
-                "table": pa.array(
-                    np.repeat(np.arange(n_tables, dtype=np.int32), n),
-                    pa.int32(),
-                ),
-                "bucket": pa.array(buckets.reshape(-1), pa.int64()),
+                "tkey": pa.array(tkey, pa.int64()),
                 "vec_id": pa.array(np.tile(ids, n_tables), pa.int64()),
                 "embedding": batch["embedding"].take(rep),
             }
@@ -640,7 +662,8 @@ def embedding_neardup_lsh_pairs(
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         empty = pa.table(
-            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+            {"pair_key": pa.array([], pa.int64()),
+             "vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
              "cosine": pa.array([], pa.float64())}
         )
         if group.num_rows < 2:
@@ -653,21 +676,28 @@ def embedding_neardup_lsh_pairs(
         ia, ib = np.where(np.triu(sims >= threshold, k=1))
         if len(ia) == 0:
             return empty
+        if ids.max() >= (1 << 32):
+            raise ValueError(
+                "embedding_neardup_lsh_pairs: vec_id must fit in uint32"
+            )
         a = np.minimum(ids[ia], ids[ib])
         b = np.maximum(ids[ia], ids[ib])
         return pa.table(
             {
+                "pair_key": pa.array((a << 32) | b, pa.int64()),
                 "vec_a": pa.array(a, pa.int64()),
                 "vec_b": pa.array(b, pa.int64()),
                 "cosine": pa.array(np.round(sims[ia, ib], 4), pa.float64()),
             }
         )
 
-    cand = buckets.groupby(["table", "bucket"]).map_groups(
+    cand = buckets.groupby("tkey").map_groups(
         pairs_in_bucket, batch_format="pyarrow"
     )
-    return cand.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    return (
+        cand.groupby("pair_key")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .drop_columns(["pair_key"])
     )
 
 
