@@ -490,6 +490,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qids, qmat = ann.load_queries(emb, n_queries=10)
         return ann.knn_lsh(emb, qids, qmat, k=5).sort(["query_id", "rank"])
 
+    def q_knn_pq(sf_dir: str):  # rows-only (recall<1 by design)
+        # product-quantization ADC scan: corpus compressed to 16 uint8
+        # codes/vector, queries full-precision (the 100-TB memory path)
+        emb = _emb(sf_dir)
+        qids, qmat = ann.load_queries(emb, n_queries=10)
+        return ann.knn_pq(
+            emb, qids, qmat, k=5, n_subspaces=16, hex_lt="ff"
+        ).sort(["query_id", "rank"])
+
     def q_revenue_by_nation(sf_dir: str):
         import ray
 
@@ -713,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_overlap": q_knn_overlap,
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
+        "knn_pq": q_knn_pq,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,

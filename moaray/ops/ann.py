@@ -383,3 +383,180 @@ def load_queries(emb_ds, n_queries: int = 10):
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     return ids, mat
+
+
+def pq_fit_codebooks(
+    emb_ds,
+    n_subspaces: int = 8,
+    n_codes: int = 256,
+    n_iters: int = 12,
+    sample_limit: int = 65_536,
+    hex_lt: str = "20",
+) -> np.ndarray:
+    """Product-quantization codebooks, shape (m, n_codes, dim/m).
+
+    The 100-TB compression path for embedding search: vectors split into
+    ``n_subspaces`` contiguous sub-vectors, each sub-space k-means-coded
+    with ``n_codes`` centroids — a d-float32 vector becomes m uint8 codes
+    (e.g. 128 dims -> 8 bytes, 64x smaller). Codebooks fit on ONE bounded
+    deterministic hash-sample (same protocol as ``kmeans_fit_sample``);
+    Lloyd runs locally per subspace in numpy. L2 codebooks over normalized
+    vectors (cosine == 1 - L2²/2 on the unit sphere)."""
+    from .text import hash_sample
+
+    rows = (
+        hash_sample(
+            emb_ds, "vec_id", hex_lt=hex_lt, columns=["vec_id", "embedding"]
+        )
+        .limit(sample_limit)
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    mat = _normalize(np.array([r["embedding"] for r in rows], np.float64))
+    n, d = mat.shape
+    if d % n_subspaces != 0:
+        raise ValueError(
+            f"embedding dim {d} not divisible by n_subspaces {n_subspaces}"
+        )
+    sub_d = d // n_subspaces
+    k = min(n_codes, n)
+    books = np.empty((n_subspaces, k, sub_d))
+    for m in range(n_subspaces):
+        sub = mat[:, m * sub_d : (m + 1) * sub_d]
+        cent = sub[:k].copy()
+        for _ in range(n_iters):
+            d2 = (
+                (sub ** 2).sum(1)[:, None]
+                - 2.0 * sub @ cent.T
+                + (cent ** 2).sum(1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, assign, sub)
+            counts = np.bincount(assign, minlength=k)
+            nonempty = counts > 0
+            new_cent = cent.copy()
+            new_cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+            if np.allclose(new_cent, cent):
+                break
+            cent = new_cent
+        books[m] = cent
+    return books
+
+
+def pq_encode(emb_ds, codebooks: np.ndarray):
+    """(vec_id, codes: list<int32>[m]) — corpus compressed to PQ codes via
+    one map_batches pass; codebooks broadcast once via ray.put. At scale
+    this is the dataset you PERSIST (codes are ~d/ (4*m) the size of the
+    float32 vectors); queries then scan codes, never raw embeddings."""
+    book_ref = ray.put(codebooks)
+    m, k, sub_d = codebooks.shape
+
+    def encode(batch: pa.Table) -> pa.Table:
+        books = ray.get(book_ref)
+        mat = _normalize(
+            np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        )
+        n = mat.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * sub_d : (j + 1) * sub_d]
+            cent = books[j]
+            d2 = (
+                (sub ** 2).sum(1)[:, None]
+                - 2.0 * sub @ cent.T
+                + (cent ** 2).sum(1)[None, :]
+            )
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "codes": pa.array(codes.tolist(), pa.list_(pa.int32(), m)),
+            }
+        )
+
+    return emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        encode, batch_format="pyarrow"
+    )
+
+
+def knn_pq(
+    emb_ds,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 5,
+    n_subspaces: int = 16,
+    n_codes: int = 256,
+    sample_limit: int = 65_536,
+    hex_lt: str = "20",
+):
+    """PQ asymmetric-distance (ADC) top-k: queries stay full-precision,
+    the corpus is scanned as PQ codes only.
+
+    Per query, a (m x n_codes) table of sub-distances to every codebook
+    entry is precomputed once; each corpus batch then scores vectors with
+    one table-gather + sum per subspace — no decode, no matmul against raw
+    vectors. The classic combiner pattern closes it: per-batch local top-k,
+    tiny groupby(query_id) merge. Approximate by construction (quantization
+    error); ``knn_bruteforce`` is the exact baseline."""
+    qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    books = pq_fit_codebooks(emb_ds, n_subspaces, n_codes,
+                             sample_limit=sample_limit, hex_lt=hex_lt)
+    m, kc, sub_d = books.shape
+    # per-query sub-distance tables: dist²(q_sub, code) per subspace
+    nq = qmat.shape[0]
+    tables = np.empty((nq, m, kc))
+    for j in range(m):
+        qs = qmat[:, j * sub_d : (j + 1) * sub_d]
+        cent = books[j]
+        tables[:, j, :] = (
+            (qs ** 2).sum(1)[:, None]
+            - 2.0 * qs @ cent.T
+            + (cent ** 2).sum(1)[None, :]
+        )
+    codes_ds = pq_encode(emb_ds, books)
+    ref = ray.put((qids, tables))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, tabs = ray.get(ref)
+        cids = batch["vec_id"].to_numpy()
+        codes = np.array(batch["codes"].to_pylist(), dtype=np.int64)
+        n = codes.shape[0]
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            # ADC: sum of per-subspace table lookups = approx L2²; on unit
+            # vectors cosine ≈ 1 - L2²/2
+            d2 = tabs[qi][np.arange(m)[None, :], codes].sum(axis=1)
+            sim = 1.0 - d2 / 2.0
+            oq, on, os_ = _topk_rows(
+                q_ids[qi : qi + 1], sim[None, :], cids, k
+            )
+            out_q.extend(oq)
+            out_n.extend(on)
+            out_s.extend(os_)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partial = codes_ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        ids = group["neighbor_id"].to_numpy()
+        sims = group["cosine"].to_numpy()
+        order = np.lexsort((ids, -sims))[:k]
+        n = len(order)
+        return pa.table(
+            {
+                "query_id": pa.array([group["query_id"][0].as_py()] * n, pa.int64()),
+                "neighbor_id": pa.array(ids[order], pa.int64()),
+                "rank": pa.array(np.arange(1, n + 1), pa.int64()),
+                "cosine": pa.array(np.round(sims[order], 4), pa.float64()),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")

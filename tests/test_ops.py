@@ -683,3 +683,28 @@ def test_kmeans_fit_sample_deterministic(ray_session):
     assert c1.shape == (8, c1.shape[1])
     assert np.allclose(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_knn_pq_recall_vs_bruteforce():
+    from moaray.ops.ann import knn_bruteforce, knn_pq, load_queries
+
+    e = emb()
+    qids, qmat = load_queries(e, n_queries=5)
+    bf = knn_bruteforce(e, qids, qmat, k=5).to_pandas()
+    pq = knn_pq(e, qids, qmat, k=5, n_subspaces=16, hex_lt="ff").to_pandas()
+    bf_set = set(zip(bf["query_id"], bf["neighbor_id"]))
+    pq_set = set(zip(pq["query_id"], pq["neighbor_id"]))
+    recall = len(bf_set & pq_set) / len(bf_set)
+    assert recall >= 0.5, f"PQ recall too low: {recall}"
+
+
+def test_pq_codes_shape_and_determinism():
+    from moaray.ops.ann import pq_encode, pq_fit_codebooks
+
+    e = emb()
+    b1 = pq_fit_codebooks(e, n_subspaces=8, hex_lt="ff")
+    b2 = pq_fit_codebooks(e, n_subspaces=8, hex_lt="ff")
+    assert np.allclose(b1, b2)
+    codes = pq_encode(e, b1).take_all()
+    assert all(len(r["codes"]) == 8 for r in codes)
+    assert all(0 <= c < b1.shape[1] for r in codes for c in r["codes"])
