@@ -162,8 +162,15 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
-def jpeg_encode(arr: np.ndarray, quality: int = 95) -> bytes:
-    """Encode a 2-D uint8 array as a baseline grayscale JFIF stream."""
+def jpeg_encode(
+    arr: np.ndarray, quality: int = 95, restart_interval: int = 0
+) -> bytes:
+    """Encode a 2-D uint8 array as a baseline grayscale JFIF stream.
+
+    ``restart_interval`` > 0 emits a DRI marker and RSTn markers every that
+    many MCUs (byte-aligned, DC predictor reset) — the structure real-world
+    encoders produce for error resilience; mainly here so the decoder's
+    restart path is exercised by round-trip tests."""
     if arr.ndim != 2:
         raise ValueError(f"jpeg_encode expects 2-D, got {arr.shape}")
     if arr.dtype != np.uint8:
@@ -192,7 +199,14 @@ def jpeg_encode(arr: np.ndarray, quality: int = 95) -> bytes:
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
-    for row in zz:
+    rst_n = 0
+    for bi, row in enumerate(zz):
+        if restart_interval and bi and bi % restart_interval == 0:
+            # byte-align, emit RSTn, reset the DC predictor (E.2.4)
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + (rst_n % 8)])
+            rst_n += 1
+            prev_dc = 0
         size, bits = _magnitude(int(row[0]) - prev_dc)
         prev_dc = int(row[0])
         code, length = dc_codes[size]
@@ -231,6 +245,8 @@ def jpeg_encode(arr: np.ndarray, quality: int = 95) -> bytes:
     out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     out += _seg(0xC4, huff_payload(0, 0, _DC_BITS, _DC_VALS))
     out += _seg(0xC4, huff_payload(1, 0, _AC_BITS, _AC_VALS))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out += bw.out
     out += b"\xff\xd9"  # EOI

@@ -70,3 +70,15 @@ def test_progressive_stream_gated():
 def test_garbage_rejected():
     with pytest.raises(ValueError):
         jpeg_decode(b"\x00\x01\x02\x03")
+
+
+def test_restart_markers_roundtrip():
+    """DRI/RSTn streams (what real-world encoders emit for resilience)
+    decode identically to the unsegmented stream — byte alignment + DC
+    predictor reset per restart interval."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (48, 80)).astype(np.uint8)  # 60 MCUs
+    plain = jpeg_decode(jpeg_encode(img, quality=95))
+    for ri in (1, 4, 7, 60, 61):
+        got = jpeg_decode(jpeg_encode(img, quality=95, restart_interval=ri))
+        assert np.array_equal(got, plain), f"restart_interval={ri}"
