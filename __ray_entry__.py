@@ -537,6 +537,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _rpc(f"{sf_dir}/customer.parquet")
         )
 
+    def q_parts_by_brand(sf_dir: str):
+        return relational.parts_by_brand(
+            _rpc(f"{sf_dir}/part.parquet")
+        ).sort("p_brand")
+
+    def q_supplier_region_stats(sf_dir: str):
+        return relational.supplier_region_stats(
+            _rpc(f"{sf_dir}/supplier.parquet"),
+            f"{sf_dir}/nation.parquet",
+            f"{sf_dir}/region.parquet",
+        ).sort("r_name")
+
     def q_props_extract(sf_dir: str):
         import ray
 
@@ -693,6 +705,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": q_revenue_by_priority,
         "top_orders_per_customer": q_top_orders_per_customer,
         "segment_nation_stats": q_segment_nation_stats,
+        "parts_by_brand": q_parts_by_brand,
+        "supplier_region_stats": q_supplier_region_stats,
         "pricing_summary": q_pricing_summary,
         "props_extract": q_props_extract,
         "sessionize": q_sessionize,
@@ -949,6 +963,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
             FROM customer
             GROUP BY c_mktsegment
+        """,
+        "parts_by_brand": """
+            SELECT p_brand,
+                   count(*) AS n_parts,
+                   sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0
+                     AS sum_retail,
+                   CAST(min(p_size) AS BIGINT) AS min_size,
+                   CAST(max(p_size) AS BIGINT) AS max_size
+            FROM part
+            GROUP BY p_brand
+        """,
+        "supplier_region_stats": """
+            SELECT r_name,
+                   count(*) AS n_suppliers,
+                   sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0
+                     AS sum_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

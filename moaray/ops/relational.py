@@ -706,3 +706,106 @@ def revenue_by_priority(
         .groupby("o_orderpriority")
         .map_groups(_prio_final, batch_format="pyarrow")
     )
+
+
+def parts_by_brand(part_ds):
+    """Per-brand part stats: the partial-agg combiner over the part table.
+
+    Exact integer cents for the retailprice sum (float-order-proof, same
+    discipline as pricing_summary); min/max p_size ride the partials."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch["p_retailprice"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "p_brand": batch["p_brand"],
+                "cents": cents,
+                "p_size": batch["p_size"],
+            }
+        )
+        g = t.group_by("p_brand").aggregate(
+            [("cents", "sum"), ("cents", "count"),
+             ("p_size", "min"), ("p_size", "max")]
+        )
+        return g.rename_columns(
+            ["p_brand", "cents", "n_parts", "min_size", "max_size"]
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": [group["p_brand"][0].as_py()],
+                "n_parts": [int(pc.sum(group["n_parts"]).as_py())],
+                "sum_retail": [int(pc.sum(group["cents"]).as_py()) / 100.0],
+                "min_size": [int(pc.min(group["min_size"]).as_py())],
+                "max_size": [int(pc.max(group["max_size"]).as_py())],
+            }
+        )
+
+    return (
+        part_ds.select_columns(["p_brand", "p_retailprice", "p_size"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def supplier_region_stats(supplier_ds, nation_path: str, region_path: str):
+    """Suppliers per region: two chained BROADCAST dimension joins
+    (supplier -> nation -> region, both dims tiny) + exact-cents acctbal
+    sums through the partial/combiner groupby."""
+    import pyarrow.parquet as pq
+    import ray
+
+    nat = pq.read_table(nation_path, columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(region_path, columns=["r_regionkey", "r_name"])
+    nat_map = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist())
+    )
+    reg_map = dict(
+        zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist())
+    )
+    ref = ray.put((nat_map, reg_map))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nmap, rmap = ray.get(ref)
+        names = [
+            rmap.get(nmap.get(n)) for n in batch["s_nationkey"].to_pylist()
+        ]
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch["s_acctbal"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {"r_name": pa.array(names, pa.string()), "cents": cents}
+        ).filter(pc.is_valid(pa.array(names, pa.string())))
+        g = t.group_by("r_name").aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return g.rename_columns(["r_name", "cents", "n_suppliers"])
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": [group["r_name"][0].as_py()],
+                "n_suppliers": [int(pc.sum(group["n_suppliers"]).as_py())],
+                "sum_acctbal": [int(pc.sum(group["cents"]).as_py()) / 100.0],
+            }
+        )
+
+    return (
+        supplier_ds.select_columns(["s_nationkey", "s_acctbal"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -13,7 +13,8 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["documents", "embeddings", "lineitem", "events"]:
+    for t in ["documents", "embeddings", "lineitem", "events", "part",
+              "supplier", "nation", "region"]:
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     return c
 
@@ -708,3 +709,37 @@ def test_pq_codes_shape_and_determinism():
     codes = pq_encode(e, b1).take_all()
     assert all(len(r["codes"]) == 8 for r in codes)
     assert all(0 <= c < b1.shape[1] for r in codes for c in r["codes"])
+
+
+def test_parts_by_brand_vs_sql(con):
+    from moaray.ops.relational import parts_by_brand
+
+    ds = parts_by_brand(ray.data.read_parquet(f"{SF}/part.parquet"))
+    assert_matches_sql(
+        ds,
+        con,
+        """SELECT p_brand, count(*) AS n_parts,
+                  sum(CAST(round(p_retailprice*100) AS BIGINT))/100.0 AS sum_retail,
+                  CAST(min(p_size) AS BIGINT) AS min_size,
+                  CAST(max(p_size) AS BIGINT) AS max_size
+           FROM part GROUP BY p_brand""",
+    )
+
+
+def test_supplier_region_stats_vs_sql(con):
+    from moaray.ops.relational import supplier_region_stats
+
+    ds = supplier_region_stats(
+        ray.data.read_parquet(f"{SF}/supplier.parquet"),
+        f"{SF}/nation.parquet",
+        f"{SF}/region.parquet",
+    )
+    assert_matches_sql(
+        ds,
+        con,
+        """SELECT r_name, count(*) AS n_suppliers,
+                  sum(CAST(round(s_acctbal*100) AS BIGINT))/100.0 AS sum_acctbal
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name""",
+    )
