@@ -169,6 +169,13 @@ def run_ops_bench(sf_dir: str) -> dict:
         ann.knn_ivf(e, qids, qmat, k=5).count()
 
     timed("knn_ivf", ivf)
+
+    def pq():
+        e = emb()
+        qids, qmat = ann.load_queries(e, n_queries=10)
+        ann.knn_pq(e, qids, qmat, k=5).count()
+
+    timed("knn_pq", pq)
     timed(
         "neardup_lsh",
         lambda: dedup.embedding_neardup_lsh_pairs(emb(), threshold=0.35).count(),

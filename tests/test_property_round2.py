@@ -108,3 +108,32 @@ def test_cubic_identity_property(seed):
         "cubic",
     )
     assert np.array_equal(out[2:18, 2:18], src[2:18, 2:18])
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator (round 3): property-based roundtrip
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    lat=st.floats(min_value=-84.0, max_value=84.0),
+    lon_off=st.floats(min_value=-6.0, max_value=6.0),
+    south=st.booleans(),
+)
+def test_tm_roundtrip_property(lat, lon_off, south):
+    """inverse(forward(p)) == p to ~1e-9 deg for any point within +-6 deg of
+    the central meridian across the UTM latitude band."""
+    import numpy as np
+
+    from moaray.tmerc import tm_forward, tm_inverse
+
+    lon0 = 153.0
+    fn = 1e7 if south else 0.0
+    e, n = tm_forward(np.array([lat]), np.array([lon0 + lon_off]), lon0,
+                      false_n=fn)
+    la, lo = tm_inverse(e, n, lon0, false_n=fn)
+    assert abs(la[0] - lat) < 1e-9
+    assert abs(lo[0] - (lon0 + lon_off)) < 1e-9
