@@ -294,6 +294,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = update_mosaic(upd, cfg, f"{root}/out")
         return _tiles_with_checksum(res.tiles_ds)
 
+    def q_mosaic_extend(sf_dir: str):  # rows-only (non-SQL)
+        # grid growth: base mosaic of image 0, then image 1 folded in at a
+        # footprint BEYOND the stored extent — committed pixels migrate as
+        # base windows onto the union grid (pipelines/update.extend_mosaic)
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from moaray import MosaicConfig, extend_mosaic
+        from moaray.testgen import Layout, gen_images_table
+
+        tbl = gen_images_table(Layout("pair_overlap", 2, 64))
+        root = "/tmp/moaray_q_extend"
+        shutil.rmtree(root, ignore_errors=True)
+        base, ext = f"{root}/base", f"{root}/ext"
+        os.makedirs(base)
+        os.makedirs(ext)
+        pq.write_table(tbl.take(pa.array([0])), f"{base}/p.parquet")
+        row = tbl.take(pa.array([1]))
+        row = row.append_column(
+            "gt",
+            pa.array(
+                [[300000.0 + 960.0, 10.0, 0.0, 7000000.0 - 960.0, 0.0, -10.0]],
+                pa.list_(pa.float64(), 6),
+            ),
+        )
+        row = row.append_column("crs", pa.array(["EPSG:32756"], pa.string()))
+        row = row.append_column("nullval", pa.array([0.0], pa.float64()))
+        row = row.append_column("seq", pa.array([0], pa.int64()))
+        pq.write_table(row, f"{ext}/p.parquet")
+        cfg = MosaicConfig(
+            layout=Layout("pair_overlap", 2, 64), blocksize=64,
+            do_pyramids=False,
+        )
+        do_mosaic(base, cfg, out_dir=f"{root}/out")
+        res = extend_mosaic(ext, cfg, f"{root}/out", f"{root}/out2")
+        return _tiles_with_checksum(res.tiles_ds)
+
     def q_spatial_join(sf_dir: str):
         return plan_assignments(_images("grid"), _cfg("grid")).sort(
             ["tile_id", "seq"]
@@ -723,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tiles_png": q_mosaic_tiles_png,
         "mosaic_tiles_jpeg": q_mosaic_tiles_jpeg,
         "mosaic_update": q_mosaic_update,
+        "mosaic_extend": q_mosaic_extend,
         "mosaic_reproject": q_mosaic_reproject,
         "mosaic_reproject_bilinear": q_mosaic_reproject_bilinear,
         "mosaic_reproject_cubic": q_mosaic_reproject_cubic,

@@ -19,7 +19,7 @@ from .pipelines.mosaic import (  # noqa: F401
     overview_array,
     plan_assignments,
 )
-from .pipelines.update import update_mosaic  # noqa: F401
+from .pipelines.update import extend_mosaic, update_mosaic  # noqa: F401
 from .crs import ProjectionError  # noqa: F401
 from .stages.reproject import WarpSpec  # noqa: F401
 from .testgen import Layout  # noqa: F401

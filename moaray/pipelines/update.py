@@ -29,7 +29,11 @@ double-count superseded generations.
 
 Restrictions: ``merge="last"`` only (feather would need the original
 num/den partials), and the new catalog's CRS/alignment must match the
-stored grid (validated like any mosaic input).
+stored grid (validated like any mosaic input). Footprints beyond the
+stored extent clip in ``update_mosaic`` (the grid is fixed); use
+``extend_mosaic`` to GROW the grid — committed pixels migrate as base
+windows onto the union-extent grid (old sources never re-read) and a
+complete re-keyed output writes to a new directory.
 """
 
 from __future__ import annotations
@@ -271,4 +275,284 @@ def update_mosaic(
         pruned = manifest_mod.read_committed_tiles(out_dir, columns=stat_cols)
         result.stats_by_band = stats_from_tile_columns(pruned)
         result.stats = result.stats_by_band.get(0)
+    return result
+
+
+def _tiles_overlapping_rect(grid, top: int, left: int, h: int, w: int):
+    """Tile ids of ``grid`` whose blocks intersect the pixel rect
+    [top, top+h) x [left, left+w) — a searchsorted over the edge arrays."""
+    r0 = int(np.searchsorted(grid.row_edges, top, side="right")) - 1
+    r1 = int(np.searchsorted(grid.row_edges, top + h - 1, side="right")) - 1
+    c0 = int(np.searchsorted(grid.col_edges, left, side="right")) - 1
+    c1 = int(np.searchsorted(grid.col_edges, left + w - 1, side="right")) - 1
+    r0, c0 = max(r0, 0), max(c0, 0)
+    r1 = min(r1, grid.n_tile_rows - 1)
+    c1 = min(c1, grid.n_tile_cols - 1)
+    return [
+        grid.tile_id(r, c)
+        for r in range(r0, r1 + 1)
+        for c in range(c0, c1 + 1)
+    ]
+
+
+def _migrate_tiles_as_windows(
+    tiles_ds, new_grid, row_off: int, col_off: int, np_dtype, shuffle_codec
+):
+    """Committed OLD-grid tile rows -> WINDOW_SCHEMA rows on the NEW grid.
+
+    Each old tile's pixel rect shifts by (row_off, col_off) whole pixels
+    (grid alignment is validated) and splits across the 1-4 new tiles it
+    overlaps; the payload decodes once and slices — old SOURCE IMAGES are
+    never re-read or re-decoded. seq = -1 puts every migrated pixel below
+    every real input, preserving append-order precedence."""
+    from .. import codecs
+
+    grid_ref = ray.put(new_grid)
+
+    def to_windows(batch: pa.Table) -> pa.Table:
+        g = ray.get(grid_ref)
+        rows = {n: [] for n in WINDOW_SCHEMA.names}
+        codec_col = batch["pixels_codec"].to_pylist()
+        wire = (
+            np_dtype.newbyteorder("<") if np_dtype.itemsize > 1 else np_dtype
+        )
+        for i in range(batch.num_rows):
+            ys = batch["out_ysize"][i].as_py()
+            xs = batch["out_xsize"][i].as_py()
+            top = batch["out_top"][i].as_py() + row_off
+            left = batch["out_left"][i].as_py() + col_off
+            band = batch["band"][i].as_py()
+            canvas = decode_payload(
+                batch["pixels"][i].as_buffer(), codec_col[i], np_dtype
+            ).reshape(ys, xs)
+            for tid in _tiles_overlapping_rect(g, top, left, ys, xs):
+                blk = g.block_for_tile(tid)
+                it = max(top, blk.top)
+                il = max(left, blk.left)
+                ib = min(top + ys, blk.top + blk.ysize)
+                ir = min(left + xs, blk.left + blk.xsize)
+                if ib <= it or ir <= il:
+                    continue
+                sub = canvas[it - top : ib - top, il - left : ir - left]
+                rows["tile_id"].append(tid)
+                rows["band"].append(band)
+                rows["salt"].append(0)
+                rows["seq"].append(-1)
+                rows["image_id"].append("__existing__")
+                rows["out_top"].append(blk.top)
+                rows["out_left"].append(blk.left)
+                rows["out_xsize"].append(blk.xsize)
+                rows["out_ysize"].append(blk.ysize)
+                rows["dst_top"].append(it - blk.top)
+                rows["dst_left"].append(il - blk.left)
+                rows["win_h"].append(ib - it)
+                rows["win_w"].append(ir - il)
+                rows["src_top"].append(it - top)
+                rows["src_left"].append(il - left)
+                rows["src_h"].append(ys)
+                rows["src_w"].append(xs)
+                arr = np.ascontiguousarray(sub, dtype=wire)
+                if shuffle_codec:
+                    rows["pixels"].append(codecs.encode(arr, shuffle_codec))
+                else:
+                    rows["pixels"].append(arr.tobytes())
+        return pa.Table.from_pydict(rows, schema=WINDOW_SCHEMA)
+
+    return tiles_ds.map_batches(to_windows, batch_format="pyarrow")
+
+
+def extend_mosaic(
+    images_path: str,
+    cfg: MosaicConfig,
+    out_dir: str,
+    new_out_dir: str,
+) -> MosaicResult:
+    """Fold new images whose footprints EXCEED the committed grid: the grid
+    extends to the union extent and every committed pixel migrates as a
+    base window — old source images are never re-read, never re-decoded.
+
+    This closes update_mosaic's fixed-extent restriction: row-major tile
+    ids are grid-relative, so growth re-keys tiles; rather than rewriting
+    the committed generation in place, the extension writes a COMPLETE new
+    output at ``new_out_dir`` (grid.json + all tiles) whose pixels equal a
+    full rebuild over the concatenated catalog (append order) — at the
+    cost of one mosaic-sized copy instead of a full source re-decode.
+    ``merge="last"`` only, same CRS/resolution/alignment validation as
+    update_mosaic."""
+    import pyarrow.parquet as _pq
+
+    from ..geo import OutputGrid
+    from ..stages.assemble import empty_tiles_ds
+    from ..stages.plan import metas_from_batch
+
+    if cfg.merge != "last":
+        raise ValueError("extend_mosaic supports the 'last' merge kernel only")
+    grid, n_seq0, bands = manifest_mod.load_grid_meta(out_dir)
+    np_dtype = np.dtype(grid.dtype)
+    res = grid.transform[1]
+
+    cols = meta_columns(images_path)
+    try:
+        tbl = _pq.read_table(images_path, columns=cols + ["band"])
+    except Exception:
+        tbl = _pq.read_table(images_path, columns=cols)
+    pairs = metas_from_batch(tbl, cfg.layout)
+    if cfg.validate_projections:
+        from ..crs import ProjectionError
+
+        tol = 0.0001
+        for _seq, m in pairs:
+            if m.crs != grid.crs:
+                raise ProjectionError(
+                    f"extend input {m.image_id}: CRS {m.crs} != stored grid "
+                    f"CRS {grid.crs} (extension cannot warp)"
+                )
+            if (
+                abs(m.transform[1] - grid.transform[1]) > tol
+                or abs(m.transform[5] - grid.transform[5]) > tol
+            ):
+                raise ProjectionError(
+                    f"extend input {m.image_id}: resolution mismatch"
+                )
+            dx = (m.transform[0] - grid.transform[0]) / grid.transform[1]
+            dy = (m.transform[3] - grid.transform[3]) / grid.transform[5]
+            if abs(dx - round(dx)) > tol or abs(dy - round(dy)) > tol:
+                raise ProjectionError(
+                    f"extend input {m.image_id}: grid misalignment"
+                )
+
+    # union extent, snapped to WHOLE pixels of the stored grid so committed
+    # tiles shift by integer offsets (the same grid a full rebuild over the
+    # concatenated catalog would produce, since inputs are grid-aligned)
+    old_x_min = grid.transform[0]
+    old_y_max = grid.transform[3]
+    old_x_max = old_x_min + grid.ncols * res
+    old_y_min = old_y_max - grid.nrows * res
+    metas = [m for _s, m in pairs]
+    x_min = min([old_x_min] + [m.x_min for m in metas])
+    x_max = max([old_x_max] + [m.x_max for m in metas])
+    y_min = min([old_y_min] + [m.y_min for m in metas])
+    y_max = max([old_y_max] + [m.y_max for m in metas])
+    col_off = int(round((old_x_min - x_min) / res))
+    row_off = int(round((y_max - old_y_max) / res))
+    x_min = old_x_min - col_off * res
+    y_max = old_y_max + row_off * res
+    ncols = max(grid.ncols + col_off, int(round((x_max - x_min) / res)))
+    nrows = max(grid.nrows + row_off, int(round((y_max - y_min) / res)))
+    new_grid = OutputGrid(
+        ncols=ncols,
+        nrows=nrows,
+        transform=(x_min, res, 0.0, y_max, 0.0, -res),
+        crs=grid.crs,
+        dtype=grid.dtype,
+        nullval=grid.nullval,
+        nbands=grid.nbands,
+        blocksize=grid.blocksize,
+        layer_type=grid.layer_type,
+    )
+
+    def _codec_for_dtype(codec):
+        return None if (codec == "q12" and grid.dtype != "uint16") else codec
+
+    shuffle_codec = _codec_for_dtype(cfg.shuffle_codec)
+    tile_codec = _codec_for_dtype(cfg.tile_codec)
+
+    # migrated base windows (seq -1) + new image windows (seqs above HWM)
+    base_windows = _migrate_tiles_as_windows(
+        manifest_mod.read_committed_tiles(out_dir),
+        new_grid, row_off, col_off, np_dtype, shuffle_codec,
+    ).materialize()
+
+    has_seq_col = "seq" in tbl.schema.names
+    if has_seq_col:
+        def shift_seq(batch: pa.Table) -> pa.Table:
+            names = batch.schema.names
+            shifted = pa.compute.add(batch["seq"], pa.scalar(n_seq0))
+            return batch.set_column(names.index("seq"), "seq", shifted)
+
+        images_ds = read_images(images_path).map_batches(
+            shift_seq, batch_format="pyarrow"
+        )
+    else:
+        images_ds = read_images(images_path)
+    new_windows = decode_windows(
+        images_ds, new_grid, cfg.layout, shuffle_codec=shuffle_codec
+    )
+    if not has_seq_col:
+        def shift_window_seq(batch: pa.Table) -> pa.Table:
+            names = batch.schema.names
+            shifted = pa.compute.add(batch["seq"], pa.scalar(n_seq0))
+            return batch.set_column(names.index("seq"), "seq", shifted)
+
+        new_windows = new_windows.map_batches(
+            shift_window_seq, batch_format="pyarrow"
+        )
+
+    new_bands = (
+        sorted(set(tbl["band"].to_pylist()))
+        if "band" in tbl.schema.names
+        else [0]
+    )
+    all_bands = sorted(set(bands) | set(new_bands))
+    merged = assemble_tiles(
+        base_windows.union(new_windows),
+        new_grid,
+        "last",
+        windows_encoded=shuffle_codec is not None,
+        tile_codec=tile_codec,
+        multiband=len(all_bands) > 1,
+    )
+
+    if cfg.include_empty:
+        # assigned tiles on the NEW grid: everything the old extent covers
+        # plus every tile a new image touches (driver-side — the extension
+        # catalog is a delta, same cost model as update_mosaic)
+        from ..geo import covering_tile_range, window_overlap
+
+        assigned = set(
+            _tiles_overlapping_rect(
+                new_grid, row_off, col_off, grid.nrows, grid.ncols
+            )
+        )
+        seen = set()
+        for _seq, m in pairs:
+            if m.image_id in seen:
+                continue
+            seen.add(m.image_id)
+            tr0, tr1, tc0, tc1 = covering_tile_range(m, new_grid)
+            for tr in range(tr0, tr1):
+                for tc in range(tc0, tc1):
+                    tid = new_grid.tile_id(tr, tc)
+                    if window_overlap(
+                        new_grid.block_for_tile(tid), new_grid.transform, m
+                    ):
+                        assigned.add(tid)
+        empties = empty_tiles_ds(
+            new_grid, assigned, None, all_bands, tile_codec
+        ).materialize()
+        if empties.count() > 0:
+            merged = merged.union(empties)
+
+    manifest_mod.clear_output(new_out_dir)
+    result = MosaicResult(grid=new_grid, tiles_ds=merged)
+    result.manifest = manifest_mod.write_tiles(
+        merged, new_out_dir, tiles_per_file=cfg.tiles_per_file
+    )
+    if has_seq_col:
+        max_seq = pa.compute.max(tbl["seq"]).as_py()
+        n_seq_next = n_seq0 + int(max_seq) + 1
+    else:
+        n_seq_next = n_seq0 + len({m.image_id for m in metas})
+    manifest_mod.write_grid_meta(new_out_dir, new_grid, n_seq_next, all_bands)
+    result.tiles_ds = manifest_mod.read_committed_tiles(new_out_dir)
+    if cfg.do_pyramids:
+        from ..stages.assemble import build_pyramids
+
+        result.pyramids_ds = build_pyramids(
+            result.tiles_ds, new_grid, cfg.min_overview_size
+        )
+    if cfg.do_stats:
+        by_band = manifest_mod.stats_from_manifest(new_out_dir)
+        result.stats_by_band = by_band
+        result.stats = by_band.get(0)
     return result

@@ -274,3 +274,85 @@ def test_read_committed_pruned_columns_resolves_generations(
     rows = pruned.count()
     assert rows == n_keys  # superseded rows filtered, one row per key
     assert set(pruned.schema().names) == {"pixels", "pixels_codec"}
+
+
+def _ext_catalog(tmp_path, name, base_idx, gt):
+    """One-image extension catalog: image ``base_idx``'s pixels at an
+    explicit grid-aligned geotransform."""
+    import pyarrow as pa
+
+    lay = Layout("pair_overlap", 2, 64)
+    tbl = gen_images_table(lay)
+    row = tbl.slice(base_idx, 1)
+    row = row.append_column("gt", pa.array([list(gt)], pa.list_(pa.float64(), 6)))
+    row = row.append_column("crs", pa.array(["EPSG:32756"], pa.string()))
+    row = row.append_column("nullval", pa.array([0.0], pa.float64()))
+    row = row.append_column("seq", pa.array([0], pa.int64()))
+    d = str(tmp_path / name)
+    os.makedirs(d)
+    pq.write_table(row, os.path.join(d, "p.parquet"))
+    return d
+
+
+def _extend_truth(new_gt):
+    """Full-rebuild oracle over [image0 at its layout slot, image1 at
+    new_gt] with append order."""
+    from dataclasses import replace
+
+    from moaray.geo import make_output_grid
+
+    lay = Layout("pair_overlap", 2, 64)
+    metas = metas_for_layout(lay)
+    m_new = replace(metas[1], transform=tuple(new_gt))
+    grid = make_output_grid([metas[0], m_new], 64)
+    arrays = {
+        metas[0].image_id: pixel_array(0, lay),
+        m_new.image_id: pixel_array(1, lay),
+    }
+    return grid, oracle.build_mosaic(grid, [metas[0], m_new], arrays)
+
+
+@pytest.mark.parametrize(
+    "new_gt",
+    [
+        # growth right+down, with a gap (empty tiles in between)
+        (300000.0 + 96 * 10.0, 10.0, 0.0, 7000000.0 - 96 * 10.0, 0.0, -10.0),
+        # growth left+up
+        (300000.0 - 64 * 10.0, 10.0, 0.0, 7000000.0 + 64 * 10.0, 0.0, -10.0),
+        # growth right only, overlapping the old edge
+        (300000.0 + 32 * 10.0, 10.0, 0.0, 7000000.0, 0.0, -10.0),
+    ],
+)
+def test_extend_mosaic_matches_full_rebuild(ray_session, tmp_path, new_gt):
+    """Grid extension: committed pixels migrate as base windows onto the
+    union-extent grid; the result must equal a full rebuild over the
+    concatenated catalog (append order), including empty-gap tiles."""
+    from moaray.pipelines.update import extend_mosaic
+
+    lay = Layout("pair_overlap", 2, 64)
+    tbl = gen_images_table(lay)
+    base = str(tmp_path / "base")
+    os.makedirs(base)
+    import pyarrow as pa
+
+    pq.write_table(tbl.take(pa.array([0])), os.path.join(base, "p.parquet"))
+    ext = _ext_catalog(tmp_path, "ext", 1, new_gt)
+
+    out = str(tmp_path / "out")
+    new_out = str(tmp_path / "out2")
+    cfg = MosaicConfig(layout=lay, blocksize=64, do_pyramids=False)
+    do_mosaic(base, cfg, out_dir=out)
+    res = extend_mosaic(ext, cfg, out, new_out)
+
+    grid_t, truth = _extend_truth(new_gt)
+    assert (res.grid.ncols, res.grid.nrows) == (grid_t.ncols, grid_t.nrows)
+    assert res.grid.transform == grid_t.transform
+    got = mosaic_array(res.tiles_ds, res.grid)
+    assert np.array_equal(got, truth)
+    # full-extent parity: every tile of the new grid committed
+    assert res.tiles_ds.count() == res.grid.num_tiles
+    # stats over the extended output match the oracle
+    omin, omax, omean, ostd, ocount = oracle.stats(truth, grid_t.nullval)
+    s = res.stats
+    assert s["count"] == ocount and s["min"] == omin and s["max"] == omax
+    assert abs(s["mean"] - omean) < 1e-9
