@@ -59,6 +59,12 @@ def get_cmdargs(argv=None):
                    help="incremental update: fold the input catalog's images "
                         "into the EXISTING committed mosaic at -o, rewriting "
                         "only affected tiles (merge=last only)")
+    p.add_argument("--extend", metavar="NEW_OUT", default=None,
+                   help="like --update but the input may EXCEED the stored "
+                        "extent: the grid grows to the union extent and a "
+                        "complete re-keyed output writes to NEW_OUT "
+                        "(committed pixels migrate; old sources never "
+                        "re-read)")
     p.add_argument("--nopyramids", action="store_true",
                    help="skip overview pyramid generation")
     p.add_argument("--minoverviewsize", type=int, default=1024,
@@ -186,7 +192,11 @@ def main_cmd(argv=None) -> int:
             # reference-compat: -o names a single GeoTIFF FILE; the
             # resumable tile sink spools through a sibling work dir
             out_dir = args.outdir + ".tiles"
-        if args.update:
+        if args.extend:
+            from .pipelines.update import extend_mosaic
+
+            res = extend_mosaic(infile, cfg, out_dir, args.extend)
+        elif args.update:
             from .pipelines.update import update_mosaic
 
             res = update_mosaic(infile, cfg, out_dir)

@@ -356,3 +356,52 @@ def test_extend_mosaic_matches_full_rebuild(ray_session, tmp_path, new_gt):
     s = res.stats
     assert s["count"] == ocount and s["min"] == omin and s["max"] == omax
     assert abs(s["mean"] - omean) < 1e-9
+
+
+def test_extend_mosaic_multiband(ray_session, tmp_path):
+    """Grid growth with a 2-band committed mosaic: both bands migrate and
+    merge; per-band stats recompute over the extended output."""
+    import pyarrow as pa
+
+    from moaray.pipelines.update import extend_mosaic
+    from moaray.testgen import band_pixel_array
+
+    lay = Layout("pair_overlap", 2, 64)
+    tbl = gen_images_table(lay, nbands=2)
+    base = str(tmp_path / "base")
+    ext = str(tmp_path / "ext")
+    os.makedirs(base)
+    os.makedirs(ext)
+    # rows are (image, band) pairs: image 0 = rows 0,1; image 1 = rows 2,3
+    pq.write_table(tbl.take(pa.array([0, 1])), os.path.join(base, "p.parquet"))
+    new_gt = (300000.0 + 96 * 10.0, 10.0, 0.0, 7000000.0 - 96 * 10.0, 0.0, -10.0)
+    rows = tbl.take(pa.array([2, 3]))  # image 1, bands 0+1
+    rows = rows.append_column(
+        "gt", pa.array([list(new_gt)] * 2, pa.list_(pa.float64(), 6))
+    )
+    rows = rows.append_column("crs", pa.array(["EPSG:32756"] * 2, pa.string()))
+    rows = rows.append_column("nullval", pa.array([0.0] * 2, pa.float64()))
+    rows = rows.append_column("seq", pa.array([0, 0], pa.int64()))
+    pq.write_table(rows, os.path.join(ext, "p.parquet"))
+
+    out = str(tmp_path / "out")
+    new_out = str(tmp_path / "out2")
+    cfg = MosaicConfig(layout=lay, blocksize=64, do_pyramids=False)
+    do_mosaic(base, cfg, out_dir=out)
+    res = extend_mosaic(ext, cfg, out, new_out)
+
+    from dataclasses import replace
+
+    metas = metas_for_layout(lay)
+    m_new = replace(metas[1], transform=new_gt)
+    # base mosaic holds image 0 ONLY (rows 0,1 are its two bands)
+    grid_t = make_output_grid([metas[0], m_new], 64)
+    for band in (0, 1):
+        arrays = {
+            metas[0].image_id: band_pixel_array(0, lay, band),
+            m_new.image_id: band_pixel_array(1, lay, band),
+        }
+        truth = oracle.build_mosaic(grid_t, [metas[0], m_new], arrays)
+        got = mosaic_array(res.tiles_ds, res.grid, band=band)
+        assert np.array_equal(got, truth), f"band {band}"
+    assert res.stats_by_band.keys() == {0, 1}
