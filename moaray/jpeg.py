@@ -143,14 +143,19 @@ class _BitWriter:
         self.nbits = 0
 
     def write(self, value: int, length: int):
-        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            self.nbits -= 8
-            byte = (self.acc >> self.nbits) & 0xFF
-            self.out.append(byte)
+        acc = (self.acc << length) | (value & ((1 << length) - 1))
+        nbits = self.nbits + length
+        out = self.out
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            out.append(byte)
             if byte == 0xFF:  # byte stuffing (B.1.1.5)
-                self.out.append(0x00)
+                out.append(0x00)
+        # truncate the accumulator — an unbounded big int turns every
+        # subsequent shift into O(total bits written)
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
 
     def flush(self):
         if self.nbits:
@@ -197,42 +202,49 @@ def jpeg_encode(
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    # Vectorized magnitude coding for the whole coefficient matrix: size
+    # (bit length of |v|) and appended bits (one's-complement negatives)
+    # computed once in numpy, so the per-symbol loop only does table
+    # lookups + bit packing.
+    absz = np.abs(zz)
+    sizes = np.where(
+        absz == 0, 0, np.floor(np.log2(np.maximum(absz, 1))).astype(np.int64) + 1
+    )
+    bits_mat = np.where(zz >= 0, zz, zz + (1 << sizes) - 1)
     bw = _BitWriter()
+    write = bw.write
     prev_dc = 0
     rst_n = 0
-    for bi, row in enumerate(zz):
+    zrl_code, zrl_len = ac_codes[0xF0]
+    eob_code, eob_len = ac_codes[0x00]
+    for bi in range(zz.shape[0]):
         if restart_interval and bi and bi % restart_interval == 0:
             # byte-align, emit RSTn, reset the DC predictor (E.2.4)
             bw.flush()
             bw.out += bytes([0xFF, 0xD0 + (rst_n % 8)])
             rst_n += 1
             prev_dc = 0
-        size, bits = _magnitude(int(row[0]) - prev_dc)
-        prev_dc = int(row[0])
+        dc = int(zz[bi, 0])
+        size, dbits = _magnitude(dc - prev_dc)
+        prev_dc = dc
         code, length = dc_codes[size]
-        bw.write(code, length)
+        write(code, length)
         if size:
-            bw.write(bits, size)
-        run = 0
-        nz = np.nonzero(row[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for i in range(1, last + 1):
-            v = int(row[i])
-            if v == 0:
-                run += 1
-                continue
+            write(dbits, size)
+        nz = np.nonzero(zz[bi, 1:])[0] + 1
+        prev = 0
+        for i in nz:
+            run = int(i) - prev - 1
             while run > 15:
-                code, length = ac_codes[0xF0]  # ZRL
-                bw.write(code, length)
+                write(zrl_code, zrl_len)
                 run -= 16
-            size, bits = _magnitude(v)
+            size = int(sizes[bi, i])
             code, length = ac_codes[(run << 4) | size]
-            bw.write(code, length)
-            bw.write(bits, size)
-            run = 0
-        if last < 63:
-            code, length = ac_codes[0x00]  # EOB
-            bw.write(code, length)
+            write(code, length)
+            write(int(bits_mat[bi, i]), size)
+            prev = int(i)
+        if prev < 63:
+            write(eob_code, eob_len)
     bw.flush()
 
     def huff_payload(tclass: int, tid: int, bits, vals) -> bytes:
@@ -254,52 +266,78 @@ def jpeg_encode(
 
 
 def _build_decode_table(bits: list[int], vals: list[int]):
-    """(code, length) -> symbol dict for sequential Huffman decode."""
-    table = {}
+    """Flat 16-bit-peek lookup arrays (sym, length): every canonical code,
+    left-aligned to 16 bits, fills its 2^(16-len) slot range — one array
+    index decodes a symbol instead of up-to-16 bit-by-bit dict probes."""
+    sym = np.full(1 << 16, -1, dtype=np.int16)
+    length = np.zeros(1 << 16, dtype=np.int8)
     code = 0
     k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            base = code << (16 - ln)
+            sym[base : base + (1 << (16 - ln))] = vals[k]
+            length[base : base + (1 << (16 - ln))] = ln
             code += 1
             k += 1
         code <<= 1
-    return table
+    # plain Python lists: list indexing returns ints in ~50ns where numpy
+    # scalar extraction costs microseconds — this IS the decode hot loop
+    return sym.tolist(), length.tolist()
 
 
 class _BitReader:
-    """Reads the entropy-coded segment (already unstuffed)."""
+    """Reads the entropy-coded segment (already unstuffed). Keeps a >=16-bit
+    accumulator so Huffman symbols decode with one table lookup."""
 
     def __init__(self, data: bytes):
         self.data = data
+        self.n = len(data)
         self.pos = 0
         self.acc = 0
         self.nbits = 0
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                return 0  # spec: pad with 1s; 0 is safer for trailing EOB
-            self.acc = self.data[self.pos]
-            self.pos += 1
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def _fill(self, need: int):
+        acc = self.acc
+        nbits = self.nbits
+        pos = self.pos
+        data = self.data
+        n = self.n
+        while nbits < need:
+            if pos < n:
+                acc = (acc << 8) | data[pos]
+                pos += 1
+            else:
+                acc <<= 8  # trailing pad (0s: safe for final EOB)
+            nbits += 8
+        self.acc = acc
+        self.nbits = nbits
+        self.pos = pos
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill(n)
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def decode_symbol(self, table) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
+        sym_arr, len_arr = table
+        nbits = self.nbits
+        if nbits < 16:
+            self._fill(16)
+            nbits = self.nbits
+        peek = (self.acc >> (nbits - 16)) & 0xFFFF
+        s = sym_arr[peek]
+        if s < 0:
+            raise ValueError("invalid JPEG Huffman code")
+        nbits -= len_arr[peek]
+        self.nbits = nbits
+        self.acc &= (1 << nbits) - 1
+        return s
 
 
 def _extend(v: int, size: int) -> int:
@@ -408,25 +446,24 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
     if h is None or scan_start is None:
         raise ValueError("JPEG stream missing SOF/SOS")
 
-    # entropy segment: unstuff 0xFF00 -> 0xFF, stop at any real marker
-    raw = bytearray()
-    p = scan_start
-    rst_breaks = []
-    while p < n:
-        b = buf[p]
-        if b == 0xFF and p + 1 < n:
-            m = buf[p + 1]
-            if m == 0x00:
-                raw.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= m <= 0xD7:  # RSTn: byte-align + reset DC predictor
-                rst_breaks.append(len(raw))
-                p += 2
-                continue
-            break  # EOI or next segment
-        raw.append(b)
-        p += 1
+    # entropy segment: vectorized marker scan, then bulk unstuffing — the
+    # byte-wise Python loop was ~25% of decode wall time
+    seg = buf[scan_start:]
+    arr = np.frombuffer(seg, np.uint8)
+    ff = np.where(arr[:-1] == 0xFF)[0]
+    nxt = arr[ff + 1] if len(ff) else np.empty(0, np.uint8)
+    is_stuff = nxt == 0x00
+    is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    real = ff[~(is_stuff | is_rst)]
+    end = int(real[0]) if len(real) else len(arr)
+    rst_pos = ff[is_rst]
+    rst_pos = rst_pos[rst_pos < end]
+    pieces = []
+    start = 0
+    for rp in rst_pos.tolist():
+        pieces.append(seg[start:rp].replace(b"\xff\x00", b"\xff"))
+        start = rp + 2
+    pieces.append(seg[start:end].replace(b"\xff\x00", b"\xff"))
 
     dc_tbl = htables[(0, dc_id)]
     ac_tbl = htables[(1, ac_id)]
@@ -434,14 +471,9 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
     bh, bw_ = -(-h // 8), -(-w // 8)
     nblocks = bh * bw_
     zz = np.zeros((nblocks, 64), dtype=np.float64)
-    # restart intervals chop the stream into independently-decodable chunks
-    segments = []
-    if rst_breaks:
-        starts = [0] + rst_breaks
-        ends = rst_breaks + [len(raw)]
-        segments = [bytes(raw[s:e]) for s, e in zip(starts, ends)]
-    else:
-        segments = [bytes(raw)]
+    # restart intervals chopped the stream into independently-decodable
+    # chunks during unstuffing
+    segments = pieces
     bi = 0
     per_seg = restart_interval if restart_interval else nblocks
     for seg_data in segments:
