@@ -538,6 +538,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             emb, qids, qmat, k=5, n_subspaces=16, hex_lt="ff"
         ).sort(["query_id", "rank"])
 
+    def q_knn_ivf_pq(sf_dir: str):  # rows-only (recall<1 by design)
+        # IVF-PQ: coarse cell routing + PQ-coded lists — the canonical
+        # billion-vector index shape
+        emb = _emb(sf_dir)
+        qids, qmat = ann.load_queries(emb, n_queries=10)
+        return ann.knn_ivf_pq(
+            emb, qids, qmat, k=5, n_subspaces=16, hex_lt="ff"
+        ).sort(["query_id", "rank"])
+
     def q_revenue_by_nation(sf_dir: str):
         import ray
 
@@ -777,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
         "knn_pq": q_knn_pq,
+        "knn_ivf_pq": q_knn_ivf_pq,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,

@@ -560,3 +560,166 @@ def knn_pq(
         )
 
     return partial.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
+
+
+def knn_ivf_pq(
+    emb_ds,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_subspaces: int = 16,
+    n_codes: int = 256,
+    sample_limit: int = 65_536,
+    hex_lt: str = "20",
+):
+    """IVF-PQ: the canonical billion-vector index shape (coarse quantizer
+    routes each query to ``nprobe`` inverted lists; within a list, vectors
+    are scanned as PQ codes via asymmetric-distance table lookups).
+
+    Both quantizers fit on ONE shared bounded hash-sample read; the corpus
+    is then read once, assigning each vector to its coarse cell and PQ-
+    encoding the residual-free sub-vectors in the same batch pass. Memory
+    per vector at scale: m bytes of codes + 1 coarse id — the layout you
+    persist for a 10^12-vector corpus. Approximate on two axes (cell
+    pruning + quantization); ``knn_bruteforce`` is the exact baseline and
+    ``knn_ivf``/``knn_pq`` isolate each axis."""
+    from .text import hash_sample
+
+    qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+
+    # one sample read fits BOTH quantizers
+    rows = (
+        hash_sample(
+            emb_ds, "vec_id", hex_lt=hex_lt, columns=["vec_id", "embedding"]
+        )
+        .limit(sample_limit)
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    smat = _normalize(np.array([r["embedding"] for r in rows], np.float64))
+    # coarse centroids: local Lloyd on the sample (spherical)
+    cent = smat[:n_centroids].copy()
+    for _ in range(10):
+        assign = np.argmax(smat @ cent.T, axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, smat)
+        counts = np.bincount(assign, minlength=n_centroids)
+        ne = counts > 0
+        new_cent = cent.copy()
+        new_cent[ne] = sums[ne] / counts[ne, None]
+        new_cent = _normalize(new_cent)
+        if np.allclose(new_cent, cent):
+            break
+        cent = new_cent
+    # PQ codebooks per subspace on the same sample
+    n, d = smat.shape
+    if d % n_subspaces != 0:
+        raise ValueError(
+            f"embedding dim {d} not divisible by n_subspaces {n_subspaces}"
+        )
+    sub_d = d // n_subspaces
+    kc = min(n_codes, n)
+    books = np.empty((n_subspaces, kc, sub_d))
+    for m in range(n_subspaces):
+        sub = smat[:, m * sub_d : (m + 1) * sub_d]
+        c = sub[:kc].copy()
+        for _ in range(12):
+            d2 = (
+                (sub ** 2).sum(1)[:, None] - 2.0 * sub @ c.T
+                + (c ** 2).sum(1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, sub)
+            cnt = np.bincount(a, minlength=kc)
+            ne = cnt > 0
+            nc = c.copy()
+            nc[ne] = sums[ne] / cnt[ne, None]
+            if np.allclose(nc, c):
+                break
+            c = nc
+        books[m] = c
+
+    qc = qmat @ cent.T
+    probes = np.argsort(-qc, axis=1)[:, :nprobe]
+    nq = qmat.shape[0]
+    tables = np.empty((nq, n_subspaces, kc))
+    for j in range(n_subspaces):
+        qs = qmat[:, j * sub_d : (j + 1) * sub_d]
+        c = books[j]
+        tables[:, j, :] = (
+            (qs ** 2).sum(1)[:, None] - 2.0 * qs @ c.T
+            + (c ** 2).sum(1)[None, :]
+        )
+    probe_mask = np.zeros((nq, n_centroids), dtype=bool)
+    for qi in range(nq):
+        probe_mask[qi, probes[qi]] = True
+    ref = ray.put((qids, cent, books, tables, probe_mask))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, cents, bks, tabs, pmask = ray.get(ref)
+        cids = batch["vec_id"].to_numpy()
+        cmat = _normalize(
+            np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        )
+        cell = np.argmax(cmat @ cents.T, axis=1)
+        m = bks.shape[0]
+        sd = bks.shape[2]
+        nrows = cmat.shape[0]
+        codes = np.empty((nrows, m), dtype=np.int64)
+        for j in range(m):
+            sub = cmat[:, j * sd : (j + 1) * sd]
+            c = bks[j]
+            d2 = (
+                (sub ** 2).sum(1)[:, None] - 2.0 * sub @ c.T
+                + (c ** 2).sum(1)[None, :]
+            )
+            codes[:, j] = np.argmin(d2, axis=1)
+        out_q, out_n, out_s = [], [], []
+        col = np.arange(m)[None, :]
+        for qi in range(len(q_ids)):
+            sel = pmask[qi][cell]
+            if not sel.any():
+                continue
+            d2 = tabs[qi][col, codes[sel]].sum(axis=1)
+            sim = 1.0 - d2 / 2.0
+            oq, on, os_ = _topk_rows(
+                q_ids[qi : qi + 1], sim[None, :], cids[sel], k
+            )
+            out_q.extend(oq)
+            out_n.extend(on)
+            out_s.extend(os_)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partial = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        ids = group["neighbor_id"].to_numpy()
+        sims = group["cosine"].to_numpy()
+        order = np.lexsort((ids, -sims))[:k]
+        nr = len(order)
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    [group["query_id"][0].as_py()] * nr, pa.int64()
+                ),
+                "neighbor_id": pa.array(ids[order], pa.int64()),
+                "rank": pa.array(np.arange(1, nr + 1), pa.int64()),
+                "cosine": pa.array(np.round(sims[order], 4), pa.float64()),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(
+        merge_topk, batch_format="pyarrow"
+    )

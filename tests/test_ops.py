@@ -743,3 +743,19 @@ def test_supplier_region_stats_vs_sql(con):
            JOIN region ON n_regionkey = r_regionkey
            GROUP BY r_name""",
     )
+
+
+def test_knn_ivf_pq_recall_vs_bruteforce():
+    from moaray.ops.ann import knn_bruteforce, knn_ivf_pq, load_queries
+
+    e = emb()
+    qids, qmat = load_queries(e, n_queries=5)
+    bf = knn_bruteforce(e, qids, qmat, k=5).to_pandas()
+    ip = knn_ivf_pq(
+        e, qids, qmat, k=5, n_centroids=8, nprobe=4, n_subspaces=32,
+        hex_lt="ff",
+    ).to_pandas()
+    bf_set = set(zip(bf["query_id"], bf["neighbor_id"]))
+    ip_set = set(zip(ip["query_id"], ip["neighbor_id"]))
+    recall = len(bf_set & ip_set) / len(bf_set)
+    assert recall >= 0.5, f"IVF-PQ recall too low: {recall}"
