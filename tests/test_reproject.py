@@ -408,3 +408,55 @@ def test_mosaic_latlon_to_utm_requires_res(tmp_path):
                   crs="EPSG:4326")
     with pytest.raises(ProjectionError, match="units"):
         warped_meta(m, WarpSpec("EPSG:32756"))
+
+
+def test_mosaic_latlon_to_utm_bilinear(ray_session, tmp_path):
+    """Curvilinear warp with the bilinear kernel: the nonlinear px mapper
+    feeds every resample kernel, not just nearest."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from moaray import MosaicConfig, codecs, do_mosaic
+    from moaray.pipelines.mosaic import mosaic_array
+
+    size = 64
+    ramp = np.tile(np.arange(size, dtype=np.uint16) * 100, (size, 1))
+    ramp[:, 0] = 0
+    gt = (152.90, 0.001, 0.0, -29.90, 0.0, -0.001)
+    tbl = pa.table(
+        {
+            "image_id": pa.array(["ll0000"], pa.string()),
+            "bytes": pa.array([codecs.encode(ramp, "z16")], pa.binary()),
+            "w": pa.array([size], pa.int32()),
+            "h": pa.array([size], pa.int32()),
+            "fmt": pa.array(["z16"], pa.string()),
+            "gt": pa.array([list(gt)], pa.list_(pa.float64(), 6)),
+            "crs": pa.array(["EPSG:4326"], pa.string()),
+            "nullval": pa.array([0.0], pa.float64()),
+            "seq": pa.array([0], pa.int64()),
+        }
+    )
+    path = str(tmp_path / "ll")
+    os.makedirs(path)
+    pq.write_table(tbl, os.path.join(path, "p.parquet"))
+    got = {}
+    for resample in ("near", "bilinear"):
+        res = do_mosaic(
+            path,
+            MosaicConfig(
+                blocksize=32, out_crs="EPSG:32756", out_xres=100.0,
+                out_yres=100.0, resample=resample, do_pyramids=False,
+                do_stats=False,
+            ),
+        )
+        got[resample] = mosaic_array(res.tiles_ds, res.grid)
+    near, bil = got["near"], got["bilinear"]
+    assert near.shape == bil.shape
+    # bilinear smooths but stays within the source value range and close
+    # to nearest (the ramp's neighbor delta is 100)
+    nz = (near != 0) & (bil != 0)
+    assert nz.sum() > 1000
+    diff = np.abs(near[nz].astype(np.int64) - bil[nz].astype(np.int64))
+    assert diff.max() <= 200 and (diff > 0).any()
