@@ -3,9 +3,9 @@
 The reference consumes a text filelist of raster FILES (makeFilelist, ref
 /root/reference/moamosaic/mosaic.py:112-128, GDAL opens each path); moaray's
 native input is a catalog table. This source closes the gap: point the
-engine at a directory (or explicit path list) of ``.png`` / ``.mray`` /
-``.tif`` files and get the standard images Dataset, georeferenced from
-sidecar metadata:
+engine at a directory (or explicit path list) of ``.png`` / ``.jpg`` /
+``.mray`` / ``.tif`` files and get the standard images Dataset,
+georeferenced from sidecar metadata:
 
 - ``<name>.wld`` — the six-line ESRI world file (public spec: x-res, rot,
   rot, -y-res, center-x of top-left pixel, center-y). GDAL reads the same
@@ -31,7 +31,7 @@ import pyarrow as pa
 
 from .. import codecs
 
-IMG_EXTS = (".png", ".mray", ".tif", ".tiff")
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".mray", ".tif", ".tiff")
 
 
 def _world_file_for(path: str) -> str | None:
@@ -119,7 +119,7 @@ def read_image_files(src, crs: str | None = None, nullval: float = 0.0):
                 if gt is None:
                     raise ValueError(
                         f"{path}: no world file (.wld) found — loose "
-                        "png/mray files need sidecar georeferencing"
+                        "png/jpg/mray files need sidecar georeferencing"
                     )
             rows["image_id"].append(
                 os.path.splitext(os.path.basename(path))[0]

@@ -111,3 +111,51 @@ def test_catalog_read_through_uri_scheme(ray_session):
                                       do_pyramids=False))
     assert res.stats["count"] == 35156
     assert res.stats["min"] == 1 and res.stats["max"] == 63
+
+
+def test_loose_jpeg_files_with_world_files(ray_session, tmp_path):
+    """A directory of .jpg files + .wld sidecars mosaics through the
+    from-scratch JPEG decoder — the real-world image-corpus-on-disk shape."""
+    import numpy as np
+
+    from moaray import MosaicConfig, do_mosaic
+    from moaray.jpeg import jpeg_encode
+    from moaray.pipelines.mosaic import mosaic_array
+
+    from moaray.jpeg import jpeg_decode
+
+    d = tmp_path / "jpgs"
+    d.mkdir()
+    size = 64
+    # two flat-valued tiles side by side; the null column's hard edge
+    # rings under DCT, so parity is vs the DECODED-lossy source (the same
+    # contract as the q12/jpeg mosaic parity tests)
+    expected = []
+    for i, val in enumerate((50, 180)):
+        arr = np.full((size, size), val, np.uint8)
+        arr[:, 0] = 0
+        blob = jpeg_encode(arr, quality=95)
+        expected.append(jpeg_decode(blob))
+        (d / f"img{i}.jpg").write_bytes(blob)
+        x0 = 300000.0 + i * size * 10.0
+        # world file stores the CENTER of the top-left pixel
+        (d / f"img{i}.wld").write_text(
+            f"10.0\n0.0\n0.0\n-10.0\n{x0 + 5.0}\n{7000000.0 - 5.0}\n"
+        )
+    (d / "crs.txt").write_text("EPSG:32756")
+    from moaray.sources.files import catalog_from_files
+
+    cat = catalog_from_files(str(d), str(tmp_path / "cat"))
+    res = do_mosaic(cat, MosaicConfig(blocksize=64, do_pyramids=False,
+                                      do_stats=False))
+    got = mosaic_array(res.tiles_ds, res.grid)
+    assert got.shape == (size, 2 * size)
+    assert got.dtype == np.uint8
+    # last-non-null merge of the two decoded-lossy arrays
+    truth = np.zeros((size, 2 * size), np.uint8)
+    for i, dec in enumerate(expected):
+        dst = truth[:, i * size : (i + 1) * size]
+        np.copyto(dst, dec, where=dec != 0)
+    assert np.array_equal(got, truth)
+    assert np.abs(got[:, 1:size].astype(int) - 50).max() <= 3
+    assert np.abs(got[:, size + 1 :].astype(int) - 180).max() <= 3
