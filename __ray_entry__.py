@@ -338,6 +338,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["tile_id", "seq"]
         )
 
+    def q_tile_captions(sf_dir: str):  # rows-only (image table not a view)
+        # caption passthrough (north-star invariant): every tile assignment
+        # row carries its image's caption byte-equal
+        from moaray.pipelines.mosaic import tile_caption_manifest
+
+        return tile_caption_manifest(_images("grid"), _cfg("grid")).sort(
+            ["tile_id", "seq"]
+        )
+
     def q_spatial_join_cells(sf_dir: str):
         return plan_assignments(
             _images("grid"), _cfg("grid", join_strategy="cell_join")
@@ -779,6 +788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_reproject_utm": q_mosaic_reproject_utm,
         "spatial_join": q_spatial_join,
         "spatial_join_cells": q_spatial_join_cells,
+        "tile_captions": q_tile_captions,
         "mosaic_stats": q_mosaic_stats,
         "mosaic_multiband_stats": q_mosaic_multiband_stats,
         "pyramids": q_pyramids,

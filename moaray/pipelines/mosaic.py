@@ -695,3 +695,29 @@ def overview_array(
         arr = decode_payload(buf, codec, np_dtype).reshape(h, w)
         out[yoff : yoff + h, xoff : xoff + w] = arr
     return out
+
+
+def tile_caption_manifest(images_path: str, cfg: MosaicConfig):
+    """(tile_id, image_id, seq, caption) — the caption-passthrough surface
+    of the image+caption data model: every (tile, contributing image) pair
+    from the spatial join carries its catalog caption BYTE-EQUAL (captions
+    broadcast once via ray.put; assignment rows never carry text through
+    the join itself)."""
+    import pyarrow.parquet as _pq
+
+    cap_tbl = _pq.read_table(images_path, columns=["image_id", "caption"])
+    cap_map = dict(
+        zip(cap_tbl["image_id"].to_pylist(), cap_tbl["caption"].to_pylist())
+    )
+    ref = ray.put(cap_map)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(ref)
+        caps = [cmap.get(i) for i in batch["image_id"].to_pylist()]
+        return batch.select(["tile_id", "image_id", "seq"]).append_column(
+            "caption", pa.array(caps, pa.string())
+        )
+
+    return plan_assignments(images_path, cfg).map_batches(
+        attach, batch_format="pyarrow"
+    )

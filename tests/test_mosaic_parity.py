@@ -358,3 +358,26 @@ def test_lineage_capped_on_hot_tiles(monkeypatch):
     assert max(r["n_inputs"] for r in rows) == 8
     trunc = [r for r in rows if r["n_inputs"] > len(r["input_ids"])]
     assert trunc
+
+
+def test_caption_passthrough_through_engine(ray_session):
+    """North-star invariant: captions survive the engine BYTE-EQUAL — both
+    through the pruned catalog scan and attached per tile-assignment."""
+    from moaray.pipelines.mosaic import read_images, tile_caption_manifest
+
+    layout = Layout("grid3x3", 9, 64)
+    path = images_path(layout)
+    tbl = gen_images_table(layout)
+    truth = dict(
+        zip(tbl["image_id"].to_pylist(), tbl["caption"].to_pylist())
+    )
+    # 1) engine scan passthrough
+    rows = read_images(path, ["image_id", "caption"]).take_all()
+    assert {r["image_id"]: r["caption"] for r in rows} == truth
+    # 2) per-tile caption manifest: every assignment row carries its
+    # image's exact caption
+    cfg = MosaicConfig(layout=layout, blocksize=64)
+    man = tile_caption_manifest(path, cfg).take_all()
+    assert len(man) > 0
+    for r in man:
+        assert r["caption"] == truth[r["image_id"]]
