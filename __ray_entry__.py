@@ -507,6 +507,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_simhash_pairs(sf_dir: str):  # rows-only (non-SQL)
         return dedup.simhash_pairs(_docs(sf_dir))
 
+    def q_phash_neardup(sf_dir: str):  # rows-only (image table not a view)
+        # perceptual-hash image dedup over the catalog's phash column
+        import ray
+
+        ds = ray.data.read_parquet(
+            _images("grid"), columns=["image_id", "phash"]
+        )
+        return dedup.phash_neardup_pairs(ds, max_hamming=16).sort(
+            ["image_a", "image_b"]
+        )
+
     def q_embedding_neardup(sf_dir: str):
         # cosine column dropped from the compared result: DuckDB computes
         # list_cosine_similarity in float32, numpy in float64 — identical
@@ -802,6 +813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "neardup_clusters": q_neardup_clusters,
         "neardup_clusters_dist": q_neardup_clusters_dist,
+        "phash_neardup": q_phash_neardup,
         "footprint_coverage": q_footprint_coverage,
         "polygonize_footprints": q_polygonize,
         "image_features": q_image_features,

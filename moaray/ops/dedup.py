@@ -901,3 +901,82 @@ def ngram_jaccard_pairs(
     return _blocked_jaccard_pairs(
         docs_ds, tokenize, threshold, block_col, _auto_blocks(docs_ds, n_blocks)
     )
+
+
+def phash_neardup_pairs(images_ds, max_hamming: int = 3):
+    """Image near-dup pairs from the catalog's perceptual-hash column
+    (``phash: int64`` — the input-table contract's image fingerprint):
+    pairs with hamming(phash_a, phash_b) <= max_hamming.
+
+    Same pigeonhole blocking as simhash_pairs (4 x 16-bit bands: any pair
+    within hamming 3 agrees exactly on >= 1 band), single packed groupby
+    key, packed pair-key dedup. Only (image_id, phash) ever shuffles —
+    never image bytes — so this runs over a 10^12-image catalog at the
+    cost of a fingerprint-column scan."""
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        h = batch["phash"].to_numpy().astype(np.uint64)
+        out = {"bkey": [], "image_id": [], "phash": []}
+        for band in range(4):
+            vals = (h >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            out["bkey"].extend(
+                ((np.int64(band) << 16) | vals.astype(np.int64)).tolist()
+            )
+            out["image_id"].extend(ids)
+            out["phash"].extend(h.astype(np.int64).tolist())
+        return pa.Table.from_pydict(
+            {
+                "bkey": pa.array(out["bkey"], pa.int64()),
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "phash": pa.array(out["phash"], pa.int64()),
+            }
+        )
+
+    bands_ds = images_ds.select_columns(["image_id", "phash"]).map_batches(
+        to_bands, batch_format="pyarrow"
+    )
+
+    def candidates(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table(
+            {"pair_key": pa.array([], pa.string()),
+             "image_a": pa.array([], pa.string()),
+             "image_b": pa.array([], pa.string()),
+             "hamming": pa.array([], pa.int32())}
+        )
+        if n < 2:
+            return empty
+        ids = np.array(group["image_id"].to_pylist())
+        h = group["phash"].to_numpy().astype(np.uint64)
+        x = h[:, None] ^ h[None, :]
+        ham = np.zeros_like(x, dtype=np.int32)
+        for shift in range(64):
+            ham += ((x >> np.uint64(shift)) & np.uint64(1)).astype(np.int32)
+        ia, ib = np.where(
+            np.triu(ham <= max_hamming, k=1) & (ids[:, None] != ids[None, :])
+        )
+        if len(ia) == 0:
+            return empty
+        lo = ids[ia] < ids[ib]  # np.minimum has no unicode loop
+        a = np.where(lo, ids[ia], ids[ib])
+        b = np.where(lo, ids[ib], ids[ia])
+        return pa.table(
+            {
+                # string ids: the pair key is the joined pair itself
+                "pair_key": pa.array([f"{x}|{y}" for x, y in zip(a, b)],
+                                     pa.string()),
+                "image_a": pa.array(a, pa.string()),
+                "image_b": pa.array(b, pa.string()),
+                "hamming": pa.array(ham[ia, ib], pa.int32()),
+            }
+        )
+
+    cand = bands_ds.groupby("bkey").map_groups(
+        candidates, batch_format="pyarrow"
+    )
+    return (
+        cand.groupby("pair_key")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .drop_columns(["pair_key"])
+    )

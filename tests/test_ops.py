@@ -759,3 +759,25 @@ def test_knn_ivf_pq_recall_vs_bruteforce():
     ip_set = set(zip(ip["query_id"], ip["neighbor_id"]))
     recall = len(bf_set & ip_set) / len(bf_set)
     assert recall >= 0.5, f"IVF-PQ recall too low: {recall}"
+
+
+def test_phash_neardup_pairs():
+    """Perceptual-hash image dedup over the catalog's phash column: exact
+    duplicates and <=3-bit variants pair; distant hashes don't."""
+    from moaray.ops.dedup import phash_neardup_pairs
+
+    base = 0x0123456789ABCDEF
+    tbl = pa.table(
+        {
+            "image_id": pa.array(["a", "b", "c", "d"], pa.string()),
+            "phash": pa.array(
+                [base, base ^ 0b101, base, base ^ ((1 << 40) - 1)],
+                pa.int64(),
+            ),
+        }
+    )
+    pairs = phash_neardup_pairs(ray.data.from_arrow(tbl)).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["image_a"], pairs["image_b"])}
+    assert ("a", "c") in got  # identical
+    assert ("a", "b") in got and ("b", "c") in got  # hamming 2
+    assert not any("d" in p for p in got)
