@@ -508,13 +508,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.simhash_pairs(_docs(sf_dir))
 
     def q_phash_neardup(sf_dir: str):  # rows-only (image table not a view)
-        # perceptual-hash image dedup over the catalog's phash column
+        # perceptual-hash image dedup over the catalog's phash column:
+        # catalog phashes plus deterministic <=3-bit variants (a real corpus
+        # carries re-encodes/resizes whose phashes differ by a few bits)
         import ray
 
-        ds = ray.data.read_parquet(
+        base = ray.data.read_parquet(
             _images("grid"), columns=["image_id", "phash"]
+        ).take_all()
+        ids = [r["image_id"] for r in base]
+        hs = [r["phash"] for r in base]
+        ids += [i + "_v" for i in ids[:4]]  # planted near-dup variants
+        hs += [h ^ 0b101 for h in hs[:4]]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "image_id": pa.array(ids, pa.string()),
+                    "phash": pa.array(hs, pa.int64()),
+                }
+            )
         )
-        return dedup.phash_neardup_pairs(ds, max_hamming=16).sort(
+        return dedup.phash_neardup_pairs(ds, max_hamming=3).sort(
             ["image_a", "image_b"]
         )
 
