@@ -378,6 +378,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             summarize, batch_format="pyarrow"
         ).sort(["level", "tile_id"])
 
+    def q_cell_density(sf_dir: str):  # rows-only (geometry op)
+        # hierarchical quadkey (H3/S2-style) image-density rollup
+        from moaray.ops.vector import cell_density
+
+        return cell_density(
+            _images("grid"), _cfg("grid"), res=0, max_res=2, base_px=64
+        ).sort(["cell_res", "cell_row", "cell_col"])
+
     def q_footprint_coverage(sf_dir: str):  # rows-only (geometry op)
         from moaray.ops.vector import footprint_tile_coverage
 
@@ -829,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters_dist": q_neardup_clusters_dist,
         "phash_neardup": q_phash_neardup,
         "footprint_coverage": q_footprint_coverage,
+        "cell_density": q_cell_density,
         "polygonize_footprints": q_polygonize,
         "image_features": q_image_features,
         "image_resize": q_image_resize,

@@ -201,3 +201,123 @@ def footprint_tile_coverage(images_path: str, cfg) -> "object":
         )
 
     return assignments.map_batches(refine, batch_format="pyarrow")
+
+
+def cell_density(images_path: str, cfg, res: int = 0, max_res: int = 2,
+                 base_px: int | None = None):
+    """Hierarchical image-density rollup over the quadkey cell index (the
+    H3/S2-style analytics surface): (cell_res, cell_row, cell_col,
+    n_images) for every resolution ``res..max_res``.
+
+    The classic hierarchical-index trick: footprints are counted into BASE
+    cells once (per-batch partial combiner — counts, never rows, reach the
+    groupby), then coarser levels derive by integer parent arithmetic
+    (row//2, col//2) from the already-aggregated level below — no re-scan
+    per level, so a 10^12-image catalog pays one footprint pass total."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..geo import CELL_BASE
+    from ..pipelines.mosaic import grid_for, meta_columns, read_images
+    from ..stages.plan import probe_metadata
+
+    grid = grid_for(images_path, cfg)
+    inv_t = crs_mod.invert(grid.transform)
+    size0 = (base_px if base_px is not None else CELL_BASE) * (2 ** res)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xmin = batch["xmin"].to_numpy()
+        xmax = batch["xmax"].to_numpy()
+        ymin = batch["ymin"].to_numpy()
+        ymax = batch["ymax"].to_numpy()
+        # world extents -> output pixel rects (y axis flips)
+        px0, py0 = crs_mod.transform_points(inv_t, xmin, ymax)
+        px1, py1 = crs_mod.transform_points(inv_t, xmax, ymin)
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for i in range(len(xmin)):
+            r0 = int(np.floor(py0[i] / size0))
+            r1 = int(np.floor(max(py0[i], py1[i] - 1e-9) / size0))
+            c0 = int(np.floor(px0[i] / size0))
+            c1 = int(np.floor(max(px0[i], px1[i] - 1e-9) / size0))
+            for r in range(r0, r1 + 1):
+                for c in range(c0, c1 + 1):
+                    counts[(r, c)] += 1
+        keys = list(counts)
+        return pa.table(
+            {
+                "cell_row": pa.array([k[0] for k in keys], pa.int64()),
+                "cell_col": pa.array([k[1] for k in keys], pa.int64()),
+                "n_images": pa.array(
+                    [counts[k] for k in keys], pa.int64()
+                ),
+            }
+        )
+
+    meta = probe_metadata(
+        read_images(images_path, meta_columns(images_path)), cfg.layout
+    )
+    base = (
+        meta.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cell_row", "cell_col"])
+        .map_groups(
+            lambda g: pa.table(
+                {
+                    "cell_row": [g["cell_row"][0].as_py()],
+                    "cell_col": [g["cell_col"][0].as_py()],
+                    "n_images": [int(pc.sum(g["n_images"]).as_py())],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    levels = []
+    cur = base.map_batches(
+        lambda b: b.append_column(
+            "cell_res", pa.array([res] * b.num_rows, pa.int32())
+        ),
+        batch_format="pyarrow",
+    )
+    levels.append(cur)
+    for r in range(res + 1, max_res + 1):
+        def coarsen(b: pa.Table, _r=r) -> pa.Table:
+            return pa.table(
+                {
+                    "cell_row": pc.floor(
+                        pc.divide(pc.cast(b["cell_row"], pa.float64()), 2.0)
+                    ).cast(pa.int64()),
+                    "cell_col": pc.floor(
+                        pc.divide(pc.cast(b["cell_col"], pa.float64()), 2.0)
+                    ).cast(pa.int64()),
+                    "n_images": b["n_images"],
+                }
+            )
+
+        parent = (
+            levels[-1]
+            .map_batches(coarsen, batch_format="pyarrow")
+            .groupby(["cell_row", "cell_col"])
+            .map_groups(
+                lambda g: pa.table(
+                    {
+                        "cell_row": [g["cell_row"][0].as_py()],
+                        "cell_col": [g["cell_col"][0].as_py()],
+                        "n_images": [int(pc.sum(g["n_images"]).as_py())],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        levels.append(
+            parent.map_batches(
+                lambda b, _r=r: b.append_column(
+                    "cell_res", pa.array([_r] * b.num_rows, pa.int32())
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out.select_columns(["cell_res", "cell_row", "cell_col", "n_images"])

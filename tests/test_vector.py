@@ -90,3 +90,57 @@ def test_coverage_matches_window_math():
         r0 = min(fleft + fxs, m.ncols)
         want = max(b0 - t0, 0) * max(r0 - l0, 0) * PIX * PIX
         assert abs(row["clip_area"] - want) < 1e-6, row["image_id"]
+
+
+def test_cell_density_hierarchy(ray_session):
+    """Hierarchical quadkey density rollup: base counts match a driver-side
+    footprint oracle; each coarser level sums its children exactly."""
+    from collections import Counter
+
+    from moaray import MosaicConfig
+    from moaray.geo import inv_geotransform
+    from moaray.crs import transform_points
+    from moaray.ops.vector import cell_density
+    from moaray.pipelines.mosaic import grid_for
+    from moaray.testgen import Layout, images_path, metas_for_layout
+
+    lay = Layout("grid3x3", 9, 96)
+    cfg = MosaicConfig(layout=lay, blocksize=64)
+    path = images_path(lay)
+    rows = cell_density(path, cfg, res=0, max_res=2, base_px=64).take_all()
+
+    # driver oracle at res 0 (64-px cells)
+    grid = grid_for(path, cfg)
+    inv = inv_geotransform(grid.transform)
+    truth: Counter = Counter()
+    import numpy as np
+
+    for m in metas_for_layout(lay):
+        px0, py0 = transform_points(
+            inv, np.array([m.x_min]), np.array([m.y_max])
+        )
+        px1, py1 = transform_points(
+            inv, np.array([m.x_max]), np.array([m.y_min])
+        )
+        for r in range(int(py0[0] // 64), int((py1[0] - 1e-9) // 64) + 1):
+            for c in range(int(px0[0] // 64), int((px1[0] - 1e-9) // 64) + 1):
+                truth[(0, r, c)] += 1
+    got0 = {
+        (r["cell_res"], r["cell_row"], r["cell_col"]): r["n_images"]
+        for r in rows
+        if r["cell_res"] == 0
+    }
+    assert got0 == {k: v for k, v in truth.items()}
+
+    # every parent equals the sum of its children
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["cell_res"], {})[
+            (r["cell_row"], r["cell_col"])
+        ] = r["n_images"]
+    for res in (1, 2):
+        child = by_level[res - 1]
+        expect: Counter = Counter()
+        for (cr, cc), n in child.items():
+            expect[(cr // 2, cc // 2)] += n
+        assert by_level[res] == dict(expect)
