@@ -405,3 +405,35 @@ def test_extend_mosaic_multiband(ray_session, tmp_path):
         got = mosaic_array(res.tiles_ds, res.grid, band=band)
         assert np.array_equal(got, truth), f"band {band}"
     assert res.stats_by_band.keys() == {0, 1}
+
+
+def test_extend_mosaic_rerun_converges(ray_session, tmp_path):
+    """A crashed-and-rerun extension converges: the target directory is
+    rebuilt whole (old out_dir untouched), so rerunning yields identical
+    content and the source mosaic still reads."""
+    from moaray.pipelines.update import extend_mosaic
+
+    lay = Layout("pair_overlap", 2, 64)
+    tbl = gen_images_table(lay)
+    import pyarrow as pa
+
+    base = str(tmp_path / "base")
+    os.makedirs(base)
+    pq.write_table(tbl.take(pa.array([0])), os.path.join(base, "p.parquet"))
+    new_gt = (300000.0 + 960.0, 10.0, 0.0, 7000000.0 - 960.0, 0.0, -10.0)
+    ext = _ext_catalog(tmp_path, "ext", 1, new_gt)
+    out = str(tmp_path / "out")
+    new_out = str(tmp_path / "out2")
+    cfg = MosaicConfig(layout=lay, blocksize=64, do_pyramids=False,
+                       do_stats=False)
+    do_mosaic(base, cfg, out_dir=out)
+    before = winning_commits(out)
+
+    res1 = extend_mosaic(ext, cfg, out, new_out)
+    grid = res1.grid
+    first = mosaic_array(read_committed_tiles(new_out), grid)
+    res2 = extend_mosaic(ext, cfg, out, new_out)
+    second = mosaic_array(read_committed_tiles(new_out), grid)
+    assert np.array_equal(first, second)
+    # the source mosaic is untouched
+    assert winning_commits(out) == before
