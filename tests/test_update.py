@@ -437,3 +437,44 @@ def test_extend_mosaic_rerun_converges(ray_session, tmp_path):
     assert np.array_equal(first, second)
     # the source mosaic is untouched
     assert winning_commits(out) == before
+
+
+def test_extend_mosaic_sliver_edges(ray_session, tmp_path):
+    """Grid growth with a blocksize that doesn't divide the extent: the old
+    grid's sliver-merged edge tiles re-split across the extended grid's
+    regular tiles — migration windows clip at the NEW tile boundaries."""
+    from moaray.pipelines.update import extend_mosaic
+
+    lay = Layout("pair_overlap", 2, 64)
+    tbl = gen_images_table(lay)
+    import pyarrow as pa
+
+    base = str(tmp_path / "base")
+    os.makedirs(base)
+    pq.write_table(tbl.take(pa.array([0])), os.path.join(base, "p.parquet"))
+    new_gt = (300000.0 + 96 * 10.0, 10.0, 0.0, 7000000.0 - 96 * 10.0, 0.0, -10.0)
+    ext = _ext_catalog(tmp_path, "ext", 1, new_gt)
+    out = str(tmp_path / "out")
+    new_out = str(tmp_path / "out2")
+    # blocksize 48: 64-px base grid -> edges engage the 25%-sliver rule
+    cfg = MosaicConfig(layout=lay, blocksize=48, do_pyramids=False)
+    do_mosaic(base, cfg, out_dir=out)
+    res = extend_mosaic(ext, cfg, out, new_out)
+
+    from dataclasses import replace
+
+    metas = metas_for_layout(lay)
+    m_new = replace(metas[1], transform=new_gt)
+    grid_t = make_output_grid([metas[0], m_new], 48)
+    truth = oracle.build_mosaic(
+        grid_t,
+        [metas[0], m_new],
+        {
+            metas[0].image_id: pixel_array(0, lay),
+            m_new.image_id: pixel_array(1, lay),
+        },
+    )
+    got = mosaic_array(res.tiles_ds, res.grid)
+    assert got.shape == truth.shape
+    assert np.array_equal(got, truth)
+    assert res.tiles_ds.count() == res.grid.num_tiles
