@@ -82,3 +82,28 @@ def test_restart_markers_roundtrip():
     for ri in (1, 4, 7, 60, 61):
         got = jpeg_decode(jpeg_encode(img, quality=95, restart_interval=ri))
         assert np.array_equal(got, plain), f"restart_interval={ri}"
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    quality=st.integers(min_value=70, max_value=100),
+)
+def test_jpeg_roundtrip_property(h, w, seed, quality):
+    """Any shape (including non-multiple-of-8 and 1-pixel edges), any
+    content, any quality >= 70: decode(encode(x)) preserves shape/dtype,
+    is deterministic, and stays within the documented error envelope."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    buf = jpeg_encode(img, quality=quality)
+    out = jpeg_decode(buf)
+    assert out.shape == (h, w) and out.dtype == np.uint8
+    assert np.array_equal(out, jpeg_decode(buf))  # deterministic
+    # envelope only: pure noise in a sub-8x8 padded block at q70 is
+    # JPEG's worst case (the >=40dB gate is pinned by the dedicated tests)
+    assert codecs.psnr(img, out, peak=255.0) >= 18.0
