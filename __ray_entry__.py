@@ -269,6 +269,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = do_mosaic(path, _cfg("grid"))
         return _tiles_with_checksum(res.tiles_ds, "uint8")
 
+    def q_mosaic_tiles_jpeg_rgb(sf_dir: str):  # rows-only (non-SQL)
+        # color (YCbCr 4:2:0) JPEG corpus: ONE payload per image shared by
+        # its three band rows, decoded once per actor and plane-sliced —
+        # the input_hint image+caption corpus shape; per-band exact-parity
+        # + PSNR pytest covers it (tests/test_multiband.py)
+        from moaray.testgen import images_path as _ipath
+
+        path = _ipath(
+            _layout("grid"), fmts=("jpeg",), explicit_meta=True,
+            dtype="uint8", nbands=3, color_jpeg=True,
+        )
+        res = do_mosaic(path, _cfg("grid"))
+        return _tiles_with_checksum(res.tiles_ds, "uint8")
+
     def q_mosaic_update(sf_dir: str):  # rows-only (non-SQL)
         # incremental update: commit a mosaic missing the center image, fold
         # the center in, return the winning-generation tile checksums
@@ -812,6 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tiles_f32": q_mosaic_tiles_f32,
         "mosaic_tiles_png": q_mosaic_tiles_png,
         "mosaic_tiles_jpeg": q_mosaic_tiles_jpeg,
+        "mosaic_tiles_jpeg_rgb": q_mosaic_tiles_jpeg_rgb,
         "mosaic_update": q_mosaic_update,
         "mosaic_extend": q_mosaic_extend,
         "mosaic_reproject": q_mosaic_reproject,

@@ -74,14 +74,17 @@ def _le(dtype: np.dtype) -> np.dtype:
 def encode(arr: np.ndarray, fmt: str) -> bytes:
     """Encode a 2-D array into the given fmt. raw16/z16 accept any supported
     dtype (the header records it); q12 is uint16-only; png is uint8/uint16."""
+    if fmt == "jpeg":
+        # jpeg also accepts (h, w, 3) RGB — one color payload carries the
+        # catalog's three band rows (decode returns the 3-D array; the
+        # decode stage caches it once and slices the per-band plane)
+        from .jpeg import jpeg_encode
+
+        return jpeg_encode(arr)
     if arr.ndim != 2:
         raise ValueError(f"expected a 2-D array, got shape {arr.shape}")
     if fmt == "png":
         return png_encode(arr)
-    if fmt == "jpeg":
-        from .jpeg import jpeg_encode
-
-        return jpeg_encode(arr)
     dname = arr.dtype.newbyteorder("=").name
     if dname not in _DTYPE_CODES:
         raise ValueError(f"unsupported pixel dtype {arr.dtype}")

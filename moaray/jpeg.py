@@ -1,28 +1,33 @@
-"""Baseline JPEG (DCT, grayscale, 8-bit) — from scratch per ITU-T T.81.
+"""Baseline JPEG (DCT, grayscale + YCbCr color, 8-bit) — from scratch per
+ITU-T T.81.
 
 The sandbox ships no image libraries, and the reference reads any
 GDAL-supported raster — including JPEG/JPEG-in-TIFF, the format every real
 image+caption corpus uses (ref /root/reference/moamosaic/mosaic.py:16 opens
 arbitrary GDAL datasets). This module closes that gap without Pillow or
-libjpeg: a conformant baseline sequential encoder + decoder for single-
-component (grayscale) images, built only from the public JPEG specification
-(ITU-T T.81 / ISO 10918-1) — marker segments, Annex-K quantization +
-Huffman tables, zigzag, 8x8 DCT.
+libjpeg: a conformant baseline sequential encoder + decoder built only from
+the public JPEG specification (ITU-T T.81 / ISO 10918-1) — marker segments,
+Annex-K quantization + Huffman tables, zigzag, 8x8 DCT, MCU-interleaved
+multi-component scans with arbitrary divisible sampling factors (4:4:4,
+4:2:0, 4:2:2), JFIF/BT.601 YCbCr color conversion.
 
 Scope (honest gates, consistent with the PNG/WAV codecs):
-- 1-component baseline sequential only; progressive, arithmetic-coded and
-  3-component (color) streams raise NotImplementedError.
+- Baseline sequential only; progressive and arithmetic-coded streams
+  raise NotImplementedError. 1-component (grayscale) and 3-component
+  (YCbCr) interleaved scans decode; the encoder emits grayscale for 2-D
+  input and YCbCr 4:2:0 (or 4:4:4) for (h, w, 3) input.
 - 8-bit precision (JPEG baseline is 8-bit by definition); the engine's
   uint16 rasters go through PNG/z16 for lossless or q12 for lossy-uint16.
-- Restart markers (DRI/RSTn) are handled on decode; the encoder never
-  emits them.
+- Restart markers (DRI/RSTn) round-trip (restart_interval counts MCUs,
+  DC predictors reset per component).
 
 Encoder: vectorized 8x8 forward DCT over ALL blocks at once (einsum with a
-precomputed basis), IJG-style quality scaling of the Annex K.1 luminance
-table, standard K.3 Huffman tables. Decoder: DQT/DHT/SOF0/SOS parsing with
-canonical Huffman reconstruction (tables come from the stream, so foreign
-baseline grayscale JPEGs decode too), byte-unstuffing, per-block entropy
-decode, vectorized dequantize + inverse DCT.
+precomputed basis), IJG-style quality scaling of the Annex K.1/K.2 tables,
+standard K.3 Huffman tables; chroma subsampling by 2x2 box average. Decoder:
+DQT/DHT/SOF0/SOS parsing with canonical Huffman reconstruction (tables come
+from the stream, so foreign baseline JPEGs decode too), byte-unstuffing,
+MCU-ordered entropy decode into raster-ordered per-component planes,
+vectorized dequantize + inverse DCT, chroma upsample by pixel replication.
 """
 
 from __future__ import annotations
@@ -94,6 +99,50 @@ _AC_VALS = [
 ]
 
 
+# Annex K.2 chrominance quantization table, natural order.
+_K2_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3.3 / K.3.4: standard chrominance Huffman tables.
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
 def _dct_basis() -> np.ndarray:
     """Orthonormal 8-point DCT-II basis matrix C: coef = C @ block @ C.T."""
     x = np.arange(8)
@@ -105,11 +154,11 @@ def _dct_basis() -> np.ndarray:
 _C = _dct_basis()
 
 
-def _quality_table(quality: int) -> np.ndarray:
-    """IJG-style quality scaling of the K.1 luminance table (1..100)."""
+def _quality_table(quality: int, base: np.ndarray = _K1_LUMA) -> np.ndarray:
+    """IJG-style quality scaling of an Annex-K base table (1..100)."""
     quality = min(max(int(quality), 1), 100)
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    tbl = (_K1_LUMA * scale + 50) // 100
+    tbl = (base * scale + 50) // 100
     return np.clip(tbl, 1, 255).astype(np.int64)
 
 
@@ -167,17 +216,201 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
-def jpeg_encode(
-    arr: np.ndarray, quality: int = 95, restart_interval: int = 0
+def _huff_payload(tclass: int, tid: int, bits, vals) -> bytes:
+    return bytes([tclass << 4 | tid] + bits + vals)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray):
+    """JFIF / BT.601 full-range RGB -> (Y, Cb, Cr) float64 planes."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """Inverse JFIF conversion to a clipped (h, w, 3) uint8 array."""
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.empty(y.shape + (3,), dtype=np.float64)
+    rgb[..., 0] = y + 1.402 * cr
+    rgb[..., 1] = y - 0.344136 * cb - 0.714136 * cr
+    rgb[..., 2] = y + 1.772 * cb
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _box_down2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box-average downsample (edge-replicated to even dims first)."""
+    h, w = plane.shape
+    ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+
+
+def _mcu_order(mcuy: int, mcux: int, v: int, h: int) -> np.ndarray:
+    """Raster-ordered block index for each stream position of one component.
+
+    The entropy stream visits MCUs in raster order and, within each MCU,
+    the component's v x h blocks in raster order (A.2.3); element i of the
+    result is the index into the component's plane-raster block array."""
+    bh = mcux * h
+    my, mx = np.meshgrid(np.arange(mcuy), np.arange(mcux), indexing="ij")
+    base = (
+        (my[..., None, None] * v + np.arange(v)[None, None, :, None]) * bh
+        + mx[..., None, None] * h
+        + np.arange(h)[None, None, None, :]
+    )
+    return base.reshape(-1)
+
+
+def _plane_to_zz(plane: np.ndarray, bv: int, bh: int, q: np.ndarray):
+    """Pad a float64 plane to (bv*8, bh*8), forward-DCT every block at once,
+    quantize, zigzag; returns (zz, sizes, bits_mat) int64 matrices."""
+    p = np.pad(
+        plane,
+        ((0, bv * 8 - plane.shape[0]), (0, bh * 8 - plane.shape[1])),
+        mode="edge",
+    )
+    blocks = (
+        p.reshape(bv, 8, bh, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0
+    )
+    coef = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+    qcoef = np.round(coef / q.reshape(8, 8)).astype(np.int64)
+    zz = qcoef.reshape(-1, 64)[:, _ZIGZAG]
+    absz = np.abs(zz)
+    sizes = np.where(
+        absz == 0, 0, np.floor(np.log2(np.maximum(absz, 1))).astype(np.int64) + 1
+    )
+    bits_mat = np.where(zz >= 0, zz, zz + (1 << sizes) - 1)
+    return zz, sizes, bits_mat
+
+
+def _encode_block(bw, zz, sizes, bits_mat, bi, dc_codes, ac_codes, prev_dc):
+    """Huffman-encode one block row; returns the block's DC for prediction."""
+    write = bw.write
+    dc = int(zz[bi, 0])
+    size, dbits = _magnitude(dc - prev_dc)
+    code, length = dc_codes[size]
+    write(code, length)
+    if size:
+        write(dbits, size)
+    nz = np.nonzero(zz[bi, 1:])[0] + 1
+    zrl_code, zrl_len = ac_codes[0xF0]
+    prev = 0
+    for i in nz:
+        run = int(i) - prev - 1
+        while run > 15:
+            write(zrl_code, zrl_len)
+            run -= 16
+        s = int(sizes[bi, i])
+        code, length = ac_codes[(run << 4) | s]
+        write(code, length)
+        write(int(bits_mat[bi, i]), s)
+        prev = int(i)
+    if prev < 63:
+        code, length = ac_codes[0x00]
+        write(code, length)
+    return dc
+
+
+def _jpeg_encode_color(
+    arr: np.ndarray,
+    quality: int,
+    restart_interval: int,
+    subsampling: str,
 ) -> bytes:
-    """Encode a 2-D uint8 array as a baseline grayscale JFIF stream.
+    """Encode an (h, w, 3) uint8 RGB array as a baseline YCbCr JFIF stream
+    (components Y=1, Cb=2, Cr=3; 4:2:0 chroma by 2x2 box average, or 4:4:4)."""
+    if arr.dtype != np.uint8:
+        raise ValueError(f"baseline JPEG is 8-bit; got {arr.dtype}")
+    if subsampling not in ("420", "444"):
+        raise ValueError(f"subsampling must be '420' or '444', got {subsampling!r}")
+    h, w = arr.shape[:2]
+    qy = _quality_table(quality)
+    qc = _quality_table(quality, _K2_CHROMA)
+    y, cb, cr = _rgb_to_ycbcr(arr)
+    hmax, vmax = (2, 2) if subsampling == "420" else (1, 1)
+    if subsampling == "420":
+        cb, cr = _box_down2(cb), _box_down2(cr)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    dc_tabs = [
+        _canonical_codes(_DC_BITS, _DC_VALS),
+        _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    ]
+    ac_tabs = [
+        _canonical_codes(_AC_BITS, _AC_VALS),
+        _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ]
+    # (plane, Hi, Vi, quant table, Huffman table id 0=luma/1=chroma)
+    specs = [(y, hmax, vmax, qy, 0), (cb, 1, 1, qc, 1), (cr, 1, 1, qc, 1)]
+    comps = []
+    for plane, hi, vi, q, tid in specs:
+        bh, bv = mcux * hi, mcuy * vi
+        zz, sizes, bits_mat = _plane_to_zz(plane, bv, bh, q)
+        order = _mcu_order(mcuy, mcux, vi, hi).tolist()
+        comps.append(
+            (zz, sizes, bits_mat, order, dc_tabs[tid], ac_tabs[tid], vi * hi)
+        )
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    ptr = [0, 0, 0]
+    rst_n = 0
+    for m in range(mcuy * mcux):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + (rst_n % 8)])
+            rst_n += 1
+            prev = [0, 0, 0]
+        for ci, (zz, sizes, bits_mat, order, dct, act, bpm) in enumerate(comps):
+            for _ in range(bpm):
+                bi = order[ptr[ci]]
+                ptr[ci] += 1
+                prev[ci] = _encode_block(
+                    bw, zz, sizes, bits_mat, bi, dct, act, prev[ci]
+                )
+    bw.flush()
+
+    out = bytearray()
+    out += SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(int(x) for x in qy[_ZIGZAG]))
+    out += _seg(0xDB, bytes([1]) + bytes(int(x) for x in qc[_ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (hmax << 4) | vmax, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, _huff_payload(0, 0, _DC_BITS, _DC_VALS))
+    out += _seg(0xC4, _huff_payload(1, 0, _AC_BITS, _AC_VALS))
+    out += _seg(0xC4, _huff_payload(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
+    out += _seg(0xC4, _huff_payload(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def jpeg_encode(
+    arr: np.ndarray,
+    quality: int = 95,
+    restart_interval: int = 0,
+    subsampling: str = "420",
+) -> bytes:
+    """Encode a 2-D uint8 array as a baseline grayscale JFIF stream, or an
+    (h, w, 3) uint8 array as a YCbCr color stream (``subsampling`` '420' or
+    '444'; ignored for grayscale).
 
     ``restart_interval`` > 0 emits a DRI marker and RSTn markers every that
     many MCUs (byte-aligned, DC predictor reset) — the structure real-world
     encoders produce for error resilience; mainly here so the decoder's
     restart path is exercised by round-trip tests."""
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        return _jpeg_encode_color(arr, quality, restart_interval, subsampling)
     if arr.ndim != 2:
-        raise ValueError(f"jpeg_encode expects 2-D, got {arr.shape}")
+        raise ValueError(f"jpeg_encode expects 2-D or (h, w, 3), got {arr.shape}")
     if arr.dtype != np.uint8:
         raise ValueError(
             f"baseline JPEG is 8-bit; got {arr.dtype} (uint16 goes through "
@@ -368,7 +601,12 @@ def jpeg_probe(buf: bytes) -> tuple[int, int]:
 
 
 def jpeg_decode(buf: bytes) -> np.ndarray:
-    """Decode a baseline grayscale JPEG to a 2-D uint8 array."""
+    """Decode a baseline JPEG: grayscale streams to a 2-D uint8 array,
+    3-component YCbCr streams to an (h, w, 3) uint8 RGB array.
+
+    Handles MCU-interleaved scans with any divisible sampling-factor
+    combination (4:4:4, 4:2:0, 4:2:2, ...); chroma upsampling is pixel
+    replication (the spec leaves the filter to the decoder)."""
     if not isinstance(buf, bytes):
         buf = bytes(buf)  # pyarrow memoryviews are SIGNED ('b'): 0xFF -> -1
     if bytes(buf[:2]) != SOI:
@@ -378,8 +616,9 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     h = w = None
-    comp_q = 0
-    dc_id = ac_id = 0
+    sof_comps: list[tuple[int, int, int, int]] = []  # (cid, Hi, Vi, Tq)
+    scan_tabs: dict[int, tuple[int, int]] = {}  # cid -> (Td, Ta)
+    scan_order: list[int] = []  # component ids in scan order
     restart_interval = 0
     scan_start = None
     while pos + 2 <= n:
@@ -423,23 +662,29 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", data, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    f"{ncomp}-component (color) JPEG not supported — the "
-                    "engine's image model is single-band"
+                    f"{ncomp}-component JPEG not supported (grayscale and "
+                    "YCbCr only; CMYK streams are out of scope)"
                 )
-            # per-component fields follow the 6-byte frame header
-            samp = data[7]
-            if samp != 0x11:
-                raise NotImplementedError("subsampled JPEG not supported")
-            comp_q = data[8]
+            sof_comps = []
+            for c in range(ncomp):
+                cid = data[6 + 3 * c]
+                samp = data[7 + 3 * c]
+                sof_comps.append((cid, samp >> 4, samp & 0xF, data[8 + 3 * c]))
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA:  # SOS
             ns = data[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scan")
-            dc_id, ac_id = data[2] >> 4, data[2] & 0xF
+            if ns != len(sof_comps):
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) sequential JPEG not supported"
+                )
+            for c in range(ns):
+                cid = data[1 + 2 * c]
+                tds = data[2 + 2 * c]
+                scan_tabs[cid] = (tds >> 4, tds & 0xF)
+                scan_order.append(cid)
             scan_start = pos + 2 + length
             break
         pos += 2 + length
@@ -465,49 +710,103 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
         start = rp + 2
     pieces.append(seg[start:end].replace(b"\xff\x00", b"\xff"))
 
-    dc_tbl = htables[(0, dc_id)]
-    ac_tbl = htables[(1, ac_id)]
-    q = qtables[comp_q].reshape(8, 8).astype(np.float64)
-    bh, bw_ = -(-h // 8), -(-w // 8)
-    nblocks = bh * bw_
-    zz = np.zeros((nblocks, 64), dtype=np.float64)
-    # restart intervals chopped the stream into independently-decodable
-    # chunks during unstuffing
-    segments = pieces
-    bi = 0
-    per_seg = restart_interval if restart_interval else nblocks
-    for seg_data in segments:
-        br = _BitReader(seg_data)
-        prev_dc = 0
-        for _ in range(min(per_seg, nblocks - bi)):
-            size = br.decode_symbol(dc_tbl)
-            prev_dc += _extend(br.read_bits(size), size)
-            zz[bi, 0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = br.decode_symbol(ac_tbl)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                size = sym & 0xF
-                if k > 63:
-                    raise ValueError("AC coefficient index out of range")
-                zz[bi, k] = _extend(br.read_bits(size), size)
-                k += 1
-            bi += 1
-    if bi != nblocks:
-        raise ValueError(f"JPEG scan decoded {bi}/{nblocks} blocks")
+    # scan geometry: MCU grid from the max sampling factors (A.2.3); every
+    # component's blocks live in plane-raster order, the stream visits them
+    # in MCU order through the per-component index map
+    by_cid = {c[0]: c for c in sof_comps}
+    comps = [by_cid[cid] for cid in scan_order]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _cid, hi, vi, _tq in comps:
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError(
+                f"non-divisible sampling factors {hi}x{vi} vs max {hmax}x{vmax}"
+            )
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    n_mcus = mcux * mcuy
+    state = []
+    for cid, hi, vi, tq in comps:
+        bh_c, bv_c = mcux * hi, mcuy * vi
+        td, ta = scan_tabs[cid]
+        state.append(
+            {
+                "zz": np.zeros((bh_c * bv_c, 64), dtype=np.float64),
+                "order": _mcu_order(mcuy, mcux, vi, hi).tolist(),
+                "dc": htables[(0, td)],
+                "ac": htables[(1, ta)],
+                "bpm": vi * hi,
+                "q": qtables[tq],
+                "hi": hi,
+                "vi": vi,
+                "bh": bh_c,
+                "bv": bv_c,
+            }
+        )
 
-    coef = zz[:, _UNZIGZAG].reshape(-1, 8, 8) * q
-    pix = np.einsum("xu,nuv,yv->nxy", _C.T, coef, _C.T) + 128.0
-    img = (
-        np.clip(np.round(pix), 0, 255)
-        .astype(np.uint8)
-        .reshape(bh, bw_, 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(bh * 8, bw_ * 8)
-    )
-    return img[:h, :w].copy()
+    mcu_done = 0
+    ptr = [0] * len(state)
+    per_seg = restart_interval if restart_interval else n_mcus
+    for seg_data in pieces:
+        br = _BitReader(seg_data)
+        prev = [0] * len(state)
+        for _ in range(min(per_seg, n_mcus - mcu_done)):
+            for ci, st in enumerate(state):
+                zz = st["zz"]
+                order = st["order"]
+                dc_tbl = st["dc"]
+                ac_tbl = st["ac"]
+                for _b in range(st["bpm"]):
+                    bi = order[ptr[ci]]
+                    ptr[ci] += 1
+                    size = br.decode_symbol(dc_tbl)
+                    prev[ci] += _extend(br.read_bits(size), size)
+                    zz[bi, 0] = prev[ci]
+                    k = 1
+                    while k < 64:
+                        sym = br.decode_symbol(ac_tbl)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        size = sym & 0xF
+                        if k > 63:
+                            raise ValueError("AC coefficient index out of range")
+                        zz[bi, k] = _extend(br.read_bits(size), size)
+                        k += 1
+            mcu_done += 1
+    if mcu_done != n_mcus:
+        raise ValueError(f"JPEG scan decoded {mcu_done}/{n_mcus} MCUs")
+
+    planes = []
+    for st in state:
+        q = st["q"].reshape(8, 8).astype(np.float64)
+        coef = st["zz"][:, _UNZIGZAG].reshape(-1, 8, 8) * q
+        pix = np.einsum("xu,nuv,yv->nxy", _C.T, coef, _C.T) + 128.0
+        bv_c, bh_c = st["bv"], st["bh"]
+        plane = (
+            pix.reshape(bv_c, bh_c, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bv_c * 8, bh_c * 8)
+        )
+        # crop to the component's own dims, then replicate up to full res
+        ch = -(-h * st["vi"] // vmax)
+        cw = -(-w * st["hi"] // hmax)
+        plane = plane[:ch, :cw]
+        if st["vi"] != vmax or st["hi"] != hmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // st["vi"], axis=0),
+                hmax // st["hi"],
+                axis=1,
+            )
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    # JFIF fixes component ids 1=Y, 2=Cb, 3=Cr; honor them regardless of
+    # the (almost always identical) scan order
+    ids = [c[0] for c in comps]
+    if sorted(ids) == [1, 2, 3]:
+        by_id = dict(zip(ids, planes))
+        return _ycbcr_to_rgb(by_id[1], by_id[2], by_id[3])
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -116,11 +116,26 @@ class DecodeSlice:
         self._cache: OrderedDict[str, np.ndarray] = OrderedDict()
 
     def _full_decode(self, key, buf: bytes, fmt: str) -> np.ndarray:
-        # key = (image_id, band): bands of one image carry distinct payloads
+        # key = (image_id, band): bands of one image usually carry distinct
+        # payloads; a color JPEG is the exception — ONE payload shared by
+        # its three band rows, decoded once and plane-sliced per band.
         arr = self._cache.get(key)
         if arr is None:
-            arr = codecs.decode(buf, fmt)
-            self._cache[key] = arr
+            full = codecs.decode(buf, fmt)
+            if full.ndim == 3:
+                image_id, band = key
+                if band >= full.shape[2]:
+                    raise ValueError(
+                        f"image {image_id}: band {band} out of range for a "
+                        f"{full.shape[2]}-plane color payload"
+                    )
+                for b in range(full.shape[2]):
+                    self._cache[(image_id, b)] = np.ascontiguousarray(
+                        full[:, :, b]
+                    )
+                arr = self._cache[key]
+            else:
+                self._cache[key] = arr = full
             while len(self._cache) > self.lru_images:
                 self._cache.popitem(last=False)
         else:

@@ -180,6 +180,27 @@ def band_pixel_array(
     return arr
 
 
+def rgb_pixel_array(idx: int, layout: Layout) -> np.ndarray:
+    """(size, size, 3) uint8 image: band b = clipped ramp + 8*(b+1), NO
+    null pixels. Two deliberate differences from the multiband fixtures:
+
+    - offsets are CLIPPED, not wrapped — the +100*b offsets wrap in uint8
+      and a 200-level sawtooth in the blue plane puts chroma ringing all
+      over the image (a fixture artifact, not a codec property);
+    - no null column — lossy codecs cannot preserve a value-coded null
+      (chroma ringing turns a 0 into a 1, the pixel stops being null and
+      overwrites real data in overlap merges; the engine documents the
+      same hazard for q12 and GDAL behaves identically on lossy nodata).
+      Minimum value 8 with max codec error ~5 keeps every decoded pixel
+      strictly positive, so null semantics never engage."""
+    base = pixel_array(idx, layout, "uint8").astype(np.int32)
+    planes = []
+    for b in range(3):
+        p = np.clip(base + 8 * (b + 1), 8, 255).astype(np.uint8)
+        planes.append(p)
+    return np.stack(planes, axis=2)
+
+
 def gen_images_table(
     layout: Layout,
     fmts: tuple[str, ...] = ("raw16",),
@@ -188,6 +209,8 @@ def gen_images_table(
     nbands: int = 1,
     dtype: str = "uint16",
     nullval: float = 0.0,
+    color_jpeg: bool = False,
+    jpeg_subsampling: str = "420",
 ) -> pa.Table:
     """Build the full images table in memory (small scales only).
 
@@ -202,15 +225,32 @@ def gen_images_table(
             "non-uint16 fixtures need explicit_meta=True so the catalog "
             "carries the dtype/nullval columns"
         )
+    if color_jpeg and (nbands != 3 or dtype != "uint8" or fmts != ("jpeg",)):
+        raise ValueError(
+            "color_jpeg fixtures require nbands=3, dtype='uint8', "
+            "fmts=('jpeg',)"
+        )
     ids, blobs, ws, hs, fmt_col, captions, phashes = [], [], [], [], [], [], []
     gts, crss, nulls, band_col, dtypes = [], [], [], [], []
     for idx in range(layout.n):
+      if color_jpeg:
+          from .jpeg import jpeg_encode
+
+          color_blob = jpeg_encode(
+              rgb_pixel_array(idx, layout), subsampling=jpeg_subsampling
+          )
+      else:
+          color_blob = None
       for band in range(nbands):
         image_id = make_image_id(idx)
         fmt = fmt_for(idx, fmts)
-        arr = band_pixel_array(idx, layout, band, dtype, nullval)
+        if color_jpeg:
+            # one color payload, shared verbatim by the three band rows
+            blobs.append(color_blob)
+        else:
+            arr = band_pixel_array(idx, layout, band, dtype, nullval)
+            blobs.append(codecs.encode(arr, fmt))
         ids.append(image_id)
-        blobs.append(codecs.encode(arr, fmt))
         ws.append(layout.size)
         hs.append(layout.size)
         fmt_col.append(fmt)
@@ -251,6 +291,8 @@ def images_path(
     nbands: int = 1,
     dtype: str = "uint16",
     nullval: float = 0.0,
+    color_jpeg: bool = False,
+    jpeg_subsampling: str = "420",
 ) -> str:
     """Write (once, cached) the images table as sharded parquet; return the
     dataset directory path.
@@ -267,6 +309,8 @@ def images_path(
     if explicit_meta or nbands > 1 or dtype != "uint16":
         nv_tag = "nan" if np.isnan(nullval) else f"{nullval:g}"
         tag += f"_x{int(explicit_meta)}_b{nbands}_{dtype}_nv{nv_tag}"
+    if color_jpeg:
+        tag += f"_rgb{jpeg_subsampling}"
     path = os.path.join(root, f"images_{tag}")
     done = path + ".done"  # marker outside the dir so dataset readers only
     # ever see parquet files inside
@@ -274,7 +318,8 @@ def images_path(
         tbl = gen_images_table(
             layout, fmts, seed,
             explicit_meta=explicit_meta, nbands=nbands,
-            dtype=dtype, nullval=nullval,
+            dtype=dtype, nullval=nullval, color_jpeg=color_jpeg,
+            jpeg_subsampling=jpeg_subsampling,
         )
         os.makedirs(path, exist_ok=True)
         rows_per_shard = images_per_shard * nbands

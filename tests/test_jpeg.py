@@ -107,3 +107,96 @@ def test_jpeg_roundtrip_property(h, w, seed, quality):
     # envelope only: pure noise in a sub-8x8 padded block at q70 is
     # JPEG's worst case (the >=40dB gate is pinned by the dedicated tests)
     assert codecs.psnr(img, out, peak=255.0) >= 18.0
+
+
+# ---------------------------------------------------------------------------
+# Color (3-component YCbCr) baseline streams
+
+
+def _rgb_fixture(h=48, w=56, seed=11):
+    """Smooth gradients + mild noise per channel (JPEG's intended regime)."""
+    rng = np.random.RandomState(seed)
+    base = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+    planes = [
+        np.clip(base + rng.normal(0, 3, (h, w)), 0, 255),
+        np.clip(base[:, ::-1] * 0.7 + 40 + rng.normal(0, 3, (h, w)), 0, 255),
+        np.clip(
+            128 + 80 * np.sin(np.arange(h)[:, None] / 9.0)
+            + rng.normal(0, 3, (h, w)),
+            0,
+            255,
+        ),
+    ]
+    return np.stack(planes, axis=2).astype(np.uint8)
+
+
+def test_color_roundtrip_444_psnr():
+    rgb = _rgb_fixture()
+    out = jpeg_decode(jpeg_encode(rgb, quality=95, subsampling="444"))
+    assert out.shape == rgb.shape and out.dtype == np.uint8
+    assert codecs.psnr(rgb, out, peak=255.0) >= 35.0
+
+
+def test_color_roundtrip_420_psnr_and_smaller():
+    rgb = _rgb_fixture()
+    b444 = jpeg_encode(rgb, quality=95, subsampling="444")
+    b420 = jpeg_encode(rgb, quality=95, subsampling="420")
+    assert len(b420) < len(b444)  # chroma planes shrink 4x
+    out = jpeg_decode(b420)
+    assert out.shape == rgb.shape
+    assert codecs.psnr(rgb, out, peak=255.0) >= 33.0
+
+
+def test_color_flat_image_roundtrips_exactly():
+    """A constant color survives 4:2:0 exactly (DC-only blocks, box average
+    of a constant is the constant)."""
+    rgb = np.empty((24, 40, 3), np.uint8)
+    rgb[..., 0], rgb[..., 1], rgb[..., 2] = 200, 96, 40
+    out = jpeg_decode(jpeg_encode(rgb, quality=90))
+    assert np.array_equal(out, rgb)
+
+
+def test_color_odd_dims_and_restart():
+    """Non-multiple-of-16 dims force partial MCUs; restart markers reset
+    every component's DC predictor — both must round-trip identically."""
+    rgb = _rgb_fixture(h=37, w=43, seed=5)
+    plain = jpeg_decode(jpeg_encode(rgb, quality=95))
+    for ri in (1, 3, 8):
+        got = jpeg_decode(
+            jpeg_encode(rgb, quality=95, restart_interval=ri)
+        )
+        assert np.array_equal(got, plain), f"restart_interval={ri}"
+
+
+def test_color_probe_and_codecs_dispatch():
+    rgb = _rgb_fixture(h=16, w=24)
+    buf = codecs.encode(rgb, "jpeg")
+    assert codecs.probe_header(buf) == ("jpeg", 16, 24)
+    assert codecs.header_dtype(buf) == np.dtype("uint8")
+    out = codecs.decode(buf, "jpeg")
+    assert out.shape == (16, 24, 3)
+
+
+def test_color_bad_subsampling_rejected():
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg_encode(np.zeros((8, 8, 3), np.uint8), subsampling="422")
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=33),
+    w=st.integers(min_value=1, max_value=33),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    sub=st.sampled_from(["444", "420"]),
+)
+def test_color_roundtrip_property(h, w, seed, sub):
+    """Any shape (1-pixel edges, partial MCUs), any content, either
+    subsampling: shape/dtype preserved, deterministic, bounded error."""
+    rng = np.random.RandomState(seed)
+    rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    buf = jpeg_encode(rgb, quality=90, subsampling=sub)
+    out = jpeg_decode(buf)
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+    assert np.array_equal(out, jpeg_decode(buf))
+    # noise + chroma subsampling is the worst case; envelope only
+    assert codecs.psnr(rgb, out, peak=255.0) >= 12.0

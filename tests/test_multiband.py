@@ -135,3 +135,57 @@ def test_resume_through_salted_path(tmp_path):
     assert res2.skipped_tiles > 0
     got = mosaic_array(res2.tiles_ds, res2.grid)
     assert (got == full).all()
+
+
+def test_color_jpeg_mosaic_per_band_parity(tmp_path):
+    """A color-JPEG catalog (ONE YCbCr payload shared by an image's three
+    band rows — the real image+caption corpus shape from input_hint's fmt
+    column) mosaics band-for-band EXACTLY like an oracle built from the
+    same decoder's planes (the north-star lossy invariant compares against
+    the REFERENCE's decode of the same file — exact parity is its strict
+    form), and clears the PSNR>=40dB gate vs the pristine per-band ramps
+    at both 4:4:4 and 4:2:0 (the fixture is null-free: lossy codecs
+    cannot preserve value-coded nulls, see rgb_pixel_array)."""
+    from dataclasses import replace
+
+    from moaray import codecs
+    from moaray.jpeg import jpeg_encode
+    from moaray.pipelines.mosaic import mosaic_array
+    from moaray.testgen import (
+        metas_for_layout,
+        rgb_pixel_array,
+    )
+
+    layout = Layout("grid3x3", 9, 64)
+    metas = [
+        replace(m, dtype="uint8", fmt="jpeg") for m in metas_for_layout(layout)
+    ]
+    grid = make_output_grid(metas, blocksize=64)
+    for sub, psnr_gate in (("444", 40.0), ("420", 40.0)):
+        tbl = gen_images_table(
+            layout, ("jpeg",), explicit_meta=True, nbands=3, dtype="uint8",
+            color_jpeg=True, jpeg_subsampling=sub,
+        )
+        assert tbl.num_rows == 27
+        # one payload per image, byte-identical across its three band rows
+        blobs = tbl.column("bytes").to_pylist()
+        assert blobs[0] == blobs[1] == blobs[2]
+        sub_dir = tmp_path / f"sub{sub}"
+        sub_dir.mkdir()
+        path = _write(tbl, sub_dir)
+
+        res = do_mosaic(path, MosaicConfig(layout=layout, blocksize=64))
+        for band in range(3):
+            lossy = {}
+            clean = {}
+            for i, m in enumerate(metas):
+                rgb = rgb_pixel_array(i, layout)
+                clean[m.image_id] = rgb[:, :, band]
+                dec = codecs.decode(jpeg_encode(rgb, subsampling=sub))
+                lossy[m.image_id] = dec[:, :, band]
+            truth_lossy = oracle.build_mosaic(grid, metas, lossy)
+            got = mosaic_array(res.tiles_ds, res.grid, band=band)
+            assert got.dtype == np.uint8
+            assert (got == truth_lossy).all(), f"{sub} band {band} mismatch"
+            truth_clean = oracle.build_mosaic(grid, metas, clean)
+            assert codecs.psnr(truth_clean, got, peak=255.0) >= psnr_gate
