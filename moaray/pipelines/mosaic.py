@@ -126,6 +126,11 @@ class MosaicConfig:
     blocksize: int = 1024
     nullval: float | None = None
     merge: str = "last"  # "last" (parity) | "feather" (extended)
+    # Persist per-tile feather num/den float64 partials (zlib) as extra tile
+    # columns so update_mosaic(merge="feather") can fold new images into the
+    # weighted sums without re-reading any original source. Roughly doubles
+    # sink bytes for feather outputs; ignored for merge="last".
+    feather_partials: bool = False
     include_empty: bool = True  # emit all-null tiles (full-extent parity mode)
     min_overview_size: int = 1024  # ref DFLT_MINOVERVIEWSIZE (mosaic.py:29)
     do_pyramids: bool = True
@@ -543,13 +548,14 @@ def _do_mosaic_impl(
             windows = windows.map_batches(drop_committed, batch_format="pyarrow")
 
     tile_codec = _codec_for_dtype(cfg.tile_codec)
+    emit_partials = cfg.feather_partials and cfg.merge == "feather"
     if hot_tiles and cfg.merge == "feather":
         from ..stages.assemble import assemble_tiles_salted_feather
 
         tiles = assemble_tiles_salted_feather(
             windows, grid,
             window_codec=shuffle_codec, tile_codec=tile_codec,
-            multiband=len(bands) > 1,
+            multiband=len(bands) > 1, emit_partials=emit_partials,
         )
     elif hot_tiles and cfg.merge == "last":
         from ..stages.assemble import assemble_tiles_salted
@@ -563,7 +569,7 @@ def _do_mosaic_impl(
         tiles = assemble_tiles(
             windows, grid, cfg.merge,
             windows_encoded=shuffle_codec is not None, tile_codec=tile_codec,
-            multiband=len(bands) > 1,
+            multiband=len(bands) > 1, emit_partials=emit_partials,
         )
 
     if cfg.include_empty:
@@ -585,11 +591,13 @@ def _do_mosaic_impl(
             # distributed plan: the assigned set never touches the driver —
             # the anti-join is a bucket groupby against the id dataset
             empties = empty_tiles_ds_from_assigned(
-                grid, assigned_ids_ds, committed, bands, tile_codec
+                grid, assigned_ids_ds, committed, bands, tile_codec,
+                emit_partials=emit_partials,
             ).materialize()
         else:
             empties = empty_tiles_ds(
-                grid, set(tile_counts), committed, bands, tile_codec
+                grid, set(tile_counts), committed, bands, tile_codec,
+                emit_partials=emit_partials,
             ).materialize()
         if empties.count() > 0:
             tiles = tiles.union(empties)
@@ -612,6 +620,14 @@ def _do_mosaic_impl(
         manifest_mod.write_grid_meta(out_dir, grid, n_seq_hwm, bands)
         result.manifest = manifest_mod.write_tiles(
             tiles, out_dir, tiles_per_file=cfg.tiles_per_file
+        )
+        # generation barrier: every partition above is committed, so the
+        # newest manifest stamp marks a known-complete state (feather
+        # updates pin their base reads to it; see state/manifest.py)
+        manifest_mod.write_grid_meta(
+            out_dir, grid, n_seq_hwm, bands,
+            gen_hwm=manifest_mod.max_manifest_commit(out_dir),
+            applied_updates=[],
         )
         result.tiles_ds = manifest_mod.read_committed_tiles(out_dir)
         _mark("domosaic")

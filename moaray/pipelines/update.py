@@ -27,13 +27,21 @@ Stats after an update are recomputed from the winning tiles' stat COLUMNS
 (pixels pruned at the scan) — the manifest partial-sum fast path would
 double-count superseded generations.
 
-Restrictions: ``merge="last"`` only (feather would need the original
-num/den partials), and the new catalog's CRS/alignment must match the
-stored grid (validated like any mosaic input). Footprints beyond the
-stored extent clip in ``update_mosaic`` (the grid is fixed); use
-``extend_mosaic`` to GROW the grid — committed pixels migrate as base
-windows onto the union-extent grid (old sources never re-read) and a
-complete re-keyed output writes to a new directory.
+``merge="feather"`` updates need the base mosaic built with
+``MosaicConfig(feather_partials=True)``: the committed tiles then carry
+their zlib(float64) num/den weighted sums, the update adds the new
+windows' contributions (base partial first, new partials after — the same
+salt-ordered summation the salted feather merge uses) and re-blends, and
+the updated sums persist again so updates chain indefinitely. Parity vs a
+full rebuild is within one code value (float-sum reassociation), the same
+bound the salted/unsalted feather equivalence carries.
+
+The new catalog's CRS/alignment must match the stored grid (validated
+like any mosaic input). Footprints beyond the stored extent clip in
+``update_mosaic`` (the grid is fixed); use ``extend_mosaic`` to GROW the
+grid — committed pixels migrate as base windows onto the union-extent
+grid (old sources never re-read) and a complete re-keyed output writes
+to a new directory (``merge="last"`` only).
 """
 
 from __future__ import annotations
@@ -46,6 +54,48 @@ from ..stages.assemble import assemble_tiles, decode_payload
 from ..stages.decode import WINDOW_SCHEMA, decode_windows
 from ..state import manifest as manifest_mod
 from .mosaic import MosaicConfig, MosaicResult, meta_columns, read_images
+
+
+def _existing_as_feather_partials(tiles_ds, affected_ref):
+    """Committed tile rows (with persisted num/den) -> FEATHER_PARTIAL rows
+    (salt = 0, so the final sum folds the base in before the new images)."""
+    from ..stages.assemble import FEATHER_PARTIAL_SCHEMA
+
+    def to_partials(batch: pa.Table) -> pa.Table:
+        affected = ray.get(affected_ref)
+        if "num" not in batch.schema.names or "den" not in batch.schema.names:
+            raise ValueError(
+                "feather update needs persisted num/den partials — rebuild "
+                "the base mosaic with MosaicConfig(merge='feather', "
+                "feather_partials=True)"
+            )
+        rows = {n: [] for n in FEATHER_PARTIAL_SCHEMA.names}
+        for i in range(batch.num_rows):
+            tid = batch["tile_id"][i].as_py()
+            band = batch["band"][i].as_py()
+            if (tid, band) not in affected:
+                continue
+            num = batch["num"][i].as_py()
+            den = batch["den"][i].as_py()
+            if num is None or den is None:
+                raise ValueError(
+                    f"tile {tid} band {band} has no persisted feather "
+                    "partials — rebuild with feather_partials=True"
+                )
+            rows["tile_id"].append(tid)
+            rows["band"].append(band)
+            rows["salt"].append(0)
+            rows["out_top"].append(batch["out_top"][i].as_py())
+            rows["out_left"].append(batch["out_left"][i].as_py())
+            rows["out_xsize"].append(batch["out_xsize"][i].as_py())
+            rows["out_ysize"].append(batch["out_ysize"][i].as_py())
+            rows["n_inputs"].append(batch["n_inputs"][i].as_py())
+            rows["input_ids"].append(batch["input_ids"][i].as_py())
+            rows["num"].append(num)
+            rows["den"].append(den)
+        return pa.Table.from_pydict(rows, schema=FEATHER_PARTIAL_SCHEMA)
+
+    return tiles_ds.map_batches(to_partials, batch_format="pyarrow")
 
 
 def _existing_as_windows(tiles_ds, affected_ref, np_dtype, shuffle_codec):
@@ -109,8 +159,10 @@ def update_mosaic(
     too large for the driver (>~10^6 rows) is no longer an "update" — run
     ``do_mosaic`` (which auto-dispatches to distributed planning above
     ``driver_plan_limit``) over the concatenated catalog instead."""
-    if cfg.merge != "last":
-        raise ValueError("update_mosaic supports the 'last' merge kernel only")
+    if cfg.merge not in ("last", "feather"):
+        raise ValueError(
+            f"update_mosaic supports 'last' and 'feather', got {cfg.merge!r}"
+        )
     grid, n_seq0, bands = manifest_mod.load_grid_meta(out_dir)
     np_dtype = np.dtype(grid.dtype)
 
@@ -217,21 +269,117 @@ def update_mosaic(
     # drop windows of unaffected tiles? impossible: every new window's tile
     # is affected by construction.
 
-    # --- existing affected tiles as base windows ------------------------
     affected_ref = ray.put(affected)
-    existing = manifest_mod.read_committed_tiles(out_dir)
-    base_windows = _existing_as_windows(
-        existing, affected_ref, np_dtype, shuffle_codec
-    ).materialize()
+    multiband = len(set(bands) | set(new_bands)) > 1
+    extras = manifest_mod.load_grid_extras(out_dir)
+    if cfg.merge == "feather":
+        # --- weighted-sum continuation: persisted num/den partials -------
+        # base partials (salt 0) + new-window partials (salt 1) sum in salt
+        # order and re-blend; the updated sums persist again (emit_partials)
+        # so updates chain indefinitely. No original source is re-read.
+        #
+        # Unlike last-wins, re-adding a delta DOUBLES its weight, so two
+        # guards make this safe: (1) a content id of the update catalog in
+        # grid.json's applied_updates makes a completed update's rerun a
+        # no-op; (2) the base read pins to gen_hwm (the last known-COMPLETE
+        # generation barrier), so a KILLED update's partial commits are
+        # invisible to the retry, whose rewrite then supersedes them.
+        from ..stages.assemble import (
+            make_feather_final_fn,
+            make_feather_partial_fn,
+        )
 
-    merged = assemble_tiles(
-        base_windows.union(new_windows),
-        grid,
-        "last",
-        windows_encoded=shuffle_codec is not None,
-        tile_codec=tile_codec,
-        multiband=len(set(bands) | set(new_bands)) > 1,
-    )
+        import hashlib as _hashlib
+
+        seq_tags = (
+            tbl["seq"].to_pylist()
+            if "seq" in tbl.schema.names
+            else [None] * tbl.num_rows
+        )
+        update_id = _hashlib.sha256(
+            repr(sorted(zip(tbl["image_id"].to_pylist(), seq_tags))).encode()
+        ).hexdigest()[:16]
+        if update_id in extras["applied_updates"]:
+            # already folded in (rerun of a completed update): no-op
+            result = MosaicResult(
+                grid=grid,
+                tiles_ds=manifest_mod.read_committed_tiles(out_dir),
+            )
+            if cfg.do_stats:
+                from ..stages.stats import stats_from_tile_columns
+
+                stat_cols = [
+                    "tile_id", "band", "nonnull_count", "px_sum", "px_ssq",
+                    "px_min", "px_max", "committed_at",
+                ]
+                pruned = manifest_mod.read_committed_tiles(
+                    out_dir, columns=stat_cols
+                )
+                result.stats_by_band = stats_from_tile_columns(pruned)
+                result.stats = result.stats_by_band.get(0)
+            return result
+
+        base_paths = manifest_mod.committed_paths(out_dir, extras["gen_hwm"])
+        if base_paths:
+            schema_names = _pq.read_schema(base_paths[0]).names
+            if "num" not in schema_names or "den" not in schema_names:
+                raise ValueError(
+                    "feather update needs persisted num/den partials — "
+                    "rebuild the base mosaic with MosaicConfig("
+                    "merge='feather', feather_partials=True)"
+                )
+        existing = manifest_mod.read_committed_tiles(
+            out_dir,
+            columns=[
+                "tile_id", "band", "out_top", "out_left", "out_xsize",
+                "out_ysize", "n_inputs", "input_ids", "num", "den",
+            ],
+            max_committed_at=extras["gen_hwm"],
+        )
+        base_partials = _existing_as_feather_partials(
+            existing, affected_ref
+        ).materialize()
+
+        def to_salt1(batch: pa.Table) -> pa.Table:
+            names = batch.schema.names
+            ones = pa.array(
+                np.ones(batch.num_rows, dtype=np.int32), pa.int32()
+            )
+            return batch.set_column(names.index("salt"), "salt", ones)
+
+        k1 = ["tile_id", "band", "salt"] if multiband else ["tile_id", "salt"]
+        k2 = ["tile_id", "band"] if multiband else "tile_id"
+        new_partials = (
+            new_windows.map_batches(to_salt1, batch_format="pyarrow")
+            .groupby(k1)
+            .map_groups(
+                make_feather_partial_fn(grid, shuffle_codec),
+                batch_format="pyarrow",
+            )
+        )
+        merged = (
+            base_partials.union(new_partials)
+            .groupby(k2)
+            .map_groups(
+                make_feather_final_fn(grid, tile_codec, emit_partials=True),
+                batch_format="pyarrow",
+            )
+        )
+    else:
+        # --- existing affected tiles as base windows --------------------
+        existing = manifest_mod.read_committed_tiles(out_dir)
+        base_windows = _existing_as_windows(
+            existing, affected_ref, np_dtype, shuffle_codec
+        ).materialize()
+
+        merged = assemble_tiles(
+            base_windows.union(new_windows),
+            grid,
+            "last",
+            windows_encoded=shuffle_codec is not None,
+            tile_codec=tile_codec,
+            multiband=multiband,
+        )
 
     result = MosaicResult(grid=grid, tiles_ds=merged)
     result.manifest = manifest_mod.write_tiles(
@@ -247,8 +395,13 @@ def update_mosaic(
         n_seq_next = n_seq0 + int(max_seq) + 1
     else:
         n_seq_next = n_seq0 + n_new
+    applied = list(extras["applied_updates"])
+    if cfg.merge == "feather":
+        applied.append(update_id)
     manifest_mod.write_grid_meta(
-        out_dir, grid, n_seq_next, sorted(set(bands) | set(new_bands))
+        out_dir, grid, n_seq_next, sorted(set(bands) | set(new_bands)),
+        gen_hwm=manifest_mod.max_manifest_commit(out_dir),
+        applied_updates=applied,
     )
     result.tiles_ds = manifest_mod.read_committed_tiles(out_dir)
     if cfg.do_pyramids:
@@ -543,7 +696,11 @@ def extend_mosaic(
         n_seq_next = n_seq0 + int(max_seq) + 1
     else:
         n_seq_next = n_seq0 + len({m.image_id for m in metas})
-    manifest_mod.write_grid_meta(new_out_dir, new_grid, n_seq_next, all_bands)
+    manifest_mod.write_grid_meta(
+        new_out_dir, new_grid, n_seq_next, all_bands,
+        gen_hwm=manifest_mod.max_manifest_commit(new_out_dir),
+        applied_updates=[],
+    )
     result.tiles_ds = manifest_mod.read_committed_tiles(new_out_dir)
     if cfg.do_pyramids:
         from ..stages.assemble import build_pyramids

@@ -54,6 +54,14 @@ TILE_SCHEMA = pa.schema(
     ]
 )
 
+# TILE_SCHEMA + persisted feather num/den partials (zlib(float64 C-order)):
+# written when MosaicConfig.feather_partials is on so a later
+# update_mosaic(merge="feather") can fold new images into the weighted sums
+# without re-reading any original source (SURVEY §10 restriction closed).
+TILE_SCHEMA_PARTIALS = TILE_SCHEMA.append(
+    pa.field("num", pa.binary())
+).append(pa.field("den", pa.binary()))
+
 PYRAMID_SCHEMA = pa.schema(
     [
         ("level", pa.int32()),
@@ -231,6 +239,21 @@ def _merge_feather(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullv
     den = np.zeros(canvas.shape, dtype=np.float64)
     _accum_feather(group, order, num, den, canvas.dtype, nullval, encoded)
     _blend_feather(num, den, canvas, nullval)
+    return num, den
+
+
+def _pack_partial(arr: np.ndarray) -> bytes:
+    import zlib as _zlib
+
+    return _zlib.compress(np.ascontiguousarray(arr, np.float64).tobytes(), 1)
+
+
+def _unpack_partial(buf, ysize: int, xsize: int) -> np.ndarray:
+    import zlib as _zlib
+
+    return np.frombuffer(
+        _zlib.decompress(buf), dtype=np.float64
+    ).reshape(ysize, xsize)
 
 
 # Per-tile lineage carried on the SHUFFLED row is bounded: a 1024-input
@@ -251,10 +274,13 @@ def _cap_lineage(ids: list, cap: int | None = None) -> list:
 
 def make_assemble_fn(nullval: float, dtype: str, merge: str = "last",
                      windows_encoded: bool = False,
-                     tile_codec: str | None = None):
+                     tile_codec: str | None = None,
+                     emit_partials: bool = False):
     np_dtype = np.dtype(dtype)
     lineage_cap = LINEAGE_CAP  # captured at build time, ships with the closure
     nv = nullval if _is_nan_null(nullval) else np_dtype.type(nullval)
+    if emit_partials and merge != "feather":
+        raise ValueError("emit_partials requires merge='feather'")
 
     def assemble(group: pa.Table) -> pa.Table:
         # one group == one tile_id; re-impose input-list merge order
@@ -263,35 +289,39 @@ def make_assemble_fn(nullval: float, dtype: str, merge: str = "last",
         ysize = int(group["out_ysize"][0].as_py())
         xsize = int(group["out_xsize"][0].as_py())
         canvas = np.full((ysize, xsize), nv, dtype=np_dtype)
+        partials = None
         if merge == "last":
             _merge_last(group, order, canvas, nv, windows_encoded)
         elif merge == "feather":
-            _merge_feather(group, order, canvas, nv, windows_encoded)
+            partials = _merge_feather(group, order, canvas, nv, windows_encoded)
         else:
             raise ValueError(f"unknown merge kernel {merge!r}")
         input_ids = [group["image_id"][int(i)].as_py() for i in order]
         nonnull, px_sum, px_ssq, px_min, px_max = _canvas_stats(canvas, nv)
         payload, codec_tag = encode_payload(canvas, tile_codec)
-        return pa.Table.from_pydict(
-            {
-                "tile_id": [group["tile_id"][0].as_py()],
-                "band": [group["band"][0].as_py()],
-                "out_top": [group["out_top"][0].as_py()],
-                "out_left": [group["out_left"][0].as_py()],
-                "out_xsize": [xsize],
-                "out_ysize": [ysize],
-                "n_inputs": [len(input_ids)],
-                "input_ids": [_cap_lineage(input_ids, lineage_cap)],
-                "nonnull_count": [nonnull],
-                "px_sum": [px_sum],
-                "px_ssq": [px_ssq],
-                "px_min": [px_min],
-                "px_max": [px_max],
-                "pixels_codec": [codec_tag],
-                "pixels": [payload],
-            },
-            schema=TILE_SCHEMA,
-        )
+        cols = {
+            "tile_id": [group["tile_id"][0].as_py()],
+            "band": [group["band"][0].as_py()],
+            "out_top": [group["out_top"][0].as_py()],
+            "out_left": [group["out_left"][0].as_py()],
+            "out_xsize": [xsize],
+            "out_ysize": [ysize],
+            "n_inputs": [len(input_ids)],
+            "input_ids": [_cap_lineage(input_ids, lineage_cap)],
+            "nonnull_count": [nonnull],
+            "px_sum": [px_sum],
+            "px_ssq": [px_ssq],
+            "px_min": [px_min],
+            "px_max": [px_max],
+            "pixels_codec": [codec_tag],
+            "pixels": [payload],
+        }
+        if emit_partials:
+            num, den = partials
+            cols["num"] = [_pack_partial(num)]
+            cols["den"] = [_pack_partial(den)]
+            return pa.Table.from_pydict(cols, schema=TILE_SCHEMA_PARTIALS)
+        return pa.Table.from_pydict(cols, schema=TILE_SCHEMA)
 
     return assemble
 
@@ -303,6 +333,7 @@ def assemble_tiles(
     windows_encoded: bool = False,
     tile_codec: str | None = None,
     multiband: bool = True,
+    emit_partials: bool = False,
 ) -> "ray.data.Dataset":
     """The one shuffle of the pipeline: hash-partition windows by
     (tile_id, band), then merge each group. Backpressure/spill handled by
@@ -312,7 +343,8 @@ def assemble_tiles(
     Single-band inputs (band == 0 everywhere) group by tile_id alone — a
     one-key sort is measurably cheaper and the grouping is identical."""
     fn = make_assemble_fn(
-        grid.nullval, grid.dtype, merge, windows_encoded, tile_codec
+        grid.nullval, grid.dtype, merge, windows_encoded, tile_codec,
+        emit_partials,
     )
     keys = ["tile_id", "band"] if multiband else "tile_id"
     return windows_ds.groupby(keys).map_groups(fn, batch_format="pyarrow")
@@ -456,19 +488,9 @@ FEATHER_PARTIAL_SCHEMA = pa.schema(
 )
 
 
-def assemble_tiles_salted_feather(
-    windows_ds: "ray.data.Dataset",
-    grid: OutputGrid,
-    window_codec: str | None = None,
-    tile_codec: str | None = None,
-    multiband: bool = True,
-) -> "ray.data.Dataset":
-    """Salted two-level FEATHER merge. The blend is a weighted sum, so
-    partials are (num, den) float64 canvases summed in any order — salting
-    needs no seq-contiguity here (unlike last-non-null). Partials are
-    zlib-compressed for the second shuffle."""
-    import zlib as _zlib
-
+def make_feather_partial_fn(grid: OutputGrid, window_codec: str | None):
+    """map_groups fn: one (tile[, band, salt]) window group -> one
+    FEATHER_PARTIAL_SCHEMA row of zlib(float64) num/den sums."""
     lineage_cap = LINEAGE_CAP
     np_dtype = np.dtype(grid.dtype)
     nv = grid.nullval if _is_nan_null(grid.nullval) else np_dtype.type(grid.nullval)
@@ -494,11 +516,24 @@ def assemble_tiles_salted_feather(
                 "out_ysize": [ysize],
                 "n_inputs": [len(input_ids)],
                 "input_ids": [_cap_lineage(input_ids, lineage_cap)],
-                "num": [_zlib.compress(num.tobytes(), 1)],
-                "den": [_zlib.compress(den.tobytes(), 1)],
+                "num": [_pack_partial(num)],
+                "den": [_pack_partial(den)],
             },
             schema=FEATHER_PARTIAL_SCHEMA,
         )
+
+    return partial
+
+
+def make_feather_final_fn(grid: OutputGrid, tile_codec: str | None,
+                          emit_partials: bool = False):
+    """map_groups fn: FEATHER_PARTIAL rows of one (tile[, band]) -> the
+    blended TILE row (salt-ordered partial sum, so regrouping is
+    deterministic). With ``emit_partials`` the summed num/den ride the tile
+    row (TILE_SCHEMA_PARTIALS) for later incremental feather updates."""
+    lineage_cap = LINEAGE_CAP
+    np_dtype = np.dtype(grid.dtype)
+    nv = grid.nullval if _is_nan_null(grid.nullval) else np_dtype.type(grid.nullval)
 
     def final(group: pa.Table) -> pa.Table:
         ysize = int(group["out_ysize"][0].as_py())
@@ -509,39 +544,54 @@ def assemble_tiles_salted_feather(
         salts = group["salt"].to_numpy()
         for i in np.argsort(salts, kind="stable"):
             i = int(i)
-            num += np.frombuffer(
-                _zlib.decompress(group["num"][i].as_py()), dtype=np.float64
-            ).reshape(ysize, xsize)
-            den += np.frombuffer(
-                _zlib.decompress(group["den"][i].as_py()), dtype=np.float64
-            ).reshape(ysize, xsize)
+            num += _unpack_partial(group["num"][i].as_py(), ysize, xsize)
+            den += _unpack_partial(group["den"][i].as_py(), ysize, xsize)
             input_ids.extend(group["input_ids"][i].as_py())
         canvas = np.empty((ysize, xsize), dtype=np_dtype)
         _blend_feather(num, den, canvas, nv)
         nonnull, px_sum, px_ssq, px_min, px_max = _canvas_stats(canvas, nv)
         payload, codec_tag = encode_payload(canvas, tile_codec)
         n_in = int(pa.compute.sum(group["n_inputs"]).as_py() or 0)
-        return pa.Table.from_pydict(
-            {
-                "tile_id": [group["tile_id"][0].as_py()],
-                "band": [group["band"][0].as_py()],
-                "out_top": [group["out_top"][0].as_py()],
-                "out_left": [group["out_left"][0].as_py()],
-                "out_xsize": [xsize],
-                "out_ysize": [ysize],
-                "n_inputs": [n_in],
-                "input_ids": [_cap_lineage(input_ids, lineage_cap)],
-                "nonnull_count": [nonnull],
-                "px_sum": [px_sum],
-                "px_ssq": [px_ssq],
-                "px_min": [px_min],
-                "px_max": [px_max],
-                "pixels_codec": [codec_tag],
-                "pixels": [payload],
-            },
-            schema=TILE_SCHEMA,
-        )
+        cols = {
+            "tile_id": [group["tile_id"][0].as_py()],
+            "band": [group["band"][0].as_py()],
+            "out_top": [group["out_top"][0].as_py()],
+            "out_left": [group["out_left"][0].as_py()],
+            "out_xsize": [xsize],
+            "out_ysize": [ysize],
+            "n_inputs": [n_in],
+            "input_ids": [_cap_lineage(input_ids, lineage_cap)],
+            "nonnull_count": [nonnull],
+            "px_sum": [px_sum],
+            "px_ssq": [px_ssq],
+            "px_min": [px_min],
+            "px_max": [px_max],
+            "pixels_codec": [codec_tag],
+            "pixels": [payload],
+        }
+        if emit_partials:
+            cols["num"] = [_pack_partial(num)]
+            cols["den"] = [_pack_partial(den)]
+            return pa.Table.from_pydict(cols, schema=TILE_SCHEMA_PARTIALS)
+        return pa.Table.from_pydict(cols, schema=TILE_SCHEMA)
 
+    return final
+
+
+def assemble_tiles_salted_feather(
+    windows_ds: "ray.data.Dataset",
+    grid: OutputGrid,
+    window_codec: str | None = None,
+    tile_codec: str | None = None,
+    multiband: bool = True,
+    emit_partials: bool = False,
+) -> "ray.data.Dataset":
+    """Salted two-level FEATHER merge. The blend is a weighted sum, so
+    partials are (num, den) float64 canvases summed in any order — salting
+    needs no seq-contiguity here (unlike last-non-null). Partials are
+    zlib-compressed for the second shuffle."""
+    partial = make_feather_partial_fn(grid, window_codec)
+    final = make_feather_final_fn(grid, tile_codec, emit_partials)
     k1 = ["tile_id", "band", "salt"] if multiband else ["tile_id", "salt"]
     k2 = ["tile_id", "band"] if multiband else "tile_id"
     partials = windows_ds.groupby(k1).map_groups(
@@ -556,6 +606,7 @@ def empty_tiles_table(
     tile_codec: str | None = None,
     bands: list[int] | None = None,
     pairs: list[tuple[int, int]] | None = None,
+    emit_partials: bool = False,
 ) -> pa.Table:
     """All-null tiles for blocks intersecting no input (ref mosaic.py:351-359).
 
@@ -564,9 +615,12 @@ def empty_tiles_table(
     (tile_id, band) list) overrides the tile_ids × bands product — the
     resume path re-emits only uncommitted (tile, band) keys (round-1 ADVICE:
     a kill between two partitions of one empty tile's bands must not drop
-    the uncommitted band)."""
+    the uncommitted band). ``emit_partials`` adds all-zero feather num/den
+    (an empty tile has no weighted contributions) so a feather-partials
+    output keeps one uniform tile schema."""
     np_dtype = np.dtype(grid.dtype)
-    rows = {n: [] for n in TILE_SCHEMA.names}
+    schema = TILE_SCHEMA_PARTIALS if emit_partials else TILE_SCHEMA
+    rows = {n: [] for n in schema.names}
     if pairs is None:
         pairs = [(t, b) for t in tile_ids for b in (bands or [0])]
     for tid, band in pairs:
@@ -588,7 +642,13 @@ def empty_tiles_table(
         payload, codec_tag = encode_payload(canvas, tile_codec)
         rows["pixels_codec"].append(codec_tag)
         rows["pixels"].append(payload)
-    return pa.Table.from_pydict(rows, schema=TILE_SCHEMA)
+        if emit_partials:
+            zeros = _pack_partial(
+                np.zeros((block.ysize, block.xsize), dtype=np.float64)
+            )
+            rows["num"].append(zeros)
+            rows["den"].append(zeros)
+    return pa.Table.from_pydict(rows, schema=schema)
 
 
 def empty_tiles_ds(
@@ -597,6 +657,7 @@ def empty_tiles_ds(
     committed: set | None,
     bands: list[int] | None,
     tile_codec: str | None = None,
+    emit_partials: bool = False,
 ) -> "ray.data.Dataset":
     """Distributed all-null-tile synthesis: the anti-join replacement for the
     former O(num_tiles) driver loop (round-1 verdict fix).
@@ -619,7 +680,9 @@ def empty_tiles_ds(
         tids = batch["id"].to_numpy()
         missing = tids[~np.isin(tids, assigned)]
         pairs = _uncommitted_pairs(missing, band_list, done)
-        return empty_tiles_table(g, [], tile_codec, pairs=pairs)
+        return empty_tiles_table(
+            g, [], tile_codec, pairs=pairs, emit_partials=emit_partials
+        )
 
     return ray.data.range(grid.num_tiles).map_batches(
         gen, batch_format="pyarrow"
@@ -656,6 +719,7 @@ def empty_tiles_ds_from_assigned(
     bands: list[int] | None,
     tile_codec: str | None = None,
     bucket_size: int = 4096,
+    emit_partials: bool = False,
 ) -> "ray.data.Dataset":
     """Fully-distributed all-null-tile synthesis: the anti-join runs as a
     bucket groupby against a DATASET of assigned tile ids — no driver-side
@@ -708,7 +772,9 @@ def empty_tiles_ds_from_assigned(
             np.arange(lo, hi, dtype=np.int64), assigned, assume_unique=False
         )
         pairs = _uncommitted_pairs(missing, band_list, done)
-        return empty_tiles_table(g, [], tile_codec, pairs=pairs)
+        return empty_tiles_table(
+            g, [], tile_codec, pairs=pairs, emit_partials=emit_partials
+        )
 
     return (
         marked.union(seeds)

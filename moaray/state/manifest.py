@@ -203,10 +203,15 @@ def sweep_tmp(out_dir: str) -> int:
     return n
 
 
-def committed_paths(out_dir: str) -> list[str]:
+def committed_paths(
+    out_dir: str, max_committed_at: float | None = None
+) -> list[str]:
     """Data-file paths listed in the manifest — the only files a reader may
     trust. Orphaned .parquet files from a killed run (data written, manifest
-    line not yet committed) are invisible here by construction."""
+    line not yet committed) are invisible here by construction.
+    ``max_committed_at`` pins the read to a known-complete generation
+    barrier (grid.json's gen_hwm): partitions a killed later run managed to
+    commit are excluded, so a retry recomputes from the true base."""
     manifest_dir = os.path.join(out_dir, "manifest")
     paths: list[str] = []
     if not os.path.isdir(manifest_dir):
@@ -215,7 +220,13 @@ def committed_paths(out_dir: str) -> list[str]:
         if not name.endswith(".json"):
             continue
         with open(os.path.join(manifest_dir, name)) as f:
-            paths.append(json.load(f)["path"])
+            rec = json.load(f)
+        if (
+            max_committed_at is not None
+            and rec.get("committed_at", 0.0) > max_committed_at
+        ):
+            continue
+        paths.append(rec["path"])
     return paths
 
 
@@ -298,14 +309,17 @@ def stats_from_manifest(out_dir: str) -> dict[int, dict]:
     return {b: _finalize(a) for b, a in sorted(accs.items())}
 
 
-def winning_commits(out_dir: str) -> dict[tuple[int, int], tuple[float, str]]:
+def winning_commits(
+    out_dir: str, max_committed_at: float | None = None
+) -> dict[tuple[int, int], tuple[float, str]]:
     """(tile_id, band) -> (newest committed_at, data path) across all
     manifest records.
 
     After an incremental update (pipelines/update.py) a key can appear in
     two generations of partitions; the newest record wins, with the data
     path as a deterministic tie-break when two commits share an identical
-    float timestamp. Pure driver-side read of the tiny manifest."""
+    float timestamp. Pure driver-side read of the tiny manifest.
+    ``max_committed_at``: see committed_paths."""
     manifest_dir = os.path.join(out_dir, "manifest")
     winners: dict[tuple[int, int], tuple[float, str]] = {}
     if not os.path.isdir(manifest_dir):
@@ -315,6 +329,11 @@ def winning_commits(out_dir: str) -> dict[tuple[int, int], tuple[float, str]]:
             continue
         with open(os.path.join(manifest_dir, name)) as f:
             rec = json.load(f)
+        if (
+            max_committed_at is not None
+            and rec.get("committed_at", 0.0) > max_committed_at
+        ):
+            continue
         cand = (rec.get("committed_at", 0.0), rec.get("path", ""))
         keys = rec.get("keys") or [[t, 0] for t in rec["tile_ids"]]
         for t, b in keys:
@@ -324,18 +343,25 @@ def winning_commits(out_dir: str) -> dict[tuple[int, int], tuple[float, str]]:
     return winners
 
 
-def read_committed_tiles(out_dir: str, columns: list[str] | None = None):
+def read_committed_tiles(
+    out_dir: str,
+    columns: list[str] | None = None,
+    max_committed_at: float | None = None,
+):
     """Manifest-committed tile files as one Dataset (for verification /
     downstream reads). Reads ONLY manifest-listed paths — never a raw
     directory listing — so uncommitted orphans from a killed run are
     excluded. When incremental updates left superseded generations of a
     (tile, band) key, only the newest generation's rows survive (winner map
     broadcast once via ray.put; vectorized filter per batch); the
-    version-stamp column is dropped so downstream schemas are unchanged."""
+    version-stamp column is dropped so downstream schemas are unchanged.
+    ``max_committed_at`` pins the read to a generation barrier (see
+    committed_paths) — the feather-update base read uses grid.json's
+    gen_hwm so a killed update's partial new generation is invisible."""
     import numpy as np
     import ray
 
-    winners = winning_commits(out_dir)
+    winners = winning_commits(out_dir, max_committed_at)
     total_keys = 0
     manifest_dir = os.path.join(out_dir, "manifest")
     if os.path.isdir(manifest_dir):
@@ -344,12 +370,19 @@ def read_committed_tiles(out_dir: str, columns: list[str] | None = None):
                 continue
             with open(os.path.join(manifest_dir, name)) as f:
                 rec = json.load(f)
+            if (
+                max_committed_at is not None
+                and rec.get("committed_at", 0.0) > max_committed_at
+            ):
+                continue
             total_keys += len(rec.get("keys") or rec["tile_ids"])
     has_dupes = total_keys > len(winners)
 
     if not has_dupes:
         # fresh output: no superseded generations, no filter stage needed
-        ds = ray.data.read_parquet(committed_paths(out_dir), columns=columns)
+        ds = ray.data.read_parquet(
+            committed_paths(out_dir, max_committed_at), columns=columns
+        )
 
         def drop_stamp(batch: pa.Table) -> pa.Table:
             if "committed_at" in batch.schema.names:
@@ -374,7 +407,9 @@ def read_committed_tiles(out_dir: str, columns: list[str] | None = None):
         if columns is not None and c not in columns
     ]
     ds = ray.data.read_parquet(
-        committed_paths(out_dir), columns=read_cols, include_paths=True
+        committed_paths(out_dir, max_committed_at),
+        columns=read_cols,
+        include_paths=True,
     )
     # normalize both sides of the tie-break to absolute paths — Ray's
     # include_paths reports resolved filesystem paths, the manifest stores
@@ -406,9 +441,25 @@ def read_committed_tiles(out_dir: str, columns: list[str] | None = None):
 GRID_META = "grid.json"
 
 
-def write_grid_meta(out_dir: str, grid, n_seq: int, bands: list[int]) -> None:
+def write_grid_meta(
+    out_dir: str,
+    grid,
+    n_seq: int,
+    bands: list[int],
+    gen_hwm: float | None = None,
+    applied_updates: list[str] | None = None,
+) -> None:
     """Persist the output grid + input-sequence high-water mark so a later
-    incremental update can plan against the exact same grid."""
+    incremental update can plan against the exact same grid.
+
+    ``gen_hwm`` (generation high-water mark): max committed_at of the
+    known-COMPLETE output state, written only after every partition of a
+    run committed. A feather update reads its base pinned to this barrier,
+    so partitions a killed update managed to commit are ignored on retry
+    (the retry's rewrite then supersedes them by timestamp).
+    ``applied_updates``: content ids of update catalogs already folded in —
+    the rerun-idempotence guard for the weighted-sum (feather) path, where
+    re-adding a delta would double its weight (last-wins needs no guard)."""
     os.makedirs(out_dir, exist_ok=True)
     rec = {
         "ncols": grid.ncols,
@@ -423,10 +474,44 @@ def write_grid_meta(out_dir: str, grid, n_seq: int, bands: list[int]) -> None:
         "n_seq": n_seq,
         "bands": bands,
     }
+    if gen_hwm is not None:
+        rec["gen_hwm"] = gen_hwm
+    if applied_updates is not None:
+        rec["applied_updates"] = applied_updates
     tmp = os.path.join(out_dir, GRID_META + ".tmp")
     with open(tmp, "w") as f:
         json.dump(rec, f)
     os.replace(tmp, os.path.join(out_dir, GRID_META))
+
+
+def load_grid_extras(out_dir: str) -> dict:
+    """gen_hwm / applied_updates from grid.json (empty defaults when the
+    output predates these fields)."""
+    try:
+        with open(os.path.join(out_dir, GRID_META)) as f:
+            rec = json.load(f)
+    except FileNotFoundError:
+        return {"gen_hwm": None, "applied_updates": []}
+    return {
+        "gen_hwm": rec.get("gen_hwm"),
+        "applied_updates": list(rec.get("applied_updates", [])),
+    }
+
+
+def max_manifest_commit(out_dir: str) -> float | None:
+    """Newest committed_at across manifest records (None if none)."""
+    manifest_dir = os.path.join(out_dir, "manifest")
+    if not os.path.isdir(manifest_dir):
+        return None
+    best = None
+    for name in os.listdir(manifest_dir):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(manifest_dir, name)) as f:
+            ts = json.load(f).get("committed_at", 0.0)
+        if best is None or ts > best:
+            best = ts
+    return best
 
 
 def load_grid_meta(out_dir: str):

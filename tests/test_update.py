@@ -478,3 +478,106 @@ def test_extend_mosaic_sliver_edges(ray_session, tmp_path):
     assert got.shape == truth.shape
     assert np.array_equal(got, truth)
     assert res.tiles_ds.count() == res.grid.num_tiles
+
+
+# ---------------------------------------------------------------------------
+# Feather (weighted-blend) incremental update: persisted num/den partials
+
+
+def _full_feather(tmp_path, do_pyramids=False):
+    """Full-rebuild feather mosaic over the complete catalog (engine truth;
+    the feather kernel has no nested-loop oracle — the salted/unsalted
+    equivalence test pins its semantics)."""
+    cat = str(tmp_path / "full_cat")
+    os.makedirs(cat, exist_ok=True)
+    pq.write_table(gen_images_table(LAYOUT), os.path.join(cat, "part-0.parquet"))
+    res = do_mosaic(
+        cat,
+        MosaicConfig(layout=LAYOUT, blocksize=64, merge="feather",
+                     do_pyramids=do_pyramids),
+    )
+    return mosaic_array(res.tiles_ds, res.grid)
+
+
+def test_feather_update_equals_full_rebuild(ray_session, tmp_path, split_catalogs):
+    """update_mosaic(merge='feather') over a feather_partials base ==
+    full feather rebuild over the concatenated catalog, within one code
+    value (float-sum reassociation — the same bound the salted/unsalted
+    feather equivalence carries). The updated output persists fresh
+    partials, so a SECOND update chains without re-reading sources."""
+    base, upd = split_catalogs
+    cfg = MosaicConfig(layout=LAYOUT, blocksize=64, merge="feather",
+                       feather_partials=True, do_pyramids=False)
+    out = str(tmp_path / "out")
+    res0 = do_mosaic(base, cfg, out_dir=out)
+    row = res0.tiles_ds.take(1)[0]
+    assert row.get("num") is not None and row.get("den") is not None
+
+    res1 = update_mosaic(upd, cfg, out)
+    got = mosaic_array(res1.tiles_ds, res1.grid)
+    truth = _full_feather(tmp_path)
+    diff = np.abs(got.astype(np.int64) - truth.astype(np.int64))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.001
+    # updated generation still carries partials for the next update
+    row1 = res1.tiles_ds.take(1)[0]
+    assert row1.get("num") is not None
+
+
+def test_feather_update_rerun_is_noop(ray_session, tmp_path, split_catalogs):
+    """Re-adding a delta would DOUBLE its blend weight; the applied_updates
+    content-id guard makes a completed update's rerun a no-op."""
+    base, upd = split_catalogs
+    cfg = MosaicConfig(layout=LAYOUT, blocksize=64, merge="feather",
+                       feather_partials=True, do_pyramids=False)
+    out = str(tmp_path / "out")
+    do_mosaic(base, cfg, out_dir=out)
+    res1 = update_mosaic(upd, cfg, out)
+    got1 = mosaic_array(res1.tiles_ds, res1.grid)
+    res2 = update_mosaic(upd, cfg, out)
+    got2 = mosaic_array(res2.tiles_ds, res2.grid)
+    assert (got1 == got2).all()
+
+
+def test_feather_update_without_partials_rejected(
+    ray_session, tmp_path, split_catalogs
+):
+    base, upd = split_catalogs
+    cfg = MosaicConfig(layout=LAYOUT, blocksize=64, merge="feather",
+                       do_pyramids=False)  # no feather_partials
+    out = str(tmp_path / "out")
+    do_mosaic(base, cfg, out_dir=out)
+    with pytest.raises(ValueError, match="feather_partials"):
+        update_mosaic(upd, cfg, out)
+
+
+def test_feather_update_killed_attempt_retry(
+    ray_session, tmp_path, split_catalogs
+):
+    """A killed update leaves SOME new-generation partitions committed but
+    no gen_hwm advance; the retry's base read pins to the old barrier, so
+    those partial commits are ignored (no double-add) and the retry's
+    rewrite supersedes them by timestamp."""
+    import glob
+    import json
+
+    base, upd = split_catalogs
+    cfg = MosaicConfig(layout=LAYOUT, blocksize=64, merge="feather",
+                       feather_partials=True, do_pyramids=False)
+    out = str(tmp_path / "out")
+    do_mosaic(base, cfg, out_dir=out)
+    with open(os.path.join(out, "grid.json")) as f:
+        meta_before = json.load(f)
+
+    # run the update fully, then SIMULATE the kill: roll grid.json back to
+    # the pre-update state (as if the run died after committing every
+    # partition but before the barrier advanced — the worst partial state)
+    update_mosaic(upd, cfg, out)
+    with open(os.path.join(out, "grid.json"), "w") as f:
+        json.dump(meta_before, f)
+
+    res = update_mosaic(upd, cfg, out)  # the retry
+    got = mosaic_array(res.tiles_ds, res.grid)
+    truth = _full_feather(tmp_path)
+    diff = np.abs(got.astype(np.int64) - truth.astype(np.int64))
+    assert diff.max() <= 1
