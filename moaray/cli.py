@@ -53,12 +53,17 @@ def get_cmdargs(argv=None):
                    help="null value override (default: first input's)")
     p.add_argument("--merge", default="last", choices=["last", "feather"],
                    help="overlap merge kernel (default %(default)s)")
+    p.add_argument("--feather-partials", action="store_true",
+                   help="with --merge feather: persist per-tile num/den "
+                        "blend partials so a later --update can fold new "
+                        "images in without re-reading any original source")
     p.add_argument("--resume", action="store_true",
                    help="skip tiles already committed in the output manifest")
     p.add_argument("--update", action="store_true",
                    help="incremental update: fold the input catalog's images "
                         "into the EXISTING committed mosaic at -o, rewriting "
-                        "only affected tiles (merge=last only)")
+                        "only affected tiles (merge=feather needs a base "
+                        "built with --feather-partials)")
     p.add_argument("--extend", metavar="NEW_OUT", default=None,
                    help="like --update but the input may EXCEED the stored "
                         "extent: the grid grows to the union extent and a "
@@ -178,6 +183,7 @@ def main_cmd(argv=None) -> int:
             blocksize=args.blocksize,
             nullval=args.nullval,
             merge=args.merge,
+            feather_partials=args.feather_partials,
             do_pyramids=not args.nopyramids,
             min_overview_size=args.minoverviewsize,
             out_crs=out_crs,
