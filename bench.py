@@ -28,6 +28,42 @@ BENCH_IMG_SIZE = int(os.environ.get("MOARAY_BENCH_SIZE", "1024"))
 BENCH_FMT = os.environ.get("MOARAY_BENCH_FMT", "z16")
 
 
+def host_probe() -> dict:
+    """~2 s standalone probe of the HOST's current health, recorded with
+    every bench line. This sandbox shares a hypervisor: effective
+    parallelism has been observed to drop from ~32 to ~13 cores for hours
+    at a time (external steal/fault contention — old commits re-benched
+    equally slow). The probe lets any recorded number be read against the
+    host state it was measured under.
+
+    ``parallel_efficiency``: 32 single-core burns run concurrently,
+    perfect 32-core host => 1.0. ``single_thread_s``: fixed burn, lower
+    is faster (≈0.4 s on this box when healthy)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    n = 6_000_000
+    t0 = time.perf_counter()
+    _burn(n)
+    single = time.perf_counter() - t0
+    with ProcessPoolExecutor(32) as ex:
+        # pre-spawn workers so spawn cost stays out of the measurement
+        list(ex.map(_burn, [1000] * 32))
+        t0 = time.perf_counter()
+        list(ex.map(_burn, [n] * 32))
+        par = time.perf_counter() - t0
+    return {
+        "single_thread_s": round(single, 3),
+        "parallel_efficiency": round(single / par, 3),
+    }
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
 def sf_value(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -239,6 +275,7 @@ def main_bench():
         "mosaic": {k: round(v, 3) for k, v in mosaic.items()},
     }
     ray.shutdown()
+    out["host"] = host_probe()
     print(json.dumps(out))
 
 
@@ -296,6 +333,7 @@ def main_scaling():
             "efficiency": round(eff, 3),
         },
     }
+    out["host"] = host_probe()
     print(json.dumps(out))
 
 
