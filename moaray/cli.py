@@ -89,7 +89,9 @@ def get_cmdargs(argv=None):
     proj.add_argument("--yres", type=float, default=None,
                       help="output Y pixel size (default: first input's)")
     proj.add_argument("--resamplemethod", "--resample", default="near",
-                      choices=["near", "bilinear", "cubic", "average"],
+                      choices=["near", "bilinear", "cubic", "cubicspline",
+                               "lanczos", "average", "rms", "mode", "min",
+                               "max", "med", "q1", "q3", "sum"],
                       help="warp resampling method (default %(default)s); "
                            "--resample is the reference-compat alias")
     p.add_argument("--gtiff", default=None,

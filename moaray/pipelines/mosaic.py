@@ -175,7 +175,8 @@ class MosaicConfig:
     out_crs: str | None = None
     out_xres: float | None = None
     out_yres: float | None = None
-    resample: str = "near"  # "near" | "bilinear" | "cubic" | "average"
+    # any GDAL resampleAlg string (reproject._CONV_KERNELS/_FOOTPRINT_STATS)
+    resample: str = "near"
     # Compress window payloads before the tile-assembly shuffle ("z16") —
     # on a multi-node cluster the groupby moves every decoded window over
     # the network, so shuffle bytes bound throughput. None = raw. Only

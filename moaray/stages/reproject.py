@@ -38,7 +38,10 @@ class WarpSpec:
     dst_crs: str
     xres: float | None = None
     yres: float | None = None
-    resample: str = "near"  # "near" | "bilinear" | "cubic" | "average"
+    # full GDAL resampleAlg set (ref reproj.py:211-216 passes the string
+    # through to gdal.Warp): near | bilinear | cubic | cubicspline |
+    # lanczos | average | rms | mode | min | max | med | q1 | q3 | sum
+    resample: str = "near"
 
 
 def snap_value(val: float, res: float, ceil: bool) -> float:
@@ -244,10 +247,13 @@ def warp_window(
             np.floor(sx[edge]).astype(np.int64),
         ]
         return out
-    if resample == "cubic":
-        return _warp_cubic(src, sx, sy, out, nullval)
-    if resample == "average":
-        return _warp_average(src, px_map, top, left, h, w, out, nullval)
+    if resample in _CONV_KERNELS:
+        weights_fn, lo, ntaps = _CONV_KERNELS[resample]
+        return _warp_conv(src, sx, sy, out, nullval, weights_fn, lo, ntaps)
+    if resample in _FOOTPRINT_STATS:
+        return _warp_footprint(
+            src, px_map, top, left, h, w, out, nullval, resample
+        )
     raise ValueError(f"unknown resample method {resample!r}")
 
 
@@ -266,9 +272,50 @@ def _cubic_weights(t: np.ndarray) -> list[np.ndarray]:
     return [outer(d0), inner(d1), inner(d2), outer(d3)]
 
 
-def _warp_cubic(src, sx, sy, out, nullval):
-    """4x4 cubic convolution; any-null neighborhood and the edge band fall
-    back to nearest (mirrors the bilinear kernel's null policy)."""
+def _bspline_weights(t: np.ndarray) -> list[np.ndarray]:
+    """Cubic B-spline (GDAL 'cubicspline') weights for the 4 taps at
+    offsets -1..2. Smoothing (not interpolating) kernel; reproduces
+    constant and linear fields exactly (partition of unity + symmetry)."""
+    d0, d1, d2, d3 = 1.0 + t, t, 1.0 - t, 2.0 - t
+
+    def outer(d):  # 1 <= d <= 2
+        e = 2.0 - d
+        return e * e * e / 6.0
+
+    def inner(d):  # 0 <= d <= 1
+        return 2.0 / 3.0 - d * d + d * d * d / 2.0
+
+    return [outer(d0), inner(d1), inner(d2), outer(d3)]
+
+
+def _lanczos_weights(t: np.ndarray) -> list[np.ndarray]:
+    """Lanczos a=3 (GDAL 'lanczos') weights for the 6 taps at offsets
+    -2..3, normalized to sum 1 (keeps constants exact, as GDAL does).
+    sinc-windowed-sinc interpolates exactly at sample points."""
+    ws = [np.sinc(t - off) * np.sinc((t - off) / 3.0) for off in range(-2, 4)]
+    s = ws[0] + ws[1] + ws[2] + ws[3] + ws[4] + ws[5]
+    return [w / s for w in ws]
+
+
+# resample -> (per-axis weight fn, first tap offset, tap count)
+_CONV_KERNELS = {
+    "cubic": (_cubic_weights, -1, 4),
+    "cubicspline": (_bspline_weights, -1, 4),
+    "lanczos": (_lanczos_weights, -2, 6),
+}
+
+# GDAL footprint-statistic resampleAlg values (dst pixel = stat of the
+# non-null src pixels whose centers fall inside its footprint)
+_FOOTPRINT_STATS = (
+    "average", "sum", "rms", "min", "max", "mode", "med", "q1", "q3",
+)
+
+
+def _warp_conv(src, sx, sy, out, nullval, weights_fn, lo, ntaps):
+    """Separable ntaps x ntaps convolution (cubic / cubicspline / lanczos);
+    any-null neighborhood and the edge band fall back to nearest (mirrors
+    the bilinear kernel's null policy)."""
+    hi = lo + ntaps - 1
     fx = sx - 0.5
     fy = sy - 0.5
     c0 = np.floor(fx).astype(np.int64)
@@ -276,17 +323,18 @@ def _warp_cubic(src, sx, sy, out, nullval):
     tx = fx - c0
     ty = fy - r0
     valid = (
-        (r0 >= 1) & (r0 + 2 < src.shape[0]) & (c0 >= 1) & (c0 + 2 < src.shape[1])
+        (r0 + lo >= 0) & (r0 + hi < src.shape[0])
+        & (c0 + lo >= 0) & (c0 + hi < src.shape[1])
     )
     rv, cv = r0[valid], c0[valid]
-    wxs = [w[valid] for w in _cubic_weights(tx)]
-    wys = [w[valid] for w in _cubic_weights(ty)]
+    wxs = [w[valid] for w in weights_fn(tx)]
+    wys = [w[valid] for w in weights_fn(ty)]
     acc = np.zeros(rv.shape, dtype=np.float64)
     anynull = np.zeros(rv.shape, dtype=bool)
     nan_null = isinstance(nullval, float) and np.isnan(nullval)
-    for i in range(4):
-        for j in range(4):
-            p = src[rv + i - 1, cv + j - 1].astype(np.float64)
+    for i in range(ntaps):
+        for j in range(ntaps):
+            p = src[rv + i + lo, cv + j + lo].astype(np.float64)
             if nan_null:
                 anynull |= np.isnan(p)
             else:
@@ -301,7 +349,7 @@ def _warp_cubic(src, sx, sy, out, nullval):
         info = np.iinfo(src.dtype)
         vals = np.clip(np.rint(vals), info.min, info.max)
     out[valid] = vals.astype(src.dtype)
-    # pixels whose 4x4 neighborhood leaves the source: nearest
+    # pixels whose full neighborhood leaves the source: nearest
     ri = np.floor(sy).astype(np.int64)
     ci = np.floor(sx).astype(np.int64)
     edge = (
@@ -313,11 +361,18 @@ def _warp_cubic(src, sx, sy, out, nullval):
     return out
 
 
-def _warp_average(src, px_map, top, left, h, w, out, nullval):
-    """GDAL-'average' semantics: each destination pixel is the mean of the
-    non-null SOURCE pixels whose centers fall inside the destination pixel's
-    footprint (exact for axis-aligned affines — the moaray warp model; a
-    rotated map would need a polygon coverage test)."""
+def _warp_footprint(src, px_map, top, left, h, w, out, nullval, stat):
+    """GDAL footprint-statistic semantics ('average', 'sum', 'rms', 'min',
+    'max', 'mode', 'med', 'q1', 'q3'): each destination pixel is the stat
+    of the non-null SOURCE pixels whose centers fall inside the destination
+    pixel's footprint (exact for axis-aligned affines — the moaray warp
+    model; a rotated map would need a polygon coverage test).
+
+    Streaming stats (average/sum/rms/min/max) accumulate in O(h*w); rank
+    stats (mode/med/q1/q3) gather a (taps, h, w) candidate stack, chunked
+    over rows so memory stays bounded for large downsample factors. Ties
+    in 'mode' go to the smallest value (deterministic); med/q1/q3 use
+    numpy linear interpolation between ranks."""
     # dst pixel corner grid -> src coords (corners, not centers)
     rows_c = np.arange(top, top + h + 1, dtype=np.float64)
     cols_c = np.arange(left, left + w + 1, dtype=np.float64)
@@ -333,11 +388,26 @@ def _warp_average(src, px_map, top, left, h, w, out, nullval):
     y_hi = np.maximum(gy[:-1, :-1], gy[1:, 1:])
     kx = max(1, int(math.ceil(float(np.max(x_hi - x_lo)))) + 1)
     ky = max(1, int(math.ceil(float(np.max(y_hi - y_lo)))) + 1)
+    nan_null = isinstance(nullval, float) and np.isnan(nullval)
+    if stat in ("mode", "med", "q1", "q3"):
+        # bound the candidate stack to ~32 MB per chunk
+        chunk = max(1, int(4_000_000 // max(1, w * kx * ky)))
+        for r0 in range(0, h, chunk):
+            r1 = min(h, r0 + chunk)
+            sl = np.s_[r0:r1]
+            _footprint_rank(
+                src, x_lo[sl], x_hi[sl], y_lo[sl], y_hi[sl],
+                kx, ky, out[sl], nullval, nan_null, stat,
+            )
+        return out
     base_c = np.floor(x_lo).astype(np.int64)
     base_r = np.floor(y_lo).astype(np.int64)
-    nan_null = isinstance(nullval, float) and np.isnan(nullval)
     acc = np.zeros((h, w), dtype=np.float64)
     cnt = np.zeros((h, w), dtype=np.int64)
+    mn = np.full((h, w), np.inf)
+    mx = np.full((h, w), -np.inf)
+    want_sq = stat == "rms"
+    want_ext = stat in ("min", "max")
     for i in range(ky):
         rr = base_r + i
         cy = rr + 0.5  # src pixel center
@@ -354,14 +424,98 @@ def _warp_average(src, px_map, top, left, h, w, out, nullval):
             nonnull = ~np.isnan(p) if nan_null else p != float(nullval)
             vals = np.where(nonnull, p, 0.0)
             a = acc[sel]
-            a += vals
+            a += vals * vals if want_sq else vals
             acc[sel] = a
             c = cnt[sel]
             c += nonnull.astype(np.int64)
             cnt[sel] = c
+            if want_ext:
+                live = np.where(nonnull, p, np.inf)
+                mn[sel] = np.minimum(mn[sel], live)
+                live = np.where(nonnull, p, -np.inf)
+                mx[sel] = np.maximum(mx[sel], live)
     have = cnt > 0
-    vals = acc[have] / cnt[have]
-    if np.issubdtype(src.dtype, np.integer):
-        vals = np.rint(vals)
-    out[have] = vals.astype(src.dtype)
+    if stat == "average":
+        vals = acc[have] / cnt[have]
+    elif stat == "sum":
+        vals = acc[have]
+    elif stat == "rms":
+        vals = np.sqrt(acc[have] / cnt[have])
+    elif stat == "min":
+        vals = mn[have]
+    elif stat == "max":
+        vals = mx[have]
+    else:  # pragma: no cover - dispatch guarantees membership
+        raise ValueError(f"unknown footprint stat {stat!r}")
+    out[have] = _cast_stat(vals, src.dtype)
     return out
+
+
+def _footprint_rank(
+    src, x_lo, x_hi, y_lo, y_hi, kx, ky, out, nullval, nan_null, stat
+):
+    """Rank-based footprint stats over one row-chunk: gather all candidate
+    src values per dst pixel into a NaN-padded stack, then reduce."""
+    hh, ww = x_lo.shape
+    base_c = np.floor(x_lo).astype(np.int64)
+    base_r = np.floor(y_lo).astype(np.int64)
+    stack = np.full((ky * kx, hh, ww), np.nan)
+    for i in range(ky):
+        rr = base_r + i
+        cy = rr + 0.5
+        in_y = (cy >= y_lo) & (cy < y_hi) & (rr >= 0) & (rr < src.shape[0])
+        if not in_y.any():
+            continue
+        for j in range(kx):
+            cc = base_c + j
+            cx = cc + 0.5
+            sel = in_y & (cx >= x_lo) & (cx < x_hi) & (cc >= 0) & (cc < src.shape[1])
+            if not sel.any():
+                continue
+            p = src[rr[sel], cc[sel]].astype(np.float64)
+            nonnull = ~np.isnan(p) if nan_null else p != float(nullval)
+            layer = stack[i * kx + j]
+            layer[sel] = np.where(nonnull, p, np.nan)
+    have = ~np.all(np.isnan(stack), axis=0)
+    if not have.any():
+        return
+    live = stack[:, have]  # (taps, npix) — no all-NaN slices -> no warnings
+    if stat == "med":
+        vals = np.nanmedian(live, axis=0)
+    elif stat == "q1":
+        vals = np.nanquantile(live, 0.25, axis=0)
+    elif stat == "q3":
+        vals = np.nanquantile(live, 0.75, axis=0)
+    else:  # mode: most frequent value; ties -> smallest (deterministic)
+        vals = _nan_mode(live)
+    out[have] = _cast_stat(vals, src.dtype)
+
+
+def _nan_mode(stack: np.ndarray) -> np.ndarray:
+    """Most frequent non-NaN value along axis 0 (ties -> smallest value).
+    Vectorized: sort puts NaNs last and equal values adjacent, then a
+    run-length sweep keeps the first (= smallest) longest run."""
+    svals = np.sort(stack, axis=0)
+    n = svals.shape[0]
+    best_cnt = np.zeros(svals.shape[1:], dtype=np.int64)
+    best_val = np.full(svals.shape[1:], np.nan)
+    run = np.zeros(svals.shape[1:], dtype=np.int64)
+    for k in range(n):
+        cur = svals[k]
+        ok = ~np.isnan(cur)
+        if k > 0:
+            same = ok & (cur == svals[k - 1])
+            run = np.where(same, run + 1, np.where(ok, 1, 0))
+        else:
+            run = ok.astype(np.int64)
+        better = run > best_cnt
+        best_cnt = np.where(better, run, best_cnt)
+        best_val = np.where(better, cur, best_val)
+    return best_val
+
+
+def _cast_stat(vals: np.ndarray, dtype) -> np.ndarray:
+    if np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        vals = np.clip(np.rint(vals), info.min, info.max)
+    return vals.astype(dtype)

@@ -248,7 +248,87 @@ def test_average_excludes_nulls():
     assert out[1, 1] == 0  # all-null block stays null
 
 
-@pytest.mark.parametrize("method", ["cubic", "average"])
+# ---------------------------------------------------------------------------
+# round-3 completion of the GDAL resampleAlg set (ref reproj.py:211-216
+# passes any method string through to gdal.Warp): cubicspline, lanczos,
+# and the footprint stats rms/mode/min/max/med/q1/q3/sum
+# ---------------------------------------------------------------------------
+
+def test_lanczos_identity_reproduces_source():
+    # lanczos (sinc-windowed sinc) interpolates exactly at sample points
+    from moaray.stages.reproject import warp_window
+
+    rng = np.random.RandomState(5)
+    src = (rng.rand(16, 16) * 1000 + 1).astype(np.uint16)
+    out = warp_window(src, _ident(), 0, 0, 16, 16, np.uint16(0), "lanczos")
+    assert np.array_equal(out[3:13, 3:13], src[3:13, 3:13])
+
+
+def test_cubicspline_linear_precision():
+    # cubic B-spline is smoothing, not interpolating, but reproduces
+    # linear fields exactly (partition of unity + first-moment symmetry)
+    from moaray.stages.reproject import warp_window
+
+    rr, cc = np.mgrid[0:32, 0:32]
+    src = (2.0 * cc + 3.0 * rr + 5.0).astype(np.float64)
+    px_map = (0.0, 0.5, 0.0, 0.0, 0.0, 0.5)
+    out = warp_window(src, px_map, 4, 4, 40, 40, float("nan"), "cubicspline")
+    rows = np.arange(4, 44, dtype=np.float64) + 0.5
+    cols = np.arange(4, 44, dtype=np.float64) + 0.5
+    sx = 0.5 * cols[None, :] - 0.5
+    sy = 0.5 * rows[:, None] - 0.5
+    expected = 2.0 * sx + 3.0 * sy + 5.0
+    inner = np.s_[4:36, 4:36]
+    assert np.allclose(out[inner], expected[inner], atol=1e-9)
+
+
+def test_footprint_stats_match_block_oracles():
+    # 2x2-block downsample: every footprint stat vs its numpy oracle
+    from moaray.stages.reproject import warp_window
+
+    rng = np.random.RandomState(11)
+    src = (rng.rand(20, 24) * 1000 + 1).astype(np.float64)
+    px_map = (0.0, 2.0, 0.0, 0.0, 0.0, 2.0)
+    blocks = src.reshape(10, 2, 12, 2).transpose(0, 2, 1, 3).reshape(10, 12, 4)
+    oracles = {
+        "min": blocks.min(axis=2),
+        "max": blocks.max(axis=2),
+        "sum": blocks.sum(axis=2),
+        "rms": np.sqrt((blocks ** 2).mean(axis=2)),
+        "med": np.median(blocks, axis=2),
+        "q1": np.quantile(blocks, 0.25, axis=2),
+        "q3": np.quantile(blocks, 0.75, axis=2),
+    }
+    for stat, expected in oracles.items():
+        out = warp_window(src, px_map, 0, 0, 10, 12, float("nan"), stat)
+        assert np.allclose(out, expected), stat
+
+
+def test_footprint_stats_exclude_nulls():
+    from moaray.stages.reproject import warp_window
+
+    src = np.zeros((4, 4), dtype=np.uint16)
+    src[0, 0] = 10
+    src[0, 1] = 20
+    px_map = (0.0, 2.0, 0.0, 0.0, 0.0, 2.0)
+    for stat, want in [("min", 10), ("max", 20), ("sum", 30), ("med", 15)]:
+        out = warp_window(src, px_map, 0, 0, 2, 2, np.uint16(0), stat)
+        assert out[0, 0] == want, stat
+        assert out[1, 1] == 0, stat  # all-null block stays null
+
+
+def test_mode_majority_and_tie_break():
+    from moaray.stages.reproject import warp_window
+
+    # blocks: {4,4,7,9} -> 4 (majority); {3,3,5,5} -> 3 (tie -> smallest)
+    src = np.array([[4, 4], [7, 9], [3, 3], [5, 5]], dtype=np.uint16)
+    px_map = (0.0, 2.0, 0.0, 0.0, 0.0, 2.0)
+    out = warp_window(src, px_map, 0, 0, 2, 1, np.uint16(0), "mode")
+    assert out[0, 0] == 4
+    assert out[1, 0] == 3
+
+
+@pytest.mark.parametrize("method", ["cubic", "average", "cubicspline", "mode"])
 def test_mosaic_warp_methods_end_to_end(ray_session, method):
     # scale-2 affine CRS warp through the full pipeline: output must cover
     # the same extent as nearest and carry plausible ramp statistics
