@@ -2,10 +2,11 @@
 
 Images/audio/video are carried as ``binary`` columns with metadata columns
 (w, h, fmt / sample_rate / n_frames); the Ray-side plumbing — actor-pool
-stages, schemas, batch sizing — is real and tested. Actual codec work for
-container formats (PNG/JPEG/WAV/MP4) is STUBBED behind clearly-marked
-NotImplementedError gates because the sandbox has no media libraries; the
-engine's own MRAY codecs (moaray.codecs) exercise the same paths for real.
+stages, schemas, batch sizing — is real and tested. PNG, baseline JPEG,
+WAV/PCM16 and the mvid stacked-frame container decode through the engine's
+own from-scratch codecs (moaray.codecs / moaray.jpeg); only MP3/FLAC/MP4
+remain behind clearly-marked NotImplementedError gates (no media libraries
+in the sandbox).
 """
 
 from __future__ import annotations
@@ -70,21 +71,51 @@ class ImageFeatures:
 
 
 class ImageResize:
-    """Actor-pool stage: nearest-neighbour resize to (out_h, out_w).
+    """Actor-pool stage: resize to (out_h, out_w).
 
-    Nearest resampling is implemented for real on MRAY payloads (it is the
-    reference's only overview resampler, mosaic.py:657); other interpolations
-    would need scipy/Pillow and are gated.
+    'nearest' (the reference's only overview resampler, mosaic.py:657) is
+    an exact strided gather; every other method reuses the mosaic warp
+    kernels (stages/reproject.warp_window — a resize IS an affine scale
+    warp): bilinear, cubic, cubicspline, lanczos, plus the footprint
+    stats (average/rms/mode/min/max/med/q1/q3/sum, downsample semantics).
+    No image library needed.
     """
 
     def __init__(self, out_h: int, out_w: int, method: str = "nearest"):
-        if method != "nearest":
-            raise NotImplementedError(
-                f"resample method {method!r} needs an image library; "
-                "only 'nearest' is implemented in-sandbox"
+        from ..stages.reproject import _CONV_KERNELS, _FOOTPRINT_STATS
+
+        ok = {"nearest", "near", "bilinear", *_CONV_KERNELS,
+              *_FOOTPRINT_STATS}
+        if method not in ok:
+            raise ValueError(
+                f"unknown resize method {method!r}; one of {sorted(ok)}"
             )
         self.out_h = out_h
         self.out_w = out_w
+        self.method = method
+
+    def _interp(self, arr: np.ndarray) -> np.ndarray:
+        """Interpolating resize on a NaN-free float copy: no value ever
+        collides with the warp kernels' null sentinel, so interpolation is
+        pure (no nearest fallback except at the geometric edge band)."""
+        from ..stages.reproject import warp_window
+
+        h, w = arr.shape
+        px_map = (0.0, w / self.out_w, 0.0, 0.0, 0.0, h / self.out_h)
+        outf = warp_window(
+            arr.astype(np.float64), px_map, 0, 0, self.out_h, self.out_w,
+            float("nan"), self.method,
+        )
+        nanm = np.isnan(outf)
+        if nanm.any():  # e.g. 'average' upsample: footprint misses every
+            # src center — fill from the nearest source pixel
+            ri = (np.arange(self.out_h) * h // self.out_h).clip(0, h - 1)
+            ci = (np.arange(self.out_w) * w // self.out_w).clip(0, w - 1)
+            outf = np.where(nanm, arr[np.ix_(ri, ci)].astype(np.float64), outf)
+        if np.issubdtype(arr.dtype, np.integer):
+            info = np.iinfo(arr.dtype)
+            outf = np.clip(np.rint(outf), info.min, info.max)
+        return outf.astype(arr.dtype)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": []}
@@ -92,9 +123,12 @@ class ImageResize:
             fmt = batch["fmt"][i].as_py()
             arr = codecs.decode(batch["bytes"][i].as_py(), fmt)
             h, w = arr.shape
-            ri = (np.arange(self.out_h) * h // self.out_h).clip(0, h - 1)
-            ci = (np.arange(self.out_w) * w // self.out_w).clip(0, w - 1)
-            small = arr[np.ix_(ri, ci)]
+            if self.method in ("nearest", "near"):
+                ri = (np.arange(self.out_h) * h // self.out_h).clip(0, h - 1)
+                ci = (np.arange(self.out_w) * w // self.out_w).clip(0, w - 1)
+                small = arr[np.ix_(ri, ci)]
+            else:
+                small = self._interp(arr)
             rows["image_id"].append(batch["image_id"][i].as_py())
             rows["bytes"].append(codecs.encode(np.ascontiguousarray(small), "raw16"))
             rows["w"].append(self.out_w)
@@ -225,11 +259,11 @@ def image_features(images_ds, *, concurrency=(1, 8), batch_size: int = 16):
     )
 
 
-def image_resize(images_ds, out_h: int, out_w: int, *, concurrency=(1, 8),
-                 batch_size: int = 16):
+def image_resize(images_ds, out_h: int, out_w: int, *, method: str = "nearest",
+                 concurrency=(1, 8), batch_size: int = 16):
     return images_ds.map_batches(
         ImageResize,
-        fn_constructor_args=(out_h, out_w),
+        fn_constructor_args=(out_h, out_w, method),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -266,6 +266,39 @@ def test_image_features_and_resize():
     assert arr.shape == (16, 16)
 
 
+def test_image_resize_interpolating_methods():
+    # the resize stage reuses the mosaic warp kernels — no image library:
+    # 'average' 4x downsample == blockwise mean; 'bilinear' upsample of a
+    # ramp stays within the ramp and preserves the mean
+    import numpy as np
+
+    from moaray import codecs
+    from moaray.ops.multimodal import ImageResize
+
+    rng = np.random.RandomState(3)
+    img = (rng.rand(32, 32) * 1000 + 1).astype(np.uint16)
+    batch = pa.table({
+        "image_id": ["a"],
+        "bytes": [codecs.encode(img, "raw16")],
+        "w": pa.array([32], pa.int32()),
+        "h": pa.array([32], pa.int32()),
+        "fmt": ["raw16"],
+    })
+    out = ImageResize(8, 8, "average")(batch)
+    got = codecs.decode(out["bytes"][0].as_py(), "raw16")
+    expect = np.rint(img.reshape(8, 4, 8, 4).mean(axis=(1, 3)))
+    assert np.array_equal(got.astype(np.float64), expect)
+
+    out = ImageResize(64, 64, "bilinear")(batch)
+    up = codecs.decode(out["bytes"][0].as_py(), "raw16")
+    assert up.shape == (64, 64)
+    assert up.min() >= img.min() and up.max() <= img.max()
+    assert abs(float(up.mean()) - float(img.mean())) < 5.0
+
+    with pytest.raises(ValueError, match="unknown resize method"):
+        ImageResize(8, 8, "magic")
+
+
 def test_frame_sample_compressed_containers_gated():
     # mvid decodes for real (test_frame_sample_mvid); compressed containers
     # stay declared gates
