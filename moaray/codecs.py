@@ -214,13 +214,22 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def png_encode(arr: np.ndarray) -> bytes:
-    """Grayscale PNG bytes (bit depth 8 for uint8, 16 for uint16).
+    """PNG bytes: grayscale (2-D), RGB (h,w,3) or RGBA (h,w,4), bit depth
+    8 for uint8 / 16 for uint16 (color types 0, 2, 6).
 
     Scanlines use filter 0 (None) — zlib still compresses the synthetic
     ramps well, and decode stays trivially vectorizable.
     """
-    if arr.ndim != 2:
-        raise ValueError(f"png_encode expects 2-D, got {arr.shape}")
+    if arr.ndim == 2:
+        colortype = 0
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        colortype = 2
+    elif arr.ndim == 3 and arr.shape[2] == 4:
+        colortype = 6
+    else:
+        raise ValueError(
+            f"png_encode expects 2-D or (h,w,3|4), got {arr.shape}"
+        )
     if arr.dtype == np.uint8:
         bitdepth, data = 8, np.ascontiguousarray(arr)
     elif arr.dtype == np.uint16:
@@ -228,12 +237,12 @@ def png_encode(arr: np.ndarray) -> bytes:
         data = np.ascontiguousarray(arr, dtype=">u2")  # PNG is big-endian
     else:
         raise ValueError(f"png supports uint8/uint16, got {arr.dtype}")
-    h, w = arr.shape
+    h, w = arr.shape[:2]
     row_bytes = data.view(np.uint8).reshape(h, -1)
     # filter byte 0 prepended to every scanline
     scan = np.zeros((h, row_bytes.shape[1] + 1), dtype=np.uint8)
     scan[:, 1:] = row_bytes
-    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, colortype, 0, 0, 0)
     return (
         PNG_SIG
         + _chunk(b"IHDR", ihdr)
@@ -253,12 +262,16 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def png_decode(buf: bytes) -> np.ndarray:
-    """Decode a grayscale (color type 0) 8/16-bit PNG, all 5 filters."""
+    """Decode a non-interlaced 8/16-bit PNG, all 5 filters and color types:
+    grayscale (0) -> (h,w); RGB (2) -> (h,w,3); palette (3, 8-bit) ->
+    (h,w,3) or (h,w,4) when a tRNS chunk is present; gray+alpha (4) ->
+    (h,w,2); RGBA (6) -> (h,w,4)."""
     if bytes(buf[:8]) != PNG_SIG:
         raise ValueError("not a PNG stream")
     pos = 8
     w = h = bitdepth = colortype = interlace = None
     idat = []
+    plte = trns = None
     n = len(buf)
     while pos + 8 <= n:
         (length,) = struct.unpack_from(">I", buf, pos)
@@ -271,16 +284,24 @@ def png_decode(buf: bytes) -> np.ndarray:
             )
         elif ctype == b"IDAT":
             idat.append(data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif ctype == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if colortype != 0 or bitdepth not in (8, 16) or interlace != 0:
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colortype)
+    if channels is None or interlace != 0 or bitdepth not in (8, 16) or (
+        colortype == 3 and (bitdepth != 8 or plte is None)
+    ):
         raise NotImplementedError(
-            f"only non-interlaced grayscale 8/16-bit PNG supported "
-            f"(colortype={colortype}, bitdepth={bitdepth})"
+            f"only non-interlaced 8/16-bit PNG color types 0/2/3/4/6 "
+            f"supported (colortype={colortype}, bitdepth={bitdepth}; "
+            f"palette requires bitdepth 8 + PLTE)"
         )
-    bpp = bitdepth // 8
+    bpp = channels * (bitdepth // 8)
     stride = w * bpp
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     raw = raw.reshape(h, stride + 1)
@@ -312,8 +333,18 @@ def png_decode(buf: bytes) -> np.ndarray:
                 row[x] = (int(cur[x]) + _paeth(a, b, c)) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {f}")
+    if colortype == 3:
+        idx = out.reshape(h, w)
+        rgb = plte[idx]  # (h, w, 3)
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.concatenate([rgb, alpha[idx][..., None]], axis=2)
+        return rgb
     if bitdepth == 16:
-        return (
-            out.reshape(-1).view(">u2").reshape(h, w).astype(np.uint16)
-        )
-    return out.reshape(h, w).copy()
+        px = out.reshape(-1).view(">u2").astype(np.uint16)
+    else:
+        px = out.reshape(-1).copy()
+    if channels == 1:
+        return px.reshape(h, w)
+    return px.reshape(h, w, channels)

@@ -211,6 +211,7 @@ def gen_images_table(
     nullval: float = 0.0,
     color_jpeg: bool = False,
     jpeg_subsampling: str = "420",
+    color_png: bool = False,
 ) -> pa.Table:
     """Build the full images table in memory (small scales only).
 
@@ -230,6 +231,11 @@ def gen_images_table(
             "color_jpeg fixtures require nbands=3, dtype='uint8', "
             "fmts=('jpeg',)"
         )
+    if color_png and (nbands != 3 or dtype != "uint8" or fmts != ("png",)):
+        raise ValueError(
+            "color_png fixtures require nbands=3, dtype='uint8', "
+            "fmts=('png',)"
+        )
     ids, blobs, ws, hs, fmt_col, captions, phashes = [], [], [], [], [], [], []
     gts, crss, nulls, band_col, dtypes = [], [], [], [], []
     for idx in range(layout.n):
@@ -239,12 +245,16 @@ def gen_images_table(
           color_blob = jpeg_encode(
               rgb_pixel_array(idx, layout), subsampling=jpeg_subsampling
           )
+      elif color_png:
+          # lossless color: the SAME rgb planes as color_jpeg, so the two
+          # color paths share parity fixtures (png is bit-exact)
+          color_blob = codecs.png_encode(rgb_pixel_array(idx, layout))
       else:
           color_blob = None
       for band in range(nbands):
         image_id = make_image_id(idx)
         fmt = fmt_for(idx, fmts)
-        if color_jpeg:
+        if color_jpeg or color_png:
             # one color payload, shared verbatim by the three band rows
             blobs.append(color_blob)
         else:
@@ -293,6 +303,7 @@ def images_path(
     nullval: float = 0.0,
     color_jpeg: bool = False,
     jpeg_subsampling: str = "420",
+    color_png: bool = False,
 ) -> str:
     """Write (once, cached) the images table as sharded parquet; return the
     dataset directory path.
@@ -311,6 +322,8 @@ def images_path(
         tag += f"_x{int(explicit_meta)}_b{nbands}_{dtype}_nv{nv_tag}"
     if color_jpeg:
         tag += f"_rgb{jpeg_subsampling}"
+    if color_png:
+        tag += "_rgbpng"
     path = os.path.join(root, f"images_{tag}")
     done = path + ".done"  # marker outside the dir so dataset readers only
     # ever see parquet files inside
@@ -319,7 +332,7 @@ def images_path(
             layout, fmts, seed,
             explicit_meta=explicit_meta, nbands=nbands,
             dtype=dtype, nullval=nullval, color_jpeg=color_jpeg,
-            jpeg_subsampling=jpeg_subsampling,
+            jpeg_subsampling=jpeg_subsampling, color_png=color_png,
         )
         os.makedirs(path, exist_ok=True)
         rows_per_shard = images_per_shard * nbands
