@@ -627,8 +627,14 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
         marker = buf[pos + 1]
         if marker == 0xD9:  # EOI
             break
-        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
-            raise NotImplementedError("progressive JPEG not supported")
+        if marker == 0xC2:  # progressive DCT, Huffman
+            from .jpeg_progressive import jpeg_decode_progressive
+
+            return jpeg_decode_progressive(buf)
+        if marker in (0xC6, 0xCA, 0xCE):
+            raise NotImplementedError(
+                "differential/lossless JPEG variants not supported"
+            )
         if marker in (0xC9, 0xCB, 0xCD):
             raise NotImplementedError("arithmetic-coded JPEG not supported")
         (length,) = struct.unpack_from(">H", buf, pos + 2)

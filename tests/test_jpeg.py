@@ -58,12 +58,20 @@ def test_uint16_encode_rejected():
         codecs.encode(np.zeros((8, 8), np.uint16), "jpeg")
 
 
-def test_progressive_stream_gated():
+def test_progressive_supported_lossless_gated():
+    # progressive (SOF2) now decodes for real (tests/test_jpeg_progressive);
+    # a SEQUENTIAL stream rebadged as SOF2 is malformed (its single scan
+    # spans Ss=0..Se=63, which progressive forbids) and must be rejected,
+    # not silently mis-decoded
     img = np.zeros((8, 8), np.uint8)
     buf = bytearray(jpeg_encode(img))
     idx = buf.find(b"\xff\xc0")
-    buf[idx + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    buf[idx + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    with pytest.raises(ValueError, match="mixes DC and AC"):
+        jpeg_decode(bytes(buf))
+    # lossless/differential variants remain declared gates
+    buf[idx + 1] = 0xC6
+    with pytest.raises(NotImplementedError, match="differential|lossless"):
         jpeg_decode(bytes(buf))
 
 
