@@ -283,6 +283,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = do_mosaic(path, _cfg("grid"))
         return _tiles_with_checksum(res.tiles_ds, "uint8")
 
+    def q_mosaic_tiles_jpeg_progressive(sf_dir: str):  # rows-only (non-SQL)
+        # progressive (SOF2) JPEG inputs: multi-scan spectral-selection +
+        # successive-approximation decode (moaray/jpeg_progressive.py);
+        # bit-equal-to-baseline parity pytest covers the codec
+        from moaray.testgen import images_path as _ipath
+
+        path = _ipath(
+            _layout("grid"), fmts=("jpeg",), explicit_meta=True,
+            dtype="uint8", jpeg_progressive=True,
+        )
+        res = do_mosaic(path, _cfg("grid"))
+        return _tiles_with_checksum(res.tiles_ds, "uint8")
+
     def q_mosaic_update(sf_dir: str):  # rows-only (non-SQL)
         # incremental update: commit a mosaic missing the center image, fold
         # the center in, return the winning-generation tile checksums
@@ -870,6 +883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
+        "mosaic_tiles_jpeg_progressive": q_mosaic_tiles_jpeg_progressive,
     }
 
 

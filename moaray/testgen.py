@@ -212,6 +212,7 @@ def gen_images_table(
     color_jpeg: bool = False,
     jpeg_subsampling: str = "420",
     color_png: bool = False,
+    jpeg_progressive: bool = False,
 ) -> pa.Table:
     """Build the full images table in memory (small scales only).
 
@@ -259,7 +260,12 @@ def gen_images_table(
             blobs.append(color_blob)
         else:
             arr = band_pixel_array(idx, layout, band, dtype, nullval)
-            blobs.append(codecs.encode(arr, fmt))
+            if fmt == "jpeg" and jpeg_progressive:
+                from .jpeg_progressive import jpeg_encode_progressive
+
+                blobs.append(jpeg_encode_progressive(arr, quality=95))
+            else:
+                blobs.append(codecs.encode(arr, fmt))
         ids.append(image_id)
         ws.append(layout.size)
         hs.append(layout.size)
@@ -304,6 +310,7 @@ def images_path(
     color_jpeg: bool = False,
     jpeg_subsampling: str = "420",
     color_png: bool = False,
+    jpeg_progressive: bool = False,
 ) -> str:
     """Write (once, cached) the images table as sharded parquet; return the
     dataset directory path.
@@ -324,6 +331,8 @@ def images_path(
         tag += f"_rgb{jpeg_subsampling}"
     if color_png:
         tag += "_rgbpng"
+    if jpeg_progressive:
+        tag += "_prog"
     path = os.path.join(root, f"images_{tag}")
     done = path + ".done"  # marker outside the dir so dataset readers only
     # ever see parquet files inside
@@ -333,6 +342,7 @@ def images_path(
             explicit_meta=explicit_meta, nbands=nbands,
             dtype=dtype, nullval=nullval, color_jpeg=color_jpeg,
             jpeg_subsampling=jpeg_subsampling, color_png=color_png,
+            jpeg_progressive=jpeg_progressive,
         )
         os.makedirs(path, exist_ok=True)
         rows_per_shard = images_per_shard * nbands
