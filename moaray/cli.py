@@ -166,9 +166,10 @@ def main_cmd(argv=None) -> int:
             key, _, val = co.partition("=")
             if key.upper() == "COMPRESS":
                 tile_codec = None if val.upper() == "NONE" else "z16"
-                gtiff_compress = (
-                    None if val.upper() == "NONE" else "deflate"
-                )
+                gtiff_compress = {
+                    "NONE": None, "DEFLATE": "deflate", "LZW": "lzw",
+                    "PACKBITS": "packbits",
+                }.get(val.upper(), "deflate")
             elif key.upper() == "PREDICTOR":
                 gtiff_predictor = int(val)
             elif key.upper() == "TILED":

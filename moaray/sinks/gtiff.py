@@ -56,14 +56,162 @@ _SAMPLEFORMAT = {"u": 1, "i": 2, "f": 3}
 _KIND_FOR_FORMAT = {v: k for k, v in _SAMPLEFORMAT.items()}
 
 COMPRESSION_NONE = 1
+COMPRESSION_LZW = 5      # the most common compression on real-world
+                         # GeoTIFFs (GDAL COMPRESS=LZW)
 COMPRESSION_DEFLATE = 8  # zlib streams, the reference's default GTiff
                          # creation option (COMPRESS=DEFLATE, mosaic.py:30-35)
+COMPRESSION_PACKBITS = 32773  # Apple PackBits RLE (TIFF 6.0 §9)
+
+_COMPRESSION_TAG = {
+    None: COMPRESSION_NONE,
+    "deflate": COMPRESSION_DEFLATE,
+    "lzw": COMPRESSION_LZW,
+    "packbits": COMPRESSION_PACKBITS,
+}
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_encode(raw: bytes) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first variable-width codes
+    starting at 9 bits with the 'early change' width bump (one code early,
+    i.e. when the next entry would be 511/1023/2047), ClearCode=256,
+    EOI=257, table reset before entry 4094."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for b in raw:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # the encoder's table leads the decoder's by one entry (the decoder
+        # appends on the NEXT code), so its early-change point is one later
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        w = bytes([b])
+        if next_code >= 4094:  # keep inside 12-bit space (spec)
+            emit(table[w], width)
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+            w = b""
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(buf: bytes) -> bytes:
+    """Inverse of :func:`_lzw_encode`; accepts any spec-conforming TIFF LZW
+    stream (early-change width rule, mid-stream Clear codes)."""
+    out = bytearray()
+    total = len(buf) * 8
+    pos = 0
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+    while pos + width <= total:
+        byte0 = pos >> 3
+        window = int.from_bytes(buf[byte0 : byte0 + 4].ljust(4, b"\0"), "big")
+        code = (window >> (32 - (pos & 7) - width)) & ((1 << width) - 1)
+        pos += width
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code > 255:
+                raise ValueError("LZW stream must start with a literal")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"corrupt LZW stream (code {code})")
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1  # early change, mirroring the encoder
+    return bytes(out)
+
+
+def _packbits_encode(raw: bytes) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9): runs of >=3 equal bytes become
+    (257-n, byte); literals batch up to 128."""
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and raw[i + run] == raw[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(raw[i])
+            i += run
+            continue
+        # literal stretch: until the next >=3 run or 128 bytes
+        j = i + 1
+        while j < n and (j - i) < 128:
+            if j + 2 < n and raw[j] == raw[j + 1] == raw[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += raw[i:j]
+        i = j
+    return bytes(out)
+
+
+def _packbits_decode(buf: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(buf)
+    while i < n:
+        c = buf[i]
+        i += 1
+        if c < 128:
+            out += buf[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            out += bytes([buf[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out)
 
 
 def _encode_block(block: np.ndarray, wire, compress: str | None,
                   predictor: int) -> bytes:
     """Serialize one tile/strip: optional horizontal differencing
-    (TIFF Predictor=2, per-sample diff along rows) then optional DEFLATE."""
+    (TIFF Predictor=2, per-sample diff along rows) then optional
+    DEFLATE / LZW / PackBits."""
     if predictor == 2:
         d = block.astype(wire).astype(np.int64)
         d[:, 1:] = d[:, 1:] - d[:, :-1]
@@ -72,6 +220,12 @@ def _encode_block(block: np.ndarray, wire, compress: str | None,
     raw = np.ascontiguousarray(block).astype(wire).tobytes()
     if compress == "deflate":
         return zlib.compress(raw, 6)
+    if compress == "lzw":
+        return _lzw_encode(raw)
+    if compress == "packbits":
+        return _packbits_encode(raw)
+    if compress is not None:
+        raise ValueError(f"unsupported compression {compress!r}")
     return raw
 
 
@@ -79,6 +233,10 @@ def _decode_block(buf: bytes, shape, dt_le, compression: int,
                   predictor: int) -> np.ndarray:
     if compression == COMPRESSION_DEFLATE:
         buf = zlib.decompress(buf)
+    elif compression == COMPRESSION_LZW:
+        buf = _lzw_decode(buf)
+    elif compression == COMPRESSION_PACKBITS:
+        buf = _packbits_decode(buf)
     elif compression != COMPRESSION_NONE:
         raise ValueError(f"unsupported TIFF compression {compression}")
     arr = np.frombuffer(buf, dtype=dt_le).reshape(shape)
@@ -143,8 +301,7 @@ def write_gtiff(
     entry(T_WIDTH, TYPE_LONG, ncols)
     entry(T_LENGTH, TYPE_LONG, nrows)
     entry(T_BITSPERSAMPLE, TYPE_SHORT, arr.dtype.itemsize * 8)
-    entry(T_COMPRESSION, TYPE_SHORT,
-          COMPRESSION_DEFLATE if compress == "deflate" else COMPRESSION_NONE)
+    entry(T_COMPRESSION, TYPE_SHORT, _COMPRESSION_TAG[compress])
     entry(T_PHOTOMETRIC, TYPE_SHORT, 1)
     if predictor == 2:
         entry(T_PREDICTOR, TYPE_SHORT, 2)
@@ -396,9 +553,7 @@ def write_gtiff_tiled(
         entry(T_WIDTH, TYPE_LONG, ncols)
         entry(T_LENGTH, TYPE_LONG, nrows)
         entry(T_BITSPERSAMPLE, TYPE_SHORT, img.dtype.itemsize * 8)
-        entry(T_COMPRESSION, TYPE_SHORT,
-              COMPRESSION_DEFLATE if compress == "deflate"
-              else COMPRESSION_NONE)
+        entry(T_COMPRESSION, TYPE_SHORT, _COMPRESSION_TAG[compress])
         entry(T_PHOTOMETRIC, TYPE_SHORT, 1)
         if predictor == 2:
             entry(T_PREDICTOR, TYPE_SHORT, 2)

@@ -145,3 +145,55 @@ def test_deflate_strip_roundtrip_float_nan():
         )
     with pytest.raises(ValueError, match="integer-only"):
         write_gtiff("/tmp/never.tif", arr, gt, compress="deflate", predictor=2)
+
+
+def test_lzw_packbits_roundtrip():
+    """LZW (Compression=5, the wild's most common GeoTIFF codec) and
+    PackBits (32773): bit-exact strip + tiled round trips, LZW+Predictor=2
+    (the classic GDAL combo), and LZW genuinely compresses smooth content."""
+    import os
+    import tempfile
+
+    from moaray.sinks.gtiff import (
+        read_gtiff,
+        read_gtiff_full,
+        write_gtiff,
+        write_gtiff_tiled,
+    )
+
+    gt = (300000.0, 10.0, 0.0, 7000000.0, 0.0, -10.0)
+    rng = np.random.RandomState(4)
+    ramp = np.tile(np.arange(512, dtype=np.uint16), (300, 1))
+    noise = (rng.rand(80, 60) * 65535).astype(np.uint16)
+    with tempfile.TemporaryDirectory() as d:
+        for comp in ("lzw", "packbits"):
+            for pred in (1, 2):
+                for arr in (ramp, noise):
+                    p = os.path.join(d, f"{comp}{pred}{arr.shape[0]}.tif")
+                    write_gtiff(p, arr, gt, nullval=0.0,
+                                compress=comp, predictor=pred)
+                    back, t, nd = read_gtiff(p)
+                    assert np.array_equal(back, arr), (comp, pred)
+                    assert t == gt and nd == 0.0
+        # tiled + overviews
+        p_t = os.path.join(d, "t.tif")
+        write_gtiff_tiled(p_t, ramp, gt, nullval=0.0, compress="lzw",
+                          predictor=2, min_overview_size=64)
+        full, ovs, t, nd = read_gtiff_full(p_t)
+        assert np.array_equal(full, ramp)
+        # compression is real on smooth content
+        p_n = os.path.join(d, "n.tif")
+        write_gtiff(p_n, ramp, gt, compress=None)
+        p_l = os.path.join(d, "l.tif")
+        write_gtiff(p_l, ramp, gt, compress="lzw", predictor=2)
+        assert os.path.getsize(p_l) < os.path.getsize(p_n) / 5
+
+
+def test_lzw_codec_boundary_widths():
+    # random bytes force 9->12-bit codes and a mid-stream table reset
+    from moaray.sinks.gtiff import _lzw_decode, _lzw_encode
+
+    rng = np.random.RandomState(1)
+    for raw in (b"", b"Q", b"A" * 4000, rng.bytes(1_200_000),
+                bytes(range(256)) * 500):
+        assert _lzw_decode(_lzw_encode(raw)) == raw
