@@ -163,6 +163,18 @@ def update_mosaic(
         raise ValueError(
             f"update_mosaic supports 'last' and 'feather', got {cfg.merge!r}"
         )
+    # guard the driver-side cost model BEFORE touching anything: a delta
+    # past driver_plan_limit is a rebuild, not an update (see docstring)
+    from .mosaic import _parquet_num_rows
+
+    n_delta = _parquet_num_rows(images_path)
+    if n_delta > cfg.driver_plan_limit:
+        raise ValueError(
+            f"update delta has {n_delta} rows > driver_plan_limit "
+            f"({cfg.driver_plan_limit}): that is a rebuild, not an update — "
+            "run do_mosaic over the concatenated catalog (it dispatches to "
+            "distributed planning above the same limit)"
+        )
     grid, n_seq0, bands = manifest_mod.load_grid_meta(out_dir)
     np_dtype = np.dtype(grid.dtype)
 

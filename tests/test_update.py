@@ -581,3 +581,16 @@ def test_feather_update_killed_attempt_retry(
     truth = _full_feather(tmp_path)
     diff = np.abs(got.astype(np.int64) - truth.astype(np.int64))
     assert diff.max() <= 1
+
+
+def test_update_delta_size_guard():
+    # a delta past driver_plan_limit is a rebuild, not an update: refuse
+    # fast (metadata-only row count, before touching the committed dir)
+    from moaray.pipelines.mosaic import MosaicConfig
+    from moaray.pipelines.update import update_mosaic
+    from moaray.testgen import Layout, images_path
+
+    layout = Layout("grid3x3", 9, 64)
+    cfg = MosaicConfig(layout=layout, blocksize=64, driver_plan_limit=3)
+    with pytest.raises(ValueError, match="rebuild, not an update"):
+        update_mosaic(images_path(layout), cfg, "/tmp/never_exists_out")
