@@ -251,6 +251,42 @@ def png_encode(arr: np.ndarray) -> bytes:
     )
 
 
+def _png_unfilter(raw: np.ndarray, bpp: int) -> np.ndarray:
+    """Reverse the 5 PNG scanline filters over one (sub-)image: ``raw`` is
+    (h, 1 + stride) uint8 with the filter byte leading each scanline."""
+    h = raw.shape[0]
+    stride = raw.shape[1] - 1
+    filters = raw[:, 0]
+    out = np.empty((h, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        cur = raw[y, 1:]
+        prev = out[y - 1] if y else zero_row
+        if f == 0:  # None
+            out[y] = cur
+        elif f == 2:  # Up — fully vectorized
+            out[y] = cur + prev  # uint8 wraps mod 256 as required
+        elif f == 1:  # Sub — cumulative sum per byte lane, mod 256
+            lanes = cur.reshape(-1, bpp).astype(np.int64)
+            out[y] = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(-1)
+        elif f == 3:  # Average
+            row = out[y]
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            row = out[y]
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                row[x] = (int(cur[x]) + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+    return out
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -293,46 +329,38 @@ def png_decode(buf: bytes) -> np.ndarray:
     if w is None:
         raise ValueError("PNG missing IHDR")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colortype)
-    if channels is None or interlace != 0 or bitdepth not in (8, 16) or (
+    if channels is None or interlace not in (0, 1) or bitdepth not in (8, 16) or (
         colortype == 3 and (bitdepth != 8 or plte is None)
     ):
         raise NotImplementedError(
-            f"only non-interlaced 8/16-bit PNG color types 0/2/3/4/6 "
-            f"supported (colortype={colortype}, bitdepth={bitdepth}; "
+            f"only 8/16-bit PNG color types 0/2/3/4/6 supported "
+            f"(colortype={colortype}, bitdepth={bitdepth}; "
             f"palette requires bitdepth 8 + PLTE)"
         )
     bpp = channels * (bitdepth // 8)
     stride = w * bpp
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    raw = raw.reshape(h, stride + 1)
-    filters = raw[:, 0]
-    out = np.empty((h, stride), dtype=np.uint8)
-    zero_row = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        f = int(filters[y])
-        cur = raw[y, 1:]
-        prev = out[y - 1] if y else zero_row
-        if f == 0:  # None
-            out[y] = cur
-        elif f == 2:  # Up — fully vectorized
-            out[y] = cur + prev  # uint8 wraps mod 256 as required
-        elif f == 1:  # Sub — cumulative sum per byte lane, mod 256
-            lanes = cur.reshape(-1, bpp).astype(np.int64)
-            out[y] = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(-1)
-        elif f == 3:  # Average
-            row = out[y]
-            for x in range(stride):
-                left = int(row[x - bpp]) if x >= bpp else 0
-                row[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            row = out[y]
-            for x in range(stride):
-                a = int(row[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                row[x] = (int(cur[x]) + _paeth(a, b, c)) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {f}")
+    data = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if interlace == 0:
+        out = _png_unfilter(data.reshape(h, stride + 1), bpp)
+    else:
+        # Adam7 (PNG spec §8.2): 7 passes, each an independently-filtered
+        # sub-image, scattered back on a (x0, y0, dx, dy) lattice
+        out3 = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            nbytes = ph * (1 + pw * bpp)
+            sub = _png_unfilter(
+                data[pos : pos + nbytes].reshape(ph, pw * bpp + 1), bpp
+            )
+            pos += nbytes
+            out3[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+        out = out3.reshape(h, stride)
     if colortype == 3:
         idx = out.reshape(h, w)
         rgb = plte[idx]  # (h, w, 3)

@@ -164,3 +164,41 @@ def test_color_png_mosaic_per_band_parity(ray_session, tmp_path):
         got = mosaic_array(res.tiles_ds, res.grid, band=band)
         assert got.dtype == np.uint8
         assert np.array_equal(got, truth), f"band {band} mismatch"
+
+
+ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _adam7_png(arr: np.ndarray) -> bytes:
+    """Interlaced (Adam7) PNG with filter-0 scanlines per pass — a foreign
+    encoder shape our own encoder never produces."""
+    arr3 = arr[:, :, None] if arr.ndim == 2 else arr
+    h, w, ch = arr3.shape
+    bd = 16 if arr.dtype == np.uint16 else 8
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    data = bytearray()
+    for x0, y0, dx, dy in ADAM7:
+        sub = arr3[y0::dy, x0::dx, :]
+        if sub.size == 0:
+            continue
+        wire = np.ascontiguousarray(sub, dtype=">u2" if bd == 16 else np.uint8)
+        for r in wire.view(np.uint8).reshape(sub.shape[0], -1):
+            data += b"\x00" + r.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, bd, ctype, 0, 0, 1)  # interlace=1
+    return (codecs.PNG_SIG + codecs._chunk(b"IHDR", ihdr)
+            + codecs._chunk(b"IDAT", zlib.compress(bytes(data)))
+            + codecs._chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("shape,dt,ch", [
+    ((13, 17), "uint8", 1), ((16, 16), "uint16", 1), ((9, 23), "uint8", 3),
+    ((12, 7), "uint8", 4), ((1, 1), "uint8", 1), ((3, 5), "uint16", 1),
+    ((2, 2), "uint8", 2),
+])
+def test_adam7_interlaced_decode(shape, dt, ch):
+    rng = np.random.RandomState(shape[0] * 31 + shape[1] + ch)
+    peak = 255 if dt == "uint8" else 65535
+    full = (shape + (ch,)) if ch > 1 else shape
+    arr = (rng.rand(*full) * peak).astype(dt)
+    assert np.array_equal(codecs.png_decode(_adam7_png(arr)), arr)
