@@ -1,0 +1,468 @@
+"""FLAC (lossless audio) — from scratch, per the public FLAC format spec
+(RFC 9639 / xiph.org format docs). Closes the `flac` half of the mp3/flac
+codec gate the same way PNG/WAV/JPEG were closed: a real decoder plus an
+encoder used by the round-trip tests (no audio library in the sandbox).
+
+Decoder coverage (the shapes real FLAC encoders emit):
+- STREAMINFO metadata (other blocks skipped), fixed-blocksize streams
+- frame headers: all block-size codes, sample-rate-from-STREAMINFO or
+  inline codes, UTF-8 coded frame numbers, CRC-8 check
+- channels: mono, independent stereo, left/side, right/side, mid/side
+- subframes: CONSTANT, VERBATIM, FIXED orders 0-4, LPC any order (with
+  quantized-coefficient shift), wasted-bits flag
+- residuals: rice (4-bit) and rice2 (5-bit) methods, partition orders
+  0-15, escape (raw n-bit) partitions
+- frame CRC-16 check
+
+Encoder (subset, for tests): 16-bit mono/stereo, FIXED order 0-2 or an
+LPC subframe mathematically equal to fixed order 2 (coeffs [2,-1],
+shift 0 — exercises the decoder's LPC path), CONSTANT for silent blocks,
+mid/side stereo decorrelation, rice partitions order 0, final partial
+block via the 16-bit blocksize-at-end code.
+
+Lossless invariant: decode(encode(x)) == x bit-exactly, asserted in
+tests/test_flac.py across waveforms, block boundaries and channel modes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAGIC = b"fLaC"
+_SYNC = 0b11111111111110
+
+_FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int):
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int):
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a 1
+
+    def align(self):
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self.data = data
+        self.pos = pos_bits
+
+    def read(self, n: int) -> int:
+        v = 0
+        pos = self.pos
+        data = self.data
+        while n > 0:
+            byte = data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, n)
+            v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            pos += take
+            n -= take
+        self.pos = pos
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self):
+        self.pos = (self.pos + 7) & ~7
+
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    return np.where(v >= 0, v << 1, ((-v) << 1) - 1)
+
+
+def _utf8_number(n: int) -> bytes:
+    """FLAC frame numbers use UTF-8-style coding (extended to 36 bits)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 2
+    while n >= (1 << (6 - nbytes + 5 * nbytes)):  # max payload for nbytes
+        nbytes += 1
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    shift = 6 * (nbytes - 1)
+    out.append(lead | (n >> shift))
+    for i in range(nbytes - 1):
+        shift -= 6
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+def _read_utf8_number(br: _BitReader) -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    n = b0 & (mask - 1)
+    for _ in range(nbytes - 1):
+        n = (n << 6) | (br.read(8) & 0x3F)
+    return n
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def _write_residual(bw: _BitWriter, res: np.ndarray):
+    """Rice-code a residual vector as one partition (order 0)."""
+    bw.write(0, 2)   # coding method: rice (4-bit params)
+    bw.write(0, 4)   # partition order 0
+    u = _zigzag(res.astype(np.int64))
+    mean = float(u.mean()) if len(u) else 0.0
+    k = 0
+    while (1 << (k + 1)) < mean + 1 and k < 14:
+        k += 1
+    bw.write(k, 4)
+    for q, r in zip((u >> k).tolist(), (u & ((1 << k) - 1)).tolist()):
+        bw.write_unary(q)
+        if k:
+            bw.write(r, k)
+
+
+def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int, use_lpc: bool):
+    x64 = x.astype(np.int64)
+    if len(x64) and (x64 == x64[0]).all():
+        bw.write(0, 1)
+        bw.write(0b000000, 6)  # CONSTANT
+        bw.write(0, 1)         # no wasted bits
+        bw.write(int(x64[0]), bps)
+        return
+    order = min(2, max(0, len(x64) - 1))
+    if use_lpc and len(x64) > 2:
+        # LPC subframe equal to fixed order 2: coeffs [2,-1], shift 0 —
+        # a valid quantized-LPC stream that exercises the decoder LPC path
+        bw.write(0, 1)
+        bw.write(0b100000 | (2 - 1), 6)  # LPC, order 2
+        bw.write(0, 1)
+        for w in x64[:2].tolist():
+            bw.write(int(w), bps)
+        bw.write(4 - 1, 4)   # precision 4 bits
+        bw.write(0, 5)       # shift 0
+        bw.write(2, 4)       # coeff 2
+        bw.write(-1, 4)      # coeff -1
+        res = x64[2:] - (2 * x64[1:-1] - x64[:-2])
+        _write_residual(bw, res)
+        return
+    bw.write(0, 1)
+    bw.write(0b001000 | order, 6)  # FIXED
+    bw.write(0, 1)
+    for w in x64[:order].tolist():
+        bw.write(int(w), bps)
+    res = x64  # fixed-predictor residual = order-th difference
+    for _ in range(order):
+        res = res[1:] - res[:-1]
+    _write_residual(bw, res)
+
+
+def flac_encode(samples: np.ndarray, sample_rate: int = 16000,
+                block_size: int = 4096) -> bytes:
+    """Encode int16 mono ``(n,)`` or stereo ``(n, 2)`` samples as a FLAC
+    stream (subset encoder; see module docstring)."""
+    if samples.dtype != np.int16:
+        raise ValueError(f"flac_encode expects int16, got {samples.dtype}")
+    stereo = samples.ndim == 2
+    if stereo and samples.shape[1] != 2:
+        raise ValueError(f"expected (n,) or (n, 2), got {samples.shape}")
+    n = len(samples)
+    bps = 16
+    out = bytearray()
+    out += _MAGIC
+    # STREAMINFO, marked last metadata block
+    si = struct.pack(">HH", block_size, block_size)
+    si += b"\x00\x00\x00" * 2  # min/max framesize unknown
+    packed = (sample_rate << 44) | (((2 if stereo else 1) - 1) << 41) \
+        | ((bps - 1) << 36) | n
+    si += packed.to_bytes(8, "big")
+    si += b"\x00" * 16  # MD5 unset
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+    frame_no = 0
+    for start in range(0, n, block_size):
+        blk = samples[start : start + block_size]
+        bs = len(blk)
+        bw = _BitWriter()
+        bw.write(_SYNC, 14)
+        bw.write(0, 1)  # reserved
+        bw.write(0, 1)  # fixed blocksize stream
+        pow2 = {256: 8, 512: 9, 1024: 10, 2048: 11, 4096: 12,
+                8192: 13, 16384: 14, 32768: 15}
+        if bs == block_size and bs in pow2:
+            bs_code, bs_at_end = pow2[bs], None
+        else:
+            bs_code, bs_at_end = 7, bs - 1  # 16-bit blocksize-1 at end
+        bw.write(bs_code, 4)
+        bw.write(0, 4)  # sample rate: from STREAMINFO
+        if stereo:
+            bw.write(10, 4)  # mid/side
+        else:
+            bw.write(0, 4)   # 1 channel
+        bw.write(0b100, 3)   # 16 bps
+        bw.write(0, 1)       # reserved
+        for b in _utf8_number(frame_no):
+            bw.write(b, 8)
+        if bs_at_end is not None:
+            bw.write(bs_at_end, 16)
+        # every header field is a whole number of bytes at this point
+        assert bw.nbits == 0, "frame header must be byte-aligned for CRC-8"
+        bw.write(_crc8(bytes(bw.out)), 8)
+        if stereo:
+            left = blk[:, 0].astype(np.int64)
+            right = blk[:, 1].astype(np.int64)
+            mid = (left + right) >> 1
+            side = left - right
+            _encode_subframe(bw, mid, 16, use_lpc=True)
+            _encode_subframe(bw, side, 17, use_lpc=False)
+        else:
+            _encode_subframe(bw, blk.astype(np.int64), 16,
+                             use_lpc=(frame_no % 2 == 1))
+        bw.align()
+        frame = bytes(bw.out)
+        out += frame + struct.pack(">H", _crc16(frame))
+        frame_no += 1
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def _read_residual(br: _BitReader, bs: int, order: int) -> np.ndarray:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError(f"reserved residual coding method {method}")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    if bs % nparts:
+        raise ValueError("partition count does not divide block size")
+    res = np.empty(bs - order, dtype=np.int64)
+    pos = 0
+    for p in range(nparts):
+        count = (bs >> porder) - (order if p == 0 else 0)
+        k = br.read(plen)
+        if k == escape:
+            nbits = br.read(5)
+            for i in range(count):
+                res[pos + i] = br.read_signed(nbits) if nbits else 0
+        else:
+            for i in range(count):
+                q = br.read_unary()
+                u = (q << k) | (br.read(k) if k else 0)
+                res[pos + i] = (u >> 1) ^ -(u & 1)  # un-zigzag
+        pos += count
+    return res
+
+
+def _decode_subframe(br: _BitReader, bs: int, bps: int) -> np.ndarray:
+    if br.read(1):
+        raise ValueError("subframe padding bit set")
+    t = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1 + br.read_unary()
+        bps -= wasted
+    if t == 0:  # CONSTANT
+        out = np.full(bs, br.read_signed(bps), dtype=np.int64)
+    elif t == 1:  # VERBATIM
+        out = np.array([br.read_signed(bps) for _ in range(bs)], np.int64)
+    elif 8 <= t <= 12:  # FIXED order t-8
+        order = t - 8
+        warm = [br.read_signed(bps) for _ in range(order)]
+        res = _read_residual(br, bs, order)
+        out = np.empty(bs, dtype=np.int64)
+        out[:order] = warm
+        coef = _FIXED_COEFFS[order]
+        for i in range(order, bs):
+            pred = sum(c * out[i - 1 - j] for j, c in enumerate(coef))
+            out[i] = res[i - order] + pred
+    elif t >= 32:  # LPC order t-31
+        order = t - 31
+        warm = [br.read_signed(bps) for _ in range(order)]
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid LPC precision escape")
+        shift = br.read_signed(5)
+        coefs = [br.read_signed(precision) for _ in range(order)]
+        res = _read_residual(br, bs, order)
+        out = np.empty(bs, dtype=np.int64)
+        out[:order] = warm
+        for i in range(order, bs):
+            acc = 0
+            for j, c in enumerate(coefs):
+                acc += c * out[i - 1 - j]
+            out[i] = res[i - order] + (acc >> shift)
+    else:
+        raise ValueError(f"reserved subframe type {t}")
+    return out << wasted
+
+
+_BLOCKSIZE_CODE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                   8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                   13: 8192, 14: 16384, 15: 32768}
+_RATE_CODE = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+              7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+_BPS_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def flac_decode(buf: bytes) -> tuple[np.ndarray, int]:
+    """Decode a FLAC stream; returns (int16 samples — ``(n,)`` mono or
+    ``(n, channels)`` — and the sample rate)."""
+    if bytes(buf[:4]) != _MAGIC:
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    # metadata blocks: parse STREAMINFO, skip the rest
+    si = None
+    while True:
+        hdr = buf[pos]
+        btype = hdr & 0x7F
+        last = bool(hdr & 0x80)
+        blen = int.from_bytes(buf[pos + 1 : pos + 4], "big")
+        body = buf[pos + 4 : pos + 4 + blen]
+        if btype == 0:
+            si = body
+        pos += 4 + blen
+        if last:
+            break
+    if si is None:
+        raise ValueError("FLAC stream missing STREAMINFO")
+    packed = int.from_bytes(si[10:18], "big")
+    si_rate = packed >> 44
+    si_channels = ((packed >> 41) & 0x7) + 1
+    si_bps = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+
+    chans = [[] for _ in range(si_channels)]
+    got = 0
+    n = len(buf)
+    while pos < n and (total == 0 or got < total):
+        frame_start = pos
+        br = _BitReader(buf, pos * 8)
+        if br.read(14) != _SYNC:
+            raise ValueError("lost FLAC frame sync")
+        br.read(1)
+        br.read(1)  # blocking strategy (frame/sample number both handled)
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        bps_code = br.read(3)
+        br.read(1)
+        _read_utf8_number(br)
+        if bs_code == 6:
+            bs = br.read(8) + 1
+        elif bs_code == 7:
+            bs = br.read(16) + 1
+        elif bs_code in _BLOCKSIZE_CODE:
+            bs = _BLOCKSIZE_CODE[bs_code]
+        else:
+            raise ValueError(f"reserved blocksize code {bs_code}")
+        if sr_code == 0:
+            rate = si_rate
+        elif sr_code in _RATE_CODE:
+            rate = _RATE_CODE[sr_code]
+        elif sr_code == 12:
+            rate = br.read(8) * 1000
+        elif sr_code == 13:
+            rate = br.read(16)
+        elif sr_code == 14:
+            rate = br.read(16) * 10
+        else:
+            raise ValueError(f"invalid sample rate code {sr_code}")
+        bps = si_bps if bps_code == 0 else _BPS_CODE[bps_code]
+        hdr_end = br.pos >> 3
+        crc8 = br.read(8)
+        if _crc8(buf[frame_start:hdr_end]) != crc8:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+
+        if ch_code < 8:
+            nch = ch_code + 1
+            subs = [_decode_subframe(br, bs, bps) for _ in range(nch)]
+        elif ch_code == 8:  # left/side
+            left = _decode_subframe(br, bs, bps)
+            side = _decode_subframe(br, bs, bps + 1)
+            subs = [left, left - side]
+        elif ch_code == 9:  # right/side
+            side = _decode_subframe(br, bs, bps + 1)
+            right = _decode_subframe(br, bs, bps)
+            subs = [right + side, right]
+        elif ch_code == 10:  # mid/side
+            mid = _decode_subframe(br, bs, bps)
+            side = _decode_subframe(br, bs, bps + 1)
+            m2 = (mid << 1) | (side & 1)
+            subs = [(m2 + side) >> 1, (m2 - side) >> 1]
+        else:
+            raise ValueError(f"reserved channel assignment {ch_code}")
+        br.align()
+        frame_end = br.pos >> 3
+        (crc16,) = struct.unpack_from(">H", buf, frame_end)
+        if _crc16(buf[frame_start:frame_end]) != crc16:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = frame_end + 2
+        for c, s in zip(chans, subs):
+            c.append(s)
+        got += bs
+
+    cols = [np.concatenate(c) if c else np.empty(0, np.int64) for c in chans]
+    out = cols[0] if len(cols) == 1 else np.stack(cols, axis=1)
+    if total:
+        out = out[:total] if out.ndim == 1 else out[:total, :]
+    info = np.iinfo(np.int16)
+    if out.size and (out.max() > info.max or out.min() < info.min):
+        raise ValueError(f"{si_bps}-bit FLAC exceeds int16 range")
+    return out.astype(np.int16), rate if got else si_rate

@@ -332,10 +332,12 @@ class AudioFeatures:
     Real kernels for raw PCM16 payloads (``fmt == "pcm16"``: little-endian
     mono int16; ``sample_rate`` metadata column) AND RIFF/WAVE containers
     (``fmt == "wav"``: sample rate read from the fmt chunk, multi-channel
-    downmixed): duration, RMS, peak, zero-crossing rate. Compressed formats
-    (mp3/flac) stay gated behind NotImplementedError — the sandbox has no
-    codec libraries — but the stage signature, schema and batch plumbing
-    are the real thing.
+    downmixed) AND FLAC (``fmt == "flac"``: from-scratch lossless decode,
+    moaray/flac.py — FIXED/LPC subframes, rice partitions, stereo
+    decorrelation): duration, RMS, peak, zero-crossing rate. Lossy
+    compressed audio (mp3) stays gated behind NotImplementedError — the
+    sandbox has no codec libraries — but the stage signature, schema and
+    batch plumbing are the real thing.
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -345,13 +347,19 @@ class AudioFeatures:
             fmt = batch["fmt"][i].as_py()
             if fmt == "wav":
                 pcm, sr = wav_decode(batch["bytes"][i].as_py())
+            elif fmt == "flac":
+                from ..flac import flac_decode
+
+                pcm, sr = flac_decode(bytes(batch["bytes"][i].as_py()))
+                if pcm.ndim == 2:  # downmix like the wav path
+                    pcm = pcm.astype(np.int32).mean(axis=1).astype(np.int16)
             elif fmt == "pcm16":
                 sr = int(batch["sample_rate"][i].as_py())
                 pcm = np.frombuffer(batch["bytes"][i].as_py(), dtype="<i2")
             else:
                 raise NotImplementedError(
                     f"audio fmt {fmt!r} needs soundfile/ffmpeg (absent in "
-                    "sandbox); use raw 'pcm16' or container 'wav'"
+                    "sandbox); use raw 'pcm16', container 'wav', or 'flac'"
                 )
             x = pcm.astype(np.float64) / 32768.0
             zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))

@@ -1,0 +1,204 @@
+"""FLAC codec: lossless round trips + foreign-stream decoder paths.
+
+The encoder is a subset (FIXED/equivalent-LPC, mid/side, partition order
+0); the decoder handles what real FLAC encoders emit. Foreign-stream
+tests hand-build frames with features our encoder never produces —
+left/side and right/side decorrelation, VERBATIM subframes, partition
+order > 0, escape (raw-bit) partitions, rice2 coding, wasted bits.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from moaray.flac import (
+    _MAGIC,
+    _SYNC,
+    _BitWriter,
+    _crc8,
+    _crc16,
+    _utf8_number,
+    _zigzag,
+    flac_decode,
+    flac_encode,
+)
+
+
+@pytest.mark.parametrize("name,gen", [
+    ("sine", lambda t: (np.sin(t / 30) * 8000).astype(np.int16)),
+    ("noise", lambda t: np.random.RandomState(0)
+        .randint(-32768, 32768, len(t)).astype(np.int16)),
+    ("silence", lambda t: np.zeros(len(t), np.int16)),
+    ("extremes", lambda t: np.resize(
+        np.array([32767, -32768], np.int16), len(t))),
+])
+def test_mono_roundtrip(name, gen):
+    x = gen(np.arange(9000))
+    y, sr = flac_decode(flac_encode(x, 16000))
+    assert sr == 16000
+    assert np.array_equal(x, y), name
+
+
+@pytest.mark.parametrize("n", [1, 3, 4095, 4096, 4097, 12000])
+def test_block_boundaries(n):
+    rng = np.random.RandomState(n)
+    x = rng.randint(-2000, 2000, n).astype(np.int16)
+    y, _ = flac_decode(flac_encode(x, 8000))
+    assert np.array_equal(x, y)
+
+
+def test_stereo_mid_side_roundtrip():
+    t = np.arange(12000)
+    st = np.stack([(np.sin(t / 25) * 9000).astype(np.int16),
+                   (np.sin(t / 40 + 1) * 7000).astype(np.int16)], axis=1)
+    y, sr = flac_decode(flac_encode(st, 44100))
+    assert sr == 44100 and np.array_equal(st, y)
+    rng = np.random.RandomState(1)
+    sn = rng.randint(-32768, 32768, (8192, 2)).astype(np.int16)
+    y, _ = flac_decode(flac_encode(sn, 8000))
+    assert np.array_equal(sn, y)  # side channel spans 17 bits
+
+
+# ---------------------------------------------------------------------------
+# foreign streams
+# ---------------------------------------------------------------------------
+
+def _streaminfo(bs, rate, nch, bps, total):
+    si = struct.pack(">HH", bs, bs) + b"\x00\x00\x00" * 2
+    packed = (rate << 44) | ((nch - 1) << 41) | ((bps - 1) << 36) | total
+    si += packed.to_bytes(8, "big") + b"\x00" * 16
+    return _MAGIC + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+
+def _verbatim(bw, x, bps):
+    bw.write(0, 1)
+    bw.write(1, 6)
+    bw.write(0, 1)
+    for v in x.tolist():
+        bw.write(int(v), bps)
+
+
+def _finish(header, bw):
+    bw.align()
+    frame = bytes(bw.out)
+    return header + frame + struct.pack(">H", _crc16(frame))
+
+
+def test_left_side_and_right_side():
+    rng = np.random.RandomState(3)
+    lr = rng.randint(-1000, 1000, (8, 2)).astype(np.int64)
+    for ch_code in (8, 9):
+        bw = _BitWriter()
+        bw.write(_SYNC, 14)
+        bw.write(0, 2)
+        bw.write(6, 4)
+        bw.write(0, 4)
+        bw.write(ch_code, 4)
+        bw.write(0b100, 3)
+        bw.write(0, 1)
+        bw.write(_utf8_number(0)[0], 8)
+        bw.write(8 - 1, 8)  # blocksize-1
+        bw.write(_crc8(bytes(bw.out)), 8)
+        side = lr[:, 0] - lr[:, 1]
+        if ch_code == 8:   # left/side
+            _verbatim(bw, lr[:, 0], 16)
+            _verbatim(bw, side, 17)
+        else:              # right/side
+            _verbatim(bw, side, 17)
+            _verbatim(bw, lr[:, 1], 16)
+        buf = _streaminfo(8, 8000, 2, 16, 8) + _finish(b"", bw)
+        y, _ = flac_decode(buf)
+        assert np.array_equal(y, lr.astype(np.int16)), ch_code
+
+
+def test_partition_order_escape_and_rice2():
+    # FIXED order 0, partition order 1: partition A rice2-coded, partition
+    # B escape-coded raw 12-bit
+    rng = np.random.RandomState(5)
+    x = rng.randint(-1500, 1500, 16).astype(np.int64)
+    bw = _BitWriter()
+    bw.write(_SYNC, 14)
+    bw.write(0, 2)
+    bw.write(6, 4)   # 8-bit blocksize-1 at end
+    bw.write(0, 4)
+    bw.write(0, 4)   # mono
+    bw.write(0b100, 3)
+    bw.write(0, 1)
+    bw.write(_utf8_number(0)[0], 8)
+    bw.write(16 - 1, 8)
+    bw.write(_crc8(bytes(bw.out)), 8)
+    bw.write(0, 1)
+    bw.write(0b001000, 6)  # FIXED order 0
+    bw.write(0, 1)
+    bw.write(1, 2)   # rice2 (5-bit params)
+    bw.write(1, 4)   # partition order 1 -> two partitions of 8
+    k = 6
+    bw.write(k, 5)
+    for u in _zigzag(x[:8]).tolist():
+        bw.write_unary(u >> k)
+        bw.write(u & ((1 << k) - 1), k)
+    bw.write(31, 5)  # escape
+    bw.write(12, 5)  # raw 12-bit residuals
+    for v in x[8:].tolist():
+        bw.write(int(v), 12)
+    buf = _streaminfo(16, 8000, 1, 16, 16) + _finish(b"", bw)
+    y, _ = flac_decode(buf)
+    assert np.array_equal(y, x.astype(np.int16))
+
+
+def test_wasted_bits():
+    # samples all divisible by 4: encode with 2 wasted bits
+    x = (np.arange(8, dtype=np.int64) - 4) * 4
+    bw = _BitWriter()
+    bw.write(_SYNC, 14)
+    bw.write(0, 2)
+    bw.write(6, 4)
+    bw.write(0, 4)
+    bw.write(0, 4)
+    bw.write(0b100, 3)
+    bw.write(0, 1)
+    bw.write(_utf8_number(0)[0], 8)
+    bw.write(8 - 1, 8)
+    bw.write(_crc8(bytes(bw.out)), 8)
+    bw.write(0, 1)
+    bw.write(1, 6)          # VERBATIM
+    bw.write(1, 1)          # wasted bits flag
+    bw.write(1, 2)          # unary 1 -> wasted = 2
+    for v in (x >> 2).tolist():
+        bw.write(int(v), 14)  # bps - wasted
+    buf = _streaminfo(8, 8000, 1, 16, 8) + _finish(b"", bw)
+    y, _ = flac_decode(buf)
+    assert np.array_equal(y, x.astype(np.int16))
+
+
+def test_crc_rejection_and_garbage():
+    x = np.arange(100, dtype=np.int16)
+    buf = bytearray(flac_encode(x, 8000))
+    buf[-1] ^= 0xFF  # corrupt the last frame's CRC-16
+    with pytest.raises(ValueError, match="CRC-16"):
+        flac_decode(bytes(buf))
+    with pytest.raises(ValueError, match="not a FLAC"):
+        flac_decode(b"AAAA")
+
+
+def test_audio_features_flac():
+    import pyarrow as pa
+
+    from moaray.flac import flac_encode
+    from moaray.ops.multimodal import AudioFeatures
+
+    t = np.arange(16000)
+    mono = (np.sin(t / 20) * 10000).astype(np.int16)
+    stereo = np.stack([mono, -mono], axis=1)
+    batch = pa.table({
+        "clip_id": ["m", "s"],
+        "bytes": [flac_encode(mono, 16000), flac_encode(stereo, 16000)],
+        "fmt": ["flac", "flac"],
+        "sample_rate": pa.array([16000, 16000], pa.int32()),
+    })
+    out = AudioFeatures()(batch)
+    assert out.num_rows == 2
+    assert out["duration_s"][0].as_py() == 1.0
+    # stereo downmix of (x, -x) is ~silence
+    assert out["rms"][1].as_py() < 0.001
