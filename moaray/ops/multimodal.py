@@ -152,10 +152,13 @@ class FrameSample:
     container (4-byte LE frame count, then n_frames back-to-back MRAY
     payloads of identical shape): every ``stride``-th frame is sliced out
     ZERO-COPY (raw16 frames are fixed-size, so frame k is a pure offset
-    view) and emitted as its own image row. Compressed containers (mp4 &
-    co.) stay gated behind NotImplementedError — no pyav/ffmpeg in this
-    sandbox — but the stage contract, schema and batch plumbing run for
-    real on mvid.
+    view) and emitted as its own image row. Real container parsing for
+    ``fmt == "mp4"`` too (moaray/mp4.py, ISO/IEC 14496-12 sample tables):
+    every ``stride``-th SAMPLE is sliced out by its stsz/stsc/stco byte
+    range and emitted as an ENCODED frame row (fmt = the track's codec
+    fourcc, e.g. 'avc1') — the codec-payload decode itself is the honest
+    NotImplementedError gate (H.264 entropy decode needs pyav/ffmpeg,
+    absent in this sandbox).
     """
 
     def __init__(self, stride: int = 10):
@@ -168,10 +171,31 @@ class FrameSample:
                 "h": [], "fmt": []}
         for i in range(batch.num_rows):
             fmt = batch["fmt"][i].as_py()
+            if fmt == "mp4":
+                from ..mp4 import mp4_parse
+
+                buf = memoryview(batch["bytes"][i].as_buffer())
+                vid = batch["video_id"][i].as_py()
+                track = next(
+                    (t for t in mp4_parse(bytes(buf)) if t.handler == "vide"),
+                    None,
+                )
+                if track is None:
+                    raise ValueError(f"mp4 {vid!r} has no video track")
+                for k in range(0, len(track.sizes), self.stride):
+                    off, sz = track.offsets[k], track.sizes[k]
+                    rows["video_id"].append(vid)
+                    rows["frame_idx"].append(k)
+                    rows["bytes"].append(bytes(buf[off : off + sz]))
+                    rows["w"].append(track.width)
+                    rows["h"].append(track.height)
+                    rows["fmt"].append(track.codec)  # encoded; decode gated
+                continue
             if fmt != "mvid":
                 raise NotImplementedError(
                     f"video container fmt {fmt!r} needs pyav/ffmpeg (absent "
-                    "in sandbox); use the 'mvid' stacked-MRAY container"
+                    "in sandbox); use 'mvid' (decoded frames) or 'mp4' "
+                    "(container parsed, encoded samples out)"
                 )
             buf = memoryview(batch["bytes"][i].as_buffer())
             (n_frames,) = struct.unpack_from("<I", buf, 0)
