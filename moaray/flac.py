@@ -466,3 +466,88 @@ def flac_decode(buf: bytes) -> tuple[np.ndarray, int]:
     if out.size and (out.max() > info.max or out.min() < info.min):
         raise ValueError(f"{si_bps}-bit FLAC exceeds int16 range")
     return out.astype(np.int16), rate if got else si_rate
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-header metadata (probe only — synthesis decode stays gated)
+# ---------------------------------------------------------------------------
+
+_MP3_BITRATES = {  # kbps, MPEG-1 Layer III
+    1: 32, 2: 40, 3: 48, 4: 56, 5: 64, 6: 80, 7: 96, 8: 112,
+    9: 128, 10: 160, 11: 192, 12: 224, 13: 256, 14: 320,
+}
+_MP3_RATES = {0: 44100, 1: 48000, 2: 32000}
+
+
+def mp3_probe(buf: bytes) -> dict:
+    """Metadata from an MPEG-1 Layer III stream by walking frame headers
+    (the public MPEG-1 audio framing): sample rate, channel count, average
+    bitrate, frame count and a duration estimate. Skips a leading ID3v2
+    tag. Audio SYNTHESIS (huffman + IMDCT) is the declared mp3 gate — this
+    probe gives pipelines the catalog metadata layer without it."""
+    if not isinstance(buf, bytes):
+        buf = bytes(buf)
+    pos = 0
+    if buf[:3] == b"ID3":  # ID3v2: 10-byte header + syncsafe size
+        size = ((buf[6] & 0x7F) << 21) | ((buf[7] & 0x7F) << 14) \
+            | ((buf[8] & 0x7F) << 7) | (buf[9] & 0x7F)
+        pos = 10 + size
+    n = len(buf)
+    frames = 0
+    samples = 0
+    rate = None
+    channels = None
+    kbps_total = 0
+    while pos + 4 <= n:
+        h = int.from_bytes(buf[pos : pos + 4], "big")
+        if (h >> 21) != 0x7FF or ((h >> 19) & 3) != 3 or ((h >> 17) & 3) != 1:
+            break  # not an MPEG-1 Layer III header
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 3
+        if br_idx not in _MP3_BITRATES or sr_idx not in _MP3_RATES:
+            break
+        kbps = _MP3_BITRATES[br_idx]
+        rate = _MP3_RATES[sr_idx]
+        padding = (h >> 9) & 1
+        channels = 1 if ((h >> 6) & 3) == 3 else 2
+        frame_len = 144 * kbps * 1000 // rate + padding
+        frames += 1
+        samples += 1152  # MPEG-1 Layer III samples per frame
+        kbps_total += kbps
+        pos += frame_len
+    if frames == 0:
+        raise ValueError("no MPEG-1 Layer III frames found")
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "n_frames": frames,
+        "duration_s": round(samples / rate, 4),
+        "avg_kbps": round(kbps_total / frames, 1),
+    }
+
+
+def flac_probe(buf: bytes) -> dict:
+    """STREAMINFO-only metadata (no frame decode): sample rate, channels,
+    bits per sample, total samples, duration."""
+    if bytes(buf[:4]) != _MAGIC:
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    while True:
+        hdr = buf[pos]
+        blen = int.from_bytes(buf[pos + 1 : pos + 4], "big")
+        if (hdr & 0x7F) == 0:
+            si = buf[pos + 4 : pos + 4 + blen]
+            packed = int.from_bytes(si[10:18], "big")
+            rate = packed >> 44
+            nch = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            return {
+                "sample_rate": rate, "channels": nch, "bits": bps,
+                "n_samples": total,
+                "duration_s": round(total / rate, 4) if rate else 0.0,
+            }
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    raise ValueError("FLAC stream missing STREAMINFO")

@@ -2,11 +2,14 @@
 
 Images/audio/video are carried as ``binary`` columns with metadata columns
 (w, h, fmt / sample_rate / n_frames); the Ray-side plumbing — actor-pool
-stages, schemas, batch sizing — is real and tested. PNG, baseline JPEG,
-WAV/PCM16 and the mvid stacked-frame container decode through the engine's
-own from-scratch codecs (moaray.codecs / moaray.jpeg); only MP3/FLAC/MP4
-remain behind clearly-marked NotImplementedError gates (no media libraries
-in the sandbox).
+stages, schemas, batch sizing — is real and tested. PNG (incl. color +
+Adam7), JPEG (baseline + progressive), WAV/PCM16, FLAC and the mvid
+stacked-frame container decode through the engine's own from-scratch
+codecs (moaray.codecs / moaray.jpeg / moaray.flac); MP4 containers parse
+for real (moaray.mp4 — sample tables to encoded frame ranges) and MP3
+frame headers probe for real (moaray.flac.mp3_probe). The only remaining
+NotImplementedError gates are codec-payload SYNTHESIS for mp3 samples and
+H.264/H.265 frames — those genuinely need pyav/ffmpeg, absent here.
 """
 
 from __future__ import annotations
@@ -436,4 +439,62 @@ def gen_audio_table(n_clips: int = 16, sample_rate: int = 8000,
             "sample_rate": pa.array(rows["sample_rate"], pa.int32()),
             "fmt": pa.array(rows["fmt"], pa.string()),
         }
+    )
+
+
+class AudioMetadata:
+    """Actor-pool stage: per-clip catalog metadata WITHOUT audio synthesis —
+    the census pass a 100 TB corpus runs before deciding what to decode.
+    wav: RIFF fmt chunk; flac: STREAMINFO only (moaray.flac.flac_probe);
+    mp3: MPEG-1 Layer III frame-header walk (moaray.flac.mp3_probe — the
+    one format whose SAMPLES stay behind the declared decode gate);
+    pcm16: length arithmetic."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..flac import flac_probe, mp3_probe
+
+        rows = {"clip_id": [], "container": [], "sample_rate": [],
+                "channels": [], "duration_s": []}
+        for i in range(batch.num_rows):
+            fmt = batch["fmt"][i].as_py()
+            buf = batch["bytes"][i].as_py()
+            if fmt == "wav":
+                pcm, sr = wav_decode(buf)
+                nch, dur = 1, round(len(pcm) / sr, 4)
+            elif fmt == "flac":
+                info = flac_probe(bytes(buf))
+                sr, nch, dur = (info["sample_rate"], info["channels"],
+                                info["duration_s"])
+            elif fmt == "mp3":
+                info = mp3_probe(bytes(buf))
+                sr, nch, dur = (info["sample_rate"], info["channels"],
+                                info["duration_s"])
+            elif fmt == "pcm16":
+                sr = int(batch["sample_rate"][i].as_py())
+                nch, dur = 1, round(len(buf) / 2 / sr, 4)
+            else:
+                raise NotImplementedError(f"unknown audio container {fmt!r}")
+            rows["clip_id"].append(batch["clip_id"][i].as_py())
+            rows["container"].append(fmt)
+            rows["sample_rate"].append(sr)
+            rows["channels"].append(nch)
+            rows["duration_s"].append(dur)
+        return pa.Table.from_pydict(
+            {
+                "clip_id": pa.array(rows["clip_id"], pa.string()),
+                "container": pa.array(rows["container"], pa.string()),
+                "sample_rate": pa.array(rows["sample_rate"], pa.int32()),
+                "channels": pa.array(rows["channels"], pa.int32()),
+                "duration_s": pa.array(rows["duration_s"], pa.float64()),
+            }
+        )
+
+
+def audio_metadata(clips_ds, *, concurrency=(1, 8), batch_size: int = 64):
+    return clips_ds.map_batches(
+        AudioMetadata,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
     )

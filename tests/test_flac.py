@@ -202,3 +202,38 @@ def test_audio_features_flac():
     assert out["duration_s"][0].as_py() == 1.0
     # stereo downmix of (x, -x) is ~silence
     assert out["rms"][1].as_py() < 0.001
+
+
+def test_probes_and_audio_metadata():
+    import pyarrow as pa
+
+    from moaray.flac import flac_probe, mp3_probe
+    from moaray.ops.multimodal import AudioMetadata, wav_encode
+
+    t = np.arange(8000)
+    x = (np.sin(t / 15) * 5000).astype(np.int16)
+    fbuf = flac_encode(x, 8000)
+    info = flac_probe(fbuf)
+    assert info == {"sample_rate": 8000, "channels": 1, "bits": 16,
+                    "n_samples": 8000, "duration_s": 1.0}
+    # spec-framed mp3 (valid MPEG-1 Layer III headers, junk payloads)
+    rng = np.random.RandomState(0)
+    def mp3_frame(pad):
+        h = ((0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+             | (9 << 12) | (0 << 10) | (pad << 9))
+        ln = 144 * 128 * 1000 // 44100 + pad
+        return h.to_bytes(4, "big") + rng.bytes(ln - 4)
+    mbuf = b"".join(mp3_frame(i % 2) for i in range(19))
+    m = mp3_probe(mbuf)
+    assert m["sample_rate"] == 44100 and m["n_frames"] == 19
+
+    batch = pa.table({
+        "clip_id": ["w", "f", "m", "p"],
+        "bytes": [wav_encode(x, 8000), fbuf, mbuf, x.tobytes()],
+        "fmt": ["wav", "flac", "mp3", "pcm16"],
+        "sample_rate": pa.array([8000] * 4, pa.int32()),
+    })
+    out = AudioMetadata()(batch)
+    assert out.num_rows == 4
+    assert out["duration_s"].to_pylist()[:2] == [1.0, 1.0]
+    assert out["sample_rate"].to_pylist() == [8000, 8000, 44100, 8000]
