@@ -741,6 +741,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         clips = ray.data.from_arrow(gen_audio_table(n_clips=32))
         return audio_features(clips)
 
+    def q_audio_metadata(sf_dir: str):  # rows-only (synthetic clips)
+        # duration/rate census WITHOUT synthesis: wav + flac + mp3 headers
+        import numpy as np
+        import pyarrow as _pa
+        import ray
+
+        from moaray.flac import flac_encode
+        from moaray.ops.multimodal import audio_metadata, wav_encode
+
+        rng = np.random.RandomState(7)
+        rows = []
+        for i in range(24):
+            x = (np.sin(np.arange(4000) / (10 + i)) * 6000).astype(np.int16)
+            if i % 2:
+                rows.append({"clip_id": f"c{i:03d}", "fmt": "flac",
+                             "bytes": flac_encode(x, 8000),
+                             "sample_rate": 8000})
+            else:
+                rows.append({"clip_id": f"c{i:03d}", "fmt": "wav",
+                             "bytes": wav_encode(x, 8000),
+                             "sample_rate": 8000})
+        del rng, _pa
+        return audio_metadata(ray.data.from_items(rows)).sort("clip_id")
+
+    def q_video_frame_sample_mp4(sf_dir: str):  # rows-only (synthetic mp4)
+        # ISO-BMFF container parsing: encoded samples sliced by byte range
+        import numpy as np
+        import ray
+
+        from moaray.mp4 import mp4_mux
+        from moaray.ops.multimodal import frame_sample
+
+        rng = np.random.RandomState(11)
+        rows = []
+        for v in range(8):
+            frames = [rng.bytes(int(rng.randint(64, 256))) for _ in range(16)]
+            rows.append({"video_id": f"v{v}", "fmt": "mp4",
+                         "bytes": mp4_mux(frames, 96, 64)})
+        return frame_sample(
+            ray.data.from_items(rows), stride=4
+        ).sort(["video_id", "frame_idx"])
+
     def q_pricing_summary(sf_dir: str):
         import ray
 
@@ -884,6 +926,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
         "mosaic_tiles_jpeg_progressive": q_mosaic_tiles_jpeg_progressive,
+        "audio_metadata_census": q_audio_metadata,
+        "video_frame_sample_mp4": q_video_frame_sample_mp4,
     }
 
 
