@@ -299,15 +299,22 @@ def test_image_resize_interpolating_methods():
         ImageResize(8, 8, "magic")
 
 
-def test_frame_sample_compressed_containers_gated():
-    # mvid decodes for real (test_frame_sample_mvid); compressed containers
-    # stay declared gates
+def test_frame_sample_container_dispatch():
+    # mvid decodes for real (test_frame_sample_mvid) and mp4 PARSES for
+    # real (tests/test_mp4.py) — malformed mp4 is a clear container error,
+    # and genuinely-unknown containers stay declared gates
     from moaray.ops.multimodal import FrameSample
 
+    with pytest.raises(ValueError, match="no moov"):
+        FrameSample()(
+            pa.table(
+                {"video_id": ["v0"], "bytes": [b"\x00" * 16], "fmt": ["mp4"]}
+            )
+        )
     with pytest.raises(NotImplementedError, match="pyav/ffmpeg"):
         FrameSample()(
             pa.table(
-                {"video_id": ["v0"], "bytes": [b"\x00"], "fmt": ["mp4"]}
+                {"video_id": ["v0"], "bytes": [b"\x00"], "fmt": ["webm"]}
             )
         )
 
