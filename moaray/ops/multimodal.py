@@ -125,18 +125,29 @@ class ImageResize:
         for i in range(batch.num_rows):
             fmt = batch["fmt"][i].as_py()
             arr = codecs.decode(batch["bytes"][i].as_py(), fmt)
-            h, w = arr.shape
+            h, w = arr.shape[:2]
             if self.method in ("nearest", "near"):
                 ri = (np.arange(self.out_h) * h // self.out_h).clip(0, h - 1)
                 ci = (np.arange(self.out_w) * w // self.out_w).clip(0, w - 1)
-                small = arr[np.ix_(ri, ci)]
+                small = arr[np.ix_(ri, ci)]  # trailing channels ride along
+            elif arr.ndim == 3:  # color: interpolate per plane
+                small = np.stack(
+                    [self._interp(arr[:, :, c]) for c in range(arr.shape[2])],
+                    axis=2,
+                )
             else:
                 small = self._interp(arr)
+            if small.ndim == 3:  # color output: lossless PNG payload
+                out_buf, out_fmt = codecs.png_encode(
+                    np.ascontiguousarray(small)), "png"
+            else:
+                out_buf, out_fmt = codecs.encode(
+                    np.ascontiguousarray(small), "raw16"), "raw16"
             rows["image_id"].append(batch["image_id"][i].as_py())
-            rows["bytes"].append(codecs.encode(np.ascontiguousarray(small), "raw16"))
+            rows["bytes"].append(out_buf)
             rows["w"].append(self.out_w)
             rows["h"].append(self.out_h)
-            rows["fmt"].append("raw16")
+            rows["fmt"].append(out_fmt)
         return pa.Table.from_pydict(
             {
                 "image_id": pa.array(rows["image_id"], pa.string()),

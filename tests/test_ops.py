@@ -299,6 +299,34 @@ def test_image_resize_interpolating_methods():
         ImageResize(8, 8, "magic")
 
 
+def test_image_resize_color():
+    # (h, w, 3) payloads resize per plane; color output is lossless PNG
+    import numpy as np
+
+    from moaray import codecs
+    from moaray.ops.multimodal import ImageResize
+
+    rng = np.random.RandomState(8)
+    rgb = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    batch = pa.table({
+        "image_id": ["c"],
+        "bytes": [codecs.png_encode(rgb)],
+        "w": pa.array([32], pa.int32()),
+        "h": pa.array([32], pa.int32()),
+        "fmt": ["png"],
+    })
+    for method in ("nearest", "average", "bilinear"):
+        out = ImageResize(8, 8, method)(batch)
+        assert out["fmt"][0].as_py() == "png"
+        got = codecs.decode(out["bytes"][0].as_py(), "png")
+        assert got.shape == (8, 8, 3)
+        if method == "average":
+            exp = np.rint(
+                rgb.reshape(8, 4, 8, 4, 3).mean(axis=(1, 3))
+            ).astype(np.uint8)
+            assert np.array_equal(got, exp)
+
+
 def test_frame_sample_container_dispatch():
     # mvid decodes for real (test_frame_sample_mvid) and mp4 PARSES for
     # real (tests/test_mp4.py) — malformed mp4 is a clear container error,
