@@ -308,7 +308,9 @@ def _subprocess_mosaic(num_cpus: int, fn: str = "run_mosaic_bench") -> dict:
 
 def main_scaling():
     lo, hi = 8, 32
+    probe_lo = host_probe()
     r_lo = _subprocess_mosaic(lo)
+    probe_hi = host_probe()
     r_hi = _subprocess_mosaic(hi)
     eff = (r_hi["tiles_per_s"] / r_lo["tiles_per_s"]) / (hi / lo)
     out = {
@@ -333,7 +335,15 @@ def main_scaling():
             "efficiency": round(eff, 3),
         },
     }
-    out["host"] = host_probe()
+    # per-leg host context: a 32-cpu leg on a host serving ~14 effective
+    # cores measures the neighbor's load, not this engine's scaling
+    # (see BASELINE.md host-degradation caveat)
+    out["host_before_low"] = probe_lo
+    out["host_before_high"] = probe_hi
+    out["host_degraded"] = (
+        probe_lo["parallel_efficiency"] < 0.8
+        or probe_hi["parallel_efficiency"] < 0.8
+    )
     print(json.dumps(out))
 
 
