@@ -211,3 +211,16 @@ def test_q12_nonzero_nullval_rejected(ray_session):
     with pytest.raises(Exception, match="q12"):
         res = do_mosaic(path, cfg)
         res.tiles_ds.materialize()
+
+
+def test_mixed_format_catalog_bit_exact(ray_session):
+    # the input_hint's fmt column is PER ROW: one catalog mixing raw16,
+    # z16 and png payloads (fmt_for cycles the tuple) must mosaic
+    # bit-identically to a raw16-only catalog — the decode stage
+    # dispatches per row, never per dataset
+    cfg = MosaicConfig(layout=LAYOUT, blocksize=64)
+    res_mix = do_mosaic(images_path(LAYOUT, fmts=("raw16", "z16", "png")), cfg)
+    g_mix = mosaic_array(res_mix.tiles_ds, res_mix.grid)
+    res_raw = do_mosaic(images_path(LAYOUT, fmts=("raw16",)), cfg)
+    g_raw = mosaic_array(res_raw.tiles_ds, res_raw.grid)
+    assert np.array_equal(g_mix, g_raw)
