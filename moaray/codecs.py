@@ -24,8 +24,10 @@ demanded by BASELINE.json, plus a from-scratch PNG codec:
   to read standard image formats via GDAL (ref mosaic.py:203-211) without
   any image library.
 
-- ``jpeg``   — real baseline-DCT JPEG (grayscale, 8-bit), implemented from
-  scratch per ITU-T T.81 in moaray/jpeg.py: Annex-K tables, zigzag, 8x8
+- ``jpeg``   — real DCT JPEG implemented from scratch per ITU-T T.81 in
+  moaray/jpeg.py: 8-bit baseline (gray + YCbCr color), 12-bit extended
+  sequential (SOF1, grayscale — aerial/DICOM precision; uint16 <= 4095),
+  progressive SOF2 (moaray/jpeg_progressive.py): Annex-K tables, zigzag, 8x8
   DCT, canonical Huffman. The lossy path for uint8 imagery (PSNR gate
   applies); ``q12`` remains the lossy stand-in for uint16.
 
@@ -135,7 +137,10 @@ def header_dtype(buf: bytes) -> np.dtype:
         bitdepth = buf[24]
         return np.dtype("uint16" if bitdepth == 16 else "uint8")
     if bytes(buf[:2]) == JPEG_SIG:
-        return np.dtype("uint8")  # baseline JPEG is 8-bit
+        from .jpeg import jpeg_precision
+
+        # 8-bit baseline -> uint8; 12-bit extended sequential -> uint16
+        return np.dtype("uint8" if jpeg_precision(buf) == 8 else "uint16")
     _magic, _code, dcode, _h, _w = _HEADER.unpack_from(buf, 0)
     return _DTYPES[dcode]
 

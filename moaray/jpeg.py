@@ -99,6 +99,17 @@ _AC_VALS = [
 ]
 
 
+# 12-bit (SOF1 extended sequential — the aerial/medical precision) needs
+# DC size categories 0..15 and AC sizes 1..14 (T.81 Table F.1), which the
+# Annex-K 8-bit tables do not cover: uniform-length canonical tables.
+_DC12_VALS = list(range(16))
+_DC12_BITS = [0, 0, 0, 0, 16] + [0] * 11
+_AC12_VALS = sorted(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+)
+_AC12_BITS = [0] * 7 + [len(_AC12_VALS)] + [0] * 8
+
+
 # Annex K.2 chrominance quantization table, natural order.
 _K2_CHROMA = np.array(
     [
@@ -411,10 +422,20 @@ def jpeg_encode(
         return _jpeg_encode_color(arr, quality, restart_interval, subsampling)
     if arr.ndim != 2:
         raise ValueError(f"jpeg_encode expects 2-D or (h, w, 3), got {arr.shape}")
-    if arr.dtype != np.uint8:
+    if arr.dtype == np.uint8:
+        prec = 8
+    elif arr.dtype == np.uint16:
+        # 12-bit extended sequential (SOF1): the precision aerial imagery
+        # and DICOM use; values must fit the 12-bit sample range
+        if arr.size and int(arr.max()) > 4095:
+            raise ValueError(
+                "12-bit JPEG requires values <= 4095 (full-range uint16 "
+                "goes through png/z16 lossless or q12 lossy)"
+            )
+        prec = 12
+    else:
         raise ValueError(
-            f"baseline JPEG is 8-bit; got {arr.dtype} (uint16 goes through "
-            "png/z16 lossless or q12 lossy)"
+            f"JPEG is 8- or 12-bit; got {arr.dtype}"
         )
     h, w = arr.shape
     q = _quality_table(quality)
@@ -426,15 +447,21 @@ def jpeg_encode(
         .transpose(0, 2, 1, 3)
         .reshape(-1, 8, 8)
         .astype(np.float64)
-        - 128.0
+        - float(1 << (prec - 1))
     )
     # forward DCT of every block at once, then quantize + zigzag
     coef = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
     qcoef = np.round(coef / q.reshape(8, 8)).astype(np.int64)
     zz = qcoef.reshape(-1, 64)[:, _ZIGZAG]
 
-    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    if prec == 8:
+        dc_bits, dc_vals = _DC_BITS, _DC_VALS
+        ac_bits, ac_vals = _AC_BITS, _AC_VALS
+    else:
+        dc_bits, dc_vals = _DC12_BITS, _DC12_VALS
+        ac_bits, ac_vals = _AC12_BITS, _AC12_VALS
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
     # Vectorized magnitude coding for the whole coefficient matrix: size
     # (bit length of |v|) and appended bits (one's-complement negatives)
     # computed once in numpy, so the per-symbol loop only does table
@@ -487,9 +514,11 @@ def jpeg_encode(
     out += SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _seg(0xDB, bytes([0]) + bytes(int(x) for x in q[_ZIGZAG]))
-    out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    out += _seg(0xC4, huff_payload(0, 0, _DC_BITS, _DC_VALS))
-    out += _seg(0xC4, huff_payload(1, 0, _AC_BITS, _AC_VALS))
+    # 8-bit: baseline SOF0; 12-bit: extended sequential SOF1 (B.2.2)
+    out += _seg(0xC0 if prec == 8 else 0xC1,
+                struct.pack(">BHHB", prec, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xC4, huff_payload(0, 0, dc_bits, dc_vals))
+    out += _seg(0xC4, huff_payload(1, 0, ac_bits, ac_vals))
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
@@ -600,6 +629,25 @@ def jpeg_probe(buf: bytes) -> tuple[int, int]:
     raise ValueError("JPEG stream has no SOF header")
 
 
+def jpeg_precision(buf: bytes) -> int:
+    """Sample precision (8 or 12) from the SOF marker, no pixel decode."""
+    if not isinstance(buf, bytes):
+        buf = bytes(buf)
+    pos = 2
+    n = len(buf)
+    while pos + 4 <= n:
+        if buf[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = buf[pos + 1]
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            return buf[pos + 4]
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        (length,) = struct.unpack_from(">H", buf, pos + 2)
+        pos += 2 + length
+    raise ValueError("JPEG stream has no SOF header")
+
+
 def jpeg_decode(buf: bytes) -> np.ndarray:
     """Decode a baseline JPEG: grayscale streams to a 2-D uint8 array,
     3-component YCbCr streams to an (h, w, 3) uint8 RGB array.
@@ -666,8 +714,16 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
                 dpos += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC3):  # SOF baseline/ext-sequential
             prec, h, w, ncomp = struct.unpack_from(">BHHB", data, 0)
-            if prec != 8:
-                raise NotImplementedError("only 8-bit JPEG supported")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"only 8- and 12-bit JPEG supported (precision={prec})"
+                )
+            if prec == 12 and ncomp != 1:
+                raise NotImplementedError(
+                    "12-bit JPEG is grayscale-only (YCbCr constants are "
+                    "8-bit; moaray's band-per-row model carries color as "
+                    "per-band payloads anyway)"
+                )
             if ncomp not in (1, 3):
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG not supported (grayscale and "
@@ -789,7 +845,8 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
     for st in state:
         q = st["q"].reshape(8, 8).astype(np.float64)
         coef = st["zz"][:, _UNZIGZAG].reshape(-1, 8, 8) * q
-        pix = np.einsum("xu,nuv,yv->nxy", _C.T, coef, _C.T) + 128.0
+        pix = (np.einsum("xu,nuv,yv->nxy", _C.T, coef, _C.T)
+               + float(1 << (prec - 1)))
         bv_c, bh_c = st["bv"], st["bh"]
         plane = (
             pix.reshape(bv_c, bh_c, 8, 8)
@@ -808,7 +865,9 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
             )
         planes.append(plane[:h, :w])
     if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        peak = (1 << prec) - 1
+        out_dt = np.uint8 if prec == 8 else np.uint16
+        return np.clip(np.round(planes[0]), 0, peak).astype(out_dt)
     # JFIF fixes component ids 1=Y, 2=Cb, 3=Cr; honor them regardless of
     # the (almost always identical) scan order
     ids = [c[0] for c in comps]

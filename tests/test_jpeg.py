@@ -53,9 +53,13 @@ def test_codecs_dispatch_and_probe():
     assert np.array_equal(win, out[2:6, 3:8])
 
 
-def test_uint16_encode_rejected():
-    with pytest.raises(ValueError, match="8-bit"):
-        codecs.encode(np.zeros((8, 8), np.uint16), "jpeg")
+def test_uint16_encode_is_12bit_full_range_rejected():
+    # uint16 <= 4095 now encodes as 12-bit extended sequential (SOF1);
+    # full-range uint16 still refuses with a pointer to the lossless paths
+    buf = codecs.encode(np.full((8, 8), 4095, np.uint16), "jpeg")
+    assert codecs.header_dtype(buf) == np.dtype("uint16")
+    with pytest.raises(ValueError, match="<= 4095"):
+        codecs.encode(np.full((8, 8), 4096, np.uint16), "jpeg")
 
 
 def test_progressive_supported_lossless_gated():
@@ -208,3 +212,68 @@ def test_color_roundtrip_property(h, w, seed, sub):
     assert np.array_equal(out, jpeg_decode(buf))
     # noise + chroma subsampling is the worst case; envelope only
     assert codecs.psnr(rgb, out, peak=255.0) >= 12.0
+
+
+def test_12bit_roundtrip_and_probe():
+    # extended sequential (SOF1, precision 12) — aerial/DICOM territory
+    from moaray import codecs
+    from moaray.jpeg import jpeg_precision
+
+    rng = np.random.RandomState(0)
+    rr, cc = np.mgrid[0:64, 0:48]
+    smooth = ((rr * 40 + cc * 20) % 4096).astype(np.uint16)
+    noise = rng.randint(0, 4096, (33, 47)).astype(np.uint16)
+    for img in (smooth, noise):
+        buf = jpeg_encode(img, quality=95)
+        assert jpeg_precision(buf) == 12
+        assert codecs.header_dtype(buf) == np.dtype("uint16")
+        assert jpeg_probe(buf) == img.shape
+        out = codecs.decode(buf, "jpeg")
+        assert out.dtype == np.uint16 and out.shape == img.shape
+        assert codecs.psnr(img.astype(np.float64), out.astype(np.float64),
+                           peak=4095.0) >= 40.0
+    with pytest.raises(ValueError, match="<= 4095"):
+        jpeg_encode(np.array([[5000]], np.uint16))
+    with pytest.raises(NotImplementedError, match="grayscale-only"):
+        # hand-rebadge an 8-bit color SOF as 12-bit
+        rgb = (np.random.RandomState(1).rand(16, 16, 3) * 255).astype(np.uint8)
+        buf = bytearray(jpeg_encode(rgb, quality=90))
+        idx = buf.find(b"\xff\xc0")
+        buf[idx + 4] = 12  # SOF precision byte
+        jpeg_decode(bytes(buf))
+
+
+def test_12bit_mosaic_lossy_oracle(ray_session, tmp_path):
+    # uint16 catalog with fmt="jpeg" (values fit 12 bits): mosaic equals
+    # the decoded-lossy oracle EXACTLY, same invariant as the 8-bit test
+    from dataclasses import replace
+
+    import pyarrow.parquet as pq
+
+    from moaray import codecs, oracle
+    from moaray.geo import make_output_grid
+    from moaray.pipelines.mosaic import MosaicConfig, do_mosaic, mosaic_array
+    from moaray.testgen import (
+        Layout,
+        gen_images_table,
+        metas_for_layout,
+        pixel_array,
+    )
+
+    layout = Layout("grid3x3", 9, 64)
+    tbl = gen_images_table(layout, ("jpeg",), explicit_meta=True)
+    path = tmp_path / "imgs"
+    path.mkdir()
+    pq.write_table(tbl, str(path / "part-00000.parquet"), row_group_size=4)
+    res = do_mosaic(str(path), MosaicConfig(layout=layout, blocksize=64))
+    got = mosaic_array(res.tiles_ds, res.grid)
+    metas = [replace(m, fmt="jpeg") for m in metas_for_layout(layout)]
+    grid = make_output_grid(metas, blocksize=64)
+    lossy = {
+        m.image_id: codecs.decode(jpeg_encode(pixel_array(i, layout,
+                                                          "uint16")), "jpeg")
+        for i, m in enumerate(metas)
+    }
+    truth = oracle.build_mosaic(grid, metas, lossy)
+    assert got.dtype == np.uint16
+    assert np.array_equal(got, truth)

@@ -293,17 +293,22 @@ def test_actor_pool_decode_path():
 
 
 def test_frame_sample_compressed_gate_contract():
-    """mvid frame sampling runs for real (tests/test_ops.py); compressed
-    video containers remain declared NotImplementedError gates (sandbox has
-    no pyav/ffmpeg)."""
+    """mvid frame sampling AND mp4 container parsing run for real
+    (tests/test_ops.py, tests/test_mp4.py); containers the engine cannot
+    parse remain declared NotImplementedError gates (no pyav/ffmpeg)."""
     import pyarrow as pa
     import pytest as _pytest
 
     from moaray.ops.multimodal import FrameSample
 
+    with _pytest.raises(ValueError, match="corrupt box|no moov"):
+        FrameSample()(
+            pa.table({"video_id": ["v0"], "bytes": [b"x" * 16],
+                      "fmt": ["mp4"]})
+        )
     with _pytest.raises(NotImplementedError, match="mvid"):
         FrameSample()(
-            pa.table({"video_id": ["v0"], "bytes": [b"x"], "fmt": ["mp4"]})
+            pa.table({"video_id": ["v0"], "bytes": [b"x"], "fmt": ["mkv"]})
         )
 
 
