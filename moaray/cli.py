@@ -168,7 +168,7 @@ def main_cmd(argv=None) -> int:
                 tile_codec = None if val.upper() == "NONE" else "z16"
                 gtiff_compress = {
                     "NONE": None, "DEFLATE": "deflate", "LZW": "lzw",
-                    "PACKBITS": "packbits",
+                    "PACKBITS": "packbits", "JPEG": "jpeg",
                 }.get(val.upper(), "deflate")
             elif key.upper() == "PREDICTOR":
                 gtiff_predictor = int(val)

@@ -61,12 +61,18 @@ COMPRESSION_LZW = 5      # the most common compression on real-world
 COMPRESSION_DEFLATE = 8  # zlib streams, the reference's default GTiff
                          # creation option (COMPRESS=DEFLATE, mosaic.py:30-35)
 COMPRESSION_PACKBITS = 32773  # Apple PackBits RLE (TIFF 6.0 §9)
+COMPRESSION_JPEG = 7     # new-style JPEG-in-TIFF (TTN2): each strip/tile
+                         # is a JPEG stream, optionally abbreviated against
+                         # a shared JPEGTables tag — the standard lossy
+                         # aerial-imagery GeoTIFF combo
+T_JPEGTABLES = 347
 
 _COMPRESSION_TAG = {
     None: COMPRESSION_NONE,
     "deflate": COMPRESSION_DEFLATE,
     "lzw": COMPRESSION_LZW,
     "packbits": COMPRESSION_PACKBITS,
+    "jpeg": COMPRESSION_JPEG,
 }
 
 _LZW_CLEAR, _LZW_EOI = 256, 257
@@ -217,6 +223,12 @@ def _encode_block(block: np.ndarray, wire, compress: str | None,
         d[:, 1:] = d[:, 1:] - d[:, :-1]
         # differences wrap modulo the sample width (TIFF spec)
         block = d.astype(wire)
+    if compress == "jpeg":
+        # self-contained JPEG per strip/tile (legal without JPEGTables);
+        # 8-bit baseline for uint8, 12-bit SOF1 for uint16 <= 4095
+        from ..jpeg import jpeg_encode
+
+        return jpeg_encode(np.ascontiguousarray(block))
     raw = np.ascontiguousarray(block).astype(wire).tobytes()
     if compress == "deflate":
         return zlib.compress(raw, 6)
@@ -230,7 +242,24 @@ def _encode_block(block: np.ndarray, wire, compress: str | None,
 
 
 def _decode_block(buf: bytes, shape, dt_le, compression: int,
-                  predictor: int) -> np.ndarray:
+                  predictor: int, jpeg_tables: bytes | None = None) -> np.ndarray:
+    if compression == COMPRESSION_JPEG:
+        from ..jpeg import jpeg_decode
+
+        buf = bytes(buf)
+        if jpeg_tables:
+            # abbreviated stream (TTN2): shared tables minus EOI spliced
+            # ahead of the strip's scan data minus its SOI
+            tb = bytes(jpeg_tables)
+            if tb[-2:] == b"\xff\xd9":
+                tb = tb[:-2]
+            buf = tb + buf[2:]
+        arr = jpeg_decode(buf)
+        out = np.zeros(shape, dtype=arr.dtype)
+        h = min(shape[0], arr.shape[0])
+        w = min(shape[1], arr.shape[1])
+        out[:h, :w] = arr[:h, :w]
+        return out.astype(dt_le, copy=False)
     if compression == COMPRESSION_DEFLATE:
         buf = zlib.decompress(buf)
     elif compression == COMPRESSION_LZW:
@@ -265,6 +294,8 @@ def write_gtiff(
         raise ValueError(f"expected a 2-D numeric array, got {arr.dtype} {arr.shape}")
     if predictor == 2 and arr.dtype.kind == "f":
         raise ValueError("Predictor=2 is integer-only (use 1 for floats)")
+    if compress == "jpeg" and predictor == 2:
+        raise ValueError("Predictor does not apply to JPEG compression")
     nrows, ncols = arr.shape
     wire = arr.dtype.newbyteorder("<") if arr.dtype.itemsize > 1 else arr.dtype
     strips = [
@@ -663,6 +694,7 @@ def _ifd_image(data: bytes, tags) -> np.ndarray:
         else COMPRESSION_NONE
     )
     predictor = vals(T_PREDICTOR, "H")[0] if T_PREDICTOR in tags else 1
+    jpeg_tables = tags[T_JPEGTABLES][2] if T_JPEGTABLES in tags else None
     if T_TILEOFFSETS in tags:
         tile_w = vals(T_TILEWIDTH, "I")[0]
         tile_h = vals(T_TILELENGTH, "I")[0]
@@ -673,7 +705,7 @@ def _ifd_image(data: bytes, tags) -> np.ndarray:
         for k, (o, c) in enumerate(zip(offs, counts)):
             block = _decode_block(
                 data[o : o + c], (tile_h, tile_w), dt_le, compression,
-                predictor,
+                predictor, jpeg_tables,
             )
             tr, tc = divmod(k, tiles_across)
             r0, c0 = tr * tile_h, tc * tile_w
@@ -689,7 +721,7 @@ def _ifd_image(data: bytes, tags) -> np.ndarray:
         h = min(rps, nrows - si * rps)
         parts.append(
             _decode_block(data[o : o + c], (h, ncols), dt_le, compression,
-                          predictor)
+                          predictor, jpeg_tables)
         )
     return np.vstack(parts).astype(dt, copy=False)
 

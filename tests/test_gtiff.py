@@ -197,3 +197,65 @@ def test_lzw_codec_boundary_widths():
     for raw in (b"", b"Q", b"A" * 4000, rng.bytes(1_200_000),
                 bytes(range(256)) * 500):
         assert _lzw_decode(_lzw_encode(raw)) == raw
+
+
+def test_jpeg_in_tiff_roundtrip():
+    """Compression=7 (new-style JPEG-in-TIFF, TTN2) — the standard lossy
+    aerial-imagery GeoTIFF: self-contained 8-bit strips, 12-bit (SOF1)
+    tiles with overviews, and abbreviated streams merged against a shared
+    JPEGTables tag (what GDAL emits)."""
+    import os
+    import struct
+    import tempfile
+
+    from moaray import codecs
+    from moaray.jpeg import jpeg_encode
+    from moaray.sinks.gtiff import (
+        COMPRESSION_JPEG,
+        _decode_block,
+        read_gtiff,
+        read_gtiff_full,
+        write_gtiff,
+        write_gtiff_tiled,
+    )
+
+    gt = (300000.0, 10.0, 0.0, 7000000.0, 0.0, -10.0)
+    rr, cc = np.mgrid[0:300, 0:256]
+    img8 = ((rr + cc) % 256).astype(np.uint8)
+    img12 = ((rr * 13 + cc * 7) % 4096).astype(np.uint16)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "j8.tif")
+        write_gtiff(p, img8, gt, compress="jpeg")
+        back, t, _ = read_gtiff(p)
+        assert t == gt and back.dtype == np.uint8
+        assert codecs.psnr(img8.astype(float), back.astype(float),
+                           peak=255.0) >= 40.0
+        p2 = os.path.join(d, "j12.tif")
+        write_gtiff_tiled(p2, img12, gt, nullval=0.0, compress="jpeg",
+                          min_overview_size=64)
+        full, _ovs, t2, _ = read_gtiff_full(p2)
+        assert t2 == gt and full.dtype == np.uint16
+        assert codecs.psnr(img12.astype(float), full.astype(float),
+                           peak=4095.0) >= 40.0
+    with pytest.raises(ValueError, match="does not apply"):
+        write_gtiff("/tmp/never.tif", img8, gt, compress="jpeg", predictor=2)
+
+    # abbreviated stream: split a self-contained JPEG into a JPEGTables
+    # stream (SOI + DQT/DHT + EOI) and a scan stream (SOI + SOF/SOS...)
+    buf = jpeg_encode(img8[:32, :32], quality=90)
+    segs, pos = [], 2
+    while pos + 4 <= len(buf):
+        marker = buf[pos + 1]
+        if marker == 0xDA:
+            rest = buf[pos:]
+            break
+        (ln,) = struct.unpack_from(">H", buf, pos + 2)
+        segs.append((marker, buf[pos : pos + 2 + ln]))
+        pos += 2 + ln
+    tables = b"\xff\xd8" + b"".join(
+        s for m, s in segs if m in (0xDB, 0xC4)) + b"\xff\xd9"
+    scan = b"\xff\xd8" + b"".join(
+        s for m, s in segs if m not in (0xDB, 0xC4)) + rest
+    out = _decode_block(scan, (32, 32), np.dtype("uint8"),
+                        COMPRESSION_JPEG, 1, tables)
+    assert np.array_equal(out, codecs.decode(buf, "jpeg"))
