@@ -42,22 +42,35 @@ _FIXED_COEFFS = {
 }
 
 
+def _make_crc_table(poly: int, width: int) -> list[int]:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    table = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _make_crc_table(0x07, 8)
+_CRC16_TABLE = _make_crc_table(0x8005, 16)
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
+    tbl = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = tbl[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    tbl = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
-                else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFFFF) ^ tbl[(crc >> 8) ^ b]
     return crc
 
 
@@ -283,6 +296,10 @@ def flac_encode(samples: np.ndarray, sample_rate: int = 16000,
 # ---------------------------------------------------------------------------
 
 def _read_residual(br: _BitReader, bs: int, order: int) -> np.ndarray:
+    """Rice-partition residual decode — THE flac hot loop. The bit reader
+    state lives in locals and unary quotients are found with 64-bit
+    windowed ``bit_length`` scans instead of per-bit reads (method-call
+    per bit made decode ~6x slower)."""
     method = br.read(2)
     if method > 1:
         raise ValueError(f"reserved residual coding method {method}")
@@ -293,20 +310,66 @@ def _read_residual(br: _BitReader, bs: int, order: int) -> np.ndarray:
     if bs % nparts:
         raise ValueError("partition count does not divide block size")
     res = np.empty(bs - order, dtype=np.int64)
-    pos = 0
+    data = br.data
+    pos = br.pos
+    idx = 0
     for p in range(nparts):
         count = (bs >> porder) - (order if p == 0 else 0)
-        k = br.read(plen)
+        # k parameter (plen bits), inline
+        byte_i = pos >> 3
+        sl = data[byte_i : byte_i + 2]
+        valid = 8 * len(sl) - (pos & 7)
+        k = (int.from_bytes(sl, "big") >> (valid - plen)) & escape
+        pos += plen
         if k == escape:
-            nbits = br.read(5)
+            byte_i = pos >> 3
+            sl = data[byte_i : byte_i + 2]
+            valid = 8 * len(sl) - (pos & 7)
+            nbits = (int.from_bytes(sl, "big") >> (valid - 5)) & 31
+            pos += 5
+            half = 1 << (nbits - 1) if nbits else 0
+            full = 1 << nbits
             for i in range(count):
-                res[pos + i] = br.read_signed(nbits) if nbits else 0
+                if nbits == 0:
+                    res[idx + i] = 0
+                    continue
+                byte_i = pos >> 3
+                sl = data[byte_i : byte_i + 8]
+                valid = 8 * len(sl) - (pos & 7)
+                v = (int.from_bytes(sl, "big") >> (valid - nbits)) & (full - 1)
+                pos += nbits
+                res[idx + i] = v - full if v >= half else v
         else:
+            mask = (1 << k) - 1
             for i in range(count):
-                q = br.read_unary()
-                u = (q << k) | (br.read(k) if k else 0)
-                res[pos + i] = (u >> 1) ^ -(u & 1)  # un-zigzag
-        pos += count
+                # unary quotient: windowed leading-zero scan
+                q = 0
+                while True:
+                    byte_i = pos >> 3
+                    sl = data[byte_i : byte_i + 8]
+                    valid = 8 * len(sl) - (pos & 7)
+                    if valid <= 0:
+                        raise ValueError("truncated FLAC residual")
+                    window = int.from_bytes(sl, "big") & ((1 << valid) - 1)
+                    if window:
+                        lead = valid - window.bit_length()
+                        q += lead
+                        pos += lead + 1
+                        break
+                    q += valid
+                    pos += valid
+                if k:
+                    byte_i = pos >> 3
+                    sl = data[byte_i : byte_i + 8]
+                    valid = 8 * len(sl) - (pos & 7)
+                    r = (int.from_bytes(sl, "big") >> (valid - k)) & mask
+                    pos += k
+                    u = (q << k) | r
+                else:
+                    u = q
+                res[idx + i] = (u >> 1) ^ -(u & 1)  # un-zigzag
+        idx += count
+    br.pos = pos
     return res
 
 
@@ -324,14 +387,18 @@ def _decode_subframe(br: _BitReader, bs: int, bps: int) -> np.ndarray:
         out = np.array([br.read_signed(bps) for _ in range(bs)], np.int64)
     elif 8 <= t <= 12:  # FIXED order t-8
         order = t - 8
-        warm = [br.read_signed(bps) for _ in range(order)]
+        warm = np.array([br.read_signed(bps) for _ in range(order)],
+                        dtype=np.int64)
         res = _read_residual(br, bs, order)
-        out = np.empty(bs, dtype=np.int64)
-        out[:order] = warm
-        coef = _FIXED_COEFFS[order]
-        for i in range(order, bs):
-            pred = sum(c * out[i - 1 - j] for j, c in enumerate(coef))
-            out[i] = res[i - order] + pred
+        # the fixed residual is the order-th forward difference of the
+        # signal: invert with `order` SEEDED cumulative sums (the seed of
+        # level o is the o-th difference of the warmups at position o) —
+        # no per-sample Python loop. L_o = [seed, seed + cumsum(L_{o+1})].
+        cur = res
+        for o in range(order - 1, -1, -1):
+            seed = int(np.diff(warm, n=o)[0])  # n=0 -> warm[0]
+            cur = np.concatenate(([seed], seed + np.cumsum(cur)))
+        out = cur if order else res.copy()
     elif t >= 32:  # LPC order t-31
         order = t - 31
         warm = [br.read_signed(bps) for _ in range(order)]
@@ -341,13 +408,30 @@ def _decode_subframe(br: _BitReader, bs: int, bps: int) -> np.ndarray:
         shift = br.read_signed(5)
         coefs = [br.read_signed(precision) for _ in range(order)]
         res = _read_residual(br, bs, order)
-        out = np.empty(bs, dtype=np.int64)
-        out[:order] = warm
-        for i in range(order, bs):
-            acc = 0
-            for j, c in enumerate(coefs):
-                acc += c * out[i - 1 - j]
-            out[i] = res[i - order] + (acc >> shift)
+        # sequential by nature; rolling Python ints beat per-sample
+        # ndarray indexing ~4x
+        vals = [int(v) for v in warm]
+        if order == 1:
+            (c0,) = coefs
+            a = vals[-1]
+            for r in res.tolist():
+                a = r + ((c0 * a) >> shift)
+                vals.append(a)
+        elif order == 2:
+            c0, c1 = coefs
+            b, a = vals[-2], vals[-1]
+            for r in res.tolist():
+                v = r + ((c0 * a + c1 * b) >> shift)
+                vals.append(v)
+                b = a
+                a = v
+        else:
+            for r in res.tolist():
+                acc = 0
+                for j in range(order):
+                    acc += coefs[j] * vals[-1 - j]
+                vals.append(r + (acc >> shift))
+        out = np.array(vals, dtype=np.int64)
     else:
         raise ValueError(f"reserved subframe type {t}")
     return out << wasted
