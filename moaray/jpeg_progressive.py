@@ -375,88 +375,176 @@ def _decode_dc_scan(pieces, comps, scan, per_seg, n_units, htables, ah, al):
 
 
 def _decode_ac_scan(pieces, c, ac_tbl, per_seg, ss, se, ah, al):
-    """AC scan: single component only (B.2.3 forbids interleaved AC)."""
+    """AC scan: single component only (B.2.3 forbids interleaved AC).
+
+    The bit-reader state lives in locals (per-symbol method calls were
+    ~55% of progressive decode wall time; same treatment as the baseline
+    scan loop in jpeg.py). First pass (Ah=0) accumulates coefficient
+    writes for ONE bulk numpy scatter; refinement mutates in place (it
+    must read history)."""
     zz = c["zz"]
     raster = c["raster"]
     n_units = len(raster)
+    ac_sym, ac_len = ac_tbl
     done = 0
-    for seg_data in pieces:
-        br = _BitReader(seg_data)
-        eobrun = 0
-        for _ in range(min(per_seg, n_units - done)):
-            bi = raster[done]
-            done += 1
-            row = zz[bi]
-            if ah == 0:
-                eobrun = _ac_first_block(br, ac_tbl, row, ss, se, al, eobrun)
-            else:
-                eobrun = _ac_refine_block(br, ac_tbl, row, ss, se, al, eobrun)
-    if done != n_units:
-        raise ValueError(f"progressive AC scan decoded {done}/{n_units}")
-
-
-def _ac_first_block(br, ac_tbl, row, ss, se, al, eobrun):
-    if eobrun > 0:
-        return eobrun - 1
-    k = ss
-    while k <= se:
-        sym = br.decode_symbol(ac_tbl)
-        r, s = sym >> 4, sym & 15
-        if s:
-            k += r
-            if k > se:
-                raise ValueError("progressive AC index out of band")
-            row[k] = _extend(br.read_bits(s), s) << al
-            k += 1
-        else:
-            if r != 15:
-                eobrun = 1 << r
-                if r:
-                    eobrun += br.read_bits(r)
-                return eobrun - 1  # this block is part of the run
-            k += 16  # ZRL
-    return 0
-
-
-def _ac_refine_block(br, ac_tbl, row, ss, se, al, eobrun):
     p1 = 1 << al
     m1 = -1 << al
-    k = ss
-    if eobrun == 0:
-        while k <= se:
-            sym = br.decode_symbol(ac_tbl)
-            r, s = sym >> 4, sym & 15
-            if s:
-                val = p1 if br.read_bits(1) else m1
-            else:
-                if r != 15:
-                    eobrun = 1 << r
-                    if r:
-                        eobrun += br.read_bits(r)
-                    break
-                val = 0  # ZRL: skip 16 zero-history coefficients
-            while k <= se:
-                cur = int(row[k])
-                if cur != 0:
-                    if br.read_bits(1) and (cur & p1) == 0:
-                        row[k] = cur + (p1 if cur >= 0 else m1)
-                else:
-                    r -= 1
-                    if r < 0:
-                        break
-                k += 1
-            if val and k <= se:
-                row[k] = val
-            k += 1
-    if eobrun > 0:
-        while k <= se:
-            cur = int(row[k])
-            if cur != 0:
-                if br.read_bits(1) and (cur & p1) == 0:
-                    row[k] = cur + (p1 if cur >= 0 else m1)
-            k += 1
-        eobrun -= 1
-    return eobrun
+    pos_l: list[int] = []
+    val_l: list[int] = []
+    for seg_data in pieces:
+        data = seg_data
+        n_data = len(data)
+        pos = 0
+        acc = 0
+        nbits = 0
+        eobrun = 0
+        for _ in range(min(per_seg, n_units - done)):
+            bi64 = raster[done] << 6
+            done += 1
+            if ah == 0:
+                # ---- AC first pass ----
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    while nbits < 16:
+                        acc = (acc << 8) | (data[pos] if pos < n_data else 0)
+                        pos += 1
+                        nbits += 8
+                    peek = (acc >> (nbits - 16)) & 0xFFFF
+                    sym = ac_sym[peek]
+                    if sym < 0:
+                        raise ValueError("invalid JPEG Huffman code")
+                    nbits -= ac_len[peek]
+                    acc &= (1 << nbits) - 1
+                    r = sym >> 4
+                    s = sym & 15
+                    if s:
+                        k += r
+                        if k > se:
+                            raise ValueError(
+                                "progressive AC index out of band"
+                            )
+                        while nbits < s:
+                            acc = (acc << 8) | (
+                                data[pos] if pos < n_data else 0
+                            )
+                            pos += 1
+                            nbits += 8
+                        nbits -= s
+                        v = (acc >> nbits) & ((1 << s) - 1)
+                        acc &= (1 << nbits) - 1
+                        pos_l.append(bi64 | k)
+                        val_l.append(
+                            (v if v >= (1 << (s - 1))
+                             else v - (1 << s) + 1) << al
+                        )
+                        k += 1
+                    else:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                while nbits < r:
+                                    acc = (acc << 8) | (
+                                        data[pos] if pos < n_data else 0
+                                    )
+                                    pos += 1
+                                    nbits += 8
+                                nbits -= r
+                                eobrun += (acc >> nbits) & ((1 << r) - 1)
+                                acc &= (1 << nbits) - 1
+                            eobrun -= 1  # this block is part of the run
+                            break
+                        k += 16  # ZRL
+                continue
+            # ---- AC refinement pass (G.1.2.3) ----
+            row = zz[raster[done - 1]]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    while nbits < 16:
+                        acc = (acc << 8) | (data[pos] if pos < n_data else 0)
+                        pos += 1
+                        nbits += 8
+                    peek = (acc >> (nbits - 16)) & 0xFFFF
+                    sym = ac_sym[peek]
+                    if sym < 0:
+                        raise ValueError("invalid JPEG Huffman code")
+                    nbits -= ac_len[peek]
+                    acc &= (1 << nbits) - 1
+                    r = sym >> 4
+                    s = sym & 15
+                    if s:
+                        if nbits < 1:
+                            acc = (acc << 8) | (
+                                data[pos] if pos < n_data else 0
+                            )
+                            pos += 1
+                            nbits += 8
+                        nbits -= 1
+                        val = p1 if (acc >> nbits) & 1 else m1
+                        acc &= (1 << nbits) - 1
+                    else:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                while nbits < r:
+                                    acc = (acc << 8) | (
+                                        data[pos] if pos < n_data else 0
+                                    )
+                                    pos += 1
+                                    nbits += 8
+                                nbits -= r
+                                eobrun += (acc >> nbits) & ((1 << r) - 1)
+                                acc &= (1 << nbits) - 1
+                            break
+                        val = 0  # ZRL: skip 16 zero-history coefficients
+                    while k <= se:
+                        cur = int(row[k])
+                        if cur != 0:
+                            if nbits < 1:
+                                acc = (acc << 8) | (
+                                    data[pos] if pos < n_data else 0
+                                )
+                                pos += 1
+                                nbits += 8
+                            nbits -= 1
+                            bit = (acc >> nbits) & 1
+                            acc &= (1 << nbits) - 1
+                            if bit and (cur & p1) == 0:
+                                row[k] = cur + (p1 if cur >= 0 else m1)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if val and k <= se:
+                        row[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    cur = int(row[k])
+                    if cur != 0:
+                        if nbits < 1:
+                            acc = (acc << 8) | (
+                                data[pos] if pos < n_data else 0
+                            )
+                            pos += 1
+                            nbits += 8
+                        nbits -= 1
+                        bit = (acc >> nbits) & 1
+                        acc &= (1 << nbits) - 1
+                        if bit and (cur & p1) == 0:
+                            row[k] = cur + (p1 if cur >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    if done != n_units:
+        raise ValueError(f"progressive AC scan decoded {done}/{n_units}")
+    if pos_l:
+        zz.reshape(-1)[np.array(pos_l, dtype=np.int64)] = np.array(
+            val_l, dtype=np.int32
+        )
 
 
 def jpeg_decode_progressive(buf: bytes) -> np.ndarray:
