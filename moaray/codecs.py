@@ -275,18 +275,41 @@ def _png_unfilter(raw: np.ndarray, bpp: int) -> np.ndarray:
         elif f == 1:  # Sub — cumulative sum per byte lane, mod 256
             lanes = cur.reshape(-1, bpp).astype(np.int64)
             out[y] = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(-1)
-        elif f == 3:  # Average
-            row = out[y]
-            for x in range(stride):
-                left = int(row[x - bpp]) if x >= bpp else 0
-                row[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            row = out[y]
-            for x in range(stride):
-                a = int(row[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                row[x] = (int(cur[x]) + _paeth(a, b, c)) & 0xFF
+        elif f == 3:  # Average — serial left-dependency; Python-int rows
+            # beat per-element ndarray access ~5x (foreign encoders use
+            # 3/4 heavily; our own encoder emits filter 0)
+            cur_l = cur.tolist()
+            prev_l = prev.tolist()
+            row_l = [0] * stride
+            for x in range(bpp):
+                row_l[x] = (cur_l[x] + (prev_l[x] >> 1)) & 0xFF
+            for x in range(bpp, stride):
+                row_l[x] = (
+                    cur_l[x] + ((row_l[x - bpp] + prev_l[x]) >> 1)
+                ) & 0xFF
+            out[y] = row_l
+        elif f == 4:  # Paeth — same treatment
+            cur_l = cur.tolist()
+            prev_l = prev.tolist()
+            row_l = [0] * stride
+            for x in range(bpp):
+                row_l[x] = (cur_l[x] + prev_l[x]) & 0xFF  # paeth(0,b,0)=b
+            for x in range(bpp, stride):
+                a = row_l[x - bpp]
+                b = prev_l[x]
+                c = prev_l[x - bpp]
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                row_l[x] = (cur_l[x] + pred) & 0xFF
+            out[y] = row_l
         else:
             raise ValueError(f"bad PNG filter type {f}")
     return out
