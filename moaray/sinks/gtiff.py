@@ -131,17 +131,44 @@ def _lzw_encode(raw: bytes) -> bytes:
 
 def _lzw_decode(buf: bytes) -> bytes:
     """Inverse of :func:`_lzw_encode`; accepts any spec-conforming TIFF LZW
-    stream (early-change width rule, mid-stream Clear codes)."""
+    stream (early-change width rule, mid-stream Clear codes).
+
+    Codes are extracted in vectorized BATCHES: between width changes the
+    code width is constant and the number of codes until the next early
+    change is known, so a numpy gather pulls them all at once (per-code
+    ``int.from_bytes`` halved throughput); Clear/EOI inside a batch just
+    truncate it."""
     out = bytearray()
+    data = np.frombuffer(buf, np.uint8)
+    padded = np.concatenate([data, np.zeros(4, np.uint8)]).astype(np.uint32)
     total = len(buf) * 8
     pos = 0
     width = 9
     table: list[bytes] = []
     prev: bytes | None = None
-    while pos + width <= total:
-        byte0 = pos >> 3
-        window = int.from_bytes(buf[byte0 : byte0 + 4].ljust(4, b"\0"), "big")
-        code = (window >> (32 - (pos & 7) - width)) & ((1 << width) - 1)
+    pending: list[int] = []  # batch of extracted codes, consumed in order
+    pi = 0
+    while True:
+        if pi >= len(pending):
+            avail = (total - pos) // width
+            if avail <= 0:
+                break
+            # codes until the early-change point (or table reset ceiling)
+            room = max(1, ((1 << width) - 1) - len(table)) if table else 1
+            n = min(avail, room, 65536)
+            bp = pos + width * np.arange(n, dtype=np.int64)
+            bi = bp >> 3
+            w32 = (
+                (padded[bi] << 24) | (padded[bi + 1] << 16)
+                | (padded[bi + 2] << 8) | padded[bi + 3]
+            )
+            pending = (
+                (w32 >> (32 - (bp & 7) - width).astype(np.uint32))
+                & ((1 << width) - 1)
+            ).tolist()
+            pi = 0
+        code = pending[pi]
+        pi += 1
         pos += width
         if code == _LZW_EOI:
             break
@@ -149,6 +176,7 @@ def _lzw_decode(buf: bytes) -> bytes:
             table = [bytes([i]) for i in range(256)] + [b"", b""]
             width = 9
             prev = None
+            pending = []  # width/table changed: re-extract
             continue
         if prev is None:
             if code > 255:
@@ -166,6 +194,7 @@ def _lzw_decode(buf: bytes) -> bytes:
         prev = entry
         if len(table) == (1 << width) - 1 and width < 12:
             width += 1  # early change, mirroring the encoder
+            pending = []
     return bytes(out)
 
 
