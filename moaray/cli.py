@@ -162,6 +162,7 @@ def main_cmd(argv=None) -> int:
         gtiff_tiled = False
         gtiff_compress = "deflate"  # reference default: COMPRESS=DEFLATE
         gtiff_predictor = 1
+        gtiff_bigtiff = None  # None = IF_SAFER (size-based)
         for co in args.co:
             key, _, val = co.partition("=")
             if key.upper() == "COMPRESS":
@@ -172,6 +173,13 @@ def main_cmd(argv=None) -> int:
                 }.get(val.upper(), "deflate")
             elif key.upper() == "PREDICTOR":
                 gtiff_predictor = int(val)
+            elif key.upper() == "BIGTIFF":
+                # reference default creation option BIGTIFF=IF_SAFER
+                # (ref mosaic.py:30-35): YES forces BigTIFF, NO forces
+                # classic, IF_SAFER sizes it from the uncompressed array
+                v = val.upper()
+                gtiff_bigtiff = (True if v in ("YES", "TRUE", "1")
+                                 else False if v == "NO" else None)
             elif key.upper() == "TILED":
                 # reference GTiff creation option: tiled organization with
                 # embedded overview IFDs (sinks/gtiff.py write_gtiff_tiled)
@@ -218,13 +226,15 @@ def main_cmd(argv=None) -> int:
 
             export_gtiff(res, args.outdir, tiled=gtiff_tiled,
                          min_overview_size=args.minoverviewsize,
-                         compress=gtiff_compress, predictor=gtiff_predictor)
+                         compress=gtiff_compress, predictor=gtiff_predictor,
+                         bigtiff=gtiff_bigtiff)
         if args.gtiff:
             from .sinks.gtiff import export_gtiff
 
             export_gtiff(res, args.gtiff, tiled=gtiff_tiled,
                          min_overview_size=args.minoverviewsize,
-                         compress=gtiff_compress, predictor=gtiff_predictor)
+                         compress=gtiff_compress, predictor=gtiff_predictor,
+                         bigtiff=gtiff_bigtiff)
 
         n_tiles = res.grid.num_tiles
         print(

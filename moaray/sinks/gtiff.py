@@ -47,8 +47,29 @@ TYPE_SHORT = 3
 TYPE_LONG = 4
 TYPE_DOUBLE = 12
 TYPE_ASCII = 2
+TYPE_LONG8 = 16  # BigTIFF 8-byte unsigned
 
-_TYPE_SIZE = {TYPE_SHORT: 2, TYPE_LONG: 4, TYPE_DOUBLE: 8, TYPE_ASCII: 1}
+_TYPE_SIZE = {TYPE_SHORT: 2, TYPE_LONG: 4, TYPE_DOUBLE: 8, TYPE_ASCII: 1,
+              TYPE_LONG8: 8}
+_FMT_FOR_TYPE = {TYPE_SHORT: "H", TYPE_LONG: "I", TYPE_DOUBLE: "d",
+                 TYPE_LONG8: "Q"}
+
+_II_BIG = b"II+\x00"  # BigTIFF: version 43
+
+
+def _first_ifd(data: bytes) -> tuple[int, bool]:
+    """(first IFD offset, is_bigtiff) from the TIFF header; raises on
+    anything that is not little-endian classic (42) or BigTIFF (43)."""
+    if data[:4] == _II:
+        (off,) = struct.unpack_from("<I", data, 4)
+        return off, False
+    if data[:4] == _II_BIG:
+        bytesize, zero = struct.unpack_from("<HH", data, 4)
+        if bytesize != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+        (off,) = struct.unpack_from("<Q", data, 8)
+        return off, True
+    raise ValueError("not a little-endian TIFF/BigTIFF")
 
 
 # TIFF SampleFormat values per dtype kind
@@ -313,12 +334,15 @@ def write_gtiff(
     compress: str | None = None,
     predictor: int = 1,
     layer_type: str | None = None,
+    bigtiff: bool = False,
 ) -> None:
     """Write a 2-D array (any uint/int/float dtype — the reference writes
     whatever GDAL dtype the inputs carry, mosaic.py:16,354) as a
     little-endian GeoTIFF; ``compress="deflate"`` writes zlib strips
     (TIFF Compression=8), optional integer horizontal-differencing
-    Predictor=2."""
+    Predictor=2. ``bigtiff=True`` writes BigTIFF (version 43, 8-byte
+    offsets — the reference's BIGTIFF creation option; required past
+    4 GB)."""
     if arr.ndim != 2 or arr.dtype.kind not in _SAMPLEFORMAT:
         raise ValueError(f"expected a 2-D numeric array, got {arr.dtype} {arr.shape}")
     if predictor == 2 and arr.dtype.kind == "f":
@@ -350,7 +374,7 @@ def write_gtiff(
             payload = values
             count = len(values)
         else:
-            fmt = {TYPE_SHORT: "H", TYPE_LONG: "I", TYPE_DOUBLE: "d"}[typ]
+            fmt = _FMT_FOR_TYPE[typ]
             if not isinstance(values, (list, tuple)):
                 values = [values]
             payload = struct.pack(f"<{len(values)}{fmt}", *values)
@@ -358,6 +382,7 @@ def write_gtiff(
         entries.append((tag, typ, count, payload))
 
     n_strips = len(strips)
+    off_type = TYPE_LONG8 if bigtiff else TYPE_LONG
     entry(T_WIDTH, TYPE_LONG, ncols)
     entry(T_LENGTH, TYPE_LONG, nrows)
     entry(T_BITSPERSAMPLE, TYPE_SHORT, arr.dtype.itemsize * 8)
@@ -365,10 +390,10 @@ def write_gtiff(
     entry(T_PHOTOMETRIC, TYPE_SHORT, 1)
     if predictor == 2:
         entry(T_PREDICTOR, TYPE_SHORT, 2)
-    entry(T_STRIPOFFSETS, TYPE_LONG, [0] * n_strips)  # patched below
+    entry(T_STRIPOFFSETS, off_type, [0] * n_strips)  # patched below
     entry(T_SAMPLESPERPIXEL, TYPE_SHORT, 1)
     entry(T_ROWSPERSTRIP, TYPE_LONG, rows_per_strip)
-    entry(T_STRIPBYTECOUNTS, TYPE_LONG, [len(s) for s in strips])
+    entry(T_STRIPBYTECOUNTS, off_type, [len(s) for s in strips])
     entry(T_SAMPLEFORMAT, TYPE_SHORT, _SAMPLEFORMAT[arr.dtype.kind])
     entries.append((T_MODELPIXELSCALE, TYPE_DOUBLE, 3, pixel_scale))
     entries.append((T_MODELTIEPOINT, TYPE_DOUBLE, 6, tiepoint))
@@ -379,17 +404,23 @@ def write_gtiff(
         entries.append((T_GDAL_METADATA, TYPE_ASCII, len(meta_ascii), meta_ascii))
     entries.sort(key=lambda e: e[0])
 
-    # layout: header(8) | IFD | out-of-line payloads | strips
-    ifd_offset = 8
-    ifd_size = 2 + len(entries) * 12 + 4
+    # layout: header | IFD | out-of-line payloads | strips
+    if bigtiff:
+        ifd_offset, inline_cap = 16, 8
+        ifd_size = 8 + len(entries) * 20 + 8
+        ehead, ofmt = "<HHQ", "<Q"
+    else:
+        ifd_offset, inline_cap = 8, 4
+        ifd_size = 2 + len(entries) * 12 + 4
+        ehead, ofmt = "<HHI", "<I"
     payload_offset = ifd_offset + ifd_size
     # assign out-of-line payload offsets
     inline: list[bytes] = []
     offsets: list[int] = []
     pos = payload_offset
     for tag, typ, count, payload in entries:
-        if len(payload) <= 4:
-            inline.append(payload.ljust(4, b"\x00"))
+        if len(payload) <= inline_cap:
+            inline.append(payload.ljust(inline_cap, b"\x00"))
             offsets.append(-1)
         else:
             inline.append(b"")
@@ -404,23 +435,29 @@ def write_gtiff(
         sp += len(s)
     for i, (tag, typ, count, payload) in enumerate(entries):
         if tag == T_STRIPOFFSETS:
-            payload = struct.pack(f"<{n_strips}I", *strip_offsets)
+            payload = struct.pack(
+                f"<{n_strips}{'Q' if bigtiff else 'I'}", *strip_offsets
+            )
             entries[i] = (tag, typ, count, payload)
-            if len(payload) <= 4:
-                inline[i] = payload.ljust(4, b"\x00")
+            if len(payload) <= inline_cap:
+                inline[i] = payload.ljust(inline_cap, b"\x00")
 
     with open(path, "wb") as f:
-        f.write(_II + struct.pack("<I", ifd_offset))
-        f.write(struct.pack("<H", len(entries)))
+        if bigtiff:
+            f.write(_II_BIG + struct.pack("<HHQ", 8, 0, ifd_offset))
+            f.write(struct.pack("<Q", len(entries)))
+        else:
+            f.write(_II + struct.pack("<I", ifd_offset))
+            f.write(struct.pack("<H", len(entries)))
         for i, (tag, typ, count, payload) in enumerate(entries):
-            f.write(struct.pack("<HHI", tag, typ, count))
-            if len(payload) <= 4:
+            f.write(struct.pack(ehead, tag, typ, count))
+            if len(payload) <= inline_cap:
                 f.write(inline[i])
             else:
-                f.write(struct.pack("<I", offsets[i]))
-        f.write(struct.pack("<I", 0))  # next IFD
+                f.write(struct.pack(ofmt, offsets[i]))
+        f.write(struct.pack(ofmt, 0))  # next IFD
         for tag, typ, count, payload in entries:
-            if len(payload) > 4:
+            if len(payload) > inline_cap:
                 f.write(payload)
         for s in strips:
             f.write(s)
@@ -441,14 +478,13 @@ def read_gtiff_bytes(
     file bytes arrive via ray.data.read_binary_files, never a second open).
     Handles both strip- and tile-organized layouts; returns the full-res
     (first) IFD only — use read_gtiff_full for embedded overviews."""
-    if data[:4] != _II:
-        raise ValueError("not a little-endian TIFF")
-    (ifd_off,) = struct.unpack_from("<I", data, 4)
-    tags, _next = _parse_ifd(data, ifd_off)
+    ifd_off, big = _first_ifd(data)
+    tags, _next = _parse_ifd(data, ifd_off, big)
 
-    def vals(tag, fmt):
+    def vals(tag, fmt=None):
         typ, count, payload = tags[tag]
-        return struct.unpack(f"<{count}{fmt}", payload)
+        f = _FMT_FOR_TYPE.get(typ, fmt)
+        return struct.unpack(f"<{count}{f}", payload)
 
     fmt_code = vals(T_SAMPLEFORMAT, "H")[0] if T_SAMPLEFORMAT in tags else 1
     if fmt_code not in _KIND_FOR_FORMAT:
@@ -467,8 +503,8 @@ def read_layer_type(path: str) -> str | None:
     """LAYER_TYPE from the GDAL_METADATA tag (None when absent)."""
     with open(path, "rb") as f:
         data = f.read()
-    (ifd_off,) = struct.unpack_from("<I", data, 4)
-    tags, _ = _parse_ifd(data, ifd_off)
+    ifd_off, big = _first_ifd(data)
+    tags, _ = _parse_ifd(data, ifd_off, big)
     if T_GDAL_METADATA not in tags:
         return None
     xml = tags[T_GDAL_METADATA][2].rstrip(b"\x00").decode()
@@ -484,7 +520,8 @@ def read_layer_type(path: str) -> str | None:
 def export_gtiff(res, path: str, band: int = 0, tiled: bool = False,
                  min_overview_size: int = 1024,
                  compress: str | None = "deflate",
-                 predictor: int = 1) -> None:
+                 predictor: int = 1,
+                 bigtiff: bool | None = None) -> None:
     """MosaicResult -> single-file GeoTIFF (driver-side assembly of one
     band; the parallel parquet sink remains the at-scale output).
 
@@ -496,17 +533,24 @@ def export_gtiff(res, path: str, band: int = 0, tiled: bool = False,
     arr = mosaic_array(res.tiles_ds, res.grid, band=band)
     if predictor == 2 and arr.dtype.kind == "f":
         predictor = 1  # Predictor=2 is integer-only
+    if bigtiff is None:
+        # BIGTIFF=IF_SAFER (the reference's default creation option):
+        # classic TIFF offsets are 32-bit, so size on the uncompressed
+        # upper bound with headroom
+        bigtiff = arr.nbytes > 3_500_000_000
     ltype = getattr(res.grid, "layer_type", None)
     if tiled:
         write_gtiff_tiled(
             path, arr, res.grid.transform, res.grid.crs, res.grid.nullval,
             min_overview_size=min_overview_size,
             compress=compress, predictor=predictor, layer_type=ltype,
+            bigtiff=bigtiff,
         )
     else:
         write_gtiff(
             path, arr, res.grid.transform, res.grid.crs, res.grid.nullval,
             compress=compress, predictor=predictor, layer_type=ltype,
+            bigtiff=bigtiff,
         )
 
 
@@ -568,8 +612,10 @@ def write_gtiff_tiled(
     compress: str | None = "deflate",
     predictor: int = 1,
     layer_type: str | None = None,
+    bigtiff: bool = False,
 ) -> list[int]:
-    """Tiled GeoTIFF with embedded overview IFDs.
+    """Tiled GeoTIFF with embedded overview IFDs (``bigtiff=True`` writes
+    BigTIFF — version 43, 8-byte offsets).
 
     Overview levels follow the reference rule (2**i while size//lvl >=
     min_overview_size, mosaic.py:646-658) and each overview is the exact
@@ -601,7 +647,7 @@ def write_gtiff_tiled(
         entries = []
 
         def entry(tag, typ, values):
-            fmt = {TYPE_SHORT: "H", TYPE_LONG: "I", TYPE_DOUBLE: "d"}[typ]
+            fmt = _FMT_FOR_TYPE[typ]
             if not isinstance(values, (list, tuple)):
                 values = [values]
             entries.append(
@@ -621,8 +667,9 @@ def write_gtiff_tiled(
         entry(T_SAMPLEFORMAT, TYPE_SHORT, _SAMPLEFORMAT[img.dtype.kind])
         entry(T_TILEWIDTH, TYPE_LONG, tile)
         entry(T_TILELENGTH, TYPE_LONG, tile)
-        entry(T_TILEOFFSETS, TYPE_LONG, [0] * len(tiles))  # patched
-        entry(T_TILEBYTECOUNTS, TYPE_LONG, [len(t) for t in tiles])
+        off_type = TYPE_LONG8 if bigtiff else TYPE_LONG
+        entry(T_TILEOFFSETS, off_type, [0] * len(tiles))  # patched
+        entry(T_TILEBYTECOUNTS, off_type, [len(t) for t in tiles])
         if idx == 0:
             entries.append((T_MODELPIXELSCALE, TYPE_DOUBLE, 3, pixel_scale))
             entries.append((T_MODELTIEPOINT, TYPE_DOUBLE, 6, tiepoint))
@@ -639,15 +686,22 @@ def write_gtiff_tiled(
         per_ifd.append((entries, tiles))
 
     # layout pass: header | (IFD + payloads)* | tile data
-    pos = 8
+    if bigtiff:
+        pos, inline_cap = 16, 8
+        head_sz, entry_sz, next_sz = 8, 20, 8
+        ehead, ofmt = "<HHQ", "<Q"
+    else:
+        pos, inline_cap = 8, 4
+        head_sz, entry_sz, next_sz = 2, 12, 4
+        ehead, ofmt = "<HHI", "<I"
     ifd_offsets = []
     payload_offsets = []  # per ifd: list parallel to entries (-1 = inline)
     for entries, _tiles in per_ifd:
         ifd_offsets.append(pos)
-        pos += 2 + len(entries) * 12 + 4
+        pos += head_sz + len(entries) * entry_sz + next_sz
         offs = []
         for _tag, _typ, _count, payload in entries:
-            if len(payload) <= 4:
+            if len(payload) <= inline_cap:
                 offs.append(-1)
             else:
                 offs.append(pos)
@@ -665,23 +719,29 @@ def write_gtiff_tiled(
             if tag == T_TILEOFFSETS:
                 entries[j] = (
                     tag, typ, count,
-                    struct.pack(f"<{len(tile_offs)}I", *tile_offs),
+                    struct.pack(
+                        f"<{len(tile_offs)}{'Q' if bigtiff else 'I'}",
+                        *tile_offs,
+                    ),
                 )
 
     with open(path, "wb") as f:
-        f.write(_II + struct.pack("<I", ifd_offsets[0]))
+        if bigtiff:
+            f.write(_II_BIG + struct.pack("<HHQ", 8, 0, ifd_offsets[0]))
+        else:
+            f.write(_II + struct.pack("<I", ifd_offsets[0]))
         for i_ifd, (entries, _tiles) in enumerate(per_ifd):
-            f.write(struct.pack("<H", len(entries)))
+            f.write(struct.pack("<Q" if bigtiff else "<H", len(entries)))
             for j, (tag, typ, count, payload) in enumerate(entries):
-                f.write(struct.pack("<HHI", tag, typ, count))
-                if len(payload) <= 4:
-                    f.write(payload.ljust(4, b"\x00"))
+                f.write(struct.pack(ehead, tag, typ, count))
+                if len(payload) <= inline_cap:
+                    f.write(payload.ljust(inline_cap, b"\x00"))
                 else:
-                    f.write(struct.pack("<I", payload_offsets[i_ifd][j]))
+                    f.write(struct.pack(ofmt, payload_offsets[i_ifd][j]))
             nxt = ifd_offsets[i_ifd + 1] if i_ifd + 1 < len(per_ifd) else 0
-            f.write(struct.pack("<I", nxt))
+            f.write(struct.pack(ofmt, nxt))
             for j, (tag, typ, count, payload) in enumerate(entries):
-                if len(payload) > 4:
+                if len(payload) > inline_cap:
                     f.write(payload)
         for _entries, tiles in per_ifd:
             for t in tiles:
@@ -689,27 +749,37 @@ def write_gtiff_tiled(
     return levels
 
 
-def _parse_ifd(data: bytes, ifd_off: int):
-    (n_entries,) = struct.unpack_from("<H", data, ifd_off)
+def _parse_ifd(data: bytes, ifd_off: int, big: bool = False):
+    if big:  # BigTIFF: 8-byte counts/offsets, 20-byte entries
+        (n_entries,) = struct.unpack_from("<Q", data, ifd_off)
+        head, esize, inline_cap, voff = 8, 20, 8, 12
+        entry_fmt, off_fmt = "<HHQ", "<Q"
+    else:
+        (n_entries,) = struct.unpack_from("<H", data, ifd_off)
+        head, esize, inline_cap, voff = 2, 12, 4, 8
+        entry_fmt, off_fmt = "<HHI", "<I"
     tags: dict[int, tuple[int, int, bytes]] = {}
     for i in range(n_entries):
-        base = ifd_off + 2 + i * 12
-        tag, typ, count = struct.unpack_from("<HHI", data, base)
+        base = ifd_off + head + i * esize
+        tag, typ, count = struct.unpack_from(entry_fmt, data, base)
         size = _TYPE_SIZE[typ] * count
-        if size <= 4:
-            payload = data[base + 8 : base + 8 + size]
+        if size <= inline_cap:
+            payload = data[base + voff : base + voff + size]
         else:
-            (off,) = struct.unpack_from("<I", data, base + 8)
+            (off,) = struct.unpack_from(off_fmt, data, base + voff)
             payload = data[off : off + size]
         tags[tag] = (typ, count, payload)
-    (nxt,) = struct.unpack_from("<I", data, ifd_off + 2 + n_entries * 12)
+    (nxt,) = struct.unpack_from(
+        off_fmt, data, ifd_off + head + n_entries * esize
+    )
     return tags, nxt
 
 
 def _ifd_image(data: bytes, tags) -> np.ndarray:
-    def vals(tag, fmt):
+    def vals(tag, fmt=None):
         typ, count, payload = tags[tag]
-        return struct.unpack(f"<{count}{fmt}", payload)
+        f = _FMT_FOR_TYPE.get(typ, fmt)
+        return struct.unpack(f"<{count}{f}", payload)
 
     ncols = vals(T_WIDTH, "I")[0]
     nrows = vals(T_LENGTH, "I")[0]
@@ -762,20 +832,19 @@ def read_gtiff_full(
     (full-res array, [overview arrays], transform, nodata)."""
     with open(path, "rb") as f:
         data = f.read()
-    if data[:4] != _II:
-        raise ValueError("not a little-endian TIFF")
-    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    ifd_off, big = _first_ifd(data)
     images = []
     geo_tags = None
     while ifd_off:
-        tags, ifd_off = _parse_ifd(data, ifd_off)
+        tags, ifd_off = _parse_ifd(data, ifd_off, big)
         if geo_tags is None:
             geo_tags = tags
         images.append(_ifd_image(data, tags))
 
-    def vals(tag, fmt):
+    def vals(tag, fmt=None):
         typ, count, payload = geo_tags[tag]
-        return struct.unpack(f"<{count}{fmt}", payload)
+        f = _FMT_FOR_TYPE.get(typ, fmt)
+        return struct.unpack(f"<{count}{f}", payload)
 
     sx, sy, _ = vals(T_MODELPIXELSCALE, "d")
     tp = vals(T_MODELTIEPOINT, "d")

@@ -259,3 +259,38 @@ def test_jpeg_in_tiff_roundtrip():
     out = _decode_block(scan, (32, 32), np.dtype("uint8"),
                         COMPRESSION_JPEG, 1, tables)
     assert np.array_equal(out, codecs.decode(buf, "jpeg"))
+
+
+def test_bigtiff_roundtrip():
+    """BigTIFF (version 43, 8-byte offsets — the reference's BIGTIFF
+    creation option, required past 4 GB): strip + tiled round trips across
+    compressions, format exercised at small size."""
+    import os
+    import tempfile
+
+    from moaray.sinks.gtiff import (
+        read_gtiff,
+        read_gtiff_full,
+        read_layer_type,
+        write_gtiff,
+        write_gtiff_tiled,
+    )
+
+    gt = (300000.0, 10.0, 0.0, 7000000.0, 0.0, -10.0)
+    rng = np.random.RandomState(2)
+    arr = (rng.rand(300, 256) * 60000).astype(np.uint16)
+    with tempfile.TemporaryDirectory() as d:
+        for comp in (None, "deflate", "lzw"):
+            p = os.path.join(d, f"s{comp}.tif")
+            write_gtiff(p, arr, gt, nullval=0.0, compress=comp,
+                        bigtiff=True, layer_type="thematic")
+            with open(p, "rb") as f:
+                assert f.read(4) == b"II+\x00"  # version 43
+            back, t, nd = read_gtiff(p)
+            assert np.array_equal(back, arr) and t == gt and nd == 0.0
+            assert read_layer_type(p) == "thematic"
+            p2 = os.path.join(d, f"t{comp}.tif")
+            write_gtiff_tiled(p2, arr, gt, nullval=0.0, compress=comp,
+                              bigtiff=True, min_overview_size=64)
+            full, ovs, t2, _ = read_gtiff_full(p2)
+            assert np.array_equal(full, arr) and t2 == gt and len(ovs) >= 1
