@@ -17,12 +17,13 @@ demanded by BASELINE.json, plus a from-scratch PNG codec:
   quantized by a 4-bit right-shift then zlib-coded; dequantize restores the
   mid-bucket value. Null pixels (value 0) survive exactly, so merge semantics
   are preserved; PSNR vs the original is far above the 40 dB gate.
-- ``png``    — real PNG (grayscale, 8- or 16-bit), implemented from scratch
-  per the public spec (RFC 2083): zlib + the five scanline filters. Encoder
-  emits filter 0 rows; decoder handles all five filter types, so
-  foreign-encoded grayscale PNGs decode too. Matches the reference's ability
-  to read standard image formats via GDAL (ref mosaic.py:203-211) without
-  any image library.
+- ``png``    — real PNG implemented from scratch per the public spec
+  (RFC 2083 / ISO 15948): zlib + the five scanline filters, gray / RGB /
+  RGBA / 8-bit palette(+tRNS) / gray+alpha color types at 8/16-bit, and
+  Adam7 interlace on decode. Encoder emits filter-0 gray/RGB/RGBA; the
+  decoder handles everything foreign encoders produce. Matches the
+  reference's ability to read standard image formats via GDAL
+  (ref mosaic.py:203-211) without any image library.
 
 - ``jpeg``   — real DCT JPEG implemented from scratch per ITU-T T.81 in
   moaray/jpeg.py: 8-bit baseline (gray + YCbCr color), 12-bit extended
