@@ -84,10 +84,12 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         from .jpeg import jpeg_encode
 
         return jpeg_encode(arr)
+    if fmt == "png":
+        # png also accepts (h, w, 3|4) color arrays (shared-payload band
+        # rows, same contract as color jpeg)
+        return png_encode(arr)
     if arr.ndim != 2:
         raise ValueError(f"expected a 2-D array, got shape {arr.shape}")
-    if fmt == "png":
-        return png_encode(arr)
     dname = arr.dtype.newbyteorder("=").name
     if dname not in _DTYPE_CODES:
         raise ValueError(f"unsupported pixel dtype {arr.dtype}")
