@@ -25,6 +25,10 @@ demanded by BASELINE.json, plus a from-scratch PNG codec:
   reference's ability to read standard image formats via GDAL
   (ref mosaic.py:203-211) without any image library.
 
+- ``gif``    — real GIF 87a/89a decode from scratch (moaray/gif.py):
+  GIF-flavor LSB-first LZW, global/local palettes, interlace,
+  transparency, multi-frame animations (FrameSample samples them).
+
 - ``jpeg``   — real DCT JPEG implemented from scratch per ITU-T T.81 in
   moaray/jpeg.py: 8-bit baseline (gray + YCbCr color), 12-bit extended
   sequential (SOF1, grayscale — aerial/DICOM precision; uint16 <= 4095),
@@ -68,6 +72,7 @@ _Q12_SHIFT = 4
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 JPEG_SIG = b"\xff\xd8"
+GIF_SIGS = (b"GIF89a", b"GIF87a")
 
 
 def _le(dtype: np.dtype) -> np.dtype:
@@ -128,6 +133,11 @@ def probe_header(buf: bytes) -> tuple[str, int, int]:
 
         h, w = jpeg_probe(buf)
         return ("jpeg", h, w)
+    if bytes(buf[:6]) in GIF_SIGS:
+        from .gif import gif_probe
+
+        h, w = gif_probe(buf)
+        return ("gif", h, w)
     magic, code, dcode, h, w = _HEADER.unpack_from(buf, 0)
     if magic != MAGIC:
         raise ValueError("bad magic; not a MRAY- or PNG-coded image")
@@ -144,6 +154,8 @@ def header_dtype(buf: bytes) -> np.dtype:
 
         # 8-bit baseline -> uint8; 12-bit extended sequential -> uint16
         return np.dtype("uint8" if jpeg_precision(buf) == 8 else "uint16")
+    if bytes(buf[:6]) in GIF_SIGS:
+        return np.dtype("uint8")
     _magic, _code, dcode, _h, _w = _HEADER.unpack_from(buf, 0)
     return _DTYPES[dcode]
 
@@ -160,6 +172,12 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
         from .jpeg import jpeg_decode
 
         return jpeg_decode(buf)
+    if bytes(buf[:6]) in GIF_SIGS:
+        if fmt is not None and fmt != "gif":
+            raise ValueError(f"fmt column says {fmt!r}, payload is GIF")
+        from .gif import gif_decode
+
+        return gif_decode(buf)
     name, h, w = probe_header(buf)
     if fmt is not None and fmt != name:
         raise ValueError(f"fmt column says {fmt!r}, header says {name!r}")

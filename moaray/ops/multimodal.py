@@ -3,9 +3,9 @@
 Images/audio/video are carried as ``binary`` columns with metadata columns
 (w, h, fmt / sample_rate / n_frames); the Ray-side plumbing — actor-pool
 stages, schemas, batch sizing — is real and tested. PNG (incl. color +
-Adam7), JPEG (baseline + progressive), WAV/PCM16, FLAC and the mvid
-stacked-frame container decode through the engine's own from-scratch
-codecs (moaray.codecs / moaray.jpeg / moaray.flac); MP4 containers parse
+Adam7), JPEG (baseline + progressive), GIF (stills + animations),
+WAV/PCM16, FLAC and the mvid stacked-frame container decode through the
+engine's own from-scratch codecs (moaray.codecs / moaray.jpeg / moaray.flac); MP4 containers parse
 for real (moaray.mp4 — sample tables to encoded frame ranges) and MP3
 frame headers probe for real (moaray.flac.mp3_probe). The only remaining
 NotImplementedError gates are codec-payload SYNTHESIS for mp3 samples and
@@ -205,11 +205,37 @@ class FrameSample:
                     rows["h"].append(track.height)
                     rows["fmt"].append(track.codec)  # encoded; decode gated
                 continue
+            if fmt == "gif":
+                # animated GIFs are short videos: every stride-th frame
+                # decodes + composites through moaray/gif.py for real
+                from ..gif import gif_frames
+
+                vid = batch["video_id"][i].as_py()
+                for k, (frame, _delay) in enumerate(
+                    gif_frames(bytes(batch["bytes"][i].as_py()))
+                ):
+                    if k % self.stride:
+                        continue
+                    fh, fw = frame.shape[:2]
+                    rows["video_id"].append(vid)
+                    rows["frame_idx"].append(k)
+                    # store band 0 (luma-ish: first channel) as raw16 for
+                    # downstream MRAY stages; full RGB callers use gif_frames
+                    rows["bytes"].append(
+                        codecs.encode(
+                            np.ascontiguousarray(frame[:, :, 0]), "raw16"
+                        )
+                    )
+                    rows["w"].append(fw)
+                    rows["h"].append(fh)
+                    rows["fmt"].append("raw16")
+                continue
             if fmt != "mvid":
                 raise NotImplementedError(
                     f"video container fmt {fmt!r} needs pyav/ffmpeg (absent "
-                    "in sandbox); use 'mvid' (decoded frames) or 'mp4' "
-                    "(container parsed, encoded samples out)"
+                    "in sandbox); use 'mvid' (decoded frames), 'mp4' "
+                    "(container parsed, encoded samples out) or 'gif' "
+                    "(decoded+composited frames)"
                 )
             buf = memoryview(batch["bytes"][i].as_buffer())
             (n_frames,) = struct.unpack_from("<I", buf, 0)

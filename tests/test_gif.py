@@ -1,0 +1,77 @@
+"""GIF (87a/89a): lossless palette round trips, interlace, animations,
+LZW width growth, codecs dispatch, frame sampling."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from moaray import codecs
+from moaray.gif import gif_decode, gif_encode, gif_frames, gif_probe
+
+
+_PALETTE = np.random.RandomState(99).randint(0, 256, (200, 3)).astype(np.uint8)
+
+
+def _pal_img(shape, n_colors=200, seed=0):
+    rng = np.random.RandomState(seed)
+    return _PALETTE[rng.randint(0, n_colors, shape)]
+
+
+def test_still_roundtrip():
+    img = _pal_img((33, 47))
+    buf = gif_encode(img)
+    assert gif_probe(buf) == (33, 47)
+    assert np.array_equal(gif_decode(buf), img)
+
+
+def test_full_palette_and_width_growth():
+    # 256 colors + a large image: LZW grows through every code width and
+    # resets its table mid-stream
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[..., 0] = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    assert np.array_equal(gif_decode(gif_encode(img)), img)
+    big = _pal_img((200, 300), seed=3)
+    assert np.array_equal(gif_decode(gif_encode(big)), big)
+
+
+def test_interlaced_roundtrip():
+    img = _pal_img((37, 23), seed=5)
+    assert np.array_equal(gif_decode(gif_encode(img, interlace=True)), img)
+
+
+def test_animation_frames_and_delays():
+    frames = [_pal_img((20, 24), seed=s) for s in range(5)]
+    buf = gif_encode(frames, delays_cs=[3, 5, 7, 9, 11])
+    got = list(gif_frames(buf))
+    assert len(got) == 5
+    for (fr, d), exp, want_d in zip(got, frames, (3, 5, 7, 9, 11)):
+        assert d == want_d
+        assert np.array_equal(fr, exp)
+
+
+def test_codecs_dispatch():
+    img = _pal_img((12, 18), seed=7)
+    buf = gif_encode(img)
+    assert codecs.probe_header(buf) == ("gif", 12, 18)
+    assert codecs.header_dtype(buf) == np.dtype("uint8")
+    out = codecs.decode(buf, "gif")
+    assert np.array_equal(out, img)
+    with pytest.raises(ValueError, match="payload is GIF"):
+        codecs.decode(buf, "png")
+    with pytest.raises(ValueError, match="not a GIF"):
+        gif_decode(b"NOPE")
+
+
+def test_frame_sample_gif():
+    from moaray.ops.multimodal import FrameSample
+
+    frames = [_pal_img((16, 20), seed=s) for s in range(9)]
+    buf = gif_encode(frames)
+    batch = pa.table({"video_id": ["g0"], "bytes": [buf], "fmt": ["gif"]})
+    out = FrameSample(stride=3)(batch)
+    assert out.num_rows == 3
+    assert out["frame_idx"].to_pylist() == [0, 3, 6]
+    assert out["fmt"].to_pylist() == ["raw16"] * 3
+    for row, k in zip(out["bytes"].to_pylist(), (0, 3, 6)):
+        plane = codecs.decode(row, "raw16")
+        assert np.array_equal(plane, frames[k][:, :, 0])
