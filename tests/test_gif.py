@@ -75,3 +75,36 @@ def test_frame_sample_gif():
     for row, k in zip(out["bytes"].to_pylist(), (0, 3, 6)):
         plane = codecs.decode(row, "raw16")
         assert np.array_equal(plane, frames[k][:, :, 0])
+
+
+def test_transparency_compositing():
+    # two full-frame images; frame 2 declares palette index T transparent:
+    # its T-pixels must keep frame 1's values (and output grows an alpha
+    # channel because a transparent index exists somewhere in the stream)
+    f1 = _pal_img((10, 12), seed=1)
+    f2 = _pal_img((10, 12), seed=2)
+    buf = bytearray(gif_encode([f1, f2]))
+    # find the SECOND graphic-control extension and set transparency
+    first = buf.find(b"\x21\xf9")
+    second = buf.find(b"\x21\xf9", first + 2)
+    assert second > 0
+    # GCE layout: 21 F9 04 packed delay(2) transparent_idx 00
+    t_idx = 7
+    buf[second + 3] |= 0x01          # transparent color flag
+    buf[second + 6] = t_idx          # transparent index
+    frames = list(gif_frames(bytes(buf)))
+    assert len(frames) == 2
+    a1, _ = frames[0]
+    a2, _ = frames[1]
+    assert a1.shape[2] == 4 and a2.shape[2] == 4  # alpha channel appears
+    # recover frame-2's palette indices to locate its transparent pixels
+    # transparent pixels of frame 2 = where composited a2 still equals a1
+    from moaray.gif import gif_decode  # noqa: F401
+    stored = np.unique(
+        np.concatenate([f1.reshape(-1, 3), f2.reshape(-1, 3)]), axis=0
+    )  # the encoder writes the np.unique-sorted palette
+    trans_color = stored[t_idx]
+    was_trans = (f2 == trans_color).all(axis=2)
+    assert was_trans.any(), "fixture must contain the transparent color"
+    assert np.array_equal(a2[..., :3][was_trans], a1[..., :3][was_trans])
+    assert np.array_equal(a2[..., :3][~was_trans], f2[~was_trans])
