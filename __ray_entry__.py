@@ -783,6 +783,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.from_items(rows), stride=4
         ).sort(["video_id", "frame_idx"])
 
+    def q_video_frame_sample_gif(sf_dir: str):  # rows-only (synthetic gif)
+        # animated-GIF decode+composite through moaray/gif.py
+        import numpy as np
+        import ray
+
+        from moaray.gif import gif_encode
+        from moaray.ops.multimodal import frame_sample
+
+        pal = np.random.RandomState(3).randint(0, 256, (64, 3)).astype(np.uint8)
+        rng = np.random.RandomState(4)
+        rows = []
+        for v in range(6):
+            frames = [pal[rng.randint(0, 64, (16, 20))] for _ in range(12)]
+            rows.append({"video_id": f"g{v}", "fmt": "gif",
+                         "bytes": gif_encode(frames)})
+        return frame_sample(
+            ray.data.from_items(rows), stride=4
+        ).sort(["video_id", "frame_idx"])
+
     def q_pricing_summary(sf_dir: str):
         import ray
 
@@ -928,6 +947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tiles_jpeg_progressive": q_mosaic_tiles_jpeg_progressive,
         "audio_metadata_census": q_audio_metadata,
         "video_frame_sample_mp4": q_video_frame_sample_mp4,
+        "video_frame_sample_gif": q_video_frame_sample_gif,
     }
 
 
