@@ -25,6 +25,9 @@ demanded by BASELINE.json, plus a from-scratch PNG codec:
   reference's ability to read standard image formats via GDAL
   (ref mosaic.py:203-211) without any image library.
 
+- ``bmp``    — Windows DIB decode (8-bit palette / 24 / 32-bit, RLE8,
+  bottom-up and top-down rows) + a 24-bit encoder for tests.
+
 - ``gif``    — real GIF 87a/89a decode from scratch (moaray/gif.py):
   GIF-flavor LSB-first LZW, global/local palettes, interlace,
   transparency, multi-frame animations (FrameSample samples them).
@@ -138,6 +141,9 @@ def probe_header(buf: bytes) -> tuple[str, int, int]:
 
         h, w = gif_probe(buf)
         return ("gif", h, w)
+    if bytes(buf[:2]) == BMP_SIG:
+        w, h = struct.unpack_from("<ii", buf, 18)
+        return ("bmp", abs(h), w)
     magic, code, dcode, h, w = _HEADER.unpack_from(buf, 0)
     if magic != MAGIC:
         raise ValueError("bad magic; not a MRAY- or PNG-coded image")
@@ -154,7 +160,7 @@ def header_dtype(buf: bytes) -> np.dtype:
 
         # 8-bit baseline -> uint8; 12-bit extended sequential -> uint16
         return np.dtype("uint8" if jpeg_precision(buf) == 8 else "uint16")
-    if bytes(buf[:6]) in GIF_SIGS:
+    if bytes(buf[:6]) in GIF_SIGS or bytes(buf[:2]) == BMP_SIG:
         return np.dtype("uint8")
     _magic, _code, dcode, _h, _w = _HEADER.unpack_from(buf, 0)
     return _DTYPES[dcode]
@@ -178,6 +184,10 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
         from .gif import gif_decode
 
         return gif_decode(buf)
+    if bytes(buf[:2]) == BMP_SIG:
+        if fmt is not None and fmt != "bmp":
+            raise ValueError(f"fmt column says {fmt!r}, payload is BMP")
+        return bmp_decode(buf)
     name, h, w = probe_header(buf)
     if fmt is not None and fmt != name:
         raise ValueError(f"fmt column says {fmt!r}, header says {name!r}")
@@ -425,3 +435,108 @@ def png_decode(buf: bytes) -> np.ndarray:
     if channels == 1:
         return px.reshape(h, w)
     return px.reshape(h, w, channels)
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows DIB) — the legacy-corpus format: BITMAPINFOHEADER, 8-bit
+# palette / 24-bit BGR / 32-bit BGRA, bottom-up or top-down rows, 4-byte row
+# padding, RLE8 runs. Encoder (24-bit) exists for round-trip tests.
+# ---------------------------------------------------------------------------
+
+BMP_SIG = b"BM"
+
+
+def bmp_encode(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit bottom-up BMP."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError(f"bmp_encode expects (h, w, 3) uint8, got {arr.shape}")
+    h, w = arr.shape[:2]
+    row_len = (w * 3 + 3) & ~3
+    body = bytearray()
+    bgr = arr[:, :, ::-1]
+    pad = b"\x00" * (row_len - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += np.ascontiguousarray(bgr[y]).tobytes() + pad
+    off = 14 + 40
+    hdr = BMP_SIG + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return hdr + info + bytes(body)
+
+
+def _bmp_rle8(data: bytes, w: int, h_abs: int) -> np.ndarray:
+    """RLE8 decompression (BI_RLE8): runs, absolute mode, EOL/EOF/delta."""
+    out = np.zeros((h_abs, w), np.uint8)
+    x = y = 0
+    i = 0
+    while i + 1 < len(data):
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:  # run
+            out[y, x : x + n] = v
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: v literal bytes, word-aligned
+            out[y, x : x + v] = np.frombuffer(data[i : i + v], np.uint8)
+            x += v
+            i += v + (v & 1)
+    return out
+
+
+def bmp_decode(buf: bytes) -> np.ndarray:
+    """Decode a BMP: 8-bit palette -> (h, w, 3); 24-bit -> (h, w, 3);
+    32-bit -> (h, w, 4). Handles bottom-up and top-down rows, row padding
+    and RLE8."""
+    if not isinstance(buf, bytes):
+        buf = bytes(buf)
+    if buf[:2] != BMP_SIG:
+        raise ValueError("not a BMP stream")
+    (data_off,) = struct.unpack_from("<I", buf, 10)
+    (hdr_size,) = struct.unpack_from("<I", buf, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h = struct.unpack_from("<ii", buf, 18)
+    planes, bpp = struct.unpack_from("<HH", buf, 26)
+    (compression,) = struct.unpack_from("<I", buf, 30)
+    (n_colors,) = struct.unpack_from("<I", buf, 46)
+    top_down = h < 0
+    h_abs = abs(h)
+    if bpp == 8:
+        n_pal = n_colors or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            buf[pal_off : pal_off + 4 * n_pal], np.uint8
+        ).reshape(-1, 4)[:, 2::-1]  # BGRA entries -> RGB
+        if compression == 1:  # BI_RLE8
+            idx = _bmp_rle8(buf[data_off:], w, h_abs)
+        elif compression == 0:
+            row_len = (w + 3) & ~3
+            raw = np.frombuffer(
+                buf[data_off : data_off + row_len * h_abs], np.uint8
+            ).reshape(h_abs, row_len)
+            idx = raw[:, :w]
+        else:
+            raise NotImplementedError(f"BMP compression {compression}")
+        idx = idx if top_down else idx[::-1]
+        return np.ascontiguousarray(pal[idx])
+    if bpp in (24, 32) and compression in (0, 3):
+        nch = bpp // 8
+        row_len = (w * nch + 3) & ~3
+        raw = np.frombuffer(
+            buf[data_off : data_off + row_len * h_abs], np.uint8
+        ).reshape(h_abs, row_len)[:, : w * nch].reshape(h_abs, w, nch)
+        raw = raw if top_down else raw[::-1]
+        if nch == 3:
+            return np.ascontiguousarray(raw[:, :, ::-1])  # BGR -> RGB
+        out = np.empty((h_abs, w, 4), np.uint8)
+        out[..., :3] = raw[:, :, 2::-1]
+        out[..., 3] = raw[:, :, 3]
+        return out
+    raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")

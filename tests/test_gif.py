@@ -108,3 +108,49 @@ def test_transparency_compositing():
     assert was_trans.any(), "fixture must contain the transparent color"
     assert np.array_equal(a2[..., :3][was_trans], a1[..., :3][was_trans])
     assert np.array_equal(a2[..., :3][~was_trans], f2[~was_trans])
+
+
+# --- BMP (lives in codecs.py; tested here with the other legacy formats) ---
+
+def test_bmp_roundtrip_and_dispatch():
+    from moaray.codecs import bmp_decode, bmp_encode
+
+    rng = np.random.RandomState(6)
+    rgb = (rng.rand(13, 17, 3) * 255).astype(np.uint8)
+    buf = bmp_encode(rgb)
+    assert np.array_equal(bmp_decode(buf), rgb)
+    assert codecs.probe_header(buf) == ("bmp", 13, 17)
+    assert codecs.header_dtype(buf) == np.dtype("uint8")
+    assert np.array_equal(codecs.decode(buf, "bmp"), rgb)
+    with pytest.raises(ValueError, match="not a BMP"):
+        bmp_decode(b"XXXX")
+
+
+def test_bmp_rle8_palette_and_topdown():
+    import struct
+
+    from moaray.codecs import bmp_decode
+
+    # 8-bit palette + RLE8, bottom-up
+    pal = np.zeros((256, 4), np.uint8)
+    pal[:, 2] = np.arange(256)  # red channel = index
+    rle = bytes([3, 3, 1, 7, 0, 0, 2, 9, 2, 2, 0, 1])
+    hdr = b"BM" + struct.pack("<IHHI", 0, 0, 0, 14 + 40 + 1024)
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 1, len(rle),
+                       0, 0, 256, 0)
+    out = bmp_decode(hdr + info + pal.tobytes() + rle)
+    exp_idx = np.array([[3, 3, 3, 7], [9, 9, 2, 2]], np.uint8)[::-1]
+    assert np.array_equal(out[..., 0], exp_idx)
+    assert (out[..., 1:] == 0).all()
+    # 24-bit top-down (negative height)
+    rng = np.random.RandomState(8)
+    rgb = (rng.rand(4, 5, 3) * 255).astype(np.uint8)
+    row_len = (5 * 3 + 3) & ~3
+    body = b"".join(
+        np.ascontiguousarray(rgb[y, :, ::-1]).tobytes().ljust(row_len, b"\0")
+        for y in range(4)  # top-down order
+    )
+    hdr = b"BM" + struct.pack("<IHHI", 0, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 5, -4, 1, 24, 0, len(body),
+                       0, 0, 0, 0)
+    assert np.array_equal(bmp_decode(hdr + info + body), rgb)
