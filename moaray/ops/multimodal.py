@@ -21,6 +21,19 @@ import ray
 from .. import codecs
 
 
+def _check_errors(errors: str) -> str:
+    if errors not in ("raise", "skip"):
+        raise ValueError(f"errors must be 'raise' or 'skip', got {errors!r}")
+    return errors
+
+
+def _log_skip(stage: str, row_id, exc: Exception) -> None:
+    # corrupt rows are a certainty at corpus scale: drop THIS row, keep
+    # the job (mirrors MosaicConfig.on_decode_error)
+    print(f"moaray {stage}: skipping {row_id!r}: "
+          f"{type(exc).__name__}: {exc}")
+
+
 class ImageFeatures:
     """Actor-pool stage: decode + feature-extract per image.
 
@@ -30,8 +43,9 @@ class ImageFeatures:
     — the shape of a real embedding/featurizer stage.
     """
 
-    def __init__(self, bins: int = 16):
+    def __init__(self, bins: int = 16, errors: str = "raise"):
         self.bins = bins
+        self.errors = _check_errors(errors)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = {
@@ -43,7 +57,13 @@ class ImageFeatures:
             buf = batch["bytes"][i].as_py()
             # png/jpeg decode through the from-scratch codecs
             # (codecs.png_decode, jpeg.jpeg_decode).
-            arr = codecs.decode(buf, fmt)
+            try:
+                arr = codecs.decode(buf, fmt)
+            except Exception as exc:
+                if self.errors != "skip":
+                    raise
+                _log_skip("image_features", batch["image_id"][i].as_py(), exc)
+                continue
             if np.issubdtype(arr.dtype, np.floating):
                 valid = arr[~np.isnan(arr)]
                 lo = float(valid.min()) if valid.size else 0.0
@@ -84,7 +104,8 @@ class ImageResize:
     No image library needed.
     """
 
-    def __init__(self, out_h: int, out_w: int, method: str = "nearest"):
+    def __init__(self, out_h: int, out_w: int, method: str = "nearest",
+                 errors: str = "raise"):
         from ..stages.reproject import _CONV_KERNELS, _FOOTPRINT_STATS
 
         ok = {"nearest", "near", "bilinear", *_CONV_KERNELS,
@@ -96,6 +117,7 @@ class ImageResize:
         self.out_h = out_h
         self.out_w = out_w
         self.method = method
+        self.errors = _check_errors(errors)
 
     def _interp(self, arr: np.ndarray) -> np.ndarray:
         """Interpolating resize on a NaN-free float copy: no value ever
@@ -124,7 +146,13 @@ class ImageResize:
         rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": []}
         for i in range(batch.num_rows):
             fmt = batch["fmt"][i].as_py()
-            arr = codecs.decode(batch["bytes"][i].as_py(), fmt)
+            try:
+                arr = codecs.decode(batch["bytes"][i].as_py(), fmt)
+            except Exception as exc:
+                if self.errors != "skip":
+                    raise
+                _log_skip("image_resize", batch["image_id"][i].as_py(), exc)
+                continue
             h, w = arr.shape[:2]
             if self.method in ("nearest", "near"):
                 ri = (np.arange(self.out_h) * h // self.out_h).clip(0, h - 1)
@@ -175,8 +203,9 @@ class FrameSample:
     absent in this sandbox).
     """
 
-    def __init__(self, stride: int = 10):
+    def __init__(self, stride: int = 10, errors: str = "raise"):
         self.stride = stride
+        self.errors = _check_errors(errors)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import struct
@@ -185,6 +214,29 @@ class FrameSample:
                 "h": [], "fmt": []}
         for i in range(batch.num_rows):
             fmt = batch["fmt"][i].as_py()
+            mark = len(rows["video_id"])
+            try:
+                self._one(batch, i, fmt, rows, struct)
+            except NotImplementedError:
+                raise  # declared gates are contract errors, not bad data
+            except Exception as exc:
+                if self.errors != "skip":
+                    raise
+                for col in rows.values():
+                    del col[mark:]
+                _log_skip("frame_sample", batch["video_id"][i].as_py(), exc)
+        return pa.Table.from_pydict(
+            {
+                "video_id": pa.array(rows["video_id"], pa.string()),
+                "frame_idx": pa.array(rows["frame_idx"], pa.int32()),
+                "bytes": pa.array(rows["bytes"], pa.binary()),
+                "w": pa.array(rows["w"], pa.int32()),
+                "h": pa.array(rows["h"], pa.int32()),
+                "fmt": pa.array(rows["fmt"], pa.string()),
+            }
+        )
+
+    def _one(self, batch, i, fmt, rows, struct):
             if fmt == "mp4":
                 from ..mp4 import mp4_parse
 
@@ -204,7 +256,7 @@ class FrameSample:
                     rows["w"].append(track.width)
                     rows["h"].append(track.height)
                     rows["fmt"].append(track.codec)  # encoded; decode gated
-                continue
+                return
             if fmt == "gif":
                 # animated GIFs are short videos: every stride-th frame
                 # decodes + composites through moaray/gif.py for real
@@ -229,7 +281,7 @@ class FrameSample:
                     rows["w"].append(fw)
                     rows["h"].append(fh)
                     rows["fmt"].append("raw16")
-                continue
+                return
             if fmt != "mvid":
                 raise NotImplementedError(
                     f"video container fmt {fmt!r} needs pyav/ffmpeg (absent "
@@ -254,25 +306,15 @@ class FrameSample:
                 rows["w"].append(w)
                 rows["h"].append(h)
                 rows["fmt"].append("raw16")
-        return pa.Table.from_pydict(
-            {
-                "video_id": pa.array(rows["video_id"], pa.string()),
-                "frame_idx": pa.array(rows["frame_idx"], pa.int32()),
-                "bytes": pa.array(rows["bytes"], pa.binary()),
-                "w": pa.array(rows["w"], pa.int32()),
-                "h": pa.array(rows["h"], pa.int32()),
-                "fmt": pa.array(rows["fmt"], pa.string()),
-            }
-        )
 
 
 def frame_sample(videos_ds, stride: int = 10, *, concurrency=(1, 8),
-                 batch_size: int = 4):
+                 batch_size: int = 4, errors: str = "raise"):
     """Dataset-level frame sampling (small batch size: video payloads are
     the widest binary column in the system)."""
     return videos_ds.map_batches(
         FrameSample,
-        fn_constructor_args=(stride,),
+        fn_constructor_args=(stride, errors),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -313,9 +355,11 @@ def gen_video_table(n_videos: int = 4, n_frames: int = 30, size: int = 32,
     )
 
 
-def image_features(images_ds, *, concurrency=(1, 8), batch_size: int = 16):
+def image_features(images_ds, *, concurrency=(1, 8), batch_size: int = 16,
+                   errors: str = "raise"):
     return images_ds.map_batches(
         ImageFeatures,
+        fn_constructor_args=(16, errors),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -324,10 +368,11 @@ def image_features(images_ds, *, concurrency=(1, 8), batch_size: int = 16):
 
 
 def image_resize(images_ds, out_h: int, out_w: int, *, method: str = "nearest",
-                 concurrency=(1, 8), batch_size: int = 16):
+                 concurrency=(1, 8), batch_size: int = 16,
+                 errors: str = "raise"):
     return images_ds.map_batches(
         ImageResize,
-        fn_constructor_args=(out_h, out_w, method),
+        fn_constructor_args=(out_h, out_w, method, errors),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -404,19 +449,35 @@ class AudioFeatures:
     batch plumbing are the real thing.
     """
 
+    def __init__(self, errors: str = "raise"):
+        self.errors = _check_errors(errors)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = {"clip_id": [], "duration_s": [], "rms": [], "peak": [],
                 "zcr": []}
         for i in range(batch.num_rows):
             fmt = batch["fmt"][i].as_py()
-            if fmt == "wav":
-                pcm, sr = wav_decode(batch["bytes"][i].as_py())
-            elif fmt == "flac":
-                from ..flac import flac_decode
+            try:
+                if fmt in ("wav", "flac"):
+                    if fmt == "wav":
+                        pcm, sr = wav_decode(batch["bytes"][i].as_py())
+                    else:
+                        from ..flac import flac_decode
 
-                pcm, sr = flac_decode(bytes(batch["bytes"][i].as_py()))
-                if pcm.ndim == 2:  # downmix like the wav path
-                    pcm = pcm.astype(np.int32).mean(axis=1).astype(np.int16)
+                        pcm, sr = flac_decode(
+                            bytes(batch["bytes"][i].as_py())
+                        )
+                        if pcm.ndim == 2:  # downmix like the wav path
+                            pcm = pcm.astype(np.int32).mean(axis=1).astype(
+                                np.int16
+                            )
+            except Exception as exc:
+                if self.errors != "skip":
+                    raise
+                _log_skip("audio_features", batch["clip_id"][i].as_py(), exc)
+                continue
+            if fmt in ("wav", "flac"):
+                pass
             elif fmt == "pcm16":
                 sr = int(batch["sample_rate"][i].as_py())
                 pcm = np.frombuffer(batch["bytes"][i].as_py(), dtype="<i2")
@@ -445,9 +506,11 @@ class AudioFeatures:
         )
 
 
-def audio_features(clips_ds, *, concurrency=(1, 8), batch_size: int = 32):
+def audio_features(clips_ds, *, concurrency=(1, 8), batch_size: int = 32,
+                   errors: str = "raise"):
     return clips_ds.map_batches(
         AudioFeatures,
+        fn_constructor_args=(errors,),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -487,6 +550,9 @@ class AudioMetadata:
     one format whose SAMPLES stay behind the declared decode gate);
     pcm16: length arithmetic."""
 
+    def __init__(self, errors: str = "raise"):
+        self.errors = _check_errors(errors)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..flac import flac_probe, mp3_probe
 
@@ -495,22 +561,32 @@ class AudioMetadata:
         for i in range(batch.num_rows):
             fmt = batch["fmt"][i].as_py()
             buf = batch["bytes"][i].as_py()
-            if fmt == "wav":
-                pcm, sr = wav_decode(buf)
-                nch, dur = 1, round(len(pcm) / sr, 4)
-            elif fmt == "flac":
-                info = flac_probe(bytes(buf))
-                sr, nch, dur = (info["sample_rate"], info["channels"],
-                                info["duration_s"])
-            elif fmt == "mp3":
-                info = mp3_probe(bytes(buf))
-                sr, nch, dur = (info["sample_rate"], info["channels"],
-                                info["duration_s"])
-            elif fmt == "pcm16":
-                sr = int(batch["sample_rate"][i].as_py())
-                nch, dur = 1, round(len(buf) / 2 / sr, 4)
-            else:
-                raise NotImplementedError(f"unknown audio container {fmt!r}")
+            try:
+                if fmt == "wav":
+                    pcm, sr = wav_decode(buf)
+                    nch, dur = 1, round(len(pcm) / sr, 4)
+                elif fmt == "flac":
+                    info = flac_probe(bytes(buf))
+                    sr, nch, dur = (info["sample_rate"], info["channels"],
+                                    info["duration_s"])
+                elif fmt == "mp3":
+                    info = mp3_probe(bytes(buf))
+                    sr, nch, dur = (info["sample_rate"], info["channels"],
+                                    info["duration_s"])
+                elif fmt == "pcm16":
+                    sr = int(batch["sample_rate"][i].as_py())
+                    nch, dur = 1, round(len(buf) / 2 / sr, 4)
+                else:
+                    raise NotImplementedError(
+                        f"unknown audio container {fmt!r}"
+                    )
+            except NotImplementedError:
+                raise
+            except Exception as exc:
+                if self.errors != "skip":
+                    raise
+                _log_skip("audio_metadata", batch["clip_id"][i].as_py(), exc)
+                continue
             rows["clip_id"].append(batch["clip_id"][i].as_py())
             rows["container"].append(fmt)
             rows["sample_rate"].append(sr)
@@ -527,9 +603,11 @@ class AudioMetadata:
         )
 
 
-def audio_metadata(clips_ds, *, concurrency=(1, 8), batch_size: int = 64):
+def audio_metadata(clips_ds, *, concurrency=(1, 8), batch_size: int = 64,
+                   errors: str = "raise"):
     return clips_ds.map_batches(
         AudioMetadata,
+        fn_constructor_args=(errors,),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -182,6 +182,10 @@ class MosaicConfig:
     # the network, so shuffle bytes bound throughput. None = raw. Only
     # applies to uint16 pixels (the codec's dtype).
     shuffle_codec: str | None = "z16"
+    # "skip": a corrupt payload drops only that image (logged in the
+    # worker), instead of failing the job — the at-scale operational
+    # posture for 10^12-object corpora. Default "raise" = strict parity.
+    on_decode_error: str = "raise"
     # Codec for assembled tile / pyramid payloads ("z16" | None=raw). Encoded
     # tiles shrink the post-assembly object-store traffic and the sink files;
     # rows are self-describing via the pixels_codec column.
@@ -522,6 +526,7 @@ def _do_mosaic_impl(
         hot_tiles=hot_tiles,
         shuffle_codec=shuffle_codec,
         warp=warp,
+        on_decode_error=cfg.on_decode_error,
     )
 
     skipped = 0

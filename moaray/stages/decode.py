@@ -86,7 +86,19 @@ class DecodeSlice:
         hot_tiles: dict | None = None,
         shuffle_codec: str | None = None,
         warp=None,
+        on_decode_error: str = "raise",
     ):
+        if on_decode_error not in ("raise", "skip"):
+            raise ValueError(
+                f"on_decode_error must be 'raise' or 'skip', "
+                f"got {on_decode_error!r}"
+            )
+        # "skip": a corrupt payload drops ONLY that image's windows (logged)
+        # instead of killing the job — at 10^12-image scale corrupt objects
+        # are a certainty, and the merge semantics already treat a missing
+        # image as absent (its pixels fall through to lower-seq inputs or
+        # null). "raise" (default) keeps strict parity behavior.
+        self.on_decode_error = on_decode_error
         self.grid: OutputGrid = (
             ray.get(grid_ref) if isinstance(grid_ref, ray.ObjectRef) else grid_ref
         )
@@ -155,6 +167,7 @@ class DecodeSlice:
 
         for i, (seq, meta) in enumerate(metas_from_batch(batch, self.layout)):
             image_id, fmt = meta.image_id, meta.fmt
+            mark = len(rows["tile_id"])  # rollback point for skip-on-error
             if fmt == "q12" and meta.nullval != 0:
                 # q12 reserves bucket 0: only pixel value 0 survives
                 # quantization exactly, so a nonzero nullval would let lossy
@@ -164,86 +177,97 @@ class DecodeSlice:
                     f"image {image_id}: fmt='q12' requires nullval == 0 "
                     f"(got {meta.nullval}); use z16/raw16/png for this input"
                 )
-            # zero-copy view of the arrow cell (no bytes copy per image)
-            buf = memoryview(blobs[i].as_buffer())
-            if self.warp is not None:
-                from .reproject import dst_to_src_mapper, warp_window, warped_meta
+            try:
+                # zero-copy view of the arrow cell (no bytes copy per image)
+                buf = memoryview(blobs[i].as_buffer())
+                if self.warp is not None:
+                    from .reproject import dst_to_src_mapper, warp_window, warped_meta
 
-                plan_meta = warped_meta(meta, self.warp)
-                # affine 6-tuple for affine CRS pairs; a vectorized TM
-                # callable for curvilinear ones (EPSG:4326 <-> UTM)
-                px_map = dst_to_src_mapper(meta, plan_meta)
-            else:
-                plan_meta = meta
-            trow0, trow1, tcol0, tcol1 = covering_tile_range(plan_meta, grid)
-            full = None
-            for trow in range(trow0, trow1):
-                for tcol in range(tcol0, tcol1):
-                    tid = grid.tile_id(trow, tcol)
-                    block = grid.block_for_tile(tid)
-                    win = window_overlap(block, grid.transform, plan_meta)
-                    if win is None:
-                        continue
-                    ftop, fleft, fxs, fys = win
-                    # clip to the (warped) image extent (ref mosaic.py:257-263)
-                    t0, l0 = max(ftop, 0), max(fleft, 0)
-                    b0 = min(ftop + fys, plan_meta.nrows)
-                    r0 = min(fleft + fxs, plan_meta.ncols)
-                    if b0 <= t0 or r0 <= l0:
-                        continue
-                    if self.warp is not None:
-                        if full is None:
-                            full = self._full_decode(
-                                (image_id, bands[i]), buf, fmt
+                    plan_meta = warped_meta(meta, self.warp)
+                    # affine 6-tuple for affine CRS pairs; a vectorized TM
+                    # callable for curvilinear ones (EPSG:4326 <-> UTM)
+                    px_map = dst_to_src_mapper(meta, plan_meta)
+                else:
+                    plan_meta = meta
+                trow0, trow1, tcol0, tcol1 = covering_tile_range(plan_meta, grid)
+                full = None
+                for trow in range(trow0, trow1):
+                    for tcol in range(tcol0, tcol1):
+                        tid = grid.tile_id(trow, tcol)
+                        block = grid.block_for_tile(tid)
+                        win = window_overlap(block, grid.transform, plan_meta)
+                        if win is None:
+                            continue
+                        ftop, fleft, fxs, fys = win
+                        # clip to the (warped) image extent (ref mosaic.py:257-263)
+                        t0, l0 = max(ftop, 0), max(fleft, 0)
+                        b0 = min(ftop + fys, plan_meta.nrows)
+                        r0 = min(fleft + fxs, plan_meta.ncols)
+                        if b0 <= t0 or r0 <= l0:
+                            continue
+                        if self.warp is not None:
+                            if full is None:
+                                full = self._full_decode(
+                                    (image_id, bands[i]), buf, fmt
+                                )
+                            clipped = warp_window(
+                                full, px_map, t0, l0, b0 - t0, r0 - l0,
+                                np.dtype(grid.dtype).type(grid.nullval),
+                                self.warp.resample,
                             )
-                        clipped = warp_window(
-                            full, px_map, t0, l0, b0 - t0, r0 - l0,
-                            np.dtype(grid.dtype).type(grid.nullval),
-                            self.warp.resample,
-                        )
-                    elif fmt == "raw16":
-                        clipped = codecs.decode_window(
-                            buf, t0, l0, b0 - t0, r0 - l0, fmt
-                        )
-                    else:
-                        if full is None:
-                            full = self._full_decode(
-                                (image_id, bands[i]), buf, fmt
+                        elif fmt == "raw16":
+                            clipped = codecs.decode_window(
+                                buf, t0, l0, b0 - t0, r0 - l0, fmt
                             )
-                        clipped = full[t0:b0, l0:r0]
-                    hot = self.hot_tiles.get(tid)
-                    if hot is not None and hot[0] > 1:
-                        n_salts, seq_min, seq_span = hot
-                        salt = min(
-                            ((seq - seq_min) * n_salts) // seq_span,
-                            n_salts - 1,
-                        )
-                    else:
-                        salt = 0
-                    rows["tile_id"].append(tid)
-                    rows["band"].append(bands[i])
-                    rows["salt"].append(salt)
-                    rows["seq"].append(seq)
-                    rows["image_id"].append(image_id)
-                    rows["out_top"].append(block.top)
-                    rows["out_left"].append(block.left)
-                    rows["out_xsize"].append(block.xsize)
-                    rows["out_ysize"].append(block.ysize)
-                    rows["dst_top"].append(t0 - ftop)
-                    rows["dst_left"].append(l0 - fleft)
-                    rows["win_h"].append(clipped.shape[0])
-                    rows["win_w"].append(clipped.shape[1])
-                    rows["src_top"].append(t0)
-                    rows["src_left"].append(l0)
-                    rows["src_h"].append(plan_meta.nrows)
-                    rows["src_w"].append(plan_meta.ncols)
-                    win_arr = np.ascontiguousarray(clipped, dtype=self.wire_dtype)
-                    if self.shuffle_codec:
-                        rows["pixels"].append(
-                            codecs.encode(win_arr, self.shuffle_codec)
-                        )
-                    else:
-                        rows["pixels"].append(win_arr.tobytes())
+                        else:
+                            if full is None:
+                                full = self._full_decode(
+                                    (image_id, bands[i]), buf, fmt
+                                )
+                            clipped = full[t0:b0, l0:r0]
+                        hot = self.hot_tiles.get(tid)
+                        if hot is not None and hot[0] > 1:
+                            n_salts, seq_min, seq_span = hot
+                            salt = min(
+                                ((seq - seq_min) * n_salts) // seq_span,
+                                n_salts - 1,
+                            )
+                        else:
+                            salt = 0
+                        rows["tile_id"].append(tid)
+                        rows["band"].append(bands[i])
+                        rows["salt"].append(salt)
+                        rows["seq"].append(seq)
+                        rows["image_id"].append(image_id)
+                        rows["out_top"].append(block.top)
+                        rows["out_left"].append(block.left)
+                        rows["out_xsize"].append(block.xsize)
+                        rows["out_ysize"].append(block.ysize)
+                        rows["dst_top"].append(t0 - ftop)
+                        rows["dst_left"].append(l0 - fleft)
+                        rows["win_h"].append(clipped.shape[0])
+                        rows["win_w"].append(clipped.shape[1])
+                        rows["src_top"].append(t0)
+                        rows["src_left"].append(l0)
+                        rows["src_h"].append(plan_meta.nrows)
+                        rows["src_w"].append(plan_meta.ncols)
+                        win_arr = np.ascontiguousarray(clipped, dtype=self.wire_dtype)
+                        if self.shuffle_codec:
+                            rows["pixels"].append(
+                                codecs.encode(win_arr, self.shuffle_codec)
+                            )
+                        else:
+                            rows["pixels"].append(win_arr.tobytes())
+            except Exception as exc:
+                if self.on_decode_error != "skip":
+                    raise
+                # corrupt payload: drop THIS image's windows only
+                for col in rows.values():
+                    del col[mark:]
+                print(
+                    f"moaray decode: skipping image {image_id!r} "
+                    f"({fmt}): {type(exc).__name__}: {exc}"
+                )
         return pa.Table.from_pydict(rows, schema=WINDOW_SCHEMA)
 
 
@@ -258,6 +282,7 @@ def decode_windows(
     hot_tiles: dict | None = None,
     shuffle_codec: str | None = None,
     warp=None,
+    on_decode_error: str = "raise",
 ) -> "ray.data.Dataset":
     """images (with bytes) -> window rows.
 
@@ -278,7 +303,7 @@ def decode_windows(
             DecodeSlice,
             fn_constructor_args=(
                 grid_ref, layout, lru_images, hot_tiles, shuffle_codec,
-                warp,
+                warp, on_decode_error,
             ),
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -289,7 +314,7 @@ def decode_windows(
     def decode_batch(batch: pa.Table) -> pa.Table:
         return DecodeSlice(
             ray.get(grid_ref), layout, lru_images, ray.get(hot_ref),
-            shuffle_codec, warp,
+            shuffle_codec, warp, on_decode_error,
         )(batch)
 
     return images_ds.map_batches(

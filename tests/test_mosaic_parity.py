@@ -386,3 +386,43 @@ def test_caption_passthrough_through_engine(ray_session):
     assert len(man) > 0
     for r in man:
         assert r["caption"] == truth[r["image_id"]]
+
+
+def test_on_decode_error_skip(ray_session, tmp_path):
+    """A corrupt payload in the catalog: default config fails the job
+    (strict parity); on_decode_error='skip' drops ONLY that image — the
+    result equals the oracle built without it (missing pixels fall
+    through to lower-seq inputs or null). The operational posture for
+    10^12-object corpora where corrupt objects are a certainty."""
+    import pyarrow.parquet as pq
+
+    from moaray.testgen import gen_images_table
+
+    layout = Layout("grid3x3", 9, 64)
+    tbl = gen_images_table(layout, ("z16",), explicit_meta=True)
+    blobs = tbl.column("bytes").to_pylist()
+    blobs[4] = b"MRAYgarbage-not-a-real-payload"  # corrupt the center image
+    import pyarrow as pa
+
+    tbl = tbl.set_column(tbl.schema.get_field_index("bytes"), "bytes",
+                         pa.array(blobs, pa.binary()))
+    path = tmp_path / "imgs"
+    path.mkdir()
+    pq.write_table(tbl, str(path / "part-00000.parquet"), row_group_size=4)
+
+    with pytest.raises(Exception):
+        res = do_mosaic(str(path), MosaicConfig(layout=layout, blocksize=64))
+        mosaic_array(res.tiles_ds, res.grid)  # force execution
+
+    res = do_mosaic(
+        str(path),
+        MosaicConfig(layout=layout, blocksize=64, on_decode_error="skip"),
+    )
+    got = mosaic_array(res.tiles_ds, res.grid)
+    # oracle: same catalog without image 4
+    metas = [m for i, m in enumerate(metas_for_layout(layout)) if i != 4]
+    grid = make_output_grid(metas_for_layout(layout), blocksize=64)
+    arrays = {m.image_id: pixel_array(int(m.image_id[3:]), layout)
+              for m in metas}
+    truth = oracle.build_mosaic(grid, metas, arrays)
+    assert np.array_equal(got, truth)

@@ -849,3 +849,60 @@ def test_phash_neardup_pairs():
     assert ("a", "c") in got  # identical
     assert ("a", "b") in got and ("b", "c") in got  # hamming 2
     assert not any("d" in p for p in got)
+
+
+def test_multimodal_errors_skip():
+    # corrupt rows drop (logged) instead of failing the stage — the
+    # at-scale corpus posture, mirrored by MosaicConfig.on_decode_error
+    import numpy as np
+
+    from moaray import codecs
+    from moaray.ops.multimodal import (
+        AudioMetadata,
+        FrameSample,
+        ImageFeatures,
+        ImageResize,
+        mvid_encode,
+        wav_encode,
+    )
+
+    good = codecs.encode(np.arange(64, dtype=np.uint16).reshape(8, 8), "z16")
+    bad = b"\x89PNG\r\n\x1a\x0aGARBAGE"
+    imgs = pa.table({
+        "image_id": ["ok", "corrupt"],
+        "bytes": [good, bad],
+        "fmt": ["z16", "png"],
+        "w": pa.array([8, 8], pa.int32()),
+        "h": pa.array([8, 8], pa.int32()),
+    })
+    with pytest.raises(Exception):
+        ImageFeatures()(imgs)  # strict default still raises
+    out = ImageFeatures(errors="skip")(imgs)
+    assert out["image_id"].to_pylist() == ["ok"]
+    out = ImageResize(4, 4, "nearest", errors="skip")(imgs)
+    assert out["image_id"].to_pylist() == ["ok"]
+
+    x = (np.sin(np.arange(4000) / 9) * 5000).astype(np.int16)
+    clips = pa.table({
+        "clip_id": ["ok", "corrupt"],
+        "bytes": [wav_encode(x, 8000), b"fLaCjunk"],
+        "fmt": ["wav", "flac"],
+        "sample_rate": pa.array([8000, 0], pa.int32()),
+    })
+    out = AudioMetadata(errors="skip")(clips)
+    assert out["clip_id"].to_pylist() == ["ok"]
+
+    frames = [np.full((4, 4), v, np.uint16) for v in (1, 2, 3)]
+    vids = pa.table({
+        "video_id": ["ok", "corrupt"],
+        "bytes": [mvid_encode(frames), b"\x03\x00\x00\x00NOTMRAY"],
+        "fmt": ["mvid", "mvid"],
+    })
+    out = FrameSample(stride=1, errors="skip")(vids)
+    assert set(out["video_id"].to_pylist()) == {"ok"}
+    assert out.num_rows == 3
+    # declared gates are NOT swallowed by skip
+    with pytest.raises(NotImplementedError):
+        FrameSample(errors="skip")(
+            pa.table({"video_id": ["v"], "bytes": [b"x"], "fmt": ["webm"]})
+        )
