@@ -70,6 +70,10 @@ def get_cmdargs(argv=None):
                         "complete re-keyed output writes to NEW_OUT "
                         "(committed pixels migrate; old sources never "
                         "re-read)")
+    p.add_argument("--on-decode-error", default="raise",
+                   choices=["raise", "skip"], dest="on_decode_error",
+                   help="corrupt-payload policy: 'skip' drops only the bad "
+                        "image (logged) instead of failing the job")
     p.add_argument("--nopyramids", action="store_true",
                    help="skip overview pyramid generation")
     p.add_argument("--minoverviewsize", type=int, default=1024,
@@ -202,6 +206,7 @@ def main_cmd(argv=None) -> int:
             out_yres=args.yres,
             resample=args.resamplemethod,
             tile_codec=tile_codec,
+            on_decode_error=args.on_decode_error,
         )
         single_file = args.driver == "GTiff"
         out_dir = args.outdir
