@@ -41,19 +41,42 @@ def host_probe() -> dict:
     is faster (≈0.4 s on this box when healthy)."""
     from concurrent.futures import ProcessPoolExecutor
 
+    import numpy as _np
+
     n = 6_000_000
     t0 = time.perf_counter()
     _burn(n)
     single = time.perf_counter() - t0
+    # memory bandwidth: a 200 MB copy — the mosaic is bandwidth-bound, and
+    # neighbor bandwidth contention is invisible to pure-CPU burns (seen
+    # live: parallel_efficiency 0.84 while single_thread_s was 1.75x slow
+    # and the mosaic ran 10x slow)
+    src = _np.ones(25_000_000, _np.float64)
+    dst = _np.empty_like(src)
+    _np.copyto(dst, src)  # warm both buffers (first-touch faults are the
+    # sandbox's other failure mode; measure steady-state bandwidth)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _np.copyto(dst, src)
+    memcpy_gbps = 3 * src.nbytes * 2 / (time.perf_counter() - t0) / 1e9
     with ProcessPoolExecutor(32) as ex:
         # pre-spawn workers so spawn cost stays out of the measurement
         list(ex.map(_burn, [1000] * 32))
         t0 = time.perf_counter()
         list(ex.map(_burn, [n] * 32))
         par = time.perf_counter() - t0
+    # first-touch fault service rate: every fresh Ray worker pays this on
+    # its heap (Firecracker lazy paging, see CLAUDE.md) — the third
+    # degradation mode, invisible to both burns above
+    fresh = _np.empty(12_500_000, _np.float64)  # 100 MB, untouched
+    t0 = time.perf_counter()
+    fresh[::512] = 1.0  # one write per 4 KiB page
+    fault_us = (time.perf_counter() - t0) / (fresh.nbytes // 4096) * 1e6
     return {
         "single_thread_s": round(single, 3),
         "parallel_efficiency": round(single / par, 3),
+        "memcpy_gbps": round(memcpy_gbps, 2),
+        "fault_us_per_page": round(fault_us, 1),
     }
 
 
