@@ -33,6 +33,7 @@ T_COMPRESSION = 259
 T_PHOTOMETRIC = 262
 T_STRIPOFFSETS = 273
 T_SAMPLESPERPIXEL = 277
+T_PLANARCONFIG = 284  # 1 = chunky (interleaved), 2 = planar (band-major)
 T_ROWSPERSTRIP = 278
 T_STRIPBYTECOUNTS = 279
 T_PREDICTOR = 317
@@ -342,17 +343,26 @@ def write_gtiff(
     (TIFF Compression=8), optional integer horizontal-differencing
     Predictor=2. ``bigtiff=True`` writes BigTIFF (version 43, 8-byte
     offsets — the reference's BIGTIFF creation option; required past
-    4 GB)."""
-    if arr.ndim != 2 or arr.dtype.kind not in _SAMPLEFORMAT:
-        raise ValueError(f"expected a 2-D numeric array, got {arr.dtype} {arr.shape}")
+    4 GB). A 3-D ``(nbands, h, w)`` array writes a MULTI-BAND file
+    (SamplesPerPixel=n, PlanarConfiguration=2, band-major strips — the
+    reference's numBands output, ref mosaic.py:604-660)."""
+    if arr.ndim == 2:
+        bands = arr[None, :, :]
+    elif arr.ndim == 3:
+        bands = arr
+    else:
+        raise ValueError(f"expected 2-D or (nbands, h, w), got {arr.shape}")
+    if arr.dtype.kind not in _SAMPLEFORMAT:
+        raise ValueError(f"unsupported dtype {arr.dtype}")
     if predictor == 2 and arr.dtype.kind == "f":
         raise ValueError("Predictor=2 is integer-only (use 1 for floats)")
     if compress == "jpeg" and predictor == 2:
         raise ValueError("Predictor does not apply to JPEG compression")
-    nrows, ncols = arr.shape
+    nbands, nrows, ncols = bands.shape
     wire = arr.dtype.newbyteorder("<") if arr.dtype.itemsize > 1 else arr.dtype
     strips = [
-        _encode_block(arr[r : r + rows_per_strip], wire, compress, predictor)
+        _encode_block(band[r : r + rows_per_strip], wire, compress, predictor)
+        for band in bands
         for r in range(0, nrows, rows_per_strip)
     ]
 
@@ -385,16 +395,19 @@ def write_gtiff(
     off_type = TYPE_LONG8 if bigtiff else TYPE_LONG
     entry(T_WIDTH, TYPE_LONG, ncols)
     entry(T_LENGTH, TYPE_LONG, nrows)
-    entry(T_BITSPERSAMPLE, TYPE_SHORT, arr.dtype.itemsize * 8)
+    entry(T_BITSPERSAMPLE, TYPE_SHORT, [arr.dtype.itemsize * 8] * nbands)
     entry(T_COMPRESSION, TYPE_SHORT, _COMPRESSION_TAG[compress])
     entry(T_PHOTOMETRIC, TYPE_SHORT, 1)
     if predictor == 2:
         entry(T_PREDICTOR, TYPE_SHORT, 2)
     entry(T_STRIPOFFSETS, off_type, [0] * n_strips)  # patched below
-    entry(T_SAMPLESPERPIXEL, TYPE_SHORT, 1)
+    entry(T_SAMPLESPERPIXEL, TYPE_SHORT, nbands)
+    if nbands > 1:
+        entry(T_PLANARCONFIG, TYPE_SHORT, 2)  # band-major planes
     entry(T_ROWSPERSTRIP, TYPE_LONG, rows_per_strip)
     entry(T_STRIPBYTECOUNTS, off_type, [len(s) for s in strips])
-    entry(T_SAMPLEFORMAT, TYPE_SHORT, _SAMPLEFORMAT[arr.dtype.kind])
+    entry(T_SAMPLEFORMAT, TYPE_SHORT,
+          [_SAMPLEFORMAT[arr.dtype.kind]] * nbands)
     entries.append((T_MODELPIXELSCALE, TYPE_DOUBLE, 3, pixel_scale))
     entries.append((T_MODELTIEPOINT, TYPE_DOUBLE, 6, tiepoint))
     entries.append((T_GEOKEYDIR, TYPE_SHORT, 8, geokeys))
@@ -517,7 +530,7 @@ def read_layer_type(path: str) -> str | None:
     return xml[j + 1 : k]
 
 
-def export_gtiff(res, path: str, band: int = 0, tiled: bool = False,
+def export_gtiff(res, path: str, band=0, tiled: bool = False,
                  min_overview_size: int = 1024,
                  compress: str | None = "deflate",
                  predictor: int = 1,
@@ -527,10 +540,26 @@ def export_gtiff(res, path: str, band: int = 0, tiled: bool = False,
 
     ``tiled=True`` writes the reference's default output shape — TILED
     organization with embedded strided-overview IFDs (GTiff TILED +
-    writeBlockPyramids, ref mosaic.py:604-660, 720-743)."""
+    writeBlockPyramids, ref mosaic.py:604-660, 720-743).
+    ``band="all"`` writes every band of a multi-band mosaic into ONE
+    planar multi-band file (the reference's numBands output)."""
     from ..pipelines.mosaic import mosaic_array
 
-    arr = mosaic_array(res.tiles_ds, res.grid, band=band)
+    if band == "all":
+        import numpy as _np
+
+        bands = sorted(getattr(res, "stats_by_band", {0: None}).keys()) or [0]
+        if len(bands) > 1 and tiled:
+            raise NotImplementedError(
+                "multi-band tiled export not supported; use strips"
+            )
+        arr = _np.stack(
+            [mosaic_array(res.tiles_ds, res.grid, band=b) for b in bands]
+        )
+        if arr.shape[0] == 1:
+            arr = arr[0]
+    else:
+        arr = mosaic_array(res.tiles_ds, res.grid, band=band)
     if predictor == 2 and arr.dtype.kind == "f":
         predictor = 1  # Predictor=2 is integer-only
     if bigtiff is None:
@@ -794,6 +823,12 @@ def _ifd_image(data: bytes, tags) -> np.ndarray:
     )
     predictor = vals(T_PREDICTOR, "H")[0] if T_PREDICTOR in tags else 1
     jpeg_tables = tags[T_JPEGTABLES][2] if T_JPEGTABLES in tags else None
+    spp = (vals(T_SAMPLESPERPIXEL, "H")[0]
+           if T_SAMPLESPERPIXEL in tags else 1)
+    planar = (vals(T_PLANARCONFIG, "H")[0]
+              if T_PLANARCONFIG in tags else 1)
+    if spp > 1 and T_TILEOFFSETS in tags:
+        raise NotImplementedError("multi-band tiled TIFF not supported")
     if T_TILEOFFSETS in tags:
         tile_w = vals(T_TILEWIDTH, "I")[0]
         tile_h = vals(T_TILELENGTH, "I")[0]
@@ -815,6 +850,38 @@ def _ifd_image(data: bytes, tags) -> np.ndarray:
     strip_offs = vals(T_STRIPOFFSETS, "I")
     strip_counts = vals(T_STRIPBYTECOUNTS, "I")
     rps = vals(T_ROWSPERSTRIP, "I")[0] if T_ROWSPERSTRIP in tags else nrows
+    if spp > 1 and planar == 2:
+        # band-major planes: n strips per band, stacked (nbands, h, w)
+        per_band = -(-nrows // rps)
+        planes = []
+        for b in range(spp):
+            parts = []
+            for si in range(per_band):
+                o = strip_offs[b * per_band + si]
+                c = strip_counts[b * per_band + si]
+                h = min(rps, nrows - si * rps)
+                parts.append(
+                    _decode_block(data[o : o + c], (h, ncols), dt_le,
+                                  compression, predictor, jpeg_tables)
+                )
+            planes.append(np.vstack(parts))
+        return np.stack(planes).astype(dt, copy=False)
+    if spp > 1:  # chunky (interleaved) — what photo tools write
+        if predictor == 2:
+            raise NotImplementedError(
+                "Predictor=2 with chunky multi-band TIFF not supported"
+            )
+        parts = []
+        for si, (o, c) in enumerate(zip(strip_offs, strip_counts)):
+            h = min(rps, nrows - si * rps)
+            parts.append(
+                _decode_block(data[o : o + c], (h, ncols * spp), dt_le,
+                              compression, 1, jpeg_tables)
+            )
+        full = np.vstack(parts).reshape(nrows, ncols, spp)
+        return np.ascontiguousarray(
+            full.transpose(2, 0, 1)
+        ).astype(dt, copy=False)
     parts = []
     for si, (o, c) in enumerate(zip(strip_offs, strip_counts)):
         h = min(rps, nrows - si * rps)

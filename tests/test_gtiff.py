@@ -294,3 +294,43 @@ def test_bigtiff_roundtrip():
                               bigtiff=True, min_overview_size=64)
             full, ovs, t2, _ = read_gtiff_full(p2)
             assert np.array_equal(full, arr) and t2 == gt and len(ovs) >= 1
+
+
+def test_multiband_gtiff_roundtrip_and_export(ray_session):
+    """Planar multi-band GeoTIFF (SamplesPerPixel=n, PlanarConfiguration=2
+    — the reference's numBands output, ref mosaic.py:604-660): write/read
+    round trips across compressions, and export_gtiff(band='all') writes
+    every mosaic band into one file."""
+    import os
+    import tempfile
+
+    from moaray import MosaicConfig, do_mosaic
+    from moaray.pipelines.mosaic import mosaic_array
+    from moaray.sinks.gtiff import read_gtiff, write_gtiff
+    from moaray.testgen import Layout, images_path
+
+    gt = (300000.0, 10.0, 0.0, 7000000.0, 0.0, -10.0)
+    rng = np.random.RandomState(4)
+    with tempfile.TemporaryDirectory() as d:
+        for comp in (None, "deflate", "lzw"):
+            arr = (rng.rand(3, 70, 50) * 60000).astype(np.uint16)
+            p = os.path.join(d, f"mb{comp}.tif")
+            write_gtiff(p, arr, gt, nullval=0.0, compress=comp,
+                        predictor=2 if comp else 1)
+            back, t, nd = read_gtiff(p)
+            assert back.shape == (3, 70, 50)
+            assert np.array_equal(back, arr) and t == gt
+
+        layout = Layout("grid3x3", 9, 64)
+        path = images_path(layout, nbands=2, explicit_meta=True)
+        res = do_mosaic(path, MosaicConfig(layout=layout, blocksize=64))
+        out = os.path.join(d, "mosaic_mb.tif")
+        from moaray.sinks.gtiff import export_gtiff
+
+        export_gtiff(res, out, band="all", compress="deflate")
+        back, t, _ = read_gtiff(out)
+        assert back.ndim == 3 and back.shape[0] == 2
+        for b in range(2):
+            assert np.array_equal(
+                back[b], mosaic_array(res.tiles_ds, res.grid, band=b)
+            )
