@@ -143,7 +143,8 @@ def main_cmd(argv=None) -> int:
             and not _glob.glob(_os.path.join(infile, "*.parquet"))
             and any(
                 _glob.glob(_os.path.join(infile, f"*{ext}"))
-                for ext in (".png", ".mray", ".tif", ".tiff")
+                for ext in (".png", ".jpg", ".jpeg", ".mray", ".tif",
+                            ".tiff", ".gif", ".bmp")
             )
         )
         if is_file_input:

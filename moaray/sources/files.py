@@ -31,7 +31,8 @@ import pyarrow as pa
 
 from .. import codecs
 
-IMG_EXTS = (".png", ".jpg", ".jpeg", ".mray", ".tif", ".tiff")
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".mray", ".tif", ".tiff",
+            ".gif", ".bmp")
 
 
 def _world_file_for(path: str) -> str | None:
@@ -95,44 +96,57 @@ def read_image_files(src, crs: str | None = None, nullval: float = 0.0):
         rows = {
             "image_id": [], "bytes": [], "w": [], "h": [], "fmt": [],
             "gt": [], "crs": [], "nullval": [], "seq": [], "dtype": [],
+            "band": [],
         }
         for i in range(batch.num_rows):
             path = batch["path"][i].as_py()
             buf = batch["bytes"][i].as_py()
             ext = os.path.splitext(path)[1].lower()
             nv = nullval
+            payloads = None  # (fmt, [per-band payload bytes], dtype, h, w)
             if ext in (".tif", ".tiff"):
                 from ..sinks.gtiff import read_gtiff_bytes
 
                 arr, gt, nodata = read_gtiff_bytes(buf)
-                buf = codecs.encode(np.ascontiguousarray(arr), "raw16")
-                fmt, (h, w) = "raw16", arr.shape
-                dtype = arr.dtype.name
                 if nodata is not None:
                     nv = nodata
+                planes = arr if arr.ndim == 3 else arr[None]
+                payloads = (
+                    "raw16",
+                    [codecs.encode(np.ascontiguousarray(p), "raw16")
+                     for p in planes],
+                    arr.dtype.name, planes.shape[1], planes.shape[2],
+                )
             else:
                 fmt, h, w = codecs.probe_header(buf)
                 dtype = codecs.header_dtype(buf).name
                 wld = _world_file_for(path)
                 gt = read_world_file(wld) if wld else None
-            if ext not in (".tif", ".tiff"):
                 if gt is None:
                     raise ValueError(
                         f"{path}: no world file (.wld) found — loose "
-                        "png/jpg/mray files need sidecar georeferencing"
+                        "image files need sidecar georeferencing"
                     )
-            rows["image_id"].append(
-                os.path.splitext(os.path.basename(path))[0]
-            )
-            rows["bytes"].append(buf)
-            rows["w"].append(w)
-            rows["h"].append(h)
-            rows["fmt"].append(fmt)
-            rows["gt"].append(list(gt))
-            rows["crs"].append(crs)
-            rows["nullval"].append(float(nv))
-            rows["seq"].append(seqs[path])
-            rows["dtype"].append(dtype)
+                # color containers (gif/bmp/color png-jpg) carry one shared
+                # payload per band row, plane-sliced at decode
+                nb = (codecs.decode(buf).shape[2]
+                      if ext in (".gif", ".bmp") else 1)
+                payloads = (fmt, [buf] * nb, dtype, h, w)
+            fmt, blobs, dtype, h, w = payloads
+            for b, blob in enumerate(blobs):
+                rows["image_id"].append(
+                    os.path.splitext(os.path.basename(path))[0]
+                )
+                rows["bytes"].append(blob)
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["fmt"].append(fmt)
+                rows["gt"].append(list(gt))
+                rows["crs"].append(crs)
+                rows["nullval"].append(float(nv))
+                rows["seq"].append(seqs[path])
+                rows["dtype"].append(dtype)
+                rows["band"].append(b)
         return pa.table(
             {
                 "image_id": pa.array(rows["image_id"], pa.string()),
@@ -145,6 +159,7 @@ def read_image_files(src, crs: str | None = None, nullval: float = 0.0):
                 "nullval": pa.array(rows["nullval"], pa.float64()),
                 "seq": pa.array(rows["seq"], pa.int64()),
                 "dtype": pa.array(rows["dtype"], pa.string()),
+                "band": pa.array(rows["band"], pa.int32()),
             }
         )
 

@@ -159,3 +159,36 @@ def test_loose_jpeg_files_with_world_files(ray_session, tmp_path):
     assert np.array_equal(got, truth)
     assert np.abs(got[:, 1:size].astype(int) - 50).max() <= 3
     assert np.abs(got[:, size + 1 :].astype(int) - 180).max() <= 3
+
+
+def test_gif_bmp_file_ingest(ray_session, tmp_path):
+    """Loose .gif/.bmp files with world-file sidecars import as COLOR
+    catalogs (one shared payload per band row, plane-sliced at decode)
+    and mosaic per band."""
+    import numpy as np
+
+    from moaray.codecs import bmp_encode
+    from moaray.gif import gif_encode
+    from moaray.pipelines.mosaic import MosaicConfig, do_mosaic, mosaic_array
+    from moaray.sources.files import catalog_from_files
+
+    pal = np.random.RandomState(0).randint(1, 256, (64, 3)).astype(np.uint8)
+    rng = np.random.RandomState(1)
+    d = tmp_path / "files"
+    d.mkdir()
+    imgs = []
+    for i, (ext, enc) in enumerate((("gif", gif_encode), ("bmp", bmp_encode))):
+        img = pal[rng.randint(0, 64, (64, 64))]
+        imgs.append(img)
+        (d / f"im{i}.{ext}").write_bytes(enc(img))
+        (d / f"im{i}.wld").write_text(
+            f"10.0\n0.0\n0.0\n-10.0\n{300005.0 + i * 640}\n6999995.0\n"
+        )
+    cat = catalog_from_files(str(d), str(tmp_path / "cat"))
+    res = do_mosaic(cat, MosaicConfig(blocksize=64))
+    assert set(res.stats_by_band.keys()) == {0, 1, 2}
+    for b in range(3):
+        band = mosaic_array(res.tiles_ds, res.grid, band=b)
+        # each image's region equals its own channel plane exactly
+        assert np.array_equal(band[:64, :64], imgs[0][:, :, b])
+        assert np.array_equal(band[:64, 64:128], imgs[1][:, :, b])
