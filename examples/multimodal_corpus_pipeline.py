@@ -100,5 +100,18 @@ assert set(sampled["fmt"]) == {"avc1"}
 print(f"mp4 frame samples: {len(sampled)} encoded avc1 frames "
       f"({sampled['w'].iloc[0]}x{sampled['h'].iloc[0]})")
 
+# --- 4. checkpoint: features land in the resumable partitioned sink ----
+import shutil
+from moaray.sinks.partitioned import read_partitioned, write_partitioned
+
+sink = "/tmp/moaray_mm_features"
+shutil.rmtree(sink, ignore_errors=True)
+r = write_partitioned(
+    image_features(images), sink, key="image_id", n_partitions=8
+)
+print(f"checkpointed {r['rows']} feature rows into {r['written']} "
+      f"partitions (rerun skips committed ones)")
+assert len(read_partitioned(sink).to_pandas()) == 12
+
 ray.shutdown()
 print("MULTIMODAL CORPUS PIPELINE OK")
