@@ -27,6 +27,9 @@ demanded by BASELINE.json, plus a from-scratch PNG codec:
 
 - ``bmp``    — Windows DIB decode (8-bit palette / 24 / 32-bit, RLE8,
   bottom-up and top-down rows) + a 24-bit encoder for tests.
+- ``pnm``    — binary netpbm P5/P6 (8/16-bit gray/RGB) encode + decode.
+- ``tga``    — Truevision decode (uncompressed + RLE, 8/24/32-bit;
+  no magic bytes, so dispatch needs fmt="tga" explicitly).
 
 - ``gif``    — real GIF 87a/89a decode from scratch (moaray/gif.py):
   GIF-flavor LSB-first LZW, global/local palettes, interlace,
@@ -144,6 +147,9 @@ def probe_header(buf: bytes) -> tuple[str, int, int]:
     if bytes(buf[:2]) == BMP_SIG:
         w, h = struct.unpack_from("<ii", buf, 18)
         return ("bmp", abs(h), w)
+    if bytes(buf[:2]) in (b"P5", b"P6"):
+        arr_hw = pnm_decode(buf).shape[:2]
+        return ("pnm", arr_hw[0], arr_hw[1])
     magic, code, dcode, h, w = _HEADER.unpack_from(buf, 0)
     if magic != MAGIC:
         raise ValueError("bad magic; not a MRAY- or PNG-coded image")
@@ -162,6 +168,8 @@ def header_dtype(buf: bytes) -> np.dtype:
         return np.dtype("uint8" if jpeg_precision(buf) == 8 else "uint16")
     if bytes(buf[:6]) in GIF_SIGS or bytes(buf[:2]) == BMP_SIG:
         return np.dtype("uint8")
+    if bytes(buf[:2]) in (b"P5", b"P6"):
+        return pnm_decode(buf).dtype
     _magic, _code, dcode, _h, _w = _HEADER.unpack_from(buf, 0)
     return _DTYPES[dcode]
 
@@ -188,6 +196,12 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
         if fmt is not None and fmt != "bmp":
             raise ValueError(f"fmt column says {fmt!r}, payload is BMP")
         return bmp_decode(buf)
+    if bytes(buf[:2]) in (b"P5", b"P6"):
+        if fmt is not None and fmt != "pnm":
+            raise ValueError(f"fmt column says {fmt!r}, payload is PGM/PPM")
+        return pnm_decode(buf)
+    if fmt == "tga":  # TGA has no magic signature: explicit fmt only
+        return tga_decode(buf)
     name, h, w = probe_header(buf)
     if fmt is not None and fmt != name:
         raise ValueError(f"fmt column says {fmt!r}, header says {name!r}")
@@ -540,3 +554,113 @@ def bmp_decode(buf: bytes) -> np.ndarray:
         out[..., 3] = raw[:, :, 3]
         return out
     raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+
+
+# ---------------------------------------------------------------------------
+# netpbm (P5 grayscale / P6 RGB, binary) — the scientific-corpus format;
+# trivial container, real in the wild. Encode + decode (8/16-bit).
+# ---------------------------------------------------------------------------
+
+def pnm_encode(arr: np.ndarray) -> bytes:
+    if arr.ndim == 2:
+        magic, chans = b"P5", 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        magic, chans = b"P6", 3
+    else:
+        raise ValueError(f"pnm expects (h, w) or (h, w, 3), got {arr.shape}")
+    if arr.dtype == np.uint8:
+        maxval, wire = 255, np.uint8
+    elif arr.dtype == np.uint16:
+        maxval, wire = 65535, np.dtype(">u2")  # netpbm 16-bit is big-endian
+    else:
+        raise ValueError(f"pnm supports uint8/uint16, got {arr.dtype}")
+    h, w = arr.shape[:2]
+    hdr = b"%s\n%d %d\n%d\n" % (magic, w, h, maxval)
+    return hdr + np.ascontiguousarray(arr, dtype=wire).tobytes()
+
+
+def pnm_decode(buf: bytes) -> np.ndarray:
+    if not isinstance(buf, bytes):
+        buf = bytes(buf)
+    if buf[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM stream")
+    chans = 1 if buf[:2] == b"P5" else 3
+    # header: magic, width, height, maxval — whitespace/comment separated
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment to end of line
+            pos = buf.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    dt = np.uint8 if maxval < 256 else np.dtype(">u2")
+    n = h * w * chans
+    arr = np.frombuffer(buf, dt, count=n, offset=pos)
+    arr = arr.astype(np.uint16) if maxval >= 256 else arr
+    return arr.reshape((h, w) if chans == 1 else (h, w, chans)).copy()
+
+
+# ---------------------------------------------------------------------------
+# TGA (Truevision) — uncompressed + RLE, 24/32-bit BGR(A) and 8-bit gray,
+# bottom-up or top-down. Decode only (legacy ingest); tests hand-build.
+# ---------------------------------------------------------------------------
+
+def tga_decode(buf: bytes) -> np.ndarray:
+    if not isinstance(buf, bytes):
+        buf = bytes(buf)
+    id_len = buf[0]
+    cmap_type = buf[1]
+    img_type = buf[2]
+    if cmap_type != 0 or img_type not in (2, 3, 10, 11):
+        raise NotImplementedError(
+            f"TGA type {img_type} (cmap={cmap_type}) not supported"
+        )
+    w = int.from_bytes(buf[12:14], "little")
+    h = int.from_bytes(buf[14:16], "little")
+    bpp = buf[16]
+    top_down = bool(buf[17] & 0x20)
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"TGA {bpp} bpp not supported")
+    nch = bpp // 8
+    pos = 18 + id_len
+    n_px = w * h
+    if img_type in (2, 3):  # uncompressed
+        px = np.frombuffer(buf, np.uint8, count=n_px * nch, offset=pos)
+        px = px.reshape(n_px, nch)
+    else:  # RLE
+        out = np.empty((n_px, nch), np.uint8)
+        filled = 0
+        while filled < n_px:
+            hdr = buf[pos]
+            pos += 1
+            count = (hdr & 0x7F) + 1
+            if hdr & 0x80:  # run packet: one pixel repeated
+                out[filled : filled + count] = np.frombuffer(
+                    buf, np.uint8, count=nch, offset=pos
+                )
+                pos += nch
+            else:  # raw packet
+                out[filled : filled + count] = np.frombuffer(
+                    buf, np.uint8, count=count * nch, offset=pos
+                ).reshape(count, nch)
+                pos += count * nch
+            filled += count
+        px = out
+    img = px.reshape(h, w, nch)
+    if not top_down:
+        img = img[::-1]
+    if nch == 1:
+        return np.ascontiguousarray(img[:, :, 0])
+    if nch == 3:
+        return np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB
+    out4 = np.empty((h, w, 4), np.uint8)
+    out4[..., :3] = img[:, :, 2::-1]
+    out4[..., 3] = img[:, :, 3]
+    return out4

@@ -154,3 +154,49 @@ def test_bmp_rle8_palette_and_topdown():
     info = struct.pack("<IiiHHIIiiII", 40, 5, -4, 1, 24, 0, len(body),
                        0, 0, 0, 0)
     assert np.array_equal(bmp_decode(hdr + info + body), rgb)
+
+
+# --- netpbm + TGA (codecs.py; grouped with the other legacy formats) ------
+
+def test_pnm_roundtrip_and_dispatch():
+    from moaray.codecs import pnm_decode, pnm_encode
+
+    rng = np.random.RandomState(3)
+    for arr in ((rng.rand(9, 13) * 255).astype(np.uint8),
+                (rng.rand(7, 5) * 65535).astype(np.uint16),
+                (rng.rand(6, 8, 3) * 255).astype(np.uint8)):
+        buf = pnm_encode(arr)
+        assert np.array_equal(pnm_decode(buf), arr)
+        assert codecs.probe_header(buf)[0] == "pnm"
+        assert np.array_equal(codecs.decode(buf, "pnm"), arr)
+    # comments + ascii whitespace in the header
+    buf = b"P5\n# comment line\n3 2\n255\n" + bytes(range(6))
+    assert np.array_equal(
+        pnm_decode(buf), np.arange(6, dtype=np.uint8).reshape(2, 3)
+    )
+
+
+def test_tga_decode_paths():
+    from moaray.codecs import tga_decode
+
+    rng = np.random.RandomState(4)
+    rgb = (rng.rand(4, 5, 3) * 255).astype(np.uint8)
+    hdr = (bytes([0, 0, 2]) + b"\x00" * 9
+           + (5).to_bytes(2, "little") + (4).to_bytes(2, "little")
+           + bytes([24, 0]))  # uncompressed 24-bit, bottom-up
+    assert np.array_equal(
+        tga_decode(hdr + rgb[::-1][:, :, ::-1].tobytes()), rgb
+    )
+    # RLE 32-bit top-down: run of 3 + raw of 1
+    hdr = (bytes([0, 0, 10]) + b"\x00" * 9
+           + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+           + bytes([32, 0x20]))
+    body = bytes([0x82, 30, 20, 10, 255, 0x00, 3, 2, 1, 4])
+    out = tga_decode(hdr + body)
+    exp = np.array([[10, 20, 30, 255]] * 3 + [[1, 2, 3, 4]],
+                   np.uint8).reshape(2, 2, 4)
+    assert np.array_equal(out, exp)
+    # explicit-fmt dispatch (no magic bytes in TGA)
+    assert np.array_equal(codecs.decode(hdr + body, "tga"), exp)
+    with pytest.raises(NotImplementedError):
+        tga_decode(bytes([0, 1, 1]) + b"\x00" * 15)  # colormapped gated
