@@ -144,7 +144,7 @@ def main_cmd(argv=None) -> int:
             and any(
                 _glob.glob(_os.path.join(infile, f"*{ext}"))
                 for ext in (".png", ".jpg", ".jpeg", ".mray", ".tif",
-                            ".tiff", ".gif", ".bmp")
+                            ".tiff", ".gif", ".bmp", ".pgm", ".ppm")
             )
         )
         if is_file_input:
