@@ -802,6 +802,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.from_items(rows), stride=4
         ).sort(["video_id", "frame_idx"])
 
+    def q_catalog_census(sf_dir: str):  # rows-only (images not a SQL view)
+        # per-fmt census of a mixed catalog: count/bytes/dims, no decode
+        import ray
+
+        return relational.catalog_census(
+            ray.data.read_parquet(_images("grid", MIXED_FMTS))
+        )
+
     def q_pricing_summary(sf_dir: str):
         import ray
 
@@ -948,6 +956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_metadata_census": q_audio_metadata,
         "video_frame_sample_mp4": q_video_frame_sample_mp4,
         "video_frame_sample_gif": q_video_frame_sample_gif,
+        "catalog_census": q_catalog_census,
     }
 
 

@@ -809,3 +809,38 @@ def supplier_region_stats(supplier_ds, nation_path: str, region_path: str):
         .groupby("r_name")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def catalog_census(images_ds):
+    """Per-format census of an image catalog — the cheap first pass over a
+    100 TB corpus (what's in here, how big, what dims) before any decode:
+    count, total payload bytes, mean dims per ``fmt``. Column-pruned scan
+    + one tiny groupby; payload bytes measured via Arrow binary lengths
+    (zero-copy, no decode)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean, Sum
+
+    def measure(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "fmt": batch["fmt"],
+            "nbytes": pc.cast(pc.binary_length(batch["bytes"]), pa.int64()),
+            "w": batch["w"],
+            "h": batch["h"],
+        })
+
+    out = (
+        images_ds.map_batches(measure, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(Count(), Sum("nbytes"), Mean("w"), Mean("h"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "fmt": batch["fmt"],
+            "n_images": pc.cast(batch["count()"], pa.int64()),
+            "total_bytes": pc.cast(batch["sum(nbytes)"], pa.int64()),
+            "avg_w": pc.round(batch["mean(w)"], 2),
+            "avg_h": pc.round(batch["mean(h)"], 2),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow").sort("fmt")

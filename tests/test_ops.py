@@ -906,3 +906,18 @@ def test_multimodal_errors_skip():
         FrameSample(errors="skip")(
             pa.table({"video_id": ["v"], "bytes": [b"x"], "fmt": ["webm"]})
         )
+
+
+def test_catalog_census():
+    from moaray.ops.relational import catalog_census
+    from moaray.testgen import Layout, images_path
+
+    ds = ray.data.read_parquet(
+        images_path(Layout("grid3x3", 9, 64), fmts=("raw16", "z16", "q12"))
+    )
+    out = catalog_census(ds).to_pandas()
+    assert set(out["fmt"]) == {"raw16", "z16", "q12"}
+    assert out["n_images"].sum() == 9
+    raw = out[out["fmt"] == "raw16"].iloc[0]
+    assert raw["total_bytes"] == 3 * (14 + 64 * 64 * 2)  # header + pixels
+    assert raw["avg_w"] == 64.0 and raw["avg_h"] == 64.0
