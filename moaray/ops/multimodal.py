@@ -381,11 +381,13 @@ def image_resize(images_ds, out_h: int, out_w: int, *, method: str = "nearest",
 
 
 def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
-    """Parse a RIFF/WAVE container (PCM16) from scratch — no audio library.
+    """Parse a RIFF/WAVE container from scratch — no audio library.
 
-    Returns (mono int16 samples, sample_rate); multi-channel audio is
-    downmixed by averaging channels. Compressed WAV (non-PCM format codes)
-    raises — mp3/flac remain the declared codec gates."""
+    Handles integer PCM at 8/16/24/32 bits (format code 1) and IEEE float
+    32/64 (format code 3, incl. the WAVE_FORMAT_EXTENSIBLE wrapper when its
+    SubFormat is PCM/float); everything normalizes to mono int16 (channels
+    averaged) so downstream features see one dtype. Truly compressed WAV
+    (ADPCM, mu-law, ...) raises — those need soundfile/ffmpeg."""
     import struct
 
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
@@ -394,6 +396,7 @@ def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
     sr = None
     n_channels = 1
     bits = 16
+    fmt_code = 1
     data = None
     while pos + 8 <= len(buf):
         cid = bytes(buf[pos : pos + 4])
@@ -403,21 +406,47 @@ def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
         if cid == b"fmt ":
             fmt_code, n_channels, sr = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
-            if fmt_code != 1 or bits != 16:
+            if fmt_code == 0xFFFE and size >= 40:  # EXTENSIBLE: SubFormat
+                (sub,) = struct.unpack_from("<H", body, 24)
+                fmt_code = sub
+            if fmt_code not in (1, 3):
                 raise NotImplementedError(
-                    f"only PCM16 WAV supported (fmt={fmt_code}, bits={bits});"
-                    " compressed audio needs soundfile/ffmpeg"
+                    f"compressed WAV (fmt={fmt_code}) needs soundfile/"
+                    "ffmpeg; integer PCM and IEEE float are supported"
                 )
         elif cid == b"data":
             data = body
     if sr is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    pcm = np.frombuffer(data, dtype="<i2")
+    if fmt_code == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise NotImplementedError(f"float WAV with bits={bits}")
+        pcm64 = np.clip(x, -1.0, 1.0) * 32767.0
+    elif bits == 16:
+        pcm64 = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    elif bits == 8:  # 8-bit WAV is UNSIGNED, midpoint 128
+        pcm64 = (np.frombuffer(data, np.uint8).astype(np.float64)
+                 - 128.0) * 256.0
+    elif bits == 24:  # packed 3-byte little-endian signed
+        raw = np.frombuffer(data, np.uint8)
+        raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
+        v = (raw[:, 0].astype(np.int64)
+             | (raw[:, 1].astype(np.int64) << 8)
+             | (raw[:, 2].astype(np.int64) << 16))
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        pcm64 = v.astype(np.float64) / 256.0  # 24 -> 16 bit range
+    elif bits == 32:
+        pcm64 = np.frombuffer(data, dtype="<i4").astype(np.float64) / 65536.0
+    else:
+        raise NotImplementedError(f"PCM WAV with bits={bits}")
     if n_channels > 1:
-        pcm = pcm[: len(pcm) - len(pcm) % n_channels]
-        pcm = (
-            pcm.reshape(-1, n_channels).mean(axis=1).round().astype(np.int16)
-        )
+        pcm64 = pcm64[: len(pcm64) - len(pcm64) % n_channels]
+        pcm64 = pcm64.reshape(-1, n_channels).mean(axis=1)
+    pcm = np.clip(np.round(pcm64), -32768, 32767).astype(np.int16)
     return pcm, int(sr)
 
 

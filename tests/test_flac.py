@@ -237,3 +237,54 @@ def test_probes_and_audio_metadata():
     assert out.num_rows == 4
     assert out["duration_s"].to_pylist()[:2] == [1.0, 1.0]
     assert out["sample_rate"].to_pylist() == [8000, 8000, 44100, 8000]
+
+
+def _wav(fmt_code, bits, sr, payload, nch=1, extensible_sub=None):
+    import struct
+
+    fmt = struct.pack("<HHIIHH", fmt_code, nch, sr, sr * nch * bits // 8,
+                      nch * bits // 8, bits)
+    if extensible_sub is not None:
+        guid = (struct.pack("<H", extensible_sub) + b"\x00\x00"
+                + b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71")
+        fmt += struct.pack("<HHI", 22, bits, 0) + guid
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_bit_depths_and_float():
+    """Real-world WAV flavors: 8/16/24/32-bit integer PCM, IEEE float32,
+    and the WAVE_FORMAT_EXTENSIBLE wrapper — all normalize to int16."""
+    from moaray.ops.multimodal import wav_decode, wav_encode
+
+    x = (np.sin(np.arange(2000) / 9) * 12000).astype(np.int16)
+    assert np.array_equal(wav_decode(wav_encode(x, 8000))[0], x)
+    # float32
+    f = (x.astype(np.float32) / 32767.0).astype("<f4")
+    pcm, sr = wav_decode(_wav(3, 32, 16000, f.tobytes()))
+    assert sr == 16000 and np.abs(pcm.astype(int) - x.astype(int)).max() <= 1
+    # 24-bit packed
+    v = x.astype(np.int64) << 8
+    u = np.where(v < 0, v + (1 << 24), v)
+    raw = np.zeros((len(u), 3), np.uint8)
+    raw[:, 0] = u & 0xFF
+    raw[:, 1] = (u >> 8) & 0xFF
+    raw[:, 2] = (u >> 16) & 0xFF
+    assert np.array_equal(wav_decode(_wav(1, 24, 8000, raw.tobytes()))[0], x)
+    # 8-bit unsigned (coarse) + 32-bit int (exact)
+    e8 = ((x.astype(np.int64) // 256) + 128).astype(np.uint8)
+    pcm, _ = wav_decode(_wav(1, 8, 8000, e8.tobytes()))
+    assert np.abs(pcm.astype(int) - x.astype(int)).max() <= 256
+    assert np.array_equal(
+        wav_decode(_wav(1, 32, 8000, (x.astype("<i4") << 16).tobytes()))[0],
+        x,
+    )
+    # EXTENSIBLE wrapper with float SubFormat
+    pcm, _ = wav_decode(
+        _wav(0xFFFE, 32, 8000, f.tobytes(), extensible_sub=3)
+    )
+    assert np.abs(pcm.astype(int) - x.astype(int)).max() <= 1
+    # truly compressed stays gated
+    with pytest.raises(NotImplementedError, match="compressed WAV"):
+        wav_decode(_wav(2, 4, 8000, b"\x00" * 64))  # ADPCM
