@@ -546,9 +546,13 @@ def flac_decode(buf: bytes) -> tuple[np.ndarray, int]:
     out = cols[0] if len(cols) == 1 else np.stack(cols, axis=1)
     if total:
         out = out[:total] if out.ndim == 1 else out[:total, :]
+    if si_bps > 16:  # 20/24/32-bit masters: scale to int16 (WAV-path rule)
+        out = out >> (si_bps - 16)
+    elif si_bps < 16:
+        out = out << (16 - si_bps)
     info = np.iinfo(np.int16)
     if out.size and (out.max() > info.max or out.min() < info.min):
-        raise ValueError(f"{si_bps}-bit FLAC exceeds int16 range")
+        raise ValueError(f"{si_bps}-bit FLAC sample exceeds its range")
     return out.astype(np.int16), rate if got else si_rate
 
 

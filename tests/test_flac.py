@@ -288,3 +288,25 @@ def test_wav_bit_depths_and_float():
     # truly compressed stays gated
     with pytest.raises(NotImplementedError, match="compressed WAV"):
         wav_decode(_wav(2, 4, 8000, b"\x00" * 64))  # ADPCM
+
+
+def test_24bit_flac_scales_to_int16():
+    # hand-built 24-bit mono VERBATIM frame: samples scale down by 8 bits
+    rng = np.random.RandomState(9)
+    x24 = rng.randint(-(1 << 23), 1 << 23, 16).astype(np.int64)
+    bw = _BitWriter()
+    bw.write(_SYNC, 14)
+    bw.write(0, 2)
+    bw.write(6, 4)       # 8-bit blocksize-1 at end
+    bw.write(0, 4)
+    bw.write(0, 4)       # mono
+    bw.write(0b110, 3)   # 24 bps
+    bw.write(0, 1)
+    bw.write(_utf8_number(0)[0], 8)
+    bw.write(16 - 1, 8)
+    bw.write(_crc8(bytes(bw.out)), 8)
+    _verbatim(bw, x24, 24)
+    buf = _streaminfo(16, 8000, 1, 24, 16) + _finish(b"", bw)
+    y, sr = flac_decode(buf)
+    assert sr == 8000
+    assert np.array_equal(y.astype(np.int64), x24 >> 8)
