@@ -450,6 +450,66 @@ def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
     return pcm, int(sr)
 
 
+def aiff_decode(buf: bytes) -> tuple[np.ndarray, int]:
+    """Parse an AIFF (FORM/AIFF) container from scratch: COMM (channels,
+    bit depth, 80-bit extended-float sample rate) + SSND big-endian PCM
+    at 8/16/24/32 bits, normalized to mono int16 like wav_decode. AIFC
+    compression types other than NONE raise."""
+    import struct
+
+    if buf[:4] != b"FORM" or buf[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF stream")
+    pos = 12
+    sr = None
+    n_channels = 1
+    bits = 16
+    data = None
+    while pos + 8 <= len(buf):
+        cid = bytes(buf[pos : pos + 4])
+        (size,) = struct.unpack_from(">I", buf, pos + 4)
+        body = buf[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+        if cid == b"COMM":
+            n_channels, _n_frames = struct.unpack_from(">HI", body, 0)
+            (bits,) = struct.unpack_from(">H", body, 6)
+            # 80-bit IEEE extended: 1 sign + 15 exponent + 64 mantissa
+            exp = struct.unpack_from(">H", body, 8)[0] & 0x7FFF
+            mant = struct.unpack_from(">Q", body, 10)[0]
+            sr = int(round(mant * 2.0 ** (exp - 16383 - 63))) if mant else 0
+            if len(body) >= 22:  # AIFC compression type
+                ctype = bytes(body[18:22])
+                if ctype not in (b"NONE", b"\x00\x00\x00\x00"):
+                    raise NotImplementedError(
+                        f"compressed AIFC ({ctype!r}) needs ffmpeg"
+                    )
+        elif cid == b"SSND":
+            (off,) = struct.unpack_from(">I", body, 0)
+            data = body[8 + off :]
+    if sr is None or data is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    if bits == 16:
+        pcm64 = np.frombuffer(data, dtype=">i2").astype(np.float64)
+    elif bits == 8:  # AIFF 8-bit is SIGNED (unlike WAV)
+        pcm64 = np.frombuffer(data, np.int8).astype(np.float64) * 256.0
+    elif bits == 24:
+        raw = np.frombuffer(data, np.uint8)
+        raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
+        v = ((raw[:, 0].astype(np.int64) << 16)
+             | (raw[:, 1].astype(np.int64) << 8)
+             | raw[:, 2].astype(np.int64))
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        pcm64 = v.astype(np.float64) / 256.0
+    elif bits == 32:
+        pcm64 = np.frombuffer(data, dtype=">i4").astype(np.float64) / 65536.0
+    else:
+        raise NotImplementedError(f"AIFF with bits={bits}")
+    if n_channels > 1:
+        pcm64 = pcm64[: len(pcm64) - len(pcm64) % n_channels]
+        pcm64 = pcm64.reshape(-1, n_channels).mean(axis=1)
+    pcm = np.clip(np.round(pcm64), -32768, 32767).astype(np.int16)
+    return pcm, int(sr)
+
+
 def wav_encode(pcm: np.ndarray, sample_rate: int) -> bytes:
     """Mono PCM16 -> RIFF/WAVE bytes (for fixtures and round-trip tests)."""
     import struct
@@ -487,9 +547,13 @@ class AudioFeatures:
         for i in range(batch.num_rows):
             fmt = batch["fmt"][i].as_py()
             try:
-                if fmt in ("wav", "flac"):
+                if fmt in ("wav", "flac", "aiff"):
                     if fmt == "wav":
                         pcm, sr = wav_decode(batch["bytes"][i].as_py())
+                    elif fmt == "aiff":
+                        pcm, sr = aiff_decode(
+                            bytes(batch["bytes"][i].as_py())
+                        )
                     else:
                         from ..flac import flac_decode
 
@@ -505,7 +569,7 @@ class AudioFeatures:
                     raise
                 _log_skip("audio_features", batch["clip_id"][i].as_py(), exc)
                 continue
-            if fmt in ("wav", "flac"):
+            if fmt in ("wav", "flac", "aiff"):
                 pass
             elif fmt == "pcm16":
                 sr = int(batch["sample_rate"][i].as_py())
@@ -591,8 +655,9 @@ class AudioMetadata:
             fmt = batch["fmt"][i].as_py()
             buf = batch["bytes"][i].as_py()
             try:
-                if fmt == "wav":
-                    pcm, sr = wav_decode(buf)
+                if fmt in ("wav", "aiff"):
+                    dec = wav_decode if fmt == "wav" else aiff_decode
+                    pcm, sr = dec(bytes(buf))
                     nch, dur = 1, round(len(pcm) / sr, 4)
                 elif fmt == "flac":
                     info = flac_probe(bytes(buf))

@@ -310,3 +310,50 @@ def test_24bit_flac_scales_to_int16():
     y, sr = flac_decode(buf)
     assert sr == 8000
     assert np.array_equal(y.astype(np.int64), x24 >> 8)
+
+
+def _aiff(bits, sr, payload, nch=1):
+    import math
+    import struct
+
+    if sr:
+        exp = int(math.floor(math.log2(sr)))
+        mant = int(sr / 2.0 ** exp * (1 << 63))
+        ext = struct.pack(">HQ", 16383 + exp, mant)
+    else:
+        ext = bytes(10)
+    comm = struct.pack(">HIH", nch, 0, bits) + ext
+    ssnd = struct.pack(">II", 0, 0) + payload
+    body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def test_aiff_decode_and_stage():
+    """AIFF (big-endian PCM, 80-bit extended-float sample rate): 16/24-bit
+    decode, stereo downmix, and the audio stages accept fmt='aiff'."""
+    import pyarrow as pa
+
+    from moaray.ops.multimodal import AudioFeatures, AudioMetadata, aiff_decode
+
+    x = (np.sin(np.arange(3000) / 7) * 9000).astype(np.int16)
+    pcm, sr = aiff_decode(_aiff(16, 44100, x.astype(">i2").tobytes()))
+    assert sr == 44100 and np.array_equal(pcm, x)
+    v = x.astype(np.int64) << 8
+    u = np.where(v < 0, v + (1 << 24), v)
+    raw = np.zeros((len(u), 3), np.uint8)
+    raw[:, 0] = (u >> 16) & 0xFF
+    raw[:, 1] = (u >> 8) & 0xFF
+    raw[:, 2] = u & 0xFF
+    pcm, _ = aiff_decode(_aiff(24, 8000, raw.tobytes()))
+    assert np.array_equal(pcm, x)
+    batch = pa.table({
+        "clip_id": ["a"],
+        "bytes": [_aiff(16, 8000, x.astype(">i2").tobytes())],
+        "fmt": ["aiff"],
+        "sample_rate": pa.array([0], pa.int32()),
+    })
+    feats = AudioFeatures()(batch)
+    assert feats["duration_s"][0].as_py() == round(len(x) / 8000, 4)
+    meta = AudioMetadata()(batch)
+    assert meta["sample_rate"][0].as_py() == 8000
