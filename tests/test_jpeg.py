@@ -96,7 +96,7 @@ def test_restart_markers_roundtrip():
         assert np.array_equal(got, plain), f"restart_interval={ri}"
 
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 
 @settings(max_examples=25, deadline=None)
@@ -194,6 +194,24 @@ def test_color_bad_subsampling_rejected():
         jpeg_encode(np.zeros((8, 8, 3), np.uint8), subsampling="422")
 
 
+def _ideal_420(rgb: np.ndarray) -> np.ndarray:
+    """Best-attainable 4:2:0 reconstruction: chroma box-downsample +
+    nearest upsample with NO transform/quantization loss at all.  For
+    per-pixel random noise this bound alone can dip below 11 dB vs the
+    original (measured 10.84 dB at 2x4/seed 1, 8.7 dB worst over a
+    sweep) — no 4:2:0 encoder can beat it, so the codec is graded
+    against THIS reference, isolating DCT/quant/entropy error from
+    inherent subsampling loss."""
+    h, w = rgb.shape[:2]
+    from moaray.jpeg import _box_down2, _rgb_to_ycbcr, _ycbcr_to_rgb
+
+    y, cb, cr = _rgb_to_ycbcr(rgb)
+    cbd, crd = _box_down2(cb), _box_down2(cr)
+    cbu = np.repeat(np.repeat(cbd, 2, 0), 2, 1)[:h, :w]
+    cru = np.repeat(np.repeat(crd, 2, 0), 2, 1)[:h, :w]
+    return _ycbcr_to_rgb(y, cbu, cru)
+
+
 @settings(max_examples=15, deadline=None)
 @given(
     h=st.integers(min_value=1, max_value=33),
@@ -201,17 +219,33 @@ def test_color_bad_subsampling_rejected():
     seed=st.integers(min_value=0, max_value=2**31 - 1),
     sub=st.sampled_from(["444", "420"]),
 )
+@example(h=2, w=4, seed=1, sub="420")  # ideal-420 bound 10.84 dB; codec 11.00
+@example(h=4, w=6, seed=1683794816, sub="420")  # sweep worst vs ideal (25.5 dB)
 def test_color_roundtrip_property(h, w, seed, sub):
     """Any shape (1-pixel edges, partial MCUs), any content, either
-    subsampling: shape/dtype preserved, deterministic, bounded error."""
+    subsampling: shape/dtype preserved, deterministic, bounded error.
+
+    Error is bounded against the best ATTAINABLE reference: the original
+    for 4:4:4 (pure DCT/quant error; worst measured 28.4 dB over 300
+    noise trials at q90), the ideal no-loss 4:2:0 reconstruction for
+    4:2:0 (worst measured 25.5 dB) — a fixed envelope vs the original is
+    unsound for 4:2:0 because chroma subsampling of per-pixel noise
+    already loses up to ~17 dB before the codec runs."""
     rng = np.random.RandomState(seed)
     rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
     buf = jpeg_encode(rgb, quality=90, subsampling=sub)
     out = jpeg_decode(buf)
     assert out.shape == (h, w, 3) and out.dtype == np.uint8
     assert np.array_equal(out, jpeg_decode(buf))
-    # noise + chroma subsampling is the worst case; envelope only
-    assert codecs.psnr(rgb, out, peak=255.0) >= 12.0
+    if sub == "444":
+        assert codecs.psnr(rgb, out, peak=255.0) >= 25.0
+    else:
+        ref = _ideal_420(rgb)
+        # codec error on top of subsampling is small ...
+        assert codecs.psnr(ref, out, peak=255.0) >= 22.0
+        # ... and the end-to-end result is never much below the bound
+        ideal_db = codecs.psnr(rgb, ref, peak=255.0)
+        assert codecs.psnr(rgb, out, peak=255.0) >= min(ideal_db, 45.0) - 2.0
 
 
 def test_12bit_roundtrip_and_probe():
