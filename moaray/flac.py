@@ -142,7 +142,9 @@ def _utf8_number(n: int) -> bytes:
         return bytes([n])
     out = []
     nbytes = 2
-    while n >= (1 << (6 - nbytes + 5 * nbytes)):  # max payload for nbytes
+    # payload capacity of an nbytes sequence: (7 - nbytes) lead bits +
+    # 6 * (nbytes - 1) continuation bits = 1 + 5 * nbytes bits total
+    while n >= (1 << (1 + 5 * nbytes)):
         nbytes += 1
     lead = (0xFF << (8 - nbytes)) & 0xFF
     shift = 6 * (nbytes - 1)

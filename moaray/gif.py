@@ -255,6 +255,12 @@ def gif_frames(buf: bytes):
                     area[:] = 0
             elif disposal == 3 and prev_canvas is not None:
                 canvas = prev_canvas
+            # GIF89a: a graphic-control extension applies to exactly ONE
+            # rendering block — reset so a later frame without its own
+            # GCE doesn't inherit this frame's transparency/disposal
+            transparent = None
+            delay = 0
+            disposal = 0
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
 

@@ -510,6 +510,71 @@ def aiff_decode(buf: bytes) -> tuple[np.ndarray, int]:
     return pcm, int(sr)
 
 
+def wav_probe(buf: bytes) -> dict:
+    """Header-only RIFF/WAVE census (sample_rate/channels/duration) —
+    reads the fmt chunk and the data chunk's SIZE, never its samples;
+    the metadata pass must report the container's true channel count,
+    not the downmixed shape wav_decode produces."""
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    sr = n_channels = bits = data_size = None
+    fmt_code = 1
+    while pos + 8 <= len(buf):
+        cid = bytes(buf[pos : pos + 4])
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        if cid == b"fmt ":
+            fmt_code, n_channels, sr = struct.unpack_from(
+                "<HHI", buf, pos + 8
+            )
+            (bits,) = struct.unpack_from("<H", buf, pos + 8 + 14)
+            if fmt_code == 0xFFFE and size >= 40:
+                (fmt_code,) = struct.unpack_from("<H", buf, pos + 8 + 24)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)
+    if sr is None or data_size is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    frames = data_size // (n_channels * max(bits // 8, 1))
+    return {
+        "sample_rate": int(sr),
+        "channels": int(n_channels),
+        "bits": int(bits),
+        "fmt_code": int(fmt_code),
+        "duration_s": round(frames / sr, 4) if sr else 0.0,
+    }
+
+
+def aiff_probe(buf: bytes) -> dict:
+    """Header-only AIFF/AIFC census from the COMM chunk (which carries
+    channels, bit depth, the 80-bit extended-float sample rate AND the
+    exact frame count — no SSND read needed)."""
+    import struct
+
+    if buf[:4] != b"FORM" or buf[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF stream")
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = bytes(buf[pos : pos + 4])
+        (size,) = struct.unpack_from(">I", buf, pos + 4)
+        if cid == b"COMM":
+            n_channels, n_frames = struct.unpack_from(">HI", buf, pos + 8)
+            (bits,) = struct.unpack_from(">H", buf, pos + 8 + 6)
+            exp = struct.unpack_from(">H", buf, pos + 8 + 8)[0] & 0x7FFF
+            mant = struct.unpack_from(">Q", buf, pos + 8 + 10)[0]
+            sr = int(round(mant * 2.0 ** (exp - 16383 - 63))) if mant else 0
+            return {
+                "sample_rate": sr,
+                "channels": int(n_channels),
+                "bits": int(bits),
+                "duration_s": round(n_frames / sr, 4) if sr else 0.0,
+            }
+        pos += 8 + size + (size & 1)
+    raise ValueError("AIFF missing COMM chunk")
+
+
 def wav_encode(pcm: np.ndarray, sample_rate: int) -> bytes:
     """Mono PCM16 -> RIFF/WAVE bytes (for fixtures and round-trip tests)."""
     import struct
@@ -564,6 +629,11 @@ class AudioFeatures:
                             pcm = pcm.astype(np.int32).mean(axis=1).astype(
                                 np.int16
                             )
+            except NotImplementedError:
+                # declared codec gates (compressed WAV/AIFC, ...) are
+                # contract errors, never "corrupt data" to skip —
+                # matches FrameSample._one and AudioMetadata
+                raise
             except Exception as exc:
                 if self.errors != "skip":
                     raise
@@ -656,9 +726,13 @@ class AudioMetadata:
             buf = batch["bytes"][i].as_py()
             try:
                 if fmt in ("wav", "aiff"):
-                    dec = wav_decode if fmt == "wav" else aiff_decode
-                    pcm, sr = dec(bytes(buf))
-                    nch, dur = 1, round(len(pcm) / sr, 4)
+                    # header-only probe: the census must report the
+                    # container's true channel count, not the shape of
+                    # the downmixed PCM the decode paths produce
+                    probe = wav_probe if fmt == "wav" else aiff_probe
+                    info = probe(bytes(buf))
+                    sr, nch, dur = (info["sample_rate"], info["channels"],
+                                    info["duration_s"])
                 elif fmt == "flac":
                     info = flac_probe(bytes(buf))
                     sr, nch, dur = (info["sample_rate"], info["channels"],

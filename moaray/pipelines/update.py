@@ -146,6 +146,52 @@ def _existing_as_windows(tiles_ds, affected_ref, np_dtype, shuffle_codec):
     return tiles_ds.map_batches(to_windows, batch_format="pyarrow")
 
 
+def _update_content_id(images_path: str) -> str:
+    """Content id of an update-delta catalog: sorted (image_id, seq,
+    sha256(payload)) triples — PAYLOAD bytes included, so a second,
+    genuinely different delta that reuses image_ids (corrected imagery
+    re-delivered under the same ids) hashes differently and is applied
+    rather than silently no-op'd. Streams the bytes column one row-group
+    at a time; the delta is <= driver_plan_limit rows by the caller's
+    guard, so this stays a bounded local read."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files = (
+        sorted(_glob.glob(_os.path.join(images_path, "*.parquet")))
+        if _os.path.isdir(images_path)
+        else [images_path]
+    )
+    triples = []
+    for f in files:
+        pf = _pq.ParquetFile(f)
+        names = set(pf.schema_arrow.names)
+        cols = ["image_id"] + (["seq"] if "seq" in names else []) + (
+            ["bytes"] if "bytes" in names else []
+        )
+        for rb in pf.iter_batches(columns=cols):
+            ids = rb.column("image_id").to_pylist()
+            seqs = (
+                rb.column("seq").to_pylist()
+                if "seq" in cols
+                else [None] * rb.num_rows
+            )
+            if "bytes" in cols:
+                payloads = [
+                    _hashlib.sha256(v.as_py()).hexdigest()[:16]
+                    if v.is_valid
+                    else ""
+                    for v in rb.column("bytes")
+                ]
+            else:
+                payloads = [""] * rb.num_rows
+            triples.extend(zip(ids, seqs, payloads))
+    return _hashlib.sha256(repr(sorted(triples)).encode()).hexdigest()[:16]
+
+
 def update_mosaic(
     images_path: str,
     cfg: MosaicConfig,
@@ -301,16 +347,7 @@ def update_mosaic(
             make_feather_partial_fn,
         )
 
-        import hashlib as _hashlib
-
-        seq_tags = (
-            tbl["seq"].to_pylist()
-            if "seq" in tbl.schema.names
-            else [None] * tbl.num_rows
-        )
-        update_id = _hashlib.sha256(
-            repr(sorted(zip(tbl["image_id"].to_pylist(), seq_tags))).encode()
-        ).hexdigest()[:16]
+        update_id = _update_content_id(images_path)
         if update_id in extras["applied_updates"]:
             # already folded in (rerun of a completed update): no-op
             result = MosaicResult(

@@ -81,10 +81,15 @@ def tm_forward(
     phi = np.deg2rad(np.asarray(lat_deg, dtype=np.float64))
     lam = np.deg2rad(np.asarray(lon_deg, dtype=np.float64) - lon0_deg)
     s = np.sin(phi)
-    # conformal latitude: tau' = sinh(asinh(tan phi) - e atanh(e sin phi))
-    t = np.sinh(np.arctanh(s) - _E * np.arctanh(_E * s))
-    xi_p = np.arctan2(t, np.cos(lam))
-    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    # conformal latitude: tau' = sinh(asinh(tan phi) - e atanh(e sin phi)).
+    # At the exact poles arctanh(+-1) = +-inf, and the inf propagates
+    # CORRECTLY through the chain (t = +-inf -> xi_p = +-pi/2 exactly,
+    # eta_p = arcsinh(0) = 0) — clamping would shave ~9 m off the
+    # quarter-meridian; only the divide-by-zero warning needs silencing.
+    with np.errstate(divide="ignore"):
+        t = np.sinh(np.arctanh(s) - _E * np.arctanh(_E * s))
+        xi_p = np.arctan2(t, np.cos(lam))
+        eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
     xi = xi_p.copy()
     eta = eta_p.copy()
     for j in range(6):

@@ -48,6 +48,31 @@ def test_block_boundaries(n):
     assert np.array_equal(x, y)
 
 
+def test_utf8_frame_number_boundaries():
+    """Frame-number coding capacity: an nbytes UTF-8 sequence carries
+    1 + 5*nbytes payload bits (NOT 6 + 4*nbytes — the old test let
+    [2048, 16384) overflow the 2-byte lead, corrupting the header CRC
+    for any stream with >= 2048 frames)."""
+    from moaray.flac import _BitReader, _read_utf8_number
+
+    for n in (0, 127, 128, 2047, 2048, 16383, 16384, 65535, 65536,
+              (1 << 31) - 1, (1 << 36) - 1):
+        b = _utf8_number(n)
+        assert _read_utf8_number(_BitReader(b)) == n, n
+    assert len(_utf8_number(2047)) == 2
+    assert len(_utf8_number(2048)) == 3  # overflowed to 2 bytes pre-fix
+
+
+def test_roundtrip_past_2048_frames():
+    """Streams with >= 2048 frames (3+ min at 44.1 kHz/4096, or any long
+    stream at small block sizes) hit 3-byte UTF-8 frame numbers; decode
+    used to fail with a frame-header CRC-8 mismatch."""
+    rng = np.random.RandomState(4)
+    x = rng.randint(-3000, 3000, 2050 * 256).astype(np.int16)
+    y, _ = flac_decode(flac_encode(x, 8000, block_size=256))
+    assert np.array_equal(x, y)
+
+
 def test_stereo_mid_side_roundtrip():
     t = np.arange(12000)
     st = np.stack([(np.sin(t / 25) * 9000).astype(np.int16),
@@ -239,6 +264,34 @@ def test_probes_and_audio_metadata():
     assert out["sample_rate"].to_pylist() == [8000, 8000, 44100, 8000]
 
 
+def test_metadata_census_true_channel_counts():
+    """The census must report the CONTAINER's channel count from the
+    fmt/COMM header, not the downmixed mono shape the decode paths
+    produce (stereo WAV used to be reported as 1-channel)."""
+    import pyarrow as pa
+
+    from moaray.ops.multimodal import AudioMetadata, aiff_probe, wav_probe
+
+    x = (np.sin(np.arange(4000) / 9) * 9000).astype(np.int16)
+    inter = np.stack([x, -x], axis=1).reshape(-1)  # stereo interleave
+    wbuf = _wav(1, 16, 8000, inter.astype("<i2").tobytes(), nch=2)
+    abuf = _aiff(16, 8000, inter.astype(">i2").tobytes(), nch=2)
+    assert wav_probe(wbuf) == {"sample_rate": 8000, "channels": 2,
+                               "bits": 16, "fmt_code": 1,
+                               "duration_s": 0.5}
+    ap = aiff_probe(abuf)
+    assert (ap["channels"], ap["sample_rate"], ap["duration_s"]) == (
+        2, 8000, 0.5)
+    out = AudioMetadata()(pa.table({
+        "clip_id": ["w2", "a2"],
+        "bytes": [wbuf, abuf],
+        "fmt": ["wav", "aiff"],
+        "sample_rate": pa.array([8000, 8000], pa.int32()),
+    }))
+    assert out["channels"].to_pylist() == [2, 2]
+    assert out["duration_s"].to_pylist() == [0.5, 0.5]
+
+
 def _wav(fmt_code, bits, sr, payload, nch=1, extensible_sub=None):
     import struct
 
@@ -322,7 +375,8 @@ def _aiff(bits, sr, payload, nch=1):
         ext = struct.pack(">HQ", 16383 + exp, mant)
     else:
         ext = bytes(10)
-    comm = struct.pack(">HIH", nch, 0, bits) + ext
+    n_frames = len(payload) // (nch * max(bits // 8, 1))
+    comm = struct.pack(">HIH", nch, n_frames, bits) + ext
     ssnd = struct.pack(">II", 0, 0) + payload
     body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
             + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)

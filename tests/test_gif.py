@@ -110,6 +110,42 @@ def test_transparency_compositing():
     assert np.array_equal(a2[..., :3][~was_trans], f2[~was_trans])
 
 
+def test_gce_scope_is_one_block():
+    """GIF89a: a graphic-control extension governs exactly ONE rendering
+    block. In a foreign animation where frame 2 declares transparency and
+    frame 3 carries NO GCE of its own, frame 3 must composite fully
+    opaque — it must not inherit frame 2's transparent index."""
+    f1 = _pal_img((8, 10), seed=1)
+    f2 = _pal_img((8, 10), seed=2)
+    f3 = _pal_img((8, 10), seed=3)
+    buf = bytearray(gif_encode([f1, f2, f3]))
+    g1 = buf.find(b"\x21\xf9")
+    g2 = buf.find(b"\x21\xf9", g1 + 2)
+    g3 = buf.find(b"\x21\xf9", g2 + 2)
+    assert g3 > g2 > g1 > 0
+    # pick a transparent index whose color actually occurs in frame 3
+    stored = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in (f1, f2, f3)]), axis=0
+    )
+    t_idx = int(
+        np.nonzero((stored == f3[0, 0]).all(axis=1))[0][0]
+    )
+    assert t_idx < 256
+    buf[g2 + 3] |= 0x01   # frame 2: transparent color flag
+    buf[g2 + 6] = t_idx
+    del buf[g3 : g3 + 8]  # frame 3: strip its GCE entirely
+    frames = list(gif_frames(bytes(buf)))
+    assert len(frames) == 3
+    a3 = frames[2][0]
+    trans_color = stored[t_idx]
+    hits = (f3 == trans_color).all(axis=2)
+    assert hits.any(), "fixture must contain the would-be transparent color"
+    # every frame-3 pixel lands, including those matching the old index
+    assert np.array_equal(a3[..., :3], f3)
+    # and a GCE-less frame's delay resets to 0 rather than inheriting
+    assert frames[2][1] == 0
+
+
 # --- BMP (lives in codecs.py; tested here with the other legacy formats) ---
 
 def test_bmp_roundtrip_and_dispatch():

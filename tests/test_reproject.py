@@ -397,6 +397,29 @@ def test_tm_absolute_anchors():
     assert abs(Na[0] - Nb[0]) < 1e-6
 
 
+def test_tm_pole_is_finite_and_warning_free():
+    """|lat| -> 90 deg: arctanh(sin phi) diverges at the exact pole but the
+    inf propagates to the exact answer (xi_p = pi/2, eta_p = 0); the
+    forward transform must return finite values, emit NO runtime warning,
+    and stay monotone in latitude right up to the pole."""
+    import warnings
+
+    from moaray.tmerc import tm_forward
+
+    lats = np.array([89.0, 89.9, 89.999, 89.999999, 90.0 - 1e-12, 90.0])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        E, N = tm_forward(lats, np.full_like(lats, 154.0), 153.0)
+        _Es, Ns = tm_forward(-lats, np.full_like(lats, 154.0), 153.0)
+    assert np.isfinite(E).all() and np.isfinite(N).all()
+    assert (np.diff(N) >= 0).all()          # monotone approach
+    assert np.allclose(Ns, -N)              # hemisphere symmetry
+    # pole: on the central meridian regardless of longitude, arc exact
+    Ep, Np = tm_forward(np.array([90.0]), np.array([11.0]), 153.0)
+    assert abs(Ep[0] - 500000.0) < 1e-6
+    assert abs(Np[0] / 0.9996 - 10001965.7293) < 0.01
+
+
 def test_tm_utm_zone_parsing_and_transformer():
     from moaray.crs import point_transformer
     from moaray.tmerc import parse_utm

@@ -539,6 +539,39 @@ def test_feather_update_rerun_is_noop(ray_session, tmp_path, split_catalogs):
     assert (got1 == got2).all()
 
 
+def test_update_content_id_folds_payload_bytes(tmp_path):
+    """The applied_updates guard keys on CONTENT, not just (image_id, seq):
+    a second, genuinely different delta that reuses image_ids (corrected
+    imagery re-delivered under the same ids) must hash differently so it
+    is applied rather than silently no-op'd; a byte-identical rerun (even
+    rewritten to a different parquet file) must hash the same."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from moaray.pipelines.update import _update_content_id
+
+    def cat(path, payloads, ids=("a", "b"), seqs=(0, 1)):
+        pq.write_table(
+            pa.table({
+                "image_id": pa.array(list(ids), pa.string()),
+                "seq": pa.array(list(seqs), pa.int64()),
+                "bytes": pa.array(list(payloads), pa.binary()),
+            }),
+            str(path),
+        )
+        return str(path)
+
+    p1 = cat(tmp_path / "d1.parquet", [b"\x01\x02", b"\x03\x04"])
+    p2 = cat(tmp_path / "d2.parquet", [b"\x01\x02", b"\x03\x04"])
+    p3 = cat(tmp_path / "d3.parquet", [b"\x01\x02", b"\xff\xff"])
+    assert _update_content_id(p1) == _update_content_id(p2)
+    assert _update_content_id(p1) != _update_content_id(p3)
+    # row order must not matter (merge order is carried by seq)
+    p4 = cat(tmp_path / "d4.parquet", [b"\x03\x04", b"\x01\x02"],
+             ids=("b", "a"), seqs=(1, 0))
+    assert _update_content_id(p1) == _update_content_id(p4)
+
+
 def test_feather_update_without_partials_rejected(
     ray_session, tmp_path, split_catalogs
 ):
