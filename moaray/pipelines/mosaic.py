@@ -685,6 +685,57 @@ def mosaic_array(tiles_ds, grid: OutputGrid, band: int = 0) -> np.ndarray:
     return out
 
 
+def iter_band_slabs(tiles_ds, grid: OutputGrid, band: int | None = None):
+    """Stream the mosaic as full-width row slabs in (band, top) order —
+    the bounded-memory feed for single-file exports (sinks/gtiff.py).
+
+    Ray sorts the tile rows (tile_id is row-major, geo.py:168) so the
+    driver only ever holds ONE grid-tile row of ONE band — O(tile_row_h
+    x ncols), never the full canvas (the reference writes block-by-block
+    through its single writer for the same reason, ref mosaic.py:286-394).
+    Yields ``(band, top, slab)`` with slab shaped (out_ysize, grid.ncols),
+    missing tiles left at nullval; absent tile ROWS are simply skipped
+    (callers gap-fill from `top`)."""
+    from ..stages.assemble import decode_payload
+
+    np_dtype = np.dtype(grid.dtype)
+    fill = grid.nullval if grid.nullval is not None else 0
+    cols = ["band", "tile_id", "out_top", "out_left", "out_ysize",
+            "out_xsize", "pixels", "pixels_codec"]
+    ds = tiles_ds.select_columns(cols)
+    if band is not None:
+        def _only(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["band"], band))
+
+        ds = ds.map_batches(_only, batch_format="pyarrow")
+        ds = ds.sort("tile_id")
+    else:
+        ds = ds.sort(["band", "tile_id"])
+    cur: tuple[int, int] | None = None
+    slab = None
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        for i in range(batch.num_rows):
+            b = batch["band"][i].as_py()
+            top = batch["out_top"][i].as_py()
+            if cur != (b, top):
+                if slab is not None:
+                    yield cur[0], cur[1], slab
+                ys0 = batch["out_ysize"][i].as_py()
+                slab = np.full((ys0, grid.ncols), fill, dtype=np_dtype)
+                cur = (b, top)
+            left = batch["out_left"][i].as_py()
+            ys = batch["out_ysize"][i].as_py()
+            xs = batch["out_xsize"][i].as_py()
+            arr = decode_payload(
+                batch["pixels"][i].as_buffer(),
+                batch["pixels_codec"][i].as_py(),
+                np_dtype,
+            )
+            slab[:ys, left : left + xs] = arr.reshape(ys, xs)
+    if slab is not None:
+        yield cur[0], cur[1], slab
+
+
 def overview_array(
     pyramids_ds, grid: OutputGrid, lvl: int, band: int = 0
 ) -> np.ndarray:

@@ -534,53 +534,94 @@ def export_gtiff(res, path: str, band=0, tiled: bool = False,
                  min_overview_size: int = 1024,
                  compress: str | None = "deflate",
                  predictor: int = 1,
-                 bigtiff: bool | None = None) -> None:
-    """MosaicResult -> single-file GeoTIFF (driver-side assembly of one
-    band; the parallel parquet sink remains the at-scale output).
+                 bigtiff: bool | None = None,
+                 rows_per_strip: int = 256) -> None:
+    """MosaicResult -> single-file GeoTIFF, STREAMED: tile rows are pulled
+    from ``res.tiles_ds`` in row-major order (iter_band_slabs — a Ray-side
+    sort, one grid-tile row on the driver at a time) and encoded into
+    strips/tiles as they arrive; the IFD lands at the end of the file.
+    Driver memory is O(tile_row_height x ncols) regardless of mosaic size,
+    which is what makes BigTIFF-scale ``--gtiff`` exports viable (the
+    parallel parquet sink remains the at-scale output; the reference's
+    single writer streams block-by-block for the same reason, ref
+    mosaic.py:286-394).
 
     ``tiled=True`` writes the reference's default output shape — TILED
     organization with embedded strided-overview IFDs (GTiff TILED +
     writeBlockPyramids, ref mosaic.py:604-660, 720-743).
     ``band="all"`` writes every band of a multi-band mosaic into ONE
     planar multi-band file (the reference's numBands output)."""
-    from ..pipelines.mosaic import mosaic_array
+    from ..pipelines.mosaic import iter_band_slabs
 
+    grid = res.grid
+    np_dtype = np.dtype(grid.dtype)
+    fill = grid.nullval if grid.nullval is not None else 0
     if band == "all":
-        import numpy as _np
-
         bands = sorted(getattr(res, "stats_by_band", {0: None}).keys()) or [0]
-        if len(bands) > 1 and tiled:
-            raise NotImplementedError(
-                "multi-band tiled export not supported; use strips"
-            )
-        arr = _np.stack(
-            [mosaic_array(res.tiles_ds, res.grid, band=b) for b in bands]
-        )
-        if arr.shape[0] == 1:
-            arr = arr[0]
     else:
-        arr = mosaic_array(res.tiles_ds, res.grid, band=band)
-    if predictor == 2 and arr.dtype.kind == "f":
+        bands = [band]
+    if len(bands) > 1 and tiled:
+        raise NotImplementedError(
+            "multi-band tiled export not supported; use strips"
+        )
+    if predictor == 2 and np_dtype.kind == "f":
         predictor = 1  # Predictor=2 is integer-only
     if bigtiff is None:
         # BIGTIFF=IF_SAFER (the reference's default creation option):
         # classic TIFF offsets are 32-bit, so size on the uncompressed
-        # upper bound with headroom
-        bigtiff = arr.nbytes > 3_500_000_000
-    ltype = getattr(res.grid, "layer_type", None)
+        # upper bound with headroom (+1/3 for the overview pyramid)
+        est = grid.nrows * grid.ncols * np_dtype.itemsize * len(bands)
+        if tiled:
+            est += est // 3
+        bigtiff = est > 3_500_000_000
+    ltype = getattr(grid, "layer_type", None)
+
     if tiled:
-        write_gtiff_tiled(
-            path, arr, res.grid.transform, res.grid.crs, res.grid.nullval,
-            min_overview_size=min_overview_size,
+        w = StreamingGtiffTiledWriter(
+            path, grid.nrows, grid.ncols, np_dtype, grid.transform,
+            grid.crs, grid.nullval, min_overview_size=min_overview_size,
             compress=compress, predictor=predictor, layer_type=ltype,
             bigtiff=bigtiff,
         )
-    else:
-        write_gtiff(
-            path, arr, res.grid.transform, res.grid.crs, res.grid.nullval,
-            compress=compress, predictor=predictor, layer_type=ltype,
-            bigtiff=bigtiff,
-        )
+        written = 0
+        for _b, top, slab in iter_band_slabs(res.tiles_ds, grid,
+                                             band=bands[0]):
+            if top > written:  # absent tile rows stay at nullval
+                w.write_rows(np.full((top - written, grid.ncols), fill,
+                                     dtype=np_dtype))
+                written = top
+            w.write_rows(slab)
+            written += len(slab)
+        if written < grid.nrows:
+            w.write_rows(np.full((grid.nrows - written, grid.ncols), fill,
+                                 dtype=np_dtype))
+        w.close()
+        return
+
+    w = StreamingGtiffWriter(
+        path, grid.nrows, grid.ncols, np_dtype, grid.transform, grid.crs,
+        grid.nullval, nbands=len(bands), rows_per_strip=rows_per_strip,
+        compress=compress, predictor=predictor, layer_type=ltype,
+        bigtiff=bigtiff,
+    )
+    band_index = {b: i for i, b in enumerate(bands)}
+    written = {i: 0 for i in range(len(bands))}
+    only = None if len(bands) > 1 else bands[0]
+    for b, top, slab in iter_band_slabs(res.tiles_ds, grid, band=only):
+        bi = band_index.get(b)
+        if bi is None:
+            continue
+        if top > written[bi]:
+            w.write_rows(np.full((top - written[bi], grid.ncols), fill,
+                                 dtype=np_dtype), band=bi)
+            written[bi] = top
+        w.write_rows(slab, band=bi)
+        written[bi] += len(slab)
+    for bi in range(len(bands)):
+        if written[bi] < grid.nrows:
+            w.write_rows(np.full((grid.nrows - written[bi], grid.ncols),
+                                 fill, dtype=np_dtype), band=bi)
+    w.close()
 
 
 # ---------------------------------------------------------------------------
@@ -776,6 +817,342 @@ def write_gtiff_tiled(
             for t in tiles:
                 f.write(t)
     return levels
+
+
+# ---------------------------------------------------------------------------
+# Streaming single-file export: data blocks are written to disk as row
+# slabs arrive (strips/tiles encoded incrementally), the IFD(s) land at the
+# END of the file and the header's root-IFD offset is patched last. Driver
+# memory is O(rows_per_strip x ncols) — never the full canvas — which is
+# what makes `--gtiff` viable on BigTIFF-sized outputs (the reference
+# writes block-by-block through its single writer for the same reason,
+# ref mosaic.py:286-394).
+# ---------------------------------------------------------------------------
+
+
+def _pack_entry(tag, typ, values):
+    """(tag, typ, count, payload) for scalar/sequence values (ASCII takes
+    pre-encoded bytes)."""
+    if typ == TYPE_ASCII:
+        return (tag, typ, len(values), values)
+    fmt = _FMT_FOR_TYPE[typ]
+    if not isinstance(values, (list, tuple)):
+        values = [values]
+    return (tag, typ, len(values), struct.pack(f"<{len(values)}{fmt}", *values))
+
+
+def _geo_entries(transform, nullval, layer_type):
+    """The GeoTIFF georeferencing + GDAL metadata entries (full-res IFD
+    only), identical to write_gtiff's."""
+    out = [
+        (T_MODELPIXELSCALE, TYPE_DOUBLE, 3,
+         struct.pack("<3d", transform[1], abs(transform[5]), 0.0)),
+        (T_MODELTIEPOINT, TYPE_DOUBLE, 6,
+         struct.pack("<6d", 0.0, 0.0, 0.0, transform[0], transform[3], 0.0)),
+        (T_GEOKEYDIR, TYPE_SHORT, 8, struct.pack("<8H", 1, 1, 0, 1, 1024, 0, 1, 1)),
+    ]
+    if nullval is not None:
+        nd = f"{nullval:g}".encode() + b"\x00"
+        out.append((T_GDAL_NODATA, TYPE_ASCII, len(nd), nd))
+    meta = _gdal_metadata_xml(layer_type)
+    if meta:
+        out.append((T_GDAL_METADATA, TYPE_ASCII, len(meta), meta))
+    return out
+
+
+def _finish_ifds(f, per_ifd, bigtiff: bool) -> None:
+    """Append the chained IFDs (entries sorted by tag, payloads final) at
+    the file's end and patch the header's root-IFD offset."""
+    if f.tell() % 2:
+        f.write(b"\x00")  # IFDs must begin on a word boundary
+    if bigtiff:
+        inline_cap, head_sz, entry_sz, next_sz = 8, 8, 20, 8
+        ehead, ofmt, hdr_at, hdr_fmt = "<HHQ", "<Q", 8, "<Q"
+    else:
+        inline_cap, head_sz, entry_sz, next_sz = 4, 2, 12, 4
+        ehead, ofmt, hdr_at, hdr_fmt = "<HHI", "<I", 4, "<I"
+    pos = f.tell()
+    ifd_offsets, payload_offsets = [], []
+    for entries in per_ifd:
+        ifd_offsets.append(pos)
+        pos += head_sz + len(entries) * entry_sz + next_sz
+        offs = []
+        for _tag, _typ, _count, payload in entries:
+            if len(payload) <= inline_cap:
+                offs.append(-1)
+            else:
+                offs.append(pos)
+                pos += len(payload)
+        payload_offsets.append(offs)
+    for i, entries in enumerate(per_ifd):
+        f.write(struct.pack("<Q" if bigtiff else "<H", len(entries)))
+        for j, (tag, typ, count, payload) in enumerate(entries):
+            f.write(struct.pack(ehead, tag, typ, count))
+            if len(payload) <= inline_cap:
+                f.write(payload.ljust(inline_cap, b"\x00"))
+            else:
+                f.write(struct.pack(ofmt, payload_offsets[i][j]))
+        nxt = ifd_offsets[i + 1] if i + 1 < len(per_ifd) else 0
+        f.write(struct.pack(ofmt, nxt))
+        for payload_off, (_tag, _typ, _count, payload) in zip(
+            payload_offsets[i], entries
+        ):
+            if payload_off >= 0:
+                f.write(payload)
+    end = f.tell()
+    f.seek(hdr_at)
+    f.write(struct.pack(hdr_fmt, ifd_offsets[0]))
+    f.seek(end)
+
+
+class StreamingGtiffWriter:
+    """Strip-organized streaming GeoTIFF writer.
+
+    Feed row slabs top-down via :meth:`write_rows` (per band for planar
+    multi-band files); each full ``rows_per_strip`` window is encoded and
+    written immediately. :meth:`close` validates coverage, writes the IFD
+    and patches the header."""
+
+    def __init__(self, path, nrows, ncols, dtype, transform, crs="",
+                 nullval=None, nbands=1, rows_per_strip=256,
+                 compress=None, predictor=1, layer_type=None,
+                 bigtiff=False):
+        dtype = np.dtype(dtype)
+        if dtype.kind not in _SAMPLEFORMAT:
+            raise ValueError(f"unsupported dtype {dtype}")
+        if predictor == 2 and dtype.kind == "f":
+            raise ValueError("Predictor=2 is integer-only (use 1 for floats)")
+        if compress == "jpeg" and predictor == 2:
+            raise ValueError("Predictor does not apply to JPEG compression")
+        self.nrows, self.ncols, self.nbands = nrows, ncols, nbands
+        self.dtype = dtype
+        self.wire = dtype.newbyteorder("<") if dtype.itemsize > 1 else dtype
+        self.transform, self.crs = transform, crs
+        self.nullval, self.layer_type = nullval, layer_type
+        self.rows_per_strip = rows_per_strip
+        self.compress, self.predictor = compress, predictor
+        self.bigtiff = bigtiff
+        self._pend = {b: [] for b in range(nbands)}
+        self._pend_rows = {b: 0 for b in range(nbands)}
+        self._written_rows = {b: 0 for b in range(nbands)}
+        self._offs = {b: [] for b in range(nbands)}
+        self._lens = {b: [] for b in range(nbands)}
+        self.f = open(path, "wb")
+        if bigtiff:
+            self.f.write(_II_BIG + struct.pack("<HHQ", 8, 0, 0))
+        else:
+            self.f.write(_II + struct.pack("<I", 0))
+
+    def write_rows(self, rows: np.ndarray, band: int = 0) -> None:
+        if rows.ndim != 2 or rows.shape[1] != self.ncols:
+            raise ValueError(f"expected (k, {self.ncols}) rows, got {rows.shape}")
+        self._pend[band].append(np.ascontiguousarray(rows, dtype=self.dtype))
+        self._pend_rows[band] += len(rows)
+        while self._pend_rows[band] >= self.rows_per_strip:
+            self._emit(band, self.rows_per_strip)
+
+    def _emit(self, band: int, take: int) -> None:
+        block = self._pend[band][0] if len(self._pend[band]) == 1 \
+            else np.concatenate(self._pend[band])
+        chunk, rest = block[:take], block[take:]
+        self._pend[band] = [rest] if len(rest) else []
+        self._pend_rows[band] = len(rest)
+        payload = _encode_block(chunk, self.wire, self.compress, self.predictor)
+        self._offs[band].append(self.f.tell())
+        self._lens[band].append(len(payload))
+        self.f.write(payload)
+        self._written_rows[band] += take
+
+    def close(self) -> None:
+        for b in range(self.nbands):
+            if self._pend_rows[b]:
+                self._emit(b, self._pend_rows[b])
+            if self._written_rows[b] != self.nrows:
+                self.f.close()
+                raise ValueError(
+                    f"band {b}: wrote {self._written_rows[b]} rows, "
+                    f"expected {self.nrows}"
+                )
+            n_expect = -(-self.nrows // self.rows_per_strip)
+            if len(self._offs[b]) != n_expect:
+                self.f.close()
+                raise ValueError(
+                    f"band {b}: {len(self._offs[b])} strips != {n_expect}"
+                )
+        off_type = TYPE_LONG8 if self.bigtiff else TYPE_LONG
+        all_offs = [o for b in range(self.nbands) for o in self._offs[b]]
+        all_lens = [n for b in range(self.nbands) for n in self._lens[b]]
+        entries = [
+            _pack_entry(T_WIDTH, TYPE_LONG, self.ncols),
+            _pack_entry(T_LENGTH, TYPE_LONG, self.nrows),
+            _pack_entry(T_BITSPERSAMPLE, TYPE_SHORT,
+                        [self.dtype.itemsize * 8] * self.nbands),
+            _pack_entry(T_COMPRESSION, TYPE_SHORT,
+                        _COMPRESSION_TAG[self.compress]),
+            _pack_entry(T_PHOTOMETRIC, TYPE_SHORT, 1),
+            _pack_entry(T_STRIPOFFSETS, off_type, all_offs),
+            _pack_entry(T_SAMPLESPERPIXEL, TYPE_SHORT, self.nbands),
+            _pack_entry(T_ROWSPERSTRIP, TYPE_LONG, self.rows_per_strip),
+            _pack_entry(T_STRIPBYTECOUNTS, off_type, all_lens),
+            _pack_entry(T_SAMPLEFORMAT, TYPE_SHORT,
+                        [_SAMPLEFORMAT[self.dtype.kind]] * self.nbands),
+        ]
+        if self.predictor == 2:
+            entries.append(_pack_entry(T_PREDICTOR, TYPE_SHORT, 2))
+        if self.nbands > 1:
+            entries.append(_pack_entry(T_PLANARCONFIG, TYPE_SHORT, 2))
+        entries += _geo_entries(self.transform, self.nullval, self.layer_type)
+        entries.sort(key=lambda e: e[0])
+        _finish_ifds(self.f, [entries], self.bigtiff)
+        self.f.close()
+
+
+class StreamingGtiffTiledWriter:
+    """Tiled streaming GeoTIFF writer with embedded strided overviews.
+
+    Single band. Feed consecutive full-res rows top-down; every level
+    (full-res + each 2**i overview, reference rule mosaic.py:646-658)
+    keeps at most one tile-row of pixels buffered; complete tile rows are
+    encoded and written immediately, IFDs land at close()."""
+
+    def __init__(self, path, nrows, ncols, dtype, transform, crs="",
+                 nullval=None, tile=256, min_overview_size=256,
+                 compress="deflate", predictor=1, layer_type=None,
+                 bigtiff=False):
+        dtype = np.dtype(dtype)
+        if dtype.kind not in _SAMPLEFORMAT:
+            raise ValueError(f"unsupported dtype {dtype}")
+        if predictor == 2 and dtype.kind == "f":
+            raise ValueError("Predictor=2 is integer-only (use 1 for floats)")
+        self.nrows, self.ncols = nrows, ncols
+        self.dtype = dtype
+        self.wire = dtype.newbyteorder("<") if dtype.itemsize > 1 else dtype
+        self.transform, self.crs = transform, crs
+        self.nullval, self.layer_type = nullval, layer_type
+        self.tile = tile
+        self.compress, self.predictor = compress, predictor
+        self.bigtiff = bigtiff
+        out_size = max(nrows, ncols)
+        self.levels = []
+        i = 2
+        while out_size // (2 ** i) >= min_overview_size:
+            self.levels.append(2 ** i)
+            i += 1
+        self._lv = [1] + self.levels
+        # per level: output dims (strided subsample shape), pending rows,
+        # recorded tile offsets/lengths
+        self._dims = []
+        for lvl in self._lv:
+            if lvl == 1:
+                self._dims.append((nrows, ncols))
+            else:
+                self._dims.append((
+                    len(range(lvl // 2, nrows, lvl)),
+                    len(range(lvl // 2, ncols, lvl)),
+                ))
+        self._buf = [[] for _ in self._lv]
+        self._buf_rows = [0 for _ in self._lv]
+        self._offs = [[] for _ in self._lv]
+        self._lens = [[] for _ in self._lv]
+        self._row = 0  # next full-res row index
+        self.f = open(path, "wb")
+        if bigtiff:
+            self.f.write(_II_BIG + struct.pack("<HHQ", 8, 0, 0))
+        else:
+            self.f.write(_II + struct.pack("<I", 0))
+
+    def write_rows(self, rows: np.ndarray) -> None:
+        if rows.ndim != 2 or rows.shape[1] != self.ncols:
+            raise ValueError(f"expected (k, {self.ncols}) rows, got {rows.shape}")
+        rows = np.ascontiguousarray(rows, dtype=self.dtype)
+        r0, k = self._row, len(rows)
+        for li, lvl in enumerate(self._lv):
+            if lvl == 1:
+                sub = rows
+            else:
+                # global rows r >= lvl//2 with (r - lvl//2) % lvl == 0
+                first = lvl // 2
+                if r0 > first:
+                    first += -(-(r0 - lvl // 2) // lvl) * lvl
+                if first >= r0 + k:
+                    continue
+                sub = rows[first - r0 :: lvl][:, lvl // 2 :: lvl]
+            if not len(sub):
+                continue
+            self._buf[li].append(sub)
+            self._buf_rows[li] += len(sub)
+            while self._buf_rows[li] >= self.tile:
+                self._emit_tile_row(li, self.tile)
+        self._row += k
+
+    def _emit_tile_row(self, li: int, take: int) -> None:
+        block = np.concatenate(self._buf[li]) if len(self._buf[li]) > 1 \
+            else self._buf[li][0]
+        chunk, rest = block[:take], block[take:]
+        self._buf[li] = [rest] if len(rest) else []
+        self._buf_rows[li] = len(rest)
+        t = self.tile
+        if chunk.shape[0] < t:
+            padded = np.zeros((t, chunk.shape[1]), dtype=self.dtype)
+            padded[: chunk.shape[0]] = chunk
+            chunk = padded
+        lc = self._dims[li][1]
+        for tc in range(-(-lc // t)):
+            blk = chunk[:, tc * t : (tc + 1) * t]
+            if blk.shape[1] < t:
+                p = np.zeros((t, t), dtype=self.dtype)
+                p[:, : blk.shape[1]] = blk
+                blk = p
+            payload = _encode_block(blk, self.wire, self.compress,
+                                    self.predictor)
+            self._offs[li].append(self.f.tell())
+            self._lens[li].append(len(payload))
+            self.f.write(payload)
+
+    def close(self) -> list[int]:
+        if self._row != self.nrows:
+            self.f.close()
+            raise ValueError(f"wrote {self._row} rows, expected {self.nrows}")
+        per_ifd = []
+        for li, lvl in enumerate(self._lv):
+            if self._buf_rows[li]:
+                self._emit_tile_row(li, self._buf_rows[li])
+            lr, lc = self._dims[li]
+            n_expect = -(-lr // self.tile) * -(-lc // self.tile)
+            if len(self._offs[li]) != n_expect:
+                self.f.close()
+                raise ValueError(
+                    f"level {lvl}: {len(self._offs[li])} tiles != {n_expect}"
+                )
+            off_type = TYPE_LONG8 if self.bigtiff else TYPE_LONG
+            entries = [
+                _pack_entry(T_WIDTH, TYPE_LONG, lc),
+                _pack_entry(T_LENGTH, TYPE_LONG, lr),
+                _pack_entry(T_BITSPERSAMPLE, TYPE_SHORT,
+                            self.dtype.itemsize * 8),
+                _pack_entry(T_COMPRESSION, TYPE_SHORT,
+                            _COMPRESSION_TAG[self.compress]),
+                _pack_entry(T_PHOTOMETRIC, TYPE_SHORT, 1),
+                _pack_entry(T_SAMPLESPERPIXEL, TYPE_SHORT, 1),
+                _pack_entry(T_SAMPLEFORMAT, TYPE_SHORT,
+                            _SAMPLEFORMAT[self.dtype.kind]),
+                _pack_entry(T_TILEWIDTH, TYPE_LONG, self.tile),
+                _pack_entry(T_TILELENGTH, TYPE_LONG, self.tile),
+                _pack_entry(T_TILEOFFSETS, off_type, self._offs[li]),
+                _pack_entry(T_TILEBYTECOUNTS, off_type, self._lens[li]),
+            ]
+            if self.predictor == 2:
+                entries.append(_pack_entry(T_PREDICTOR, TYPE_SHORT, 2))
+            if li > 0:
+                entries.append(_pack_entry(T_NEWSUBFILETYPE, TYPE_LONG, 1))
+            else:
+                entries += _geo_entries(self.transform, self.nullval,
+                                        self.layer_type)
+            entries.sort(key=lambda e: e[0])
+            per_ifd.append(entries)
+        _finish_ifds(self.f, per_ifd, self.bigtiff)
+        self.f.close()
+        return self.levels
 
 
 def _parse_ifd(data: bytes, ifd_off: int, big: bool = False):

@@ -334,3 +334,130 @@ def test_multiband_gtiff_roundtrip_and_export(ray_session):
             assert np.array_equal(
                 back[b], mosaic_array(res.tiles_ds, res.grid, band=b)
             )
+
+
+def test_streaming_writers_match_batch_writers(tmp_path):
+    """Streaming strip/tiled writers (data first, IFD at end) read back
+    identically to the batch writers, fed in awkward slab sizes that
+    straddle strip and tile boundaries."""
+    from moaray.sinks.gtiff import (
+        StreamingGtiffTiledWriter,
+        StreamingGtiffWriter,
+        read_gtiff,
+        read_gtiff_full,
+        read_layer_type,
+    )
+
+    gt = (300000.0, 10.0, 0.0, 7000000.0, 0.0, -10.0)
+    rng = np.random.RandomState(9)
+    arr = (rng.rand(701, 530) * 60000).astype(np.uint16)
+    slab_sizes = [1, 63, 64, 100, 256, 7, 210]  # sums to 701
+
+    for bigtiff in (False, True):
+        for comp in (None, "deflate", "lzw"):
+            p = str(tmp_path / f"s_{bigtiff}_{comp}.tif")
+            w = StreamingGtiffWriter(
+                p, 701, 530, np.uint16, gt, "EPSG:32756", 0.0,
+                rows_per_strip=96, compress=comp,
+                predictor=2 if comp else 1, layer_type="athematic",
+                bigtiff=bigtiff,
+            )
+            r = 0
+            for k in slab_sizes:
+                w.write_rows(arr[r : r + k])
+                r += k
+            w.close()
+            back, t, nd = read_gtiff(p)
+            assert np.array_equal(back, arr) and t == gt and nd == 0.0
+            assert read_layer_type(p) == "athematic"
+
+        pt = str(tmp_path / f"t_{bigtiff}.tif")
+        wt = StreamingGtiffTiledWriter(
+            pt, 701, 530, np.uint16, gt, "EPSG:32756", 0.0,
+            tile=256, min_overview_size=128, compress="deflate",
+            predictor=2, bigtiff=bigtiff,
+        )
+        r = 0
+        for k in slab_sizes:
+            wt.write_rows(arr[r : r + k])
+            r += k
+        levels = wt.close()
+        full, ovs, t2, nd2 = read_gtiff_full(pt)
+        assert np.array_equal(full, arr) and t2 == gt and nd2 == 0.0
+        assert levels == [4] and len(ovs) == 1
+        assert np.array_equal(ovs[0], arr[2::4, 2::4])
+
+
+def test_streaming_multiband_planar(tmp_path):
+    from moaray.sinks.gtiff import StreamingGtiffWriter, read_gtiff
+
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    rng = np.random.RandomState(3)
+    arr = (rng.rand(3, 130, 77) * 60000).astype(np.uint16)
+    p = str(tmp_path / "mb_stream.tif")
+    w = StreamingGtiffWriter(p, 130, 77, np.uint16, gt, nbands=3,
+                             rows_per_strip=48, compress="deflate",
+                             predictor=2)
+    # interleave bands out of order on purpose — offsets are per band
+    for r in range(0, 130, 13):
+        for b in (2, 0, 1):
+            w.write_rows(arr[b, r : r + 13], band=b)
+    w.close()
+    back, t, _ = read_gtiff(p)
+    assert back.shape == (3, 130, 77) and np.array_equal(back, arr)
+
+
+def test_export_gtiff_driver_memory_is_bounded(tmp_path):
+    """The export path must never build the full canvas on the driver:
+    feeding a 64 MB-canvas image through the streaming writer in slabs
+    keeps Python-side peak allocation far below the canvas size."""
+    import tracemalloc
+
+    from moaray.sinks.gtiff import StreamingGtiffTiledWriter, read_gtiff
+
+    nrows = ncols = 5760  # ~64 MB uint16 canvas (multiple of the slab height)
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    p = str(tmp_path / "big_stream.tif")
+    row_vals = (np.arange(ncols, dtype=np.uint16) % 251) + 1
+    tracemalloc.start()
+    w = StreamingGtiffTiledWriter(p, nrows, ncols, np.uint16, gt,
+                                  nullval=0.0, tile=256,
+                                  min_overview_size=512,
+                                  compress="deflate", predictor=2)
+    slab = np.tile(row_vals, (64, 1))
+    for _r in range(0, nrows, 64):
+        w.write_rows(slab)
+    w.close()
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    canvas_bytes = nrows * ncols * 2
+    assert peak < canvas_bytes // 4, (peak, canvas_bytes)
+    arr, _t, _nd = read_gtiff(p)
+    assert arr.shape == (nrows, ncols)
+    assert np.array_equal(arr[17], row_vals)
+
+
+def test_export_gtiff_streams_without_mosaic_array(tmp_path, ray_session,
+                                                   monkeypatch):
+    """export_gtiff must not fall back to the full-canvas helper."""
+    import moaray.pipelines.mosaic as mz
+
+    layout = Layout("grid3x3", 9, 64)
+    _grid, truth = oracle_mosaic(layout)
+    res = do_mosaic(
+        images_path(layout),
+        MosaicConfig(layout=layout, blocksize=64, do_pyramids=False),
+    )
+
+    def boom(*_a, **_k):
+        raise AssertionError("export_gtiff materialized the full canvas")
+
+    monkeypatch.setattr(mz, "mosaic_array", boom)
+    p = str(tmp_path / "stream.tif")
+    export_gtiff(res, p, tiled=True, min_overview_size=32)
+    from moaray.sinks.gtiff import read_gtiff_full
+
+    full, ovs, _t, _nd = read_gtiff_full(p)
+    assert (full == truth).all()
+    assert len(ovs) >= 1
+    assert np.array_equal(ovs[0], truth[2::4, 2::4])
