@@ -246,66 +246,157 @@ def extent_union(meta_ds):
     )
 
 
-def revenue_by_nation(orders_ds, customer_path: str, nation_path: str):
-    """Revenue per nation: the BROADCAST-JOIN pattern. The small sides
-    (customer -> nationkey, nation -> name) are read once driver-side,
-    shipped to the object store via ray.put, and looked up inside every
-    orders batch — no shuffle join for a dimension-table join (SURVEY.md
-    §4.2 'broadcast small sides'). Orders stream; partial per-nation sums
-    combine through a tiny groupby."""
+def _order_cents(batch: pa.Table) -> pa.Array:
+    """o_totalprice -> exact integer cents: immune to float summation
+    order + rounding mode (see pricing_summary)."""
+    return pc.cast(
+        pc.round(
+            pc.multiply(batch["o_totalprice"], pa.scalar(100.0)),
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
+
+
+def _nation_final(group: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "n_name": [group["n_name"][0].as_py()],
+            "revenue": [int(pc.sum(group["revenue"]).as_py()) / 100.0],
+            "n_orders": [int(pc.sum(group["n_orders"]).as_py())],
+        }
+    )
+
+
+def revenue_by_nation(orders_ds, customer_path: str, nation_path: str,
+                      num_partitions: int = 32,
+                      broadcast_limit: int = 5_000_000):
+    """Revenue per nation with size-aware join dispatch (same pattern as
+    revenue_by_priority — customer is NOT a dimension table, it scales
+    with SF: 15M rows at sf100).
+
+    - customer <= ``broadcast_limit`` rows (parquet footer count): the
+      (c_custkey, c_nationkey) pair ships ONCE via ray.put as a sorted
+      int64 key array + int32 nation codes (~12 bytes/row vs ~100 for a
+      Python dict entry), probed per orders batch with np.searchsorted —
+      vectorized, no per-row Python loop; unmatched keys drop
+      (inner-join semantics).
+    - above the limit: Ray's distributed hash join orders x customer on
+      the custkey (partitions capped to CPU slots), with a per-batch
+      per-custkey combiner shrinking the probe side before the shuffle.
+
+    nation (25 rows, fixed) always broadcasts. Both paths are
+    pytest-asserted equal."""
     import pyarrow.parquet as pq
     import ray
 
-    cust = pq.read_table(customer_path, columns=["c_custkey", "c_nationkey"])
     nat = pq.read_table(nation_path, columns=["n_nationkey", "n_name"])
-    cust_map = dict(
-        zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
-    )
-    nat_map = dict(
-        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
-    )
-    ref = ray.put((cust_map, nat_map))
+    nk = nat["n_nationkey"].to_numpy()
+    max_nk = int(nk.max()) if len(nk) else 0
+    name_by_nk: list = [None] * (max_nk + 1)
+    for k, nm in zip(nk, nat["n_name"].to_pylist()):
+        name_by_nk[int(k)] = nm
 
-    def partial(batch: pa.Table) -> pa.Table:
-        cmap, nmap = ray.get(ref)
-        custkeys = batch["o_custkey"].to_pylist()
-        # .get(): a fact row with no dimension match DROPS, mirroring the
-        # inner-join SQL semantics instead of KeyError-ing the task
-        names = [nmap.get(cmap.get(c)) for c in custkeys]
-        # exact integer cents: immune to float summation order + rounding
-        # mode (see pricing_summary)
-        cents = pc.cast(
-            pc.round(
-                pc.multiply(batch["o_totalprice"], pa.scalar(100.0)),
-                round_mode="half_towards_infinity",
-            ),
-            pa.int64(),
+    try:
+        n_cust = pq.ParquetFile(customer_path).metadata.num_rows
+    except Exception:
+        n_cust = 1 << 62
+
+    if n_cust <= broadcast_limit:
+        cust = pq.read_table(
+            customer_path, columns=["c_custkey", "c_nationkey"]
+        )
+        ckeys = cust["c_custkey"].to_numpy()
+        codes = cust["c_nationkey"].to_numpy().astype(np.int32)
+        order_idx = np.argsort(ckeys, kind="stable")
+        ref = ray.put((ckeys[order_idx], codes[order_idx], name_by_nk))
+
+        def bcast_partial(batch: pa.Table) -> pa.Table:
+            skeys, snk, names = ray.get(ref)
+            bkeys = batch["o_custkey"].to_numpy()
+            pos = np.searchsorted(skeys, bkeys)
+            pos_c = np.clip(pos, 0, max(len(skeys) - 1, 0))
+            hit = (skeys[pos_c] == bkeys) if len(skeys) else np.zeros(
+                len(bkeys), bool
+            )
+            cents = _order_cents(batch).to_numpy()[hit]
+            code = snk[pos_c[hit]]
+            sums = np.zeros(len(names), dtype=np.int64)
+            cnts = np.zeros(len(names), dtype=np.int64)
+            np.add.at(sums, code, cents)
+            np.add.at(cnts, code, 1)
+            nz = [i for i in np.nonzero(cnts)[0] if names[i] is not None]
+            return pa.table(
+                {
+                    "n_name": pa.array([names[i] for i in nz], pa.string()),
+                    "revenue": pa.array(sums[nz], pa.int64()),
+                    "n_orders": pa.array(cnts[nz], pa.int64()),
+                }
+            )
+
+        return (
+            orders_ds.select_columns(["o_custkey", "o_totalprice"])
+            .map_batches(bcast_partial, batch_format="pyarrow")
+            .groupby("n_name")
+            .map_groups(_nation_final, batch_format="pyarrow")
+        )
+
+    # --- large build side: distributed hash join ------------------------
+    from ..io import read_parquet_clean
+
+    cust_ds = read_parquet_clean(
+        customer_path, columns=["c_custkey", "c_nationkey"]
+    )
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    num_partitions = max(2, min(num_partitions, cpus))
+
+    def orders_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"o_custkey": batch["o_custkey"], "cents": _order_cents(batch)}
+        )
+        g = t.group_by("o_custkey").aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return g.rename_columns(["o_custkey", "cents", "n_orders"])
+
+    opart = orders_ds.select_columns(
+        ["o_custkey", "o_totalprice"]
+    ).map_batches(orders_partial, batch_format="pyarrow")
+
+    joined = opart.join(
+        cust_ds,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        code = batch["c_nationkey"].to_numpy().astype(np.int64)
+        names = pa.array(
+            [name_by_nk[c] if 0 <= c < len(name_by_nk) else None
+             for c in code],
+            pa.string(),
         )
         t = pa.table(
             {
-                "n_name": pa.array(names, pa.string()),
-                "cents": cents,
+                "n_name": names,
+                "cents": batch["cents"],
+                "n_orders": batch["n_orders"],
             }
-        ).filter(pc.is_valid(pa.array(names, pa.string())))
+        ).filter(pc.is_valid(names))
         g = t.group_by("n_name").aggregate(
-            [("cents", "sum"), ("cents", "count")]
+            [("cents", "sum"), ("n_orders", "sum")]
         )
         return g.rename_columns(["n_name", "revenue", "n_orders"])
 
-    def final(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "n_name": [group["n_name"][0].as_py()],
-                "revenue": [int(pc.sum(group["revenue"]).as_py()) / 100.0],
-                "n_orders": [int(pc.sum(group["n_orders"]).as_py())],
-            }
-        )
-
     return (
-        orders_ds.select_columns(["o_custkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pyarrow")
+        joined.map_batches(nation_partial, batch_format="pyarrow")
         .groupby("n_name")
-        .map_groups(final, batch_format="pyarrow")
+        .map_groups(_nation_final, batch_format="pyarrow")
     )
 
 

@@ -508,6 +508,27 @@ def test_revenue_by_priority_join_paths_agree(ray_session):
     assert bcast.equals(joined)
 
 
+def test_revenue_by_nation_join_paths_agree(ray_session):
+    """Size-aware dispatch (customer scales with SF — 15M rows at sf100):
+    the broadcast (searchsorted) path and the distributed hash-join path
+    must produce identical rows."""
+    from moaray.io import read_parquet_clean
+    from moaray.ops.relational import revenue_by_nation
+
+    sf = "/root/testdata/sf0.001"
+    orders = f"{sf}/orders.parquet"
+    cust = f"{sf}/customer.parquet"
+    nat = f"{sf}/nation.parquet"
+    bcast = revenue_by_nation(
+        read_parquet_clean(orders), cust, nat
+    ).to_pandas().sort_values("n_name").reset_index(drop=True)
+    joined = revenue_by_nation(
+        read_parquet_clean(orders), cust, nat, broadcast_limit=0
+    ).to_pandas().sort_values("n_name").reset_index(drop=True)
+    assert bcast.equals(joined)
+    assert len(bcast) > 1 and (bcast["revenue"] > 0).all()
+
+
 def test_kmeans_fit_reduces_inertia(ray_session):
     """Lloyd iterations must not increase spherical inertia (sum of 1 -
     max-cosine to the assigned centroid)."""
