@@ -153,39 +153,58 @@ def is_geographic(crs: str) -> bool:
     return crs == "EPSG:4326"
 
 
+def _geodetic_system(crs: str):
+    """(to_geo, from_geo) pair for a recognized curvilinear CRS, where
+    to_geo(xs, ys) -> (lat, lon) and from_geo(lat, lon) -> (xs, ys) in
+    GDAL traditional x/y order; "geo" for EPSG:4326 itself; None for
+    anything affine."""
+    if is_geographic(crs):
+        return "geo"
+    u = parse_utm(crs)
+    if u is not None:
+        lon0, fn = u
+        return (
+            lambda xs, ys: tm_inverse(xs, ys, lon0, false_n=fn),
+            lambda lat, lon: tm_forward(lat, lon, lon0, false_n=fn),
+        )
+    from .lcc import lcc_forward, lcc_inverse, parse_lcc
+
+    p = parse_lcc(crs)
+    if p is not None:
+        return (
+            lambda xs, ys: lcc_inverse(xs, ys, p),
+            lambda lat, lon: lcc_forward(lat, lon, p),
+        )
+    return None
+
+
 def geodetic_transformer(src_crs: str, dst_crs: str):
     """Callable (xs, ys) -> (xs', ys') when BOTH CRSs are recognized
-    geodetic/UTM systems and differ; None otherwise (caller falls back to
-    the affine model). x/y follow GDAL traditional order: x=lon/easting,
-    y=lat/northing."""
+    geodetic/projected systems (EPSG:4326, UTM via moaray/tmerc.py,
+    Lambert Conformal Conic via moaray/lcc.py) and differ; None otherwise
+    (caller falls back to the affine model). x/y follow GDAL traditional
+    order: x=lon/easting, y=lat/northing. Any pair routes through the
+    geographic pivot: src -> (lat, lon) -> dst."""
     if src_crs == dst_crs:
         return None
-    su, du = parse_utm(src_crs), parse_utm(dst_crs)
-    sg, dg = is_geographic(src_crs), is_geographic(dst_crs)
-    if sg and du is not None:
-        lon0, fn = du
+    ssys = _geodetic_system(src_crs)
+    dsys = _geodetic_system(dst_crs)
+    if ssys is None or dsys is None:
+        return None
 
-        def fwd(xs, ys):
-            e, n = tm_forward(ys, xs, lon0, false_n=fn)
-            return e, n
-
-        return fwd
-    if su is not None and dg:
-        lon0, fn = su
-
-        def inv(xs, ys):
-            lat, lon = tm_inverse(xs, ys, lon0, false_n=fn)
+    if ssys == "geo":
+        def to_geo(xs, ys):
+            return ys, xs
+    else:
+        to_geo = ssys[0]
+    if dsys == "geo":
+        def from_geo(lat, lon):
             return lon, lat
+    else:
+        from_geo = dsys[1]
 
-        return inv
-    if su is not None and du is not None:
-        slon0, sfn = su
-        dlon0, dfn = du
+    def chain(xs, ys):
+        lat, lon = to_geo(xs, ys)
+        return from_geo(lat, lon)
 
-        def chain(xs, ys):
-            lat, lon = tm_inverse(xs, ys, slon0, false_n=sfn)
-            e, n = tm_forward(lat, lon, dlon0, false_n=dfn)
-            return e, n
-
-        return chain
-    return None
+    return chain

@@ -563,3 +563,139 @@ def test_mosaic_latlon_to_utm_bilinear(ray_session, tmp_path):
     assert nz.sum() > 1000
     diff = np.abs(near[nz].astype(np.int64) - bil[nz].astype(np.int64))
     assert diff.max() <= 200 and (diff > 0).any()
+
+
+# ---------------------------------------------------------------------------
+# Lambert Conformal Conic (moaray/lcc.py)
+
+
+def test_lcc_definitional_anchors():
+    """Anchors derivable from the public LCC-2SP definition (Snyder PP1395
+    15-1..15-10): the false origin maps to (FE, FN), the scale factor is
+    exactly 1 on BOTH standard parallels, E/W symmetry about the central
+    meridian holds, and forward/inverse round-trip to ~1e-13 deg. Plus the
+    well-known Lambert-93 coordinates of central Paris."""
+    from moaray.lcc import _A, _E as _ecc, lcc_forward, lcc_inverse, parse_lcc
+
+    p = parse_lcc("EPSG:2154")  # RGF93 / Lambert-93
+    E, N = lcc_forward(np.array([46.5]), np.array([3.0]), p)
+    assert abs(E[0] - 700000.0) < 1e-6 and abs(N[0] - 6600000.0) < 1e-6
+    # k == 1 on the standard parallels (numeric derivative vs meridional
+    # radius of curvature, same construction as the TM anchor test)
+    d = 1e-7
+    for latsp in (49.0, 44.0):
+        _e1, n1 = lcc_forward(np.array([latsp]), np.array([3.0]), p)
+        _e2, n2 = lcc_forward(np.array([latsp + d]), np.array([3.0]), p)
+        e2 = _ecc ** 2
+        M = _A * (1 - e2) / (1 - e2 * np.sin(np.deg2rad(latsp)) ** 2) ** 1.5
+        k = abs(n2[0] - n1[0]) / np.deg2rad(d) / M
+        assert abs(k - 1.0) < 1e-6, latsp
+    # E/W symmetry
+    Ea, Na = lcc_forward(np.array([45.0]), np.array([1.0]), p)
+    Eb, Nb = lcc_forward(np.array([45.0]), np.array([5.0]), p)
+    assert abs((Ea[0] - 700000.0) + (Eb[0] - 700000.0)) < 1e-6
+    assert abs(Na[0] - Nb[0]) < 1e-6
+    # well-known Lambert-93 value: central Paris (48.8566N, 2.3522E)
+    E, N = lcc_forward(np.array([48.8566]), np.array([2.3522]), p)
+    assert abs(E[0] - 652469.0) < 5.0 and abs(N[0] - 6862035.0) < 5.0
+    # grid round trip
+    la = np.linspace(41, 51, 25)
+    lo = np.linspace(-5, 10, 25)
+    LA, LO = np.meshgrid(la, lo)
+    E, N = lcc_forward(LA, LO, p)
+    la2, lo2 = lcc_inverse(E, N, p)
+    assert np.abs(la2 - LA).max() < 1e-11
+    assert np.abs(lo2 - LO).max() < 1e-11
+
+
+def test_lcc_parametric_and_routing():
+    from moaray.crs import point_transformer
+    from moaray.lcc import parse_lcc
+
+    import pytest as _pytest
+
+    # parametric form with and without false origin
+    p = parse_lcc("LCC:49,77,49,-95")
+    assert (p.lat1, p.lat2, p.lat0, p.lon0, p.fe, p.fn) == (
+        49.0, 77.0, 49.0, -95.0, 0.0, 0.0)
+    assert parse_lcc("LCC:49,44,46.5,3,700000,6600000").fe == 700000.0
+    with _pytest.raises(ValueError, match="LCC"):
+        parse_lcc("LCC:1,2,3")
+    assert parse_lcc("EPSG:32756") is None  # UTM is not LCC
+    # routing: 4326 <-> LCC, LCC <-> UTM chain through the geographic pivot
+    fn = point_transformer("EPSG:4326", "EPSG:2154")
+    x, y = fn(np.array([3.0]), np.array([46.5]))
+    assert abs(x[0] - 700000.0) < 1e-6 and abs(y[0] - 6600000.0) < 1e-6
+    back = point_transformer("EPSG:2154", "EPSG:4326")
+    lo, la = back(x, y)
+    assert abs(lo[0] - 3.0) < 1e-11 and abs(la[0] - 46.5) < 1e-11
+    chain = point_transformer("EPSG:2154", "EPSG:32631")
+    from moaray.tmerc import tm_forward
+
+    ex, ey = chain(x, y)
+    te, tn = tm_forward(np.array([46.5]), np.array([3.0]), 3.0)
+    assert abs(ex[0] - te[0]) < 1e-6 and abs(ey[0] - tn[0]) < 1e-6
+    # same CRS or affine pairs stay on the exact affine fast path
+    assert point_transformer("EPSG:2154", "EPSG:2154") is None
+    assert point_transformer("AFFINE:0,2,0,0,0,2", "EPSG:2154") is None
+
+
+def test_mosaic_latlon_to_lcc_nearest(ray_session, tmp_path):
+    """End-to-end conic warp: an EPSG:4326 catalog mosaicked onto a
+    Lambert-93 grid; every output pixel must equal the source pixel its
+    LCC-center inverse-projects into (nearest), nulls outside — the same
+    independent per-pixel oracle as the UTM test."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from moaray import MosaicConfig, codecs, do_mosaic
+    from moaray.lcc import lcc_inverse, parse_lcc
+    from moaray.pipelines.mosaic import mosaic_array
+
+    size = 64
+    ramp = np.tile(np.arange(size, dtype=np.uint16), (size, 1))
+    ramp[:, 0] = 0
+    gt = (2.30, 0.001, 0.0, 48.90, 0.0, -0.001)  # ~70-110m pixels near Paris
+    tbl = pa.table(
+        {
+            "image_id": pa.array(["ll0000"], pa.string()),
+            "bytes": pa.array([codecs.encode(ramp, "z16")], pa.binary()),
+            "w": pa.array([size], pa.int32()),
+            "h": pa.array([size], pa.int32()),
+            "fmt": pa.array(["z16"], pa.string()),
+            "gt": pa.array([list(gt)], pa.list_(pa.float64(), 6)),
+            "crs": pa.array(["EPSG:4326"], pa.string()),
+            "nullval": pa.array([0.0], pa.float64()),
+            "seq": pa.array([0], pa.int64()),
+        }
+    )
+    path = str(tmp_path / "ll_lcc")
+    os.makedirs(path)
+    pq.write_table(tbl, os.path.join(path, "p.parquet"))
+
+    cfg = MosaicConfig(
+        blocksize=32, out_crs="EPSG:2154", out_xres=100.0, out_yres=100.0,
+        resample="near", do_pyramids=False, do_stats=False,
+    )
+    res = do_mosaic(path, cfg)
+    assert res.grid.crs == "EPSG:2154"
+    got = mosaic_array(res.tiles_ds, res.grid)
+
+    # independent per-pixel oracle: output LCC center -> lat/lon -> src px
+    t = res.grid.transform
+    rows = np.arange(res.grid.nrows, dtype=np.float64) + 0.5
+    cols = np.arange(res.grid.ncols, dtype=np.float64) + 0.5
+    cg, rg = np.meshgrid(cols, rows)
+    px = t[0] + t[1] * cg
+    py = t[3] + t[5] * rg
+    lat, lon = lcc_inverse(px, py, parse_lcc("EPSG:2154"))
+    sc = np.floor((lon - gt[0]) / gt[1]).astype(np.int64)
+    sr = np.floor((lat - gt[3]) / gt[5]).astype(np.int64)
+    truth = np.zeros_like(got)
+    valid = (sr >= 0) & (sr < size) & (sc >= 0) & (sc < size)
+    truth[valid] = ramp[sr[valid], sc[valid]]
+    assert got.shape == truth.shape
+    assert (got == truth).all()
+    assert (got != 0).sum() > 1000  # the warp bent real data in
