@@ -8,6 +8,85 @@ import os
 import pyarrow as pa
 
 
+def resolve_filesystem(path: str):
+    """(filesystem | None, normalized path) for a catalog location.
+
+    ``s3://bucket/key`` builds a pyarrow S3FileSystem honoring the
+    standard AWS environment (credentials + ``AWS_ENDPOINT_URL_S3`` /
+    ``AWS_ENDPOINT_URL`` for S3-compatible endpoints — MinIO, Ceph RGW,
+    or the in-test moto server). This is the reference's raison d'être
+    (it mosaics straight from /vsis3/, ref moamosaic/__init__.py:4-7):
+    at 100 TB the object store is the only input path that matters.
+    ``file://`` strips to a local path; anything else returns (None,
+    path) and stays on the local fast path."""
+    if path.startswith("file://"):
+        return None, path[len("file://"):]
+    if path.startswith("s3://"):
+        from pyarrow import fs as pafs
+
+        endpoint = os.environ.get("AWS_ENDPOINT_URL_S3") or os.environ.get(
+            "AWS_ENDPOINT_URL"
+        )
+        kwargs: dict = {}
+        if endpoint:
+            if "://" in endpoint:
+                kwargs["scheme"], endpoint = endpoint.split("://", 1)
+            kwargs["endpoint_override"] = endpoint
+        region = os.environ.get("AWS_REGION") or os.environ.get(
+            "AWS_DEFAULT_REGION"
+        )
+        if region:
+            kwargs["region"] = region
+        # bake credentials into the filesystem object explicitly: the fs
+        # is pickled into every Ray read task, and workers may not carry
+        # the driver's credential environment
+        ak = os.environ.get("AWS_ACCESS_KEY_ID")
+        sk = os.environ.get("AWS_SECRET_ACCESS_KEY")
+        if ak and sk:
+            kwargs["access_key"] = ak
+            kwargs["secret_key"] = sk
+            tok = os.environ.get("AWS_SESSION_TOKEN")
+            if tok:
+                kwargs["session_token"] = tok
+        return pafs.S3FileSystem(**kwargs), path[len("s3://"):]
+    if "://" in path:
+        from pyarrow import fs as pafs
+
+        return pafs.FileSystem.from_uri(path)
+    return None, path
+
+
+def catalog_files(path: str) -> tuple[object | None, list[str]]:
+    """(filesystem | None, sorted parquet file list) for a catalog that
+    may be one file, a directory of ``*.parquet``, or an object-store
+    prefix — the shared footer-peek resolver for the driver-side helpers
+    (column pruning, row counts, band sets)."""
+    fs, p = resolve_filesystem(path)
+    if fs is None:
+        if os.path.isdir(p):
+            return None, sorted(glob.glob(os.path.join(p, "*.parquet")))
+        return None, [p]
+    from pyarrow import fs as pafs
+
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.Directory:
+        sel = pafs.FileSelector(p, recursive=False)
+        return fs, sorted(
+            f.path for f in fs.get_file_info(sel)
+            if f.path.endswith(".parquet")
+        )
+    return fs, [p]
+
+
+def parquet_file(fs, f: str):
+    """pyarrow.parquet.ParquetFile over a local path or a filesystem."""
+    import pyarrow.parquet as pq
+
+    if fs is None:
+        return pq.ParquetFile(f)
+    return pq.ParquetFile(fs.open_input_file(f))
+
+
 def read_parquet_clean(path, columns: list[str] | None = None):
     """read_parquet with the pandas schema metadata stripped AT THE SCAN.
 

@@ -52,20 +52,15 @@ OPTIONAL_META_COLS = ["gt", "crs", "nullval", "seq", "dtype", "layer_type"]
 
 
 def meta_columns(images_path: str) -> list[str]:
-    """Pruned metadata column list for this table (footer peek only)."""
-    import glob as _glob
-    import os as _os
+    """Pruned metadata column list for this table (footer peek only; local
+    paths and s3:// prefixes alike via io.catalog_files)."""
+    from ..io import catalog_files, parquet_file
 
-    import pyarrow.parquet as _pq
-
-    f = images_path
-    if _os.path.isdir(images_path):
-        files = sorted(_glob.glob(_os.path.join(images_path, "*.parquet")))
+    try:
+        fs, files = catalog_files(images_path)
         if not files:
             return IMAGE_META_COLS
-        f = files[0]
-    try:
-        names = set(_pq.ParquetFile(f).schema_arrow.names)
+        names = set(parquet_file(fs, files[0]).schema_arrow.names)
     except Exception:
         return IMAGE_META_COLS
     return IMAGE_META_COLS + [c for c in OPTIONAL_META_COLS if c in names]
@@ -75,47 +70,41 @@ def _bands_of(images_path: str) -> list[int]:
     """Distinct band ids from the catalog's band column (single-column
     driver-side read; bands are [0] when the column is absent). At extreme
     catalog sizes the band set is known from schema metadata instead."""
-    import glob as _glob
-    import os as _os
-
     import pyarrow.parquet as _pq
 
-    f = images_path
-    if _os.path.isdir(images_path):
-        files = sorted(_glob.glob(_os.path.join(images_path, "*.parquet")))
+    from ..io import catalog_files, parquet_file
+
+    try:
+        fs, files = catalog_files(images_path)
         if not files:
             return [0]
-        f = files[0]
-    try:
-        names = set(_pq.ParquetFile(f).schema_arrow.names)
+        names = set(parquet_file(fs, files[0]).schema_arrow.names)
     except Exception:
         return [0]
     if "band" not in names:
         return [0]
     if _parquet_num_rows(images_path) <= 1_000_000:
-        tbl = _pq.read_table(images_path, columns=["band"])
+        tbl = _pq.read_table(
+            files if fs is not None else images_path,
+            columns=["band"], filesystem=fs,
+        )
         return sorted(set(tbl["band"].to_pylist()))
     # extreme catalogs: distributed unique() — only the distinct band ids
     # reach the driver (round-1 ADVICE)
     return sorted(
-        ray.data.read_parquet(images_path, columns=["band"]).unique("band")
+        read_images(images_path, columns=["band"]).unique("band")
     )
 
 
 def _first_meta(images_path: str, layout):
     """Metadata of the first image (row 0 of the first fragment) — supplies
     warp default resolution (ref reproj.py:183-192) without a Ray execution."""
-    import glob as _glob
-    import os as _os
-
-    import pyarrow.parquet as _pq
-
+    from ..io import catalog_files, parquet_file
     from ..stages.plan import metas_from_batch
 
-    f = images_path
-    if _os.path.isdir(images_path):
-        f = sorted(_glob.glob(_os.path.join(images_path, "*.parquet")))[0]
-    tbl = _pq.ParquetFile(f).read_row_group(0, columns=meta_columns(images_path))
+    fs, files = catalog_files(images_path)
+    pf = parquet_file(fs, files[0])
+    tbl = pf.read_row_group(0, columns=meta_columns(images_path))
     return metas_from_batch(tbl.slice(0, 1), layout)[0][1]
 
 
@@ -225,22 +214,19 @@ def read_images(images_path: str, columns: list[str] | None = None):
                 "which is not installed in this environment; materialize "
                 "the table as parquet instead"
             ) from exc
-    return ray.data.read_parquet(images_path, columns=columns)
+    from ..io import resolve_filesystem
+
+    fs, p = resolve_filesystem(images_path)
+    return ray.data.read_parquet(p, columns=columns, filesystem=fs)
 
 
 def _parquet_num_rows(images_path: str) -> int:
     """Row count straight from parquet footers — no Ray execution."""
-    import glob as _glob
-    import os as _os
+    from ..io import catalog_files, parquet_file
 
-    import pyarrow.parquet as _pq
-
-    if _os.path.isdir(images_path):
-        files = _glob.glob(_os.path.join(images_path, "*.parquet"))
-    else:
-        files = [images_path]
     try:
-        return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+        fs, files = catalog_files(images_path)
+        return sum(parquet_file(fs, f).metadata.num_rows for f in files)
     except Exception:
         return 1 << 62  # unknown -> fall back to distributed planning
 
