@@ -154,20 +154,14 @@ def _update_content_id(images_path: str) -> str:
     rather than silently no-op'd. Streams the bytes column one row-group
     at a time; the delta is <= driver_plan_limit rows by the caller's
     guard, so this stays a bounded local read."""
-    import glob as _glob
     import hashlib as _hashlib
-    import os as _os
 
-    import pyarrow.parquet as _pq
+    from ..io import catalog_files, parquet_file
 
-    files = (
-        sorted(_glob.glob(_os.path.join(images_path, "*.parquet")))
-        if _os.path.isdir(images_path)
-        else [images_path]
-    )
+    fs, files = catalog_files(images_path)
     triples = []
     for f in files:
-        pf = _pq.ParquetFile(f)
+        pf = parquet_file(fs, f)
         names = set(pf.schema_arrow.names)
         cols = ["image_id"] + (["seq"] if "seq" in names else []) + (
             ["bytes"] if "bytes" in names else []
@@ -231,12 +225,15 @@ def update_mosaic(
     from ..stages.plan import metas_from_batch
 
     cols = meta_columns(images_path)
+    from ..io import resolve_filesystem as _rfs
+
+    _fs, _p = _rfs(images_path)
     try:
         # band is not a planning column (meta_columns prunes it) but the
         # affected-key set is per (tile, band) — read it when present
-        tbl = _pq.read_table(images_path, columns=cols + ["band"])
+        tbl = _pq.read_table(_p, columns=cols + ["band"], filesystem=_fs)
     except Exception:
-        tbl = _pq.read_table(images_path, columns=cols)
+        tbl = _pq.read_table(_p, columns=cols, filesystem=_fs)
     pairs = metas_from_batch(tbl, cfg.layout)
     new_bands = (
         sorted(set(tbl["band"].to_pylist()))
@@ -594,10 +591,13 @@ def extend_mosaic(
     res = grid.transform[1]
 
     cols = meta_columns(images_path)
+    from ..io import resolve_filesystem as _rfs
+
+    _fs, _p = _rfs(images_path)
     try:
-        tbl = _pq.read_table(images_path, columns=cols + ["band"])
+        tbl = _pq.read_table(_p, columns=cols + ["band"], filesystem=_fs)
     except Exception:
-        tbl = _pq.read_table(images_path, columns=cols)
+        tbl = _pq.read_table(_p, columns=cols, filesystem=_fs)
     pairs = metas_from_batch(tbl, cfg.layout)
     if cfg.validate_projections:
         from ..crs import ProjectionError

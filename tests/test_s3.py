@@ -126,3 +126,48 @@ def test_resolve_filesystem_local_paths_untouched():
     assert fs is None and p == "/tmp/x"
     fs, p = resolve_filesystem("file:///tmp/x")
     assert fs is None and p == "/tmp/x"
+
+
+def test_update_mosaic_delta_over_s3(ray_session, s3_endpoint, tmp_path):
+    """Incremental update with the DELTA catalog on s3://: the content-id
+    guard, driver-side planning reads and the window decode all route
+    through the object store; result equals the local-delta update."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from moaray import MosaicConfig, do_mosaic
+    from moaray.pipelines.mosaic import mosaic_array
+    from moaray.pipelines.update import update_mosaic
+    from moaray.testgen import Layout, gen_images_table
+
+    layout = Layout("grid3x3", 9, 64)
+    tbl = gen_images_table(layout)
+    base_dir = tmp_path / "base"
+    base_dir.mkdir()
+    pq.write_table(tbl.take(pa.array([0, 1, 2, 3, 5, 6, 7, 8])),
+                   str(base_dir / "p.parquet"))
+    delta = tbl.take(pa.array([4]))
+    buf = io.BytesIO()
+    pq.write_table(delta, buf)
+    client = boto3.client("s3", endpoint_url=s3_endpoint,
+                          region_name="us-east-1")
+    client.create_bucket(Bucket="moaray-upd")
+    client.put_object(Bucket="moaray-upd", Key="delta/p.parquet",
+                      Body=buf.getvalue())
+
+    cfg = MosaicConfig(layout=layout, blocksize=64, do_pyramids=False)
+    out_s3 = str(tmp_path / "out_s3")
+    do_mosaic(str(base_dir), cfg, out_dir=out_s3)
+    res = update_mosaic("s3://moaray-upd/delta", cfg, out_s3)
+    got = mosaic_array(res.tiles_ds, res.grid)
+
+    out_local = str(tmp_path / "out_local")
+    local_delta = tmp_path / "delta_local"
+    local_delta.mkdir()
+    pq.write_table(delta, str(local_delta / "p.parquet"))
+    do_mosaic(str(base_dir), cfg, out_dir=out_local)
+    res2 = update_mosaic(str(local_delta), cfg, out_local)
+    want = mosaic_array(res2.tiles_ds, res2.grid)
+    assert np.array_equal(got, want)
