@@ -14,30 +14,37 @@ killed job to resume from the last committed tile set, so the sink here:
   the data files — and the pipeline drops windows whose tile is already
   committed before any decode work happens.
 
-Manifest files are also tmp+rename committed, so a kill at any point leaves
+Manifest files are also atomically committed (tmp+rename locally, single
+PUT on object stores — see state/fsio.py), so a kill at any point leaves
 either a fully-committed (data file + manifest line) partition or nothing.
+``out_dir`` may be a local path or an ``s3://`` URI: the OutputFS shim
+routes every read/write, and the commit protocol needs no rename on S3
+because a PUT is atomic and the manifest's existence is the commit marker.
 """
 
 from __future__ import annotations
 
-import json
-import os
 import time
 import uuid
 
 import pyarrow as pa
-import pyarrow.parquet as pq
+
+from .fsio import OutputFS
 
 
 class TileWriter:
     """map_batches callable: writes each batch as one committed partition and
     returns the manifest row (small) instead of the data."""
 
-    def __init__(self, out_dir: str, run_id: str):
-        self.tiles_dir = os.path.join(out_dir, "tiles")
-        self.manifest_dir = os.path.join(out_dir, "manifest")
-        os.makedirs(self.tiles_dir, exist_ok=True)
-        os.makedirs(self.manifest_dir, exist_ok=True)
+    def __init__(self, out_dir: str, run_id: str, ofs: OutputFS | None = None):
+        # ofs is built DRIVER-side by write_tiles and shipped in the task
+        # closure: the resolver reads credential/endpoint env vars that Ray
+        # workers may not carry
+        self.ofs = ofs if ofs is not None else OutputFS(out_dir)
+        self.tiles_dir = self.ofs.join(self.ofs.root, "tiles")
+        self.manifest_dir = self.ofs.join(self.ofs.root, "manifest")
+        self.ofs.makedirs(self.tiles_dir)
+        self.ofs.makedirs(self.manifest_dir)
         self.run_id = run_id
 
     _EMPTY = {
@@ -75,10 +82,8 @@ class TileWriter:
             .encode()
         ).hexdigest()[:12]
         part = f"part-{lo:010d}-{hi:010d}-{key}"
-        data_path = os.path.join(self.tiles_dir, part + ".parquet")
-        tmp = data_path + ".tmp"
-        pq.write_table(batch, tmp)
-        os.replace(tmp, data_path)
+        data_path = self.ofs.join(self.tiles_dir, part + ".parquet")
+        n_bytes = self.ofs.put_table(data_path, batch)
         id_lists = batch["input_ids"].to_pylist()
         lineage = sorted({iid for ids in id_lists for iid in ids})
         # tile rows carry BOUNDED lineage (assemble.LINEAGE_CAP: first/last
@@ -116,7 +121,7 @@ class TileWriter:
             "tile_ids": tids,
             "keys": [[t, b] for t, b in zip(tids, bands_col)],
             "n_tiles": len(tids),
-            "bytes": os.path.getsize(data_path),
+            "bytes": n_bytes,
             "wall_s": wall,
             "lineage_images": lineage,
             "lineage_truncated": lineage_truncated,
@@ -128,11 +133,8 @@ class TileWriter:
             "nonnull_count": nonnull,
             "band_stats": band_stats,
         }
-        man_path = os.path.join(self.manifest_dir, part + ".json")
-        tmp = man_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(record, f)
-        os.replace(tmp, man_path)
+        man_path = self.ofs.join(self.manifest_dir, part + ".json")
+        self.ofs.put_json(man_path, record)
         return pa.table(
             {
                 "path": pa.array([data_path], pa.string()),
@@ -160,9 +162,10 @@ def write_tiles(
     Stateless tasks (TileWriter instantiation is just two mkdirs) — writes
     run wherever the assembled tile block already lives."""
     run_id = uuid.uuid4().hex
+    ofs = OutputFS(out_dir)  # resolve credentials/endpoint on the driver
 
     def write_batch(batch: pa.Table) -> pa.Table:
-        return TileWriter(out_dir, run_id)(batch)
+        return TileWriter(out_dir, run_id, ofs)(batch)
 
     manifest_ds = tiles_ds.map_batches(
         write_batch,
@@ -179,12 +182,9 @@ def clear_output(out_dir: str) -> None:
     ref /root/reference/moamosaic/mosaic.py:634-636). Without this, a
     non-resume rerun into the same directory would leave two generations of
     data files and double-count every read-back."""
-    import shutil
-
+    ofs = OutputFS(out_dir)
     for sub in ("tiles", "manifest"):
-        d = os.path.join(out_dir, sub)
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+        ofs.rmtree(ofs.join(ofs.root, sub))
 
 
 def sweep_tmp(out_dir: str) -> int:
@@ -192,15 +192,23 @@ def sweep_tmp(out_dir: str) -> int:
     tmp+atomic-rename, so a .tmp file is never a commit). Called on resume;
     returns the number of files removed."""
     n = 0
+    ofs = OutputFS(out_dir)
     for sub in ("tiles", "manifest"):
-        d = os.path.join(out_dir, sub)
-        if not os.path.isdir(d):
-            continue
-        for name in os.listdir(d):
+        d = ofs.join(ofs.root, sub)
+        for name in ofs.list_names(d):
             if name.endswith(".tmp"):
-                os.remove(os.path.join(d, name))
+                ofs.remove(ofs.join(d, name))
                 n += 1
     return n
+
+
+def _iter_manifest_records(ofs: OutputFS):
+    """(record dicts) from every manifest JSON under the output root."""
+    manifest_dir = ofs.join(ofs.root, "manifest")
+    for name in sorted(ofs.list_names(manifest_dir)):
+        if not name.endswith(".json"):
+            continue
+        yield ofs.read_json(ofs.join(manifest_dir, name))
 
 
 def committed_paths(
@@ -212,15 +220,8 @@ def committed_paths(
     ``max_committed_at`` pins the read to a known-complete generation
     barrier (grid.json's gen_hwm): partitions a killed later run managed to
     commit are excluded, so a retry recomputes from the true base."""
-    manifest_dir = os.path.join(out_dir, "manifest")
     paths: list[str] = []
-    if not os.path.isdir(manifest_dir):
-        return paths
-    for name in sorted(os.listdir(manifest_dir)):
-        if not name.endswith(".json"):
-            continue
-        with open(os.path.join(manifest_dir, name)) as f:
-            rec = json.load(f)
+    for rec in _iter_manifest_records(OutputFS(out_dir)):
         if (
             max_committed_at is not None
             and rec.get("committed_at", 0.0) > max_committed_at
@@ -233,15 +234,8 @@ def committed_paths(
 def committed_keys(out_dir: str) -> set[tuple[int, int]]:
     """Read the manifest (never the data files) -> committed
     (tile_id, band) pairs — the resume-filter key."""
-    manifest_dir = os.path.join(out_dir, "manifest")
     out: set[tuple[int, int]] = set()
-    if not os.path.isdir(manifest_dir):
-        return out
-    for name in os.listdir(manifest_dir):
-        if not name.endswith(".json"):
-            continue
-        with open(os.path.join(manifest_dir, name)) as f:
-            rec = json.load(f)
+    for rec in _iter_manifest_records(OutputFS(out_dir)):
         if "keys" in rec:
             out.update((int(t), int(b)) for t, b in rec["keys"])
         else:
@@ -273,34 +267,28 @@ def stats_from_manifest(out_dir: str) -> dict[int, dict]:
     float64 math to StatsAccumulator.finalStats (ref mosaic.py:779-794, one
     accumulator per band mosaic.py:204-208). Covers resumed runs too:
     committed records from prior runs carry their partials."""
-    manifest_dir = os.path.join(out_dir, "manifest")
     accs: dict[int, dict] = {}
-    if os.path.isdir(manifest_dir):
-        for name in sorted(os.listdir(manifest_dir)):
-            if not name.endswith(".json"):
-                continue
-            with open(os.path.join(manifest_dir, name)) as f:
-                rec = json.load(f)
-            per_band = rec.get("band_stats") or {"0": rec}
-            for bkey, p in per_band.items():
-                acc = accs.setdefault(
-                    int(bkey),
-                    {"px_sum": 0.0, "px_ssq": 0.0, "nonnull_count": 0,
-                     "px_min": None, "px_max": None},
+    for rec in _iter_manifest_records(OutputFS(out_dir)):
+        per_band = rec.get("band_stats") or {"0": rec}
+        for bkey, p in per_band.items():
+            acc = accs.setdefault(
+                int(bkey),
+                {"px_sum": 0.0, "px_ssq": 0.0, "nonnull_count": 0,
+                 "px_min": None, "px_max": None},
+            )
+            acc["px_sum"] += p.get("px_sum") or 0.0
+            acc["px_ssq"] += p.get("px_ssq") or 0.0
+            acc["nonnull_count"] += p.get("nonnull_count") or 0
+            v = p.get("px_min")
+            if v is not None:
+                acc["px_min"] = (
+                    v if acc["px_min"] is None else min(acc["px_min"], v)
                 )
-                acc["px_sum"] += p.get("px_sum") or 0.0
-                acc["px_ssq"] += p.get("px_ssq") or 0.0
-                acc["nonnull_count"] += p.get("nonnull_count") or 0
-                v = p.get("px_min")
-                if v is not None:
-                    acc["px_min"] = (
-                        v if acc["px_min"] is None else min(acc["px_min"], v)
-                    )
-                v = p.get("px_max")
-                if v is not None:
-                    acc["px_max"] = (
-                        v if acc["px_max"] is None else max(acc["px_max"], v)
-                    )
+            v = p.get("px_max")
+            if v is not None:
+                acc["px_max"] = (
+                    v if acc["px_max"] is None else max(acc["px_max"], v)
+                )
     if not accs:
         return {0: _finalize(
             {"px_sum": 0.0, "px_ssq": 0.0, "nonnull_count": 0,
@@ -320,15 +308,8 @@ def winning_commits(
     path as a deterministic tie-break when two commits share an identical
     float timestamp. Pure driver-side read of the tiny manifest.
     ``max_committed_at``: see committed_paths."""
-    manifest_dir = os.path.join(out_dir, "manifest")
     winners: dict[tuple[int, int], tuple[float, str]] = {}
-    if not os.path.isdir(manifest_dir):
-        return winners
-    for name in os.listdir(manifest_dir):
-        if not name.endswith(".json"):
-            continue
-        with open(os.path.join(manifest_dir, name)) as f:
-            rec = json.load(f)
+    for rec in _iter_manifest_records(OutputFS(out_dir)):
         if (
             max_committed_at is not None
             and rec.get("committed_at", 0.0) > max_committed_at
@@ -361,27 +342,23 @@ def read_committed_tiles(
     import numpy as np
     import ray
 
+    ofs = OutputFS(out_dir)
     winners = winning_commits(out_dir, max_committed_at)
     total_keys = 0
-    manifest_dir = os.path.join(out_dir, "manifest")
-    if os.path.isdir(manifest_dir):
-        for name in os.listdir(manifest_dir):
-            if not name.endswith(".json"):
-                continue
-            with open(os.path.join(manifest_dir, name)) as f:
-                rec = json.load(f)
-            if (
-                max_committed_at is not None
-                and rec.get("committed_at", 0.0) > max_committed_at
-            ):
-                continue
-            total_keys += len(rec.get("keys") or rec["tile_ids"])
+    for rec in _iter_manifest_records(ofs):
+        if (
+            max_committed_at is not None
+            and rec.get("committed_at", 0.0) > max_committed_at
+        ):
+            continue
+        total_keys += len(rec.get("keys") or rec["tile_ids"])
     has_dupes = total_keys > len(winners)
 
     if not has_dupes:
         # fresh output: no superseded generations, no filter stage needed
         ds = ray.data.read_parquet(
-            committed_paths(out_dir, max_committed_at), columns=columns
+            committed_paths(out_dir, max_committed_at), columns=columns,
+            filesystem=ofs.fs,
         )
 
         def drop_stamp(batch: pa.Table) -> pa.Table:
@@ -410,18 +387,20 @@ def read_committed_tiles(
         committed_paths(out_dir, max_committed_at),
         columns=read_cols,
         include_paths=True,
+        filesystem=ofs.fs,
     )
-    # normalize both sides of the tie-break to absolute paths — Ray's
-    # include_paths reports resolved filesystem paths, the manifest stores
-    # whatever data_path the writer was given
+    # normalize both sides of the tie-break — Ray's include_paths reports
+    # resolved filesystem paths (absolute locally, scheme-less on object
+    # stores), the manifest stores whatever data_path the writer was given
+    norm = ofs.normalize
     ref = ray.put(
-        {k: (ts, os.path.abspath(p)) for k, (ts, p) in winners.items()}
+        {k: (ts, norm(p)) for k, (ts, p) in winners.items()}
     )
 
     def resolve(batch: pa.Table) -> pa.Table:
         win = ray.get(ref)
         ts = batch["committed_at"].to_numpy()
-        paths = [os.path.abspath(p) for p in batch["path"].to_pylist()]
+        paths = [norm(p) for p in batch["path"].to_pylist()]
         tids = batch["tile_id"].to_numpy()
         bands = batch["band"].to_numpy()
         keep = np.array(
@@ -460,7 +439,8 @@ def write_grid_meta(
     ``applied_updates``: content ids of update catalogs already folded in —
     the rerun-idempotence guard for the weighted-sum (feather) path, where
     re-adding a delta would double its weight (last-wins needs no guard)."""
-    os.makedirs(out_dir, exist_ok=True)
+    ofs = OutputFS(out_dir)
+    ofs.makedirs(ofs.root)
     rec = {
         "ncols": grid.ncols,
         "nrows": grid.nrows,
@@ -478,18 +458,15 @@ def write_grid_meta(
         rec["gen_hwm"] = gen_hwm
     if applied_updates is not None:
         rec["applied_updates"] = applied_updates
-    tmp = os.path.join(out_dir, GRID_META + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(rec, f)
-    os.replace(tmp, os.path.join(out_dir, GRID_META))
+    ofs.put_json(ofs.join(ofs.root, GRID_META), rec)
 
 
 def load_grid_extras(out_dir: str) -> dict:
     """gen_hwm / applied_updates from grid.json (empty defaults when the
     output predates these fields)."""
+    ofs = OutputFS(out_dir)
     try:
-        with open(os.path.join(out_dir, GRID_META)) as f:
-            rec = json.load(f)
+        rec = ofs.read_json(ofs.join(ofs.root, GRID_META))
     except FileNotFoundError:
         return {"gen_hwm": None, "applied_updates": []}
     return {
@@ -500,15 +477,9 @@ def load_grid_extras(out_dir: str) -> dict:
 
 def max_manifest_commit(out_dir: str) -> float | None:
     """Newest committed_at across manifest records (None if none)."""
-    manifest_dir = os.path.join(out_dir, "manifest")
-    if not os.path.isdir(manifest_dir):
-        return None
     best = None
-    for name in os.listdir(manifest_dir):
-        if not name.endswith(".json"):
-            continue
-        with open(os.path.join(manifest_dir, name)) as f:
-            ts = json.load(f).get("committed_at", 0.0)
+    for rec in _iter_manifest_records(OutputFS(out_dir)):
+        ts = rec.get("committed_at", 0.0)
         if best is None or ts > best:
             best = ts
     return best
@@ -518,8 +489,8 @@ def load_grid_meta(out_dir: str):
     """(OutputGrid, n_seq, bands) from a committed output directory."""
     from ..geo import OutputGrid
 
-    with open(os.path.join(out_dir, GRID_META)) as f:
-        rec = json.load(f)
+    ofs = OutputFS(out_dir)
+    rec = ofs.read_json(ofs.join(ofs.root, GRID_META))
     nv = float("nan") if rec["nullval"] == "nan" else float(rec["nullval"])
     grid = OutputGrid(
         ncols=rec["ncols"],

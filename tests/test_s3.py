@@ -171,3 +171,76 @@ def test_update_mosaic_delta_over_s3(ray_session, s3_endpoint, tmp_path):
     res2 = update_mosaic(str(local_delta), cfg, out_local)
     want = mosaic_array(res2.tiles_ds, res2.grid)
     assert np.array_equal(got, want)
+
+
+def test_committed_sink_over_s3(ray_session, s3_endpoint, s3_catalog,
+                                tmp_path):
+    """The committed tile sink writes to s3:// — data partitions +
+    manifest records + grid.json all as atomic PUTs (no rename on object
+    stores; the manifest's existence is the commit marker). Pixels,
+    stats-from-manifest and the seam row equal a local-out_dir run."""
+    from moaray import MosaicConfig, do_mosaic
+    from moaray.pipelines.mosaic import mosaic_array
+    from moaray.state.manifest import (
+        committed_keys,
+        read_committed_tiles,
+        stats_from_manifest,
+    )
+
+    layout, uri = s3_catalog
+    client = boto3.client("s3", endpoint_url=s3_endpoint,
+                          region_name="us-east-1")
+    client.create_bucket(Bucket="moaray-out")
+    out_uri = "s3://moaray-out/mosaic1"
+    cfg = MosaicConfig(layout=layout, blocksize=64, do_pyramids=False)
+    res = do_mosaic(uri, cfg, out_dir=out_uri)
+    arr = mosaic_array(res.tiles_ds, res.grid)
+    assert list(arr[0, 60:66]) == [60, 61, 62, 1, 2, 3]
+    assert res.stats["count"] == 35156
+
+    # the manifest protocol works against the store
+    assert len(committed_keys(out_uri)) == res.grid.num_tiles
+    assert stats_from_manifest(out_uri)[0]["count"] == 35156
+    back = mosaic_array(read_committed_tiles(out_uri), res.grid)
+    assert np.array_equal(back, arr)
+
+    # objects actually live in the bucket (data + manifest + grid.json)
+    keys = [o["Key"] for o in client.list_objects_v2(
+        Bucket="moaray-out", Prefix="mosaic1/")["Contents"]]
+    assert any(k.startswith("mosaic1/tiles/") for k in keys)
+    assert any(k.startswith("mosaic1/manifest/") for k in keys)
+    assert "mosaic1/grid.json" in keys
+
+
+def test_s3_sink_kill_resume(ray_session, s3_endpoint, s3_catalog):
+    """Resume semantics against the object store: delete one partition's
+    manifest record (simulating a kill between data PUT and manifest PUT)
+    and rerun with resume=True — only the uncommitted keys recompute and
+    the reassembled mosaic is identical."""
+    from moaray import MosaicConfig, do_mosaic
+    from moaray.pipelines.mosaic import mosaic_array
+    from moaray.state.manifest import committed_keys
+
+    layout, uri = s3_catalog
+    client = boto3.client("s3", endpoint_url=s3_endpoint,
+                          region_name="us-east-1")
+    client.create_bucket(Bucket="moaray-out2")
+    out_uri = "s3://moaray-out2/mosaic"
+    cfg = MosaicConfig(layout=layout, blocksize=64, do_pyramids=False)
+    res1 = do_mosaic(uri, cfg, out_dir=out_uri)
+    truth = mosaic_array(res1.tiles_ds, res1.grid)
+    n_tiles = res1.grid.num_tiles
+
+    # sever one partition's commit: data object stays (orphan), manifest
+    # object goes — exactly the state a kill between the two PUTs leaves
+    mans = [o["Key"] for o in client.list_objects_v2(
+        Bucket="moaray-out2", Prefix="mosaic/manifest/")["Contents"]]
+    client.delete_object(Bucket="moaray-out2", Key=mans[0])
+    missing = n_tiles - len(committed_keys(out_uri))
+    assert missing > 0
+
+    res2 = do_mosaic(uri, cfg, out_dir=out_uri, resume=True)
+    assert res2.skipped_tiles == n_tiles - missing
+    assert len(committed_keys(out_uri)) == n_tiles
+    got = mosaic_array(res2.tiles_ds, res2.grid)
+    assert np.array_equal(got, truth)
