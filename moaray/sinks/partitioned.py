@@ -2,7 +2,8 @@
 
 The mosaic's committed-tile sink (state/manifest.py) generalized to ANY
 dataset: rows hash-partition on a key column into a fixed bucket count,
-each bucket commits atomically (tmp file + rename, data THEN manifest),
+each bucket commits atomically (tmp+rename locally, single PUT on
+object stores — state/fsio.py; data THEN manifest),
 and every manifest record carries lineage + metrics (row count, bytes,
 wall time, key-hash) — the north-rule contract ("every partition emits
 lineage + metrics records so a killed job resumes from the last
@@ -11,19 +12,20 @@ checkpointed set") for dedup/text/ANN outputs, not just tiles.
 Resume semantics: a rerun skips re-WRITING buckets whose manifest is
 already committed (their upstream compute still streams — the sink cannot
 know an arbitrary upstream is pure — but the output directory converges
-and never holds torn partitions). A killed run leaves only .tmp files,
-swept on the next attempt.
+and never holds torn partitions). A killed run leaves only .tmp files
+(local) or manifest-less orphans (object store), both invisible to
+readers. ``out_dir`` may be a local path or ``s3://bucket/prefix``.
 """
 
 from __future__ import annotations
 
-import json
 import os
 import time
 import zlib
 
 import pyarrow as pa
-import pyarrow.parquet as pq
+
+from ..state.fsio import OutputFS
 
 _MANIFEST_DIR = "manifest"
 
@@ -57,11 +59,10 @@ def _bucket_of(batch: pa.Table, key: str, n: int) -> pa.Table:
 
 
 def committed_buckets(out_dir: str) -> set[int]:
-    man_dir = os.path.join(out_dir, _MANIFEST_DIR)
-    if not os.path.isdir(man_dir):
-        return set()
+    ofs = OutputFS(out_dir)
+    man_dir = ofs.join(ofs.root, _MANIFEST_DIR)
     out = set()
-    for f in os.listdir(man_dir):
+    for f in ofs.list_names(man_dir):
         if f.endswith(".json"):
             out.add(int(f.split("-")[1].split(".")[0]))
     return out
@@ -81,12 +82,13 @@ def write_partitioned(
     bucket-<bucket>.json``; a bucket is committed iff its manifest exists
     (data renames before manifest, so a manifest never points at a torn
     file)."""
-    os.makedirs(os.path.join(out_dir, _MANIFEST_DIR), exist_ok=True)
-    # sweep torn tmp files from a killed attempt
-    for root in (out_dir, os.path.join(out_dir, _MANIFEST_DIR)):
-        for f in os.listdir(root):
+    ofs = OutputFS(out_dir)  # driver-side: captures endpoint/credentials
+    ofs.makedirs(ofs.join(ofs.root, _MANIFEST_DIR))
+    # sweep torn tmp files from a killed attempt (local-only artifact)
+    for root in (ofs.root, ofs.join(ofs.root, _MANIFEST_DIR)):
+        for f in ofs.list_names(root):
             if f.endswith(".tmp"):
-                os.remove(os.path.join(root, f))
+                ofs.remove(ofs.join(root, f))
     done = committed_buckets(out_dir) if resume else set()
 
     def commit_bucket(group: pa.Table) -> pa.Table:
@@ -99,17 +101,15 @@ def write_partitioned(
                 "written": pa.array([False], pa.bool_()),
             })
         t0 = time.time()
-        data_path = os.path.join(out_dir, f"part-{b:05d}.parquet")
-        tmp = data_path + ".tmp"
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, data_path)
-        man_path = os.path.join(
-            out_dir, _MANIFEST_DIR, f"bucket-{b:05d}.json"
+        data_path = ofs.join(ofs.root, f"part-{b:05d}.parquet")
+        n_bytes = ofs.put_table(data_path, tbl)
+        man_path = ofs.join(
+            ofs.root, _MANIFEST_DIR, f"bucket-{b:05d}.json"
         )
         rec = {
             "bucket": b,
             "rows": tbl.num_rows,
-            "bytes": os.path.getsize(data_path),
+            "bytes": n_bytes,
             "wall_s": round(time.time() - t0, 4),
             "key": key,
             "key_hash": zlib.crc32(
@@ -118,10 +118,7 @@ def write_partitioned(
             "path": data_path,
             "committed_at": time.time(),
         }
-        mtmp = man_path + ".tmp"
-        with open(mtmp, "w") as f:
-            json.dump(rec, f)
-        os.replace(mtmp, man_path)
+        ofs.put_json(man_path, rec)
         return pa.table({
             "bucket": pa.array([b], pa.int32()),
             "rows": pa.array([tbl.num_rows], pa.int64()),
@@ -150,10 +147,11 @@ def read_partitioned(out_dir: str):
     """Read back committed partitions only (manifest-gated)."""
     import ray
 
+    ofs = OutputFS(out_dir)
     done = committed_buckets(out_dir)
     paths = [
-        os.path.join(out_dir, f"part-{b:05d}.parquet") for b in sorted(done)
+        ofs.join(ofs.root, f"part-{b:05d}.parquet") for b in sorted(done)
     ]
     if not paths:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
-    return ray.data.read_parquet(paths)
+    return ray.data.read_parquet(paths, filesystem=ofs.fs)
