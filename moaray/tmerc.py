@@ -175,13 +175,22 @@ def _geodetic_system(crs: str):
             lambda xs, ys: lcc_inverse(xs, ys, p),
             lambda lat, lon: lcc_forward(lat, lon, p),
         )
+    from .pstereo import parse_pstereo, ps_forward, ps_inverse
+
+    sp = parse_pstereo(crs)
+    if sp is not None:
+        return (
+            lambda xs, ys: ps_inverse(xs, ys, sp),
+            lambda lat, lon: ps_forward(lat, lon, sp),
+        )
     return None
 
 
 def geodetic_transformer(src_crs: str, dst_crs: str):
     """Callable (xs, ys) -> (xs', ys') when BOTH CRSs are recognized
     geodetic/projected systems (EPSG:4326, UTM via moaray/tmerc.py,
-    Lambert Conformal Conic via moaray/lcc.py) and differ; None otherwise
+    Lambert Conformal Conic via moaray/lcc.py, Polar Stereographic via
+    moaray/pstereo.py) and differ; None otherwise
     (caller falls back to the affine model). x/y follow GDAL traditional
     order: x=lon/easting, y=lat/northing. Any pair routes through the
     geographic pivot: src -> (lat, lon) -> dst."""

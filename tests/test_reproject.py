@@ -699,3 +699,134 @@ def test_mosaic_latlon_to_lcc_nearest(ray_session, tmp_path):
     assert got.shape == truth.shape
     assert (got == truth).all()
     assert (got != 0).sum() > 1000  # the warp bent real data in
+
+
+# ---------------------------------------------------------------------------
+# Polar Stereographic (moaray/pstereo.py)
+
+
+def test_polar_stereographic_anchors():
+    """Definitional + published anchors: both poles map exactly to the
+    false origin; the scale factor is 1 on the standard parallel (3413 at
+    70N, 3031 at 71S); a 90-degree longitude shift rotates the point 90
+    degrees about the origin; round trips hit 1e-13; and the EPSG
+    Guidance Note 7-2 Variant-A test point (73N 44E on the UPS-North
+    grid) lands on the published coordinates to the centimetre."""
+    from moaray.lcc import _A, _E as _ecc
+    from moaray.pstereo import parse_pstereo, ps_forward, ps_inverse
+
+    for crs, pole in (("EPSG:32661", 90.0), ("EPSG:32761", -90.0),
+                      ("EPSG:3413", 90.0), ("EPSG:3031", -90.0)):
+        p = parse_pstereo(crs)
+        E, N = ps_forward(np.array([pole]), np.array([33.0]), p)
+        assert abs(E[0] - p.fe) < 1e-6 and abs(N[0] - p.fn) < 1e-6, crs
+    # EPSG GN7-2 example (Polar Stereographic variant A): 73N 44E ->
+    # E 3320416.75, N 632668.43 on UPS North
+    p = parse_pstereo("EPSG:32661")
+    E, N = ps_forward(np.array([73.0]), np.array([44.0]), p)
+    assert abs(E[0] - 3320416.75) < 0.01
+    assert abs(N[0] - 632668.43) < 0.01
+    # k == 1 on the standard parallels (derivative along the parallel)
+    d = 1e-7
+    for crs, lat_ts in (("EPSG:3413", 70.0), ("EPSG:3031", -71.0)):
+        p = parse_pstereo(crs)
+        E1, N1 = ps_forward(np.array([lat_ts]), np.array([10.0]), p)
+        E2, N2 = ps_forward(np.array([lat_ts]), np.array([10.0 + d]), p)
+        phi = np.deg2rad(abs(lat_ts))
+        nu = _A / np.sqrt(1 - _ecc ** 2 * np.sin(phi) ** 2)
+        k = np.hypot(E2[0] - E1[0], N2[0] - N1[0]) / (
+            np.deg2rad(d) * nu * np.cos(phi))
+        assert abs(k - 1.0) < 1e-6, crs
+    # rotation about the origin (north aspect)
+    p = parse_pstereo("EPSG:3413")
+    Ea, Na = ps_forward(np.array([80.0]), np.array([-45.0]), p)
+    Eb, Nb = ps_forward(np.array([80.0]), np.array([45.0]), p)
+    assert abs(Ea[0]) < 1e-6 and abs(Nb[0]) < 1e-6
+    assert abs(Na[0] + Eb[0]) < 1e-6  # (0, -rho) -> (rho, 0)
+    # grid round trips, both hemispheres + parametric
+    for crs in ("EPSG:32661", "EPSG:32761", "EPSG:3413", "EPSG:3031",
+                "PSTEREO:90,75,-100,1000,2000"):
+        p = parse_pstereo(crs)
+        la = np.linspace(60, 89.9, 15) * (-1 if p.south else 1)
+        lo = np.linspace(-180, 179, 15)
+        LA, LO = np.meshgrid(la, lo)
+        E, N = ps_forward(LA, LO, p)
+        la2, lo2 = ps_inverse(E, N, p)
+        assert np.abs(la2 - LA).max() < 1e-11, crs
+        assert np.abs(((lo2 - LO + 180) % 360) - 180).max() < 1e-11, crs
+
+
+def test_polar_routing_and_rejects():
+    from moaray.crs import point_transformer
+    from moaray.pstereo import parse_pstereo
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lat0"):
+        parse_pstereo("PSTEREO:45,70,0")  # not a pole
+    with _pytest.raises(ValueError, match="PSTEREO"):
+        parse_pstereo("PSTEREO:90,70")  # wrong arity
+    assert parse_pstereo("EPSG:32756") is None
+    fn = point_transformer("EPSG:4326", "EPSG:3413")
+    x, y = fn(np.array([-45.0]), np.array([90.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    assert point_transformer("EPSG:3413", "EPSG:32633") is not None
+    assert point_transformer("EPSG:2154", "EPSG:3031") is not None
+    assert point_transformer("EPSG:3413", "EPSG:3413") is None
+
+
+def test_mosaic_latlon_to_polar_nearest(ray_session, tmp_path):
+    """End-to-end polar warp: an EPSG:4326 catalog near Svalbard mosaicked
+    onto the NSIDC EPSG:3413 grid; per-pixel inverse-projection oracle."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from moaray import MosaicConfig, codecs, do_mosaic
+    from moaray.pipelines.mosaic import mosaic_array
+    from moaray.pstereo import parse_pstereo, ps_inverse
+
+    size = 64
+    ramp = np.tile(np.arange(size, dtype=np.uint16), (size, 1))
+    ramp[:, 0] = 0
+    gt = (15.0, 0.01, 0.0, 78.5, 0.0, -0.002)  # ~220x110m px at 78N
+    tbl = pa.table(
+        {
+            "image_id": pa.array(["sv0000"], pa.string()),
+            "bytes": pa.array([codecs.encode(ramp, "z16")], pa.binary()),
+            "w": pa.array([size], pa.int32()),
+            "h": pa.array([size], pa.int32()),
+            "fmt": pa.array(["z16"], pa.string()),
+            "gt": pa.array([list(gt)], pa.list_(pa.float64(), 6)),
+            "crs": pa.array(["EPSG:4326"], pa.string()),
+            "nullval": pa.array([0.0], pa.float64()),
+            "seq": pa.array([0], pa.int64()),
+        }
+    )
+    path = str(tmp_path / "sv")
+    os.makedirs(path)
+    pq.write_table(tbl, os.path.join(path, "p.parquet"))
+
+    cfg = MosaicConfig(
+        blocksize=32, out_crs="EPSG:3413", out_xres=100.0, out_yres=100.0,
+        resample="near", do_pyramids=False, do_stats=False,
+    )
+    res = do_mosaic(path, cfg)
+    assert res.grid.crs == "EPSG:3413"
+    got = mosaic_array(res.tiles_ds, res.grid)
+
+    t = res.grid.transform
+    rows = np.arange(res.grid.nrows, dtype=np.float64) + 0.5
+    cols = np.arange(res.grid.ncols, dtype=np.float64) + 0.5
+    cg, rg = np.meshgrid(cols, rows)
+    px = t[0] + t[1] * cg
+    py = t[3] + t[5] * rg
+    lat, lon = ps_inverse(px, py, parse_pstereo("EPSG:3413"))
+    sc = np.floor((lon - gt[0]) / gt[1]).astype(np.int64)
+    sr = np.floor((lat - gt[3]) / gt[5]).astype(np.int64)
+    truth = np.zeros_like(got)
+    valid = (sr >= 0) & (sr < size) & (sc >= 0) & (sc < size)
+    truth[valid] = ramp[sr[valid], sc[valid]]
+    assert (got == truth).all()
+    assert (got != 0).sum() > 1000
