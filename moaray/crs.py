@@ -95,9 +95,14 @@ def point_transformer(src_crs: str, dst_crs: str):
     """General point transform src CRS -> dst CRS.
 
     Returns a callable ``(xs, ys) -> (xs', ys')`` for recognized CURVILINEAR
-    pairs — WGS84 geographic (EPSG:4326) <-> UTM (EPSG:326zz/327zz) and
-    UTM <-> UTM, via the from-scratch Transverse Mercator in moaray/tmerc.py
-    (the reference's arbitrary-SRS gdal.Warp path, ref reproj.py:194-216).
+    pairs — any combination of WGS84 geographic (EPSG:4326), UTM
+    (EPSG:326zz/327zz, moaray/tmerc.py), Lambert Conformal Conic
+    (EPSG:2154/3978 + LCC:..., moaray/lcc.py), Polar Stereographic
+    (UPS/NSIDC/Antarctic + PSTEREO:..., moaray/pstereo.py) and Albers
+    Equal Area (EPSG:5070/3577 + ALBERS:..., moaray/albers.py), chained
+    through the geographic pivot — the four projection families behind
+    essentially every production grid (the reference's arbitrary-SRS
+    gdal.Warp path, ref reproj.py:194-216).
     Returns ``None`` when the pair is expressible as an affine — callers
     then use :func:`transform_affine`, which stays the exact fast path."""
     from . import tmerc

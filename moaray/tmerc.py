@@ -183,6 +183,14 @@ def _geodetic_system(crs: str):
             lambda xs, ys: ps_inverse(xs, ys, sp),
             lambda lat, lon: ps_forward(lat, lon, sp),
         )
+    from .albers import albers_forward, albers_inverse, parse_albers
+
+    ap = parse_albers(crs)
+    if ap is not None:
+        return (
+            lambda xs, ys: albers_inverse(xs, ys, ap),
+            lambda lat, lon: albers_forward(lat, lon, ap),
+        )
     return None
 
 

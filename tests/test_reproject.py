@@ -830,3 +830,129 @@ def test_mosaic_latlon_to_polar_nearest(ray_session, tmp_path):
     truth[valid] = ramp[sr[valid], sc[valid]]
     assert (got == truth).all()
     assert (got != 0).sum() > 1000
+
+
+# ---------------------------------------------------------------------------
+# Albers Equal Area (moaray/albers.py)
+
+
+def test_albers_equal_area_anchors():
+    """Definitional anchors: the false origin maps to (FE, FN); the map is
+    EQUAL-AREA — the Jacobian determinant of (E, N) w.r.t. (lon, lat)
+    equals the ellipsoid surface element M*nu*cos(phi) everywhere (the
+    property that defines the projection, checked numerically at points
+    across CONUS); E/W symmetry; round trips at 1e-13."""
+    from moaray.albers import albers_forward, albers_inverse, parse_albers
+    from moaray.lcc import _A, _E as _ecc
+
+    p = parse_albers("EPSG:5070")  # NAD83 / CONUS Albers (Landsat ARD)
+    E, N = albers_forward(np.array([23.0]), np.array([-96.0]), p)
+    assert abs(E[0]) < 1e-6 and abs(N[0]) < 1e-6
+    d = 1e-6
+    for lat, lon in ((30.0, -110.0), (40.0, -80.0), (47.0, -96.0),
+                     (25.0, -70.0)):
+        E0, N0 = albers_forward(np.array([lat]), np.array([lon]), p)
+        E1, N1 = albers_forward(np.array([lat + d]), np.array([lon]), p)
+        E2, N2 = albers_forward(np.array([lat]), np.array([lon + d]), p)
+        J = abs((E1[0] - E0[0]) * (N2[0] - N0[0])
+                - (E2[0] - E0[0]) * (N1[0] - N0[0])) / np.deg2rad(d) ** 2
+        phi = np.deg2rad(lat)
+        e2 = _ecc ** 2
+        M = _A * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+        nu = _A / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        assert abs(J / (M * nu * np.cos(phi)) - 1.0) < 1e-6, (lat, lon)
+    Ea, _ = albers_forward(np.array([40.0]), np.array([-100.0]), p)
+    Eb, _ = albers_forward(np.array([40.0]), np.array([-92.0]), p)
+    assert abs(Ea[0] + Eb[0]) < 1e-6
+    la = np.linspace(24, 49, 20)
+    lo = np.linspace(-125, -66, 20)
+    LA, LO = np.meshgrid(la, lo)
+    E, N = albers_forward(LA, LO, p)
+    la2, lo2 = albers_inverse(E, N, p)
+    assert np.abs(la2 - LA).max() < 1e-11
+    assert np.abs(lo2 - LO).max() < 1e-11
+    # southern-hemisphere grid (negative n cone): Australian Albers
+    pa_ = parse_albers("EPSG:3577")
+    la = np.linspace(-44, -10, 15)
+    lo = np.linspace(112, 154, 15)
+    LA, LO = np.meshgrid(la, lo)
+    E, N = albers_forward(LA, LO, pa_)
+    la2, lo2 = albers_inverse(E, N, pa_)
+    assert np.abs(la2 - LA).max() < 1e-11
+    assert np.abs(lo2 - LO).max() < 1e-11
+
+
+def test_albers_routing():
+    from moaray.albers import parse_albers
+    from moaray.crs import point_transformer
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ALBERS"):
+        parse_albers("ALBERS:1,2,3")
+    assert parse_albers("ALBERS:29.5,45.5,23,-96").fe == 0.0
+    assert parse_albers("EPSG:32756") is None
+    fn = point_transformer("EPSG:4326", "EPSG:5070")
+    x, y = fn(np.array([-96.0]), np.array([23.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    # chains across all four families
+    assert point_transformer("EPSG:5070", "EPSG:32614") is not None
+    assert point_transformer("EPSG:5070", "EPSG:3413") is not None
+    assert point_transformer("EPSG:5070", "EPSG:2154") is not None
+
+
+def test_mosaic_latlon_to_albers_nearest(ray_session, tmp_path):
+    """End-to-end equal-area warp: EPSG:4326 catalog over Kansas onto the
+    CONUS Albers grid (EPSG:5070); per-pixel inverse-projection oracle."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from moaray import MosaicConfig, codecs, do_mosaic
+    from moaray.albers import albers_inverse, parse_albers
+    from moaray.pipelines.mosaic import mosaic_array
+
+    size = 64
+    ramp = np.tile(np.arange(size, dtype=np.uint16), (size, 1))
+    ramp[:, 0] = 0
+    gt = (-98.0, 0.001, 0.0, 38.9, 0.0, -0.001)
+    tbl = pa.table(
+        {
+            "image_id": pa.array(["ks0000"], pa.string()),
+            "bytes": pa.array([codecs.encode(ramp, "z16")], pa.binary()),
+            "w": pa.array([size], pa.int32()),
+            "h": pa.array([size], pa.int32()),
+            "fmt": pa.array(["z16"], pa.string()),
+            "gt": pa.array([list(gt)], pa.list_(pa.float64(), 6)),
+            "crs": pa.array(["EPSG:4326"], pa.string()),
+            "nullval": pa.array([0.0], pa.float64()),
+            "seq": pa.array([0], pa.int64()),
+        }
+    )
+    path = str(tmp_path / "ks")
+    os.makedirs(path)
+    pq.write_table(tbl, os.path.join(path, "p.parquet"))
+
+    cfg = MosaicConfig(
+        blocksize=32, out_crs="EPSG:5070", out_xres=100.0, out_yres=100.0,
+        resample="near", do_pyramids=False, do_stats=False,
+    )
+    res = do_mosaic(path, cfg)
+    assert res.grid.crs == "EPSG:5070"
+    got = mosaic_array(res.tiles_ds, res.grid)
+
+    t = res.grid.transform
+    rows = np.arange(res.grid.nrows, dtype=np.float64) + 0.5
+    cols = np.arange(res.grid.ncols, dtype=np.float64) + 0.5
+    cg, rg = np.meshgrid(cols, rows)
+    px = t[0] + t[1] * cg
+    py = t[3] + t[5] * rg
+    lat, lon = albers_inverse(px, py, parse_albers("EPSG:5070"))
+    sc = np.floor((lon - gt[0]) / gt[1]).astype(np.int64)
+    sr = np.floor((lat - gt[3]) / gt[5]).astype(np.int64)
+    truth = np.zeros_like(got)
+    valid = (sr >= 0) & (sr < size) & (sc >= 0) & (sc < size)
+    truth[valid] = ramp[sr[valid], sc[valid]]
+    assert (got == truth).all()
+    assert (got != 0).sum() > 1000
