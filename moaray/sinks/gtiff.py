@@ -325,6 +325,46 @@ def _decode_block(buf: bytes, shape, dt_le, compression: int,
     return arr
 
 
+def _geokey_payload(crs: str | None) -> bytes:
+    """GeoKeyDirectory shorts for a CRS string. For ``EPSG:nnnn`` emits
+    GTModelType (2=geographic for 4326, else 1=projected), GTRasterType=1
+    (PixelIsArea) and the Geographic/ProjectedCSTypeGeoKey carrying the
+    EPSG code — what GDAL reads back as the SRS. Non-EPSG names (AFFINE:,
+    LCC:..., engine-internal) keep the minimal projected directory."""
+    code = None
+    if crs and crs.startswith("EPSG:") and crs[5:].isdigit():
+        n = int(crs[5:])
+        if n <= 0xFFFF:  # GeoKey values are TIFF SHORTs
+            code = n
+    if code is None:
+        return struct.pack("<8H", 1, 1, 0, 1, 1024, 0, 1, 1)
+    if code == 4326:
+        keys = [(1024, 2), (1025, 1), (2048, code)]
+    else:
+        keys = [(1024, 1), (1025, 1), (3072, code)]
+    out = [1, 1, 0, len(keys)]
+    for kid, val in keys:
+        out += [kid, 0, 1, val]
+    return struct.pack(f"<{len(out)}H", *out)
+
+
+def crs_from_geokeys(data: bytes) -> str | None:
+    """"EPSG:nnnn" from a GeoTIFF buffer's GeoKey directory (None when the
+    file carries no Geographic/ProjectedCSType key)."""
+    ifd_off, big = _first_ifd(data)
+    tags, _next = _parse_ifd(data, ifd_off, big)
+    if T_GEOKEYDIR not in tags:
+        return None
+    _typ, count, payload = tags[T_GEOKEYDIR]
+    vals = struct.unpack(f"<{count}H", payload)
+    n_keys = vals[3]
+    for i in range(n_keys):
+        kid, loc, _cnt, val = vals[4 + 4 * i : 8 + 4 * i]
+        if loc == 0 and kid in (2048, 3072):
+            return f"EPSG:{val}"
+    return None
+
+
 def write_gtiff(
     path: str,
     arr: np.ndarray,
@@ -369,9 +409,7 @@ def write_gtiff(
     # out-of-line payloads
     pixel_scale = struct.pack("<3d", transform[1], abs(transform[5]), 0.0)
     tiepoint = struct.pack("<6d", 0.0, 0.0, 0.0, transform[0], transform[3], 0.0)
-    # minimal GeoKey directory: version 1.1.0, 1 key:
-    # GTModelTypeGeoKey(1024) = 1 (projected)
-    geokeys = struct.pack("<8H", 1, 1, 0, 1, 1024, 0, 1, 1)
+    geokeys = _geokey_payload(crs)
     nodata_ascii = (
         (f"{nullval:g}".encode() + b"\x00") if nullval is not None else None
     )
@@ -410,7 +448,7 @@ def write_gtiff(
           [_SAMPLEFORMAT[arr.dtype.kind]] * nbands)
     entries.append((T_MODELPIXELSCALE, TYPE_DOUBLE, 3, pixel_scale))
     entries.append((T_MODELTIEPOINT, TYPE_DOUBLE, 6, tiepoint))
-    entries.append((T_GEOKEYDIR, TYPE_SHORT, 8, geokeys))
+    entries.append((T_GEOKEYDIR, TYPE_SHORT, len(geokeys) // 2, geokeys))
     if nodata_ascii:
         entries.append((T_GDAL_NODATA, TYPE_ASCII, len(nodata_ascii), nodata_ascii))
     if meta_ascii:
@@ -703,7 +741,7 @@ def write_gtiff_tiled(
 
     pixel_scale = struct.pack("<3d", transform[1], abs(transform[5]), 0.0)
     tiepoint = struct.pack("<6d", 0.0, 0.0, 0.0, transform[0], transform[3], 0.0)
-    geokeys = struct.pack("<8H", 1, 1, 0, 1, 1024, 0, 1, 1)
+    geokeys = _geokey_payload(crs)
     nodata_ascii = (
         (f"{nullval:g}".encode() + b"\x00") if nullval is not None else None
     )
@@ -743,7 +781,7 @@ def write_gtiff_tiled(
         if idx == 0:
             entries.append((T_MODELPIXELSCALE, TYPE_DOUBLE, 3, pixel_scale))
             entries.append((T_MODELTIEPOINT, TYPE_DOUBLE, 6, tiepoint))
-            entries.append((T_GEOKEYDIR, TYPE_SHORT, 8, geokeys))
+            entries.append((T_GEOKEYDIR, TYPE_SHORT, len(geokeys) // 2, geokeys))
             if nodata_ascii:
                 entries.append(
                     (T_GDAL_NODATA, TYPE_ASCII, len(nodata_ascii), nodata_ascii)
@@ -841,7 +879,7 @@ def _pack_entry(tag, typ, values):
     return (tag, typ, len(values), struct.pack(f"<{len(values)}{fmt}", *values))
 
 
-def _geo_entries(transform, nullval, layer_type):
+def _geo_entries(transform, nullval, layer_type, crs=None):
     """The GeoTIFF georeferencing + GDAL metadata entries (full-res IFD
     only), identical to write_gtiff's."""
     out = [
@@ -849,8 +887,9 @@ def _geo_entries(transform, nullval, layer_type):
          struct.pack("<3d", transform[1], abs(transform[5]), 0.0)),
         (T_MODELTIEPOINT, TYPE_DOUBLE, 6,
          struct.pack("<6d", 0.0, 0.0, 0.0, transform[0], transform[3], 0.0)),
-        (T_GEOKEYDIR, TYPE_SHORT, 8, struct.pack("<8H", 1, 1, 0, 1, 1024, 0, 1, 1)),
     ]
+    gk = _geokey_payload(crs)
+    out.append((T_GEOKEYDIR, TYPE_SHORT, len(gk) // 2, gk))
     if nullval is not None:
         nd = f"{nullval:g}".encode() + b"\x00"
         out.append((T_GDAL_NODATA, TYPE_ASCII, len(nd), nd))
@@ -1001,7 +1040,8 @@ class StreamingGtiffWriter:
             entries.append(_pack_entry(T_PREDICTOR, TYPE_SHORT, 2))
         if self.nbands > 1:
             entries.append(_pack_entry(T_PLANARCONFIG, TYPE_SHORT, 2))
-        entries += _geo_entries(self.transform, self.nullval, self.layer_type)
+        entries += _geo_entries(self.transform, self.nullval,
+                                self.layer_type, self.crs)
         entries.sort(key=lambda e: e[0])
         _finish_ifds(self.f, [entries], self.bigtiff)
         self.f.close()
@@ -1147,7 +1187,7 @@ class StreamingGtiffTiledWriter:
                 entries.append(_pack_entry(T_NEWSUBFILETYPE, TYPE_LONG, 1))
             else:
                 entries += _geo_entries(self.transform, self.nullval,
-                                        self.layer_type)
+                                        self.layer_type, self.crs)
             entries.sort(key=lambda e: e[0])
             per_ifd.append(entries)
         _finish_ifds(self.f, per_ifd, self.bigtiff)

@@ -103,13 +103,19 @@ def read_image_files(src, crs: str | None = None, nullval: float = 0.0):
             buf = batch["bytes"][i].as_py()
             ext = os.path.splitext(path)[1].lower()
             nv = nullval
+            row_crs = crs
             payloads = None  # (fmt, [per-band payload bytes], dtype, h, w)
             if ext in (".tif", ".tiff"):
-                from ..sinks.gtiff import read_gtiff_bytes
+                from ..sinks.gtiff import crs_from_geokeys, read_gtiff_bytes
 
                 arr, gt, nodata = read_gtiff_bytes(buf)
                 if nodata is not None:
                     nv = nodata
+                # the file's own GeoKey directory beats the directory-level
+                # default (export_gtiff now writes the EPSG code)
+                gk_crs = crs_from_geokeys(buf)
+                if gk_crs is not None:
+                    row_crs = gk_crs
                 planes = arr if arr.ndim == 3 else arr[None]
                 payloads = (
                     "raw16",
@@ -142,7 +148,7 @@ def read_image_files(src, crs: str | None = None, nullval: float = 0.0):
                 rows["h"].append(h)
                 rows["fmt"].append(fmt)
                 rows["gt"].append(list(gt))
-                rows["crs"].append(crs)
+                rows["crs"].append(row_crs)
                 rows["nullval"].append(float(nv))
                 rows["seq"].append(seqs[path])
                 rows["dtype"].append(dtype)

@@ -461,3 +461,62 @@ def test_export_gtiff_streams_without_mosaic_array(tmp_path, ray_session,
     assert (full == truth).all()
     assert len(ovs) >= 1
     assert np.array_equal(ovs[0], truth[2::4, 2::4])
+
+
+def test_geokeys_carry_epsg_code(tmp_path):
+    """GeoKey directory round trip: EPSG CRSs write Geographic/
+    ProjectedCSTypeGeoKey (what GDAL reads as the SRS) across all three
+    writers; non-EPSG names keep the minimal directory; file ingest
+    prefers the file's own GeoKeys over the directory default."""
+    from moaray.sinks.gtiff import (
+        StreamingGtiffWriter,
+        crs_from_geokeys,
+        write_gtiff,
+        write_gtiff_tiled,
+    )
+
+    gt = (300000.0, 10.0, 0.0, 7000000.0, 0.0, -10.0)
+    arr = np.arange(64 * 48, dtype=np.uint16).reshape(64, 48)
+    for crs, expect in (
+        ("EPSG:32756", "EPSG:32756"),   # projected -> 3072
+        ("EPSG:4326", "EPSG:4326"),     # geographic -> 2048
+        ("EPSG:3413", "EPSG:3413"),     # polar stereo
+        ("AFFINE:0,1,0,0,0,1", None),   # engine-internal: minimal dir
+        ("", None),
+    ):
+        p = str(tmp_path / "k.tif")
+        write_gtiff(p, arr, gt, crs=crs, nullval=0.0)
+        with open(p, "rb") as f:
+            assert crs_from_geokeys(f.read()) == expect, crs
+        p2 = str(tmp_path / "k2.tif")
+        write_gtiff_tiled(p2, arr, gt, crs=crs, nullval=0.0,
+                          min_overview_size=64)
+        with open(p2, "rb") as f:
+            assert crs_from_geokeys(f.read()) == expect, crs
+        p3 = str(tmp_path / "k3.tif")
+        w = StreamingGtiffWriter(p3, 64, 48, np.uint16, gt, crs, 0.0)
+        w.write_rows(arr)
+        w.close()
+        with open(p3, "rb") as f:
+            assert crs_from_geokeys(f.read()) == expect, crs
+
+
+def test_tif_ingest_reads_geokey_crs(ray_session, tmp_path):
+    """export_gtiff -> loose-file ingest: the catalog row's crs comes from
+    the file's GeoKeys, not the EPSG:32756 directory default."""
+    import os
+
+    from moaray.sinks.gtiff import write_gtiff
+    from moaray.sources.files import catalog_from_files
+
+    gt = (15.0, 0.01, 0.0, 78.5, 0.0, -0.002)
+    arr = (np.arange(32 * 32) % 251).astype(np.uint16).reshape(32, 32) + 1
+    d = tmp_path / "loose"
+    d.mkdir()
+    write_gtiff(str(d / "a.tif"), arr, gt, crs="EPSG:3413", nullval=0.0)
+    out = str(tmp_path / "cat.parquet")
+    catalog_from_files(str(d), out)
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(out)
+    assert tbl["crs"].to_pylist() == ["EPSG:3413"]
