@@ -835,6 +835,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _rpc(f"{sf_dir}/events.parquet"), gap_minutes=30
         )
 
+    def q_events_asof_join(sf_dir: str):
+        # AS-OF JOIN custom operator: newest prior 'view' per 'purchase'
+        return relational.asof_join_events(_rpc(f"{sf_dir}/events.parquet"))
+
+    def q_events_range_join(sf_dir: str):
+        # RANGE JOIN custom operator: clicks within the hour before an error
+        return relational.range_join_events(
+            _rpc(f"{sf_dir}/events.parquet"), window_minutes=60
+        )
+
     def q_video_frame_sample(sf_dir: str):  # rows-only (synthetic clips)
         import ray
 
@@ -1017,6 +1027,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "props_extract": q_props_extract,
         "sessionize": q_sessionize,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
         "events_daily": q_events_daily,
         "events_moving_avg": q_events_moving_avg,
         "events_median": q_events_median,
@@ -1352,6 +1364,26 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
             FROM sess
             GROUP BY user_id, session_id
+        """,
+        "events_asof_join": """
+            WITH v AS (
+              SELECT user_id, ts, max(value) AS vmax FROM events
+              WHERE event_type = 'view' GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+                   strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+                   CAST(round(v.vmax * 100) AS BIGINT) / 100.0 AS view_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "events_range_join": """
+            SELECT e.user_id, e.event_id AS left_event_id,
+                   c.event_id AS right_event_id
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id
+             AND c.ts >= e.ts - INTERVAL 60 MINUTE AND c.ts < e.ts
         """,
         "events_daily": """
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

@@ -521,6 +521,128 @@ def sessionize(events_ds, gap_minutes: int = 30):
     )
 
 
+def asof_join_events(events_ds, left_type: str = "purchase",
+                     right_type: str = "view"):
+    """AS-OF JOIN (the temporal custom operator Ray Data lacks natively):
+    for every ``left_type`` event, attach the newest ``right_type`` event
+    of the same user with ``right.ts <= left.ts`` (inner — unmatched left
+    rows drop, matching SQL ASOF JOIN).
+
+    Shape: ONE shuffle on the natural key (user_id), then a group-local
+    sort + np.searchsorted probe — O(n log n) per group, no pairwise
+    blowup; the same partitioning key every other events op uses. Right
+    rows are first deduped to one per (user, ts) (max value) so ties are
+    deterministic on both the Ray and SQL sides."""
+
+    def asof(group: pa.Table) -> pa.Table:
+        types = group["event_type"].to_pylist()
+        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = group["event_id"].to_numpy()
+        val = group["value"].to_numpy()
+        is_l = np.array([t == left_type for t in types], bool)
+        is_r = np.array([t == right_type for t in types], bool)
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "event_ts": pa.array([], pa.string()),
+            "view_ts": pa.array([], pa.string()),
+            "view_value": pa.array([], pa.float64()),
+        })
+        if not is_l.any() or not is_r.any():
+            return empty
+        # dedupe right side to one row per ts: keep max value (ties
+        # deterministic both sides)
+        rts, rval = ts[is_r], val[is_r]
+        order = np.lexsort((rval, rts))
+        rts, rval = rts[order], rval[order]
+        keep = np.ones(len(rts), bool)
+        keep[:-1] = rts[1:] != rts[:-1]  # last (max-value) row per ts wins
+        rts, rval = rts[keep], rval[keep]
+        lts, lid = ts[is_l], eid[is_l]
+        pos = np.searchsorted(rts, lts, side="right") - 1
+        hit = pos >= 0
+        if not hit.any():
+            return empty
+        lts, lid, pos = lts[hit], lid[hit], pos[hit]
+        order = np.argsort(lid, kind="stable")
+        lts, lid, pos = lts[order], lid[order], pos[order]
+        cents = np.where(
+            rval[pos] * 100.0 >= 0,
+            np.floor(rval[pos] * 100.0 + 0.5),
+            np.ceil(rval[pos] * 100.0 - 0.5),
+        ).astype(np.int64)
+        fmt = "%Y-%m-%d %H:%M:%S"
+        return pa.table({
+            "event_id": pa.array(lid, pa.int64()),
+            "user_id": pa.array(
+                [group["user_id"][0].as_py()] * len(lid), pa.int64()
+            ),
+            "event_ts": pa.array(
+                [np.datetime64(int(t), "us").item().strftime(fmt)
+                 for t in lts], pa.string()
+            ),
+            "view_ts": pa.array(
+                [np.datetime64(int(t), "us").item().strftime(fmt)
+                 for t in rts[pos]], pa.string()
+            ),
+            "view_value": pa.array(cents / 100.0, pa.float64()),
+        })
+
+    return (
+        events_ds.select_columns(
+            ["user_id", "event_id", "ts", "event_type", "value"]
+        )
+        .groupby("user_id")
+        .map_groups(asof, batch_format="pyarrow")
+    )
+
+
+def range_join_events(events_ds, window_minutes: int = 60,
+                      left_type: str = "error",
+                      right_type: str = "click"):
+    """RANGE JOIN: all (left, right) pairs of the same user with
+    ``left.ts - window <= right.ts < left.ts`` — "which clicks preceded
+    each error within the hour". One shuffle on user_id; within a group
+    both sides sort once and each left row takes a contiguous
+    searchsorted slice of the right side, so work is O(n log n + pairs)
+    — never the unwindowed cross product."""
+    win_us = np.int64(window_minutes * 60 * 1_000_000)
+
+    def pairs(group: pa.Table) -> pa.Table:
+        types = group["event_type"].to_pylist()
+        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = group["event_id"].to_numpy()
+        is_l = np.array([t == left_type for t in types], bool)
+        is_r = np.array([t == right_type for t in types], bool)
+        out_l, out_r = [], []
+        if is_l.any() and is_r.any():
+            rts, rid = ts[is_r], eid[is_r]
+            order = np.argsort(rts, kind="stable")
+            rts, rid = rts[order], rid[order]
+            lo = np.searchsorted(rts, ts[is_l] - win_us, side="left")
+            hi = np.searchsorted(rts, ts[is_l], side="left")
+            for li, (a, b) in zip(eid[is_l], zip(lo, hi)):
+                if b > a:
+                    out_l.extend([int(li)] * (b - a))
+                    out_r.extend(int(r) for r in rid[a:b])
+        uid = group["user_id"][0].as_py()
+        if out_l:
+            la, ra = np.array(out_l, np.int64), np.array(out_r, np.int64)
+            order = np.lexsort((ra, la))
+            out_l, out_r = la[order].tolist(), ra[order].tolist()
+        return pa.table({
+            "user_id": pa.array([uid] * len(out_l), pa.int64()),
+            "left_event_id": pa.array(out_l, pa.int64()),
+            "right_event_id": pa.array(out_r, pa.int64()),
+        })
+
+    return (
+        events_ds.select_columns(["user_id", "event_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+
+
 def top_orders_per_customer(orders_ds, n: int = 2):
     """Ranked-window operator: the top-n orders per customer by price
     (ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY price DESC, key)).

@@ -942,3 +942,59 @@ def test_catalog_census():
     raw = out[out["fmt"] == "raw16"].iloc[0]
     assert raw["total_bytes"] == 3 * (14 + 64 * 64 * 2)  # header + pixels
     assert raw["avg_w"] == 64.0 and raw["avg_h"] == 64.0
+
+
+def test_asof_and_range_join_match_duckdb(ray_session):
+    """The two temporal custom operators (prompt's 'as-of join, range
+    join') against DuckDB's native ASOF JOIN / interval join, exact."""
+    import duckdb
+    import pandas as pd
+
+    from moaray.io import read_parquet_clean
+    from moaray.ops.relational import asof_join_events, range_join_events
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_parquet_clean(f"{sf}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+
+    got = asof_join_events(ev).to_pandas().sort_values(
+        "event_id").reset_index(drop=True)
+    want = con.execute("""
+        WITH v AS (
+          SELECT user_id, ts, max(value) AS vmax FROM events
+          WHERE event_type = 'view' GROUP BY user_id, ts
+        )
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+               strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+               CAST(round(v.vmax * 100) AS BIGINT) / 100.0 AS view_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY p.event_id
+    """).df().reset_index(drop=True)
+    assert len(got) > 50
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()].astype({"user_id": "int64"}),
+        want.astype({"user_id": "int64"}),
+    )
+
+    got2 = range_join_events(ev).to_pandas().sort_values(
+        ["left_event_id", "right_event_id"]).reset_index(drop=True)
+    want2 = con.execute("""
+        SELECT e.user_id, e.event_id AS left_event_id,
+               c.event_id AS right_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id
+         AND c.ts >= e.ts - INTERVAL 60 MINUTE AND c.ts < e.ts
+        ORDER BY left_event_id, right_event_id
+    """).df().reset_index(drop=True)
+    assert len(got2) > 0
+    pd.testing.assert_frame_equal(
+        got2[want2.columns.tolist()].astype("int64"),
+        want2.astype("int64"),
+    )
