@@ -367,7 +367,11 @@ def update_mosaic(
 
         base_paths = manifest_mod.committed_paths(out_dir, extras["gen_hwm"])
         if base_paths:
-            schema_names = _pq.read_schema(base_paths[0]).names
+            from ..io import parquet_file
+            from ..state.fsio import OutputFS
+
+            _ofs = OutputFS(out_dir)
+            schema_names = parquet_file(_ofs.fs, base_paths[0]).schema_arrow.names
             if "num" not in schema_names or "den" not in schema_names:
                 raise ValueError(
                     "feather update needs persisted num/den partials — "

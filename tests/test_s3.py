@@ -280,3 +280,48 @@ def test_partitioned_ops_sink_over_s3(ray_session, s3_endpoint):
     rows = back.take_all()
     assert len(rows) == 1000
     assert sorted(r["id"] for r in rows) == list(range(1000))
+
+
+def test_feather_update_into_s3_out_dir(ray_session, s3_endpoint,
+                                        s3_catalog, tmp_path):
+    """Feather-partial incremental update writing INTO an s3:// output:
+    grid.json generations, num/den schema probe, base read pinned to
+    gen_hwm and the rerun no-op guard all work against the store."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from moaray import MosaicConfig, do_mosaic
+    from moaray.pipelines.mosaic import mosaic_array
+    from moaray.pipelines.update import update_mosaic
+    from moaray.testgen import Layout, gen_images_table
+
+    layout = Layout("grid3x3", 9, 64)
+    tbl = gen_images_table(layout)
+    base_dir = tmp_path / "fbase"
+    base_dir.mkdir()
+    pq.write_table(tbl.take(pa.array([0, 1, 2, 3, 5, 6, 7, 8])),
+                   str(base_dir / "p.parquet"))
+    delta_dir = tmp_path / "fdelta"
+    delta_dir.mkdir()
+    pq.write_table(tbl.take(pa.array([4])), str(delta_dir / "p.parquet"))
+
+    client = boto3.client("s3", endpoint_url=s3_endpoint,
+                          region_name="us-east-1")
+    client.create_bucket(Bucket="moaray-fupd")
+    out = "s3://moaray-fupd/out"
+    cfg = MosaicConfig(layout=layout, blocksize=64, merge="feather",
+                       feather_partials=True, do_pyramids=False)
+    do_mosaic(str(base_dir), cfg, out_dir=out)
+    res1 = update_mosaic(str(delta_dir), cfg, out)
+    got1 = mosaic_array(res1.tiles_ds, res1.grid)
+    # rerun of the same delta is a no-op (content-id guard via s3 grid.json)
+    res2 = update_mosaic(str(delta_dir), cfg, out)
+    got2 = mosaic_array(res2.tiles_ds, res2.grid)
+    assert np.array_equal(got1, got2)
+    # equals the same flow against a local out_dir
+    out_l = str(tmp_path / "fout_local")
+    do_mosaic(str(base_dir), cfg, out_dir=out_l)
+    res3 = update_mosaic(str(delta_dir), cfg, out_l)
+    assert np.array_equal(got1, mosaic_array(res3.tiles_ds, res3.grid))
