@@ -635,6 +635,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             text.md5_fingerprint_batch, batch_format="pyarrow"
         )
 
+    def q_doc_word_freq(sf_dir: str):
+        # global vocabulary top-k (tokenizer-training corpus pass)
+        return text.word_freq(_docs(sf_dir), k=50)
+
+    def q_doc_length_histogram(sf_dir: str):
+        # corpus length census: fixed 16-char bins, last bin open
+        return text.length_histogram(_docs(sf_dir))
+
     def q_rolling_fingerprint(sf_dir: str):  # rows-only (non-SQL)
         return _docs(sf_dir).map_batches(
             text.rolling_hash_batch, batch_format="pyarrow"
@@ -1010,6 +1018,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sample": q_events_sample,
         "doc_langid": q_langid,
         "doc_fingerprint": q_fingerprint,
+        "doc_word_freq": q_doc_word_freq,
+        "doc_length_histogram": q_doc_length_histogram,
         "dedup_exact": q_dedup_exact,
         "charset_jaccard_pairs": q_charset_jaccard,
         "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -1185,6 +1195,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "doc_word_freq": """
+            SELECT word, count(*) AS n FROM (
+              SELECT unnest(str_split(text, ' ')) AS word FROM documents
+            ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 50
+        """,
+        "doc_length_histogram": """
+            SELECT CAST(least(n_chars // 16, 31) AS BIGINT) AS bin,
+                   CAST(least(n_chars // 16, 31) * 16 AS BIGINT) AS lo_chars,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1, 2
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, md5(text) AS text_hash

@@ -271,6 +271,96 @@ def extract_props_k(events_ds):
     )
 
 
+def word_freq(docs_ds, k: int = 50):
+    """Global word-frequency top-k (the vocabulary pass a tokenizer-
+    training pipeline runs over the corpus).
+
+    Combiner shape: each batch splits on single spaces and collapses to
+    (word, n) partials with np.unique — only distinct words leave the
+    batch, never token streams; a groupby sums partials; per-block local
+    top-k then one tiny global merge picks the top ``k`` with the
+    deterministic (n DESC, word ASC) tiebreak the oracle uses."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(batch["text"], pattern=" ")
+        )
+        words, counts = np.unique(
+            np.asarray(toks.to_numpy(zero_copy_only=False)),
+            return_counts=True,
+        )
+        return pa.table({
+            "word": pa.array(words, pa.string()),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    def merge_word(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "word": [group["word"][0].as_py()],
+            "n": [int(pc.sum(group["n"]).as_py())],
+        })
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        words = np.asarray(batch["word"].to_pylist())
+        n = batch["n"].to_numpy()
+        order = np.lexsort((words, -n))[:k]
+        return batch.take(pa.array(order, pa.int64()))
+
+    counts = (
+        docs_ds.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .map_groups(merge_word, batch_format="pyarrow")
+    )
+    return (
+        counts.map_batches(local_topk, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column(
+                "one", pa.array([1] * t.num_rows, pa.int32())
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("one")
+        .map_groups(
+            lambda g: local_topk(g).drop_columns(["one"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def length_histogram(docs_ds, bin_width: int = 16, n_bins: int = 32):
+    """Document-length histogram (corpus census before choosing chunk /
+    context sizes): fixed bins of ``bin_width`` chars, last bin open.
+    Per-batch np.bincount partials (n_bins ints per batch — nothing else
+    shuffles), one tiny groupby to sum."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lens = batch["n_chars"].to_numpy()
+        b = np.minimum(lens // bin_width, n_bins - 1).astype(np.int64)
+        counts = np.bincount(b, minlength=n_bins).astype(np.int64)
+        nz = np.nonzero(counts)[0]
+        return pa.table({
+            "bin": pa.array(nz, pa.int64()),
+            "n_docs": pa.array(counts[nz], pa.int64()),
+        })
+
+    def merge_bin(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "bin": [group["bin"][0].as_py()],
+            "lo_chars": [group["bin"][0].as_py() * bin_width],
+            "n_docs": [int(pc.sum(group["n_docs"]).as_py())],
+        })
+
+    return (
+        docs_ds.select_columns(["n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .map_groups(merge_bin, batch_format="pyarrow")
+    )
+
+
 _STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
 

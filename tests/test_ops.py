@@ -998,3 +998,23 @@ def test_asof_and_range_join_match_duckdb(ray_session):
         got2[want2.columns.tolist()].astype("int64"),
         want2.astype("int64"),
     )
+
+
+def test_word_freq_and_length_histogram_vs_sql(con):
+    from moaray.ops.text import length_histogram, word_freq
+
+    assert_matches_sql(
+        word_freq(docs(), k=50),
+        con,
+        """SELECT word, count(*) AS n FROM (
+             SELECT unnest(str_split(text, ' ')) AS word FROM documents
+           ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 50""",
+    )
+    assert_matches_sql(
+        length_histogram(docs()),
+        con,
+        """SELECT CAST(least(n_chars // 16, 31) AS BIGINT) AS bin,
+                  CAST(least(n_chars // 16, 31) * 16 AS BIGINT) AS lo_chars,
+                  count(*) AS n_docs
+           FROM documents GROUP BY 1, 2""",
+    )
