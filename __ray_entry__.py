@@ -941,6 +941,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.from_items(rows), stride=4
         ).sort(["video_id", "frame_idx"])
 
+    def q_compute_phash(sf_dir: str):  # rows-only (pixel fingerprints)
+        from moaray.ops.multimodal import compute_phash
+        from moaray.pipelines.mosaic import read_images
+
+        return compute_phash(
+            read_images(_images("grid", MIXED_FMTS),
+                        columns=["image_id", "bytes", "fmt"])
+        ).sort("image_id")
+
     def q_catalog_census(sf_dir: str):  # rows-only (images not a SQL view)
         # per-fmt census of a mixed catalog: count/bytes/dims, no decode
         import ray
@@ -1102,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_sample_mp4": q_video_frame_sample_mp4,
         "video_frame_sample_gif": q_video_frame_sample_gif,
         "catalog_census": q_catalog_census,
+        "compute_phash": q_compute_phash,
     }
 
 

@@ -93,6 +93,83 @@ class ImageFeatures:
         )
 
 
+class ComputePhash:
+    """Actor-pool stage: pixels -> 64-bit DCT perceptual hash.
+
+    The fingerprint PRODUCER for the catalog's ``phash:int64`` column
+    (dedup.phash_neardup_pairs is the consumer): decode, grayscale,
+    area-average to 32x32, 2D DCT-II, take the top-left 8x8 minus DC,
+    threshold at the median -> 64 bits. Per-actor state is the
+    precomputed 32-point DCT basis (built once in __init__)."""
+
+    def __init__(self, errors: str = "raise"):
+        self.errors = _check_errors(errors)
+        n, k = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+        self.basis = np.cos(np.pi * (2 * n + 1) * k / 64.0)  # [n, k]
+
+    def _one(self, arr: np.ndarray) -> int:
+        if arr.ndim == 3:  # luma of color payloads
+            arr = (0.299 * arr[..., 0] + 0.587 * arr[..., 1]
+                   + 0.114 * arr[..., 2])
+        a = arr.astype(np.float64)
+        if np.isnan(a).any():
+            a = np.nan_to_num(a, nan=0.0)
+        h, w = a.shape
+        # area-average resample to 32x32 (box means over edge-snapped bins)
+        re = np.linspace(0, h, 33).astype(np.int64)
+        ce = np.linspace(0, w, 33).astype(np.int64)
+        csum = np.zeros((h + 1, w + 1))
+        csum[1:, 1:] = a.cumsum(0).cumsum(1)
+        blk = (csum[re[1:], :][:, ce[1:]] - csum[re[:-1], :][:, ce[1:]]
+               - csum[re[1:], :][:, ce[:-1]] + csum[re[:-1], :][:, ce[:-1]])
+        area = np.outer(np.maximum(np.diff(re), 1),
+                        np.maximum(np.diff(ce), 1))
+        small = blk / area
+        coef = self.basis.T @ small @ self.basis  # 2D DCT-II (unnormalized)
+        low = coef[:8, :8].reshape(-1)[1:]  # drop DC
+        bits = low > np.median(low)
+        val = 0
+        for b in bits:
+            val = (val << 1) | int(b)
+        return val - (1 << 64) if val >= (1 << 63) else val  # int64 range
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for i in range(batch.num_rows):
+            fmt = batch["fmt"][i].as_py()
+            buf = batch["bytes"][i].as_py()
+            try:
+                arr = codecs.decode(buf, fmt)
+            except NotImplementedError:
+                raise
+            except Exception as exc:
+                if self.errors != "skip":
+                    raise
+                _log_skip("compute_phash", batch["image_id"][i].as_py(), exc)
+                continue
+            ids.append(batch["image_id"][i].as_py())
+            hashes.append(self._one(arr))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "phash": pa.array(hashes, pa.int64()),
+        })
+
+
+def compute_phash(images_ds, *, concurrency=(1, 8), batch_size: int = 16,
+                  errors: str = "raise"):
+    """64-bit perceptual hashes for an image catalog (columns image_id /
+    bytes / fmt). Output schema matches the input-table contract's phash
+    column, so it composes directly with dedup.phash_neardup_pairs."""
+    return images_ds.map_batches(
+        ComputePhash,
+        fn_constructor_args=(errors,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 class ImageResize:
     """Actor-pool stage: resize to (out_h, out_w).
 

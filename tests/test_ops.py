@@ -1018,3 +1018,50 @@ def test_word_freq_and_length_histogram_vs_sql(con):
                   count(*) AS n_docs
            FROM documents GROUP BY 1, 2""",
     )
+
+
+def test_compute_phash_produces_and_composes(ray_session):
+    """The fingerprint PRODUCER: identical images hash identically, mild
+    noise stays within a small hamming radius, different content is far;
+    output schema feeds dedup.phash_neardup_pairs directly."""
+    from moaray import codecs
+    from moaray.ops.dedup import phash_neardup_pairs
+    from moaray.ops.multimodal import compute_phash
+
+    rng = np.random.RandomState(0)
+    sm = (rng.rand(96, 128) * 60000).astype(np.float64)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    for _ in range(3):  # smooth: perceptual structure, not white noise
+        sm[2:-2, 2:-2] = sliding_window_view(sm, (5, 5)).reshape(
+            92, 124, 25).mean(-1)
+    base = sm.astype(np.uint16)
+    noisy = np.clip(
+        base.astype(np.int64) + rng.randint(-300, 300, base.shape),
+        0, 65535,
+    ).astype(np.uint16)
+    other = (np.outer(np.arange(96), np.arange(128)) % 60000).astype(
+        np.uint16)
+    tbl = pa.table({
+        "image_id": pa.array(["a", "a2", "n", "o"], pa.string()),
+        "bytes": pa.array(
+            [codecs.encode(x, "z16") for x in (base, base, noisy, other)],
+            pa.binary(),
+        ),
+        "fmt": pa.array(["z16"] * 4, pa.string()),
+    })
+    ph = {r["image_id"]: r["phash"]
+          for r in compute_phash(ray.data.from_arrow(tbl)).take_all()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(ph["a"], ph["a2"]) == 0
+    assert ham(ph["a"], ph["n"]) <= 6
+    assert ham(ph["a"], ph["o"]) > 12
+    pairs = phash_neardup_pairs(
+        compute_phash(ray.data.from_arrow(tbl)), max_hamming=6
+    ).take_all()
+    got = {tuple(sorted((r[list(r)[0]], r[list(r)[1]]))) for r in pairs}
+    assert ("a", "a2") in got and ("a", "n") in got
+    assert not any("o" in p for p in got)
