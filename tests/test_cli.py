@@ -42,3 +42,52 @@ def test_cli_reproject(tmp_path):
     ])
     assert rc == 0
     assert (out / "manifest").is_dir()
+
+
+def test_cli_polar_warp_with_geokey_export(ray_session, tmp_path):
+    """CLI end-to-end over a curvilinear pair from the new projection
+    registry: EPSG:4326 catalog -> NSIDC polar grid via --outprojepsg,
+    single-file export stamped with the EPSG GeoKey."""
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from moaray import codecs
+    from moaray.sinks.gtiff import crs_from_geokeys, read_gtiff
+
+    size = 64
+    ramp = np.tile(np.arange(size, dtype=np.uint16), (size, 1))
+    ramp[:, 0] = 0
+    d = tmp_path / "llcat"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "image_id": pa.array(["x"], pa.string()),
+            "bytes": pa.array([codecs.encode(ramp, "z16")], pa.binary()),
+            "w": pa.array([size], pa.int32()),
+            "h": pa.array([size], pa.int32()),
+            "fmt": pa.array(["z16"], pa.string()),
+            "gt": pa.array([[15.0, 0.01, 0.0, 78.5, 0.0, -0.002]],
+                           pa.list_(pa.float64(), 6)),
+            "crs": pa.array(["EPSG:4326"], pa.string()),
+            "nullval": pa.array([0.0], pa.float64()),
+            "seq": pa.array([0], pa.int64()),
+        }),
+        str(d / "p.parquet"),
+    )
+    tif = str(tmp_path / "polar.tif")
+    r = subprocess.run(
+        [sys.executable, "-m", "moaray", "-i", str(d),
+         "-o", str(tmp_path / "out"), "--blocksize", "32",
+         "--outprojepsg", "3413", "--xres", "100", "--yres", "100",
+         "--gtiff", tif],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    arr, _t, _nd = read_gtiff(tif)
+    assert (arr != 0).sum() > 500
+    with open(tif, "rb") as f:
+        assert crs_from_geokeys(f.read()) == "EPSG:3413"
