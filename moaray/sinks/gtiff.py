@@ -595,7 +595,17 @@ def export_gtiff(res, path: str, band=0, tiled: bool = False,
     np_dtype = np.dtype(grid.dtype)
     fill = grid.nullval if grid.nullval is not None else 0
     if band == "all":
-        bands = sorted(getattr(res, "stats_by_band", {0: None}).keys()) or [0]
+        # stats_by_band is None when do_stats=False — derive the band set
+        # from the tile table (single-column distinct, tiny) rather than
+        # crashing on .keys()
+        by_band = getattr(res, "stats_by_band", None)
+        if by_band:
+            bands = sorted(by_band.keys())
+        else:
+            bands = sorted(
+                int(b) for b in res.tiles_ds.select_columns(["band"])
+                .unique("band")
+            )
     else:
         bands = [band]
     if len(bands) > 1 and tiled:

@@ -520,3 +520,24 @@ def test_tif_ingest_reads_geokey_crs(ray_session, tmp_path):
 
     tbl = pq.read_table(out)
     assert tbl["crs"].to_pylist() == ["EPSG:3413"]
+
+
+def test_export_all_bands_without_stats(ray_session, tmp_path):
+    """band='all' with do_stats=False: bands come from the grid's nbands
+    instead of crashing on a None stats_by_band."""
+    from moaray import MosaicConfig, do_mosaic
+    from moaray.pipelines.mosaic import mosaic_array
+    from moaray.testgen import Layout, images_path
+
+    layout = Layout("grid3x3", 9, 64)
+    path = images_path(layout, nbands=2, explicit_meta=True)
+    res = do_mosaic(path, MosaicConfig(layout=layout, blocksize=64,
+                                       do_pyramids=False, do_stats=False))
+    p = str(tmp_path / "nostats.tif")
+    export_gtiff(res, p, band="all", compress="deflate")
+    back, _t, _nd = read_gtiff(p)
+    assert back.ndim == 3 and back.shape[0] == 2
+    for b in range(2):
+        assert np.array_equal(
+            back[b], mosaic_array(res.tiles_ds, res.grid, band=b)
+        )
