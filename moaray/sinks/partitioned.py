@@ -132,7 +132,7 @@ def write_partitioned(
         )
         .groupby("__bucket")
         .map_groups(commit_bucket, batch_format="pyarrow")
-        .take_all()
+        .take_all()  # one 3-field row per bucket (n_partitions total)
     )
     written = sum(1 for r in stats if r["written"])
     return {

@@ -113,7 +113,7 @@ def stats_from_tile_columns(tiles_ds) -> dict[int, dict]:
             Min("px_min"),
             Max("px_max"),
         )
-        .take_all()
+        .take_all()  # one aggregate row per band — bounded by band count
     )
     out: dict[int, dict] = {}
     for agg in rows:

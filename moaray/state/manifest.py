@@ -173,6 +173,10 @@ def write_tiles(
         batch_size=tiles_per_file,
     )
     # Manifest rows are tiny — materializing them IS the sink consumption.
+    # Driver memory bound: ONE ~200-byte row per committed partition
+    # (tiles/tiles_per_file partitions; a 10^9-tile job at 16 tiles/file
+    # is ~60M rows -> raise tiles_per_file before that, or consume the
+    # manifest dataset streaming).
     return pa.Table.from_pylist(manifest_ds.take_all())
 
 
