@@ -979,33 +979,47 @@ def supplier_region_stats(supplier_ds, nation_path: str, region_path: str):
 
     nat = pq.read_table(nation_path, columns=["n_nationkey", "n_regionkey"])
     reg = pq.read_table(region_path, columns=["r_regionkey", "r_name"])
-    nat_map = dict(
-        zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist())
-    )
-    reg_map = dict(
-        zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist())
-    )
-    ref = ray.put((nat_map, reg_map))
+    # dense nationkey -> region CODE array + region-code -> name list:
+    # the supplier side is fact-scaled, so the probe must be a vectorized
+    # np.take + np.add.at, never a per-row Python dict chain
+    nk = nat["n_nationkey"].to_numpy()
+    rk = nat["n_regionkey"].to_numpy().astype(np.int64)
+    rkeys = reg["r_regionkey"].to_numpy()
+    rnames = reg["r_name"].to_pylist()
+    max_rk = int(rkeys.max()) if len(rkeys) else 0
+    name_by_rk: list = [None] * (max_rk + 1)
+    for k, nm in zip(rkeys, rnames):
+        name_by_rk[int(k)] = nm
+    max_nk = int(nk.max()) if len(nk) else 0
+    code_by_nk = np.full(max_nk + 1, -1, dtype=np.int64)
+    code_by_nk[nk] = np.where(rk <= max_rk, rk, -1)
+    ref = ray.put((code_by_nk, name_by_rk))
 
     def partial(batch: pa.Table) -> pa.Table:
-        nmap, rmap = ray.get(ref)
-        names = [
-            rmap.get(nmap.get(n)) for n in batch["s_nationkey"].to_pylist()
-        ]
+        codes, names = ray.get(ref)
+        n = batch["s_nationkey"].to_numpy()
+        inb = (n >= 0) & (n < len(codes))
+        code = np.where(inb, codes[np.clip(n, 0, len(codes) - 1)], -1)
         cents = pc.cast(
             pc.round(
                 pc.multiply(batch["s_acctbal"], pa.scalar(100.0)),
                 round_mode="half_towards_infinity",
             ),
             pa.int64(),
+        ).to_numpy()
+        hit = code >= 0
+        sums = np.zeros(len(names), dtype=np.int64)
+        cnts = np.zeros(len(names), dtype=np.int64)
+        np.add.at(sums, code[hit], cents[hit])
+        np.add.at(cnts, code[hit], 1)
+        nz = [i for i in np.nonzero(cnts)[0] if names[i] is not None]
+        return pa.table(
+            {
+                "r_name": pa.array([names[i] for i in nz], pa.string()),
+                "cents": pa.array(sums[nz], pa.int64()),
+                "n_suppliers": pa.array(cnts[nz], pa.int64()),
+            }
         )
-        t = pa.table(
-            {"r_name": pa.array(names, pa.string()), "cents": cents}
-        ).filter(pc.is_valid(pa.array(names, pa.string())))
-        g = t.group_by("r_name").aggregate(
-            [("cents", "sum"), ("cents", "count")]
-        )
-        return g.rename_columns(["r_name", "cents", "n_suppliers"])
 
     def final(group: pa.Table) -> pa.Table:
         return pa.table(
