@@ -354,6 +354,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _tiles_with_checksum(res.tiles_ds)
 
+    def q_mosaic_reproject_webmerc(sf_dir: str):  # rows-only (non-SQL)
+        # web-tile warp: EPSG:4326 catalog -> the EPSG:3857 Web Mercator
+        # grid (moaray/merc.py; the slippy-map CRS — ref reproj.py:194-216)
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from moaray import codecs
+
+        root = "/tmp/moaray_q_webmerc"
+        if not os.path.isdir(root):
+            os.makedirs(root, exist_ok=True)
+            size = 64
+            rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": [],
+                    "gt": [], "crs": [], "nullval": [], "seq": []}
+            for i in range(4):
+                ramp = np.tile(
+                    np.arange(size, dtype=np.uint16) + i, (size, 1)
+                )
+                ramp[:, 0] = 0
+                r, c = divmod(i, 2)
+                gt = [-0.30 + c * 0.055, 0.001, 0.0,
+                      51.60 - r * 0.055, 0.0, -0.001]
+                rows["image_id"].append(f"wm{i:04d}")
+                rows["bytes"].append(codecs.encode(ramp, "z16"))
+                rows["w"].append(size)
+                rows["h"].append(size)
+                rows["fmt"].append("z16")
+                rows["gt"].append(gt)
+                rows["crs"].append("EPSG:4326")
+                rows["nullval"].append(0.0)
+                rows["seq"].append(i)
+            tbl = pa.table(
+                {
+                    "image_id": pa.array(rows["image_id"], pa.string()),
+                    "bytes": pa.array(rows["bytes"], pa.binary()),
+                    "w": pa.array(rows["w"], pa.int32()),
+                    "h": pa.array(rows["h"], pa.int32()),
+                    "fmt": pa.array(rows["fmt"], pa.string()),
+                    "gt": pa.array(rows["gt"], pa.list_(pa.float64(), 6)),
+                    "crs": pa.array(rows["crs"], pa.string()),
+                    "nullval": pa.array(rows["nullval"], pa.float64()),
+                    "seq": pa.array(rows["seq"], pa.int64()),
+                }
+            )
+            pq.write_table(tbl, os.path.join(root, "p.parquet"))
+        from moaray import MosaicConfig, do_mosaic as _dm
+
+        res = _dm(
+            root,
+            MosaicConfig(
+                blocksize=32, out_crs="EPSG:3857",
+                out_xres=100.0, out_yres=100.0, resample="near",
+                do_pyramids=False, do_stats=False,
+            ),
+        )
+        return _tiles_with_checksum(res.tiles_ds)
+
     def q_mosaic_tiles_feather(sf_dir: str):
         res = do_mosaic(_images("grid"), _cfg("grid", merge="feather"))
         return _tiles_with_checksum(res.tiles_ds)
@@ -1112,6 +1171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_sample_gif": q_video_frame_sample_gif,
         "catalog_census": q_catalog_census,
         "compute_phash": q_compute_phash,
+        "mosaic_reproject_webmerc": q_mosaic_reproject_webmerc,
     }
 
 

@@ -98,9 +98,11 @@ def point_transformer(src_crs: str, dst_crs: str):
     pairs — any combination of WGS84 geographic (EPSG:4326), UTM
     (EPSG:326zz/327zz, moaray/tmerc.py), Lambert Conformal Conic
     (EPSG:2154/3978 + LCC:..., moaray/lcc.py), Polar Stereographic
-    (UPS/NSIDC/Antarctic + PSTEREO:..., moaray/pstereo.py) and Albers
-    Equal Area (EPSG:5070/3577 + ALBERS:..., moaray/albers.py), chained
-    through the geographic pivot — the four projection families behind
+    (UPS/NSIDC/Antarctic + PSTEREO:..., moaray/pstereo.py), Albers
+    Equal Area (EPSG:5070/3577 + ALBERS:..., moaray/albers.py), Mercator
+    (EPSG:3857 web / EPSG:3395 world / MERC:..., moaray/merc.py) and
+    MODIS Sinusoidal (SINU:..., moaray/merc.py), chained
+    through the geographic pivot — the projection families behind
     essentially every production grid (the reference's arbitrary-SRS
     gdal.Warp path, ref reproj.py:194-216).
     Returns ``None`` when the pair is expressible as an affine — callers

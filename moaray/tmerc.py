@@ -191,7 +191,9 @@ def _geodetic_system(crs: str):
             lambda xs, ys: albers_inverse(xs, ys, ap),
             lambda lat, lon: albers_forward(lat, lon, ap),
         )
-    return None
+    from .merc import merc_system
+
+    return merc_system(crs)
 
 
 def geodetic_transformer(src_crs: str, dst_crs: str):

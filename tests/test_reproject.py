@@ -956,3 +956,173 @@ def test_mosaic_latlon_to_albers_nearest(ray_session, tmp_path):
     truth[valid] = ramp[sr[valid], sc[valid]]
     assert (got == truth).all()
     assert (got != 0).sum() > 1000
+
+
+def test_webmerc_published_anchor():
+    """EPSG:3857 against the published EPSG Guidance Note 7-2 test point
+    (method 1024, Popular Visualisation Pseudo Mercator):
+    24°22'54.433"N, 100°20'00.000"W -> E=-11169055.58, N=2800000.00 (cm)."""
+    from moaray.merc import webmerc_forward, webmerc_inverse
+
+    lat = 24 + 22 / 60 + 54.433 / 3600
+    lon = -(100 + 20 / 60)
+    E, N = webmerc_forward(np.array([lat]), np.array([lon]))
+    assert abs(E[0] - (-11169055.58)) < 0.01
+    assert abs(N[0] - 2800000.00) < 0.01
+    # definitional anchors: equator -> N=0; antimeridian -> the web-tile
+    # half-width pi*a = 20037508.342789244 (every slippy map's constant)
+    E, N = webmerc_forward(np.array([0.0]), np.array([179.9999999]))
+    assert abs(N[0]) < 1e-9
+    assert abs(abs(E[0]) - 20037508.342789244) < 0.05
+    la = np.linspace(-85, 85, 25)
+    lo = np.linspace(-179, 179, 25)
+    LA, LO = np.meshgrid(la, lo)
+    E, N = webmerc_forward(LA, LO)
+    la2, lo2 = webmerc_inverse(E, N)
+    assert np.abs(la2 - LA).max() < 1e-11
+    assert np.abs(lo2 - LO).max() < 1e-11
+
+
+def test_world_mercator_isometric_latitude():
+    """EPSG:3395 (ellipsoidal Mercator, k0=1): the central-meridian northing
+    equals a * psi(phi) with the isometric latitude computed through
+    moaray/tmerc.py's INDEPENDENT conformal chain (psi = arctanh(sin phi)
+    - e arctanh(e sin phi)); the web/ellipsoidal northing ratio is the
+    documented ~0.5% sphere-vs-ellipsoid stretch; MERC:0 == EPSG:3395."""
+    from moaray.merc import (
+        MercParams, merc_forward, merc_inverse, parse_merc, webmerc_forward,
+    )
+    from moaray.tmerc import _A as a, _E as ecc
+
+    p = MercParams()
+    for lat in (15.0, 45.0, 70.0, -33.0):
+        E, N = merc_forward(np.array([lat]), np.array([0.0]), p)
+        s = np.sin(np.deg2rad(lat))
+        psi = np.arctanh(s) - ecc * np.arctanh(ecc * s)
+        assert abs(N[0] - a * psi) < 1e-6, lat
+    _, Nw = webmerc_forward(np.array([45.0]), np.array([0.0]))
+    _, Ne = merc_forward(np.array([45.0]), np.array([0.0]), p)
+    assert 1.004 < Nw[0] / Ne[0] < 1.007
+    # variant B: MERC:0 (standard parallel at the equator -> k0 = 1)
+    kind, p0 = parse_merc("MERC:0")
+    assert kind == "ell"
+    E1, N1 = merc_forward(np.array([45.0]), np.array([10.0]), p0)
+    E2, N2 = merc_forward(np.array([45.0]), np.array([10.0]), p)
+    assert abs(E1[0] - E2[0]) < 1e-9 and abs(N1[0] - N2[0]) < 1e-9
+    # MERC:45 shrinks x by cos(45)-ish (k0 = m(45) ~ 0.709)
+    kind, p45 = parse_merc("MERC:45")
+    E3, _ = merc_forward(np.array([0.0]), np.array([10.0]), p45)
+    assert 0.70 < E3[0] / E1[0] < 0.715
+    la = np.linspace(-80, 80, 20)
+    lo = np.linspace(-170, 170, 20)
+    LA, LO = np.meshgrid(la, lo)
+    E, N = merc_forward(LA, LO, p45)
+    la2, lo2 = merc_inverse(E, N, p45)
+    assert np.abs(la2 - LA).max() < 1e-11
+    assert np.abs(lo2 - LO).max() < 1e-11
+
+
+def test_sinusoidal_modis_grid_anchors():
+    """SINU (MODIS land grid): global half-width pi*R = 20015109.354 m (the
+    published MODIS grid constant, R = 6371007.181); pole northing pi*R/2;
+    EQUAL-AREA Jacobian det == R^2 cos(phi) everywhere; round trips."""
+    from moaray.merc import MODIS_R, SinuParams, sinu_forward, sinu_inverse
+
+    p = SinuParams()
+    x, _ = sinu_forward(np.array([0.0]), np.array([-180.0]), p)
+    assert abs(abs(x[0]) - 20015109.354) < 0.01
+    _, y = sinu_forward(np.array([90.0]), np.array([0.0]), p)
+    assert abs(y[0] - np.pi * MODIS_R / 2.0) < 1e-6
+    d = 1e-6
+    for lat, lon in ((10.0, 20.0), (45.0, -100.0), (-60.0, 140.0)):
+        x0, y0 = sinu_forward(np.array([lat]), np.array([lon]), p)
+        x1, y1 = sinu_forward(np.array([lat + d]), np.array([lon]), p)
+        x2, y2 = sinu_forward(np.array([lat]), np.array([lon + d]), p)
+        J = abs((x1[0] - x0[0]) * (y2[0] - y0[0])
+                - (x2[0] - x0[0]) * (y1[0] - y0[0])) / np.deg2rad(d) ** 2
+        truth = MODIS_R ** 2 * np.cos(np.deg2rad(lat))
+        assert abs(J / truth - 1.0) < 1e-6, (lat, lon)
+    la = np.linspace(-80, 80, 20)
+    lo = np.linspace(-170, 170, 20)
+    LA, LO = np.meshgrid(la, lo)
+    x, y = sinu_forward(LA, LO, p)
+    la2, lo2 = sinu_inverse(x, y, p)
+    assert np.abs(la2 - LA).max() < 1e-11
+    assert np.abs(lo2 - LO).max() < 1e-11
+
+
+def test_mercator_routing_and_chains():
+    from moaray.crs import point_transformer
+    from moaray.merc import parse_merc
+
+    with pytest.raises(ValueError, match="MERC"):
+        parse_merc("MERC:1,2,3")
+    with pytest.raises(ValueError, match="SINU"):
+        parse_merc("SINU:1,2,3")
+    assert parse_merc("EPSG:32756") is None
+    fn = point_transformer("EPSG:4326", "EPSG:3857")
+    x, y = fn(np.array([0.0]), np.array([0.0]))
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    # chains across all six registered families
+    assert point_transformer("EPSG:3857", "EPSG:32614") is not None
+    assert point_transformer("EPSG:3857", "EPSG:5070") is not None
+    assert point_transformer("EPSG:3395", "EPSG:3413") is not None
+    assert point_transformer("SINU:0", "EPSG:2154") is not None
+    assert point_transformer("SINU:0", "EPSG:3857") is not None
+    assert point_transformer("EPSG:3857", "EPSG:3857") is None  # identity
+
+
+def test_mosaic_latlon_to_webmerc_nearest(ray_session, tmp_path):
+    """End-to-end web-tile warp: EPSG:4326 catalog onto the EPSG:3857 grid;
+    per-pixel inverse-projection oracle (mirrors the Albers e2e test)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from moaray import codecs
+    from moaray.merc import webmerc_inverse
+
+    size = 64
+    ramp = np.tile(np.arange(size, dtype=np.uint16), (size, 1))
+    ramp[:, 0] = 0
+    gt = (-0.03, 0.001, 0.0, 51.53, 0.0, -0.001)  # London-ish
+    tbl = pa.table(
+        {
+            "image_id": pa.array(["ldn000"], pa.string()),
+            "bytes": pa.array([codecs.encode(ramp, "z16")], pa.binary()),
+            "w": pa.array([size], pa.int32()),
+            "h": pa.array([size], pa.int32()),
+            "fmt": pa.array(["z16"], pa.string()),
+            "gt": pa.array([list(gt)], pa.list_(pa.float64(), 6)),
+            "crs": pa.array(["EPSG:4326"], pa.string()),
+            "nullval": pa.array([0.0], pa.float64()),
+            "seq": pa.array([0], pa.int64()),
+        }
+    )
+    path = str(tmp_path / "ldn")
+    os.makedirs(path)
+    pq.write_table(tbl, os.path.join(path, "p.parquet"))
+
+    cfg = MosaicConfig(
+        blocksize=32, out_crs="EPSG:3857", out_xres=100.0, out_yres=100.0,
+        resample="near", do_pyramids=False, do_stats=False,
+    )
+    res = do_mosaic(path, cfg)
+    assert res.grid.crs == "EPSG:3857"
+    got = mosaic_array(res.tiles_ds, res.grid)
+
+    t = res.grid.transform
+    rows = np.arange(res.grid.nrows, dtype=np.float64) + 0.5
+    cols = np.arange(res.grid.ncols, dtype=np.float64) + 0.5
+    cg, rg = np.meshgrid(cols, rows)
+    px = t[0] + t[1] * cg
+    py = t[3] + t[5] * rg
+    lat, lon = webmerc_inverse(px, py)
+    sc = np.floor((lon - gt[0]) / gt[1]).astype(np.int64)
+    sr = np.floor((lat - gt[3]) / gt[5]).astype(np.int64)
+    truth = np.zeros_like(got)
+    valid = (sr >= 0) & (sr < size) & (sc >= 0) & (sc < size)
+    truth[valid] = ramp[sr[valid], sc[valid]]
+    assert (got == truth).all()
+    assert (got != 0).sum() > 1000
