@@ -588,8 +588,35 @@ def export_gtiff(res, path: str, band=0, tiled: bool = False,
     organization with embedded strided-overview IFDs (GTiff TILED +
     writeBlockPyramids, ref mosaic.py:604-660, 720-743).
     ``band="all"`` writes every band of a multi-band mosaic into ONE
-    planar multi-band file (the reference's numBands output)."""
+    planar multi-band file (the reference's numBands output).
+
+    ``path`` may be an ``s3://`` URI: a single-file TIFF needs a seekable
+    target while writing (strip/tile offsets are back-patched into the
+    trailing IFD), so the export spools to a local temp file and then
+    uploads it as one object (boto3 when available — works on any S3
+    dialect — else a chunked pyarrow output stream)."""
     from ..pipelines.mosaic import iter_band_slabs
+
+    if "://" in path:
+        if path.startswith("file://"):
+            path = path[len("file://"):]
+        else:
+            import os as _os
+            import tempfile
+
+            fd, local = tempfile.mkstemp(suffix=".tif")
+            _os.close(fd)
+            try:
+                export_gtiff(
+                    res, local, band=band, tiled=tiled,
+                    min_overview_size=min_overview_size, compress=compress,
+                    predictor=predictor, bigtiff=bigtiff,
+                    rows_per_strip=rows_per_strip,
+                )
+                _upload_local_file(local, path)
+            finally:
+                _os.remove(local)
+            return
 
     grid = res.grid
     np_dtype = np.dtype(grid.dtype)
@@ -670,6 +697,32 @@ def export_gtiff(res, path: str, band=0, tiled: bool = False,
             w.write_rows(np.full((grid.nrows - written[bi], grid.ncols),
                                  fill, dtype=np_dtype), band=bi)
     w.close()
+
+
+def _upload_local_file(local: str, uri: str, chunk: int = 8 << 20) -> None:
+    """Upload a finished local file to one object at ``uri`` (s3://...).
+
+    boto3's managed upload (single PUT below the multipart threshold,
+    multipart above — both correct on any S3 implementation) when
+    available; else a chunked pyarrow output stream. The export is not
+    part of the commit protocol, so multipart is acceptable here — a
+    half-uploaded export key is simply re-exported."""
+    from ..state.fsio import OutputFS
+
+    parent, name = uri.rsplit("/", 1)
+    ofs = OutputFS(parent)
+    dest = ofs.join(ofs.root, name)
+    client = ofs._put_client()
+    if client is not None:
+        bucket, key = dest.split("/", 1)
+        client.upload_file(local, bucket, key)
+        return
+    with open(local, "rb") as src, ofs.fs.open_output_stream(dest) as out:
+        while True:
+            buf = src.read(chunk)
+            if not buf:
+                break
+            out.write(buf)
 
 
 # ---------------------------------------------------------------------------

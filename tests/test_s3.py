@@ -325,3 +325,31 @@ def test_feather_update_into_s3_out_dir(ray_session, s3_endpoint,
     do_mosaic(str(base_dir), cfg, out_dir=out_l)
     res3 = update_mosaic(str(delta_dir), cfg, out_l)
     assert np.array_equal(got1, mosaic_array(res3.tiles_ds, res3.grid))
+
+
+def test_export_gtiff_to_s3(ray_session, s3_endpoint, s3_catalog, tmp_path):
+    """Single-file GeoTIFF export straight to an s3:// URI: spools to a
+    local temp (the format needs a seekable target for offset
+    back-patching), uploads as one object; the downloaded bytes decode
+    identically to a local export of the same mosaic."""
+    from moaray import MosaicConfig, do_mosaic
+    from moaray.sinks.gtiff import export_gtiff, read_gtiff
+
+    layout, uri = s3_catalog
+    cfg = MosaicConfig(layout=layout, blocksize=64, do_pyramids=False,
+                       do_stats=False)
+    res = do_mosaic(uri, cfg)
+    dest = "s3://moaray-test/exports/mosaic.tif"
+    export_gtiff(res, dest, compress="deflate", predictor=2)
+
+    client = boto3.client("s3", endpoint_url=s3_endpoint,
+                          region_name="us-east-1")
+    body = client.get_object(Bucket="moaray-test",
+                             Key="exports/mosaic.tif")["Body"].read()
+    remote_copy = tmp_path / "remote.tif"
+    remote_copy.write_bytes(body)
+    local = tmp_path / "local.tif"
+    export_gtiff(res, str(local), compress="deflate", predictor=2)
+    assert remote_copy.read_bytes() == local.read_bytes()
+    arr, gt, nullval = read_gtiff(str(remote_copy))
+    assert list(arr[0, 60:66]) == [60, 61, 62, 1, 2, 3]
