@@ -702,6 +702,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus length census: fixed 16-char bins, last bin open
         return text.length_histogram(_docs(sf_dir))
 
+    def q_doc_repetition(sf_dir: str):
+        # Gopher-style repetition signals (dup-token / top-1-gram /
+        # top-2-gram fractions) — the published repeated-fragment
+        # quality rules, token-level over single-line corpora
+        return text.repetition_signals(_docs(sf_dir))
+
     def q_rolling_fingerprint(sf_dir: str):  # rows-only (non-SQL)
         return _docs(sf_dir).map_batches(
             text.rolling_hash_batch, batch_format="pyarrow"
@@ -1088,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_fingerprint,
         "doc_word_freq": q_doc_word_freq,
         "doc_length_histogram": q_doc_length_histogram,
+        "doc_repetition": q_doc_repetition,
         "dedup_exact": q_dedup_exact,
         "charset_jaccard_pairs": q_charset_jaccard,
         "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -1276,6 +1283,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(n_chars // 16, 31) * 16 AS BIGINT) AS lo_chars,
                    count(*) AS n_docs
             FROM documents GROUP BY 1, 2
+        """,
+        "doc_repetition": """
+            WITH t AS (
+              SELECT doc_id, str_split(lower(text), ' ') AS toks
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, u.i AS i, toks[u.i] AS w, len(toks) AS n
+              FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+            ),
+            tc AS (SELECT doc_id, w, count(*) c FROM tok GROUP BY doc_id, w),
+            t1 AS (
+              SELECT doc_id, count(*) nd, max(c) top1, sum(c) n
+              FROM tc GROUP BY doc_id
+            ),
+            bg AS (
+              SELECT a.doc_id AS doc_id, a.w || ' ' || b.w AS pair,
+                     count(*) c
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.i = a.i + 1
+              GROUP BY a.doc_id, pair
+            ),
+            t2 AS (SELECT doc_id, max(c) top2 FROM bg GROUP BY doc_id)
+            SELECT t1.doc_id, CAST(t1.n AS BIGINT) AS n_tokens,
+                   CAST(t1.nd AS BIGINT) AS n_distinct_tokens,
+                   round((t1.n - t1.nd) / greatest(t1.n, 1), 4)
+                     AS dup_token_frac,
+                   round(t1.top1 / greatest(t1.n, 1), 4) AS top_token_frac,
+                   round(t2.top2 / greatest(t1.n - 1, 1), 4)
+                     AS top_bigram_frac
+            FROM t1 JOIN t2 USING (doc_id)
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, md5(text) AS text_hash

@@ -425,3 +425,91 @@ def quality_extended(docs_ds):
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         quality_extended_batch, batch_format="pyarrow"
     )
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1: documents
+    dominated by repeated fragments are low-quality training data). The
+    published rules measure duplicate line/paragraph and top-n-gram
+    fractions; over single-line corpora the token-level trio carries the
+    same signal:
+
+    - ``dup_token_frac``  = (n_tokens - n_distinct) / n_tokens
+    - ``top_token_frac``  = count of the most frequent token / n_tokens
+      (Gopher's top-1-gram fraction)
+    - ``top_bigram_frac`` = count of the most frequent adjacent pair /
+      (n_tokens - 1) (Gopher's top-2-gram fraction)
+
+    Vectorized: one dictionary-encode of the flattened token stream per
+    chunk, then row-bucketed np.unique/bincount/maximum.at over packed
+    (row, code) int64 keys — no per-row Python. Fractions are rounded
+    half-away like SQL round() (the driver's bitwise float compare)."""
+    text = pc.utf8_lower(batch["text"])
+    toks_col = pc.split_pattern(text, " ")
+    n_tokens = pc.list_value_length(toks_col).to_numpy(zero_copy_only=False)
+
+    chunks = (
+        toks_col.chunks
+        if isinstance(toks_col, pa.ChunkedArray)
+        else [toks_col]
+    )
+    nd_parts, top1_parts, top2_parts = [], [], []
+    for chunk in chunks:
+        flat = chunk.flatten()
+        offsets = chunk.offsets.to_numpy()
+        counts = offsets[1:] - offsets[:-1]
+        nrows = len(counts)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        row_id = np.repeat(np.arange(nrows, dtype=np.int64), counts)
+        k = int(codes.max()) + 1 if len(codes) else 1
+        uniq, cnt = np.unique(row_id * k + codes, return_counts=True)
+        urow = uniq // k
+        nd_parts.append(np.bincount(urow, minlength=nrows))
+        top1 = np.zeros(nrows, dtype=np.int64)
+        np.maximum.at(top1, urow, cnt)
+        top1_parts.append(top1)
+        # adjacent pairs within a row: (code_i, code_{i+1}) packed on top
+        # of the row key; k is bounded by the batch vocabulary so
+        # row*k^2 + a*k + b stays far inside int64
+        same = row_id[1:] == row_id[:-1]
+        brow = row_id[:-1][same]
+        bkey = (brow * k + codes[:-1][same]) * k + codes[1:][same]
+        ub, cb = np.unique(bkey, return_counts=True)
+        top2 = np.zeros(nrows, dtype=np.int64)
+        np.maximum.at(top2, (ub // k) // k, cb)
+        top2_parts.append(top2)
+
+    n_distinct = np.concatenate(nd_parts) if nd_parts else np.array([], np.int64)
+    top1 = np.concatenate(top1_parts) if top1_parts else np.array([], np.int64)
+    top2 = np.concatenate(top2_parts) if top2_parts else np.array([], np.int64)
+
+    def _frac(num, den):
+        return pc.round(
+            pc.divide(
+                pc.cast(pa.array(num, pa.int64()), pa.float64()),
+                pc.cast(pa.array(den, pa.int64()), pa.float64()),
+            ),
+            ndigits=4,
+            round_mode="half_towards_infinity",
+        )
+
+    n_safe = np.maximum(n_tokens, 1)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens.astype(np.int64), pa.int64()),
+            "n_distinct_tokens": pa.array(n_distinct, pa.int64()),
+            "dup_token_frac": _frac(n_tokens - n_distinct, n_safe),
+            "top_token_frac": _frac(top1, n_safe),
+            "top_bigram_frac": _frac(top2, np.maximum(n_tokens - 1, 1)),
+        }
+    )
+
+
+def repetition_signals(docs_ds):
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        repetition_batch, batch_format="pyarrow"
+    )

@@ -1065,3 +1065,55 @@ def test_compute_phash_produces_and_composes(ray_session):
     got = {tuple(sorted((r[list(r)[0]], r[list(r)[1]]))) for r in pairs}
     assert ("a", "a2") in got and ("a", "n") in got
     assert not any("o" in p for p in got)
+
+
+def test_repetition_signals_hand_and_sql(con):
+    """Gopher-style repetition trio: hand-computed fractions on crafted
+    docs, then the full-corpus DuckDB parity (bitwise, via round())."""
+    import pyarrow as pa
+
+    from moaray.ops.text import repetition_batch, repetition_signals
+
+    b = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b a b a", "x y z", "q q q q"]),
+    })
+    out = repetition_batch(b).to_pandas()
+    assert out["n_tokens"].tolist() == [5, 3, 4]
+    assert out["n_distinct_tokens"].tolist() == [2, 3, 1]
+    assert out["dup_token_frac"].tolist() == [0.6, 0.0, 0.75]
+    assert out["top_token_frac"].tolist() == [0.6, 0.3333, 1.0]
+    # "a b" occurs twice of 4 bigrams; "q q" 3 of 3
+    assert out["top_bigram_frac"].tolist() == [0.5, 0.5, 1.0]
+
+    assert_matches_sql(
+        repetition_signals(docs()),
+        con,
+        """WITH t AS (
+             SELECT doc_id, str_split(lower(text), ' ') AS toks
+             FROM documents
+           ),
+           tok AS (
+             SELECT doc_id, u.i AS i, toks[u.i] AS w, len(toks) AS n
+             FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+           ),
+           tc AS (SELECT doc_id, w, count(*) c FROM tok GROUP BY doc_id, w),
+           t1 AS (
+             SELECT doc_id, count(*) nd, max(c) top1, sum(c) n
+             FROM tc GROUP BY doc_id
+           ),
+           bg AS (
+             SELECT a.doc_id AS doc_id, a.w || ' ' || b.w AS pair, count(*) c
+             FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+             GROUP BY a.doc_id, pair
+           ),
+           t2 AS (SELECT doc_id, max(c) top2 FROM bg GROUP BY doc_id)
+           SELECT t1.doc_id, CAST(t1.n AS BIGINT) AS n_tokens,
+                  CAST(t1.nd AS BIGINT) AS n_distinct_tokens,
+                  round((t1.n - t1.nd) / greatest(t1.n, 1), 4)
+                    AS dup_token_frac,
+                  round(t1.top1 / greatest(t1.n, 1), 4) AS top_token_frac,
+                  round(t2.top2 / greatest(t1.n - 1, 1), 4)
+                    AS top_bigram_frac
+           FROM t1 JOIN t2 USING (doc_id)""",
+    )
