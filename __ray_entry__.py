@@ -708,6 +708,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality rules, token-level over single-line corpora
         return text.repetition_signals(_docs(sf_dir))
 
+    def q_doc_decontaminate(sf_dir: str):
+        # eval-set decontamination: flag training docs sharing any
+        # 5-gram with the "benchmark" split (doc_id % 20 == 0). The
+        # benchmark n-gram set is ray.put once and resolved once per
+        # actor — the broadcast-small-side shape (GPT-3 App. C-style
+        # n-gram overlap hygiene, parameterized to n=5 here).
+        import numpy as np
+
+        from moaray.ops.text import benchmark_ngrams, contamination_flags
+
+        docs = _docs(sf_dir)
+
+        def _part(b, keep_bench):
+            m = b["doc_id"].to_numpy() % 20 == 0
+            return b.filter(pa.array(m if keep_bench else ~m))
+
+        bench = docs.map_batches(
+            lambda b: _part(b, True), batch_format="pyarrow"
+        )
+        train = docs.map_batches(
+            lambda b: _part(b, False), batch_format="pyarrow"
+        )
+        grams = benchmark_ngrams(bench, n=5)
+        return contamination_flags(train, grams, n=5, concurrency=2)
+
     def q_rolling_fingerprint(sf_dir: str):  # rows-only (non-SQL)
         return _docs(sf_dir).map_batches(
             text.rolling_hash_batch, batch_format="pyarrow"
@@ -1095,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_word_freq": q_doc_word_freq,
         "doc_length_histogram": q_doc_length_histogram,
         "doc_repetition": q_doc_repetition,
+        "doc_decontaminate": q_doc_decontaminate,
         "dedup_exact": q_dedup_exact,
         "charset_jaccard_pairs": q_charset_jaccard,
         "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -1314,6 +1340,33 @@ def oracle_sql() -> dict[str, str]:
                    round(t2.top2 / greatest(t1.n - 1, 1), 4)
                      AS top_bigram_frac
             FROM t1 JOIN t2 USING (doc_id)
+        """,
+        "doc_decontaminate": """
+            WITH t AS (
+              SELECT doc_id, str_split(lower(text), ' ') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     toks[u.i] || ' ' || toks[u.i+1] || ' ' || toks[u.i+2]
+                       || ' ' || toks[u.i+3] || ' ' || toks[u.i+4] AS gram
+              FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
+              WHERE len(toks) >= 5
+            ),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+            hits AS (
+              SELECT c.doc_id, count(b.gram) AS n_shared
+              FROM (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0) c
+              LEFT JOIN bench b USING (gram)
+              GROUP BY c.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_shared, 0) AS BIGINT)
+                     AS n_shared_ngrams,
+                   CAST(CASE WHEN coalesce(h.n_shared, 0) > 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, md5(text) AS text_hash

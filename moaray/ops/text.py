@@ -513,3 +513,120 @@ def repetition_signals(docs_ds):
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         repetition_batch, batch_format="pyarrow"
     )
+
+
+def _distinct_row_ngrams(toks_col, n: int):
+    """Yield (row_ids, grams) per chunk: the DISTINCT space-joined n-grams
+    of each row's token list, vectorized (flatten + shifted-slice join +
+    packed-key np.unique; no per-row Python)."""
+    chunks = (
+        toks_col.chunks
+        if isinstance(toks_col, pa.ChunkedArray)
+        else [toks_col]
+    )
+    row_base = 0
+    for chunk in chunks:
+        flat = chunk.flatten()
+        offsets = chunk.offsets.to_numpy()
+        counts = offsets[1:] - offsets[:-1]
+        nrows = len(counts)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        row_id = np.repeat(np.arange(nrows, dtype=np.int64), counts)
+        k = int(codes.max()) + 1 if len(codes) else 1
+        # windows of n consecutive tokens that stay inside one row
+        if len(codes) >= n and k ** n < (1 << 62):
+            ok = np.ones(len(codes) - n + 1, dtype=bool)
+            for j in range(1, n):
+                ok &= row_id[j:len(row_id) - n + 1 + j] == row_id[:len(row_id) - n + 1]
+            key = row_id[: len(ok)].copy()
+            for j in range(n):
+                key = key * k + codes[j: len(ok) + j]
+            key = key[ok]
+            uniq = np.unique(key)
+            # unpack codes back out of the key (base-k digits)
+            parts = []
+            rest = uniq.copy()
+            for _ in range(n):
+                parts.append(rest % k)
+                rest //= k
+            urow = rest
+            toks = [vocab.take(pa.array(p, pa.int64())) for p in parts[::-1]]
+            gram = toks[0]
+            for t in toks[1:]:
+                gram = pc.binary_join_element_wise(gram, t, " ")
+            yield urow + row_base, gram
+        else:
+            yield (np.array([], np.int64),
+                   pa.array([], pa.string()))
+        row_base += nrows
+
+
+def benchmark_ngrams(docs_ds, n: int = 3):
+    """The DISTINCT n-gram set of a (small) benchmark corpus, as one
+    pyarrow StringArray on the driver. Benchmark/eval sets are tiny
+    relative to the training corpus — this is the broadcast side."""
+    grams = set()
+    for batch in docs_ds.select_columns(["text"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        toks = pc.split_pattern(pc.utf8_lower(batch["text"]), " ")
+        for _rows, g in _distinct_row_ngrams(toks, n):
+            grams.update(g.to_pylist())
+    return pa.array(sorted(grams), pa.string())
+
+
+class ContaminationFlags:
+    """Actor-pool stage: flag training docs sharing >= 1 n-gram with a
+    benchmark set (eval-set decontamination — the standard pre-training
+    hygiene pass; e.g. GPT-3 App. C / PaLM-style 13-gram filtering,
+    here parameterized). The benchmark n-gram set rides the object store
+    once (``ray.put`` in :func:`contamination_flags`) and each actor
+    resolves it ONCE in ``__init__`` — never per batch."""
+
+    def __init__(self, grams_ref, n: int):
+        import ray
+
+        self._value_set = (
+            ray.get(grams_ref) if not isinstance(grams_ref, pa.Array)
+            else grams_ref
+        )
+        self._n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(batch["text"]), " ")
+        shared = np.zeros(len(batch), dtype=np.int64)
+        for rows, grams in _distinct_row_ngrams(toks, self._n):
+            if len(grams) == 0:
+                continue
+            hit = pc.is_in(grams, value_set=self._value_set).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            np.add.at(shared, rows, hit)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_shared_ngrams": pa.array(shared, pa.int64()),
+                "contaminated": pa.array(
+                    (shared > 0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+
+def contamination_flags(docs_ds, bench_grams: pa.Array, n: int = 3,
+                        concurrency: int = 4):
+    """Per-doc shared-n-gram count + contaminated flag against a broadcast
+    benchmark n-gram set."""
+    import ray
+
+    ref = ray.put(bench_grams)
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        ContaminationFlags,
+        fn_constructor_kwargs={"grams_ref": ref, "n": n},
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )

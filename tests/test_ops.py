@@ -1117,3 +1117,35 @@ def test_repetition_signals_hand_and_sql(con):
                     AS top_bigram_frac
            FROM t1 JOIN t2 USING (doc_id)""",
     )
+
+
+def test_contamination_flags_hand_case(ray_session):
+    """Decontamination: a training doc repeating a benchmark 3-gram is
+    flagged with the exact distinct-shared-gram count; disjoint docs are
+    clean; docs shorter than n emit zero grams but still appear."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from moaray.ops.text import benchmark_ngrams, contamination_flags
+
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array(["the quick brown fox jumps"]),
+    }))
+    train = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        # doc 0 shares "the quick brown" and "quick brown fox" (the
+        # second occurrence must not double-count); doc 1 disjoint;
+        # doc 2 shorter than n
+        "text": pa.array([
+            "x the quick brown fox y the quick brown fox",
+            "totally different words here now",
+            "too short",
+        ]),
+    }))
+    grams = benchmark_ngrams(bench, n=3)
+    assert len(grams) == 3
+    out = (contamination_flags(train, grams, n=3, concurrency=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_shared_ngrams"].tolist() == [2, 0, 0]
+    assert out["contaminated"].tolist() == [1, 0, 0]
