@@ -812,6 +812,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_embedding_neardup_lsh(sf_dir: str):  # rows-only (recall<1)
         return dedup.embedding_neardup_lsh_pairs(_emb(sf_dir), threshold=0.35)
 
+    def q_semantic_dedup(sf_dir: str):  # rows-only (k-means partition)
+        # SemDeDup: sample-fit k-means blocks bound the quadratic
+        # within-cluster cosine prune (ops/dedup.py semantic_dedup)
+        return dedup.semantic_dedup(
+            _emb(sf_dir), n_clusters=8, threshold=0.3
+        )
+
     def q_knn_lsh(sf_dir: str):  # rows-only (recall<1 by design)
         emb = _emb(sf_dir)
         qids, qmat = ann.load_queries(emb, n_queries=10)
@@ -1170,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "knn_ivf_pq": q_knn_ivf_pq,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "semantic_dedup": q_semantic_dedup,
         "neardup_clusters_dist": q_neardup_clusters_dist,
         "phash_neardup": q_phash_neardup,
         # ---- past the 50-query grading window (pytest-covered) ----

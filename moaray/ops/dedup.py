@@ -980,3 +980,86 @@ def phash_neardup_pairs(images_ds, max_hamming: int = 3):
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
         .drop_columns(["pair_key"])
     )
+
+
+def semantic_dedup(
+    emb_ds,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then prune cosine near-duplicates WITHIN each
+    cluster — the published recipe for semantic dedup at web scale,
+    where global all-pairs is intractable but k-means blocks bound the
+    quadratic work to O(n^2 / k) per cluster.
+
+    Stages (all streaming):
+    1. sample-fit spherical k-means (ops/ann.py kmeans_fit_sample — ONE
+       bounded hash-sample read, local Lloyd; no full-corpus pass),
+    2. centroid broadcast via ``ray.put`` + one-matmul-per-batch
+       assignment,
+    3. ``groupby(cluster_id).map_groups`` greedy prune: ascending-id
+       order, keep a vector iff its cosine against every already-kept
+       vector in the cluster is < threshold (the deterministic
+       lowest-id-representative rule; one pairwise matmul per cluster,
+       then a short python scan over its rows — the cluster is the
+       bounded unit of quadratic work by construction).
+
+    Output: (id, cluster_id, kept) for every input row; kept == 1 are
+    the survivors a training pipeline retains. Not SQL-expressible (the
+    k-means partition) — parity-tested against a single-cluster global
+    greedy oracle and by the survivor/neighbor invariants.
+    """
+    from .ann import _normalize, kmeans_fit_sample
+
+    cent = kmeans_fit_sample(emb_ds, n_clusters)
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        mat = _normalize(
+            np.array(batch[emb_col].to_pylist(), dtype=np.float64)
+        )
+        a = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster_id": pa.array(a, pa.int64()),
+                emb_col: batch[emb_col],
+            }
+        )
+
+    assigned = emb_ds.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+    def prune(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        mat = _normalize(
+            np.array(group[emb_col].to_pylist(), dtype=np.float64)
+        )[order]
+        sims = mat @ mat.T
+        n = len(ids)
+        kept_mask = np.zeros(n, dtype=bool)
+        kept_idx: list[int] = []
+        for i in range(n):
+            row = sims[i]
+            if not kept_idx or row[kept_idx].max() < threshold:
+                kept_mask[i] = True
+                kept_idx.append(i)
+        out = np.zeros(n, dtype=np.int64)
+        out[order] = kept_mask.astype(np.int64)
+        return pa.table(
+            {
+                id_col: group[id_col],
+                "cluster_id": group["cluster_id"],
+                "kept": pa.array(out, pa.int64()),
+            }
+        )
+
+    return assigned.groupby("cluster_id").map_groups(
+        prune, batch_format="pyarrow"
+    )

@@ -1149,3 +1149,62 @@ def test_contamination_flags_hand_case(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert out["n_shared_ngrams"].tolist() == [2, 0, 0]
     assert out["contaminated"].tolist() == [1, 0, 0]
+
+
+def test_semantic_dedup_oracle_and_invariants(ray_session):
+    """SemDeDup: with one cluster the result equals the global greedy
+    lowest-id-representative oracle; with many clusters the survivor set
+    satisfies the defining invariants (survivors pairwise < threshold
+    within a cluster; every pruned row has a kept >=threshold neighbor
+    in its cluster)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from moaray.ops.dedup import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16)
+    # plant near-dup families: rows 3i+1, 3i+2 are jittered copies of 3i
+    vecs = []
+    for i in range(40):
+        fam = base[i // 3 * 3 % 40] if False else base[(i // 3) * 3 % 40]
+        vecs.append(fam + rng.randn(16) * 0.05)
+    vecs = np.array(vecs)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(40), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl)
+    th = 0.95
+
+    matn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = matn @ matn.T
+
+    # single cluster == global greedy oracle
+    out1 = (semantic_dedup(ds, n_clusters=1, threshold=th)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    kept_oracle, kept_ids = [], []
+    for i in range(40):
+        if not kept_ids or sims[i, kept_ids].max() < th:
+            kept_oracle.append(1)
+            kept_ids.append(i)
+        else:
+            kept_oracle.append(0)
+    assert out1["kept"].tolist() == kept_oracle
+    assert 1 <= out1["kept"].sum() < 40  # families actually pruned
+
+    # multi-cluster invariants
+    out = (semantic_dedup(ds, n_clusters=4, threshold=th)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert len(out) == 40
+    for cid, grp in out.groupby("cluster_id"):
+        kept = grp[grp["kept"] == 1]["vec_id"].to_numpy()
+        pruned = grp[grp["kept"] == 0]["vec_id"].to_numpy()
+        if len(kept) > 1:
+            sub = sims[np.ix_(kept, kept)]
+            np.fill_diagonal(sub, 0.0)
+            assert sub.max() < th
+        for p in pruned:
+            smaller = kept[kept < p]
+            assert len(smaller) and sims[p, smaller].max() >= th
