@@ -227,17 +227,20 @@ def main_cmd(argv=None) -> int:
             res = do_mosaic(infile, cfg, out_dir=out_dir,
                             resume=args.resume)
 
+        # the reference writes every band into the one output file
+        # (numBands, ref mosaic.py:604-660) — mirror that for multi-band
+        exp_band = "all" if getattr(res.grid, "nbands", 1) > 1 else 0
         if single_file:
             from .sinks.gtiff import export_gtiff
 
-            export_gtiff(res, args.outdir, tiled=gtiff_tiled,
+            export_gtiff(res, args.outdir, band=exp_band, tiled=gtiff_tiled,
                          min_overview_size=args.minoverviewsize,
                          compress=gtiff_compress, predictor=gtiff_predictor,
                          bigtiff=gtiff_bigtiff)
         if args.gtiff:
             from .sinks.gtiff import export_gtiff
 
-            export_gtiff(res, args.gtiff, tiled=gtiff_tiled,
+            export_gtiff(res, args.gtiff, band=exp_band, tiled=gtiff_tiled,
                          min_overview_size=args.minoverviewsize,
                          compress=gtiff_compress, predictor=gtiff_predictor,
                          bigtiff=gtiff_bigtiff)

@@ -361,6 +361,7 @@ def _do_mosaic_impl(
     bands = _bands_of(images_path)
 
     need_counts = cfg.salt_threshold is not None or cfg.include_empty
+    nbands = len(bands)  # stamped onto the grid after it's built
 
     use_driver_plan = cfg.planning == "driver"
     if cfg.planning == "auto":
@@ -481,6 +482,7 @@ def _do_mosaic_impl(
                 if cfg.include_empty:
                     assigned_ids_ds = counts_ds.select_columns(["tile_id"])
         n_images = meta_ds.count() // len(bands)
+    grid.nbands = nbands
 
     # hot_tiles: tile_id -> (n_salts, seq_min, seq_span). Salting over the
     # TILE's own seq extent keeps salts evenly loaded when a hot stack sits

@@ -635,10 +635,6 @@ def export_gtiff(res, path: str, band=0, tiled: bool = False,
             )
     else:
         bands = [band]
-    if len(bands) > 1 and tiled:
-        raise NotImplementedError(
-            "multi-band tiled export not supported; use strips"
-        )
     if predictor == 2 and np_dtype.kind == "f":
         predictor = 1  # Predictor=2 is integer-only
     if bigtiff is None:
@@ -652,24 +648,40 @@ def export_gtiff(res, path: str, band=0, tiled: bool = False,
     ltype = getattr(grid, "layer_type", None)
 
     if tiled:
+        # Multi-band: PlanarConfig=2, bands streamed sequentially —
+        # iter_band_slabs(band=None) sorts (band, tile_id), so slabs
+        # arrive plane-major, matching the writer's contract.
         w = StreamingGtiffTiledWriter(
             path, grid.nrows, grid.ncols, np_dtype, grid.transform,
             grid.crs, grid.nullval, min_overview_size=min_overview_size,
             compress=compress, predictor=predictor, layer_type=ltype,
-            bigtiff=bigtiff,
+            bigtiff=bigtiff, nbands=len(bands),
         )
-        written = 0
-        for _b, top, slab in iter_band_slabs(res.tiles_ds, grid,
-                                             band=bands[0]):
-            if top > written:  # absent tile rows stay at nullval
-                w.write_rows(np.full((top - written, grid.ncols), fill,
+
+        def _pad_to(written: int, upto: int) -> int:
+            if upto > written:
+                w.write_rows(np.full((upto - written, grid.ncols), fill,
                                      dtype=np_dtype))
-                written = top
+            return upto
+
+        only = None if len(bands) > 1 else bands[0]
+        band_index = {b: i for i, b in enumerate(bands)}
+        cur_bi, written = 0, 0
+        for b, top, slab in iter_band_slabs(res.tiles_ds, grid, band=only):
+            bi = band_index.get(b)
+            if bi is None:
+                continue
+            while bi > cur_bi:  # close out any earlier (possibly empty) band
+                _pad_to(written, grid.nrows)
+                w.end_band()
+                cur_bi, written = cur_bi + 1, 0
+            written = _pad_to(written, top)
             w.write_rows(slab)
             written += len(slab)
-        if written < grid.nrows:
-            w.write_rows(np.full((grid.nrows - written, grid.ncols), fill,
-                                 dtype=np_dtype))
+        while cur_bi < len(bands):  # final band(s) gap-fill
+            _pad_to(written, grid.nrows)
+            w.end_band()
+            cur_bi, written = cur_bi + 1, 0
         w.close()
         return
 
@@ -1113,15 +1125,20 @@ class StreamingGtiffWriter:
 class StreamingGtiffTiledWriter:
     """Tiled streaming GeoTIFF writer with embedded strided overviews.
 
-    Single band. Feed consecutive full-res rows top-down; every level
-    (full-res + each 2**i overview, reference rule mosaic.py:646-658)
-    keeps at most one tile-row of pixels buffered; complete tile rows are
-    encoded and written immediately, IFDs land at close()."""
+    Feed consecutive full-res rows top-down; every level (full-res + each
+    2**i overview, reference rule mosaic.py:646-658) keeps at most one
+    tile-row of pixels buffered; complete tile rows are encoded and
+    written immediately, IFDs land at close().
+
+    Multi-band: pass ``nbands > 1`` and write bands SEQUENTIALLY —
+    stream band 0's rows, call :meth:`end_band`, stream band 1's, ... —
+    producing one PlanarConfig=2 file whose per-level tile-offset arrays
+    are plane-major (TIFF 6.0 planar tile order)."""
 
     def __init__(self, path, nrows, ncols, dtype, transform, crs="",
                  nullval=None, tile=256, min_overview_size=256,
                  compress="deflate", predictor=1, layer_type=None,
-                 bigtiff=False):
+                 bigtiff=False, nbands=1):
         dtype = np.dtype(dtype)
         if dtype.kind not in _SAMPLEFORMAT:
             raise ValueError(f"unsupported dtype {dtype}")
@@ -1157,7 +1174,9 @@ class StreamingGtiffTiledWriter:
         self._buf_rows = [0 for _ in self._lv]
         self._offs = [[] for _ in self._lv]
         self._lens = [[] for _ in self._lv]
-        self._row = 0  # next full-res row index
+        self._row = 0  # next full-res row index (within the current band)
+        self.nbands = nbands
+        self._band = 0  # completed bands
         self.f = open(path, "wb")
         if bigtiff:
             self.f.write(_II_BIG + struct.pack("<HHQ", 8, 0, 0))
@@ -1212,38 +1231,59 @@ class StreamingGtiffTiledWriter:
             self._lens[li].append(len(payload))
             self.f.write(payload)
 
-    def close(self) -> list[int]:
+    def end_band(self) -> None:
+        """Flush the current band's partial tile rows and start the next.
+        Tile offsets accumulate per level in plane-major order."""
         if self._row != self.nrows:
             self.f.close()
             raise ValueError(f"wrote {self._row} rows, expected {self.nrows}")
-        per_ifd = []
         for li, lvl in enumerate(self._lv):
             if self._buf_rows[li]:
                 self._emit_tile_row(li, self._buf_rows[li])
             lr, lc = self._dims[li]
-            n_expect = -(-lr // self.tile) * -(-lc // self.tile)
+            n_expect = (-(-lr // self.tile) * -(-lc // self.tile)
+                        * (self._band + 1))
             if len(self._offs[li]) != n_expect:
                 self.f.close()
                 raise ValueError(
                     f"level {lvl}: {len(self._offs[li])} tiles != {n_expect}"
                 )
+            self._buf[li] = []
+            self._buf_rows[li] = 0
+        self._band += 1
+        self._row = 0
+
+    def close(self) -> list[int]:
+        if self._band < self.nbands:
+            self.end_band()  # single-band back-compat / final band flush
+        if self._band != self.nbands:
+            self.f.close()
+            raise ValueError(
+                f"wrote {self._band} bands, expected {self.nbands}"
+            )
+        per_ifd = []
+        nb = self.nbands
+        for li, lvl in enumerate(self._lv):
+            lr, lc = self._dims[li]
             off_type = TYPE_LONG8 if self.bigtiff else TYPE_LONG
             entries = [
                 _pack_entry(T_WIDTH, TYPE_LONG, lc),
                 _pack_entry(T_LENGTH, TYPE_LONG, lr),
                 _pack_entry(T_BITSPERSAMPLE, TYPE_SHORT,
-                            self.dtype.itemsize * 8),
+                            [self.dtype.itemsize * 8] * nb),
                 _pack_entry(T_COMPRESSION, TYPE_SHORT,
                             _COMPRESSION_TAG[self.compress]),
                 _pack_entry(T_PHOTOMETRIC, TYPE_SHORT, 1),
-                _pack_entry(T_SAMPLESPERPIXEL, TYPE_SHORT, 1),
+                _pack_entry(T_SAMPLESPERPIXEL, TYPE_SHORT, nb),
                 _pack_entry(T_SAMPLEFORMAT, TYPE_SHORT,
-                            _SAMPLEFORMAT[self.dtype.kind]),
+                            [_SAMPLEFORMAT[self.dtype.kind]] * nb),
                 _pack_entry(T_TILEWIDTH, TYPE_LONG, self.tile),
                 _pack_entry(T_TILELENGTH, TYPE_LONG, self.tile),
                 _pack_entry(T_TILEOFFSETS, off_type, self._offs[li]),
                 _pack_entry(T_TILEBYTECOUNTS, off_type, self._lens[li]),
             ]
+            if nb > 1:
+                entries.append(_pack_entry(T_PLANARCONFIG, TYPE_SHORT, 2))
             if self.predictor == 2:
                 entries.append(_pack_entry(T_PREDICTOR, TYPE_SHORT, 2))
             if li > 0:
@@ -1307,26 +1347,34 @@ def _ifd_image(data: bytes, tags) -> np.ndarray:
            if T_SAMPLESPERPIXEL in tags else 1)
     planar = (vals(T_PLANARCONFIG, "H")[0]
               if T_PLANARCONFIG in tags else 1)
-    if spp > 1 and T_TILEOFFSETS in tags:
-        raise NotImplementedError("multi-band tiled TIFF not supported")
+    if spp > 1 and T_TILEOFFSETS in tags and planar != 2:
+        raise NotImplementedError("chunky multi-band tiled TIFF not supported")
     if T_TILEOFFSETS in tags:
         tile_w = vals(T_TILEWIDTH, "I")[0]
         tile_h = vals(T_TILELENGTH, "I")[0]
         offs = vals(T_TILEOFFSETS, "I")
         counts = vals(T_TILEBYTECOUNTS, "I")
         tiles_across = -(-ncols // tile_w)
-        out = np.zeros((nrows, ncols), dtype=dt)
-        for k, (o, c) in enumerate(zip(offs, counts)):
-            block = _decode_block(
-                data[o : o + c], (tile_h, tile_w), dt_le, compression,
-                predictor, jpeg_tables,
-            )
-            tr, tc = divmod(k, tiles_across)
-            r0, c0 = tr * tile_h, tc * tile_w
-            h = min(tile_h, nrows - r0)
-            w = min(tile_w, ncols - c0)
-            out[r0 : r0 + h, c0 : c0 + w] = block[:h, :w]
-        return out
+        per_plane = tiles_across * (-(-nrows // tile_h))
+        planes = []
+        for b in range(spp):
+            out = np.zeros((nrows, ncols), dtype=dt)
+            for k in range(per_plane):
+                o = offs[b * per_plane + k]
+                c = counts[b * per_plane + k]
+                block = _decode_block(
+                    data[o : o + c], (tile_h, tile_w), dt_le, compression,
+                    predictor, jpeg_tables,
+                )
+                tr, tc = divmod(k, tiles_across)
+                r0, c0 = tr * tile_h, tc * tile_w
+                h = min(tile_h, nrows - r0)
+                w = min(tile_w, ncols - c0)
+                out[r0 : r0 + h, c0 : c0 + w] = block[:h, :w]
+            planes.append(out)
+        if spp == 1:
+            return planes[0]
+        return np.stack(planes)
     strip_offs = vals(T_STRIPOFFSETS, "I")
     strip_counts = vals(T_STRIPBYTECOUNTS, "I")
     rps = vals(T_ROWSPERSTRIP, "I")[0] if T_ROWSPERSTRIP in tags else nrows

@@ -407,6 +407,59 @@ def test_streaming_multiband_planar(tmp_path):
     assert back.shape == (3, 130, 77) and np.array_equal(back, arr)
 
 
+def test_streaming_multiband_tiled_planar(tmp_path):
+    """Tiled PlanarConfig=2 multi-band with embedded overviews: bands are
+    streamed sequentially (plane-major tile order, TIFF 6.0 §planar) and
+    every overview level strides each band independently."""
+    from moaray.sinks.gtiff import StreamingGtiffTiledWriter, read_gtiff_full
+
+    gt = (300000.0, 10.0, 0.0, 7000000.0, 0.0, -10.0)
+    rng = np.random.RandomState(11)
+    arr = (rng.rand(3, 701, 530) * 60000).astype(np.uint16)
+    slab_sizes = [1, 63, 64, 100, 256, 7, 210]  # sums to 701
+    for bigtiff in (False, True):
+        p = str(tmp_path / f"mbt_{bigtiff}.tif")
+        w = StreamingGtiffTiledWriter(
+            p, 701, 530, np.uint16, gt, "EPSG:32756", 0.0,
+            tile=256, min_overview_size=128, compress="deflate",
+            predictor=2, bigtiff=bigtiff, nbands=3,
+        )
+        for b in range(3):
+            r = 0
+            for k in slab_sizes:
+                w.write_rows(arr[b, r : r + k])
+                r += k
+            w.end_band()
+        levels = w.close()
+        full, ovs, t2, nd2 = read_gtiff_full(p)
+        assert full.shape == (3, 701, 530) and np.array_equal(full, arr)
+        assert t2 == gt and nd2 == 0.0
+        assert levels == [4] and len(ovs) == 1
+        assert np.array_equal(ovs[0], arr[:, 2::4, 2::4])
+
+
+def test_export_gtiff_multiband_tiled(ray_session, tmp_path):
+    """export_gtiff(band='all', tiled=True): one planar tiled file with
+    overview IFDs, every band matching the per-band canvas."""
+    from moaray import MosaicConfig, do_mosaic
+    from moaray.pipelines.mosaic import mosaic_array
+    from moaray.sinks.gtiff import export_gtiff, read_gtiff_full
+    from moaray.testgen import Layout, images_path
+
+    layout = Layout("grid3x3", 9, 64)
+    path = images_path(layout, nbands=2, explicit_meta=True)
+    res = do_mosaic(path, MosaicConfig(layout=layout, blocksize=64))
+    out = str(tmp_path / "mosaic_mbt.tif")
+    export_gtiff(res, out, band="all", tiled=True, min_overview_size=32,
+                 compress="deflate")
+    full, ovs, t, _ = read_gtiff_full(out)
+    assert full.ndim == 3 and full.shape[0] == 2 and len(ovs) >= 1
+    for b in range(2):
+        canvas = mosaic_array(res.tiles_ds, res.grid, band=b)
+        assert np.array_equal(full[b], canvas)
+        assert np.array_equal(ovs[0][b], canvas[2::4, 2::4])
+
+
 def test_export_gtiff_driver_memory_is_bounded(tmp_path):
     """The export path must never build the full canvas on the driver:
     feeding a 64 MB-canvas image through the streaming writer in slabs
