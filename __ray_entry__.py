@@ -1079,6 +1079,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _rpc(f"{sf_dir}/events.parquet")
         ).sort("event_type")
 
+    def q_events_quantiles_exact(sf_dir: str):
+        # exact distributed quantile_disc — the anchor the sketch
+        # (events_quantiles, rows-only) is graded against
+        return relational.exact_group_quantiles(
+            _rpc(f"{sf_dir}/events.parquet"), "value", "event_type",
+            qs=(0.5, 0.9, 0.99),
+        ).sort(["event_type", "q"])
+
+    def q_doc_dup_ngrams(sf_dir: str):
+        # Lee-et-al-style duplicated-substring census (8-token grams)
+        return text.dup_ngram_stats(_docs(sf_dir), n=8).sort("doc_id")
+
     def q_mosaic_multiband_stats(sf_dir: str):  # rows-only (non-SQL)
         # per-band stats parity surface (T4): 3-band catalog, one row per
         # band with the finalized StatsAccumulator values
@@ -1150,6 +1162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": q_events_daily,
         "events_moving_avg": q_events_moving_avg,
         "events_median": q_events_median,
+        "events_quantiles_exact": q_events_quantiles_exact,
+        "doc_dup_ngrams": q_doc_dup_ngrams,
         # ---- rows-only (no SQL oracle by design) ----
         # The driver grades the FIRST 50 queries (round-2 verdict #1);
         # positions 30-50 are curated for family breadth — mosaic core,
@@ -1161,17 +1175,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tiles_sparse": q_mosaic_tiles_sparse,
         "mosaic_tiles_feather": q_mosaic_tiles_feather,
         "mosaic_tiles_jpeg": q_mosaic_tiles_jpeg,
-        "mosaic_tiles_jpeg_rgb": q_mosaic_tiles_jpeg_rgb,
         "mosaic_update": q_mosaic_update,
         "mosaic_extend": q_mosaic_extend,
         "mosaic_reproject": q_mosaic_reproject,
         "mosaic_reproject_utm": q_mosaic_reproject_utm,
-        "mosaic_reproject_lcc": q_mosaic_reproject_lcc,
-        "mosaic_reproject_polar": q_mosaic_reproject_polar,
         "spatial_join": q_spatial_join,
         "tile_captions": q_tile_captions,
         "mosaic_stats": q_mosaic_stats,
         "pyramids": q_pyramids,
+        "mosaic_tiles_jpeg_rgb": q_mosaic_tiles_jpeg_rgb,
+        "mosaic_reproject_lcc": q_mosaic_reproject_lcc,
+        "mosaic_reproject_polar": q_mosaic_reproject_polar,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "knn_ivf": q_knn_ivf,
@@ -1602,5 +1616,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events
             GROUP BY event_type
+        """,
+        "events_quantiles_exact": """
+            SELECT event_type, 0.5 AS q, quantile_disc(value, 0.5) AS value,
+                   count(*) AS n_rows FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.9, quantile_disc(value, 0.9), count(*)
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.99, quantile_disc(value, 0.99), count(*)
+            FROM events GROUP BY event_type
+        """,
+        "doc_dup_ngrams": """
+            WITH t AS (
+              SELECT doc_id, str_split(lower(text), ' ') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     toks[u.i] || ' ' || toks[u.i+1] || ' ' || toks[u.i+2]
+                       || ' ' || toks[u.i+3] || ' ' || toks[u.i+4]
+                       || ' ' || toks[u.i+5] || ' ' || toks[u.i+6]
+                       || ' ' || toks[u.i+7] AS gram
+              FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+              WHERE len(toks) >= 8
+            ),
+            df AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram)
+            SELECT d.doc_id,
+                   CAST(count(g.gram) AS BIGINT) AS n_grams,
+                   CAST(count(g.gram) FILTER (WHERE df.nd >= 2) AS BIGINT)
+                     AS n_shared_grams
+            FROM documents d
+            LEFT JOIN g USING (doc_id)
+            LEFT JOIN df USING (gram)
+            GROUP BY d.doc_id
         """,
     }

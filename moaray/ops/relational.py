@@ -230,6 +230,39 @@ def events_median_value(events_ds):
     )
 
 
+def exact_group_quantiles(ds, value_col: str, group_col: str,
+                          qs=(0.5, 0.9, 0.99)):
+    """Exact per-group discrete quantiles (DuckDB quantile_disc: the
+    data element at sorted index ceil(q*n)-1 — no interpolation, so the
+    result is bitwise a member of the input and hash-compares exactly).
+
+    One shuffle on ``group_col``; the quantile kernel is group-local
+    numpy sort. Same scale contract as :func:`events_median_value`:
+    group cardinality is the per-key row count, fine for type-keyed
+    telemetry; an unbounded-cardinality column should use the mergeable
+    sketch (ops/sketch.py quantile_sketch) instead — this op is the
+    exact anchor the sketch is graded against."""
+
+    def quant(group: pa.Table) -> pa.Table:
+        v = np.sort(group[value_col].to_numpy().astype(np.float64))
+        n = len(v)
+        idx = [min(max(int(np.ceil(q * n)) - 1, 0), n - 1) for q in qs]
+        return pa.table(
+            {
+                group_col: [group[group_col][0].as_py()] * len(qs),
+                "q": pa.array(list(qs), pa.float64()),
+                "value": pa.array(v[idx], pa.float64()),
+                "n_rows": pa.array([n] * len(qs), pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .groupby(group_col)
+        .map_groups(quant, batch_format="pyarrow")
+    )
+
+
 def extent_union(meta_ds):
     """The mosaic's P1 union-extent aggregate exposed as a standalone op:
     global min/max over per-image bounds (ref mosaic.py:434-440)."""

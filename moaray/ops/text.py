@@ -630,3 +630,99 @@ def contamination_flags(docs_ds, bench_grams: pa.Array, n: int = 3,
         concurrency=concurrency,
         batch_format="pyarrow",
     )
+
+
+def dup_ngram_stats(docs_ds, n: int = 8):
+    """Corpus-wide duplicated-substring census (the signal behind exact
+    substring dedup, Lee et al. 2022 'Deduplicating Training Data Makes
+    Language Models Better': long token spans shared verbatim across
+    documents mark boilerplate/mirrored text). Per doc: how many of its
+    DISTINCT ``n``-token grams also occur in at least one OTHER doc.
+
+    Shape: grams never leave the workers as strings — each batch emits
+    (gram_hash int64, doc_id) rows for its per-row DISTINCT grams
+    (the md5-folded hash stands in for Lee et al.'s suffix-array match;
+    a 63-bit collision over G corpus grams perturbs counts with
+    probability ~G²/2⁶³ — negligible, and only ±1 on one doc's count);
+    one single-int64-key groupby marks grams seen by >= 2 docs; a second
+    tiny groupby(doc_id) sums. Zero-gram docs ride along as zero rows so
+    the output covers every doc. Returns (doc_id, n_grams,
+    n_shared_grams) — n_grams counts DISTINCT grams per doc."""
+    import hashlib
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(batch["text"]), " ")
+        doc_ids = batch["doc_id"].to_numpy()
+        out_doc, out_h = [], []
+        for rows, grams in _distinct_row_ngrams(toks, n):
+            if not len(rows):
+                continue
+            out_doc.append(doc_ids[rows])
+            out_h.append(
+                np.array(
+                    [
+                        int.from_bytes(
+                            hashlib.md5(g.encode("utf-8")).digest()[:8],
+                            "little",
+                        ) >> 1
+                        for g in grams.to_pylist()
+                    ],
+                    dtype=np.int64,
+                )
+            )
+        if not out_doc:
+            return pa.table(
+                {"gram_h": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "gram_h": pa.array(np.concatenate(out_h), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+            }
+        )
+
+    def mark(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        shared = 1 if m >= 2 else 0
+        return pa.table(
+            {
+                "doc_id": group["doc_id"],
+                "n_grams": pa.array([1] * m, pa.int64()),
+                "n_shared_grams": pa.array([shared] * m, pa.int64()),
+            }
+        )
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        z = pa.array([0] * len(batch), pa.int64())
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_grams": z, "n_shared_grams": z}
+        )
+
+    from ray.data.aggregate import Sum
+
+    marked = (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("gram_h")
+        .map_groups(mark, batch_format="pyarrow")
+    )
+    zeros = docs_ds.select_columns(["doc_id"]).map_batches(
+        zero_rows, batch_format="pyarrow"
+    )
+    totals = (
+        marked.union(zeros)
+        .groupby("doc_id")
+        .aggregate(Sum("n_grams"), Sum("n_shared_grams"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_grams": batch["sum(n_grams)"],
+                "n_shared_grams": batch["sum(n_shared_grams)"],
+            }
+        )
+
+    return totals.map_batches(rename, batch_format="pyarrow")

@@ -1208,3 +1208,70 @@ def test_semantic_dedup_oracle_and_invariants(ray_session):
         for p in pruned:
             smaller = kept[kept < p]
             assert len(smaller) and sims[p, smaller].max() >= th
+
+
+def test_dup_ngram_stats_vs_sql(con):
+    """Duplicated-substring census == the DuckDB distinct-gram truth, plus
+    a constructed fixture where the shared span is known exactly."""
+    from moaray.ops.text import dup_ngram_stats
+
+    assert_matches_sql(
+        dup_ngram_stats(docs(), n=8),
+        con,
+        """WITH t AS (
+             SELECT doc_id, str_split(lower(text), ' ') AS toks
+             FROM documents),
+           g AS (
+             SELECT DISTINCT doc_id,
+                    toks[u.i] || ' ' || toks[u.i+1] || ' ' || toks[u.i+2]
+                      || ' ' || toks[u.i+3] || ' ' || toks[u.i+4]
+                      || ' ' || toks[u.i+5] || ' ' || toks[u.i+6]
+                      || ' ' || toks[u.i+7] AS gram
+             FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+             WHERE len(toks) >= 8),
+           df AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram)
+           SELECT d.doc_id,
+                  CAST(count(g.gram) AS BIGINT) AS n_grams,
+                  CAST(count(g.gram) FILTER (WHERE df.nd >= 2) AS BIGINT)
+                    AS n_shared_grams
+           FROM documents d
+           LEFT JOIN g USING (doc_id) LEFT JOIN df USING (gram)
+           GROUP BY d.doc_id""",
+    )
+
+    # constructed: docs 0/1 share one 8-token span, doc 2 is disjoint,
+    # doc 3 is too short for any 8-gram
+    span = "a b c d e f g h"
+    fix = ray.data.from_items([
+        {"doc_id": 0, "text": f"x1 x2 {span} y1 y2"},
+        {"doc_id": 1, "text": f"z1 {span} z2 z3 z4"},
+        {"doc_id": 2, "text": "p q r s t u v w x y z"},
+        {"doc_id": 3, "text": "too short"},
+    ])
+    out = (dup_ngram_stats(fix, n=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # doc0: 12 toks -> 5 grams; grams containing only span tokens: just the
+    # span itself (positions straddling x/y tokens are unique)
+    assert out["n_grams"].tolist() == [5, 5, 4, 0]
+    assert out["n_shared_grams"].tolist() == [1, 1, 0, 0]
+
+
+def test_exact_group_quantiles_vs_sql(con):
+    from moaray.ops.relational import exact_group_quantiles
+
+    ds = exact_group_quantiles(
+        ray.data.read_parquet(f"{SF}/events.parquet"), "value",
+        "event_type", qs=(0.5, 0.9, 0.99),
+    )
+    assert_matches_sql(
+        ds,
+        con,
+        """SELECT event_type, 0.5 AS q, quantile_disc(value, 0.5) AS value,
+                  count(*) AS n_rows FROM events GROUP BY event_type
+           UNION ALL
+           SELECT event_type, 0.9, quantile_disc(value, 0.9), count(*)
+           FROM events GROUP BY event_type
+           UNION ALL
+           SELECT event_type, 0.99, quantile_disc(value, 0.99), count(*)
+           FROM events GROUP BY event_type""",
+    )
