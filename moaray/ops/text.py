@@ -632,7 +632,38 @@ def contamination_flags(docs_ds, bench_grams: pa.Array, n: int = 3,
     )
 
 
-def dup_ngram_stats(docs_ds, n: int = 8):
+def _fnv1a64_strings(arr: pa.Array) -> np.ndarray:
+    """Vectorized 64-bit FNV-1a over a pyarrow StringArray: one numpy
+    pass per byte POSITION (max string length iterations, each over the
+    still-alive subset) instead of one Python hash call per string.
+    Returns non-negative int64 (top bit cleared)."""
+    if len(arr) == 0:
+        return np.array([], dtype=np.int64)
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    buf_off = arr.buffers()[1]
+    buf_dat = arr.buffers()[2]
+    offs = np.frombuffer(buf_off, dtype=np.int32,
+                         count=len(arr) + 1 + arr.offset)[arr.offset:]
+    data = (np.frombuffer(buf_dat, dtype=np.uint8)
+            if buf_dat is not None else np.array([], np.uint8))
+    starts = offs[:-1].astype(np.int64)
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    h = np.full(len(arr), np.uint64(0xCBF29CE484222325))
+    prime = np.uint64(0x100000001B3)
+    alive = np.arange(len(arr))
+    j = 0
+    maxlen = int(lens.max()) if len(lens) else 0
+    while j < maxlen:
+        alive = alive[lens[alive] > j]
+        if not len(alive):
+            break
+        b = data[starts[alive] + j].astype(np.uint64)
+        h[alive] = (h[alive] ^ b) * prime
+        j += 1
+    return (h >> np.uint64(1)).astype(np.int64)
+
+
+def dup_ngram_stats(docs_ds, n: int = 8, n_shards: int = 256):
     """Corpus-wide duplicated-substring census (the signal behind exact
     substring dedup, Lee et al. 2022 'Deduplicating Training Data Makes
     Language Models Better': long token spans shared verbatim across
@@ -640,15 +671,23 @@ def dup_ngram_stats(docs_ds, n: int = 8):
     DISTINCT ``n``-token grams also occur in at least one OTHER doc.
 
     Shape: grams never leave the workers as strings — each batch emits
-    (gram_hash int64, doc_id) rows for its per-row DISTINCT grams
-    (the md5-folded hash stands in for Lee et al.'s suffix-array match;
-    a 63-bit collision over G corpus grams perturbs counts with
-    probability ~G²/2⁶³ — negligible, and only ±1 on one doc's count);
-    one single-int64-key groupby marks grams seen by >= 2 docs; a second
-    tiny groupby(doc_id) sums. Zero-gram docs ride along as zero rows so
-    the output covers every doc. Returns (doc_id, n_grams,
-    n_shared_grams) — n_grams counts DISTINCT grams per doc."""
-    import hashlib
+    (gram_hash int64, doc_id) rows for its per-row DISTINCT grams (the
+    vectorized FNV-1a hash stands in for Lee et al.'s suffix-array
+    match; a 63-bit collision over G corpus grams perturbs counts with
+    probability ~G²/2⁶³ — negligible, and only ±1 on one doc's count).
+    The gram-level reduce is SHARD-keyed, not gram-keyed: Ray's
+    groupby costs a Python call per group, so millions of mostly-unique
+    gram groups would serialize — instead grams hash into ``n_shards``
+    buckets (every copy of a gram meets in exactly one shard), one
+    groupby(shard).map_groups processes each shard with vectorized
+    np.unique, and emits per-(shard, doc) partial sums. A second
+    doc-sharded vectorized reduce folds the partials (zero-gram docs
+    union in as zero rows so every doc appears). Size ``n_shards`` so
+    one shard's (gram_h, doc_id) rows fit a worker's heap: ~corpus
+    grams / n_shards * 16 bytes.
+
+    Returns (doc_id, n_grams, n_shared_grams); n_grams counts DISTINCT
+    grams per doc."""
 
     def gram_rows(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern(pc.utf8_lower(batch["text"]), " ")
@@ -658,71 +697,79 @@ def dup_ngram_stats(docs_ds, n: int = 8):
             if not len(rows):
                 continue
             out_doc.append(doc_ids[rows])
-            out_h.append(
-                np.array(
-                    [
-                        int.from_bytes(
-                            hashlib.md5(g.encode("utf-8")).digest()[:8],
-                            "little",
-                        ) >> 1
-                        for g in grams.to_pylist()
-                    ],
-                    dtype=np.int64,
-                )
-            )
+            out_h.append(_fnv1a64_strings(grams))
         if not out_doc:
             return pa.table(
-                {"gram_h": pa.array([], pa.int64()),
+                {"shard": pa.array([], pa.int64()),
+                 "gram_h": pa.array([], pa.int64()),
                  "doc_id": pa.array([], pa.int64())}
             )
+        h = np.concatenate(out_h)
         return pa.table(
             {
-                "gram_h": pa.array(np.concatenate(out_h), pa.int64()),
+                "shard": pa.array(h % n_shards, pa.int64()),
+                "gram_h": pa.array(h, pa.int64()),
                 "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
             }
         )
 
-    def mark(group: pa.Table) -> pa.Table:
-        m = group.num_rows
-        shared = 1 if m >= 2 else 0
+    def shard_partials(group: pa.Table) -> pa.Table:
+        # rows are globally distinct per (doc, gram): gram_rows dedups
+        # within a doc and each doc lives in exactly one input row
+        g = group["gram_h"].to_numpy()
+        d = group["doc_id"].to_numpy()
+        _, inv, cnt = np.unique(g, return_inverse=True, return_counts=True)
+        shared = (cnt[inv] >= 2).astype(np.int64)
+        ud, dinv = np.unique(d, return_inverse=True)
         return pa.table(
             {
-                "doc_id": group["doc_id"],
-                "n_grams": pa.array([1] * m, pa.int64()),
-                "n_shared_grams": pa.array([shared] * m, pa.int64()),
+                "doc_id": pa.array(ud, pa.int64()),
+                "dshard": pa.array(ud % n_shards, pa.int64()),
+                "n_grams": pa.array(
+                    np.bincount(dinv).astype(np.int64), pa.int64()),
+                "n_shared_grams": pa.array(
+                    np.bincount(dinv, weights=shared).astype(np.int64),
+                    pa.int64()),
             }
         )
 
     def zero_rows(batch: pa.Table) -> pa.Table:
-        z = pa.array([0] * len(batch), pa.int64())
+        ids = batch["doc_id"].to_numpy()
+        z = pa.array(np.zeros(len(ids), np.int64), pa.int64())
         return pa.table(
-            {"doc_id": batch["doc_id"], "n_grams": z, "n_shared_grams": z}
+            {"doc_id": batch["doc_id"],
+             "dshard": pa.array(ids % n_shards, pa.int64()),
+             "n_grams": z, "n_shared_grams": z}
         )
 
-    from ray.data.aggregate import Sum
+    def doc_totals(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy()
+        ud, dinv = np.unique(d, return_inverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ud, pa.int64()),
+                "n_grams": pa.array(
+                    np.bincount(
+                        dinv, weights=group["n_grams"].to_numpy()
+                    ).astype(np.int64), pa.int64()),
+                "n_shared_grams": pa.array(
+                    np.bincount(
+                        dinv, weights=group["n_shared_grams"].to_numpy()
+                    ).astype(np.int64), pa.int64()),
+            }
+        )
 
-    marked = (
+    partials = (
         docs_ds.select_columns(["doc_id", "text"])
         .map_batches(gram_rows, batch_format="pyarrow")
-        .groupby("gram_h")
-        .map_groups(mark, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_partials, batch_format="pyarrow")
     )
     zeros = docs_ds.select_columns(["doc_id"]).map_batches(
         zero_rows, batch_format="pyarrow"
     )
-    totals = (
-        marked.union(zeros)
-        .groupby("doc_id")
-        .aggregate(Sum("n_grams"), Sum("n_shared_grams"))
+    return (
+        partials.union(zeros)
+        .groupby("dshard")
+        .map_groups(doc_totals, batch_format="pyarrow")
     )
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_grams": batch["sum(n_grams)"],
-                "n_shared_grams": batch["sum(n_shared_grams)"],
-            }
-        )
-
-    return totals.map_batches(rename, batch_format="pyarrow")
