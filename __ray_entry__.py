@@ -1112,6 +1112,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_zonal_stats(sf_dir: str):  # rows-only (pixel op, non-SQL)
+        # vector-zones x raster overlay: per-polygon pixel statistics
+        import numpy as np
+        from moaray.geo import apply_geotransform
+        from moaray.ops.raster import zonal_stats
+
+        res = do_mosaic(_images("grid"), _cfg("grid", do_pyramids=False,
+                                              do_stats=False))
+        gt = res.grid.transform
+
+        def rect(px0, py0, px1, py1):
+            return np.array(
+                [apply_geotransform(gt, x, y)
+                 for x, y in ((px0, py0), (px1, py0), (px1, py1), (px0, py1))]
+            )
+
+        zones = [
+            (1, rect(10, 20, 50, 80)),
+            (2, np.array([apply_geotransform(gt, 30.0, 30.0),
+                          apply_geotransform(gt, 170.0, 40.0),
+                          apply_geotransform(gt, 90.0, 160.0)])),
+            (3, rect(10000, 10000, 10010, 10010)),
+        ]
+        return zonal_stats(res.tiles_ds, res.grid, zones).sort("zone_id")
+
+    def q_band_math_ndi(sf_dir: str):  # rows-only (pixel op, non-SQL)
+        # NDVI-style normalized difference over a 2-band mosaic; returns
+        # the per-tile finite-pixel summary of the derived raster
+        from moaray.ops.raster import band_math, normalized_difference
+        from moaray.testgen import images_path as _ipath
+
+        path = _ipath(_layout("grid"), explicit_meta=True, nbands=2)
+        res = do_mosaic(path, _cfg("grid", do_pyramids=False, do_stats=False))
+        out_ds, _grid = band_math(res.tiles_ds, res.grid,
+                                  normalized_difference(1, 0))
+        return out_ds.select_columns(
+            ["tile_id", "nonnull_count", "px_min", "px_max"]
+        ).sort("tile_id")
+
+    def q_focal_mean(sf_dir: str):  # rows-only (pixel op, non-SQL)
+        # 3x3 neighborhood mean with distributed tile-halo exchange over
+        # a sparse mosaic (null windows cross tile boundaries)
+        from moaray.ops.raster import focal_stats
+
+        res = do_mosaic(_images("sparse"), _cfg("sparse", do_pyramids=False,
+                                                do_stats=False))
+        out_ds, _grid = focal_stats(res.tiles_ds, res.grid, stat="mean",
+                                    radius=1)
+        return out_ds.select_columns(
+            ["tile_id", "nonnull_count", "px_min", "px_max"]
+        ).sort("tile_id")
+
     def q_extent_union(sf_dir: str):  # rows-only (image table not a view)
         from moaray.stages.plan import probe_metadata
         from moaray.pipelines.mosaic import read_images, IMAGE_META_COLS
@@ -1227,6 +1279,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catalog_census": q_catalog_census,
         "compute_phash": q_compute_phash,
         "mosaic_reproject_webmerc": q_mosaic_reproject_webmerc,
+        "zonal_stats": q_zonal_stats,
+        "band_math_ndi": q_band_math_ndi,
+        "focal_mean": q_focal_mean,
     }
 
 

@@ -1,0 +1,485 @@
+"""Raster analytics over assembled mosaic tiles (north-star raster<->vector
+components; no reference counterpart — moamosaic stops at the merged mosaic,
+ref mosaic.py:286-394 writes blocks and exits).
+
+Three operators, all expressed over the engine's own tile rows
+(stages/assemble.TILE_SCHEMA) so they compose with do_mosaic without any
+driver-side canvas:
+
+- ``zonal_stats``: per-polygon pixel statistics (the classic vector-zones ×
+  raster overlay). Zones are the SMALL side — broadcast once via ``ray.put``,
+  PIP-rasterized per tile inside ``map_batches``; only fixed-size partial
+  rows reach the (tiny, zone-keyed) reduce.
+- ``band_math``: per-pixel multi-band arithmetic (NDVI-style normalized
+  difference or any user fn over the band stack). One groupby(tile_id)
+  co-locates a tile's bands; output is a new single-band tile dataset.
+- ``focal_stats``: neighborhood (2r+1)² statistics with an explicit
+  tile-HALO exchange: every tile flat_maps its edge strips to the 8
+  neighbor tile ids, one groupby(tile_id) reassembles each tile plus halo,
+  and the kernel runs vectorized on the padded canvas. The partitioning
+  assumption: a tile plus its radius-r halo fits a worker's heap (r is
+  1-2 px vs a 512-4096 px tile), and each pixel ships to at most 3 extra
+  tiles — O(perimeter) duplication, never O(area).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geo import OutputGrid
+from ..stages.assemble import (
+    TILE_SCHEMA,
+    decode_payload,
+    encode_payload,
+    _nonnull_mask,
+)
+from .vector import point_in_polygon
+
+_STATS = ("count", "px_sum", "px_ssq", "px_min", "px_max")
+
+
+# ---------------------------------------------------------------------------
+# zonal_stats
+# ---------------------------------------------------------------------------
+
+def _tile_pixel_centers(gt, top, left, ys, xs):
+    """World coordinates of a tile's pixel centers under the grid
+    geotransform (same convention as vector.footprint_tile_coverage:
+    zones live in the output grid's map space)."""
+    px = left + 0.5 + np.arange(xs, dtype=np.float64)
+    py = top + 0.5 + np.arange(ys, dtype=np.float64)
+    pxg, pyg = np.meshgrid(px, py)
+    x = gt[0] + gt[1] * pxg + gt[2] * pyg
+    y = gt[3] + gt[4] * pxg + gt[5] * pyg
+    return x, y
+
+
+def zonal_stats(tiles_ds, grid: OutputGrid, zones, band: int = 0):
+    """Per-zone pixel statistics over an assembled mosaic.
+
+    ``zones``: sequence of ``(zone_id, polygon)`` with polygon an (k, 2)
+    float array of WORLD coordinates in the output grid's map space
+    (the same space vector.footprint_polygon emits for an aligned grid).
+    Zones are broadcast once (``ray.put``); each tile rasterizes only the
+    zones whose bbox intersects its extent, masks nulls, and emits one
+    fixed-size partial row per touched zone. The reduce is zone-keyed —
+    zones are analytics-query-sized (thousands), never corpus-sized.
+
+    Returns (zone_id, count, vmin, vmax, mean, px_sum); zones touching no
+    valid pixel report count 0 and null min/max/mean.
+    """
+    import ray
+
+    zlist = [(int(zid), np.asarray(poly, dtype=np.float64))
+             for zid, poly in zones]
+    zones_ref = ray.put(zlist)
+    gt = grid.transform
+    nullval = grid.nullval
+    np_dtype = np.dtype(grid.dtype)
+
+    class ZonalPartials:
+        def __init__(self):
+            self._zones = ray.get(zones_ref)
+            self._bbox = [
+                (p[:, 0].min(), p[:, 1].min(), p[:, 0].max(), p[:, 1].max())
+                for _, p in self._zones
+            ]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {k: [] for k in ("zone_id",) + _STATS}
+            for i in range(batch.num_rows):
+                if batch["band"][i].as_py() != band:
+                    continue
+                top = batch["out_top"][i].as_py()
+                left = batch["out_left"][i].as_py()
+                ys = batch["out_ysize"][i].as_py()
+                xs = batch["out_xsize"][i].as_py()
+                arr = decode_payload(
+                    batch["pixels"][i].as_buffer(),
+                    batch["pixels_codec"][i].as_py(), np_dtype,
+                ).reshape(ys, xs)
+                valid = _nonnull_mask(arr, nullval)
+                if not valid.any():
+                    continue
+                x, y = _tile_pixel_centers(gt, top, left, ys, xs)
+                txmin, txmax = x.min(), x.max()
+                tymin, tymax = y.min(), y.max()
+                for (zid, poly), (bx0, by0, bx1, by1) in zip(
+                    self._zones, self._bbox
+                ):
+                    if bx1 < txmin or bx0 > txmax or by1 < tymin or by0 > tymax:
+                        continue
+                    inside = point_in_polygon(
+                        x.ravel(), y.ravel(), poly
+                    ).reshape(ys, xs)
+                    m = inside & valid
+                    cnt = int(m.sum())
+                    if not cnt:
+                        continue
+                    v = arr[m].astype(np.float64)
+                    out["zone_id"].append(zid)
+                    out["count"].append(cnt)
+                    out["px_sum"].append(float(v.sum()))
+                    out["px_ssq"].append(float((v * v).sum()))
+                    out["px_min"].append(float(v.min()))
+                    out["px_max"].append(float(v.max()))
+            return pa.table(
+                {
+                    "zone_id": pa.array(out["zone_id"], pa.int64()),
+                    "count": pa.array(out["count"], pa.int64()),
+                    "px_sum": pa.array(out["px_sum"], pa.float64()),
+                    "px_ssq": pa.array(out["px_ssq"], pa.float64()),
+                    "px_min": pa.array(out["px_min"], pa.float64()),
+                    "px_max": pa.array(out["px_max"], pa.float64()),
+                }
+            )
+
+    import ray.data  # noqa: F401
+
+    # zero rows keep never-touched zones in the output
+    zeros = ray.data.from_arrow(
+        pa.table(
+            {
+                "zone_id": pa.array([z for z, _ in zlist], pa.int64()),
+                "count": pa.array([0] * len(zlist), pa.int64()),
+                "px_sum": pa.array([0.0] * len(zlist), pa.float64()),
+                "px_ssq": pa.array([0.0] * len(zlist), pa.float64()),
+                "px_min": pa.array([np.inf] * len(zlist), pa.float64()),
+                "px_max": pa.array([-np.inf] * len(zlist), pa.float64()),
+            }
+        )
+    )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        cnt = int(group["count"].to_numpy().sum())
+        s = float(group["px_sum"].to_numpy().sum())
+        vmin = float(group["px_min"].to_numpy().min())
+        vmax = float(group["px_max"].to_numpy().max())
+        return pa.table(
+            {
+                "zone_id": pa.array(
+                    [group["zone_id"][0].as_py()], pa.int64()),
+                "count": pa.array([cnt], pa.int64()),
+                "vmin": pa.array(
+                    [vmin if cnt else None], pa.float64()),
+                "vmax": pa.array(
+                    [vmax if cnt else None], pa.float64()),
+                "mean": pa.array(
+                    [s / cnt if cnt else None], pa.float64()),
+                "px_sum": pa.array([s], pa.float64()),
+            }
+        )
+
+    partials = tiles_ds.map_batches(
+        ZonalPartials, concurrency=(1, 8), batch_format="pyarrow"
+    )
+    return (
+        partials.union(zeros)
+        .groupby("zone_id")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# band_math
+# ---------------------------------------------------------------------------
+
+def normalized_difference(a: int = 1, b: int = 0):
+    """(band_a - band_b) / (band_a + band_b) — the NDVI/NDWI family."""
+
+    def fn(stack: dict[int, np.ndarray]) -> np.ndarray:
+        A = stack[a]
+        B = stack[b]
+        den = A + B
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = (A - B) / den
+        out[den == 0] = np.nan
+        return out
+
+    return fn
+
+
+def band_math(tiles_ds, grid: OutputGrid, fn) -> tuple["object", OutputGrid]:
+    """Per-pixel arithmetic over a tile's band stack -> new single-band
+    float32 tile dataset (nullval NaN) + its OutputGrid.
+
+    ``fn(stack)`` receives {band: float64 array (NaN at nulls)} and
+    returns the output array. One groupby(tile_id) co-locates each tile's
+    bands (the same shuffle granularity as assembly itself); pixels never
+    widen beyond one tile per task.
+    """
+    nullval = grid.nullval
+    np_dtype = np.dtype(grid.dtype)
+
+    def per_tile(group: pa.Table) -> pa.Table:
+        top = group["out_top"][0].as_py()
+        left = group["out_left"][0].as_py()
+        ys = group["out_ysize"][0].as_py()
+        xs = group["out_xsize"][0].as_py()
+        stack = {}
+        for i in range(group.num_rows):
+            arr = decode_payload(
+                group["pixels"][i].as_buffer(),
+                group["pixels_codec"][i].as_py(), np_dtype,
+            ).reshape(ys, xs).astype(np.float64)
+            arr[~_nonnull_mask(arr, nullval)] = np.nan
+            stack[group["band"][i].as_py()] = arr
+        out = fn(stack).astype(np.float32)
+        payload, codec_tag = encode_payload(out, None)
+        finite = out[np.isfinite(out)]
+        return pa.Table.from_pydict(
+            {
+                "tile_id": [group["tile_id"][0].as_py()],
+                "band": [0],
+                "out_top": [top],
+                "out_left": [left],
+                "out_xsize": [xs],
+                "out_ysize": [ys],
+                "n_inputs": [group.num_rows],
+                "input_ids": [[]],
+                "nonnull_count": [int(np.isfinite(out).sum())],
+                "px_sum": [float(finite.sum()) if len(finite) else 0.0],
+                "px_ssq": [float((finite.astype(np.float64) ** 2).sum())
+                           if len(finite) else 0.0],
+                "px_min": [float(finite.min()) if len(finite) else np.inf],
+                "px_max": [float(finite.max()) if len(finite) else -np.inf],
+                "pixels_codec": [codec_tag],
+                "pixels": [payload],
+            },
+            schema=TILE_SCHEMA,
+        )
+
+    out_grid = OutputGrid(
+        ncols=grid.ncols, nrows=grid.nrows, transform=grid.transform,
+        crs=grid.crs, dtype="float32", nullval=float("nan"), nbands=1,
+        blocksize=grid.blocksize,
+        row_edges=grid.row_edges, col_edges=grid.col_edges,
+    )
+    out_ds = tiles_ds.groupby("tile_id").map_groups(
+        per_tile, batch_format="pyarrow"
+    )
+    return out_ds, out_grid
+
+
+# ---------------------------------------------------------------------------
+# focal_stats — tile-halo exchange stencil
+# ---------------------------------------------------------------------------
+
+_PIECE_SCHEMA = pa.schema(
+    [
+        ("tile_id", pa.int64()),      # TARGET tile
+        ("band", pa.int32()),
+        ("g_top", pa.int32()),        # piece position in GLOBAL pixels
+        ("g_left", pa.int32()),
+        ("g_ysize", pa.int32()),
+        ("g_xsize", pa.int32()),
+        ("pixels", pa.binary()),      # float64 C-order, NaN at nulls
+    ]
+)
+
+
+def focal_stats(tiles_ds, grid: OutputGrid, stat: str = "mean",
+                radius: int = 1, band: int = 0):
+    """(2r+1)² neighborhood statistic over the mosaic with distributed
+    halo exchange — the stencil pattern Ray Data lacks natively.
+
+    Stage 1 (flat_map): every tile emits its full body to itself plus the
+    <= 8 edge strips (width ``radius``) each neighbor tile needs — pieces
+    are addressed in GLOBAL pixel coordinates, so assembly is pure
+    paste-by-offset. Stage 2 (groupby(tile_id)): reassemble tile + halo
+    on a padded canvas and run the kernel vectorized (shift-accumulate,
+    9 adds for r=1 — no Python per pixel). A window's statistic uses the
+    valid (non-null, in-bounds) cells only; a window with zero valid
+    cells yields null (NaN).
+
+    Output: float64 single-band tile dataset + its OutputGrid. Supported
+    ``stat``: mean, min, max, range, sum, count.
+
+    Partitioning assumption (documented per the custom-operator contract):
+    tile + 2·radius halo fits one worker's heap, and halo duplication is
+    O(tile perimeter × radius) — for a 512 px tile at r=1 that is < 1%
+    payload overhead through the shuffle.
+    """
+    if stat not in ("mean", "min", "max", "range", "sum", "count"):
+        raise ValueError(f"unsupported focal stat: {stat}")
+    min_dim = int(min(np.diff(grid.row_edges).min(),
+                      np.diff(grid.col_edges).min()))
+    if radius > min_dim:
+        # a window would reach past the adjacent tile; the one-hop halo
+        # exchange only ships neighbor strips
+        raise ValueError(
+            f"radius {radius} exceeds the smallest tile dimension "
+            f"{min_dim}; re-tile with a larger blocksize"
+        )
+    nullval = grid.nullval
+    np_dtype = np.dtype(grid.dtype)
+    n_tile_cols = grid.n_tile_cols
+    n_tile_rows = grid.n_tile_rows
+    row_edges = grid.row_edges.copy()
+    col_edges = grid.col_edges.copy()
+    r = int(radius)
+
+    def pieces(batch: pa.Table) -> pa.Table:
+        out = {k.name: [] for k in _PIECE_SCHEMA}
+        for i in range(batch.num_rows):
+            if batch["band"][i].as_py() != band:
+                continue
+            tid = batch["tile_id"][i].as_py()
+            top = batch["out_top"][i].as_py()
+            left = batch["out_left"][i].as_py()
+            ys = batch["out_ysize"][i].as_py()
+            xs = batch["out_xsize"][i].as_py()
+            arr = decode_payload(
+                batch["pixels"][i].as_buffer(),
+                batch["pixels_codec"][i].as_py(), np_dtype,
+            ).reshape(ys, xs).astype(np.float64)
+            arr[~_nonnull_mask(arr, nullval)] = np.nan
+            trow, tcol = divmod(tid, n_tile_cols)
+
+            def emit(target, a, g_top, g_left):
+                out["tile_id"].append(target)
+                out["band"].append(band)
+                out["g_top"].append(g_top)
+                out["g_left"].append(g_left)
+                out["g_ysize"].append(a.shape[0])
+                out["g_xsize"].append(a.shape[1])
+                out["pixels"].append(np.ascontiguousarray(a).tobytes())
+
+            emit(tid, arr, top, left)
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    if dr == 0 and dc == 0:
+                        continue
+                    nr, nc = trow + dr, tcol + dc
+                    if not (0 <= nr < n_tile_rows and 0 <= nc < n_tile_cols):
+                        continue
+                    # the strip the neighbor's halo needs is the edge of
+                    # THIS tile facing it: a dr=-1 neighbor sits ABOVE and
+                    # needs this tile's TOP r rows, etc.; dr/dc == 0 spans
+                    # the full axis (regular grid => aligned tile edges)
+                    if dr < 0:
+                        ys0s, ys1s = 0, min(r, ys)
+                    elif dr > 0:
+                        ys0s, ys1s = max(ys - r, 0), ys
+                    else:
+                        ys0s, ys1s = 0, ys
+                    if dc < 0:
+                        xs0s, xs1s = 0, min(r, xs)
+                    elif dc > 0:
+                        xs0s, xs1s = max(xs - r, 0), xs
+                    else:
+                        xs0s, xs1s = 0, xs
+                    strip = arr[ys0s:ys1s, xs0s:xs1s]
+                    if strip.size == 0:
+                        continue
+                    emit(
+                        int(nr * n_tile_cols + nc), strip,
+                        top + ys0s, left + xs0s,
+                    )
+        return pa.Table.from_pydict(out, schema=_PIECE_SCHEMA)
+
+    def per_tile(group: pa.Table) -> pa.Table:
+        tid = group["tile_id"][0].as_py()
+        trow, tcol = divmod(tid, n_tile_cols)
+        top = int(row_edges[trow])
+        ys = int(row_edges[trow + 1]) - top
+        left = int(col_edges[tcol])
+        xs = int(col_edges[tcol + 1]) - left
+        # padded canvas clipped to mosaic bounds
+        p_top = max(top - r, 0)
+        p_bot = min(top + ys + r, grid.nrows)
+        p_left = max(left - r, 0)
+        p_right = min(left + xs + r, grid.ncols)
+        canvas = np.full((p_bot - p_top, p_right - p_left), np.nan)
+        for i in range(group.num_rows):
+            gt_ = group["g_top"][i].as_py()
+            gl = group["g_left"][i].as_py()
+            gy = group["g_ysize"][i].as_py()
+            gx = group["g_xsize"][i].as_py()
+            a = np.frombuffer(
+                group["pixels"][i].as_buffer(), dtype=np.float64
+            ).reshape(gy, gx)
+            # clip the piece to the padded canvas window
+            y0 = max(gt_, p_top)
+            y1 = min(gt_ + gy, p_bot)
+            x0 = max(gl, p_left)
+            x1 = min(gl + gx, p_right)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            canvas[y0 - p_top:y1 - p_top, x0 - p_left:x1 - p_left] = \
+                a[y0 - gt_:y1 - gt_, x0 - gl:x1 - gl]
+        # shift-accumulate over the window, valid-cells-only semantics
+        ph, pw = canvas.shape
+        valid = np.isfinite(canvas)
+        vals = np.where(valid, canvas, 0.0)
+        cnt = np.zeros((ph, pw))
+        ssum = np.zeros((ph, pw))
+        smin = np.full((ph, pw), np.inf)
+        smax = np.full((ph, pw), -np.inf)
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                ys0, ys1 = max(dy, 0), min(ph + dy, ph)
+                xs0, xs1 = max(dx, 0), min(pw + dx, pw)
+                dst = (slice(ys0, ys1), slice(xs0, xs1))
+                src = (slice(ys0 - dy, ys1 - dy), slice(xs0 - dx, xs1 - dx))
+                v = valid[src]
+                cnt[dst] += v
+                ssum[dst] += vals[src]
+                sm = smin[dst]
+                np.minimum(sm, np.where(v, canvas[src], np.inf), out=sm)
+                sx = smax[dst]
+                np.maximum(sx, np.where(v, canvas[src], -np.inf), out=sx)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if stat == "mean":
+                out = ssum / cnt
+            elif stat == "sum":
+                out = np.where(cnt > 0, ssum, np.nan)
+            elif stat == "count":
+                out = cnt.astype(np.float64)
+            elif stat == "min":
+                out = np.where(cnt > 0, smin, np.nan)
+            elif stat == "max":
+                out = np.where(cnt > 0, smax, np.nan)
+            else:  # range
+                out = np.where(cnt > 0, smax - smin, np.nan)
+        out[cnt == 0] = np.nan if stat != "count" else 0.0
+        # crop the tile body back out of the padded canvas
+        body = out[top - p_top:top - p_top + ys,
+                   left - p_left:left - p_left + xs]
+        body = np.ascontiguousarray(body)
+        payload, codec_tag = encode_payload(body, None)
+        finite = body[np.isfinite(body)]
+        return pa.Table.from_pydict(
+            {
+                "tile_id": [tid],
+                "band": [0],
+                "out_top": [top],
+                "out_left": [left],
+                "out_xsize": [xs],
+                "out_ysize": [ys],
+                "n_inputs": [group.num_rows],
+                "input_ids": [[]],
+                "nonnull_count": [int(np.isfinite(body).sum())],
+                "px_sum": [float(finite.sum()) if len(finite) else 0.0],
+                "px_ssq": [float((finite ** 2).sum()) if len(finite) else 0.0],
+                "px_min": [float(finite.min()) if len(finite) else np.inf],
+                "px_max": [float(finite.max()) if len(finite) else -np.inf],
+                "pixels_codec": [codec_tag],
+                "pixels": [payload],
+            },
+            schema=TILE_SCHEMA,
+        )
+
+    out_grid = OutputGrid(
+        ncols=grid.ncols, nrows=grid.nrows, transform=grid.transform,
+        crs=grid.crs, dtype="float64", nullval=float("nan"), nbands=1,
+        blocksize=grid.blocksize,
+        row_edges=grid.row_edges, col_edges=grid.col_edges,
+    )
+    out_ds = (
+        tiles_ds.map_batches(pieces, batch_format="pyarrow")
+        .groupby("tile_id")
+        .map_groups(per_tile, batch_format="pyarrow")
+    )
+    return out_ds, out_grid
