@@ -417,6 +417,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = do_mosaic(_images("grid"), _cfg("grid", merge="feather"))
         return _tiles_with_checksum(res.tiles_ds)
 
+    def q_mosaic_tiles_nearest(sf_dir: str):  # rows-only (non-SQL)
+        # per-pixel nearest-image-center overlap resolution (north star's
+        # "kNN for nearest-neighbor overlap resolution"); hotspot layout so
+        # the deep overlap stack actually exercises the argmin kernel
+        res = do_mosaic(_images("hotspot"), _cfg("hotspot", merge="nearest"))
+        return _tiles_with_checksum(res.tiles_ds)
+
     def q_mosaic_tiles_lossy(sf_dir: str):
         res = do_mosaic(_images("grid", MIXED_FMTS), _cfg("grid"))
         return _tiles_with_checksum(res.tiles_ds)
@@ -1282,6 +1289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": q_zonal_stats,
         "band_math_ndi": q_band_math_ndi,
         "focal_mean": q_focal_mean,
+        "mosaic_tiles_nearest": q_mosaic_tiles_nearest,
     }
 
 

@@ -77,6 +77,47 @@ def build_mosaic(
     return mosaic
 
 
+def build_mosaic_nearest(
+    grid: OutputGrid,
+    metas: list[ImageMeta],
+    arrays: dict[str, np.ndarray],
+) -> np.ndarray:
+    """Nearest-image-center overlap resolution, nested-loop truth source.
+
+    Each output pixel takes the value of the non-null contributing input
+    whose image center is nearest (squared distance in file pixel coords);
+    exact ties go to the LATER input in list order (``<=`` while iterating
+    forward), matching the engine's seq-order tie rule."""
+    nullval = grid.nullval
+    dtype = np.dtype(grid.dtype)
+    mosaic = np.full((grid.nrows, grid.ncols), nullval, dtype=dtype)
+    best = np.full((grid.nrows, grid.ncols), np.inf, dtype=np.float64)
+    for _tid, block, image_id, (ftop, fleft, fxs, fys) in find_inputs_per_block(
+        grid, metas
+    ):
+        arr = arrays[image_id]
+        t0, l0 = max(ftop, 0), max(fleft, 0)
+        b0 = min(ftop + fys, arr.shape[0])
+        r0 = min(fleft + fxs, arr.shape[1])
+        if b0 <= t0 or r0 <= l0:
+            continue
+        clipped = arr[t0:b0, l0:r0]
+        rr = np.arange(t0, b0, dtype=np.float64) - (arr.shape[0] - 1) / 2.0
+        cc = np.arange(l0, r0, dtype=np.float64) - (arr.shape[1] - 1) / 2.0
+        dist = np.add.outer(rr * rr, cc * cc)
+        gt = block.top + (t0 - ftop)
+        gl = block.left + (l0 - fleft)
+        sl = (slice(gt, gt + clipped.shape[0]), slice(gl, gl + clipped.shape[1]))
+        if nullval is not None and np.isnan(nullval):
+            non_null = ~np.isnan(clipped)
+        else:
+            non_null = clipped != nullval
+        take = non_null & (dist <= best[sl])
+        np.copyto(mosaic[sl], clipped, where=take)
+        np.copyto(best[sl], dist, where=take)
+    return mosaic
+
+
 def stats(mosaic: np.ndarray, nullval: float):
     """(min, max, mean, stddev, count) over non-null pixels, float64 math
     identical to StatsAccumulator (mosaic.py:746-794)."""

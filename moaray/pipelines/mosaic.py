@@ -114,7 +114,9 @@ class MosaicConfig:
     # table must carry explicit gt/crs metadata columns
     blocksize: int = 1024
     nullval: float | None = None
-    merge: str = "last"  # "last" (parity) | "feather" (extended)
+    # "last" (parity) | "feather" (edge-distance blend) | "nearest"
+    # (per-pixel nearest-image-center — kNN overlap resolution)
+    merge: str = "last"
     # Persist per-tile feather num/den float64 partials (zlib) as extra tile
     # columns so update_mosaic(merge="feather") can fold new images into the
     # weighted sums without re-reading any original source. Roughly doubles
@@ -556,6 +558,14 @@ def _do_mosaic_impl(
 
         tiles = assemble_tiles_salted(
             windows, grid, cfg.merge,
+            window_codec=shuffle_codec, tile_codec=tile_codec,
+            multiband=len(bands) > 1,
+        )
+    elif hot_tiles and cfg.merge == "nearest":
+        from ..stages.assemble import assemble_tiles_salted_nearest
+
+        tiles = assemble_tiles_salted_nearest(
+            windows, grid,
             window_codec=shuffle_codec, tile_codec=tile_codec,
             multiband=len(bands) > 1,
         )

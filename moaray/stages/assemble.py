@@ -233,6 +233,45 @@ def _blend_feather(num: np.ndarray, den: np.ndarray, canvas: np.ndarray, nullval
     canvas[:, :] = blended.astype(canvas.dtype)
 
 
+def _merge_nearest(group: pa.Table, order: np.ndarray, canvas: np.ndarray,
+                   nullval, encoded: bool = False,
+                   best: np.ndarray | None = None):
+    """Per-pixel nearest-image-center overlap resolution (the north star's
+    "kNN for nearest-neighbor overlap resolution"): each output pixel takes
+    its value from the contributing image whose center is closest, measured
+    as squared distance in grid-resolution pixels (src_* coords are already
+    in output resolution for warped inputs — warped_meta — and inputs share
+    the grid resolution otherwise). Iterating in seq order with ``<=`` makes
+    the LAST input win exact ties, so identical footprints degrade to the
+    reference's last-non-null rule. ``best`` lets the salted two-level path
+    reuse/return the per-pixel best-distance canvas (order-free partial)."""
+    views = _binary_views(group["pixels"], canvas.dtype, encoded)
+    cols = {
+        n: group[n].to_numpy()
+        for n in ("dst_top", "dst_left", "win_h", "win_w",
+                  "src_top", "src_left", "src_h", "src_w")
+    }
+    if best is None:
+        best = np.full(canvas.shape, np.inf, dtype=np.float64)
+    for i in order:
+        h, w = int(cols["win_h"][i]), int(cols["win_w"][i])
+        win = views[i].reshape(h, w)
+        # squared distance from each window pixel to the source-image center
+        rr = (np.arange(cols["src_top"][i], cols["src_top"][i] + h,
+                        dtype=np.float64)
+              - (cols["src_h"][i] - 1) / 2.0)
+        cc = (np.arange(cols["src_left"][i], cols["src_left"][i] + w,
+                        dtype=np.float64)
+              - (cols["src_w"][i] - 1) / 2.0)
+        dist = np.add.outer(rr * rr, cc * cc)
+        sl = (slice(cols["dst_top"][i], cols["dst_top"][i] + h),
+              slice(cols["dst_left"][i], cols["dst_left"][i] + w))
+        take = _nonnull_mask(win, nullval) & (dist <= best[sl])
+        np.copyto(canvas[sl], win, where=take)
+        np.copyto(best[sl], dist, where=take)
+    return best
+
+
 def _merge_feather(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullval,
                    encoded: bool = False):
     num = np.zeros(canvas.shape, dtype=np.float64)
@@ -294,6 +333,8 @@ def make_assemble_fn(nullval: float, dtype: str, merge: str = "last",
             _merge_last(group, order, canvas, nv, windows_encoded)
         elif merge == "feather":
             partials = _merge_feather(group, order, canvas, nv, windows_encoded)
+        elif merge == "nearest":
+            _merge_nearest(group, order, canvas, nv, windows_encoded)
         else:
             raise ValueError(f"unknown merge kernel {merge!r}")
         input_ids = [group["image_id"][int(i)].as_py() for i in order]
@@ -441,6 +482,123 @@ def assemble_tiles_salted(
         nonnull, px_sum, px_ssq, px_min, px_max = _canvas_stats(canvas, nv)
         payload, codec_tag = encode_payload(canvas, tile_codec)
         # exact input count from the partial rows (their lists may be capped)
+        n_in = int(pa.compute.sum(group["n_inputs"]).as_py() or 0)
+        return pa.Table.from_pydict(
+            {
+                "tile_id": [group["tile_id"][0].as_py()],
+                "band": [group["band"][0].as_py()],
+                "out_top": [group["out_top"][0].as_py()],
+                "out_left": [group["out_left"][0].as_py()],
+                "out_xsize": [xsize],
+                "out_ysize": [ysize],
+                "n_inputs": [n_in],
+                "input_ids": [_cap_lineage(input_ids, lineage_cap)],
+                "nonnull_count": [nonnull],
+                "px_sum": [px_sum],
+                "px_ssq": [px_ssq],
+                "px_min": [px_min],
+                "px_max": [px_max],
+                "pixels_codec": [codec_tag],
+                "pixels": [payload],
+            },
+            schema=TILE_SCHEMA,
+        )
+
+    k1 = ["tile_id", "band", "salt"] if multiband else ["tile_id", "salt"]
+    k2 = ["tile_id", "band"] if multiband else "tile_id"
+    partials = windows_ds.groupby(k1).map_groups(
+        partial_merge, batch_format="pyarrow"
+    )
+    return partials.groupby(k2).map_groups(final_merge, batch_format="pyarrow")
+
+
+# salted-nearest stage-1 rows: a full TILE row + salt + the zlib-packed
+# per-pixel best-distance canvas (order-free partial — min over salts
+# reconstructs the global per-pixel argmin exactly).
+NEAREST_PARTIAL_SCHEMA = pa.schema(
+    [pa.field("salt", pa.int32())]
+    + list(TILE_SCHEMA)
+    + [pa.field("best", pa.binary())]
+)
+
+
+def assemble_tiles_salted_nearest(
+    windows_ds: "ray.data.Dataset",
+    grid: OutputGrid,
+    window_codec: str | None = None,
+    tile_codec: str | None = None,
+    multiband: bool = True,
+) -> "ray.data.Dataset":
+    """Two-level nearest-center merge for skewed tiles. Unlike 'last',
+    nearest partials are ORDER-FREE (per-pixel min over squared center
+    distance is associative+commutative), so any salt assignment works;
+    we keep the contiguous-seq salts the planner already computed. Stage 1
+    merges each salt into (canvas, best-dist) and ships best as a packed
+    float64 plane; stage 2 overlays partials in salt order with ``<=`` so
+    the later seq range wins exact ties — identical tie behavior to the
+    single-level kernel. Cold tiles (one salt) skip stage-2 work entirely."""
+    lineage_cap = LINEAGE_CAP
+    np_dtype = np.dtype(grid.dtype)
+    nv = grid.nullval if _is_nan_null(grid.nullval) else np_dtype.type(grid.nullval)
+    encoded = window_codec is not None
+
+    def partial_merge(group: pa.Table) -> pa.Table:
+        seq = group["seq"].to_numpy()
+        order = np.argsort(seq, kind="stable")
+        ysize = int(group["out_ysize"][0].as_py())
+        xsize = int(group["out_xsize"][0].as_py())
+        canvas = np.full((ysize, xsize), nv, dtype=np_dtype)
+        best = _merge_nearest(group, order, canvas, nv, encoded)
+        input_ids = [group["image_id"][int(i)].as_py() for i in order]
+        nonnull, px_sum, px_ssq, px_min, px_max = _canvas_stats(canvas, nv)
+        payload, codec_tag = encode_payload(canvas, tile_codec)
+        return pa.Table.from_pydict(
+            {
+                "salt": [group["salt"][0].as_py()],
+                "tile_id": [group["tile_id"][0].as_py()],
+                "band": [group["band"][0].as_py()],
+                "out_top": [group["out_top"][0].as_py()],
+                "out_left": [group["out_left"][0].as_py()],
+                "out_xsize": [xsize],
+                "out_ysize": [ysize],
+                "n_inputs": [len(input_ids)],
+                "input_ids": [_cap_lineage(input_ids, lineage_cap)],
+                "nonnull_count": [nonnull],
+                "px_sum": [px_sum],
+                "px_ssq": [px_ssq],
+                "px_min": [px_min],
+                "px_max": [px_max],
+                "pixels_codec": [codec_tag],
+                "pixels": [payload],
+                # inf packs fine through zlib/float64
+                "best": [_pack_partial(best)],
+            },
+            schema=NEAREST_PARTIAL_SCHEMA,
+        )
+
+    def final_merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 1:
+            return group.drop_columns(["salt", "best"])
+        salts = group["salt"].to_numpy()
+        order = np.argsort(salts, kind="stable")
+        ysize = int(group["out_ysize"][0].as_py())
+        xsize = int(group["out_xsize"][0].as_py())
+        canvas = np.full((ysize, xsize), nv, dtype=np_dtype)
+        best = np.full((ysize, xsize), np.inf, dtype=np.float64)
+        codecs_col = group["pixels_codec"].to_pylist()
+        input_ids: list[str] = []
+        for i in order:
+            i = int(i)
+            part = decode_payload(
+                group["pixels"][i].as_buffer(), codecs_col[i], np_dtype
+            ).reshape(ysize, xsize)
+            pbest = _unpack_partial(group["best"][i].as_buffer(), ysize, xsize)
+            take = _nonnull_mask(part, nv) & (pbest <= best)
+            np.copyto(canvas, part, where=take)
+            np.copyto(best, pbest, where=take)
+            input_ids.extend(group["input_ids"][i].as_py())
+        nonnull, px_sum, px_ssq, px_min, px_max = _canvas_stats(canvas, nv)
+        payload, codec_tag = encode_payload(canvas, tile_codec)
         n_in = int(pa.compute.sum(group["n_inputs"]).as_py() or 0)
         return pa.Table.from_pydict(
             {
