@@ -417,6 +417,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = do_mosaic(_images("grid"), _cfg("grid", merge="feather"))
         return _tiles_with_checksum(res.tiles_ds)
 
+    def q_terrain_slope(sf_dir: str):  # rows-only (pixel op, non-SQL)
+        # Horn slope over the mosaic-as-DEM via the tile-halo stencil
+        from moaray.ops.raster import terrain
+
+        res = do_mosaic(_images("grid"), _cfg("grid", do_pyramids=False,
+                                              do_stats=False))
+        out_ds, _grid = terrain(res.tiles_ds, res.grid, mode="slope")
+        return out_ds.select_columns(
+            ["tile_id", "nonnull_count", "px_min", "px_max"]
+        ).sort("tile_id")
+
     def q_mosaic_tiles_nearest(sf_dir: str):  # rows-only (non-SQL)
         # per-pixel nearest-image-center overlap resolution (north star's
         # "kNN for nearest-neighbor overlap resolution"); hotspot layout so
@@ -1290,6 +1301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "band_math_ndi": q_band_math_ndi,
         "focal_mean": q_focal_mean,
         "mosaic_tiles_nearest": q_mosaic_tiles_nearest,
+        "terrain_slope": q_terrain_slope,
     }
 
 

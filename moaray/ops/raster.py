@@ -2,7 +2,7 @@
 components; no reference counterpart — moamosaic stops at the merged mosaic,
 ref mosaic.py:286-394 writes blocks and exits).
 
-Three operators, all expressed over the engine's own tile rows
+Four operators, all expressed over the engine's own tile rows
 (stages/assemble.TILE_SCHEMA) so they compose with do_mosaic without any
 driver-side canvas:
 
@@ -20,6 +20,8 @@ driver-side canvas:
   assumption: a tile plus its radius-r halo fits a worker's heap (r is
   1-2 px vs a 512-4096 px tile), and each pixel ships to at most 3 extra
   tiles — O(perimeter) duplication, never O(area).
+- ``terrain``: slope / aspect / hillshade (Horn 1981 3×3, the gdaldem
+  algorithm) on the same halo machinery (radius-1 stencil).
 """
 
 from __future__ import annotations
@@ -303,22 +305,62 @@ def focal_stats(tiles_ds, grid: OutputGrid, stat: str = "mean",
     """
     if stat not in ("mean", "min", "max", "range", "sum", "count"):
         raise ValueError(f"unsupported focal stat: {stat}")
+    r = int(radius)
+    pieces = _halo_pieces(grid, band, r)
+
+    def body_fn(canvas: np.ndarray, ys: int, xs: int) -> np.ndarray:
+        # shift-accumulate over the window, valid-cells-only semantics;
+        # canvas is fully NaN-padded, so out-of-mosaic cells never count
+        valid = np.isfinite(canvas)
+        vals = np.where(valid, canvas, 0.0)
+        cnt = np.zeros((ys, xs))
+        ssum = np.zeros((ys, xs))
+        smin = np.full((ys, xs), np.inf)
+        smax = np.full((ys, xs), -np.inf)
+        for dy in range(2 * r + 1):
+            for dx in range(2 * r + 1):
+                src = (slice(dy, dy + ys), slice(dx, dx + xs))
+                v = valid[src]
+                cnt += v
+                ssum += vals[src]
+                np.minimum(smin, np.where(v, canvas[src], np.inf), out=smin)
+                np.maximum(smax, np.where(v, canvas[src], -np.inf), out=smax)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if stat == "mean":
+                out = ssum / cnt
+            elif stat == "sum":
+                out = np.where(cnt > 0, ssum, np.nan)
+            elif stat == "count":
+                out = cnt.astype(np.float64)
+            elif stat == "min":
+                out = np.where(cnt > 0, smin, np.nan)
+            elif stat == "max":
+                out = np.where(cnt > 0, smax, np.nan)
+            else:  # range
+                out = np.where(cnt > 0, smax - smin, np.nan)
+        out[cnt == 0] = np.nan if stat != "count" else 0.0
+        return out
+
+    return _stencil_reduce(tiles_ds, grid, pieces, r, body_fn)
+
+
+def _halo_pieces(grid: OutputGrid, band: int, r: int):
+    """Stage 1 of a halo-exchange stencil: every tile emits its full body
+    to itself plus the <= 8 edge strips (width ``r``) each neighbor needs,
+    addressed in GLOBAL pixel coordinates. Validates the one-hop reach."""
     min_dim = int(min(np.diff(grid.row_edges).min(),
                       np.diff(grid.col_edges).min()))
-    if radius > min_dim:
+    if r > min_dim:
         # a window would reach past the adjacent tile; the one-hop halo
         # exchange only ships neighbor strips
         raise ValueError(
-            f"radius {radius} exceeds the smallest tile dimension "
+            f"radius {r} exceeds the smallest tile dimension "
             f"{min_dim}; re-tile with a larger blocksize"
         )
     nullval = grid.nullval
     np_dtype = np.dtype(grid.dtype)
     n_tile_cols = grid.n_tile_cols
     n_tile_rows = grid.n_tile_rows
-    row_edges = grid.row_edges.copy()
-    col_edges = grid.col_edges.copy()
-    r = int(radius)
 
     def pieces(batch: pa.Table) -> pa.Table:
         out = {k.name: [] for k in _PIECE_SCHEMA}
@@ -379,6 +421,18 @@ def focal_stats(tiles_ds, grid: OutputGrid, stat: str = "mean",
                     )
         return pa.Table.from_pydict(out, schema=_PIECE_SCHEMA)
 
+    return pieces
+
+
+def _stencil_reduce(tiles_ds, grid: OutputGrid, pieces, r: int, body_fn):
+    """Stage 2 of any halo-exchange stencil: groupby(tile_id) reassembles
+    each tile plus halo onto a fully NaN-padded (ys+2r, xs+2r) canvas —
+    out-of-mosaic cells stay NaN — and ``body_fn(canvas, ys, xs)`` returns
+    the (ys, xs) float64 body, which becomes a TILE row."""
+    n_tile_cols = grid.n_tile_cols
+    row_edges = grid.row_edges.copy()
+    col_edges = grid.col_edges.copy()
+
     def per_tile(group: pa.Table) -> pa.Table:
         tid = group["tile_id"][0].as_py()
         trow, tcol = divmod(tid, n_tile_cols)
@@ -386,12 +440,7 @@ def focal_stats(tiles_ds, grid: OutputGrid, stat: str = "mean",
         ys = int(row_edges[trow + 1]) - top
         left = int(col_edges[tcol])
         xs = int(col_edges[tcol + 1]) - left
-        # padded canvas clipped to mosaic bounds
-        p_top = max(top - r, 0)
-        p_bot = min(top + ys + r, grid.nrows)
-        p_left = max(left - r, 0)
-        p_right = min(left + xs + r, grid.ncols)
-        canvas = np.full((p_bot - p_top, p_right - p_left), np.nan)
+        canvas = np.full((ys + 2 * r, xs + 2 * r), np.nan)
         for i in range(group.num_rows):
             gt_ = group["g_top"][i].as_py()
             gl = group["g_left"][i].as_py()
@@ -400,54 +449,17 @@ def focal_stats(tiles_ds, grid: OutputGrid, stat: str = "mean",
             a = np.frombuffer(
                 group["pixels"][i].as_buffer(), dtype=np.float64
             ).reshape(gy, gx)
-            # clip the piece to the padded canvas window
-            y0 = max(gt_, p_top)
-            y1 = min(gt_ + gy, p_bot)
-            x0 = max(gl, p_left)
-            x1 = min(gl + gx, p_right)
+            # clip the piece to this tile's padded window
+            y0 = max(gt_, top - r)
+            y1 = min(gt_ + gy, top + ys + r)
+            x0 = max(gl, left - r)
+            x1 = min(gl + gx, left + xs + r)
             if y1 <= y0 or x1 <= x0:
                 continue
-            canvas[y0 - p_top:y1 - p_top, x0 - p_left:x1 - p_left] = \
+            canvas[y0 - (top - r):y1 - (top - r),
+                   x0 - (left - r):x1 - (left - r)] = \
                 a[y0 - gt_:y1 - gt_, x0 - gl:x1 - gl]
-        # shift-accumulate over the window, valid-cells-only semantics
-        ph, pw = canvas.shape
-        valid = np.isfinite(canvas)
-        vals = np.where(valid, canvas, 0.0)
-        cnt = np.zeros((ph, pw))
-        ssum = np.zeros((ph, pw))
-        smin = np.full((ph, pw), np.inf)
-        smax = np.full((ph, pw), -np.inf)
-        for dy in range(-r, r + 1):
-            for dx in range(-r, r + 1):
-                ys0, ys1 = max(dy, 0), min(ph + dy, ph)
-                xs0, xs1 = max(dx, 0), min(pw + dx, pw)
-                dst = (slice(ys0, ys1), slice(xs0, xs1))
-                src = (slice(ys0 - dy, ys1 - dy), slice(xs0 - dx, xs1 - dx))
-                v = valid[src]
-                cnt[dst] += v
-                ssum[dst] += vals[src]
-                sm = smin[dst]
-                np.minimum(sm, np.where(v, canvas[src], np.inf), out=sm)
-                sx = smax[dst]
-                np.maximum(sx, np.where(v, canvas[src], -np.inf), out=sx)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            if stat == "mean":
-                out = ssum / cnt
-            elif stat == "sum":
-                out = np.where(cnt > 0, ssum, np.nan)
-            elif stat == "count":
-                out = cnt.astype(np.float64)
-            elif stat == "min":
-                out = np.where(cnt > 0, smin, np.nan)
-            elif stat == "max":
-                out = np.where(cnt > 0, smax, np.nan)
-            else:  # range
-                out = np.where(cnt > 0, smax - smin, np.nan)
-        out[cnt == 0] = np.nan if stat != "count" else 0.0
-        # crop the tile body back out of the padded canvas
-        body = out[top - p_top:top - p_top + ys,
-                   left - p_left:left - p_left + xs]
-        body = np.ascontiguousarray(body)
+        body = np.ascontiguousarray(body_fn(canvas, ys, xs))
         payload, codec_tag = encode_payload(body, None)
         finite = body[np.isfinite(body)]
         return pa.Table.from_pydict(
@@ -483,3 +495,72 @@ def focal_stats(tiles_ds, grid: OutputGrid, stat: str = "mean",
         .map_groups(per_tile, batch_format="pyarrow")
     )
     return out_ds, out_grid
+
+
+# ---------------------------------------------------------------------------
+# terrain — slope / aspect / hillshade (Horn 3x3 stencil on the halo machinery)
+# ---------------------------------------------------------------------------
+
+def terrain(tiles_ds, grid: OutputGrid, mode: str = "slope", band: int = 0,
+            z_factor: float = 1.0, azimuth: float = 315.0,
+            altitude: float = 45.0):
+    """Terrain derivatives over the mosaic treated as a DEM, computed with
+    the same tile-halo exchange as focal_stats (radius-1 Horn 1981 stencil,
+    the algorithm gdaldem uses).
+
+    Gradients per pixel over the 3x3 window (a..i row-major, e = center):
+        dz/dx = ((c + 2f + i) - (a + 2d + g)) / (8 * xres)
+        dz/dy = ((g + 2h + i) - (a + 2b + c)) / (8 * yres)   # toward SOUTH
+    A pixel whose window touches a null or out-of-mosaic cell yields NaN
+    (gdaldem's edge/nodata behavior).
+
+    Modes:
+    - "slope": degrees, atan(z_factor * hypot(dz/dx, dz/dy)).
+    - "aspect": downslope azimuth in degrees clockwise from north
+      (0=N, 90=E): degrees(atan2(-dz/dx, dz/dy)) mod 360; flat cells
+      (zero gradient) yield NaN.
+    - "hillshade": 0..255 illumination, sun at ``azimuth`` degrees
+      (clockwise from north) and ``altitude`` degrees above horizon:
+      255 * max(0, cos(zen)cos(s) + sin(zen)sin(s)cos(az - aspect)).
+
+    Output: float64 single-band tile dataset + grid, like focal_stats.
+    Same partitioning assumption: tile + 2px halo per worker, O(perimeter)
+    shuffle duplication.
+    """
+    if mode not in ("slope", "aspect", "hillshade"):
+        raise ValueError(f"unsupported terrain mode: {mode}")
+    xres = abs(grid.transform[1])
+    yres = abs(grid.transform[5])
+    pieces = _halo_pieces(grid, band, 1)
+    zf = float(z_factor)
+    az_rad = np.deg2rad(float(azimuth))
+    zen_rad = np.deg2rad(90.0 - float(altitude))
+
+    def body_fn(canvas: np.ndarray, ys: int, xs: int) -> np.ndarray:
+        a = canvas[0:ys, 0:xs]
+        b = canvas[0:ys, 1:xs + 1]
+        c = canvas[0:ys, 2:xs + 2]
+        d = canvas[1:ys + 1, 0:xs]
+        f = canvas[1:ys + 1, 2:xs + 2]
+        g = canvas[2:ys + 2, 0:xs]
+        h = canvas[2:ys + 2, 1:xs + 1]
+        i_ = canvas[2:ys + 2, 2:xs + 2]
+        # NaN anywhere in the window propagates -> NaN output
+        dzdx = ((c + 2.0 * f + i_) - (a + 2.0 * d + g)) / (8.0 * xres)
+        dzdy = ((g + 2.0 * h + i_) - (a + 2.0 * b + c)) / (8.0 * yres)
+        with np.errstate(invalid="ignore"):
+            if mode == "slope":
+                return np.degrees(np.arctan(zf * np.hypot(dzdx, dzdy)))
+            flat = np.hypot(dzdx, dzdy) == 0.0
+            asp = np.arctan2(-dzdx, dzdy)  # radians, cw from north
+            if mode == "aspect":
+                out = np.degrees(asp) % 360.0
+                out[flat] = np.nan
+                return out
+            slope_rad = np.arctan(zf * np.hypot(dzdx, dzdy))
+            hs = (np.cos(zen_rad) * np.cos(slope_rad)
+                  + np.sin(zen_rad) * np.sin(slope_rad)
+                  * np.cos(az_rad - asp))
+            return 255.0 * np.clip(hs, 0.0, 1.0)
+
+    return _stencil_reduce(tiles_ds, grid, pieces, 1, body_fn)

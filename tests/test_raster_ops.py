@@ -160,3 +160,113 @@ def test_focal_radius_guard(ray_session):
     res, _ = _mosaic("pair_overlap", 2, 64)
     with pytest.raises(ValueError, match="radius"):
         focal_stats(res.tiles_ds, res.grid, radius=10_000)
+
+
+# ---------------------------------------------------------------------------
+# terrain (slope / aspect / hillshade)
+# ---------------------------------------------------------------------------
+
+def _dem_mosaic(dem, tmp_path, blocksize=64):
+    """Feed a float64 DEM array through do_mosaic as a 1-image catalog."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from moaray import codecs
+    from moaray.testgen import ORIGIN_X, ORIGIN_Y, PIX
+
+    gt = (ORIGIN_X, PIX, 0.0, ORIGIN_Y, 0.0, -PIX)
+    tbl = pa.table({
+        "image_id": ["img00000000"],
+        "bytes": pa.array([codecs.encode(dem, "z16")], pa.binary()),
+        "w": pa.array([dem.shape[1]], pa.int32()),
+        "h": pa.array([dem.shape[0]], pa.int32()),
+        "fmt": ["z16"], "caption": ["dem"],
+        "phash": pa.array([0], pa.int64()),
+        "gt": pa.array([list(gt)], pa.list_(pa.float64(), 6)),
+        "crs": ["EPSG:32756"],
+        "nullval": pa.array([float("nan")], pa.float64()),
+        "dtype": ["float64"],
+    })
+    d = tmp_path / "dem"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "p.parquet"))
+    return do_mosaic(str(d), MosaicConfig(blocksize=blocksize,
+                                          do_pyramids=False, do_stats=False))
+
+
+def _terrain_oracle(dem, mode, xres, yres, z_factor=1.0,
+                    azimuth=315.0, altitude=45.0):
+    """Per-pixel nested-loop Horn stencil (independent of the vectorized
+    engine path): NaN wherever the 3x3 window leaves the array."""
+    h, w = dem.shape
+    out = np.full((h, w), np.nan)
+    for rr in range(1, h - 1):
+        for cc in range(1, w - 1):
+            win = dem[rr - 1:rr + 2, cc - 1:cc + 2]
+            if not np.isfinite(win).all():
+                continue
+            a, b, c = win[0]
+            d, _e, f = win[1]
+            g, hh, i = win[2]
+            dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8 * xres)
+            dzdy = ((g + 2 * hh + i) - (a + 2 * b + c)) / (8 * yres)
+            slope = np.arctan(z_factor * np.hypot(dzdx, dzdy))
+            if mode == "slope":
+                out[rr, cc] = np.degrees(slope)
+            elif mode == "aspect":
+                if dzdx == 0 and dzdy == 0:
+                    continue
+                out[rr, cc] = np.degrees(np.arctan2(-dzdx, dzdy)) % 360.0
+            else:
+                az = np.deg2rad(azimuth)
+                zen = np.deg2rad(90.0 - altitude)
+                asp = np.arctan2(-dzdx, dzdy)
+                hs = (np.cos(zen) * np.cos(slope)
+                      + np.sin(zen) * np.sin(slope) * np.cos(az - asp))
+                out[rr, cc] = 255.0 * min(max(hs, 0.0), 1.0)
+    return out
+
+
+def test_terrain_planar_closed_form(tmp_path, ray_session):
+    """z = 3*col + 5*row plane: constant analytic slope/aspect everywhere
+    in the interior, NaN ring at the mosaic boundary; exercises the halo
+    across the 2x2 tile seams (128px DEM, 64px tiles)."""
+    from moaray.ops.raster import terrain
+    from moaray.testgen import PIX
+
+    rr, cc = np.meshgrid(np.arange(128.0), np.arange(128.0), indexing="ij")
+    dem = 3.0 * cc + 5.0 * rr
+    res = _dem_mosaic(dem, tmp_path)
+
+    slope_ds, sgrid = terrain(res.tiles_ds, res.grid, mode="slope")
+    slope = mosaic_array(slope_ds, sgrid)
+    want_slope = np.degrees(np.arctan(np.hypot(3.0 / PIX, 5.0 / PIX)))
+    assert np.isnan(slope[0]).all() and np.isnan(slope[:, -1]).all()
+    interior = slope[1:-1, 1:-1]
+    assert np.allclose(interior, want_slope, atol=1e-9)
+
+    aspect_ds, agrid = terrain(res.tiles_ds, res.grid, mode="aspect")
+    aspect = mosaic_array(aspect_ds, agrid)
+    # z grows east+south -> downslope west+north: atan2(-0.3, 0.5)
+    want_aspect = np.degrees(np.arctan2(-3.0 / PIX, 5.0 / PIX)) % 360.0
+    assert np.allclose(aspect[1:-1, 1:-1], want_aspect, atol=1e-9)
+
+
+def test_terrain_random_dem_vs_oracle(tmp_path, ray_session):
+    """Random rough DEM, all three modes vs the per-pixel nested-loop
+    oracle — including NaN placement (boundary ring)."""
+    from moaray.ops.raster import terrain
+    from moaray.testgen import PIX
+
+    rng = np.random.default_rng(7)
+    dem = np.cumsum(rng.normal(0, 2.0, (96, 96)), axis=1) + \
+        np.cumsum(rng.normal(0, 2.0, (96, 96)), axis=0) + 500.0
+    res = _dem_mosaic(dem, tmp_path, blocksize=32)
+    for mode in ("slope", "aspect", "hillshade"):
+        kw = dict(z_factor=2.0) if mode == "slope" else {}
+        out_ds, ogrid = terrain(res.tiles_ds, res.grid, mode=mode, **kw)
+        got = mosaic_array(out_ds, ogrid)
+        truth = _terrain_oracle(dem, mode, PIX, PIX, **kw)
+        assert np.array_equal(np.isnan(got), np.isnan(truth)), mode
+        m = ~np.isnan(truth)
+        assert np.allclose(got[m], truth[m], atol=1e-9), mode
