@@ -428,6 +428,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["tile_id", "nonnull_count", "px_min", "px_max"]
         ).sort("tile_id")
 
+    def q_contour_lines(sf_dir: str):  # rows-only (pixel op, non-SQL)
+        # raster->vector isolines via marching squares on the tile halo
+        import pyarrow.compute as _pc
+
+        from moaray.ops.raster import contour_lines
+
+        res = do_mosaic(_images("grid"), _cfg("grid", do_pyramids=False,
+                                              do_stats=False))
+        out = contour_lines(res.tiles_ds, res.grid, levels=[20.5, 40.5])
+
+        def fin(batch: pa.Table) -> pa.Table:
+            cols = {"tile_id": batch["tile_id"], "level": batch["level"]}
+            for c in ("x0", "y0", "x1", "y1"):
+                cols[c] = _pc.round(batch[c], 4,
+                                    round_mode="half_towards_infinity")
+            return pa.table(cols)
+
+        return out.map_batches(fin, batch_format="pyarrow").sort(
+            ["level", "x0", "y0", "x1", "y1"])
+
     def q_mosaic_tiles_nearest(sf_dir: str):  # rows-only (non-SQL)
         # per-pixel nearest-image-center overlap resolution (north star's
         # "kNN for nearest-neighbor overlap resolution"); hotspot layout so
@@ -1109,6 +1129,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Lee-et-al-style duplicated-substring census (8-token grams)
         return text.dup_ngram_stats(_docs(sf_dir), n=8).sort("doc_id")
 
+    def q_spatial_distance_join(sf_dir: str):
+        # cell-bucketed self distance-join over the embeddings' 2D
+        # projection (half-neighborhood ghosting: every pair meets in
+        # exactly one cell group)
+        import pyarrow.compute as _pc
+
+        from moaray.ops.vector import distance_join_2d, points_2d
+
+        pts = points_2d(f"{sf_dir}/embeddings.parquet")
+        out = distance_join_2d(pts, 0.02)
+
+        def fin(batch: pa.Table) -> pa.Table:
+            d2r = _pc.round(batch["d2"], 8,
+                            round_mode="half_towards_infinity")
+            return batch.drop_columns(["d2"]).append_column("d2r", d2r)
+
+        return out.map_batches(fin, batch_format="pyarrow").sort(
+            ["a_id", "b_id"])
+
+    def q_spatial_knn_join(sf_dir: str):
+        # radius-bounded kNN self-join on the same cell machinery
+        from moaray.ops.vector import knn_join_2d, points_2d
+
+        pts = points_2d(f"{sf_dir}/embeddings.parquet")
+        return knn_join_2d(pts, k=3, max_radius=0.05).sort(
+            ["a_id", "rank"])
+
     def q_mosaic_multiband_stats(sf_dir: str):  # rows-only (non-SQL)
         # per-band stats parity surface (T4): 3-band catalog, one row per
         # band with the finalized StatsAccumulator values
@@ -1234,6 +1281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_median": q_events_median,
         "events_quantiles_exact": q_events_quantiles_exact,
         "doc_dup_ngrams": q_doc_dup_ngrams,
+        "spatial_distance_join": q_spatial_distance_join,
+        "spatial_knn_join": q_spatial_knn_join,
         # ---- rows-only (no SQL oracle by design) ----
         # The driver grades the FIRST 50 queries (round-2 verdict #1);
         # positions 30-50 are curated for family breadth — mosaic core,
@@ -1302,6 +1351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "focal_mean": q_focal_mean,
         "mosaic_tiles_nearest": q_mosaic_tiles_nearest,
         "terrain_slope": q_terrain_slope,
+        "contour_lines": q_contour_lines,
     }
 
 
@@ -1311,6 +1361,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "spatial_distance_join": """
+            WITH pts AS (
+              SELECT vec_id,
+                     CAST(embedding[1] AS DOUBLE) AS x,
+                     CAST(embedding[2] AS DOUBLE) AS y
+              FROM embeddings
+            )
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y), 8)
+                     AS d2r
+            FROM pts a, pts b
+            WHERE a.vec_id < b.vec_id
+              AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+                  <= CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE)
+            ORDER BY a_id, b_id
+        """,
+        "spatial_knn_join": """
+            WITH pts AS (
+              SELECT vec_id,
+                     CAST(embedding[1] AS DOUBLE) AS x,
+                     CAST(embedding[2] AS DOUBLE) AS y
+              FROM embeddings
+            ),
+            pairs AS (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+              FROM pts a, pts b
+              WHERE a.vec_id <> b.vec_id
+                AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+                    <= CAST(0.05 AS DOUBLE) * CAST(0.05 AS DOUBLE)
+            )
+            SELECT a_id, b_id,
+                   CAST(row_number() OVER w AS BIGINT) AS rank,
+                   round(d2, 8) AS d2r
+            FROM pairs
+            WINDOW w AS (PARTITION BY a_id ORDER BY d2, b_id)
+            QUALIFY row_number() OVER w <= 3
+            ORDER BY a_id, rank
+        """,
         "doc_token_count": """
             SELECT doc_id,
                    CAST(array_length(str_split(text, ' ')) AS BIGINT) AS n_tokens,

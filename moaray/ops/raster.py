@@ -424,6 +424,39 @@ def _halo_pieces(grid: OutputGrid, band: int, r: int):
     return pieces
 
 
+def _assemble_padded(group: pa.Table, r: int, row_edges, col_edges,
+                     n_tile_cols: int):
+    """Reassemble one tile plus its radius-r halo onto a fully NaN-padded
+    (ys+2r, xs+2r) canvas — out-of-mosaic cells stay NaN. Returns
+    (tid, top, left, ys, xs, canvas)."""
+    tid = group["tile_id"][0].as_py()
+    trow, tcol = divmod(tid, n_tile_cols)
+    top = int(row_edges[trow])
+    ys = int(row_edges[trow + 1]) - top
+    left = int(col_edges[tcol])
+    xs = int(col_edges[tcol + 1]) - left
+    canvas = np.full((ys + 2 * r, xs + 2 * r), np.nan)
+    for i in range(group.num_rows):
+        gt_ = group["g_top"][i].as_py()
+        gl = group["g_left"][i].as_py()
+        gy = group["g_ysize"][i].as_py()
+        gx = group["g_xsize"][i].as_py()
+        a = np.frombuffer(
+            group["pixels"][i].as_buffer(), dtype=np.float64
+        ).reshape(gy, gx)
+        # clip the piece to this tile's padded window
+        y0 = max(gt_, top - r)
+        y1 = min(gt_ + gy, top + ys + r)
+        x0 = max(gl, left - r)
+        x1 = min(gl + gx, left + xs + r)
+        if y1 <= y0 or x1 <= x0:
+            continue
+        canvas[y0 - (top - r):y1 - (top - r),
+               x0 - (left - r):x1 - (left - r)] = \
+            a[y0 - gt_:y1 - gt_, x0 - gl:x1 - gl]
+    return tid, top, left, ys, xs, canvas
+
+
 def _stencil_reduce(tiles_ds, grid: OutputGrid, pieces, r: int, body_fn):
     """Stage 2 of any halo-exchange stencil: groupby(tile_id) reassembles
     each tile plus halo onto a fully NaN-padded (ys+2r, xs+2r) canvas —
@@ -434,31 +467,8 @@ def _stencil_reduce(tiles_ds, grid: OutputGrid, pieces, r: int, body_fn):
     col_edges = grid.col_edges.copy()
 
     def per_tile(group: pa.Table) -> pa.Table:
-        tid = group["tile_id"][0].as_py()
-        trow, tcol = divmod(tid, n_tile_cols)
-        top = int(row_edges[trow])
-        ys = int(row_edges[trow + 1]) - top
-        left = int(col_edges[tcol])
-        xs = int(col_edges[tcol + 1]) - left
-        canvas = np.full((ys + 2 * r, xs + 2 * r), np.nan)
-        for i in range(group.num_rows):
-            gt_ = group["g_top"][i].as_py()
-            gl = group["g_left"][i].as_py()
-            gy = group["g_ysize"][i].as_py()
-            gx = group["g_xsize"][i].as_py()
-            a = np.frombuffer(
-                group["pixels"][i].as_buffer(), dtype=np.float64
-            ).reshape(gy, gx)
-            # clip the piece to this tile's padded window
-            y0 = max(gt_, top - r)
-            y1 = min(gt_ + gy, top + ys + r)
-            x0 = max(gl, left - r)
-            x1 = min(gl + gx, left + xs + r)
-            if y1 <= y0 or x1 <= x0:
-                continue
-            canvas[y0 - (top - r):y1 - (top - r),
-                   x0 - (left - r):x1 - (left - r)] = \
-                a[y0 - gt_:y1 - gt_, x0 - gl:x1 - gl]
+        tid, top, left, ys, xs, canvas = _assemble_padded(
+            group, r, row_edges, col_edges, n_tile_cols)
         body = np.ascontiguousarray(body_fn(canvas, ys, xs))
         payload, codec_tag = encode_payload(body, None)
         finite = body[np.isfinite(body)]
@@ -564,3 +574,131 @@ def terrain(tiles_ds, grid: OutputGrid, mode: str = "slope", band: int = 0,
             return 255.0 * np.clip(hs, 0.0, 1.0)
 
     return _stencil_reduce(tiles_ds, grid, pieces, 1, body_fn)
+
+
+# ---------------------------------------------------------------------------
+# contour_lines — raster -> vector isolines (marching squares on the halo)
+# ---------------------------------------------------------------------------
+
+# case index: 8*TL + 4*TR + 2*BR + 1*BL (bit set = corner >= level);
+# values are (edge, edge) pairs from {t, r, b, l}; 5/10 are saddles
+# resolved by the cell-center average (standard marching squares)
+_MS_SEGMENTS = {
+    1: (("l", "b"),), 2: (("b", "r"),), 3: (("l", "r"),),
+    4: (("t", "r"),), 6: (("t", "b"),), 7: (("l", "t"),),
+    8: (("l", "t"),), 9: (("t", "b"),), 11: (("t", "r"),),
+    12: (("l", "r"),), 13: (("b", "r"),), 14: (("l", "b"),),
+}
+
+
+def contour_lines(tiles_ds, grid: OutputGrid, levels, band: int = 0):
+    """Isoline extraction (marching squares with linear interpolation —
+    the gdal_contour algorithm) as a raster->vector halo stencil.
+
+    Each 2x2-pixel cell is OWNED by the tile holding its top-left pixel;
+    the radius-1 halo supplies the right/bottom neighbors, so seam cells
+    compute identically to a single-canvas run — segments need no
+    stitching pass. Cells touching a null (NaN) pixel emit nothing.
+    Saddle cells disambiguate by the cell-center average, endpoints are
+    normalized lexicographically: output is fully deterministic.
+
+    Output rows: (tile_id, level, x0, y0, x1, y1) in world coordinates.
+    Same partitioning contract as focal_stats/terrain.
+    """
+    levels = [float(lv) for lv in levels]
+    gt = grid.transform
+    pieces = _halo_pieces(grid, band, 1)
+    n_tile_cols = grid.n_tile_cols
+    row_edges = grid.row_edges.copy()
+    col_edges = grid.col_edges.copy()
+    nrows, ncols = grid.nrows, grid.ncols
+
+    def per_tile(group: pa.Table) -> pa.Table:
+        tid, top, left, ys, xs, canvas = _assemble_padded(
+            group, 1, row_edges, col_edges, n_tile_cols)
+        # owned cells: top-left pixel inside the tile body AND not on the
+        # mosaic's last row/col (a cell spans two pixels per axis)
+        ch = min(ys, nrows - 1 - top)
+        cw = min(xs, ncols - 1 - left)
+        out_lv, out_seg = [], []
+        if ch > 0 and cw > 0:
+            z00 = canvas[1:1 + ch, 1:1 + cw]
+            z01 = canvas[1:1 + ch, 2:2 + cw]
+            z10 = canvas[2:2 + ch, 1:1 + cw]
+            z11 = canvas[2:2 + ch, 2:2 + cw]
+            valid = (np.isfinite(z00) & np.isfinite(z01)
+                     & np.isfinite(z10) & np.isfinite(z11))
+            # global pixel-center coords of each cell's TL corner
+            gr = top + np.arange(ch, dtype=np.float64)[:, None] + 0.5
+            gc = left + np.arange(cw, dtype=np.float64)[None, :] + 0.5
+            gr = np.broadcast_to(gr, (ch, cw))
+            gc = np.broadcast_to(gc, (ch, cw))
+            for lv in levels:
+                idx = np.where(
+                    valid,
+                    8 * (z00 >= lv) + 4 * (z01 >= lv)
+                    + 2 * (z11 >= lv) + 1 * (z10 >= lv),
+                    0,
+                )
+
+                def edge_pts(name, m):
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        if name == "t":
+                            t = (lv - z00[m]) / (z01[m] - z00[m])
+                            return gc[m] + t, gr[m]
+                        if name == "b":
+                            t = (lv - z10[m]) / (z11[m] - z10[m])
+                            return gc[m] + t, gr[m] + 1.0
+                        if name == "l":
+                            t = (lv - z00[m]) / (z10[m] - z00[m])
+                            return gc[m], gr[m] + t
+                        t = (lv - z01[m]) / (z11[m] - z01[m])
+                        return gc[m] + 1.0, gr[m] + t
+
+                def emit(m, segs):
+                    if not m.any():
+                        return
+                    for e0, e1 in segs:
+                        x0, y0 = edge_pts(e0, m)
+                        x1, y1 = edge_pts(e1, m)
+                        # lexicographic endpoint normalization
+                        swap = (x1 < x0) | ((x1 == x0) & (y1 < y0))
+                        nx0 = np.where(swap, x1, x0)
+                        ny0 = np.where(swap, y1, y0)
+                        nx1 = np.where(swap, x0, x1)
+                        ny1 = np.where(swap, y0, y1)
+                        out_lv.append(np.full(nx0.size, lv))
+                        out_seg.append(np.stack([nx0, ny0, nx1, ny1], 1))
+
+                for case, segs in _MS_SEGMENTS.items():
+                    emit(idx == case, segs)
+                center = (z00 + z01 + z10 + z11) / 4.0
+                emit((idx == 5) & (center >= lv), (("l", "t"), ("b", "r")))
+                emit((idx == 5) & (center < lv), (("l", "b"), ("t", "r")))
+                emit((idx == 10) & (center >= lv), (("t", "r"), ("l", "b")))
+                emit((idx == 10) & (center < lv), (("l", "t"), ("b", "r")))
+        if out_lv:
+            lv_col = np.concatenate(out_lv)
+            seg = np.concatenate(out_seg, axis=0)
+        else:
+            lv_col = np.empty(0)
+            seg = np.empty((0, 4))
+        # pixel coords -> world via the grid geotransform
+        wx0 = gt[0] + gt[1] * seg[:, 0] + gt[2] * seg[:, 1]
+        wy0 = gt[3] + gt[4] * seg[:, 0] + gt[5] * seg[:, 1]
+        wx1 = gt[0] + gt[1] * seg[:, 2] + gt[2] * seg[:, 3]
+        wy1 = gt[3] + gt[4] * seg[:, 2] + gt[5] * seg[:, 3]
+        return pa.table({
+            "tile_id": pa.array(np.full(lv_col.size, tid, np.int64)),
+            "level": pa.array(lv_col, pa.float64()),
+            "x0": pa.array(wx0, pa.float64()),
+            "y0": pa.array(wy0, pa.float64()),
+            "x1": pa.array(wx1, pa.float64()),
+            "y1": pa.array(wy1, pa.float64()),
+        })
+
+    return (
+        tiles_ds.map_batches(pieces, batch_format="pyarrow")
+        .groupby("tile_id")
+        .map_groups(per_tile, batch_format="pyarrow")
+    )

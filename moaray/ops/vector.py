@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .. import crs as crs_mod
 from ..geo import ImageMeta, apply_geotransform
@@ -321,3 +322,179 @@ def cell_density(images_path: str, cfg, res: int = 0, max_res: int = 2,
     for lv in levels[1:]:
         out = out.union(lv)
     return out.select_columns(["cell_res", "cell_row", "cell_col", "n_images"])
+
+
+# ---------------------------------------------------------------------------
+# cell-bucketed point spatial joins (distance join, kNN join)
+# ---------------------------------------------------------------------------
+
+# half-neighborhood: each unordered cell pair (c, c+h) is owned by exactly
+# one cell (no two opposite vectors in the set), so every cross-cell
+# candidate pair is generated exactly once
+_HALF_NEIGHBORHOOD = ((0, 1), (1, -1), (1, 0), (1, 1))
+_CELL_OFFSET = 1 << 20  # grid coords are small; packing headroom
+
+
+def _pack_cell(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+    return ((cx + _CELL_OFFSET) << 21) | (cy + _CELL_OFFSET)
+
+
+def points_2d(embeddings_path: str, columns=("vec_id", "embedding")):
+    """(id, x, y) point dataset from the first two embedding dimensions —
+    the 2D projection used by the spatial-join demos/queries. float64 math
+    from float32 storage (exactly representable, so both the engine and a
+    DOUBLE-casting SQL oracle run identical IEEE arithmetic)."""
+    import ray.data
+
+    id_col, emb_col = columns
+
+    def extract(batch: pa.Table) -> pa.Table:
+        emb = batch[emb_col].combine_chunks()
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(batch)
+        dim = flat.size // n if n else 1
+        pts = flat.reshape(n, dim)
+        return pa.table({
+            "id": batch[id_col].cast(pa.int64()),
+            "x": pa.array(pts[:, 0], pa.float64()),
+            "y": pa.array(pts[:, 1], pa.float64()),
+        })
+
+    return ray.data.read_parquet(
+        embeddings_path, columns=list(columns)
+    ).map_batches(extract, batch_format="pyarrow")
+
+
+def _cell_pieces(radius: float):
+    """Stage 1 of both point joins: each point lands in its home cell
+    (cell size == radius) and ghosts into the 4 inverse-half-neighborhood
+    cells, so every within-radius pair meets in exactly one group."""
+    cell = float(radius)
+
+    def pieces(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy().astype(np.int64)
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        cx = np.floor(x / cell).astype(np.int64)
+        cy = np.floor(y / cell).astype(np.int64)
+        out_key, out_id, out_x, out_y, out_home = [], [], [], [], []
+        out_key.append(_pack_cell(cx, cy))
+        out_id.append(ids)
+        out_x.append(x)
+        out_y.append(y)
+        out_home.append(np.ones(len(ids), dtype=bool))
+        for dr, dc in _HALF_NEIGHBORHOOD:
+            # ghost into the cell that OWNS the pair with our home cell
+            out_key.append(_pack_cell(cx - dr, cy - dc))
+            out_id.append(ids)
+            out_x.append(x)
+            out_y.append(y)
+            out_home.append(np.zeros(len(ids), dtype=bool))
+        return pa.table({
+            "cell": pa.array(np.concatenate(out_key), pa.int64()),
+            "id": pa.array(np.concatenate(out_id), pa.int64()),
+            "x": pa.array(np.concatenate(out_x), pa.float64()),
+            "y": pa.array(np.concatenate(out_y), pa.float64()),
+            "home": pa.array(np.concatenate(out_home), pa.bool_()),
+        })
+
+    return pieces
+
+
+def distance_join_2d(pts_ds, radius: float, emit_both: bool = False):
+    """All point pairs within ``radius``: cell-bucketed candidate
+    generation (cell size = radius, half-neighborhood ghosting) + exact
+    brute-force refine per cell group — the canonical scalable shape for
+    a self distance-join (no all-pairs, no broadcast).
+
+    Output: (a_id, b_id, d2r) with a_id < b_id and d2r = round(squared
+    distance, 8); ``emit_both`` additionally emits the mirrored (b, a)
+    rows (used by the kNN join).
+
+    Partitioning assumption (custom-operator contract): points per cell
+    are bounded by data density × radius² — pick radius at the query's
+    natural scale, not the extent's. Each point ships to exactly 5 cells
+    (O(1) duplication).
+    """
+    r2 = float(radius) * float(radius)
+
+    def per_cell(group: pa.Table) -> pa.Table:
+        ids = group["id"].to_numpy().astype(np.int64)
+        x = group["x"].to_numpy()
+        y = group["y"].to_numpy()
+        home = group["home"].to_numpy(zero_copy_only=False)
+        hi = np.flatnonzero(home)
+        a_ids, b_ids, d2s = [], [], []
+        if hi.size >= 2:
+            # home x home, unordered once
+            hx, hy, hid = x[hi], y[hi], ids[hi]
+            d2 = (hx[:, None] - hx[None, :]) ** 2 \
+                + (hy[:, None] - hy[None, :]) ** 2
+            ii, jj = np.nonzero((d2 <= r2) & (hid[:, None] < hid[None, :]))
+            a_ids.append(hid[ii])
+            b_ids.append(hid[jj])
+            d2s.append(d2[ii, jj])
+        gi = np.flatnonzero(~home)
+        if hi.size and gi.size:
+            gx, gy, gid = x[gi], y[gi], ids[gi]
+            hx, hy, hid = x[hi], y[hi], ids[hi]
+            d2 = (hx[:, None] - gx[None, :]) ** 2 \
+                + (hy[:, None] - gy[None, :]) ** 2
+            ii, jj = np.nonzero(d2 <= r2)
+            pa_, pb = hid[ii], gid[jj]
+            lo = np.minimum(pa_, pb)
+            hi_ = np.maximum(pa_, pb)
+            a_ids.append(lo)
+            b_ids.append(hi_)
+            d2s.append(d2[ii, jj])
+        if a_ids:
+            a = np.concatenate(a_ids)
+            b = np.concatenate(b_ids)
+            d = np.concatenate(d2s)
+        else:
+            a = b = np.empty(0, dtype=np.int64)
+            d = np.empty(0, dtype=np.float64)
+        if emit_both:
+            a, b = np.concatenate([a, b]), np.concatenate([b, a])
+            d = np.concatenate([d, d])
+        return pa.table({
+            "a_id": pa.array(a, pa.int64()),
+            "b_id": pa.array(b, pa.int64()),
+            "d2": pa.array(d, pa.float64()),
+        })
+
+    return (
+        pts_ds.map_batches(_cell_pieces(radius), batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(per_cell, batch_format="pyarrow")
+    )
+
+
+def knn_join_2d(pts_ds, k: int, max_radius: float):
+    """k nearest neighbors per point among neighbors within ``max_radius``
+    (a radius-bounded kNN self-join — the bound is what keeps the
+    candidate generation cell-local; points with fewer than k in-radius
+    neighbors return fewer rows, mirroring the SQL-filter semantics).
+
+    Ties on distance break by neighbor id, fully deterministic.
+    Output: (a_id, b_id, rank, d2r), rank 1-based by (d2, b_id).
+    """
+    pairs = distance_join_2d(pts_ds, max_radius, emit_both=True)
+
+    def topk(group: pa.Table) -> pa.Table:
+        b = group["b_id"].to_numpy().astype(np.int64)
+        d2 = group["d2"].to_numpy()
+        order = np.lexsort((b, d2))[:k]
+        n = len(order)
+        # half-away rounding to mirror SQL round() (CLAUDE.md float rule)
+        d2r = pc.round(pa.array(d2[order], pa.float64()), 8,
+                       round_mode="half_towards_infinity")
+        return pa.table({
+            "a_id": pa.array(
+                [group["a_id"][0].as_py()] * n, pa.int64()),
+            "b_id": pa.array(b[order], pa.int64()),
+            "rank": pa.array(np.arange(1, n + 1), pa.int64()),
+            "d2r": d2r,
+        })
+
+    return pairs.groupby("a_id").map_groups(topk, batch_format="pyarrow")

@@ -270,3 +270,114 @@ def test_terrain_random_dem_vs_oracle(tmp_path, ray_session):
         assert np.array_equal(np.isnan(got), np.isnan(truth)), mode
         m = ~np.isnan(truth)
         assert np.allclose(got[m], truth[m], atol=1e-9), mode
+
+
+# ---------------------------------------------------------------------------
+# contour_lines (marching squares)
+# ---------------------------------------------------------------------------
+
+def _contour_oracle(dem, levels, gt):
+    """Scalar marching squares over the full canvas (independent of the
+    engine's vectorized per-case path): returns a set of rounded segment
+    tuples with lexicographically normalized endpoints."""
+    segs = set()
+    h, w = dem.shape
+    for rr in range(h - 1):
+        for cc in range(w - 1):
+            z00, z01 = dem[rr, cc], dem[rr, cc + 1]
+            z10, z11 = dem[rr + 1, cc], dem[rr + 1, cc + 1]
+            if not np.isfinite([z00, z01, z10, z11]).all():
+                continue
+            for lv in levels:
+                idx = (8 * (z00 >= lv) + 4 * (z01 >= lv)
+                       + 2 * (z11 >= lv) + 1 * (z10 >= lv))
+                if idx in (0, 15):
+                    continue
+
+                def pt(edge):
+                    if edge == "t":
+                        t = (lv - z00) / (z01 - z00)
+                        return cc + 0.5 + t, rr + 0.5
+                    if edge == "b":
+                        t = (lv - z10) / (z11 - z10)
+                        return cc + 0.5 + t, rr + 1.5
+                    if edge == "l":
+                        t = (lv - z00) / (z10 - z00)
+                        return cc + 0.5, rr + 0.5 + t
+                    t = (lv - z01) / (z11 - z01)
+                    return cc + 1.5, rr + 0.5 + t
+
+                table = {
+                    1: (("l", "b"),), 2: (("b", "r"),), 3: (("l", "r"),),
+                    4: (("t", "r"),), 6: (("t", "b"),), 7: (("l", "t"),),
+                    8: (("l", "t"),), 9: (("t", "b"),), 11: (("t", "r"),),
+                    12: (("l", "r"),), 13: (("b", "r"),), 14: (("l", "b"),),
+                }
+                if idx == 5:
+                    pairs = ((("l", "t"), ("b", "r"))
+                             if (z00 + z01 + z10 + z11) / 4.0 >= lv
+                             else (("l", "b"), ("t", "r")))
+                elif idx == 10:
+                    pairs = ((("t", "r"), ("l", "b"))
+                             if (z00 + z01 + z10 + z11) / 4.0 >= lv
+                             else (("l", "t"), ("b", "r")))
+                else:
+                    pairs = table[idx]
+                for e0, e1 in pairs:
+                    p0, p1 = pt(e0), pt(e1)
+                    if p1 < p0:
+                        p0, p1 = p1, p0
+                    w0 = (gt[0] + gt[1] * p0[0] + gt[2] * p0[1],
+                          gt[3] + gt[4] * p0[0] + gt[5] * p0[1])
+                    w1 = (gt[0] + gt[1] * p1[0] + gt[2] * p1[1],
+                          gt[3] + gt[4] * p1[0] + gt[5] * p1[1])
+                    # float() first: round(np.float64) rounds via scaled
+                    # np.round and can differ from python-float rounding
+                    # by 1 in the last digit at exact .5 boundaries
+                    segs.add((float(lv), round(float(w0[0]), 6),
+                              round(float(w0[1]), 6),
+                              round(float(w1[0]), 6),
+                              round(float(w1[1]), 6)))
+    return segs
+
+
+def test_contour_ramp_vertical_lines(tmp_path, ray_session):
+    """Linear ramp z = col: every contour is a vertical line at the
+    interpolated column; seams across the 2x2 tile grid must be seamless."""
+    from moaray.ops.raster import contour_lines
+    from moaray.testgen import ORIGIN_X, PIX
+
+    rr, cc = np.meshgrid(np.arange(128.0), np.arange(128.0), indexing="ij")
+    dem = cc.copy()
+    res = _dem_mosaic(dem, tmp_path)
+    out = contour_lines(res.tiles_ds, res.grid, levels=[40.5]).to_pandas()
+    # one vertical segment per cell row: 127 segments at x where col=40.5
+    assert len(out) == 127
+    want_x = ORIGIN_X + (40.5 + 0.5) * PIX
+    assert np.allclose(out["x0"], want_x) and np.allclose(out["x1"], want_x)
+    # vertical continuity: unit-pixel segments tiling the full height
+    ys = np.sort(np.concatenate([out["y0"].values, out["y1"].values]))
+    assert np.isclose(ys.max() - ys.min(), 127 * PIX)
+
+
+def test_contour_random_dem_vs_oracle(tmp_path, ray_session):
+    """Random rough DEM with a null hole: engine segments (across 9 tile
+    seams) must equal the single-canvas scalar oracle exactly, including
+    saddle disambiguation and NaN-cell suppression."""
+    from moaray.ops.raster import contour_lines
+
+    rng = np.random.default_rng(11)
+    dem = np.cumsum(rng.normal(0, 1.0, (96, 96)), axis=0) + 50.0
+    dem[40:48, 50:60] = np.nan  # null hole
+    res = _dem_mosaic(dem, tmp_path, blocksize=32)
+    levels = [45.0, 50.0, 55.0]
+    out = contour_lines(res.tiles_ds, res.grid, levels=levels).to_pandas()
+    got = {
+        (float(lv), round(float(a), 6), round(float(b), 6),
+         round(float(c), 6), round(float(d), 6))
+        for lv, a, b, c, d in zip(out["level"], out["x0"], out["y0"],
+                                  out["x1"], out["y1"])
+    }
+    truth = _contour_oracle(dem, levels, res.grid.transform)
+    assert truth, "oracle produced no segments — fixture degenerate"
+    assert got == truth

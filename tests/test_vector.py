@@ -144,3 +144,84 @@ def test_cell_density_hierarchy(ray_session):
         for (cr, cc), n in child.items():
             expect[(cr // 2, cc // 2)] += n
         assert by_level[res] == dict(expect)
+
+
+# ---------------------------------------------------------------------------
+# cell-bucketed spatial joins
+# ---------------------------------------------------------------------------
+
+def _random_points(n=400, seed=3):
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1.0, 1.0, n)
+    y = rng.uniform(-1.0, 1.0, n)
+    ids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids), "x": pa.array(x), "y": pa.array(y),
+    })).repartition(8)  # force pairs to straddle blocks
+    return ds, ids, x, y
+
+
+def test_distance_join_vs_bruteforce(ray_session):
+    from moaray.ops.vector import distance_join_2d
+
+    ds, ids, x, y = _random_points()
+    R = 0.11
+    out = (distance_join_2d(ds, R).to_pandas()
+           .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    ii, jj = np.nonzero((d2 <= R * R) & (ids[:, None] < ids[None, :]))
+    assert len(out) == len(ii)
+    assert (out["a_id"].values == ids[ii]).all()
+    assert (out["b_id"].values == ids[jj]).all()
+    assert np.array_equal(out["d2"].values, d2[ii, jj])
+
+
+def test_knn_join_vs_bruteforce(ray_session):
+    from moaray.ops.vector import knn_join_2d
+
+    ds, ids, x, y = _random_points(n=300, seed=9)
+    K, MR = 4, 0.25
+    out = (knn_join_2d(ds, K, MR).to_pandas()
+           .sort_values(["a_id", "rank"]).reset_index(drop=True))
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    rows = []
+    for a in range(len(ids)):
+        cand = sorted(
+            (d2[a, b], ids[b]) for b in range(len(ids))
+            if b != a and d2[a, b] <= MR * MR
+        )
+        for r, (dd, bid) in enumerate(cand[:K], 1):
+            rows.append((ids[a], bid, r))
+    assert len(out) == len(rows)
+    got = list(zip(out["a_id"], out["b_id"], out["rank"]))
+    assert got == rows
+
+
+def test_distance_join_negative_coords_cell_edges(ray_session):
+    """Points exactly on cell boundaries and straddling the origin
+    (negative cells): the half-neighborhood ghosting must neither drop
+    nor duplicate pairs."""
+    import pyarrow as pa
+    import ray.data
+
+    from moaray.ops.vector import distance_join_2d
+
+    R = 0.5
+    # lattice points at multiples of R/2 around the origin, incl. exact
+    # cell-edge coordinates
+    g = np.arange(-3, 4) * (R / 2)
+    gx, gy = np.meshgrid(g, g)
+    x, y = gx.ravel(), gy.ravel()
+    ids = np.arange(len(x), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids), "x": pa.array(x), "y": pa.array(y)}))
+    out = (distance_join_2d(ds, R).to_pandas()
+           .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    ii, jj = np.nonzero((d2 <= R * R) & (ids[:, None] < ids[None, :]))
+    assert len(out) == len(ii)
+    assert (out["a_id"].values == ids[ii]).all()
+    assert (out["b_id"].values == ids[jj]).all()
