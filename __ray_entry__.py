@@ -448,6 +448,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(fin, batch_format="pyarrow").sort(
             ["level", "x0", "y0", "x1", "y1"])
 
+    def q_web_tiles(sf_dir: str):  # rows-only (sink op, non-SQL)
+        # z/x/y PNG tile-tree export; the manifest (not the PNGs) is the
+        # graded result — crc32 pins the encoded bytes
+        import tempfile
+
+        from moaray.sinks.webtiles import export_web_tiles
+
+        res = do_mosaic(_images("grid"), _cfg("grid", do_pyramids=False,
+                                              do_stats=False))
+        out = tempfile.mkdtemp(prefix="moaray_webtiles_")
+        manifest = export_web_tiles(res.tiles_ds, res.grid, out,
+                                    tile_size=64)
+        return manifest.drop_columns(["path"]).sort(["z", "x", "y"])
+
     def q_mosaic_tiles_nearest(sf_dir: str):  # rows-only (non-SQL)
         # per-pixel nearest-image-center overlap resolution (north star's
         # "kNN for nearest-neighbor overlap resolution"); hotspot layout so
@@ -1352,6 +1366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tiles_nearest": q_mosaic_tiles_nearest,
         "terrain_slope": q_terrain_slope,
         "contour_lines": q_contour_lines,
+        "web_tiles": q_web_tiles,
     }
 
 

@@ -51,7 +51,8 @@ def get_cmdargs(argv=None):
                         "are accepted and ignored with a note")
     p.add_argument("--nullval", type=float, default=None,
                    help="null value override (default: first input's)")
-    p.add_argument("--merge", default="last", choices=["last", "feather"],
+    p.add_argument("--merge", default="last",
+                   choices=["last", "feather", "nearest"],
                    help="overlap merge kernel (default %(default)s)")
     p.add_argument("--feather-partials", action="store_true",
                    help="with --merge feather: persist per-tile num/den "
@@ -102,6 +103,11 @@ def get_cmdargs(argv=None):
                    help="also export the (band-0) mosaic as a single GeoTIFF "
                         "file at this path (driver-side assembly; the "
                         "tile-sharded parquet sink remains the scale output)")
+    p.add_argument("--webtiles", default=None, metavar="DIR",
+                   help="also export a z/x/y PNG web-tile tree (TMS-style "
+                        "pyramid) under this directory")
+    p.add_argument("--webtile-size", type=int, default=256,
+                   help="web tile edge in pixels (default 256)")
     p.add_argument("--monitorjson", default=None,
                    help="write run metrics (phase times, stats, manifest "
                         "summary) to this JSON file")
@@ -244,6 +250,15 @@ def main_cmd(argv=None) -> int:
                          min_overview_size=args.minoverviewsize,
                          compress=gtiff_compress, predictor=gtiff_predictor,
                          bigtiff=gtiff_bigtiff)
+        if args.webtiles:
+            from .sinks.webtiles import export_web_tiles
+
+            n_written = export_web_tiles(
+                res.tiles_ds, res.grid, args.webtiles,
+                tile_size=args.webtile_size,
+                band=0 if exp_band == "all" else exp_band,
+            ).count()
+            print(f"webtiles: {n_written} tiles -> {args.webtiles}")
 
         n_tiles = res.grid.num_tiles
         print(
