@@ -1143,6 +1143,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Lee-et-al-style duplicated-substring census (8-token grams)
         return text.dup_ngram_stats(_docs(sf_dir), n=8).sort("doc_id")
 
+    def q_split_census(sf_dir: str):
+        # content-hash train/val/test stratified split census
+        from moaray.ops.text import split_census
+
+        return split_census(_docs(sf_dir)).sort("split")
+
     def q_spatial_distance_join(sf_dir: str):
         # cell-bucketed self distance-join over the embeddings' 2D
         # projection (half-neighborhood ghosting: every pair meets in
@@ -1297,6 +1303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_ngrams": q_doc_dup_ngrams,
         "spatial_distance_join": q_spatial_distance_join,
         "spatial_knn_join": q_spatial_knn_join,
+        "split_census": q_split_census,
         # ---- rows-only (no SQL oracle by design) ----
         # The driver grades the FIRST 50 queries (round-2 verdict #1);
         # positions 30-50 are curated for family breadth — mosaic core,
@@ -1391,6 +1398,21 @@ def oracle_sql() -> dict[str, str]:
               AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
                   <= CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE)
             ORDER BY a_id, b_id
+        """,
+
+        "split_census": """
+            SELECT split,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(nchars) AS BIGINT) AS n_chars
+            FROM (
+              SELECT CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+                          WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                          ELSE 'test' END AS split,
+                     length(text) AS nchars
+              FROM documents
+            )
+            GROUP BY split
+            ORDER BY split
         """,
         "spatial_knn_join": """
             WITH pts AS (

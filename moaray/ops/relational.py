@@ -1104,3 +1104,4 @@ def catalog_census(images_ds):
         })
 
     return out.map_batches(finalize, batch_format="pyarrow").sort("fmt")
+

@@ -773,3 +773,56 @@ def dup_ngram_stats(docs_ds, n: int = 8, n_shards: int = 256):
         .groupby("dshard")
         .map_groups(doc_totals, batch_format="pyarrow")
     )
+
+
+# train/val/test boundaries on the first two hex chars of md5(text):
+# < "cc" (204/256 = 79.7%) train, < "e6" (230/256 = 89.8%) val, else test.
+SPLIT_BOUNDS = (("cc", "train"), ("e6", "val"), (None, "test"))
+
+
+def split_census(docs_ds):
+    """Deterministic train/val/test stratified-split census: split
+    assignment hashes the CONTENT (md5 of text — stable under re-sharding
+    and id reassignment, the property a reproducible corpus split needs),
+    census = docs + total characters per split.
+
+    Scale shape: hashing + bucketing happen in map_batches; only 3
+    partial rows per batch reach the (3-key) groupby."""
+    import hashlib
+
+    def partials(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        nchars = pc.utf8_length(batch["text"]).to_numpy()
+        counts = {name: 0 for _, name in SPLIT_BOUNDS}
+        chars = {name: 0 for _, name in SPLIT_BOUNDS}
+        for t, nc in zip(texts, nchars):
+            h2 = hashlib.md5(t.encode("utf-8")).hexdigest()[:2]
+            for bound, name in SPLIT_BOUNDS:
+                if bound is None or h2 < bound:
+                    counts[name] += 1
+                    chars[name] += int(nc)
+                    break
+        names = [n for _, n in SPLIT_BOUNDS]
+        return pa.table({
+            "split": pa.array(names, pa.string()),
+            "n_docs": pa.array([counts[n] for n in names], pa.int64()),
+            "n_chars": pa.array([chars[n] for n in names], pa.int64()),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        n = int(group["n_docs"].to_numpy().sum())
+        # a globally-empty split emits nothing (SQL GROUP BY semantics)
+        names = [group["split"][0].as_py()] if n else []
+        return pa.table({
+            "split": pa.array(names, pa.string()),
+            "n_docs": pa.array([n] if n else [], pa.int64()),
+            "n_chars": pa.array(
+                [int(group["n_chars"].to_numpy().sum())] if n else [],
+                pa.int64()),
+        })
+
+    return (
+        docs_ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("split")
+        .map_groups(merge, batch_format="pyarrow")
+    )
