@@ -21,6 +21,27 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
 
+def emb_matrix(col) -> np.ndarray:
+    """(n, dim) float64 from a list<float> column WITHOUT the
+    to_pylist() Python-object detour: the Arrow child values buffer views
+    straight into numpy. Falls back for ragged lists (never the case for
+    embedding columns, but correctness first)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if pa.types.is_fixed_size_list(arr.type):
+        dim = arr.type.list_size
+    else:
+        widths = np.diff(arr.offsets.to_numpy())
+        if (widths != widths[0]).any():
+            return np.array(arr.to_pylist(), dtype=np.float64)
+        dim = int(widths[0])
+    # flatten() honors slices/offsets for both list types
+    vals = arr.flatten().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(vals, dtype=np.float64).reshape(n, dim)
+
+
 def _topk_rows(qids, sims, cand_ids, k, exclude_self=True):
     """Per query row: local top-k (sim desc, id asc) as flat arrays."""
     out_q, out_n, out_s = [], [], []
@@ -55,7 +76,7 @@ def knn_bruteforce(
     def local_topk(batch: pa.Table) -> pa.Table:
         q_ids, q_mat = ray.get(ref)
         cids = batch["vec_id"].to_numpy()
-        cmat = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        cmat = _normalize(emb_matrix(batch["embedding"]))
         sims = q_mat @ cmat.T
         oq, on, os_ = _topk_rows(q_ids, sims, cids, k)
         return pa.table(
@@ -127,7 +148,7 @@ def knn_lsh(
     def local_topk(batch: pa.Table) -> pa.Table:
         q_ids, q_mat, pl, want = ray.get(ref)
         cids = batch["vec_id"].to_numpy()
-        cmat = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        cmat = _normalize(emb_matrix(batch["embedding"]))
         # union of colliding (query, corpus-row) pairs across tables
         pair_mask = np.zeros((len(q_ids), len(cids)), dtype=bool)
         for t, planes_t in enumerate(pl):
@@ -204,7 +225,7 @@ def kmeans_fit(
         def partials(batch: pa.Table) -> pa.Table:
             c = ray.get(cent_ref)
             mat = _normalize(
-                np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+                emb_matrix(batch["embedding"])
             )
             assign = np.argmax(mat @ c.T, axis=1)
             sums = np.zeros_like(c)
@@ -323,7 +344,7 @@ def knn_ivf(
     def local_topk(batch: pa.Table) -> pa.Table:
         q_ids, q_mat, cents, prb = ray.get(ref)
         cids = batch["vec_id"].to_numpy()
-        cmat = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        cmat = _normalize(emb_matrix(batch["embedding"]))
         assign = np.argmax(cmat @ cents.T, axis=1)  # corpus -> centroid
         probe_mask = np.zeros((len(q_ids), cents.shape[0]), dtype=bool)
         for qi in range(len(q_ids)):
@@ -455,7 +476,7 @@ def pq_encode(emb_ds, codebooks: np.ndarray):
     def encode(batch: pa.Table) -> pa.Table:
         books = ray.get(book_ref)
         mat = _normalize(
-            np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+            emb_matrix(batch["embedding"])
         )
         n = mat.shape[0]
         codes = np.empty((n, m), dtype=np.int32)
@@ -663,7 +684,7 @@ def knn_ivf_pq(
         q_ids, cents, bks, tabs, pmask = ray.get(ref)
         cids = batch["vec_id"].to_numpy()
         cmat = _normalize(
-            np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+            emb_matrix(batch["embedding"])
         )
         cell = np.argmax(cmat @ cents.T, axis=1)
         m = bks.shape[0]

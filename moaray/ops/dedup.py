@@ -20,6 +20,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from .ann import emb_matrix
+
 
 def _round_half_away(x: np.ndarray, ndigits: int) -> np.ndarray:
     """SQL round() semantics (np.round is half-even and can differ by one
@@ -541,7 +543,7 @@ def embedding_neardup_pairs(
 
     def to_blockpairs(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy()
-        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        mat = emb_matrix(batch["embedding"])
         mat = mat / np.maximum(
             np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
         )
@@ -575,7 +577,7 @@ def embedding_neardup_pairs(
              "cosine": pa.array([], pa.float64())}
         )
         ids = group["vec_id"].to_numpy()
-        mat = np.array(group["embedding"].to_pylist(), dtype=np.float64)
+        mat = emb_matrix(group["embedding"])
         same = bool(group["gi"][0].as_py() == group["gj"][0].as_py())
         if same:
             if len(ids) < 2:
@@ -636,7 +638,7 @@ def embedding_neardup_lsh_pairs(
         n = batch.num_rows
         ids = batch["vec_id"].to_numpy()
         mat = _normalize(
-            np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+            emb_matrix(batch["embedding"])
         )
         dim = mat.shape[1]
         buckets = np.empty((n_tables, n), dtype=np.int64)
@@ -670,7 +672,7 @@ def embedding_neardup_lsh_pairs(
             return empty
         ids = group["vec_id"].to_numpy()
         mat = _normalize(
-            np.array(group["embedding"].to_pylist(), dtype=np.float64)
+            emb_matrix(group["embedding"])
         )
         sims = mat @ mat.T
         ia, ib = np.where(np.triu(sims >= threshold, k=1))
@@ -1020,7 +1022,7 @@ def semantic_dedup(
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
         mat = _normalize(
-            np.array(batch[emb_col].to_pylist(), dtype=np.float64)
+            emb_matrix(batch[emb_col])
         )
         a = np.argmax(mat @ c.T, axis=1).astype(np.int64)
         return pa.table(
@@ -1039,7 +1041,7 @@ def semantic_dedup(
         ids = group[id_col].to_numpy()
         order = np.argsort(ids, kind="stable")
         mat = _normalize(
-            np.array(group[emb_col].to_pylist(), dtype=np.float64)
+            emb_matrix(group[emb_col])
         )[order]
         sims = mat @ mat.T
         n = len(ids)
