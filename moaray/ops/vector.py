@@ -498,3 +498,31 @@ def knn_join_2d(pts_ds, k: int, max_radius: float):
         })
 
     return pairs.groupby("a_id").map_groups(topk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# GeoJSON geometry builders (for sinks/partitioned.write_geojsonl)
+# ---------------------------------------------------------------------------
+
+def wkt_polygon_geometries(batch: pa.Table, col: str = "footprint_wkt"):
+    """POLYGON wkt column -> GeoJSON Polygon dicts (one exterior ring)."""
+    out = []
+    for wkt in batch[col].to_pylist():
+        inner = wkt[wkt.index("((") + 2: wkt.rindex("))")]
+        ring = [[float(x) for x in pt.split()] for pt in inner.split(",")]
+        out.append({"type": "Polygon", "coordinates": [ring]})
+    return out
+
+
+def segment_geometries(batch: pa.Table, cols=("x0", "y0", "x1", "y1")):
+    """(x0, y0, x1, y1) columns -> GeoJSON LineString dicts (one segment
+    each — e.g. contour_lines output)."""
+    x0 = batch[cols[0]].to_numpy()
+    y0 = batch[cols[1]].to_numpy()
+    x1 = batch[cols[2]].to_numpy()
+    y1 = batch[cols[3]].to_numpy()
+    return [
+        {"type": "LineString",
+         "coordinates": [[float(a), float(b)], [float(c), float(d)]]}
+        for a, b, c, d in zip(x0, y0, x1, y1)
+    ]

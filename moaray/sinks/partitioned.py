@@ -155,3 +155,93 @@ def read_partitioned(out_dir: str):
     if not paths:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
     return ray.data.read_parquet(paths, filesystem=ofs.fs)
+
+
+def write_geojsonl(
+    ds,
+    out_dir: str,
+    geometry_fn,
+    key: str,
+    n_partitions: int = 16,
+    resume: bool = True,
+) -> dict:
+    """Vector-output sibling of ``write_partitioned``: newline-delimited
+    RFC-7946 GeoJSON Features (``part-<bucket>.geojsonl`` — the
+    streaming-friendly interchange format every GIS reads), same
+    hash-partition + atomic data-then-manifest commit + resume contract.
+
+    ``geometry_fn(batch) -> list[dict]`` builds one GeoJSON geometry per
+    row (see ops/vector.py helpers); every other column becomes a feature
+    property. Feature lines are serialized with sorted keys, so a bucket's
+    bytes are deterministic given its rows.
+    """
+    import json
+
+    ofs = OutputFS(out_dir)
+    ofs.makedirs(ofs.join(ofs.root, _MANIFEST_DIR))
+    for root in (ofs.root, ofs.join(ofs.root, _MANIFEST_DIR)):
+        for f in ofs.list_names(root):
+            if f.endswith(".tmp"):
+                ofs.remove(ofs.join(root, f))
+    done = committed_buckets(out_dir) if resume else set()
+
+    def commit_bucket(group: pa.Table) -> pa.Table:
+        b = int(group["__bucket"][0].as_py())
+        tbl = group.drop_columns(["__bucket"])
+        if b in done:
+            return pa.table({
+                "bucket": pa.array([b], pa.int32()),
+                "rows": pa.array([tbl.num_rows], pa.int64()),
+                "written": pa.array([False], pa.bool_()),
+            })
+        t0 = time.time()
+        geoms = geometry_fn(tbl)
+        props_cols = {
+            n: tbl[n].to_pylist() for n in tbl.schema.names
+        }
+        lines = []
+        for i in range(tbl.num_rows):
+            feat = {
+                "type": "Feature",
+                "geometry": geoms[i],
+                "properties": {n: v[i] for n, v in props_cols.items()},
+            }
+            lines.append(json.dumps(feat, sort_keys=True,
+                                    separators=(",", ":")))
+        payload = ("\n".join(lines) + "\n").encode() if lines else b""
+        data_path = ofs.join(ofs.root, f"part-{b:05d}.geojsonl")
+        ofs.put_bytes(data_path, payload)
+        man_path = ofs.join(ofs.root, _MANIFEST_DIR, f"bucket-{b:05d}.json")
+        ofs.put_json(man_path, {
+            "bucket": b,
+            "rows": tbl.num_rows,
+            "bytes": len(payload),
+            "wall_s": round(time.time() - t0, 4),
+            "key": key,
+            "crc32": zlib.crc32(payload),
+            "path": data_path,
+            "format": "geojsonl",
+            "committed_at": time.time(),
+        })
+        return pa.table({
+            "bucket": pa.array([b], pa.int32()),
+            "rows": pa.array([tbl.num_rows], pa.int64()),
+            "written": pa.array([True], pa.bool_()),
+        })
+
+    stats = (
+        ds.map_batches(
+            lambda b: _bucket_of(b, key, n_partitions),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(commit_bucket, batch_format="pyarrow")
+        .take_all()  # one 3-field row per bucket
+    )
+    written = sum(1 for r in stats if r["written"])
+    return {
+        "written": written,
+        "skipped": len(stats) - written,
+        "rows": int(sum(r["rows"] for r in stats)),
+        "n_partitions": n_partitions,
+    }

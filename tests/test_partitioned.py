@@ -87,3 +87,94 @@ def test_ops_output_through_sink(ray_session, tmp_path):
     )
     assert r["rows"] == 25
     assert len(read_partitioned(out).to_pandas()) == 25
+
+
+# ---------------------------------------------------------------------------
+# GeoJSONL vector sink
+# ---------------------------------------------------------------------------
+
+def test_write_geojsonl_roundtrip_and_resume(tmp_path, ray_session):
+    import json
+    import os
+
+    import numpy as np
+
+    from moaray import MosaicConfig
+    from moaray.ops.vector import (
+        footprint_polygon,
+        polygonize_footprints,
+        wkt_polygon_geometries,
+    )
+    from moaray.sinks.partitioned import committed_buckets, write_geojsonl
+    from moaray.stages.plan import probe_metadata
+    from moaray.testgen import Layout, images_path, metas_for_layout
+
+    from moaray.io import read_parquet_clean
+
+    layout = Layout("grid3x3", 9, 64)
+    metas = metas_for_layout(layout)
+    meta_ds = probe_metadata(read_parquet_clean(images_path(layout)), layout)
+    fp = polygonize_footprints(meta_ds)
+    out = str(tmp_path / "fp_geo")
+    stats = write_geojsonl(fp, out, wkt_polygon_geometries, key="image_id",
+                           n_partitions=4)
+    assert stats["rows"] == 9 and stats["written"] == 4
+
+    # read back every feature, compare rings vs footprint_polygon truth
+    feats = {}
+    for fn in os.listdir(out):
+        if not fn.endswith(".geojsonl"):
+            continue
+        for line in open(os.path.join(out, fn)):
+            f = json.loads(line)
+            assert f["type"] == "Feature"
+            feats[f["properties"]["image_id"]] = f
+    assert len(feats) == 9
+    for m in metas:
+        ring = np.array(feats[m.image_id]["geometry"]["coordinates"][0])
+        truth = footprint_polygon(m)
+        # ring closes back to the first vertex
+        assert np.allclose(ring[:-1], truth, atol=1e-6)
+        assert np.allclose(ring[-1], truth[0], atol=1e-6)
+        assert feats[m.image_id]["properties"]["footprint_wkt"].startswith(
+            "POLYGON")
+
+    # kill-resume: sever one manifest -> rerun rewrites exactly that bucket
+    victim = sorted(committed_buckets(out))[0]
+    os.remove(os.path.join(out, "manifest", f"bucket-{victim:05d}.json"))
+    fp2 = polygonize_footprints(probe_metadata(
+        read_parquet_clean(images_path(layout)), layout))
+    stats2 = write_geojsonl(fp2, out, wkt_polygon_geometries,
+                            key="image_id", n_partitions=4)
+    assert stats2["written"] == 1 and stats2["skipped"] == 3
+
+
+def test_geojsonl_contour_linestrings(tmp_path, ray_session):
+    import json
+    import os
+
+    from moaray import MosaicConfig, do_mosaic
+    from moaray.ops.raster import contour_lines
+    from moaray.ops.vector import segment_geometries
+    from moaray.sinks.partitioned import write_geojsonl
+    from moaray.testgen import Layout, images_path
+
+    layout = Layout("grid3x3", 9, 64)
+    res = do_mosaic(images_path(layout),
+                    MosaicConfig(layout=layout, blocksize=64,
+                                 do_pyramids=False, do_stats=False))
+    segs = contour_lines(res.tiles_ds, res.grid, levels=[30.5])
+    out = str(tmp_path / "ct_geo")
+    stats = write_geojsonl(segs, out, segment_geometries, key="tile_id",
+                           n_partitions=2)
+    assert stats["rows"] > 0
+    n = 0
+    for fn in os.listdir(out):
+        if fn.endswith(".geojsonl"):
+            for line in open(os.path.join(out, fn)):
+                f = json.loads(line)
+                assert f["geometry"]["type"] == "LineString"
+                assert len(f["geometry"]["coordinates"]) == 2
+                assert f["properties"]["level"] == 30.5
+                n += 1
+    assert n == stats["rows"]
