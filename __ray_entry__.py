@@ -1314,10 +1314,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tiles_hotspot": q_mosaic_tiles_hotspot,
         "mosaic_tiles_sparse": q_mosaic_tiles_sparse,
         "mosaic_tiles_feather": q_mosaic_tiles_feather,
-        "mosaic_tiles_jpeg": q_mosaic_tiles_jpeg,
+        "mosaic_tiles_nearest": q_mosaic_tiles_nearest,
+        "contour_lines": q_contour_lines,
         "mosaic_update": q_mosaic_update,
         "mosaic_extend": q_mosaic_extend,
-        "mosaic_reproject": q_mosaic_reproject,
         "mosaic_reproject_utm": q_mosaic_reproject_utm,
         "spatial_join": q_spatial_join,
         "tile_captions": q_tile_captions,
@@ -1370,10 +1370,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": q_zonal_stats,
         "band_math_ndi": q_band_math_ndi,
         "focal_mean": q_focal_mean,
-        "mosaic_tiles_nearest": q_mosaic_tiles_nearest,
         "terrain_slope": q_terrain_slope,
-        "contour_lines": q_contour_lines,
         "web_tiles": q_web_tiles,
+        "mosaic_reproject": q_mosaic_reproject,
+        "mosaic_tiles_jpeg": q_mosaic_tiles_jpeg,
     }
 
 
