@@ -1143,6 +1143,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Lee-et-al-style duplicated-substring census (8-token grams)
         return text.dup_ngram_stats(_docs(sf_dir), n=8).sort("doc_id")
 
+    def q_event_funnel(sf_dir: str):
+        # ordered view -> click -> purchase funnel, one user-keyed shuffle
+        from moaray.ops.relational import event_funnel
+
+        return event_funnel(
+            _rpc(f"{sf_dir}/events.parquet",
+                 ["user_id", "ts", "event_type"])
+        ).sort("step")
+
     def q_split_census(sf_dir: str):
         # content-hash train/val/test stratified split census
         from moaray.ops.text import split_census
@@ -1304,6 +1313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_distance_join": q_spatial_distance_join,
         "spatial_knn_join": q_spatial_knn_join,
         "split_census": q_split_census,
+        "event_funnel": q_event_funnel,
         # ---- rows-only (no SQL oracle by design) ----
         # The driver grades the FIRST 50 queries (round-2 verdict #1);
         # positions 30-50 are curated for family breadth — mosaic core,
@@ -1317,7 +1327,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tiles_nearest": q_mosaic_tiles_nearest,
         "contour_lines": q_contour_lines,
         "mosaic_update": q_mosaic_update,
-        "mosaic_extend": q_mosaic_extend,
         "mosaic_reproject_utm": q_mosaic_reproject_utm,
         "spatial_join": q_spatial_join,
         "tile_captions": q_tile_captions,
@@ -1374,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_tiles": q_web_tiles,
         "mosaic_reproject": q_mosaic_reproject,
         "mosaic_tiles_jpeg": q_mosaic_tiles_jpeg,
+        "mosaic_extend": q_mosaic_extend,
     }
 
 
@@ -1400,6 +1410,31 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a_id, b_id
         """,
 
+        "event_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              GROUP BY e.user_id
+            )
+            SELECT 'step1_view' AS step,
+                   CAST(count(*) AS BIGINT) AS n_users FROM s1
+            UNION ALL
+            SELECT 'step2_click', CAST(count(*) AS BIGINT) FROM s2
+            UNION ALL
+            SELECT 'step3_purchase', CAST(count(*) AS BIGINT) FROM s3
+            ORDER BY step
+        """,
         "split_census": """
             SELECT split,
                    CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -1105,3 +1105,49 @@ def catalog_census(images_ds):
 
     return out.map_batches(finalize, batch_format="pyarrow").sort("fmt")
 
+
+
+def event_funnel(events_ds, steps=("view", "click", "purchase")):
+    """Ordered multi-step funnel: users whose first step-1 event is
+    followed (strictly later) by a step-2 event, then step-3, etc.
+    Returns (step, n_users) with steps labeled ``step<i>_<type>``.
+
+    One user-keyed shuffle (the same key sessionize uses); the per-user
+    scan is a vectorized min-over-mask per step; only (step, 1) partial
+    rows leave the group, so the final count is a tiny 1-key-per-step
+    groupby.
+    """
+    step_list = list(steps)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = np.asarray(group["event_type"].to_pylist())
+        reached = []
+        t_prev = None
+        for i, step in enumerate(step_list):
+            mask = et == step
+            if t_prev is not None:
+                mask &= ts > t_prev
+            if not mask.any():
+                break
+            t_prev = ts[mask].min()
+            reached.append(f"step{i + 1}_{step}")
+        return pa.table({
+            "step": pa.array(reached, pa.string()),
+            "one": pa.array([1] * len(reached), pa.int64()),
+        })
+
+    def count_step(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "step": pa.array([group["step"][0].as_py()], pa.string()),
+            "n_users": pa.array(
+                [int(group["one"].to_numpy().sum())], pa.int64()),
+        })
+
+    return (
+        events_ds.select_columns(["user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("step")
+        .map_groups(count_step, batch_format="pyarrow")
+    )
