@@ -542,28 +542,39 @@ def embedding_neardup_pairs(
     n_blocks = _auto_blocks(emb_ds, n_blocks)
 
     def to_blockpairs(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy()
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
         mat = emb_matrix(batch["embedding"])
         mat = mat / np.maximum(
             np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
         )
-        out = {"gi": [], "gj": [], "side": [], "vec_id": [], "embedding": []}
-        for i in range(len(ids)):
-            bi = zlib.crc32(str(int(ids[i])).encode()) % n_blocks
-            for other in range(n_blocks):
-                gi, gj = (bi, other) if bi <= other else (other, bi)
-                out["gi"].append(gi)
-                out["gj"].append(gj)
-                out["side"].append(0 if bi == gi else 1)
-                out["vec_id"].append(int(ids[i]))
-                out["embedding"].append(mat[i].tolist())
-        return pa.Table.from_pydict(
+        n, dim = mat.shape if mat.size else (len(ids), 0)
+        # block of each vector (same crc32-of-decimal-id hash as before —
+        # the blocking is internal, but keep it stable for resume caches)
+        bi = np.array(
+            [zlib.crc32(str(int(v)).encode()) % n_blocks for v in ids],
+            dtype=np.int64,
+        )
+        # replicate each vector to all n_blocks block-pair groups,
+        # vectorized: row r, replica o -> group (min(bi,o), max(bi,o))
+        other = np.tile(np.arange(n_blocks, dtype=np.int64), n)
+        bi_rep = np.repeat(bi, n_blocks)
+        gi = np.minimum(bi_rep, other)
+        gj = np.maximum(bi_rep, other)
+        side = (bi_rep != gi).astype(np.int32)
+        rep_ids = np.repeat(ids, n_blocks)
+        flat = np.repeat(mat, n_blocks, axis=0).ravel()
+        offsets = np.arange(n * n_blocks + 1, dtype=np.int32) * dim
+        emb_col = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(flat, pa.float64())
+        )
+        return pa.table(
             {
-                "gi": pa.array(out["gi"], pa.int32()),
-                "gj": pa.array(out["gj"], pa.int32()),
-                "side": pa.array(out["side"], pa.int32()),
-                "vec_id": pa.array(out["vec_id"], pa.int64()),
-                "embedding": pa.array(out["embedding"]),
+                # one packed int64 key: single-key sort shuffle (cheaper
+                # than the old two-key (gi, gj) groupby)
+                "g": pa.array(gi * n_blocks + gj, pa.int64()),
+                "side": pa.array(side, pa.int32()),
+                "vec_id": pa.array(rep_ids, pa.int64()),
+                "embedding": emb_col,
             }
         )
 
@@ -578,7 +589,8 @@ def embedding_neardup_pairs(
         )
         ids = group["vec_id"].to_numpy()
         mat = emb_matrix(group["embedding"])
-        same = bool(group["gi"][0].as_py() == group["gj"][0].as_py())
+        g = int(group["g"][0].as_py())
+        same = (g // n_blocks) == (g % n_blocks)
         if same:
             if len(ids) < 2:
                 return empty
@@ -610,7 +622,7 @@ def embedding_neardup_pairs(
             }
         )
 
-    return replicated.groupby(["gi", "gj"]).map_groups(
+    return replicated.groupby("g").map_groups(
         pairs_in_group, batch_format="pyarrow"
     )
 
