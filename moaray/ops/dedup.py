@@ -151,30 +151,34 @@ def _blocked_jaccard_pairs(docs_ds, tokenize_batch, threshold: float,
     exact kernel per bounded group."""
 
     def to_blockpairs(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy()
-        blocks = batch[block_col].to_pylist()
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
         token_sets = tokenize_batch(batch)
-        out = {"blk": [], "gi": [], "gj": [], "side": [], "doc_id": [],
-               "toks": []}
-        for i in range(len(ids)):
-            toks = token_sets[i]
-            bi = zlib.crc32(str(ids[i]).encode()) % n_blocks
-            for other in range(n_blocks):
-                gi, gj = (bi, other) if bi <= other else (other, bi)
-                out["blk"].append(blocks[i])
-                out["gi"].append(gi)
-                out["gj"].append(gj)
-                out["side"].append(0 if bi == gi else 1)
-                out["doc_id"].append(int(ids[i]))
-                out["toks"].append(toks)
-        return pa.Table.from_pydict(
+        n = len(ids)
+        bi = np.array(
+            [zlib.crc32(str(int(v)).encode()) % n_blocks for v in ids],
+            dtype=np.int64,
+        )
+        # vectorized replication: row r -> n_blocks block-pair groups;
+        # tokens/blk replicate via ONE arrow take (no per-replica Python)
+        idx = np.repeat(np.arange(n), n_blocks)
+        other = np.tile(np.arange(n_blocks, dtype=np.int64), n)
+        bi_rep = bi[idx]
+        gi = np.minimum(bi_rep, other)
+        gj = np.maximum(bi_rep, other)
+        toks_arr = pa.array(token_sets, pa.list_(pa.int64()))
+        take_idx = pa.array(idx)
+        blk_col = batch[block_col]
+        if isinstance(blk_col, pa.ChunkedArray):
+            blk_col = blk_col.combine_chunks()
+        return pa.table(
             {
-                "blk": pa.array(out["blk"], pa.string()),
-                "gi": pa.array(out["gi"], pa.int32()),
-                "gj": pa.array(out["gj"], pa.int32()),
-                "side": pa.array(out["side"], pa.int32()),
-                "doc_id": pa.array(out["doc_id"], pa.int64()),
-                "toks": pa.array(out["toks"], pa.list_(pa.int64())),
+                "blk": blk_col.take(take_idx),
+                # packed pair key: (blk, g) two-key groupby instead of the
+                # old three-key (blk, gi, gj)
+                "g": pa.array(gi * n_blocks + gj, pa.int64()),
+                "side": pa.array((bi_rep != gi).astype(np.int32), pa.int32()),
+                "doc_id": pa.array(ids[idx], pa.int64()),
+                "toks": toks_arr.take(take_idx),
             }
         )
 
@@ -186,7 +190,8 @@ def _blocked_jaccard_pairs(docs_ds, tokenize_batch, threshold: float,
         ids = group["doc_id"].to_numpy()
         sides = group["side"].to_numpy()
         toks = group["toks"].to_pylist()
-        same = bool(group["gi"][0].as_py() == group["gj"][0].as_py())
+        g = int(group["g"][0].as_py())
+        same = (g // n_blocks) == (g % n_blocks)
         if same:
             # doc appears once per group when bi == gi == gj
             return _exact_pair_table(ids, toks, ids, toks, threshold, True)
@@ -198,7 +203,7 @@ def _blocked_jaccard_pairs(docs_ds, tokenize_batch, threshold: float,
             threshold, False,
         )
 
-    return replicated.groupby(["blk", "gi", "gj"]).map_groups(
+    return replicated.groupby(["blk", "g"]).map_groups(
         pairs_in_group, batch_format="pyarrow"
     )
 
