@@ -103,6 +103,12 @@ def get_cmdargs(argv=None):
                    help="also export the (band-0) mosaic as a single GeoTIFF "
                         "file at this path (driver-side assembly; the "
                         "tile-sharded parquet sink remains the scale output)")
+    p.add_argument("--contour", default=None, metavar="LEVELS",
+                   help="comma-separated isoline levels; writes contour "
+                        "segments as partitioned GeoJSONL next to the "
+                        "output (<outdir>_contours or --contour-out)")
+    p.add_argument("--contour-out", default=None, metavar="DIR",
+                   help="directory for --contour GeoJSONL output")
     p.add_argument("--webtiles", default=None, metavar="DIR",
                    help="also export a z/x/y PNG web-tile tree (TMS-style "
                         "pyramid) under this directory")
@@ -250,6 +256,19 @@ def main_cmd(argv=None) -> int:
                          min_overview_size=args.minoverviewsize,
                          compress=gtiff_compress, predictor=gtiff_predictor,
                          bigtiff=gtiff_bigtiff)
+        if args.contour:
+            from .ops.raster import contour_lines
+            from .ops.vector import segment_geometries
+            from .sinks.partitioned import write_geojsonl
+
+            levels = [float(v) for v in args.contour.split(",")]
+            segs = contour_lines(res.tiles_ds, res.grid, levels=levels)
+            ct_out = args.contour_out or (args.outdir.rstrip("/")
+                                          + "_contours")
+            ct_stats = write_geojsonl(segs, ct_out, segment_geometries,
+                                      key="tile_id")
+            print(f"contours: {ct_stats['rows']} segments "
+                  f"({ct_stats['written']} partitions) -> {ct_out}")
         if args.webtiles:
             from .sinks.webtiles import export_web_tiles
 
