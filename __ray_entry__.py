@@ -799,6 +799,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_ngram_jaccard(sf_dir: str):
         return dedup.ngram_jaccard_pairs(_docs(sf_dir), threshold=0.3)
 
+    def q_pii_redact(sf_dir: str):
+        return _docs(sf_dir).map_batches(
+            text.pii_redact_batch, batch_format="pyarrow"
+        )
+
+    def q_neardup_filter(sf_dir: str):
+        pairs = dedup.charset_jaccard_pairs(_docs(sf_dir), threshold=0.9)
+        return dedup.neardup_filter(
+            _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"]), pairs
+        )
+
     def q_neardup_clusters(sf_dir: str):  # rows-only (transitive closure)
         pairs = dedup.charset_jaccard_pairs(_docs(sf_dir), threshold=0.9)
         return dedup.neardup_clusters(pairs)
@@ -1314,6 +1325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_knn_join": q_spatial_knn_join,
         "split_census": q_split_census,
         "event_funnel": q_event_funnel,
+        "pii_redact": q_pii_redact,
+        "neardup_filter": q_neardup_filter,
         # ---- rows-only (no SQL oracle by design) ----
         # The driver grades the FIRST 50 queries (round-2 verdict #1);
         # positions 30-50 are curated for family breadth — mosaic core,
@@ -1322,8 +1335,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shows a driver-ran row. Variants past 50 stay pytest-covered.
         "mosaic_tiles": q_mosaic_tiles,
         "mosaic_tiles_hotspot": q_mosaic_tiles_hotspot,
-        "mosaic_tiles_sparse": q_mosaic_tiles_sparse,
-        "mosaic_tiles_feather": q_mosaic_tiles_feather,
         "mosaic_tiles_nearest": q_mosaic_tiles_nearest,
         "contour_lines": q_contour_lines,
         "mosaic_update": q_mosaic_update,
@@ -1332,6 +1343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_captions": q_tile_captions,
         "mosaic_stats": q_mosaic_stats,
         "pyramids": q_pyramids,
+        "mosaic_tiles_sparse": q_mosaic_tiles_sparse,
+        "mosaic_tiles_feather": q_mosaic_tiles_feather,
         "mosaic_tiles_jpeg_rgb": q_mosaic_tiles_jpeg_rgb,
         "mosaic_reproject_lcc": q_mosaic_reproject_lcc,
         "mosaic_reproject_polar": q_mosaic_reproject_polar,
@@ -1657,6 +1670,48 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3
+        """,
+        "pii_redact": r"""
+            WITH s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM documents),
+            s2 AS (SELECT doc_id, c1,
+                     len(regexp_extract_all(t1,
+                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS c2,
+                     regexp_replace(t1, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b',
+                       '<SSN>', 'g') AS t2 FROM s1),
+            s3 AS (SELECT doc_id, c1, c2,
+                     len(regexp_extract_all(t2,
+                       '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b')) AS c3,
+                     regexp_replace(t2,
+                       '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b',
+                       '<CARD>', 'g') AS t3 FROM s2),
+            s4 AS (SELECT doc_id, c1, c2, c3,
+                     len(regexp_extract_all(t3,
+                       '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS c4,
+                     regexp_replace(t3, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b',
+                       '<PHONE>', 'g') AS t4 FROM s3),
+            s5 AS (SELECT doc_id, c1, c2, c3, c4,
+                     len(regexp_extract_all(t4,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS c5,
+                     regexp_replace(t4,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                       '<IP>', 'g') AS t5 FROM s4)
+            SELECT doc_id, t5 AS clean_text,
+                   CAST(c1 + c2 + c3 + c4 + c5 AS BIGINT) AS n_redactions
+            FROM s5
+        """,
+        "neardup_filter": """
+            SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+            WHERE d.doc_id NOT IN (
+              SELECT b.doc_id FROM documents a JOIN documents b
+                ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE jaccard(a.text, b.text) >= 0.9)
         """,
         "exact_top_users": """
             SELECT CAST(user_id AS VARCHAR) AS value,

@@ -1082,3 +1082,75 @@ def semantic_dedup(
     return assigned.groupby("cluster_id").map_groups(
         prune, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# neardup_filter — APPLY a pair list to the corpus (dedup output, not pairs)
+# ---------------------------------------------------------------------------
+
+def neardup_filter(docs_ds, pairs_ds, id_col: str = "doc_id",
+                   broadcast_limit: int = 5_000_000,
+                   num_partitions: int = 32):
+    """The dedup *apply* stage: given any (doc_a < doc_b) near-dup pair
+    list (charset/ngram Jaccard, MinHash-LSH, SimHash, embedding — they all
+    emit the same shape), return the surviving corpus under the keep-first
+    policy: drop every doc that duplicates a smaller-id doc, i.e. every
+    distinct ``doc_b``. Matches exact_dedup's keep-lowest-id convention.
+
+    Size-aware dispatch (same discipline as relational.revenue_by_priority):
+
+    - pair list <= ``broadcast_limit`` rows: the distinct drop-ids ship
+      ONCE via ``ray.put`` as a sorted int64 array (8 bytes/id) and each
+      corpus batch filters itself with one vectorized np.searchsorted
+      probe — the corpus never shuffles, ideal when dups are sparse.
+    - above the limit (billions of dup ids at 100 TB — too big to
+      broadcast): distinct the drop-ids with a tiny id-only groupby, then
+      Ray's distributed left_outer hash join against the corpus on
+      ``id_col`` (partitions capped to the CPU budget per the Ray 2.49
+      stall note); survivors are the rows whose join marker is null.
+    """
+    pairs = pairs_ds.select_columns(["doc_b"]).materialize()
+    n_pairs = pairs.count()
+
+    if n_pairs <= broadcast_limit:
+        parts = [
+            b["doc_b"].to_numpy()
+            for b in pairs.iter_batches(batch_format="pyarrow")
+        ]
+        drop = (
+            np.unique(np.concatenate(parts))
+            if parts else np.empty(0, dtype=np.int64)
+        )
+        ref = ray.put(drop)
+
+        def keep_batch(batch: pa.Table) -> pa.Table:
+            d = ray.get(ref)
+            if len(d) == 0:
+                return batch
+            ids = batch[id_col].to_numpy()
+            pos = np.clip(np.searchsorted(d, ids), 0, len(d) - 1)
+            return batch.filter(pa.array(d[pos] != ids))
+
+        return docs_ds.map_batches(keep_batch, batch_format="pyarrow")
+
+    drop_ds = pairs.groupby("doc_b").count()  # distinct ids + marker col
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    joined = docs_ds.join(
+        drop_ds,
+        join_type="left_outer",
+        num_partitions=max(2, min(num_partitions, cpus)),
+        on=(id_col,),
+        right_on=("doc_b",),
+    )
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        marker = batch["count()"]
+        out = batch.filter(marker.is_null())
+        return out.drop_columns(
+            [c for c in ("count()", "doc_b") if c in out.column_names]
+        )
+
+    return joined.map_batches(survivors, batch_format="pyarrow")

@@ -826,3 +826,48 @@ def split_census(docs_ds):
         .groupby("split")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Redaction rule set, applied IN ORDER (the order is part of the operator's
+# definition: email first so an address is consumed whole before the IP rule
+# can claim a numeric host, card before phone so a 4-4-4-4 digit run is never
+# re-parsed as 3-3-4). RE2 syntax — pyarrow and DuckDB embed the same engine,
+# so the SQL oracle redacts identically (leftmost non-overlapping matches).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("card", r"\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b", "<CARD>"),
+    ("phone", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def pii_redact_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """(doc_id, clean_text, n_redactions): scrub emails / SSNs / card
+    numbers / phone numbers / IPv4 addresses to typed placeholder tokens.
+
+    Fully vectorized — one pc.count_substring_regex + one
+    pc.replace_substring_regex kernel per rule per batch, no Python per
+    row. Counts are taken on the intermediate string each rule actually
+    sees, so n_redactions equals the number of placeholders inserted.
+
+    Scale shape: a pure map stage (no shuffle); compiled-regex state lives
+    in Arrow's kernel, so the plain-function form is enough (no actor pool
+    needed)."""
+    cleaned = batch[col]
+    counts = None
+    for _, pat, repl in PII_PATTERNS:
+        c = pc.count_substring_regex(cleaned, pat)
+        counts = c if counts is None else pc.add(counts, c)
+        cleaned = pc.replace_substring_regex(cleaned, pat, repl)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "clean_text": cleaned,
+            "n_redactions": pc.cast(counts, pa.int64()),
+        }
+    )

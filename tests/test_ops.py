@@ -1275,3 +1275,70 @@ def test_exact_group_quantiles_vs_sql(con):
            SELECT event_type, 0.99, quantile_disc(value, 0.99), count(*)
            FROM events GROUP BY event_type""",
     )
+
+
+def test_pii_redact_fixture_and_sql(ray_session):
+    """pii_redact: every rule class fires on a synthetic fixture, order
+    effects (card-before-phone, email-before-ip) hold, and the Ray output
+    matches the exact DuckDB regexp chain used as the driver oracle."""
+    from moaray.ops import text as t
+
+    fixture = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "mail bob.smith+x@ex-ample.co.uk or root@10.0.0.1 now",
+            "ssn 123-45-6789 card 1234 5678 9012 3456 tel 555-123-4567",
+            "hosts 192.168.0.1 and 8.8.8.8; dates 2026-08-18 stay",
+            "no pii at all 12",
+            "card 1234-5678-9012-3456 then phone 555.123.4567",
+        ]),
+    })
+    ds = ray.data.from_arrow(fixture).map_batches(
+        t.pii_redact_batch, batch_format="pyarrow")
+    got = {r["doc_id"]: r for r in ds.take_all()}
+    # email consumed whole; bare user@ip keeps the IP for the ipv4 rule
+    assert got[1]["clean_text"] == "mail <EMAIL> or root@<IP> now"
+    assert got[1]["n_redactions"] == 2
+    assert got[2]["clean_text"] == "ssn <SSN> card <CARD> tel <PHONE>"
+    # a date (2026-08-18) must NOT be eaten by the SSN/phone rules
+    assert got[3]["clean_text"] == "hosts <IP> and <IP>; dates 2026-08-18 stay"
+    assert got[4]["n_redactions"] == 0
+    # 4-4-4-4 digit runs are CARD, never re-parsed as 3-3-4 PHONE
+    assert got[5]["clean_text"] == "card <CARD> then phone <PHONE>"
+
+    import __ray_entry__ as entry
+    con2 = duckdb.connect()
+    con2.register("documents", fixture)
+    want = {r[0]: r for r in con2.execute(
+        entry.oracle_sql()["pii_redact"]).fetchall()}
+    for did, row in got.items():
+        assert want[did][1] == row["clean_text"]
+        assert want[did][2] == row["n_redactions"]
+
+
+def test_neardup_filter_paths_match_sql(con, ray_session):
+    """neardup_filter: broadcast and distributed-join dispatch paths both
+    equal the SQL anti-join truth (keep-first over charset-Jaccard pairs)."""
+    from moaray.ops import dedup
+
+    want = [r[0] for r in con.sql("""
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id NOT IN (
+          SELECT b.doc_id FROM documents a JOIN documents b
+            ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE jaccard(a.text, b.text) >= 0.9)
+        ORDER BY d.doc_id""").fetchall()]
+    assert 0 < len(want) < docs().count()  # the fixture actually dedups
+
+    for limit in (5_000_000, 0):  # broadcast path, then forced join path
+        pairs = dedup.charset_jaccard_pairs(docs(), threshold=0.9)
+        out = dedup.neardup_filter(docs(), pairs, broadcast_limit=limit)
+        ids = sorted(r["doc_id"]
+                     for r in out.select_columns(["doc_id"]).take_all())
+        assert ids == want, f"broadcast_limit={limit}"
+
+    # empty pair list -> identity (both paths)
+    empty = ray.data.from_arrow(pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}))
+    assert dedup.neardup_filter(docs(), empty).count() == docs().count()
