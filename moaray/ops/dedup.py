@@ -36,18 +36,27 @@ def _round_half_away(x: np.ndarray, ndigits: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Survivor = min(id) per distinct text. Returns (doc_id, text_hash)."""
+    """Survivor = min(id) per distinct text. Returns (doc_id, text_hash).
+
+    The projection is pushed into the scan (only text+id leave storage) and
+    each batch pre-combines to min(id) per hash locally (arrow group_by), so
+    only (hash, id) partials — shrunk by any intra-batch dups — reach the
+    one hash-keyed shuffle."""
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         hashes = [
             hashlib.md5(t.encode("utf-8")).hexdigest()
             for t in batch[text_col].to_pylist()
         ]
-        return pa.table(
+        t = pa.table(
             {"text_hash": pa.array(hashes, pa.string()), id_col: batch[id_col]}
         )
+        g = t.group_by("text_hash").aggregate([(id_col, "min")])
+        return g.rename_columns(["text_hash", id_col])
 
-    hashed = docs_ds.map_batches(hash_batch, batch_format="pyarrow")
+    hashed = docs_ds.select_columns([id_col, text_col]).map_batches(
+        hash_batch, batch_format="pyarrow"
+    )
 
     def first_per_group(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_numpy()
