@@ -821,6 +821,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_minhash_pairs(sf_dir: str):  # rows-only (non-SQL)
         return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
 
+    def q_minhash_dedup_corpus(sf_dir: str):  # rows-only (non-SQL)
+        # the full subquadratic dedup path: MinHash-LSH candidate pairs ->
+        # keep-first apply; survivors = corpus minus every larger-id member
+        pairs = dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
+        return dedup.neardup_filter(
+            _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"]), pairs
+        )
+
     def q_simhash_pairs(sf_dir: str):  # rows-only (non-SQL)
         return dedup.simhash_pairs(_docs(sf_dir))
 
@@ -1349,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_reproject_lcc": q_mosaic_reproject_lcc,
         "mosaic_reproject_polar": q_mosaic_reproject_polar,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_dedup_corpus": q_minhash_dedup_corpus,
         "simhash_pairs": q_simhash_pairs,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_pq": q_knn_ivf_pq,

@@ -202,6 +202,14 @@ def run_ops_bench(sf_dir: str) -> dict:
     emb = lambda: _rpc(f"{sf_dir}/embeddings.parquet")  # noqa: E731
 
     timed("dedup_exact", lambda: dedup.exact_dedup(docs()).count())
+    from moaray.ops import text as _text
+
+    timed(
+        "pii_redact",
+        lambda: docs()
+        .map_batches(_text.pii_redact_batch, batch_format="pyarrow")
+        .count(),
+    )
     timed(
         "charset_jaccard",
         lambda: dedup.charset_jaccard_pairs(docs(), threshold=0.9).count(),

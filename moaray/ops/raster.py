@@ -89,6 +89,7 @@ def zonal_stats(tiles_ds, grid: OutputGrid, zones, band: int = 0):
             ]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            axis_aligned = gt[2] == 0.0 and gt[4] == 0.0
             out = {k: [] for k in ("zone_id",) + _STATS}
             for i in range(batch.num_rows):
                 if batch["band"][i].as_py() != band:
@@ -112,9 +113,23 @@ def zonal_stats(tiles_ds, grid: OutputGrid, zones, band: int = 0):
                 ):
                     if bx1 < txmin or bx0 > txmax or by1 < tymin or by0 > tymax:
                         continue
-                    inside = point_in_polygon(
-                        x.ravel(), y.ravel(), poly
-                    ).reshape(ys, xs)
+                    if axis_aligned:
+                        # PIP only inside the zone's bbox subwindow — a
+                        # zone touching one tile corner tests O(bbox px),
+                        # not O(tile px)
+                        csel = (x[0, :] >= bx0) & (x[0, :] <= bx1)
+                        rsel = (y[:, 0] >= by0) & (y[:, 0] <= by1)
+                        if not csel.any() or not rsel.any():
+                            continue
+                        sub = np.ix_(rsel, csel)
+                        inside = np.zeros((ys, xs), dtype=bool)
+                        inside[sub] = point_in_polygon(
+                            x[sub].ravel(), y[sub].ravel(), poly
+                        ).reshape(int(rsel.sum()), int(csel.sum()))
+                    else:  # rotated geotransform: bbox isn't separable
+                        inside = point_in_polygon(
+                            x.ravel(), y.ravel(), poly
+                        ).reshape(ys, xs)
                     m = inside & valid
                     cnt = int(m.sum())
                     if not cnt:
