@@ -152,7 +152,10 @@ def export_web_tiles(tiles_ds, grid: OutputGrid, out_dir: str,
             img = np.where(valid, np.rint(lin * 65535.0), 0).astype(
                 np.uint16)
         else:
-            img = np.where(touched, canvas, 0).astype(np_dtype)
+            # docstring contract: null pixels encode as 0 (not nullval)
+            img = np.where(
+                touched & _nonnull_mask(canvas, nullval), canvas, 0
+            ).astype(np_dtype)
         png = codecs.png_encode(img)
         path = fs.join(fs.root, str(z), str(wx), f"{wy}.png")
         fs.makedirs(fs.join(fs.root, str(z), str(wx)))
