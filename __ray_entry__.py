@@ -800,7 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.ngram_jaccard_pairs(_docs(sf_dir), threshold=0.3)
 
     def q_pii_redact(sf_dir: str):
-        return _docs(sf_dir).map_batches(
+        return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
             text.pii_redact_batch, batch_format="pyarrow"
         )
 

@@ -206,7 +206,7 @@ def run_ops_bench(sf_dir: str) -> dict:
 
     timed(
         "pii_redact",
-        lambda: docs()
+        lambda: _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(_text.pii_redact_batch, batch_format="pyarrow")
         .count(),
     )
