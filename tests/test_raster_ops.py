@@ -381,3 +381,67 @@ def test_contour_random_dem_vs_oracle(tmp_path, ray_session):
     truth = _contour_oracle(dem, levels, res.grid.transform)
     assert truth, "oracle produced no segments — fixture degenerate"
     assert got == truth
+
+
+def test_zonal_stats_rotated_geotransform(ray_session):
+    """Rotated grids can't separate the bbox test per axis — zonal_stats
+    must take the full-tile PIP fallback and still match the per-pixel
+    oracle. Hand-built 2x2-tile dataset on a 30-degree-rotated grid."""
+    import pyarrow as pa
+    import ray
+
+    from moaray.geo import OutputGrid
+    from moaray.stages.assemble import TILE_SCHEMA, encode_payload
+
+    rng = np.random.RandomState(3)
+    n = 64
+    canvas = (rng.rand(n, n) * 60000).astype(np.uint16)
+    canvas[canvas == 0] = 1
+    canvas[10:20, 40:50] = 0  # a null hole
+    c, s = np.cos(np.deg2rad(30)), np.sin(np.deg2rad(30))
+    gt = (1000.0, 2.0 * c, -2.0 * s, 500.0, 2.0 * s, 2.0 * c)
+    grid = OutputGrid(ncols=n, nrows=n, transform=gt, crs="local",
+                      dtype="uint16", nullval=0.0, nbands=1, blocksize=32)
+    rows = {k.name: [] for k in TILE_SCHEMA}
+    for tr in range(2):
+        for tc in range(2):
+            a = canvas[tr * 32:(tr + 1) * 32, tc * 32:(tc + 1) * 32]
+            payload, codec = encode_payload(a, None)
+            fin = a[a != 0].astype(np.float64)
+            rows["tile_id"].append(tr * 2 + tc)
+            rows["band"].append(0)
+            rows["out_top"].append(tr * 32)
+            rows["out_left"].append(tc * 32)
+            rows["out_xsize"].append(32)
+            rows["out_ysize"].append(32)
+            rows["n_inputs"].append(1)
+            rows["input_ids"].append([])
+            rows["nonnull_count"].append(int((a != 0).sum()))
+            rows["px_sum"].append(float(fin.sum()))
+            rows["px_ssq"].append(float((fin ** 2).sum()))
+            rows["px_min"].append(float(fin.min()))
+            rows["px_max"].append(float(fin.max()))
+            rows["pixels_codec"].append(codec)
+            rows["pixels"].append(payload)
+    tiles = ray.data.from_arrow(pa.Table.from_pydict(rows, schema=TILE_SCHEMA))
+
+    zones = [
+        (1, _world_rect(gt, 4, 4, 28, 28)),        # inside one tile
+        (2, _world_rect(gt, 16, 8, 56, 48)),       # straddles all 4 tiles
+        (3, _world_rect(gt, 500, 500, 510, 510)),  # far outside
+    ]
+    out = {r["zone_id"]: r for r in
+           zonal_stats(tiles, grid, zones).take_all()}
+    x, y = _centers(grid)
+    valid = canvas != 0
+    for zid, poly in zones:
+        inside = point_in_polygon(x.ravel(), y.ravel(), poly).reshape(n, n)
+        m = inside & valid
+        r = out[zid]
+        assert r["count"] == m.sum(), zid
+        if m.sum():
+            v = canvas[m].astype(np.float64)
+            assert r["vmin"] == v.min() and r["vmax"] == v.max()
+            assert r["px_sum"] == pytest.approx(v.sum(), rel=1e-12)
+        else:
+            assert r["vmin"] is None or np.isnan(r["vmin"])
