@@ -1342,3 +1342,28 @@ def test_neardup_filter_paths_match_sql(con, ray_session):
         {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
          "jaccard": pa.array([], pa.float64())}))
     assert dedup.neardup_filter(docs(), empty).count() == docs().count()
+
+
+@pytest.mark.parametrize("seed,limit", [(0, 5_000_000), (1, 5_000_000),
+                                        (2, 0), (3, 0)])
+def test_neardup_filter_random_pairs_invariant(ray_session, seed, limit):
+    """Random pair lists: survivors == all ids minus the distinct doc_b
+    set, on both dispatch paths (limit=0 forces the hash-join path)."""
+    from moaray.ops.dedup import neardup_filter
+
+    rng = np.random.RandomState(seed)
+    ids = np.arange(200, dtype=np.int64)
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "payload": pa.array(ids * 7)}))
+    a = rng.randint(0, 199, size=40).astype(np.int64)
+    b = (a + rng.randint(1, 200 - a)).astype(np.int64)  # a < b always
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(a), "doc_b": pa.array(b),
+        "jaccard": pa.array(np.ones(40))}))
+    out = neardup_filter(corpus, pairs, broadcast_limit=limit)
+    got = sorted(r["doc_id"] for r in out.take_all())
+    want = sorted(set(ids.tolist()) - set(b.tolist()))
+    assert got == want
+    # payload columns survive untouched
+    row = out.take(1)[0]
+    assert row["payload"] == row["doc_id"] * 7
