@@ -1109,6 +1109,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.from_items(rows), stride=4
         ).sort(["video_id", "frame_idx"])
 
+    def q_video_census(sf_dir: str):  # rows-only (synthetic containers)
+        # header-only container census over mixed mp4/avi/gif/mvid rows
+        # (moaray/mp4.py, moaray/avi.py, gif_census block walk) — no frame
+        # decode; plus real MJPEG-in-AVI frame decode via moaray/jpeg.py
+        import numpy as np
+        import ray
+
+        from moaray.avi import avi_mux
+        from moaray.gif import gif_encode
+        from moaray.jpeg import jpeg_encode
+        from moaray.mp4 import mp4_mux
+        from moaray.ops.multimodal import mvid_encode, video_metadata
+
+        rng = np.random.RandomState(7)
+        pal = np.random.RandomState(3).randint(0, 256, (16, 3)).astype(
+            np.uint8)
+        rows = []
+        for v in range(4):
+            grad = (np.linspace(0, 200, 32 * 24).reshape(24, 32)
+                    + 3 * v).astype(np.uint8)
+            jpegs = [jpeg_encode((grad + 2 * k) % 255, quality=90)
+                     for k in range(10)]
+            rows.append({"video_id": f"mp4-{v}", "fmt": "mp4",
+                         "bytes": mp4_mux(jpegs, 32, 24, codec="jpeg",
+                                          fps=24, sync_every=5)})
+            rows.append({"video_id": f"avi-{v}", "fmt": "avi",
+                         "bytes": avi_mux(jpegs, 32, 24, fps=12,
+                                          handler="MJPG", sync_every=2)})
+            rows.append({"video_id": f"gif-{v}", "fmt": "gif",
+                         "bytes": gif_encode(
+                             [pal[rng.randint(0, 16, (8, 10))]
+                              for _ in range(6)],
+                             delays_cs=[25] * 6)})
+            rows.append({"video_id": f"mvid-{v}", "fmt": "mvid",
+                         "bytes": mvid_encode(
+                             [np.full((6, 6), k, np.uint16)
+                              for k in range(8)])})
+        return video_metadata(ray.data.from_items(rows)).sort("video_id")
+
     def q_compute_phash(sf_dir: str):  # rows-only (pixel fingerprints)
         from moaray.ops.multimodal import compute_phash
         from moaray.pipelines.mosaic import read_images
@@ -1395,6 +1434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_metadata_census": q_audio_metadata,
         "video_frame_sample_mp4": q_video_frame_sample_mp4,
         "video_frame_sample_gif": q_video_frame_sample_gif,
+        "video_census": q_video_census,
         "catalog_census": q_catalog_census,
         "compute_phash": q_compute_phash,
         "mosaic_reproject_webmerc": q_mosaic_reproject_webmerc,

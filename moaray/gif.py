@@ -272,6 +272,47 @@ def gif_probe(buf: bytes) -> tuple[int, int]:
     return h, w
 
 
+def gif_census(buf: bytes) -> dict:
+    """Header-only animation census: frame count and total duration from a
+    block walk that SKIPS the LZW image data (sub-block length hopping) —
+    the no-synthesis probe the video_metadata pass runs at corpus scale."""
+    if not isinstance(buf, bytes):
+        buf = bytes(buf)
+    if buf[:6] not in (_HDR89, _HDR87):
+        raise ValueError("not a GIF stream")
+    w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", buf, 6)
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 7))
+    n_frames = 0
+    total_delay_cs = 0
+    while pos < len(buf) and buf[pos] != 0x3B:
+        if buf[pos] == 0x21:  # extension
+            if pos + 1 < len(buf) and buf[pos + 1] == 0xF9:
+                total_delay_cs += struct.unpack_from("<H", buf, pos + 4)[0]
+            pos += 2
+            while pos < len(buf) and buf[pos]:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif buf[pos] == 0x2C:  # image descriptor
+            n_frames += 1
+            pos += 9
+            lpk = buf[pos]
+            pos += 1
+            if lpk & 0x80:
+                pos += 3 * (2 << (lpk & 7))
+            pos += 1  # LZW minimum code size
+            while pos < len(buf) and buf[pos]:
+                pos += 1 + buf[pos]
+            pos += 1
+        else:
+            raise ValueError(f"unknown GIF block 0x{buf[pos]:02x}")
+    return {
+        "width": int(w), "height": int(h), "n_frames": n_frames,
+        "duration_s": round(total_delay_cs / 100.0, 4),
+    }
+
+
 def gif_decode(buf: bytes) -> np.ndarray:
     """First frame as (h, w, 3|4) uint8."""
     for frame, _delay in gif_frames(buf):

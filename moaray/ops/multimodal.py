@@ -20,6 +20,11 @@ import ray
 
 from .. import codecs
 
+# Motion-JPEG sample-entry / BITMAPINFO fourccs (lowercased): every sample
+# is a self-contained baseline JPEG, so the from-scratch moaray/jpeg.py
+# decoder handles the payloads for real — no external codec needed.
+_MJPEG_CODECS = {"jpeg", "mjpg", "mjpa", "mjpb", "dmb1", "avdj"}
+
 
 def _check_errors(errors: str) -> str:
     if errors not in ("raise", "skip"):
@@ -272,12 +277,15 @@ class FrameSample:
     payloads of identical shape): every ``stride``-th frame is sliced out
     ZERO-COPY (raw16 frames are fixed-size, so frame k is a pure offset
     view) and emitted as its own image row. Real container parsing for
-    ``fmt == "mp4"`` too (moaray/mp4.py, ISO/IEC 14496-12 sample tables):
-    every ``stride``-th SAMPLE is sliced out by its stsz/stsc/stco byte
-    range and emitted as an ENCODED frame row (fmt = the track's codec
-    fourcc, e.g. 'avc1') — the codec-payload decode itself is the honest
-    NotImplementedError gate (H.264 entropy decode needs pyav/ffmpeg,
-    absent in this sandbox).
+    ``fmt == "mp4"`` (moaray/mp4.py, ISO/IEC 14496-12 sample tables) and
+    ``fmt == "avi"`` (moaray/avi.py, RIFF movi walk) too: every
+    ``stride``-th SAMPLE is sliced out by its byte range. Motion-JPEG
+    samples (track codec 'jpeg'/'MJPG'/'mjpa'/'dmb1') then decode FOR REAL
+    through the engine's from-scratch baseline JPEG decoder and come out
+    as raw16 frame rows like the gif path; any other codec fourcc is
+    emitted as an ENCODED frame row (fmt = the codec fourcc, e.g. 'avc1')
+    — that payload decode is the honest NotImplementedError gate (H.264
+    entropy decode needs pyav/ffmpeg, absent in this sandbox).
     """
 
     def __init__(self, stride: int = 10, errors: str = "raise"):
@@ -313,6 +321,29 @@ class FrameSample:
             }
         )
 
+    def _emit_sample(self, rows, vid, k, payload, codec, w, h):
+        """One container sample -> one output row. MJPEG payloads decode
+        for real (band 0 as raw16, matching the gif path); other codecs
+        pass through encoded with fmt = the codec fourcc."""
+        if codec.strip().lower() in _MJPEG_CODECS:
+            from ..jpeg import jpeg_decode
+
+            arr = jpeg_decode(payload)
+            if arr.ndim == 3:
+                arr = arr[:, :, 0]
+            rows["bytes"].append(
+                codecs.encode(np.ascontiguousarray(arr), "raw16"))
+            rows["w"].append(arr.shape[1])
+            rows["h"].append(arr.shape[0])
+            rows["fmt"].append("raw16")
+        else:
+            rows["bytes"].append(payload)
+            rows["w"].append(w)
+            rows["h"].append(h)
+            rows["fmt"].append(codec)  # encoded; decode gated
+        rows["video_id"].append(vid)
+        rows["frame_idx"].append(k)
+
     def _one(self, batch, i, fmt, rows, struct):
             if fmt == "mp4":
                 from ..mp4 import mp4_parse
@@ -327,12 +358,29 @@ class FrameSample:
                     raise ValueError(f"mp4 {vid!r} has no video track")
                 for k in range(0, len(track.sizes), self.stride):
                     off, sz = track.offsets[k], track.sizes[k]
-                    rows["video_id"].append(vid)
-                    rows["frame_idx"].append(k)
-                    rows["bytes"].append(bytes(buf[off : off + sz]))
-                    rows["w"].append(track.width)
-                    rows["h"].append(track.height)
-                    rows["fmt"].append(track.codec)  # encoded; decode gated
+                    self._emit_sample(
+                        rows, vid, k, bytes(buf[off : off + sz]),
+                        track.codec, track.width, track.height,
+                    )
+                return
+            if fmt == "avi":
+                from ..avi import avi_parse
+
+                buf = memoryview(batch["bytes"][i].as_buffer())
+                vid = batch["video_id"][i].as_py()
+                stream = next(
+                    (s for s in avi_parse(bytes(buf))
+                     if s.fcc_type == "vids"),
+                    None,
+                )
+                if stream is None:
+                    raise ValueError(f"avi {vid!r} has no video stream")
+                for k in range(0, len(stream.sizes), self.stride):
+                    off, sz = stream.offsets[k], stream.sizes[k]
+                    self._emit_sample(
+                        rows, vid, k, bytes(buf[off : off + sz]),
+                        stream.codec, stream.width, stream.height,
+                    )
                 return
             if fmt == "gif":
                 # animated GIFs are short videos: every stride-th frame
@@ -362,8 +410,9 @@ class FrameSample:
             if fmt != "mvid":
                 raise NotImplementedError(
                     f"video container fmt {fmt!r} needs pyav/ffmpeg (absent "
-                    "in sandbox); use 'mvid' (decoded frames), 'mp4' "
-                    "(container parsed, encoded samples out) or 'gif' "
+                    "in sandbox); use 'mvid' (decoded frames), 'mp4'/'avi' "
+                    "(containers parsed; MJPEG tracks decode for real, "
+                    "other codecs come out encoded) or 'gif' "
                     "(decoded+composited frames)"
                 )
             buf = memoryview(batch["bytes"][i].as_buffer())
@@ -852,6 +901,127 @@ def audio_metadata(clips_ds, *, concurrency=(1, 8), batch_size: int = 64,
                    errors: str = "raise"):
     return clips_ds.map_batches(
         AudioMetadata,
+        fn_constructor_args=(errors,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class VideoMetadata:
+    """Actor-pool stage: per-video container metadata WITHOUT frame
+    synthesis — the census pass before deciding what to decode (the video
+    counterpart of AudioMetadata). mp4: ISO-BMFF sample tables
+    (moaray/mp4.py); avi: RIFF headers + movi walk (moaray/avi.py);
+    gif: block walk skipping the LZW data (moaray.gif.gif_census);
+    mvid: header arithmetic. Reports the CONTAINER's truth: actual frame
+    count, codec fourcc, fps, duration and keyframe count."""
+
+    def __init__(self, errors: str = "raise"):
+        self.errors = _check_errors(errors)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct as _struct
+
+        rows = {"video_id": [], "container": [], "codec": [], "width": [],
+                "height": [], "n_frames": [], "fps": [], "duration_s": [],
+                "n_keyframes": []}
+        for i in range(batch.num_rows):
+            fmt = batch["fmt"][i].as_py()
+            try:
+                rec = self._probe(batch, i, fmt, _struct)
+            except NotImplementedError:
+                raise  # declared gates are contract errors, not bad data
+            except Exception as exc:
+                if self.errors != "skip":
+                    raise
+                _log_skip("video_metadata", batch["video_id"][i].as_py(), exc)
+                continue
+            rows["video_id"].append(batch["video_id"][i].as_py())
+            rows["container"].append(fmt)
+            for k, v in rec.items():
+                rows[k].append(v)
+        return pa.Table.from_pydict(
+            {
+                "video_id": pa.array(rows["video_id"], pa.string()),
+                "container": pa.array(rows["container"], pa.string()),
+                "codec": pa.array(rows["codec"], pa.string()),
+                "width": pa.array(rows["width"], pa.int32()),
+                "height": pa.array(rows["height"], pa.int32()),
+                "n_frames": pa.array(rows["n_frames"], pa.int32()),
+                "fps": pa.array(rows["fps"], pa.float64()),
+                "duration_s": pa.array(rows["duration_s"], pa.float64()),
+                "n_keyframes": pa.array(rows["n_keyframes"], pa.int32()),
+            }
+        )
+
+    def _probe(self, batch, i, fmt, _struct) -> dict:
+        buf = bytes(batch["bytes"][i].as_py())
+        if fmt == "mp4":
+            from ..mp4 import mp4_parse
+
+            track = next(
+                (t for t in mp4_parse(buf) if t.handler == "vide"), None)
+            if track is None:
+                raise ValueError("mp4 has no video track")
+            n = len(track.sizes)
+            dur = 0.0
+            if n > 1 and track.timescale:
+                last_delta = track.timestamps[-1] - track.timestamps[-2]
+                dur = (track.timestamps[-1] + last_delta) / track.timescale
+            return {
+                "codec": track.codec, "width": track.width,
+                "height": track.height, "n_frames": n,
+                "fps": round(n / dur, 4) if dur else 0.0,
+                "duration_s": round(dur, 4),
+                "n_keyframes": int(sum(track.sync)),
+            }
+        if fmt == "avi":
+            from ..avi import avi_parse
+
+            stream = next(
+                (s for s in avi_parse(buf) if s.fcc_type == "vids"), None)
+            if stream is None:
+                raise ValueError("avi has no video stream")
+            n = len(stream.sizes)
+            return {
+                "codec": stream.codec, "width": stream.width,
+                "height": stream.height, "n_frames": n,
+                "fps": round(stream.fps, 4),
+                "duration_s": round(n / stream.fps, 4) if stream.fps else 0.0,
+                "n_keyframes": int(sum(stream.sync)),
+            }
+        if fmt == "gif":
+            from ..gif import gif_census
+
+            info = gif_census(buf)
+            dur = info["duration_s"]
+            return {
+                "codec": "gif-lzw", "width": info["width"],
+                "height": info["height"], "n_frames": info["n_frames"],
+                "fps": round(info["n_frames"] / dur, 4) if dur else 0.0,
+                "duration_s": dur,
+                "n_keyframes": info["n_frames"],  # every GIF frame decodes
+            }
+        if fmt == "mvid":
+            (n_frames,) = _struct.unpack_from("<I", buf, 0)
+            _fmt0, h, w = codecs.probe_header(buf[4:])
+            return {
+                "codec": "mray-raw", "width": int(w), "height": int(h),
+                "n_frames": int(n_frames), "fps": 0.0, "duration_s": 0.0,
+                "n_keyframes": int(n_frames),
+            }
+        raise NotImplementedError(f"unknown video container {fmt!r}")
+
+
+def video_metadata(videos_ds, *, concurrency=(1, 8), batch_size: int = 16,
+                   errors: str = "raise"):
+    """Container-census pass over a video table (video_id, bytes, fmt) —
+    header-only probes, no frame decode; small batch_size because video
+    payloads are the widest binary column in the system."""
+    return videos_ds.map_batches(
+        VideoMetadata,
         fn_constructor_args=(errors,),
         batch_format="pyarrow",
         batch_size=batch_size,
