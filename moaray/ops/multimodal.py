@@ -288,9 +288,15 @@ class FrameSample:
     entropy decode needs pyav/ffmpeg, absent in this sandbox).
     """
 
-    def __init__(self, stride: int = 10, errors: str = "raise"):
+    def __init__(self, stride: int = 10, errors: str = "raise",
+                 sync_only: bool = False):
+        # sync_only: restrict sampling to the container's KEYFRAMES before
+        # applying the stride — the only samples an inter-frame codec can
+        # decode independently, and the corpus-scale default for sparse
+        # sampling (mp4 stss / avi idx1; mvid/gif frames are all sync)
         self.stride = stride
         self.errors = _check_errors(errors)
+        self.sync_only = sync_only
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import struct
@@ -320,6 +326,13 @@ class FrameSample:
                 "fmt": pa.array(rows["fmt"], pa.string()),
             }
         )
+
+    def _sample_idxs(self, n, sync):
+        """Sample indices for a sample-table container: every stride-th
+        sample, or (sync_only) every stride-th KEYFRAME."""
+        if not self.sync_only:
+            return range(0, n, self.stride)
+        return [k for k in range(n) if sync[k]][:: self.stride]
 
     def _emit_sample(self, rows, vid, k, payload, codec, w, h):
         """One container sample -> one output row. MJPEG payloads decode
@@ -356,7 +369,7 @@ class FrameSample:
                 )
                 if track is None:
                     raise ValueError(f"mp4 {vid!r} has no video track")
-                for k in range(0, len(track.sizes), self.stride):
+                for k in self._sample_idxs(len(track.sizes), track.sync):
                     off, sz = track.offsets[k], track.sizes[k]
                     self._emit_sample(
                         rows, vid, k, bytes(buf[off : off + sz]),
@@ -375,7 +388,7 @@ class FrameSample:
                 )
                 if stream is None:
                     raise ValueError(f"avi {vid!r} has no video stream")
-                for k in range(0, len(stream.sizes), self.stride):
+                for k in self._sample_idxs(len(stream.sizes), stream.sync):
                     off, sz = stream.offsets[k], stream.sizes[k]
                     self._emit_sample(
                         rows, vid, k, bytes(buf[off : off + sz]),
@@ -435,12 +448,14 @@ class FrameSample:
 
 
 def frame_sample(videos_ds, stride: int = 10, *, concurrency=(1, 8),
-                 batch_size: int = 4, errors: str = "raise"):
+                 batch_size: int = 4, errors: str = "raise",
+                 sync_only: bool = False):
     """Dataset-level frame sampling (small batch size: video payloads are
-    the widest binary column in the system)."""
+    the widest binary column in the system). ``sync_only`` samples only
+    container keyframes — the corpus-scale mode for inter-frame codecs."""
     return videos_ds.map_batches(
         FrameSample,
-        fn_constructor_args=(stride, errors),
+        fn_constructor_args=(stride, errors, sync_only),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

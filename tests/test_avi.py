@@ -108,6 +108,25 @@ def test_frame_sample_avi_foreign_codec_passes_through_encoded():
         assert out["bytes"][row].as_py() == frames[k]
 
 
+def test_frame_sample_sync_only_keyframes():
+    # mp4: sync_every=5 over 20 samples -> keyframes 0,5,10,15; stride 2
+    # over THOSE -> 0,10. avi: idx1 keyframes every 3 -> 0,3,6,9,12,15,18;
+    # stride 3 -> 0,9,18.
+    frames = _frames(20, seed=9)
+    mp4_buf = mp4_mux(frames, 96, 64, samples_per_chunk=4, sync_every=5)
+    avi_buf = avi_mux(frames, 96, 64, handler="xvid", sync_every=3)
+    out = FrameSample(stride=2, sync_only=True)(pa.table({
+        "video_id": ["m"], "bytes": [mp4_buf], "fmt": ["mp4"],
+    }))
+    assert out["frame_idx"].to_pylist() == [0, 10]
+    assert out["bytes"][0].as_py() == frames[0]
+    assert out["bytes"][1].as_py() == frames[10]
+    out = FrameSample(stride=3, sync_only=True)(pa.table({
+        "video_id": ["a"], "bytes": [avi_buf], "fmt": ["avi"],
+    }))
+    assert out["frame_idx"].to_pylist() == [0, 9, 18]
+
+
 def test_gif_census_matches_decode():
     from moaray.gif import gif_census, gif_encode, gif_frames
 
