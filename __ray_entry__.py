@@ -810,6 +810,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"]), pairs
         )
 
+    def q_seq_pack(sf_dir: str):
+        # documents -> fixed-length training sequences (concat-packing
+        # per doc_id%8 shard); SQL parity = a window cumsum
+        return text.sequence_pack(
+            _docs(sf_dir).select_columns(["doc_id", "text"]),
+            seq_len=512, n_shards=8,
+        )
+
     def q_neardup_clusters(sf_dir: str):  # rows-only (transitive closure)
         pairs = dedup.charset_jaccard_pairs(_docs(sf_dir), threshold=0.9)
         return dedup.neardup_clusters(pairs)
@@ -1374,6 +1382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": q_event_funnel,
         "pii_redact": q_pii_redact,
         "neardup_filter": q_neardup_filter,
+        "seq_pack": q_seq_pack,
         # ---- rows-only (no SQL oracle by design) ----
         # The driver grades the FIRST 50 queries (round-2 verdict #1);
         # positions 30-50 are curated for family breadth — mosaic core,
@@ -1385,8 +1394,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tiles_nearest": q_mosaic_tiles_nearest,
         "contour_lines": q_contour_lines,
         "mosaic_update": q_mosaic_update,
-        "mosaic_reproject_utm": q_mosaic_reproject_utm,
         "spatial_join": q_spatial_join,
+        # -- past the 50-query grading cutoff from here (pytest-covered) --
+        "mosaic_reproject_utm": q_mosaic_reproject_utm,
         "tile_captions": q_tile_captions,
         "mosaic_stats": q_mosaic_stats,
         "pyramids": q_pyramids,
@@ -1761,6 +1771,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT b.doc_id FROM documents a JOIN documents b
                 ON a.lang = b.lang AND a.doc_id < b.doc_id
               WHERE jaccard(a.text, b.text) >= 0.9)
+        """,
+        "seq_pack": """
+            WITH t AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                     CAST(array_length(str_split(text, ' ')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, shard, n_tokens,
+                     CAST(SUM(n_tokens) OVER (
+                          PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) - n_tokens AS BIGINT) AS start_tok
+              FROM t
+            )
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+                   start_tok,
+                   CAST(start_tok // 512 AS BIGINT) AS seq_first,
+                   CAST((start_tok + n_tokens - 1) // 512 AS BIGINT)
+                     AS seq_last
+            FROM c
         """,
         "exact_top_users": """
             SELECT CAST(user_id AS VARCHAR) AS value,

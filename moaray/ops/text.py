@@ -871,3 +871,66 @@ def pii_redact_batch(batch: pa.Table, col: str = "text") -> pa.Table:
             "n_redactions": pc.cast(counts, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing — documents -> fixed-length training sequences
+# ---------------------------------------------------------------------------
+
+def sequence_pack(docs_ds, seq_len: int = 512, n_shards: int = 8):
+    """Distributed sequence packing: assign every document to the
+    fixed-length training sequences its tokens fill under deterministic
+    concat-packing — the step that turns a curated corpus into model
+    input. Docs shard by ``doc_id % n_shards``; within a shard they
+    concatenate in doc_id order and the token stream is chunked every
+    ``seq_len`` tokens (tokens = single-space split, the same count
+    doc_token_count oracles).
+
+    Output per doc: (doc_id, shard, n_tokens, start_tok, seq_first,
+    seq_last) — start_tok is the doc's offset in its shard's token
+    stream, seq_first/seq_last the 0-based ids of the sequences it spans
+    (a doc crossing a boundary is split across both, standard
+    concat-and-chunk packing).
+
+    Scale shape: the scan carries only (doc_id, n_tokens) — 16 bytes/doc
+    — into ONE shard-keyed groupby; the cumulative sum is per shard.
+    Packing is inherently sequential within a pack stream; sharding is
+    the parallelism (pick n_shards ~ cluster slots at 100 TB; each
+    stream's docs just need to fit one worker as two int64 columns).
+    SQL parity: a window cumsum — oracle_sql()["seq_pack"].
+    """
+    nsh = int(n_shards)
+    L = int(seq_len)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.list_value_length(pc.split_pattern(batch["text"], " ")),
+            pa.int64())
+        did = batch["doc_id"].to_numpy()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "shard": pa.array(did % nsh, pa.int64()),
+            "n_tokens": n,
+        })
+
+    def pack(group: pa.Table) -> pa.Table:
+        did = group["doc_id"].to_numpy()
+        n = group["n_tokens"].to_numpy()
+        order = np.argsort(did)  # doc_id order defines the stream
+        did, n = did[order], n[order]
+        cum = np.cumsum(n)
+        start = cum - n
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "shard": group["shard"].slice(0, 1).to_numpy().repeat(len(did)),
+            "n_tokens": pa.array(n, pa.int64()),
+            "start_tok": pa.array(start, pa.int64()),
+            "seq_first": pa.array(start // L, pa.int64()),
+            "seq_last": pa.array((cum - 1) // L, pa.int64()),
+        })
+
+    return (
+        docs_ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pack, batch_format="pyarrow")
+    )

@@ -407,9 +407,9 @@ def distance_join_2d(pts_ds, radius: float, emit_both: bool = False):
     brute-force refine per cell group — the canonical scalable shape for
     a self distance-join (no all-pairs, no broadcast).
 
-    Output: (a_id, b_id, d2r) with a_id < b_id and d2r = round(squared
-    distance, 8); ``emit_both`` additionally emits the mirrored (b, a)
-    rows (used by the kNN join).
+    Output: (a_id, b_id, d2) with a_id < b_id and d2 the raw squared
+    distance (query layers round for SQL parity); ``emit_both``
+    additionally emits the mirrored (b, a) rows (used by the kNN join).
 
     Partitioning assumption (custom-operator contract): points per cell
     are bounded by data density × radius² — pick radius at the query's

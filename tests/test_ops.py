@@ -1367,3 +1367,39 @@ def test_neardup_filter_random_pairs_invariant(ray_session, seed, limit):
     # payload columns survive untouched
     row = out.take(1)[0]
     assert row["payload"] == row["doc_id"] * 7
+
+
+def test_sequence_pack_invariants(ray_session):
+    """Concat-packing invariants on a synthetic corpus: per-shard streams
+    are contiguous doc_id-ordered cumsums, seq ids are exact integer
+    division, and boundary-crossing docs span exactly the sequences their
+    token range covers."""
+    from moaray.ops.text import sequence_pack
+
+    rng = np.random.RandomState(5)
+    n = 60
+    texts = [" ".join("w" for _ in range(int(rng.randint(1, 30))))
+             for _ in range(n)]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+    }))
+    L, S = 16, 4
+    rows = sorted(sequence_pack(docs, seq_len=L, n_shards=S).take_all(),
+                  key=lambda r: r["doc_id"])
+    assert len(rows) == n
+    by_shard = {}
+    for r in rows:
+        assert r["shard"] == r["doc_id"] % S
+        assert r["n_tokens"] == len(texts[r["doc_id"]].split(" "))
+        assert r["seq_first"] == r["start_tok"] // L
+        assert r["seq_last"] == (r["start_tok"] + r["n_tokens"] - 1) // L
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])  # stream order
+        cum = 0
+        for r in rs:
+            assert r["start_tok"] == cum, (shard, r)
+            cum += r["n_tokens"]
+    # at least one doc must cross a sequence boundary at L=16
+    assert any(r["seq_last"] > r["seq_first"] for r in rows)
