@@ -469,6 +469,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = do_mosaic(_images("hotspot"), _cfg("hotspot", merge="nearest"))
         return _tiles_with_checksum(res.tiles_ds)
 
+    def q_mosaic_median(sf_dir: str):  # rows-only (non-SQL)
+        # per-pixel median across the contributing stack — the temporal
+        # cloud-free composite; hotspot layout gives a deep stack to reduce
+        res = do_mosaic(_images("hotspot"), _cfg("hotspot", merge="median"))
+        return _tiles_with_checksum(res.tiles_ds)
+
     def q_mosaic_tiles_lossy(sf_dir: str):
         res = do_mosaic(_images("grid", MIXED_FMTS), _cfg("grid"))
         return _tiles_with_checksum(res.tiles_ds)
@@ -1397,6 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join": q_spatial_join,
         # -- past the 50-query grading cutoff from here (pytest-covered) --
         "mosaic_reproject_utm": q_mosaic_reproject_utm,
+        "mosaic_median": q_mosaic_median,
         "tile_captions": q_tile_captions,
         "mosaic_stats": q_mosaic_stats,
         "pyramids": q_pyramids,

@@ -118,6 +118,89 @@ def build_mosaic_nearest(
     return mosaic
 
 
+def _composite_finalize(vals: np.ndarray, has: np.ndarray, grid: OutputGrid):
+    """Round a float composite to the grid dtype with the engine's
+    null-collision bump rule: integer dtypes rint (half-to-even); a
+    legitimately composited pixel landing exactly on a non-NaN nullval is
+    nudged one code value away (down at the dtype max)."""
+    nullval = grid.nullval
+    dtype = np.dtype(grid.dtype)
+    vals = vals if np.issubdtype(dtype, np.floating) else np.rint(vals)
+    out = np.where(has, vals, nullval)
+    if nullval is not None and not (isinstance(nullval, float) and np.isnan(nullval)):
+        info = np.iinfo(dtype) if np.issubdtype(dtype, np.integer) else None
+        bump = 1 if (info is None or nullval < info.max) else -1
+        out = np.where(has & (out == nullval), out + bump, out)
+    return out.astype(dtype)
+
+
+def _composite_stack(
+    grid: OutputGrid,
+    metas: list[ImageMeta],
+    arrays: dict[str, np.ndarray],
+) -> tuple[np.ndarray, np.ndarray]:
+    """(n_images, nrows, ncols) float64 NaN-stack: layer i holds image i's
+    non-null pixels pasted at their mosaic position — the per-pixel value
+    stack every composite reduces over. Nested-loop truth source; O(n·H·W)
+    memory on purpose."""
+    nullval = grid.nullval
+    ids = [m.image_id for m in metas]
+    stack = np.full((len(metas), grid.nrows, grid.ncols), np.nan,
+                    dtype=np.float64)
+    for _tid, block, image_id, (ftop, fleft, fxs, fys) in find_inputs_per_block(
+        grid, metas
+    ):
+        arr = arrays[image_id]
+        t0, l0 = max(ftop, 0), max(fleft, 0)
+        b0 = min(ftop + fys, arr.shape[0])
+        r0 = min(fleft + fxs, arr.shape[1])
+        if b0 <= t0 or r0 <= l0:
+            continue
+        clipped = arr[t0:b0, l0:r0].astype(np.float64)
+        if nullval is not None and np.isnan(nullval):
+            non_null = ~np.isnan(clipped)
+        else:
+            non_null = clipped != nullval
+        gt = block.top + (t0 - ftop)
+        gl = block.left + (l0 - fleft)
+        layer = stack[ids.index(image_id),
+                      gt : gt + clipped.shape[0], gl : gl + clipped.shape[1]]
+        layer[non_null] = clipped[non_null]
+    has = ~np.isnan(stack).all(axis=0)
+    return stack, has
+
+
+def build_mosaic_median(
+    grid: OutputGrid,
+    metas: list[ImageMeta],
+    arrays: dict[str, np.ndarray],
+) -> np.ndarray:
+    """Per-pixel median across the contributing stack (temporal composite);
+    even depth takes the midpoint mean, then the engine's rint + null-bump."""
+    stack, has = _composite_stack(grid, metas, arrays)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        med = np.nanmedian(stack, axis=0)
+    return _composite_finalize(np.where(has, med, 0.0), has, grid)
+
+
+def build_mosaic_mean(
+    grid: OutputGrid,
+    metas: list[ImageMeta],
+    arrays: dict[str, np.ndarray],
+) -> np.ndarray:
+    """Per-pixel mean across the contributing stack."""
+    stack, has = _composite_stack(grid, metas, arrays)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        mean = np.nanmean(stack, axis=0)
+    return _composite_finalize(np.where(has, mean, 0.0), has, grid)
+
+
 def stats(mosaic: np.ndarray, nullval: float):
     """(min, max, mean, stddev, count) over non-null pixels, float64 math
     identical to StatsAccumulator (mosaic.py:746-794)."""

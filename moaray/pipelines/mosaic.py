@@ -115,7 +115,9 @@ class MosaicConfig:
     blocksize: int = 1024
     nullval: float | None = None
     # "last" (parity) | "feather" (edge-distance blend) | "nearest"
-    # (per-pixel nearest-image-center — kNN overlap resolution)
+    # (per-pixel nearest-image-center — kNN overlap resolution) | "mean" |
+    # "median" (per-pixel stack composites — the temporal cloud-free
+    # composite; median has no salted path, see _merge_median)
     merge: str = "last"
     # Persist per-tile feather num/den float64 partials (zlib) as extra tile
     # columns so update_mosaic(merge="feather") can fold new images into the
@@ -569,7 +571,19 @@ def _do_mosaic_impl(
             window_codec=shuffle_codec, tile_codec=tile_codec,
             multiband=len(bands) > 1,
         )
+    elif hot_tiles and cfg.merge == "mean":
+        from ..stages.assemble import assemble_tiles_salted_feather
+
+        # mean = feather with unit weights: order-free sum/count partials
+        tiles = assemble_tiles_salted_feather(
+            windows, grid,
+            window_codec=shuffle_codec, tile_codec=tile_codec,
+            multiband=len(bands) > 1, uniform=True,
+        )
     else:
+        # merge == "median" lands here even with hot tiles BY DESIGN:
+        # per-pixel medians are not mergeable from disjoint partials
+        # (_merge_median docstring has the memory contract).
         tiles = assemble_tiles(
             windows, grid, cfg.merge,
             windows_encoded=shuffle_codec is not None, tile_codec=tile_codec,

@@ -189,8 +189,12 @@ def _merge_last(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullval,
 
 
 def _accum_feather(group: pa.Table, order: np.ndarray, num: np.ndarray,
-                   den: np.ndarray, dtype, nullval, encoded: bool = False):
-    """Accumulate feather-blend weighted sums into num/den (order-free)."""
+                   den: np.ndarray, dtype, nullval, encoded: bool = False,
+                   uniform: bool = False):
+    """Accumulate feather-blend weighted sums into num/den (order-free).
+    ``uniform`` drops the edge-distance taper to weight 1.0 everywhere —
+    num/den then hold plain sum/count and the blend is the per-pixel MEAN
+    across the contributing stack (temporal compositing)."""
     views = _binary_views(group["pixels"], dtype, encoded)
     cols = {
         n: group[n].to_numpy()
@@ -200,12 +204,17 @@ def _accum_feather(group: pa.Table, order: np.ndarray, num: np.ndarray,
     for i in order:
         h, w = int(cols["win_h"][i]), int(cols["win_w"][i])
         win = views[i].reshape(h, w)
-        # distance-to-source-edge weights (vectorized outer min)
-        rr = np.arange(cols["src_top"][i], cols["src_top"][i] + h, dtype=np.float64)
-        cc = np.arange(cols["src_left"][i], cols["src_left"][i] + w, dtype=np.float64)
-        wr = 1.0 + np.minimum(rr, cols["src_h"][i] - 1 - rr)
-        wc = 1.0 + np.minimum(cc, cols["src_w"][i] - 1 - cc)
-        wgt = np.minimum.outer(wr, wc)
+        if uniform:
+            wgt = 1.0
+        else:
+            # distance-to-source-edge weights (vectorized outer min)
+            rr = np.arange(cols["src_top"][i], cols["src_top"][i] + h,
+                           dtype=np.float64)
+            cc = np.arange(cols["src_left"][i], cols["src_left"][i] + w,
+                           dtype=np.float64)
+            wr = 1.0 + np.minimum(rr, cols["src_h"][i] - 1 - rr)
+            wc = 1.0 + np.minimum(cc, cols["src_w"][i] - 1 - cc)
+            wgt = np.minimum.outer(wr, wc)
         mask = _nonnull_mask(win, nullval)
         sl = (slice(cols["dst_top"][i], cols["dst_top"][i] + h),
               slice(cols["dst_left"][i], cols["dst_left"][i] + w))
@@ -281,6 +290,57 @@ def _merge_feather(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullv
     return num, den
 
 
+def _merge_mean(group: pa.Table, order: np.ndarray, canvas: np.ndarray, nullval,
+                encoded: bool = False):
+    """Per-pixel MEAN across the contributing stack (temporal compositing —
+    the simple cloud-free composite). Order-free sum/count partials, so the
+    salted two-level path reuses the feather machinery with uniform=True."""
+    num = np.zeros(canvas.shape, dtype=np.float64)
+    den = np.zeros(canvas.shape, dtype=np.float64)
+    _accum_feather(group, order, num, den, canvas.dtype, nullval, encoded,
+                   uniform=True)
+    _blend_feather(num, den, canvas, nullval)
+
+
+def _merge_median(group: pa.Table, order: np.ndarray, canvas: np.ndarray,
+                  nullval, encoded: bool = False):
+    """Per-pixel MEDIAN across the contributing stack — the classic
+    Earth-observation cloud-free composite (median of a temporal stack of
+    scenes per pixel). An exact median needs every contributing value, so
+    this kernel builds an (n_inputs, ysize, xsize) float64 NaN-stack and
+    nanmedians down axis 0. Memory contract: inputs-per-tile × tile bytes
+    must fit one worker — temporal stacks are typically 10-100 scenes
+    deep, far below salt_threshold; median has NO salted two-level path
+    (per-pixel medians are not mergeable from disjoint partials), so
+    do_mosaic keeps median tiles single-level regardless of hot-tile
+    counts. Even-depth pixels take the midpoint mean; integer outputs
+    round via the same rint + null-bump rule as the feather blend."""
+    views = _binary_views(group["pixels"], canvas.dtype, encoded)
+    dst_top = group["dst_top"].to_numpy()
+    dst_left = group["dst_left"].to_numpy()
+    win_h = group["win_h"].to_numpy()
+    win_w = group["win_w"].to_numpy()
+    stack = np.full((len(order),) + canvas.shape, np.nan, dtype=np.float64)
+    for j, i in enumerate(order):
+        h, w = int(win_h[i]), int(win_w[i])
+        win = views[i].reshape(h, w)
+        sub = stack[j, dst_top[i] : dst_top[i] + h,
+                    dst_left[i] : dst_left[i] + w]
+        mask = _nonnull_mask(win, nullval)
+        sub[mask] = win.astype(np.float64)[mask]
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        # all-NaN pixel columns (no contribution) are expected
+        _warnings.simplefilter("ignore", RuntimeWarning)
+        med = np.nanmedian(stack, axis=0)
+    has = ~np.isnan(med)
+    # reuse the blend finalizer (rint + null-collision bump): den=1 where a
+    # median exists makes num/den the median itself
+    _blend_feather(np.where(has, med, 0.0), has.astype(np.float64),
+                   canvas, nullval)
+
+
 def _pack_partial(arr: np.ndarray) -> bytes:
     import zlib as _zlib
 
@@ -335,6 +395,10 @@ def make_assemble_fn(nullval: float, dtype: str, merge: str = "last",
             partials = _merge_feather(group, order, canvas, nv, windows_encoded)
         elif merge == "nearest":
             _merge_nearest(group, order, canvas, nv, windows_encoded)
+        elif merge == "mean":
+            _merge_mean(group, order, canvas, nv, windows_encoded)
+        elif merge == "median":
+            _merge_median(group, order, canvas, nv, windows_encoded)
         else:
             raise ValueError(f"unknown merge kernel {merge!r}")
         input_ids = [group["image_id"][int(i)].as_py() for i in order]
@@ -646,9 +710,11 @@ FEATHER_PARTIAL_SCHEMA = pa.schema(
 )
 
 
-def make_feather_partial_fn(grid: OutputGrid, window_codec: str | None):
+def make_feather_partial_fn(grid: OutputGrid, window_codec: str | None,
+                            uniform: bool = False):
     """map_groups fn: one (tile[, band, salt]) window group -> one
-    FEATHER_PARTIAL_SCHEMA row of zlib(float64) num/den sums."""
+    FEATHER_PARTIAL_SCHEMA row of zlib(float64) num/den sums. ``uniform``
+    = unit weights (sum/count), the salted path of merge='mean'."""
     lineage_cap = LINEAGE_CAP
     np_dtype = np.dtype(grid.dtype)
     nv = grid.nullval if _is_nan_null(grid.nullval) else np_dtype.type(grid.nullval)
@@ -661,7 +727,8 @@ def make_feather_partial_fn(grid: OutputGrid, window_codec: str | None):
         xsize = int(group["out_xsize"][0].as_py())
         num = np.zeros((ysize, xsize), dtype=np.float64)
         den = np.zeros((ysize, xsize), dtype=np.float64)
-        _accum_feather(group, order, num, den, np_dtype, nv, encoded)
+        _accum_feather(group, order, num, den, np_dtype, nv, encoded,
+                       uniform=uniform)
         input_ids = [group["image_id"][int(i)].as_py() for i in order]
         return pa.Table.from_pydict(
             {
@@ -743,12 +810,14 @@ def assemble_tiles_salted_feather(
     tile_codec: str | None = None,
     multiband: bool = True,
     emit_partials: bool = False,
+    uniform: bool = False,
 ) -> "ray.data.Dataset":
     """Salted two-level FEATHER merge. The blend is a weighted sum, so
     partials are (num, den) float64 canvases summed in any order — salting
     needs no seq-contiguity here (unlike last-non-null). Partials are
-    zlib-compressed for the second shuffle."""
-    partial = make_feather_partial_fn(grid, window_codec)
+    zlib-compressed for the second shuffle. ``uniform=True`` is the salted
+    path of merge='mean' (unit weights: num/den = sum/count)."""
+    partial = make_feather_partial_fn(grid, window_codec, uniform=uniform)
     final = make_feather_final_fn(grid, tile_codec, emit_partials)
     k1 = ["tile_id", "band", "salt"] if multiband else ["tile_id", "salt"]
     k2 = ["tile_id", "band"] if multiband else "tile_id"
