@@ -526,3 +526,133 @@ def segment_geometries(batch: pa.Table, cols=("x0", "y0", "x1", "y1")):
          "coordinates": [[float(a), float(b)], [float(c), float(d)]]}
         for a, b, c, d in zip(x0, y0, x1, y1)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Vector -> raster burn-in (gdal_rasterize analog; inverse of polygonize)
+# ---------------------------------------------------------------------------
+
+def parse_wkt_polygon(wkt: str) -> np.ndarray:
+    """Single-ring ``POLYGON ((x y, ...))`` -> (n, 2) float64 vertices
+    (closing vertex dropped). Multi-ring/multi-polygon is out of scope —
+    the documented contract of the rasterize op."""
+    inner = wkt[wkt.index("((") + 2 : wkt.index("))")]
+    pts = np.array(
+        [[float(v) for v in p.split()] for p in inner.split(",")],
+        dtype=np.float64,
+    )
+    if len(pts) > 1 and np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]
+    return pts
+
+
+def rasterize_features(feat_ds, grid, value_col: str = "value",
+                       wkt_col: str = "wkt", seq_col: str = "seq"):
+    """Vector -> raster burn-in: each polygon's value is burned into every
+    output-grid pixel whose CENTER lies inside it (gdal_rasterize default
+    pixel rule); overlapping features resolve LAST-wins in ``seq_col``
+    order, mirroring the mosaic's merge-order rule. Returns tile rows
+    (band=0, out_top/left/size, pixels+pixels_codec) for TOUCHED tiles
+    only — the same shape assemble_tiles emits, so mosaic_array /
+    export_gtiff / the partitioned sink all compose.
+
+    Scale shape (the mosaic plan's, with polygons for images): stage 1
+    fans each feature out to its covering tiles (bbox -> searchsorted on
+    the grid's edge arrays, refined by the exact PIP burn — over-coverage
+    is harmless), shipping only the ring floats; stage 2 is ONE
+    groupby(tile_id) shuffle whose map_groups burns the tile canvas with
+    the vectorized ray-casting kernel over pixel centers. Features per
+    tile bound the group, exactly like inputs-per-tile in the mosaic.
+
+    Contract: single-ring simple polygons (parse_wkt_polygon); ``seq``
+    must be a total order (ties burn in undefined order across workers).
+    """
+    from ..geo import inv_geotransform
+    from ..stages.assemble import encode_payload
+
+    gt = grid.transform
+    inv = inv_geotransform(gt)
+    row_edges, col_edges = grid.row_edges, grid.col_edges
+    n_tile_cols = grid.n_tile_cols
+    n_tile_rows = grid.n_tile_rows
+    np_dtype = np.dtype(grid.dtype)
+    nullval = grid.nullval
+    codec = "z16"
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        tids, seqs, vals, rings = [], [], [], []
+        wkts = batch[wkt_col].to_pylist()
+        seq = batch[seq_col].to_numpy()
+        val = batch[value_col].to_numpy()
+        for i, wkt in enumerate(wkts):
+            ring = parse_wkt_polygon(wkt)
+            # conservative pixel-space bbox (full inverse affine: rotation-safe)
+            pxy = np.array([apply_geotransform(inv, x, y) for x, y in ring])
+            left = np.floor(pxy[:, 0].min()) - 1
+            right = np.ceil(pxy[:, 0].max()) + 1
+            top = np.floor(pxy[:, 1].min()) - 1
+            bottom = np.ceil(pxy[:, 1].max()) + 1
+            tc0 = max(0, int(np.searchsorted(col_edges, left, "right") - 1))
+            tc1 = min(n_tile_cols, int(np.searchsorted(col_edges, right, "left")))
+            tr0 = max(0, int(np.searchsorted(row_edges, top, "right") - 1))
+            tr1 = min(n_tile_rows, int(np.searchsorted(row_edges, bottom, "left")))
+            buf = ring.tobytes()
+            for tr in range(tr0, tr1):
+                for tc in range(tc0, tc1):
+                    tids.append(tr * n_tile_cols + tc)
+                    seqs.append(int(seq[i]))
+                    vals.append(float(val[i]))
+                    rings.append(buf)
+        return pa.table({
+            "tile_id": pa.array(tids, pa.int64()),
+            "seq": pa.array(seqs, pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+            "ring": pa.array(rings, pa.binary()),
+        })
+
+    def burn(group: pa.Table) -> pa.Table:
+        tile_id = int(group["tile_id"][0].as_py())
+        trow, tcol = divmod(tile_id, n_tile_cols)
+        top = int(row_edges[trow])
+        left = int(col_edges[tcol])
+        ysize = int(row_edges[trow + 1]) - top
+        xsize = int(col_edges[tcol + 1]) - left
+        # world coordinates of the tile's pixel centers
+        jj, ii = np.meshgrid(np.arange(xsize), np.arange(ysize))
+        pxc = (left + jj + 0.5).ravel()
+        pyc = (top + ii + 0.5).ravel()
+        xs = gt[0] + gt[1] * pxc + gt[2] * pyc
+        ys = gt[3] + gt[4] * pxc + gt[5] * pyc
+        canvas = np.full(ysize * xsize, nullval, dtype=np_dtype)
+        order = np.argsort(group["seq"].to_numpy(), kind="stable")
+        vals = group["value"].to_numpy()
+        for i in order:
+            ring = np.frombuffer(
+                group["ring"][int(i)].as_buffer(), np.float64
+            ).reshape(-1, 2)
+            inside = point_in_polygon(xs, ys, ring)
+            canvas[inside] = np_dtype.type(vals[i])
+        canvas = canvas.reshape(ysize, xsize)
+        payload, codec_tag = encode_payload(canvas, codec)
+        nonnull = int(
+            (~np.isnan(canvas)).sum() if isinstance(nullval, float)
+            and np.isnan(nullval) else (canvas != nullval).sum()
+        )
+        return pa.table({
+            "tile_id": pa.array([tile_id], pa.int64()),
+            "band": pa.array([0], pa.int32()),
+            "out_top": pa.array([top], pa.int32()),
+            "out_left": pa.array([left], pa.int32()),
+            "out_xsize": pa.array([xsize], pa.int32()),
+            "out_ysize": pa.array([ysize], pa.int32()),
+            "n_features": pa.array([group.num_rows], pa.int32()),
+            "nonnull_count": pa.array([nonnull], pa.int64()),
+            "pixels_codec": pa.array([codec_tag], pa.string()),
+            "pixels": pa.array([payload], pa.binary()),
+        })
+
+    return (
+        feat_ds.map_batches(fanout, batch_format="pyarrow")
+        .groupby("tile_id")
+        .map_groups(burn, batch_format="pyarrow")
+    )

@@ -226,3 +226,38 @@ def overview(mosaic: np.ndarray, lvl: int) -> np.ndarray:
     at offset lvl//2 (tests.py:162-167)."""
     o = lvl // 2
     return mosaic[o::lvl, o::lvl]
+
+
+def rasterize(grid: OutputGrid, feats) -> np.ndarray:
+    """Vector->raster burn-in truth source, by SCANLINE even-odd fill — a
+    deliberately different algorithm from the engine's per-point ray cast
+    (ops/vector.py:rasterize_features). ``feats`` = iterable of
+    (seq, value, (n, 2) ring ndarray); features burn in seq order,
+    last-wins; a pixel burns when its CENTER is inside (strict world-x <
+    intersection-x crossing count, matching the engine's rule exactly).
+    North-up grids only (rotated grids need per-pixel y; the engine
+    handles them, this oracle doesn't)."""
+    gt = grid.transform
+    assert gt[2] == 0 and gt[4] == 0, "scanline oracle is north-up only"
+    canvas = np.full((grid.nrows, grid.ncols), grid.nullval,
+                     dtype=np.dtype(grid.dtype))
+    xcs = gt[0] + gt[1] * (np.arange(grid.ncols, dtype=np.float64) + 0.5)
+    for _seq, value, ring in sorted(feats, key=lambda f: f[0]):
+        x1 = ring[:, 0]
+        y1 = ring[:, 1]
+        x2 = np.roll(x1, -1)
+        y2 = np.roll(y1, -1)
+        for r in range(grid.nrows):
+            yc = gt[3] + gt[5] * (r + 0.5)
+            crosses = (y1 > yc) != (y2 > yc)
+            if not crosses.any():
+                continue
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = x1 + (yc - y1) * (x2 - x1) / (y2 - y1)
+            xints = np.sort(xint[crosses])
+            # inside <=> an odd number of intersections strictly right of
+            # the pixel center
+            n_le = np.searchsorted(xints, xcs, side="right")
+            inside = ((len(xints) - n_le) % 2) == 1
+            canvas[r, inside] = np.dtype(grid.dtype).type(value)
+    return canvas
