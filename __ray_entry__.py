@@ -862,6 +862,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             seq_len=512, n_shards=8,
         )
 
+    def q_spatial_join_s2(sf_dir: str):
+        # spherical rect self-join keyed by from-scratch S2 cells: the
+        # embeddings' 2D projection mapped onto the globe, rect coverings
+        # via the vectorized level-synchronous BFS coverer, one cell
+        # groupby shuffle (every pair meets in exactly one group: the
+        # point's home cell)
+        from moaray.ops.s2join import latlng_points, s2_rect_join
+
+        pts = latlng_points(f"{sf_dir}/embeddings.parquet")
+        return s2_rect_join(pts, half_lat=1.0, half_lng=1.5, level=5).sort(
+            ["a_id", "b_id"])
+
     def q_neardup_clusters(sf_dir: str):  # rows-only (transitive closure)
         pairs = dedup.charset_jaccard_pairs(_docs(sf_dir), threshold=0.9)
         return dedup.neardup_clusters(pairs)
@@ -1427,6 +1439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "neardup_filter": q_neardup_filter,
         "seq_pack": q_seq_pack,
+        "spatial_join_s2": q_spatial_join_s2,
         # ---- rows-only (no SQL oracle by design) ----
         # The driver grades the FIRST 50 queries (round-2 verdict #1);
         # positions 30-50 are curated for family breadth — mosaic core,
@@ -1838,6 +1851,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST((start_tok + n_tokens - 1) // 512 AS BIGINT)
                      AS seq_last
             FROM c
+        """,
+        "spatial_join_s2": """
+            WITH pts AS (
+              SELECT vec_id,
+                     CAST(embedding[1] AS DOUBLE) * 400.0 AS lng,
+                     CAST(embedding[2] AS DOUBLE) * 120.0 AS lat
+              FROM embeddings
+            )
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM pts a, pts b
+            WHERE a.vec_id <> b.vec_id
+              AND abs(a.lat - b.lat) <= 1.0
+              AND abs(a.lng - b.lng) <= 1.5
+            ORDER BY a_id, b_id
         """,
         "exact_top_users": """
             SELECT CAST(user_id AS VARCHAR) AS value,

@@ -1,0 +1,153 @@
+"""S2-cell-keyed spatial joins over lat/lng point sets.
+
+The spherical counterpart of the planar cell joins in ``ops.vector``: points
+are keyed by their containing S2 cell at a chosen level (vectorized leaf
+assignment, ``moaray.s2``), query rects are expanded to their S2 covering
+(per-region, the same shape as a RegionCoverer — coverings are intrinsically
+per-region), and the join is ONE groupby shuffle on the cell id. Because a
+point lives in exactly one level-L cell and a rect's covering contains every
+cell it intersects, each qualifying (rect, point) pair meets in exactly one
+group — no pair dedup pass is needed.
+
+Scale notes: cell ids are Hilbert-ordered 64-bit ints, so the groupby's sort
+shuffle keeps spatially adjacent cells in the same blocks (locality). The
+exact predicate re-tests every candidate pair inside the group, so the
+covering only has to be complete, never tight.
+
+No reference counterpart (moamosaic joins projected rects only,
+reference mosaic.py:501-535); north-star component ("H3/S2-encoded").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import s2
+
+
+def latlng_points(embeddings_path: str, lat_scale: float = 120.0,
+                  lng_scale: float = 400.0):
+    """(id, lat, lng) dataset from the embeddings' 2D projection: the
+    first two embedding dims scaled onto the globe (float64 math from
+    float32 storage so a DOUBLE-casting SQL oracle runs identical IEEE
+    arithmetic — same convention as ops.vector.points_2d)."""
+    import ray.data
+
+    def extract(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(batch)
+        dim = flat.size // n if n else 1
+        pts = flat.reshape(n, dim)
+        return pa.table({
+            "id": batch["vec_id"].cast(pa.int64()),
+            "lng": pa.array(pts[:, 0] * lng_scale, pa.float64()),
+            "lat": pa.array(pts[:, 1] * lat_scale, pa.float64()),
+        })
+
+    return ray.data.read_parquet(
+        embeddings_path, columns=["vec_id", "embedding"]
+    ).map_batches(extract, batch_format="pyarrow")
+
+
+def _home_and_rect_pieces(level: int, half_lat: float, half_lng: float):
+    """Stage 1: every point emits one home row (its level-L cell) plus one
+    rect row per cell in the S2 covering of its query rect."""
+
+    def pieces(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy().astype(np.int64)
+        lat = batch["lat"].to_numpy()
+        lng = batch["lng"].to_numpy()
+        home_cells = s2.cell_from_latlng(lat, lng, level).astype(np.int64)
+        # joint vectorized covering of every rect in the batch (one
+        # level-synchronous BFS — no per-rect Python)
+        ridx, cov = s2.rect_coverings(
+            lat - half_lat, lat + half_lat,
+            np.maximum(lng - half_lng, -180.0),
+            np.minimum(lng + half_lng, 180.0),
+            level,
+        )
+        out_cell = np.concatenate([home_cells, cov.astype(np.int64)])
+        out_id = np.concatenate([ids, ids[ridx]])
+        out_lat = np.concatenate([lat, lat[ridx]])
+        out_lng = np.concatenate([lng, lng[ridx]])
+        out_home = np.concatenate(
+            [np.ones(len(ids), dtype=bool), np.zeros(len(ridx), dtype=bool)]
+        )
+        return pa.table({
+            "cell": pa.array(out_cell, pa.int64()),
+            "id": pa.array(out_id, pa.int64()),
+            "lat": pa.array(out_lat, pa.float64()),
+            "lng": pa.array(out_lng, pa.float64()),
+            "home": pa.array(out_home, pa.bool_()),
+        })
+
+    return pieces
+
+
+def s2_rect_join(pts_ds, half_lat: float, half_lng: float, level: int = 5):
+    """Self rect-join: (a_id, b_id) for every pair where point b falls in
+    the half_lat x half_lng rect centered on point a (a != b), distributed
+    via one S2-cell groupby shuffle."""
+
+    def per_cell(group: pa.Table) -> pa.Table:
+        home = group.filter(group["home"])
+        rect = group.filter(pa.compute.invert(group["home"]))
+        if home.num_rows == 0 or rect.num_rows == 0:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64())})
+        a_id = rect["id"].to_numpy()[:, None]
+        a_lat = rect["lat"].to_numpy()[:, None]
+        a_lng = rect["lng"].to_numpy()[:, None]
+        b_id = home["id"].to_numpy()[None, :]
+        b_lat = home["lat"].to_numpy()[None, :]
+        b_lng = home["lng"].to_numpy()[None, :]
+        ok = (
+            (np.abs(a_lat - b_lat) <= half_lat)
+            & (np.abs(a_lng - b_lng) <= half_lng)
+            & (a_id != b_id)
+        )
+        ai, bi = np.nonzero(ok)
+        return pa.table({
+            "a_id": pa.array(a_id[ai, 0], pa.int64()),
+            "b_id": pa.array(b_id[0, bi], pa.int64()),
+        })
+
+    pieces = pts_ds.map_batches(
+        _home_and_rect_pieces(level, half_lat, half_lng),
+        batch_format="pyarrow",
+    )
+    return pieces.groupby("cell").map_groups(per_cell, batch_format="pyarrow")
+
+
+def s2_cell_census(pts_ds, level: int = 4):
+    """Points per S2 cell at `level` (vectorized leaf keying + one
+    groupby-count): the cell-density census for a global point corpus,
+    with the cell's center lat/lng and hex token for downstream use."""
+    import pyarrow.compute as pc
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        cells = s2.cell_from_latlng(
+            batch["lat"].to_numpy(), batch["lng"].to_numpy(), level
+        )
+        return pa.table({"cell": pa.array(cells.astype(np.int64), pa.int64())})
+
+    counted = (
+        pts_ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("cell")
+        .count()
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cids = batch["cell"].to_numpy().astype(np.uint64)
+        clat, clng = s2.cell_center_latlng(cids)
+        return pa.table({
+            "cell_token": pa.array([s2.cell_token(c) for c in cids],
+                                   pa.string()),
+            "n_points": pc.cast(batch["count()"], pa.int64()),
+            "center_lat": pa.array(np.round(clat, 6), pa.float64()),
+            "center_lng": pa.array(np.round(clng, 6), pa.float64()),
+        })
+
+    return counted.map_batches(finalize, batch_format="pyarrow")

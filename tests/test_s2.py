@@ -1,0 +1,166 @@
+"""From-scratch S2 cell index: structural invariants + the cell-keyed
+spherical joins vs brute force (no external geometry library exists in the
+sandbox, so validation is via exact self-inverses and curve/containment
+properties that would break under any wrong table or transform)."""
+
+import numpy as np
+import pytest
+
+from moaray import s2
+from moaray.ops.s2join import latlng_points, s2_cell_census, s2_rect_join
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(42)
+
+
+def test_face_uv_roundtrip(rng):
+    lat = rng.uniform(-89.9, 89.9, 3000)
+    lng = rng.uniform(-180, 180, 3000)
+    x, y, z = s2.latlng_to_xyz(lat, lng)
+    f, u, v = s2.xyz_to_face_uv(x, y, z)
+    assert f.min() >= 0 and f.max() <= 5
+    x2, y2, z2 = s2.face_uv_to_xyz(f, u, v)
+    assert np.min(x * x2 + y * y2 + z * z2) > 1 - 1e-12
+
+
+def test_st_uv_inverse(rng):
+    ss = rng.uniform(0, 1, 5000)
+    assert np.abs(s2.uv_to_st(s2.st_to_uv(ss)) - ss).max() < 1e-12
+    uu = rng.uniform(-1, 1, 5000)
+    assert np.abs(s2.st_to_uv(s2.uv_to_st(uu)) - uu).max() < 1e-12
+
+
+@pytest.mark.parametrize("level", [1, 4, 11, 19, 30])
+def test_face_ij_cell_roundtrip(rng, level):
+    n = 1 << level
+    face = rng.integers(0, 6, 800)
+    i = rng.integers(0, n, 800)
+    j = rng.integers(0, n, 800)
+    cid = s2.cell_from_face_ij(face, i, j, level)
+    assert (s2.cell_level(cid) == level).all()
+    f2, i2, j2, l2 = s2.cell_to_face_ij(cid)
+    assert (f2 == face).all() and (l2 == level).all()
+    assert (i2 == i).all() and (j2 == j).all()
+
+
+def test_leaf_center_and_parent_containment(rng):
+    lat = rng.uniform(-88, 88, 2000)
+    lng = rng.uniform(-180, 180, 2000)
+    leaf = s2.cell_from_latlng(lat, lng, 30)
+    clat, clng = s2.cell_center_latlng(leaf)
+    dlng = (clng - lng + 180.0) % 360.0 - 180.0
+    assert np.abs(clat - lat).max() < 1e-5
+    assert np.abs(dlng).max() < 1e-4  # lng resolution shrinks near poles
+    for lv in (2, 9, 16, 24):
+        assert (
+            s2.cell_parent(leaf, lv) == s2.cell_from_latlng(lat, lng, lv)
+        ).all()
+
+
+@pytest.mark.parametrize("level", [1, 3, 7])
+def test_hilbert_curve_continuity(level):
+    # consecutive curve positions within a face must be edge-adjacent —
+    # breaks if any traversal/orientation table entry is wrong
+    npos = min(1 << (2 * level), 4096)
+    pos = np.arange(npos, dtype=np.uint64)
+    shift = np.uint64(60 - 2 * level + 1)
+    lsb = np.uint64(1) << np.uint64(60 - 2 * level)
+    for face in range(6):
+        cid = (np.uint64(face) << np.uint64(61)) | (pos << shift) | lsb
+        _, i, j, _ = s2.cell_to_face_ij(cid)
+        step = np.abs(np.diff(i)) + np.abs(np.diff(j))
+        assert (step == 1).all()
+
+
+def test_children_contiguous_and_nested(rng):
+    for _ in range(50):
+        lv = int(rng.integers(0, 29))
+        cid = s2.cell_from_latlng(
+            rng.uniform(-80, 80), rng.uniform(-180, 180), lv
+        )
+        kids = s2.cell_children(int(cid))
+        assert len(kids) == 4 and sorted(kids) == kids
+        for k in kids:
+            assert int(s2.cell_level(np.asarray([k], np.uint64))[0]) == lv + 1
+            assert s2.cell_parent(np.asarray([k], np.uint64), lv)[0] == cid
+
+
+def test_cell_token_roundtrip():
+    cid = s2.cell_from_latlng(
+        np.asarray([12.5]), np.asarray([-70.25]), 12
+    )[0]
+    tok = s2.cell_token(cid)
+    assert tok == tok.rstrip("0") and len(tok) <= 16
+    assert int(tok.ljust(16, "0"), 16) == int(cid)
+
+
+def test_rect_covering_completeness(rng):
+    # the ONE property the joins rely on: a covering never misses a cell
+    # that contains a point of the rect
+    for _ in range(40):
+        la0 = rng.uniform(-80, 72)
+        lo0 = rng.uniform(-175, 150)
+        la1 = la0 + rng.uniform(0.05, 15)
+        lo1 = lo0 + rng.uniform(0.05, 24)
+        level = int(rng.integers(1, 9))
+        cov = set(s2.rect_covering(la0, la1, lo0, lo1, level))
+        pl = rng.uniform(la0, la1, 64)
+        pg = rng.uniform(lo0, lo1, 64)
+        cells = s2.cell_from_latlng(pl, pg, level)
+        assert all(int(c) in cov for c in cells)
+
+
+def test_rect_coverings_matches_singles(rng):
+    la0 = rng.uniform(-60, 50, 20)
+    la1 = la0 + rng.uniform(0.5, 8, 20)
+    lo0 = rng.uniform(-150, 120, 20)
+    lo1 = lo0 + rng.uniform(0.5, 12, 20)
+    ridx, cells = s2.rect_coverings(la0, la1, lo0, lo1, 6)
+    for k in range(20):
+        single = set(s2.rect_covering(la0[k], la1[k], lo0[k], lo1[k], 6))
+        joint = set(int(c) for c in cells[ridx == k])
+        assert joint == single
+
+
+def _brute_pairs(half_lat, half_lng):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    emb = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    lng, lat = emb[:, 0] * 400.0, emb[:, 1] * 120.0
+    ok = (np.abs(lat[:, None] - lat[None, :]) <= half_lat) & (
+        np.abs(lng[:, None] - lng[None, :]) <= half_lng
+    )
+    np.fill_diagonal(ok, False)
+    ai, bi = np.nonzero(ok)
+    return sorted(zip(ids[ai].tolist(), ids[bi].tolist()))
+
+
+@pytest.mark.parametrize("level", [3, 5, 7])
+def test_s2_rect_join_vs_brute_force(ray_session, level):
+    pts = latlng_points(f"{SF_DIR}/embeddings.parquet")
+    out = s2_rect_join(pts, 1.0, 1.5, level=level).sort(
+        ["a_id", "b_id"]).take_all()
+    got = [(r["a_id"], r["b_id"]) for r in out]
+    assert got == _brute_pairs(1.0, 1.5)
+
+
+def test_s2_cell_census(ray_session):
+    pts = latlng_points(f"{SF_DIR}/embeddings.parquet")
+    rows = s2_cell_census(pts, level=3).take_all()
+    assert sum(r["n_points"] for r in rows) == 500
+    toks = [r["cell_token"] for r in rows]
+    assert len(set(toks)) == len(toks)
+    # census keys must agree with direct vectorized assignment
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
+    emb = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    cells = s2.cell_from_latlng(emb[:, 1] * 120.0, emb[:, 0] * 400.0, 3)
+    assert set(toks) == {s2.cell_token(c) for c in cells}
