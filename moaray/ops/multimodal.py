@@ -524,12 +524,15 @@ def image_resize(images_ds, out_h: int, out_w: int, *, method: str = "nearest",
 def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
     """Parse a RIFF/WAVE container from scratch — no audio library.
 
-    Handles integer PCM at 8/16/24/32 bits (format code 1) and IEEE float
+    Handles integer PCM at 8/16/24/32 bits (format code 1), IEEE float
     32/64 (format code 3, incl. the WAVE_FORMAT_EXTENSIBLE wrapper when its
-    SubFormat is PCM/float); everything normalizes to mono int16 (channels
-    averaged) so downstream features see one dtype. Truly compressed WAV
-    (ADPCM, mu-law, ...) raises — those need soundfile/ffmpeg."""
+    SubFormat is PCM/float), G.711 A-law / mu-law (codes 6/7) and IMA
+    ADPCM (code 0x11) via the from-scratch moaray.g711 codecs; everything
+    normalizes to mono int16 (channels averaged) so downstream features
+    see one dtype. Other compressed WAV (MPEG, MS-ADPCM, ...) raises."""
     import struct
+
+    from .. import g711
 
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
@@ -538,6 +541,8 @@ def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
     n_channels = 1
     bits = 16
     fmt_code = 1
+    block_align = 0
+    fact_frames = None
     data = None
     while pos + 8 <= len(buf):
         cid = bytes(buf[pos : pos + 4])
@@ -546,20 +551,34 @@ def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
         if cid == b"fmt ":
             fmt_code, n_channels, sr = struct.unpack_from("<HHI", body, 0)
+            (block_align,) = struct.unpack_from("<H", body, 12)
             (bits,) = struct.unpack_from("<H", body, 14)
             if fmt_code == 0xFFFE and size >= 40:  # EXTENSIBLE: SubFormat
                 (sub,) = struct.unpack_from("<H", body, 24)
                 fmt_code = sub
-            if fmt_code not in (1, 3):
+            if fmt_code not in (1, 3, 6, 7, 0x11):
                 raise NotImplementedError(
                     f"compressed WAV (fmt={fmt_code}) needs soundfile/"
-                    "ffmpeg; integer PCM and IEEE float are supported"
+                    "ffmpeg; PCM/float/G.711/IMA-ADPCM are supported"
                 )
+        elif cid == b"fact" and size >= 4:
+            (fact_frames,) = struct.unpack_from("<I", body, 0)
         elif cid == b"data":
             data = body
     if sr is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    if fmt_code == 3:  # IEEE float
+    if fmt_code == 7:  # G.711 mu-law
+        pcm64 = g711.ulaw_decode(np.frombuffer(data, np.uint8)).astype(
+            np.float64)
+    elif fmt_code == 6:  # G.711 A-law
+        pcm64 = g711.alaw_decode(np.frombuffer(data, np.uint8)).astype(
+            np.float64)
+    elif fmt_code == 0x11:  # IMA ADPCM (block-based; fact = true frames)
+        dec = g711.ima_adpcm_decode(bytes(data), n_channels, block_align)
+        if fact_frames is not None:
+            dec = dec[: fact_frames * n_channels]
+        pcm64 = dec.astype(np.float64)
+    elif fmt_code == 3:  # IEEE float
         if bits == 32:
             x = np.frombuffer(data, dtype="<f4").astype(np.float64)
         elif bits == 64:
@@ -663,6 +682,8 @@ def wav_probe(buf: bytes) -> dict:
     pos = 12
     sr = n_channels = bits = data_size = None
     fmt_code = 1
+    block_align = spb = 0
+    fact_frames = None
     while pos + 8 <= len(buf):
         cid = bytes(buf[pos : pos + 4])
         (size,) = struct.unpack_from("<I", buf, pos + 4)
@@ -670,15 +691,28 @@ def wav_probe(buf: bytes) -> dict:
             fmt_code, n_channels, sr = struct.unpack_from(
                 "<HHI", buf, pos + 8
             )
+            (block_align,) = struct.unpack_from("<H", buf, pos + 8 + 12)
             (bits,) = struct.unpack_from("<H", buf, pos + 8 + 14)
             if fmt_code == 0xFFFE and size >= 40:
                 (fmt_code,) = struct.unpack_from("<H", buf, pos + 8 + 24)
+            elif fmt_code == 0x11 and size >= 20:
+                # wSamplesPerBlock rides in the fmt extension
+                (spb,) = struct.unpack_from("<H", buf, pos + 8 + 18)
+        elif cid == b"fact" and size >= 4:
+            (fact_frames,) = struct.unpack_from("<I", buf, pos + 8)
         elif cid == b"data":
             data_size = size
         pos += 8 + size + (size & 1)
     if sr is None or data_size is None:
         raise ValueError("WAV missing fmt/data chunk")
-    frames = data_size // (n_channels * max(bits // 8, 1))
+    if fact_frames is not None:
+        frames = fact_frames
+    elif fmt_code == 0x11 and block_align:
+        if not spb:
+            spb = (block_align - 4 * n_channels) * 2 // n_channels + 1
+        frames = (data_size // block_align) * spb
+    else:
+        frames = data_size // (n_channels * max(bits // 8, 1))
     return {
         "sample_rate": int(sr),
         "channels": int(n_channels),
@@ -727,6 +761,46 @@ def wav_encode(pcm: np.ndarray, sample_rate: int) -> bytes:
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(raw)) + raw
     )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_encode_compressed(pcm: np.ndarray, sample_rate: int,
+                          codec: str = "ulaw",
+                          n_channels: int = 1) -> bytes:
+    """Channel-interleaved PCM16 -> RIFF/WAVE with a compressed payload:
+    G.711 mu-law ("ulaw", fmt 7), A-law ("alaw", fmt 6) or IMA ADPCM
+    ("ima_adpcm", fmt 0x11) — fixture/round-trip producer for the
+    compressed paths wav_decode now handles (moaray.g711)."""
+    import struct
+
+    from .. import g711
+
+    x = np.ascontiguousarray(pcm, dtype=np.int16)
+    nframes = x.size // n_channels
+    if codec in ("ulaw", "alaw"):
+        enc = g711.ulaw_encode if codec == "ulaw" else g711.alaw_encode
+        raw = enc(x).tobytes()
+        code = 7 if codec == "ulaw" else 6
+        block_align = n_channels
+        fmt = struct.pack("<HHIIHH", code, n_channels, sample_rate,
+                          sample_rate * n_channels, block_align, 8)
+    elif codec == "ima_adpcm":
+        raw, block_align, spb = g711.ima_adpcm_encode(x, n_channels)
+        nblocks = len(raw) // block_align
+        avg_bps = sample_rate * block_align // spb
+        fmt = struct.pack("<HHIIHHHH", 0x11, n_channels, sample_rate,
+                          avg_bps, block_align, 4, 2, spb)
+        del nblocks
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, nframes)
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    if len(raw) & 1:
+        body += b"\x00"
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
