@@ -619,6 +619,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _images("grid"), _cfg("grid", join_strategy="cell_join")
         ).sort(["tile_id", "seq"])
 
+    def q_spatial_join_s2grid(sf_dir: str):  # rows-only (pixel plan)
+        # the engine-level S2-cell-keyed spatial join over a GEOGRAPHIC
+        # catalog (EPSG:4326 degrees): assignments must equal the direct
+        # nested-loop plan (pinned by tests/test_s2.py)
+        from moaray import MosaicConfig
+        from moaray.testgen import geo_images_path
+
+        cfg = MosaicConfig(blocksize=32, join_strategy="cell_join_s2",
+                           do_pyramids=False, do_stats=False)
+        return plan_assignments(geo_images_path(), cfg).sort(
+            ["tile_id", "seq"])
+
     def q_mosaic_stats(sf_dir: str):
         res = do_mosaic(_images("grid"), _cfg("grid", do_pyramids=False))
         s = res.stats
@@ -1515,6 +1527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_reproject": q_mosaic_reproject,
         "mosaic_tiles_jpeg": q_mosaic_tiles_jpeg,
         "mosaic_extend": q_mosaic_extend,
+        "spatial_join_s2grid": q_spatial_join_s2grid,
     }
 
 

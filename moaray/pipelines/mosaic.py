@@ -128,7 +128,10 @@ class MosaicConfig:
     min_overview_size: int = 1024  # ref DFLT_MINOVERVIEWSIZE (mosaic.py:29)
     do_pyramids: bool = True
     do_stats: bool = True
-    join_strategy: str = "direct"  # "direct" | "cell_join"
+    # "direct" | "cell_join" (planar quadkeys) | "cell_join_s2" (S2 cells;
+    # geographic grids whose world coordinates are lon/lat degrees)
+    join_strategy: str = "direct"
+    s2_level: int | None = None  # None = auto (~one tile per cell)
     decode_concurrency: tuple | None = None  # None = stateless tasks
     # None = whole-block batches: the decode map fuses with the parquet read
     # into one task (no rebatch barrier, no extra object-store round-trip);
@@ -285,6 +288,10 @@ def plan_assignments(images_path: str, cfg: MosaicConfig, grid: OutputGrid | Non
         meta_ds = probe_metadata(read_images(images_path, cols), cfg.layout)
     if cfg.join_strategy == "cell_join":
         return assign_cell_join(meta_ds, grid)
+    if cfg.join_strategy == "cell_join_s2":
+        from ..stages.plan import assign_cell_join_s2
+
+        return assign_cell_join_s2(meta_ds, grid, level=cfg.s2_level)
     return assign_direct(meta_ds, grid)
 
 

@@ -388,8 +388,11 @@ def _tile_cells_batch(batch: pa.Table, res: int) -> pa.Table:
     return pa.Table.from_pydict(out)
 
 
-def _refine_joined(batch: pa.Table, grid_transform, res: int) -> pa.Table:
-    """Exact overlap refine + reference-point de-dup of cell-join candidates."""
+def _refine_joined(batch: pa.Table, grid_transform, res: int,
+                   ref_cell_fn=None) -> pa.Table:
+    """Exact overlap refine + reference-point de-dup of cell-join
+    candidates. `ref_cell_fn(ref_top, ref_left) -> cell id` overrides the
+    default planar-quadkey reference cell (the S2 join passes its own)."""
     rows = {name: [] for name in ASSIGN_SCHEMA.names}
     size = CELL_BASE * (2 ** res)
     gts = [
@@ -419,7 +422,12 @@ def _refine_joined(batch: pa.Table, grid_transform, res: int) -> pa.Table:
         # emit this pair only from the cell that contains it.
         ref_top = max(block.top, batch["px_top"][i].as_py())
         ref_left = max(block.left, batch["px_left"][i].as_py())
-        ref_cell = cell_id(res, int(ref_top // size), int(ref_left // size))
+        if ref_cell_fn is None:
+            ref_cell = cell_id(
+                res, int(ref_top // size), int(ref_left // size)
+            )
+        else:
+            ref_cell = ref_cell_fn(ref_top, ref_left)
         if ref_cell != batch["cell_id"][i].as_py():
             continue
         ftop, fleft, fxs, fys = win
@@ -441,6 +449,165 @@ def _refine_joined(batch: pa.Table, grid_transform, res: int) -> pa.Table:
         rows["img_w"].append(m.ncols)
         rows["img_h"].append(m.nrows)
     return pa.Table.from_pydict(rows, schema=ASSIGN_SCHEMA)
+
+
+def s2_level_for_grid(grid: OutputGrid) -> int:
+    """S2 level whose cells are about one output tile across (degrees)."""
+    import numpy as np
+
+    tile_px = float(
+        max(np.diff(grid.row_edges).max(), np.diff(grid.col_edges).max())
+    )
+    tile_deg = tile_px * max(abs(grid.transform[1]), abs(grid.transform[5]))
+    if tile_deg <= 0:
+        return 8
+    return int(np.clip(int(np.log2(90.0 / tile_deg)), 0, 18))
+
+
+def _px_rect_to_latlng(gt, top, left, bottom, right):
+    """Output-pixel rect -> (lat_lo, lat_hi, lng_lo, lng_hi) world bounds
+    (full affine: all 4 corners, rotation-safe)."""
+    xs, ys = [], []
+    for px, py in ((left, top), (right, top), (left, bottom),
+                   (right, bottom)):
+        x, y = apply_geotransform(gt, px, py)
+        xs.append(x)
+        ys.append(y)
+    return min(ys), max(ys), min(xs), max(xs)
+
+
+def _img_cells_batch_s2(batch: pa.Table, grid: OutputGrid,
+                        level: int) -> pa.Table:
+    """Footprint -> covering S2 cells (geographic grids: world coords are
+    lon/lat degrees). Pixel rects are padded one pixel like the planar
+    path; coverings come from the vectorized joint-BFS coverer."""
+    from .. import s2
+
+    inv = inv_geotransform(grid.transform)
+    n = batch.num_rows
+    gts = batch["gt"].to_pylist()
+    rect = np.empty((n, 4))  # lat_lo, lat_hi, lng_lo, lng_hi
+    px_rects = np.empty((n, 4), dtype=np.int64)  # top, left, bottom, right
+    for i in range(n):
+        gt = gts[i]
+        w = batch["w"][i].as_py()
+        h = batch["h"][i].as_py()
+        cs, rs = [], []
+        for x in (gt[0], gt[0] + w * gt[1]):
+            for y in (gt[3], gt[3] + h * gt[5]):
+                c, r = apply_geotransform(inv, x, y)
+                cs.append(c)
+                rs.append(r)
+        top, bottom = min(rs) - 1, max(rs) + 1
+        left, right = min(cs) - 1, max(cs) + 1
+        px_rects[i] = (top, left, bottom, right)
+        rect[i] = _px_rect_to_latlng(grid.transform, top, left, bottom,
+                                     right)
+    ridx, cells = s2.rect_coverings(
+        rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3], level
+    )
+    out = {
+        "cell_id": pa.array(cells.astype(np.int64), pa.int64()),
+        "image_id": batch["image_id"].take(pa.array(ridx)),
+        "seq": batch["seq"].take(pa.array(ridx)),
+        "w": batch["w"].take(pa.array(ridx)),
+        "h": batch["h"].take(pa.array(ridx)),
+        "crs": batch["crs"].take(pa.array(ridx)),
+        "dtype": batch["dtype"].take(pa.array(ridx)),
+        "nullval": batch["nullval"].take(pa.array(ridx)),
+        "px_top": pa.array(px_rects[ridx, 0], pa.int64()),
+        "px_left": pa.array(px_rects[ridx, 1], pa.int64()),
+    }
+    gt_cols = np.asarray(gts, dtype=np.float64)
+    for k in range(6):
+        out[f"gt{k}"] = pa.array(gt_cols[ridx, k], pa.float64())
+    return pa.table(out)
+
+
+def _tile_cells_batch_s2(batch: pa.Table, gt, level: int) -> pa.Table:
+    from .. import s2
+
+    n = batch.num_rows
+    top = batch["out_top"].to_numpy().astype(np.int64)
+    left = batch["out_left"].to_numpy().astype(np.int64)
+    xs = batch["out_xsize"].to_numpy().astype(np.int64)
+    ys = batch["out_ysize"].to_numpy().astype(np.int64)
+    rect = np.empty((n, 4))
+    for i in range(n):
+        rect[i] = _px_rect_to_latlng(gt, top[i], left[i], top[i] + ys[i],
+                                     left[i] + xs[i])
+    ridx, cells = s2.rect_coverings(
+        rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3], level
+    )
+    take = pa.array(ridx)
+    return pa.table({
+        "cell_id": pa.array(cells.astype(np.int64), pa.int64()),
+        "tile_id": batch["tile_id"].take(take),
+        "out_top": batch["out_top"].take(take),
+        "out_left": batch["out_left"].take(take),
+        "out_xsize": batch["out_xsize"].take(take),
+        "out_ysize": batch["out_ysize"].take(take),
+    })
+
+
+def assign_cell_join_s2(
+    meta_ds: "ray.data.Dataset",
+    grid: OutputGrid,
+    level: int | None = None,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """S2-cell-keyed spatial join for GEOGRAPHIC grids (world coordinates
+    are lon/lat degrees): footprints and tiles fan out to their S2
+    coverings (moaray.s2, Hilbert-ordered 64-bit keys), hash join on the
+    cell id, exact window-overlap refine, and reference-point dedup via
+    the cell containing the intersection's top-left corner — semantically
+    identical to assign_direct (north-star: "H3/S2-encoded into a tile
+    grid, cell-keyed spatial join").
+    """
+    import math
+
+    from .. import s2
+
+    # geographic validity gate: S2 needs real lat/lng
+    lat0, lat1, lng0, lng1 = _px_rect_to_latlng(
+        grid.transform, -2, -2, grid.nrows + 2, grid.ncols + 2
+    )
+    if lat0 < -90.0 or lat1 > 90.0 or lng0 < -180.0 or lng1 > 180.0:
+        raise ValueError(
+            "assign_cell_join_s2 requires a geographic grid within "
+            f"lat [-90, 90] / lng [-180, 180]; got lat [{lat0:.3f}, "
+            f"{lat1:.3f}], lng [{lng0:.3f}, {lng1:.3f}]"
+        )
+    if level is None:
+        level = s2_level_for_grid(grid)
+    gt = grid.transform
+
+    def ref_cell_fn(ref_top, ref_left):
+        x, y = apply_geotransform(gt, ref_left, ref_top)
+        if math.isnan(x) or math.isnan(y):
+            return -1
+        return int(s2.cell_from_latlng(
+            np.asarray([y]), np.asarray([x]), level
+        )[0])
+
+    img_cells = meta_ds.map_batches(
+        lambda b: _img_cells_batch_s2(b, grid, level),
+        batch_format="pyarrow",
+    )
+    tile_cells = tile_table_ds(grid).map_batches(
+        lambda b: _tile_cells_batch_s2(b, gt, level),
+        batch_format="pyarrow",
+    )
+    joined = img_cells.join(
+        tile_cells,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("cell_id",),
+    )
+    return joined.map_batches(
+        lambda b: _refine_joined(b, gt, 0, ref_cell_fn=ref_cell_fn),
+        batch_format="pyarrow",
+    )
 
 
 def assign_cell_join(

@@ -355,3 +355,43 @@ def images_path(
         with open(done, "w") as f:
             f.write(tag)
     return path
+
+
+def geo_images_path(n: int = 16, size: int = 48, seed: int = 7,
+                    root: str = "/tmp/moaray_fixtures") -> str:
+    """Write (once, cached) an explicit-meta catalog of overlapping images
+    whose world coordinates are EPSG:4326 degrees — the input shape for the
+    S2-cell-keyed spatial join (stages/plan.py assign_cell_join_s2)."""
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"geoimages_n{n}_s{size}_seed{seed}")
+    done = path + ".done"
+    if not os.path.exists(done):
+        pix = 0.01
+        rng = np.random.default_rng(seed)
+        ids, blobs, gts, seqs = [], [], [], []
+        for k in range(n):
+            arr = np.full((size, size), k + 1, dtype=np.uint16)
+            x0 = 150.0 + float(rng.uniform(0, 1.2))
+            y0 = -30.0 - float(rng.uniform(0, 1.2))
+            ids.append(f"geo{k:03d}")
+            blobs.append(codecs.encode(arr, "z16"))
+            gts.append([x0, pix, 0.0, y0, 0.0, -pix])
+            seqs.append(k)
+        tbl = pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array([size] * n, pa.int32()),
+            "h": pa.array([size] * n, pa.int32()),
+            "fmt": pa.array(["z16"] * n, pa.string()),
+            "gt": pa.array(gts, pa.list_(pa.float64(), 6)),
+            "crs": pa.array(["EPSG:4326"] * n, pa.string()),
+            "nullval": pa.array([0.0] * n, pa.float64()),
+            "seq": pa.array(seqs, pa.int64()),
+        })
+        os.makedirs(path, exist_ok=True)
+        fp = os.path.join(path, "part-00000.parquet")
+        pq.write_table(tbl, fp + ".tmp", row_group_size=4)
+        os.replace(fp + ".tmp", fp)
+        with open(done, "w") as f:
+            f.write(path)
+    return path

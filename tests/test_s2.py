@@ -164,3 +164,90 @@ def test_s2_cell_census(ray_session):
     emb = np.stack(t["embedding"].to_pylist()).astype(np.float64)
     cells = s2.cell_from_latlng(emb[:, 1] * 120.0, emb[:, 0] * 400.0, 3)
     assert set(toks) == {s2.cell_token(c) for c in cells}
+
+
+def _geo_catalog(tmp_path, n=9, size=48):
+    """Explicit-meta catalog of overlapping images in EPSG:4326 degrees."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from moaray import codecs
+
+    pix = 0.01
+    rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "gt",
+                            "crs", "nullval", "seq")}
+    rng = np.random.default_rng(7)
+    for k in range(n):
+        ramp = np.full((size, size), k + 1, dtype=np.uint16)
+        # scatter with overlap around (150E, 30S)
+        x0 = 150.0 + float(rng.uniform(0, 0.8))
+        y0 = -30.0 - float(rng.uniform(0, 0.8))
+        rows["image_id"].append(f"img{k:02d}")
+        rows["bytes"].append(codecs.encode(ramp, "z16"))
+        rows["w"].append(size)
+        rows["h"].append(size)
+        rows["fmt"].append("z16")
+        rows["gt"].append([x0, pix, 0.0, y0, 0.0, -pix])
+        rows["crs"].append("EPSG:4326")
+        rows["nullval"].append(0.0)
+        rows["seq"].append(k)
+    import pyarrow as pa
+
+    tbl = pa.table({
+        "image_id": pa.array(rows["image_id"], pa.string()),
+        "bytes": pa.array(rows["bytes"], pa.binary()),
+        "w": pa.array(rows["w"], pa.int32()),
+        "h": pa.array(rows["h"], pa.int32()),
+        "fmt": pa.array(rows["fmt"], pa.string()),
+        "gt": pa.array(rows["gt"], pa.list_(pa.float64(), 6)),
+        "crs": pa.array(rows["crs"], pa.string()),
+        "nullval": pa.array(rows["nullval"], pa.float64()),
+        "seq": pa.array(rows["seq"], pa.int64()),
+    })
+    path = str(tmp_path / "geocat")
+    os.makedirs(path)
+    pq.write_table(tbl, os.path.join(path, "p.parquet"))
+    return path
+
+
+def _plan_rows(path, strategy, **cfg_kw):
+    from moaray import MosaicConfig
+    from moaray.pipelines.mosaic import plan_assignments
+
+    cfg = MosaicConfig(blocksize=32, join_strategy=strategy,
+                       do_pyramids=False, do_stats=False, **cfg_kw)
+    rows = plan_assignments(path, cfg).take_all()
+    key = lambda r: (r["tile_id"], r["image_id"])
+    return sorted(
+        ({k: r[k] for k in ("tile_id", "image_id", "seq", "out_top",
+                            "out_left", "out_xsize", "out_ysize", "in_top",
+                            "in_left", "in_xsize", "in_ysize")}
+         for r in rows),
+        key=key,
+    )
+
+
+def test_assign_cell_join_s2_matches_direct(ray_session, tmp_path):
+    path = _geo_catalog(tmp_path)
+    direct = _plan_rows(path, "direct")
+    s2_rows = _plan_rows(path, "cell_join_s2")
+    assert len(direct) > 20
+    assert s2_rows == direct
+    # explicit level override agrees too (finer cells than auto)
+    s2_fine = _plan_rows(path, "cell_join_s2", s2_level=12)
+    assert s2_fine == direct
+
+
+def test_assign_cell_join_s2_rejects_projected_grids(ray_session):
+    from moaray import Layout, MosaicConfig
+    from moaray.pipelines.mosaic import plan_assignments
+    from moaray.testgen import images_path as _ipath
+
+    layout = Layout("grid3x3", 9, 32)
+    path = _ipath(layout)
+    cfg = MosaicConfig(layout=layout, blocksize=32,
+                       join_strategy="cell_join_s2",
+                       do_pyramids=False, do_stats=False)
+    with pytest.raises(ValueError, match="geographic grid"):
+        plan_assignments(path, cfg).take_all()
