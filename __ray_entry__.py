@@ -886,6 +886,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return s2_rect_join(pts, half_lat=1.0, half_lng=1.5, level=5).sort(
             ["a_id", "b_id"])
 
+    def q_events_hopping_window(sf_dir: str):
+        # hopping/sliding windowed aggregate (1h windows every 15min):
+        # bounded fan-out + per-batch pre-aggregate + one tiny groupby
+        from moaray.ops.relational import events_hopping_window
+
+        return events_hopping_window(
+            _rpc(f"{sf_dir}/events.parquet",
+                 ["ts", "event_type", "value"])
+        ).sort(["event_type", "window_start"])
+
     def q_neardup_clusters(sf_dir: str):  # rows-only (transitive closure)
         pairs = dedup.charset_jaccard_pairs(_docs(sf_dir), threshold=0.9)
         return dedup.neardup_clusters(pairs)
@@ -1452,6 +1462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_filter": q_neardup_filter,
         "seq_pack": q_seq_pack,
         "spatial_join_s2": q_spatial_join_s2,
+        "events_hopping_window": q_events_hopping_window,
         # ---- rows-only (no SQL oracle by design) ----
         # The driver grades the FIRST 50 queries (round-2 verdict #1);
         # positions 30-50 are curated for family breadth — mosaic core,
@@ -1878,6 +1889,25 @@ def oracle_sql() -> dict[str, str]:
               AND abs(a.lat - b.lat) <= 1.0
               AND abs(a.lng - b.lng) <= 1.5
             ORDER BY a_id, b_id
+        """,
+        "events_hopping_window": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     (epoch_us(ts) // 900000000) * 900 AS base
+              FROM events
+            ), f AS (
+              SELECT event_type, cents, base - g.i * 900 AS wstart
+              FROM e CROSS JOIN (SELECT unnest(range(4)) AS i) g
+            )
+            SELECT event_type,
+                   strftime(make_timestamp(wstart * 1000000),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(cents) AS BIGINT) / 100.0 AS sum_value
+            FROM f
+            GROUP BY event_type, wstart
+            ORDER BY event_type, window_start
         """,
         "exact_top_users": """
             SELECT CAST(user_id AS VARCHAR) AS value,

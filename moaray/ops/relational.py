@@ -1151,3 +1151,74 @@ def event_funnel(events_ds, steps=("view", "click", "purchase")):
         .groupby("step")
         .map_groups(count_step, batch_format="pyarrow")
     )
+
+
+def events_hopping_window(events_ds, size_s: int = 3600,
+                          slide_s: int = 900):
+    """Hopping (sliding) windowed aggregate per event type: fixed-size
+    windows of ``size_s`` seconds starting every ``slide_s`` seconds —
+    the streaming-window custom operator Ray Data lacks natively.
+
+    Shape: each event fans out to exactly ``size_s // slide_s`` window
+    starts (bounded replication, vectorized), a per-batch pre-aggregate
+    collapses the fan-out before the shuffle, and one tiny groupby
+    (event_type, window_start) finalizes. Money stays integer cents until
+    the final divide (same exactness discipline as events_daily).
+
+    ``slide_s`` must divide ``size_s`` so every event covers the same
+    number of windows (the standard hopping-window restriction).
+    """
+    if size_s % slide_s != 0:
+        raise ValueError("slide_s must divide size_s")
+    nrep = size_s // slide_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tsec = pc.divide(batch["ts"].cast(pa.int64()),
+                         pa.scalar(1_000_000, pa.int64()))
+        base = pc.multiply(
+            pc.divide(tsec, pa.scalar(slide_s, pa.int64())),
+            pa.scalar(slide_s, pa.int64()),
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        small = pa.table({
+            "event_type": batch["event_type"],
+            "base": base,
+            "cents": cents,
+        })
+        pieces = []
+        for i in range(nrep):
+            w = pc.subtract(small["base"],
+                            pa.scalar(i * slide_s, pa.int64()))
+            pieces.append(pa.table({
+                "event_type": small["event_type"],
+                "wstart": w,
+                "cents": small["cents"],
+            }))
+        fan = pa.concat_tables(pieces)
+        g = fan.group_by(["event_type", "wstart"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return g.rename_columns(
+            ["event_type", "wstart", "sum_cents", "n_events"]
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        w = int(group["wstart"][0].as_py())
+        # timestamp[s]: pyarrow's %S appends fractional digits for [us]
+        ts = pa.array([w], pa.timestamp("s"))
+        return pa.table({
+            "event_type": [group["event_type"][0].as_py()],
+            "window_start": pc.strftime(ts, format="%Y-%m-%d %H:%M:%S"),
+            "n_events": [int(pc.sum(group["n_events"]).as_py())],
+            "sum_value": [int(pc.sum(group["sum_cents"]).as_py()) / 100.0],
+        })
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "wstart"])
+        .map_groups(final, batch_format="pyarrow")
+    )

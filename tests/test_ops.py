@@ -1403,3 +1403,45 @@ def test_sequence_pack_invariants(ray_session):
             cum += r["n_tokens"]
     # at least one doc must cross a sequence boundary at L=16
     assert any(r["seq_last"] > r["seq_first"] for r in rows)
+
+
+def test_events_hopping_window(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from moaray.ops.relational import events_hopping_window
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    rows = events_hopping_window(ds, size_s=3600, slide_s=900).take_all()
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["ts", "event_type", "value"])
+    micros = t["ts"].cast(pa.int64()).to_numpy()
+    base = (micros // 1_000_000) // 900 * 900
+    et = np.asarray(t["event_type"].to_pylist())
+    cents = np.rint(t["value"].to_numpy() * 100.0).astype(np.int64)
+
+    # brute force: every event lands in exactly 4 windows
+    from collections import defaultdict
+    exp = defaultdict(lambda: [0, 0])
+    for e, b, c in zip(et, base, cents):
+        for i in range(4):
+            k = (e, int(b - i * 900))
+            exp[k][0] += 1
+            exp[k][1] += int(c)
+    assert len(rows) == len(exp)
+    import datetime as _dt
+
+    for r in rows:
+        w = int(_dt.datetime.strptime(
+            r["window_start"], "%Y-%m-%d %H:%M:%S"
+        ).replace(tzinfo=_dt.timezone.utc).timestamp())
+        n, s = exp[(r["event_type"], w)]
+        assert r["n_events"] == n
+        assert r["sum_value"] == s / 100.0
+    # conservation: every event appears in exactly 4 windows
+    assert sum(r["n_events"] for r in rows) == 4 * t.num_rows
+
+    with pytest.raises(ValueError, match="divide"):
+        events_hopping_window(ds, size_s=3600, slide_s=1000)
