@@ -896,6 +896,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  ["ts", "event_type", "value"])
         ).sort(["event_type", "window_start"])
 
+    def q_doc_tfidf(sf_dir: str):
+        # per-doc top-3 TF-IDF terms: per-batch tf partials, one df
+        # groupby, idf broadcast (size-aware join dispatch above the
+        # vocab limit), per-doc top-k
+        from moaray.ops.text import tfidf_topk
+
+        return tfidf_topk(
+            _docs(sf_dir).select_columns(["doc_id", "text"])
+        ).sort(["doc_id", "rn"])
+
     def q_neardup_clusters(sf_dir: str):  # rows-only (transitive closure)
         pairs = dedup.charset_jaccard_pairs(_docs(sf_dir), threshold=0.9)
         return dedup.neardup_clusters(pairs)
@@ -1463,6 +1473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pack": q_seq_pack,
         "spatial_join_s2": q_spatial_join_s2,
         "events_hopping_window": q_events_hopping_window,
+        "doc_tfidf": q_doc_tfidf,
         # ---- rows-only (no SQL oracle by design) ----
         # The driver grades the FIRST 50 queries (round-2 verdict #1);
         # positions 30-50 are curated for family breadth — mosaic core,
@@ -1908,6 +1919,28 @@ def oracle_sql() -> dict[str, str]:
             FROM f
             GROUP BY event_type, wstart
             ORDER BY event_type, window_start
+        """,
+        "doc_tfidf": """
+            WITH toks AS (
+              SELECT doc_id, unnest(str_split(text, ' ')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, term
+            ), df AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), nd AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df) AS raw
+              FROM tf, df, nd WHERE tf.term = df.term
+            )
+            SELECT doc_id, term, tf, round(raw, 6) AS score,
+                   CAST(row_number() OVER w AS BIGINT) AS rn
+            FROM scored
+            WINDOW w AS (PARTITION BY doc_id ORDER BY raw DESC, term ASC)
+            QUALIFY row_number() OVER w <= 3
+            ORDER BY doc_id, rn
         """,
         "exact_top_users": """
             SELECT CAST(user_id AS VARCHAR) AS value,

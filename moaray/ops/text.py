@@ -934,3 +934,103 @@ def sequence_pack(docs_ds, seq_len: int = 512, n_shards: int = 8):
         .groupby("shard")
         .map_groups(pack, batch_format="pyarrow")
     )
+
+
+def tfidf_topk(docs_ds, k: int = 3, broadcast_limit: int = 2_000_000):
+    """Per-document top-k TF-IDF terms (the classic relevance/keyword
+    extraction pass): tf from a per-batch Arrow group_by (only distinct
+    (doc, term) pairs leave the batch), document frequency from ONE
+    groupby over those pairs, idf broadcast back when the vocabulary is
+    small (ray.put, searchsorted lookup — no per-row Python) or joined on
+    the term key when it is not (size-aware dispatch, same pattern as
+    revenue_by_priority), then a per-doc top-k groupby.
+
+    score = tf * ln(N / df), rounded like SQL round(x, 6); idf values are
+    computed per DISTINCT df with math.log so the engine and a DuckDB
+    oracle run the same libm call.
+    """
+    import math
+
+    import ray
+    import ray.data
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], pattern=" ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        pairs = pa.table({"i": parent, "term": flat})
+        g = pairs.group_by(["i", "term"]).aggregate([("term", "count")])
+        return pa.table({
+            "doc_id": batch["doc_id"].take(g["i"]),
+            "term": g["term"],
+            "tf": pc.cast(g["term_count"], pa.int64()),
+        })
+
+    tf_ds = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        tf_partial, batch_format="pyarrow"
+    ).materialize()
+    n_docs = docs_ds.count()
+
+    df_ds = tf_ds.groupby("term").count().materialize()
+    vocab = df_ds.count()
+
+    def idf_of(df_arr: np.ndarray) -> np.ndarray:
+        # one math.log per DISTINCT df (libm-identical to DuckDB's ln)
+        uniq, inv = np.unique(df_arr, return_inverse=True)
+        vals = np.array([math.log(n_docs / int(d)) for d in uniq])
+        return vals[inv]
+
+    if vocab <= broadcast_limit:
+        df_tbl = pa.concat_tables(
+            ray.get(df_ds.to_arrow_refs())
+        ).combine_chunks()
+        terms = np.asarray(df_tbl["term"].to_pylist())
+        order = np.argsort(terms)
+        terms_ref = ray.put(terms[order])
+        idf_ref = ray.put(
+            idf_of(df_tbl["count()"].to_numpy().astype(np.int64)[order])
+        )
+
+        def score(batch: pa.Table) -> pa.Table:
+            t_sorted = ray.get(terms_ref)
+            idf = ray.get(idf_ref)
+            bt = np.asarray(batch["term"].to_pylist())
+            pos = np.searchsorted(t_sorted, bt)
+            raw = batch["tf"].to_numpy().astype(np.float64) * idf[pos]
+            return batch.append_column(
+                "score_raw", pa.array(raw, pa.float64())
+            )
+
+        scored = tf_ds.map_batches(score, batch_format="pyarrow")
+    else:
+        # partitions capped to the cluster's CPU slots — Ray's hash join
+        # stalls when num_partitions far exceeds them (CLAUDE.md)
+        nparts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8))))
+        joined = tf_ds.join(
+            df_ds, join_type="inner", num_partitions=nparts, on=("term",)
+        )
+
+        def score_joined(batch: pa.Table) -> pa.Table:
+            idf = idf_of(batch["count()"].to_numpy().astype(np.int64))
+            raw = batch["tf"].to_numpy().astype(np.float64) * idf
+            return batch.drop_columns(["count()"]).append_column(
+                "score_raw", pa.array(raw, pa.float64())
+            )
+
+        scored = joined.map_batches(score_joined, batch_format="pyarrow")
+
+    def topk(group: pa.Table) -> pa.Table:
+        terms = np.asarray(group["term"].to_pylist())
+        raw = group["score_raw"].to_numpy()
+        order = np.lexsort((terms, -raw))[:k]
+        g = group.take(pa.array(order, pa.int64()))
+        score6 = np.floor(g["score_raw"].to_numpy() * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "term": g["term"],
+            "tf": g["tf"],
+            "score": pa.array(score6, pa.float64()),
+            "rn": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+
+    return scored.groupby("doc_id").map_groups(topk, batch_format="pyarrow")

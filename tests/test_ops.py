@@ -1445,3 +1445,25 @@ def test_events_hopping_window(ray_session):
 
     with pytest.raises(ValueError, match="divide"):
         events_hopping_window(ds, size_s=3600, slide_s=1000)
+
+
+def test_tfidf_topk_both_dispatch_paths(ray_session):
+    from moaray.ops.text import tfidf_topk
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+    bc = tfidf_topk(ds).sort(["doc_id", "rn"]).take_all()
+    ds2 = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                columns=["doc_id", "text"])
+    jn = tfidf_topk(ds2, broadcast_limit=0).sort(
+        ["doc_id", "rn"]).take_all()
+    assert bc == jn
+    assert len(bc) == 3 * 500
+    # every doc's ranks are 1..3 with non-increasing scores
+    per = {}
+    for r in bc:
+        per.setdefault(r["doc_id"], []).append((r["rn"], r["score"]))
+    for rows in per.values():
+        assert [rn for rn, _ in rows] == [1, 2, 3]
+        s = [sc for _, sc in rows]
+        assert s == sorted(s, reverse=True)
