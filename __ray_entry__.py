@@ -430,6 +430,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["tile_id", "nonnull_count", "px_min", "px_max"]
         ).sort("tile_id")
 
+    def q_contour_polylines(sf_dir: str):  # rows-only (pixel op, non-SQL)
+        # isoline segments stitched into Douglas-Peucker-simplified
+        # polylines (one groupby(level); deterministic chain enumeration)
+        from moaray.ops.vector import contour_polylines
+
+        res = do_mosaic(_images("grid"), _cfg("grid", do_pyramids=False,
+                                              do_stats=False))
+        return contour_polylines(res.tiles_ds, res.grid,
+                                 levels=[20.5, 40.5], tol=0.01).sort(
+            ["level", "chain_id"])
+
     def q_contour_lines(sf_dir: str):  # rows-only (pixel op, non-SQL)
         # raster->vector isolines via marching squares on the tile halo
         import pyarrow.compute as _pc
@@ -1550,6 +1561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tiles_jpeg": q_mosaic_tiles_jpeg,
         "mosaic_extend": q_mosaic_extend,
         "spatial_join_s2grid": q_spatial_join_s2grid,
+        "contour_polylines": q_contour_polylines,
     }
 
 

@@ -280,6 +280,29 @@ def run_ops_bench(sf_dir: str) -> dict:
             _rpc(f"{sf_dir}/events.parquet")
         ).count(),
     )
+    timed(
+        "hopping_window",
+        lambda: relational.events_hopping_window(
+            _rpc(f"{sf_dir}/events.parquet",
+                 columns=["ts", "event_type", "value"])
+        ).count(),
+    )
+    timed(
+        "doc_tfidf",
+        lambda: _text.tfidf_topk(
+            _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ).count(),
+    )
+
+    def s2join():
+        from moaray.ops.s2join import latlng_points, s2_rect_join
+
+        s2_rect_join(
+            latlng_points(f"{sf_dir}/embeddings.parquet"),
+            half_lat=1.0, half_lng=1.5, level=5,
+        ).count()
+
+    timed("s2_join", s2join)
     return timings
 
 

@@ -981,9 +981,9 @@ def tfidf_topk(docs_ds, k: int = 3, broadcast_limit: int = 2_000_000):
         return vals[inv]
 
     if vocab <= broadcast_limit:
-        df_tbl = pa.concat_tables(
-            ray.get(df_ds.to_arrow_refs())
-        ).combine_chunks()
+        blocks = [t for t in ray.get(df_ds.to_arrow_refs())
+                  if t.num_rows > 0]  # groupby can emit empty-schema blocks
+        df_tbl = pa.concat_tables(blocks).combine_chunks()
         terms = np.asarray(df_tbl["term"].to_pylist())
         order = np.argsort(terms)
         terms_ref = ray.put(terms[order])

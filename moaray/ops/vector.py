@@ -656,3 +656,140 @@ def rasterize_features(feat_ds, grid, value_col: str = "value",
         .groupby("tile_id")
         .map_groups(burn, batch_format="pyarrow")
     )
+
+
+def simplify_polyline(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker: indices of the kept vertices (first/last always).
+
+    Iterative stack form, vectorized point-to-chord distances per split —
+    no recursion limits, O(n log n) typical. ``tol`` is the max allowed
+    perpendicular deviation in coordinate units; 0 keeps only exactly
+    collinear removals."""
+    pts = np.asarray(pts, dtype=np.float64)
+    n = len(pts)
+    if n <= 2:
+        return np.arange(n)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        seg = pts[a + 1: b]
+        d = pts[b] - pts[a]
+        norm = np.hypot(d[0], d[1])
+        if norm == 0.0:
+            dist = np.hypot(seg[:, 0] - pts[a, 0], seg[:, 1] - pts[a, 1])
+        else:
+            dist = np.abs(
+                (seg[:, 0] - pts[a, 0]) * d[1]
+                - (seg[:, 1] - pts[a, 1]) * d[0]
+            ) / norm
+        imax = int(np.argmax(dist))
+        if dist[imax] > tol:
+            m = a + 1 + imax
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+    return np.nonzero(keep)[0]
+
+
+def chain_segments(seg: np.ndarray, decimals: int = 6) -> list[np.ndarray]:
+    """Stitch unit segments (n, 4) = (x0, y0, x1, y1) into polylines.
+
+    Endpoints are matched after rounding to ``decimals`` (contour segments
+    from the halo stencil are bitwise identical across tile seams, so this
+    is purely defensive). Deterministic: open chains start at the
+    lexicographically smallest odd-degree node, then remaining cycles at
+    their smallest node; at junctions (degree > 2) the smallest-index
+    unused segment is taken. Every input segment appears in exactly one
+    chain."""
+    seg = np.asarray(seg, dtype=np.float64)
+    if len(seg) == 0:
+        return []
+    q = np.round(seg, decimals)
+    pts = np.concatenate([q[:, :2], q[:, 2:]])
+    nodes, inv = np.unique(pts, axis=0, return_inverse=True)
+    a_n, b_n = inv[: len(seg)], inv[len(seg):]
+    adj: dict[int, list[int]] = {}
+    for si in range(len(seg)):
+        adj.setdefault(int(a_n[si]), []).append(si)
+        adj.setdefault(int(b_n[si]), []).append(si)
+    used = np.zeros(len(seg), dtype=bool)
+    chains = []
+
+    def walk(start_node: int):
+        line = [start_node]
+        cur = start_node
+        while True:
+            nxt_si = None
+            for si in adj.get(cur, ()):
+                if not used[si]:
+                    nxt_si = si
+                    break
+            if nxt_si is None:
+                break
+            used[nxt_si] = True
+            cur = int(b_n[nxt_si] if a_n[nxt_si] == cur else a_n[nxt_si])
+            line.append(cur)
+        return np.asarray([nodes[i] for i in line])
+
+    degree = {n_: len(s) for n_, s in adj.items()}
+    odd = sorted(n_ for n_, d in degree.items() if d % 2 == 1)
+    for n_ in odd:
+        while any(not used[si] for si in adj[n_]):
+            chains.append(walk(n_))
+    for n_ in sorted(adj):
+        while any(not used[si] for si in adj[n_]):
+            chains.append(walk(n_))
+    return chains
+
+
+def linestring_wkt(pts: np.ndarray) -> str:
+    inner = ", ".join(f"{x:.6f} {y:.6f}" for x, y in pts)
+    return f"LINESTRING ({inner})"
+
+
+def contour_polylines(tiles_ds, grid, levels, band: int = 0,
+                      tol: float = 0.0):
+    """Marching-squares contours stitched into simplified polylines:
+    contour_lines' per-tile unit segments -> one groupby(level) ->
+    chain_segments + Douglas–Peucker per isoline level.
+
+    Scale note: chaining is inherently sequential per connected component,
+    so each level's segments meet in one group — bounded by isoline
+    complexity per level (not by raster size for smooth fields); levels
+    parallelize across the group shuffle. Output: (level, chain_id, wkt,
+    n_points, n_simplified), chain enumeration deterministic."""
+    import pyarrow as _pa
+
+    from .raster import contour_lines
+
+    segs = contour_lines(tiles_ds, grid, levels, band=band)
+
+    def per_level(group: pa.Table) -> pa.Table:
+        lv = float(group["level"][0].as_py())
+        arr = np.stack([
+            group["x0"].to_numpy(), group["y0"].to_numpy(),
+            group["x1"].to_numpy(), group["y1"].to_numpy(),
+        ], axis=1)
+        rows = {"level": [], "chain_id": [], "wkt": [],
+                "n_points": [], "n_simplified": []}
+        for cid, line in enumerate(chain_segments(arr)):
+            keep = simplify_polyline(line, tol)
+            rows["level"].append(lv)
+            rows["chain_id"].append(cid)
+            rows["wkt"].append(linestring_wkt(line[keep]))
+            rows["n_points"].append(len(line))
+            rows["n_simplified"].append(len(keep))
+        return _pa.table({
+            "level": _pa.array(rows["level"], _pa.float64()),
+            "chain_id": _pa.array(rows["chain_id"], _pa.int64()),
+            "wkt": _pa.array(rows["wkt"], _pa.string()),
+            "n_points": _pa.array(rows["n_points"], _pa.int64()),
+            "n_simplified": _pa.array(rows["n_simplified"], _pa.int64()),
+        })
+
+    return segs.groupby("level").map_groups(per_level,
+                                            batch_format="pyarrow")

@@ -225,3 +225,108 @@ def test_distance_join_negative_coords_cell_edges(ray_session):
     assert len(out) == len(ii)
     assert (out["a_id"].values == ids[ii]).all()
     assert (out["b_id"].values == ids[jj]).all()
+
+
+# ---------------------------------------------------------------------------
+# polyline chaining + Douglas-Peucker simplification
+
+
+def test_simplify_polyline_basics():
+    from moaray.ops.vector import simplify_polyline
+
+    # collinear points collapse to endpoints
+    line = np.stack([np.arange(50.0), 2.0 * np.arange(50.0)], axis=1)
+    assert simplify_polyline(line, 0.0).tolist() == [0, 49]
+    # a V keeps its apex when tol < deviation, drops it when tol > deviation
+    v = np.array([[0.0, 0.0], [5.0, 1.0], [10.0, 0.0]])
+    assert simplify_polyline(v, 0.5).tolist() == [0, 1, 2]
+    assert simplify_polyline(v, 2.0).tolist() == [0, 2]
+
+
+def _dist_point_chord(p, a, b):
+    d = b - a
+    norm = float(np.hypot(*d))
+    if norm == 0.0:
+        return float(np.hypot(*(p - a)))
+    return abs((p[0] - a[0]) * d[1] - (p[1] - a[1]) * d[0]) / norm
+
+
+def test_simplify_polyline_deviation_bound():
+    # the DP invariant: every dropped point lies within tol of the CHORD
+    # of its enclosing kept pair (perpendicular line distance)
+    from moaray.ops.vector import simplify_polyline
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        n = int(rng.integers(5, 120))
+        pts = np.cumsum(rng.normal(0, 1, (n, 2)), axis=0)
+        tol = float(rng.uniform(0.1, 3.0))
+        keep = simplify_polyline(pts, tol)
+        assert keep[0] == 0 and keep[-1] == n - 1
+        for k in range(len(keep) - 1):
+            a, b = keep[k], keep[k + 1]
+            for i in range(a + 1, b):
+                d = _dist_point_chord(pts[i], pts[a], pts[b])
+                assert d <= tol + 1e-9, (i, d, tol)
+
+
+def test_chain_segments_open_and_cycle():
+    from moaray.ops.vector import chain_segments
+
+    rng = np.random.default_rng(4)
+    # open polyline cut into segments, shuffled
+    pts = np.cumsum(rng.normal(0, 1, (40, 2)), axis=0)
+    seg = np.concatenate([pts[:-1], pts[1:]], axis=1)
+    perm = rng.permutation(len(seg))
+    chains = chain_segments(seg[perm])
+    assert len(chains) == 1 and len(chains[0]) == 40
+    ends = {tuple(np.round(chains[0][0], 6)),
+            tuple(np.round(chains[0][-1], 6))}
+    assert ends == {tuple(np.round(pts[0], 6)), tuple(np.round(pts[-1], 6))}
+    # closed square -> one cycle, first == last
+    sq = np.array([[0, 0, 1, 0], [1, 0, 1, 1], [1, 1, 0, 1],
+                   [0, 1, 0, 0]], dtype=float)
+    chains = chain_segments(sq)
+    assert len(chains) == 1 and len(chains[0]) == 5
+    assert np.allclose(chains[0][0], chains[0][-1])
+    # partition property: two disjoint pieces
+    two = np.concatenate([seg[:10], sq + 100.0])
+    chains = chain_segments(two)
+    assert sum(len(c) - 1 for c in chains) == len(two)
+
+
+def test_contour_polylines_ramp(tmp_path, ray_session):
+    from moaray.ops.vector import contour_polylines
+    from moaray.testgen import ORIGIN_X, PIX
+
+    # reuse the raster-op DEM fixture helper
+    from tests.test_raster_ops import _dem_mosaic
+
+    rr, cc = np.meshgrid(np.arange(128.0), np.arange(128.0), indexing="ij")
+    res = _dem_mosaic(cc.copy(), tmp_path)
+    rows = contour_polylines(res.tiles_ds, res.grid, levels=[40.5],
+                             tol=0.01).take_all()
+    # one straight chain of 127 unit segments, simplified to 2 points
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["level"] == 40.5 and r["n_points"] == 128
+    assert r["n_simplified"] == 2
+    want_x = ORIGIN_X + (40.5 + 0.5) * PIX
+    assert f"{want_x:.6f}" in r["wkt"]
+
+
+def test_contour_polylines_partition_random_dem(tmp_path, ray_session):
+    from moaray.ops.raster import contour_lines
+    from moaray.ops.vector import chain_segments, contour_polylines
+    from tests.test_raster_ops import _dem_mosaic
+
+    rng = np.random.default_rng(11)
+    dem = np.cumsum(rng.normal(0, 1.0, (96, 96)), axis=0) + 50.0
+    dem[40:48, 50:60] = np.nan
+    res = _dem_mosaic(dem, tmp_path, blocksize=32)
+    segs = contour_lines(res.tiles_ds, res.grid, levels=[50.0]).to_pandas()
+    rows = contour_polylines(res.tiles_ds, res.grid, levels=[50.0],
+                             tol=0.0).take_all()
+    # every input segment lands in exactly one chain
+    assert sum(r["n_points"] - 1 for r in rows) == len(segs)
+    assert all(r["n_simplified"] <= r["n_points"] for r in rows)
