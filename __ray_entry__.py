@@ -630,6 +630,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _images("grid"), _cfg("grid", join_strategy="cell_join")
         ).sort(["tile_id", "seq"])
 
+    def q_s2_coverage_hulls(sf_dir: str):  # rows-only (geometry op)
+        # per-S2-cell convex hull + area of the corpus point set
+        from moaray.ops.s2join import latlng_points
+        from moaray.ops.vector import coverage_hulls
+
+        return coverage_hulls(
+            latlng_points(f"{sf_dir}/embeddings.parquet"), level=3
+        ).sort("cell_token")
+
     def q_spatial_join_s2grid(sf_dir: str):  # rows-only (pixel plan)
         # the engine-level S2-cell-keyed spatial join over a GEOGRAPHIC
         # catalog (EPSG:4326 degrees): assignments must equal the direct
@@ -1562,6 +1571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_extend": q_mosaic_extend,
         "spatial_join_s2grid": q_spatial_join_s2grid,
         "contour_polylines": q_contour_polylines,
+        "s2_coverage_hulls": q_s2_coverage_hulls,
     }
 
 

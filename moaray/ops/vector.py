@@ -793,3 +793,78 @@ def contour_polylines(tiles_ds, grid, levels, band: int = 0,
 
     return segs.groupby("level").map_groups(per_level,
                                             batch_format="pyarrow")
+
+
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain: CCW hull vertices (world axes, y up),
+    starting at the lexicographically smallest point, no repeated last
+    point. Collinear boundary points are dropped. O(n log n)."""
+    pts = np.unique(np.asarray(pts, dtype=np.float64), axis=0)
+    n = len(pts)
+    if n <= 2:
+        return pts
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2:
+                o, a = out[-2], out[-1]
+                if (a[0] - o[0]) * (p[1] - o[1]) - (a[1] - o[1]) * (
+                        p[0] - o[0]) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def polygon_wkt_closed(poly: np.ndarray) -> str:
+    ring = np.concatenate([poly, poly[:1]])
+    inner = ", ".join(f"{x:.6f} {y:.6f}" for x, y in ring)
+    return f"POLYGON (({inner}))"
+
+
+def coverage_hulls(pts_ds, level: int = 4):
+    """Per-S2-cell convex hull of a lat/lng point set: the compact
+    "where is my corpus" footprint census (one groupby on the Hilbert-
+    ordered cell id; hull + shoelace area per group, vectorized keying).
+
+    Output: (cell_token, n_points, hull_wkt, hull_area) — area in squared
+    degrees of the planar lng/lat chart (a census diagnostic, not a
+    geodesic measure)."""
+    import pyarrow.compute as _pc
+
+    from .. import s2
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy()
+        lng = batch["lng"].to_numpy()
+        cells = s2.cell_from_latlng(lat, lng, level)
+        return pa.table({
+            "cell": pa.array(cells.astype(np.int64), pa.int64()),
+            "lng": batch["lng"],
+            "lat": batch["lat"],
+        })
+
+    def per_cell(group: pa.Table) -> pa.Table:
+        pts = np.stack([group["lng"].to_numpy(),
+                        group["lat"].to_numpy()], axis=1)
+        hull = convex_hull(pts)
+        area = float(polygon_area(hull)) if len(hull) >= 3 else 0.0
+        tok = s2.cell_token(np.uint64(group["cell"][0].as_py()))
+        return pa.table({
+            "cell_token": pa.array([tok], pa.string()),
+            "n_points": pa.array([len(pts)], pa.int64()),
+            "hull_wkt": pa.array([polygon_wkt_closed(hull)], pa.string()),
+            "hull_area": pa.array([round(area, 9)], pa.float64()),
+        })
+
+    return (
+        pts_ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(per_cell, batch_format="pyarrow")
+    )

@@ -330,3 +330,45 @@ def test_contour_polylines_partition_random_dem(tmp_path, ray_session):
     # every input segment lands in exactly one chain
     assert sum(r["n_points"] - 1 for r in rows) == len(segs)
     assert all(r["n_simplified"] <= r["n_points"] for r in rows)
+
+
+def test_convex_hull_properties():
+    from moaray.ops.vector import convex_hull, point_in_polygon
+
+    # unit square + interior noise -> exactly the 4 corners, CCW from min
+    rng = np.random.default_rng(5)
+    inner = rng.uniform(0.05, 0.95, (200, 2))
+    corners = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)
+    pts = np.concatenate([inner, corners])
+    hull = convex_hull(pts)
+    assert np.array_equal(hull, np.array([[0, 0], [1, 0], [1, 1], [0, 1]]))
+    # random clouds: every point inside-or-on the hull; hull of hull = hull
+    for _ in range(10):
+        pts = rng.normal(0, 3, (int(rng.integers(3, 300)), 2))
+        hull = convex_hull(pts)
+        assert np.array_equal(convex_hull(hull), hull)
+        if len(hull) >= 3:
+            grow = hull.mean(axis=0) + (hull - hull.mean(axis=0)) * (1 + 1e-9)
+            inside = point_in_polygon(pts[:, 0], pts[:, 1], grow)
+            assert inside.all()
+        # convexity: all cross products CCW
+        if len(hull) >= 3:
+            a = hull
+            b = np.roll(hull, -1, axis=0)
+            c = np.roll(hull, -2, axis=0)
+            cross = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (
+                b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+            assert (cross > 0).all()
+
+
+def test_coverage_hulls(ray_session):
+    from moaray.ops.s2join import latlng_points
+    from moaray.ops.vector import coverage_hulls
+
+    pts = latlng_points("/root/testdata/sf0.001/embeddings.parquet")
+    rows = coverage_hulls(pts, level=3).take_all()
+    assert sum(r["n_points"] for r in rows) == 500
+    assert all(r["hull_wkt"].startswith("POLYGON ((") for r in rows)
+    assert all(r["hull_area"] >= 0 for r in rows)
+    toks = [r["cell_token"] for r in rows]
+    assert len(set(toks)) == len(toks)
