@@ -1034,3 +1034,56 @@ def tfidf_topk(docs_ds, k: int = 3, broadcast_limit: int = 2_000_000):
         })
 
     return scored.groupby("doc_id").map_groups(topk, batch_format="pyarrow")
+
+
+def cap_per_key(docs_ds, key_col: str = "source", id_col: str = "doc_id",
+                n: int = 10):
+    """Deterministic per-key cap: keep the ``n`` rows ranked smallest by
+    (md5(str(id)), id) within each key — the per-source capping pass a
+    corpus-curation pipeline runs so no single crawl/domain dominates the
+    training mix. Hash ranking makes the sample stable under re-sharding
+    (the split_census property) and uniformly random per key.
+
+    Combiner shape: each batch keeps at most ``n`` rows per key locally
+    (sorted run-length walk, no per-key Python), so the groupby only
+    shuffles capped partials; the final per-key top-n repeats the same
+    selection."""
+    import hashlib
+
+    def local_cap(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keys = np.asarray(batch[key_col].to_pylist())
+        hs = np.asarray(
+            [hashlib.md5(str(v).encode()).hexdigest() for v in ids]
+        )
+        order = np.lexsort((ids, hs, keys))
+        ksort = keys[order]
+        # first-n positions of each key run
+        starts = np.concatenate(([0], np.nonzero(ksort[1:] != ksort[:-1])[0]
+                                 + 1))
+        runs = np.concatenate((starts[1:], [len(ksort)])) - starts
+        offs = np.arange(len(ksort)) - np.repeat(starts, runs)
+        sel = order[offs < n]
+        return pa.table({
+            key_col: pa.array(keys[sel], pa.string()),
+            id_col: batch[id_col].take(pa.array(sel, pa.int64())),
+            "h": pa.array(hs[sel], pa.string()),
+        })
+
+    def final_cap(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        hs = np.asarray(group["h"].to_pylist())
+        order = np.lexsort((ids, hs))[:n]
+        g = group.take(pa.array(order, pa.int64()))
+        return pa.table({
+            key_col: g[key_col],
+            id_col: g[id_col],
+            "rk": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+
+    return (
+        docs_ds.select_columns([key_col, id_col])
+        .map_batches(local_cap, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(final_cap, batch_format="pyarrow")
+    )

@@ -1467,3 +1467,35 @@ def test_tfidf_topk_both_dispatch_paths(ray_session):
         assert [rn for rn, _ in rows] == [1, 2, 3]
         s = [sc for _, sc in rows]
         assert s == sorted(s, reverse=True)
+
+
+def test_cap_per_key(ray_session):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from moaray.ops.text import cap_per_key
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["source", "doc_id"]).repartition(7)
+    rows = cap_per_key(ds, n=10).take_all()
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["source", "doc_id"])
+    exp = {}
+    for s, d in zip(t["source"].to_pylist(), t["doc_id"].to_pylist()):
+        exp.setdefault(s, []).append(
+            (hashlib.md5(str(d).encode()).hexdigest(), d)
+        )
+    want = []
+    for s in sorted(exp):
+        for rk, (_, d) in enumerate(sorted(exp[s])[:10], 1):
+            want.append((s, d, rk))
+    got = sorted((r["source"], r["doc_id"], r["rk"]) for r in rows)
+    assert got == sorted(want)
+    # determinism under different sharding
+    rows2 = cap_per_key(
+        ray.data.read_parquet(f"{SF}/documents.parquet",
+                              columns=["source", "doc_id"]).repartition(2),
+        n=10,
+    ).take_all()
+    assert sorted((r["source"], r["doc_id"], r["rk"]) for r in rows2) == got
