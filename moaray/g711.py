@@ -230,3 +230,135 @@ def ima_adpcm_encode(pcm: np.ndarray, n_channels: int = 1,
     payload = blocks[:, 4 * n_channels:]
     payload[:] = (nib[:, 0::2] | (nib[:, 1::2] << 4))
     return blocks.tobytes(), block_align, spb
+
+
+# ---------------------------------------------------------------------------
+# MS ADPCM (WAV format code 2) — public coefficient/adaptation tables
+
+
+MSADPCM_COEFS = np.array(
+    [[256, 0], [512, -256], [0, 0], [192, 64],
+     [240, 0], [460, -208], [392, -232]], dtype=np.int64
+)
+MSADPCM_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614,
+     768, 614, 512, 409, 307, 230, 230, 230], dtype=np.int64
+)
+
+
+def _ms_nibble_signed(nib):
+    return np.where(nib >= 8, nib.astype(np.int64) - 16,
+                    nib.astype(np.int64))
+
+
+def ms_adpcm_decode(data: bytes, n_channels: int,
+                    block_align: int) -> np.ndarray:
+    """WAV (fmt 2) MS ADPCM data chunk -> channel-interleaved int16.
+
+    Per-channel block header: predictor index (1 byte), initial delta
+    (int16), sample1, sample2 (int16, the two seed samples emitted
+    verbatim); nibbles run HIGH-first, alternating channels for stereo.
+    Blocks decode in parallel across the block axis.
+    """
+    if n_channels not in (1, 2):
+        raise NotImplementedError(f"MS ADPCM with {n_channels} channels")
+    raw = np.frombuffer(data, dtype=np.uint8)
+    nblocks = len(raw) // block_align
+    if nblocks == 0:
+        return np.zeros(0, dtype=np.int16)
+    blocks = raw[: nblocks * block_align].reshape(nblocks, block_align)
+    ch = n_channels
+    spb = (block_align - 7 * ch) * 2 // ch + 2
+    hdr = blocks[:, : 7 * ch]
+
+    def i16(lo, hi):
+        v = lo.astype(np.int64) | (hi.astype(np.int64) << 8)
+        return np.where(v >= 0x8000, v - 0x10000, v)
+
+    pred_idx = [np.minimum(hdr[:, c].astype(np.int64), 6)
+                for c in range(ch)]
+    delta = [i16(hdr[:, ch + 2 * c], hdr[:, ch + 2 * c + 1])
+             for c in range(ch)]
+    s1 = [i16(hdr[:, 3 * ch + 2 * c], hdr[:, 3 * ch + 2 * c + 1])
+          for c in range(ch)]
+    s2 = [i16(hdr[:, 5 * ch + 2 * c], hdr[:, 5 * ch + 2 * c + 1])
+          for c in range(ch)]
+    out = np.empty((nblocks, spb, ch), dtype=np.int16)
+    payload = blocks[:, 7 * ch:]
+    nib = np.empty((nblocks, payload.shape[1] * 2), dtype=np.uint8)
+    nib[:, 0::2] = payload >> 4      # HIGH nibble first
+    nib[:, 1::2] = payload & 0x0F
+    for c in range(ch):
+        out[:, 0, c] = s2[c].astype(np.int16)  # sample2 is the OLDER seed
+        out[:, 1, c] = s1[c].astype(np.int16)
+        coef1 = MSADPCM_COEFS[pred_idx[c], 0]
+        coef2 = MSADPCM_COEFS[pred_idx[c], 1]
+        p1, p2, d = s1[c].copy(), s2[c].copy(), delta[c].copy()
+        for k in range(spb - 2):
+            code = nib[:, k * ch + c].astype(np.int64)
+            signed = _ms_nibble_signed(code)
+            pred = (p1 * coef1 + p2 * coef2) // 256 + signed * d
+            pred = np.clip(pred, -32768, 32767)
+            out[:, k + 2, c] = pred.astype(np.int16)
+            p2, p1 = p1, pred
+            d = np.maximum((MSADPCM_ADAPT[code] * d) // 256, 16)
+    return out.reshape(-1, ch).ravel().astype(np.int16)
+
+
+def ms_adpcm_encode(pcm: np.ndarray, n_channels: int = 1,
+                    samples_per_block: int = 500) -> tuple[bytes, int, int]:
+    """Channel-interleaved int16 -> (data, block_align, samples_per_block)
+    in the WAV fmt-2 layout. Fixed predictor 0 (coef (256, 0) — pure
+    first-order prediction) with standard delta adaptation; seeds are the
+    first two true samples, initial delta estimated from the block."""
+    if n_channels not in (1, 2):
+        raise NotImplementedError(f"MS ADPCM with {n_channels} channels")
+    if samples_per_block % 2 != 0:
+        raise ValueError("samples_per_block must be even")
+    ch = n_channels
+    x = np.asarray(pcm, dtype=np.int64).reshape(-1, ch)
+    spb = samples_per_block
+    nframes = x.shape[0]
+    nblocks = max(1, -(-nframes // spb))
+    pad = nblocks * spb - nframes
+    if pad:
+        tail = x[-1:] if nframes else np.zeros((1, ch), np.int64)
+        x = np.concatenate([x, np.repeat(tail, pad, axis=0)])
+    x = x.reshape(nblocks, spb, ch)
+    block_align = 7 * ch + (spb - 2) * ch // 2
+    blocks = np.zeros((nblocks, block_align), dtype=np.uint8)
+    nib = np.zeros((nblocks, (spb - 2) * ch), dtype=np.uint8)
+    for c in range(ch):
+        s2 = x[:, 0, c].copy()
+        s1 = x[:, 1, c].copy()
+        # initial delta ~ mean abs first-difference / 4 (clamped)
+        dif = np.abs(np.diff(x[:, :, c], axis=1)).mean(axis=1).astype(
+            np.int64)
+        d = np.clip(dif // 4, 16, 0x7FFF)
+        blocks[:, c] = 0  # predictor index 0
+        u = d & 0xFFFF
+        blocks[:, ch + 2 * c] = u & 0xFF
+        blocks[:, ch + 2 * c + 1] = (u >> 8) & 0xFF
+        u = s1 & 0xFFFF
+        blocks[:, 3 * ch + 2 * c] = u & 0xFF
+        blocks[:, 3 * ch + 2 * c + 1] = (u >> 8) & 0xFF
+        u = s2 & 0xFFFF
+        blocks[:, 5 * ch + 2 * c] = u & 0xFF
+        blocks[:, 5 * ch + 2 * c + 1] = (u >> 8) & 0xFF
+        p1, p2 = s1.copy(), s2.copy()
+        dd = d.copy()
+        for k in range(spb - 2):
+            pred = (p1 * 256 + p2 * 0) // 256
+            err = x[:, k + 2, c] - pred
+            code = np.clip((err + (np.where(err < 0, -dd, dd) >> 1))
+                           // dd, -8, 7)
+            signed = code
+            dec = np.clip(pred + signed * dd, -32768, 32767)
+            nib[:, k * ch + c] = (signed & 0x0F).astype(np.uint8)
+            p2, p1 = p1, dec
+            dd = np.maximum(
+                (MSADPCM_ADAPT[(signed & 0x0F)] * dd) // 256, 16
+            )
+    payload = blocks[:, 7 * ch:]
+    payload[:] = (nib[:, 0::2] << 4) | nib[:, 1::2]
+    return blocks.tobytes(), block_align, spb

@@ -556,10 +556,10 @@ def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
             if fmt_code == 0xFFFE and size >= 40:  # EXTENSIBLE: SubFormat
                 (sub,) = struct.unpack_from("<H", body, 24)
                 fmt_code = sub
-            if fmt_code not in (1, 3, 6, 7, 0x11):
+            if fmt_code not in (1, 2, 3, 6, 7, 0x11):
                 raise NotImplementedError(
                     f"compressed WAV (fmt={fmt_code}) needs soundfile/"
-                    "ffmpeg; PCM/float/G.711/IMA-ADPCM are supported"
+                    "ffmpeg; PCM/float/G.711/IMA/MS-ADPCM are supported"
                 )
         elif cid == b"fact" and size >= 4:
             (fact_frames,) = struct.unpack_from("<I", body, 0)
@@ -573,8 +573,10 @@ def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
     elif fmt_code == 6:  # G.711 A-law
         pcm64 = g711.alaw_decode(np.frombuffer(data, np.uint8)).astype(
             np.float64)
-    elif fmt_code == 0x11:  # IMA ADPCM (block-based; fact = true frames)
-        dec = g711.ima_adpcm_decode(bytes(data), n_channels, block_align)
+    elif fmt_code in (2, 0x11):  # MS / IMA ADPCM (fact = true frames)
+        decode = (g711.ms_adpcm_decode if fmt_code == 2
+                  else g711.ima_adpcm_decode)
+        dec = decode(bytes(data), n_channels, block_align)
         if fact_frames is not None:
             dec = dec[: fact_frames * n_channels]
         pcm64 = dec.astype(np.float64)
@@ -695,7 +697,7 @@ def wav_probe(buf: bytes) -> dict:
             (bits,) = struct.unpack_from("<H", buf, pos + 8 + 14)
             if fmt_code == 0xFFFE and size >= 40:
                 (fmt_code,) = struct.unpack_from("<H", buf, pos + 8 + 24)
-            elif fmt_code == 0x11 and size >= 20:
+            elif fmt_code in (2, 0x11) and size >= 20:
                 # wSamplesPerBlock rides in the fmt extension
                 (spb,) = struct.unpack_from("<H", buf, pos + 8 + 18)
         elif cid == b"fact" and size >= 4:
@@ -707,9 +709,11 @@ def wav_probe(buf: bytes) -> dict:
         raise ValueError("WAV missing fmt/data chunk")
     if fact_frames is not None:
         frames = fact_frames
-    elif fmt_code == 0x11 and block_align:
+    elif fmt_code in (2, 0x11) and block_align:
         if not spb:
-            spb = (block_align - 4 * n_channels) * 2 // n_channels + 1
+            spb = ((block_align - 7 * n_channels) * 2 // n_channels + 2
+                   if fmt_code == 2 else
+                   (block_align - 4 * n_channels) * 2 // n_channels + 1)
         frames = (data_size // block_align) * spb
     else:
         frames = data_size // (n_channels * max(bits // 8, 1))
@@ -786,11 +790,16 @@ def wav_encode_compressed(pcm: np.ndarray, sample_rate: int,
                           sample_rate * n_channels, block_align, 8)
     elif codec == "ima_adpcm":
         raw, block_align, spb = g711.ima_adpcm_encode(x, n_channels)
-        nblocks = len(raw) // block_align
         avg_bps = sample_rate * block_align // spb
         fmt = struct.pack("<HHIIHHHH", 0x11, n_channels, sample_rate,
                           avg_bps, block_align, 4, 2, spb)
-        del nblocks
+    elif codec == "ms_adpcm":
+        raw, block_align, spb = g711.ms_adpcm_encode(x, n_channels)
+        avg_bps = sample_rate * block_align // spb
+        # fmt extension: cbSize=4, wSamplesPerBlock, wNumCoef would follow
+        # in a full header; decoders here key off block_align + fact
+        fmt = struct.pack("<HHIIHHHH", 2, n_channels, sample_rate,
+                          avg_bps, block_align, 4, 2, spb)
     else:
         raise ValueError(f"unknown codec {codec!r}")
     body = (

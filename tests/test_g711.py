@@ -176,3 +176,53 @@ def test_compressed_wav_through_feature_and_census_stages():
     census = AudioMetadata()(tbl)
     assert census["duration_s"].to_pylist() == [1.0, 1.0, 1.0]
     assert census["channels"].to_pylist() == [1, 1, 1]
+
+
+@pytest.mark.parametrize("nch", [1, 2])
+def test_ms_adpcm_roundtrip_snr(nch):
+    x = _sig()
+    if nch == 2:
+        st = np.empty((len(x), 2), np.int16)
+        st[:, 0] = x
+        st[:, 1] = np.roll(x, 77)
+        x = st.ravel()
+    data, ba, spb = g711.ms_adpcm_encode(x, nch)
+    y = g711.ms_adpcm_decode(data, nch, ba)[: x.size]
+    assert _snr(x, y) >= 28.0
+
+
+def test_ms_adpcm_blocks_independent():
+    x = _sig(4000)
+    data, ba, spb = g711.ms_adpcm_encode(x, 1)
+    whole = g711.ms_adpcm_decode(data, 1, ba)
+    parts = [g711.ms_adpcm_decode(data[k: k + ba], 1, ba)
+             for k in range(0, len(data), ba)]
+    assert np.array_equal(whole, np.concatenate(parts))
+
+
+def test_ms_adpcm_seed_samples_verbatim():
+    # the two header seed samples come back bit-exact regardless of the
+    # quantized tail
+    x = _sig(1000)
+    data, ba, spb = g711.ms_adpcm_encode(x, 1)
+    y = g711.ms_adpcm_decode(data, 1, ba)
+    assert y[0] == x[0] and y[1] == x[1]
+
+
+def test_wav_decode_ms_adpcm():
+    x = _sig(8000)
+    buf = wav_encode_compressed(x, 8000, codec="ms_adpcm")
+    pcm, sr = wav_decode(buf)
+    assert sr == 8000 and len(pcm) == len(x)
+    assert _snr(x, pcm) >= 28.0
+    info = wav_probe(buf)
+    assert info["fmt_code"] == 2 and info["duration_s"] == 1.0
+    # stereo through the census + downmix
+    st = np.empty((len(x), 2), np.int16)
+    st[:, 0] = x
+    st[:, 1] = x
+    buf2 = wav_encode_compressed(st.ravel(), 8000, codec="ms_adpcm",
+                                 n_channels=2)
+    pcm2, _ = wav_decode(buf2)
+    assert len(pcm2) == len(x) and _snr(x, pcm2) >= 28.0
+    assert wav_probe(buf2)["channels"] == 2
