@@ -630,6 +630,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _images("grid"), _cfg("grid", join_strategy="cell_join")
         ).sort(["tile_id", "seq"])
 
+    def q_audio_spectral(sf_dir: str):  # rows-only (DSP op)
+        # FFT spectral features over the synthetic clip table (actor pool;
+        # Hann window per-actor state)
+        from moaray.ops.multimodal import audio_spectral, gen_audio_table
+        import ray as _ray
+        import ray.data as _rd
+
+        clips = _rd.from_arrow(gen_audio_table(n_clips=8))
+        return audio_spectral(clips, concurrency=(1, 2)).sort("clip_id")
+
     def q_s2_coverage_hulls(sf_dir: str):  # rows-only (geometry op)
         # per-S2-cell convex hull + area of the corpus point set
         from moaray.ops.s2join import latlng_points
@@ -1582,6 +1592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join_s2grid": q_spatial_join_s2grid,
         "contour_polylines": q_contour_polylines,
         "s2_coverage_hulls": q_s2_coverage_hulls,
+        "audio_spectral": q_audio_spectral,
     }
 
 

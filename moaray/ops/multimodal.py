@@ -813,6 +813,111 @@ def wav_encode_compressed(pcm: np.ndarray, sample_rate: int,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def decode_audio_row(fmt: str, buf, sample_rate=None):
+    """One clip -> (mono int16 pcm, sample_rate) across the supported
+    containers (the shared dispatch of the audio feature stages)."""
+    if fmt == "wav":
+        return wav_decode(buf)
+    if fmt == "aiff":
+        return aiff_decode(bytes(buf))
+    if fmt == "flac":
+        from ..flac import flac_decode
+
+        pcm, sr = flac_decode(bytes(buf))
+        if pcm.ndim == 2:  # downmix like the wav path
+            pcm = pcm.astype(np.int32).mean(axis=1).astype(np.int16)
+        return pcm, sr
+    if fmt == "pcm16":
+        return np.frombuffer(buf, dtype="<i2"), int(sample_rate)
+    raise NotImplementedError(
+        f"audio fmt {fmt!r} needs soundfile/ffmpeg (absent in sandbox); "
+        "use raw 'pcm16', container 'wav'/'aiff', or 'flac'"
+    )
+
+
+class AudioSpectral:
+    """Actor-pool stage: per-clip SPECTRAL features — Hann-windowed frame
+    FFTs (numpy rfft) averaged into one magnitude spectrum, then spectral
+    centroid / 95% rolloff / bandwidth / dominant frequency (Hz) and
+    spectral flatness. The Hann window and bin-frequency vectors are
+    per-actor state built once in __init__ (the actor-pool contract)."""
+
+    def __init__(self, frame: int = 1024, errors: str = "raise"):
+        self.frame = int(frame)
+        self.errors = _check_errors(errors)
+        self.window = np.hanning(self.frame)
+
+    def _one(self, pcm: np.ndarray, sr: int) -> dict:
+        x = pcm.astype(np.float64) / 32768.0
+        f = self.frame
+        if len(x) < f:
+            x = np.pad(x, (0, f - len(x)))
+        n_frames = len(x) // f
+        frames = x[: n_frames * f].reshape(n_frames, f) * self.window
+        mag = np.abs(np.fft.rfft(frames, axis=1)).mean(axis=0)
+        freqs = np.fft.rfftfreq(f, 1.0 / sr)
+        p = mag / max(mag.sum(), 1e-30)
+        centroid = float((freqs * p).sum())
+        cum = np.cumsum(p)
+        rolloff = float(freqs[int(np.searchsorted(cum, 0.95))])
+        bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * p).sum()))
+        dominant = float(freqs[int(np.argmax(mag))])
+        power = mag ** 2
+        flatness = float(
+            np.exp(np.mean(np.log(power + 1e-30)))
+            / max(np.mean(power), 1e-30)
+        )
+        return {
+            "centroid_hz": round(centroid, 3),
+            "rolloff_hz": round(rolloff, 3),
+            "bandwidth_hz": round(bandwidth, 3),
+            "dominant_hz": round(dominant, 3),
+            "flatness": round(flatness, 6),
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names = ("centroid_hz", "rolloff_hz", "bandwidth_hz",
+                 "dominant_hz", "flatness")
+        rows = {"clip_id": []}
+        rows.update({n: [] for n in names})
+        for i in range(batch.num_rows):
+            fmt = batch["fmt"][i].as_py()
+            sr_meta = (batch["sample_rate"][i].as_py()
+                       if "sample_rate" in batch.column_names else None)
+            try:
+                pcm, sr = decode_audio_row(
+                    fmt, batch["bytes"][i].as_py(), sr_meta
+                )
+            except NotImplementedError:
+                raise
+            except Exception as exc:
+                if self.errors != "skip":
+                    raise
+                _log_skip("audio_spectral",
+                          batch["clip_id"][i].as_py(), exc)
+                continue
+            feats = self._one(pcm, sr)
+            rows["clip_id"].append(batch["clip_id"][i].as_py())
+            for n in names:
+                rows[n].append(feats[n])
+        return pa.Table.from_pydict({
+            "clip_id": pa.array(rows["clip_id"], pa.string()),
+            **{n: pa.array(rows[n], pa.float64()) for n in names},
+        })
+
+
+def audio_spectral(clips_ds, *, frame: int = 1024, concurrency=(1, 8),
+                   batch_size: int = 32, errors: str = "raise"):
+    return clips_ds.map_batches(
+        AudioSpectral,
+        fn_constructor_args=(frame, errors),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 class AudioFeatures:
     """Actor-pool stage: per-clip audio features.
 

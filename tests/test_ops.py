@@ -1499,3 +1499,32 @@ def test_cap_per_key(ray_session):
         n=10,
     ).take_all()
     assert sorted((r["source"], r["doc_id"], r["rk"]) for r in rows2) == got
+
+
+def test_audio_spectral_features(ray_session):
+    import pyarrow as _pa
+
+    from moaray.ops.multimodal import AudioSpectral, wav_encode
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    tone = (np.sin(2 * np.pi * 500.0 * t) * 20000).astype(np.int16)
+    rng = np.random.default_rng(1)
+    noise = (rng.normal(0, 6000, sr)).astype(np.int16)
+    tbl = _pa.table({
+        "clip_id": _pa.array(["tone", "noise"], _pa.string()),
+        "bytes": _pa.array([wav_encode(tone, sr), wav_encode(noise, sr)],
+                           _pa.binary()),
+        "sample_rate": _pa.array([sr, sr], _pa.int32()),
+        "fmt": _pa.array(["wav", "wav"], _pa.string()),
+    })
+    out = AudioSpectral()(tbl)
+    rows = {r["clip_id"]: r for r in out.to_pylist()}
+    # a pure 500 Hz tone: dominant bin and centroid at ~500 Hz, low flatness
+    assert abs(rows["tone"]["dominant_hz"] - 500.0) < sr / 1024 + 1
+    assert abs(rows["tone"]["centroid_hz"] - 500.0) < 25
+    assert rows["tone"]["flatness"] < 0.01
+    # white noise: high flatness, centroid near mid-band
+    assert rows["noise"]["flatness"] > 0.3
+    assert 1500 < rows["noise"]["centroid_hz"] < 2500
+    assert rows["noise"]["rolloff_hz"] > rows["tone"]["rolloff_hz"]
