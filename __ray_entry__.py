@@ -640,6 +640,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         clips = _rd.from_arrow(gen_audio_table(n_clips=8))
         return audio_spectral(clips, concurrency=(1, 2)).sort("clip_id")
 
+    def q_doc_bpe_trained(sf_dir: str):  # rows-only (iterative trainer)
+        # sample-fit BPE: train the merge table on a bounded hash sample,
+        # tokenize the corpus distributed with the broadcast table
+        from moaray.ops.text import bpe_tokenize, train_bpe
+
+        ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+        merges = train_bpe(ds, vocab_size=320, hex_lt="80")
+        return bpe_tokenize(
+            _docs(sf_dir).select_columns(["doc_id", "text"]), merges,
+            concurrency=(1, 2),
+        ).sort("doc_id")
+
     def q_s2_coverage_hulls(sf_dir: str):  # rows-only (geometry op)
         # per-S2-cell convex hull + area of the corpus point set
         from moaray.ops.s2join import latlng_points
@@ -1593,6 +1605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contour_polylines": q_contour_polylines,
         "s2_coverage_hulls": q_s2_coverage_hulls,
         "audio_spectral": q_audio_spectral,
+        "doc_bpe_trained": q_doc_bpe_trained,
     }
 
 

@@ -1087,3 +1087,123 @@ def cap_per_key(docs_ds, key_col: str = "source", id_col: str = "doc_id",
         .groupby(key_col)
         .map_groups(final_cap, batch_format="pyarrow")
     )
+
+
+def train_bpe(docs_ds, vocab_size: int = 512, hex_lt: str = "ff",
+              max_docs: int = 100_000):
+    """Train a byte-level BPE merge table on a BOUNDED deterministic
+    sample — the sample-fit pattern the IVF/PQ quantizers use: tokenizer
+    training is a driver-local O(sample) problem; applying the trained
+    table is the distributed pass (see bpe_tokenize).
+
+    Sample = hash_sample(doc_id < hex_lt) capped at ``max_docs``, sorted
+    by doc_id (order-deterministic under any sharding). Words are
+    whitespace-split; merges start from the 256 byte tokens and greedily
+    take the most frequent adjacent pair (ties: lexicographically
+    smallest pair), stopping at vocab_size or when no pair repeats.
+    Returns the ordered merge list [(bytes, bytes), ...].
+    """
+    from collections import Counter
+
+    sample = hash_sample(
+        docs_ds, "doc_id", hex_lt, columns=["doc_id", "text"]
+    ).take(max_docs)
+    sample.sort(key=lambda r: r["doc_id"])
+    words: Counter = Counter()
+    for r in sample:
+        for w in r["text"].split():
+            words[tuple(bytes([b]) for b in w.encode("utf-8"))] += 1
+    merges = []
+    words = dict(words)
+    while len(merges) < max(vocab_size - 256, 0):
+        pairs: Counter = Counter()
+        for toks, f in words.items():
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        ab = best[0] + best[1]
+        new_words = {}
+        for toks, f in words.items():
+            out = []
+            k = 0
+            while k < len(toks):
+                if (k + 1 < len(toks) and toks[k] == best[0]
+                        and toks[k + 1] == best[1]):
+                    out.append(ab)
+                    k += 2
+                else:
+                    out.append(toks[k])
+                    k += 1
+            t = tuple(out)
+            new_words[t] = new_words.get(t, 0) + f
+        words = new_words
+    return merges
+
+
+def _bpe_apply(word_bytes: bytes, ranks: dict) -> list:
+    toks = [bytes([b]) for b in word_bytes]
+    while len(toks) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(toks) - 1):
+            r = ranks.get((toks[i], toks[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_i = i
+        if best_rank is None:
+            break
+        toks[best_i: best_i + 2] = [toks[best_i] + toks[best_i + 1]]
+    return toks
+
+
+class BpeTokenize:
+    """Actor-pool stage: tokenize with a TRAINED merge table. The rank
+    dict is built once per actor from the broadcast merges (ray.put ref)
+    and a per-actor word cache amortizes the sequential BPE apply across
+    repeated words — the standard tokenizer-serving shape."""
+
+    def __init__(self, merges_ref):
+        import ray
+
+        merges = ray.get(merges_ref)
+        self.ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_out = []
+        for text in batch["text"].to_pylist():
+            total = 0
+            for w in text.split():
+                wb = w.encode("utf-8")
+                n = self.cache.get(wb)
+                if n is None:
+                    n = len(_bpe_apply(wb, self.ranks))
+                    self.cache[wb] = n
+                total += n
+            n_out.append(total)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": pa.array(n_out, pa.int64()),
+        })
+
+
+def bpe_tokenize(docs_ds, merges, *, concurrency=(1, 8),
+                 batch_size: int = 64):
+    """Distributed tokenization pass with a trained BPE table:
+    (doc_id, n_bpe_tokens) per document."""
+    import ray
+
+    merges_ref = ray.put([tuple(m) for m in merges])
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        BpeTokenize,
+        fn_constructor_args=(merges_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1528,3 +1528,39 @@ def test_audio_spectral_features(ray_session):
     assert rows["noise"]["flatness"] > 0.3
     assert 1500 < rows["noise"]["centroid_hz"] < 2500
     assert rows["noise"]["rolloff_hz"] > rows["tone"]["rolloff_hz"]
+
+
+def test_bpe_train_and_tokenize(ray_session):
+    from moaray.ops.text import _bpe_apply, bpe_tokenize, train_bpe
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+    merges = train_bpe(ds, vocab_size=300, hex_lt="80")
+    assert 0 < len(merges) <= 44
+    # determinism under re-sharding
+    ds2 = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                columns=["doc_id", "text"]).repartition(5)
+    assert train_bpe(ds2, vocab_size=300, hex_lt="80") == merges
+    # reconstruction: applying merges never loses bytes
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    for w in ("merge", "window", "spark", "zzzqqq"):
+        toks = _bpe_apply(w.encode(), ranks)
+        assert b"".join(toks) == w.encode()
+    # trained vocabulary compresses the corpus it was trained on
+    out = bpe_tokenize(ds, merges, concurrency=(1, 2)).take_all()
+    assert len(out) == 500
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    byte_len = {d: sum(len(w.encode()) for w in s.split())
+                for d, s in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist())}
+    word_len = {d: len(s.split())
+                for d, s in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist())}
+    for r in out:
+        assert word_len[r["doc_id"]] <= r["n_bpe_tokens"] <= byte_len[
+            r["doc_id"]]
+    # merged tokens really fire: strictly below raw byte count overall
+    assert (sum(r["n_bpe_tokens"] for r in out)
+            < sum(byte_len.values()))
