@@ -948,6 +948,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir).select_columns(["doc_id", "text"])
         ).sort(["doc_id", "rn"])
 
+    def q_events_rollup(sf_dir: str):
+        # GROUP BY ROLLUP lattice derived from the tiny finest grain
+        from moaray.ops.relational import events_rollup
+
+        return events_rollup(
+            _rpc(f"{sf_dir}/events.parquet",
+                 ["ts", "event_type", "value"])
+        ).sort(["event_type", "day"])
+
     def q_cap_per_source(sf_dir: str):
         # per-source capping: keep 10 docs per source, ranked by
         # content-stable hash (local per-batch cap -> one groupby)
@@ -1526,6 +1535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": q_events_hopping_window,
         "doc_tfidf": q_doc_tfidf,
         "cap_per_source": q_cap_per_source,
+        "events_rollup": q_events_rollup,
         # ---- rows-only (no SQL oracle by design) ----
         # The driver grades the FIRST 50 queries (round-2 verdict #1);
         # positions 30-50 are curated for family breadth — mosaic core,
@@ -1997,6 +2007,19 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY doc_id ORDER BY raw DESC, term ASC)
             QUALIFY row_number() OVER w <= 3
             ORDER BY doc_id, rn
+        """,
+        "events_rollup": """
+            WITH e AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(day, 'ALL') AS day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(cents) AS BIGINT) / 100.0 AS sum_value
+            FROM e GROUP BY ROLLUP(event_type, day)
+            ORDER BY event_type, day
         """,
         "cap_per_source": """
             SELECT source, doc_id,

@@ -1222,3 +1222,45 @@ def events_hopping_window(events_ds, size_s: int = 3600,
         .groupby(["event_type", "wstart"])
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def events_rollup(events_ds):
+    """GROUP BY ROLLUP(event_type, day): the three-grain subtotal lattice
+    ((type, day) -> (type) -> grand total), computed by fanning the TINY
+    finest-grain daily table out 3x and re-grouping — never re-reading the
+    raw events. 'ALL' stands in for SQL ROLLUP's NULL keys so the schema
+    stays string-typed. Exact integer cents end-to-end."""
+
+    daily = events_daily(events_ds)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["sum_value"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        n = pc.cast(batch["n_events"], pa.int64())
+        allc = pa.array(["ALL"] * batch.num_rows, pa.string())
+        pieces = [
+            pa.table({"event_type": batch["event_type"], "day": batch["day"],
+                      "n": n, "cents": cents}),
+            pa.table({"event_type": batch["event_type"], "day": allc,
+                      "n": n, "cents": cents}),
+            pa.table({"event_type": allc, "day": allc,
+                      "n": n, "cents": cents}),
+        ]
+        return pa.concat_tables(pieces)
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": [group["event_type"][0].as_py()],
+            "day": [group["day"][0].as_py()],
+            "n_events": [int(pc.sum(group["n"]).as_py())],
+            "sum_value": [int(pc.sum(group["cents"]).as_py()) / 100.0],
+        })
+
+    return (
+        daily.map_batches(expand, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .map_groups(final, batch_format="pyarrow")
+    )
