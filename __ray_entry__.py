@@ -630,6 +630,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _images("grid"), _cfg("grid", join_strategy="cell_join")
         ).sort(["tile_id", "seq"])
 
+    def q_proximity(sf_dir: str):  # rows-only (pixel op, non-SQL)
+        # gdal_proximity analog: exact bounded Euclidean distance raster
+        # on the halo stencil; summarize to per-tile stats rows
+        from moaray.ops.raster import proximity
+
+        res = do_mosaic(_images("grid"), _cfg("grid", do_pyramids=False,
+                                              do_stats=False))
+        out_ds, _g = proximity(res.tiles_ds, res.grid, target_value=None,
+                               max_distance=6)
+        return out_ds.select_columns(
+            ["tile_id", "nonnull_count", "px_min", "px_max", "px_sum"]
+        ).sort("tile_id")
+
     def q_audio_spectral(sf_dir: str):  # rows-only (DSP op)
         # FFT spectral features over the synthetic clip table (actor pool;
         # Hann window per-actor state)
@@ -1616,6 +1629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_coverage_hulls": q_s2_coverage_hulls,
         "audio_spectral": q_audio_spectral,
         "doc_bpe_trained": q_doc_bpe_trained,
+        "proximity_raster": q_proximity,
     }
 
 

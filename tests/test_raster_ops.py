@@ -445,3 +445,49 @@ def test_zonal_stats_rotated_geotransform(ray_session):
             assert r["px_sum"] == pytest.approx(v.sum(), rel=1e-12)
         else:
             assert r["vmin"] is None or np.isnan(r["vmin"])
+
+
+def _proximity_oracle(dem, target_value, r):
+    """Single-canvas brute force: exact min distance to target, cap r."""
+    if target_value is None:
+        tgt = np.isfinite(dem)
+    else:
+        tgt = dem == target_value
+    ty, tx = np.nonzero(tgt)
+    out = np.full(dem.shape, np.nan)
+    for y in range(dem.shape[0]):
+        for x in range(dem.shape[1]):
+            if len(ty) == 0:
+                continue
+            d2 = (ty - y) ** 2 + (tx - x) ** 2
+            d = np.sqrt(d2.min())
+            if d <= r:
+                out[y, x] = np.sqrt(float(d2.min()))
+    return out
+
+
+def test_proximity_vs_oracle(tmp_path, ray_session):
+    """Sparse targets + NaN holes across 9 tile seams must equal the
+    single-canvas brute force bitwise (sqrt of identical int d2)."""
+    from moaray.ops.raster import proximity
+    from moaray.pipelines.mosaic import mosaic_array
+
+    rng = np.random.default_rng(13)
+    dem = np.full((96, 96), 7.0)
+    # scatter 40 target pixels (value 99), some near seams
+    yy = rng.integers(0, 96, 40)
+    xx = rng.integers(0, 96, 40)
+    dem[yy, xx] = 99.0
+    dem[50:58, 10:20] = np.nan  # hole may swallow a target — exclude those
+    keep = ~((yy >= 50) & (yy < 58) & (xx >= 10) & (xx < 20))
+    yy, xx = yy[keep], xx[keep]
+    res = _dem_mosaic(dem, tmp_path, blocksize=32)
+    out_ds, out_grid = proximity(res.tiles_ds, res.grid,
+                                 target_value=99.0, max_distance=7)
+    got = mosaic_array(out_ds, out_grid)
+    want = _proximity_oracle(dem, 99.0, 7)
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    m = ~np.isnan(want)
+    assert np.array_equal(got[m], want[m])
+    # target pixels read 0
+    assert (got[yy, xx] == 0).all()
