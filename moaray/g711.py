@@ -137,6 +137,8 @@ def ima_adpcm_decode(data: bytes, n_channels: int,
     """
     if n_channels not in (1, 2):
         raise NotImplementedError(f"IMA ADPCM with {n_channels} channels")
+    if block_align < 4 * n_channels + 1:
+        raise ValueError(f"IMA ADPCM block_align {block_align} too small")
     raw = np.frombuffer(data, dtype=np.uint8)
     nblocks = len(raw) // block_align
     if nblocks == 0:
@@ -262,6 +264,8 @@ def ms_adpcm_decode(data: bytes, n_channels: int,
     """
     if n_channels not in (1, 2):
         raise NotImplementedError(f"MS ADPCM with {n_channels} channels")
+    if block_align < 7 * n_channels + 1:
+        raise ValueError(f"MS ADPCM block_align {block_align} too small")
     raw = np.frombuffer(data, dtype=np.uint8)
     nblocks = len(raw) // block_align
     if nblocks == 0:

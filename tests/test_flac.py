@@ -338,9 +338,10 @@ def test_wav_bit_depths_and_float():
         _wav(0xFFFE, 32, 8000, f.tobytes(), extensible_sub=3)
     )
     assert np.abs(pcm.astype(int) - x.astype(int)).max() <= 1
-    # truly compressed stays gated
+    # truly compressed stays gated (fmt 2/6/7/0x11 decode for real now —
+    # GSM 6.10 is the remaining honest gate)
     with pytest.raises(NotImplementedError, match="compressed WAV"):
-        wav_decode(_wav(2, 4, 8000, b"\x00" * 64))  # ADPCM
+        wav_decode(_wav(0x31, 0, 8000, b"\x00" * 64))  # GSM 6.10
 
 
 def test_24bit_flac_scales_to_int16():
