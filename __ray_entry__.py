@@ -630,6 +630,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _images("grid"), _cfg("grid", join_strategy="cell_join")
         ).sort(["tile_id", "seq"])
 
+    def q_pca_embed(sf_dir: str):  # rows-only (eigendecomposition)
+        # sample-fit PCA + distributed projection (broadcast components)
+        from moaray.ops.ann import pca_embed
+
+        def mk():
+            return _rpc(f"{sf_dir}/embeddings.parquet",
+                        ["vec_id", "embedding"])
+
+        return pca_embed(mk, k=4).sort("vec_id")
+
     def q_proximity(sf_dir: str):  # rows-only (pixel op, non-SQL)
         # gdal_proximity analog: exact bounded Euclidean distance raster
         # on the halo stencil; summarize to per-tile stats rows
@@ -1630,6 +1640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_spectral": q_audio_spectral,
         "doc_bpe_trained": q_doc_bpe_trained,
         "proximity_raster": q_proximity,
+        "pca_embed": q_pca_embed,
     }
 
 

@@ -744,3 +744,70 @@ def knn_ivf_pq(
     return partial.groupby("query_id").map_groups(
         merge_topk, batch_format="pyarrow"
     )
+
+
+def pca_fit_sample(emb_ds, k: int, sample_limit: int = 65_536,
+                   hex_lt: str = "ff"):
+    """PCA fit on a bounded deterministic hash-sample (the kmeans_fit_sample
+    protocol): returns (mean, components[k, d]) from the eigendecomposition
+    of the d x d sample covariance — a driver-local O(sample * d + d^3)
+    problem regardless of corpus size. Component signs are fixed so the
+    largest-|coefficient| entry is positive (deterministic orientation);
+    rows are ordered by descending eigenvalue."""
+    from .text import hash_sample
+
+    rows = (
+        hash_sample(emb_ds, "vec_id", hex_lt=hex_lt,
+                    columns=["vec_id", "embedding"])
+        .limit(sample_limit)
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    mat = np.array([r["embedding"] for r in rows], np.float64)
+    mean = mat.mean(axis=0)
+    xc = mat - mean
+    cov = (xc.T @ xc) / max(len(mat) - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    # deterministic sign: largest-|coeff| entry positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps
+
+
+def pca_project(emb_ds, mean: np.ndarray, comps: np.ndarray,
+                ndigits: int = 6):
+    """Distributed projection pass: (vec_id, proj list<float>) = centered
+    embedding @ components^T per batch (one matmul; mean/components ride
+    as broadcast refs)."""
+    import ray
+
+    mean_ref = ray.put(np.asarray(mean, np.float64))
+    comps_ref = ray.put(np.asarray(comps, np.float64))
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = ray.get(mean_ref)
+        c = ray.get(comps_ref)
+        x = emb_matrix(batch["embedding"]) - m
+        proj = np.round(x @ c.T, ndigits)
+        return pa.table({
+            "vec_id": batch["vec_id"].cast(pa.int64()),
+            "proj": pa.array(list(proj), pa.list_(pa.float64())),
+        })
+
+    return emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        project, batch_format="pyarrow"
+    )
+
+
+def pca_embed(emb_ds_factory, k: int = 8, sample_limit: int = 65_536,
+              hex_lt: str = "ff"):
+    """Sample-fit + project in one call; ``emb_ds_factory`` builds the
+    dataset twice (once for the bounded sample read, once for the full
+    projection scan) so the sample read never pins the full plan."""
+    mean, comps = pca_fit_sample(emb_ds_factory(), k,
+                                 sample_limit=sample_limit, hex_lt=hex_lt)
+    return pca_project(emb_ds_factory(), mean, comps)

@@ -1564,3 +1564,38 @@ def test_bpe_train_and_tokenize(ray_session):
     # merged tokens really fire: strictly below raw byte count overall
     assert (sum(r["n_bpe_tokens"] for r in out)
             < sum(byte_len.values()))
+
+
+def test_pca_sample_fit_and_project(ray_session):
+    import pyarrow.parquet as pq
+
+    from moaray.ops.ann import pca_embed, pca_fit_sample, pca_project
+
+    def mk():
+        return ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                     columns=["vec_id", "embedding"])
+
+    # full-corpus "sample" (hex_lt ff keeps everything) == direct numpy PCA
+    mean, comps = pca_fit_sample(mk(), k=4, hex_lt="zz")
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    order = np.argsort(t["vec_id"].to_numpy())
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)[order]
+    assert np.allclose(mean, mat.mean(axis=0))
+    # orthonormal components
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-10)
+    xc = mat - mat.mean(axis=0)
+    cov = (xc.T @ xc) / (len(mat) - 1)
+    ev, evec = np.linalg.eigh(cov)
+    top = evec[:, np.argsort(ev)[::-1][:4]].T
+    for i in range(4):
+        j = int(np.argmax(np.abs(top[i])))
+        if top[i, j] < 0:
+            top[i] = -top[i]
+    assert np.allclose(comps, top, atol=1e-9)
+    # projected variance is in decreasing order and matches eigenvalues
+    out = pca_embed(mk, k=4, hex_lt="zz").take_all()
+    P = np.array([r["proj"] for r in sorted(out, key=lambda r: r["vec_id"])])
+    var = P.var(axis=0, ddof=1)
+    assert (np.diff(var) <= 1e-9).all()
+    assert np.allclose(var, np.sort(ev)[::-1][:4], rtol=1e-3)
