@@ -630,6 +630,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _images("grid"), _cfg("grid", join_strategy="cell_join")
         ).sort(["tile_id", "seq"])
 
+    def q_image_exif_census(sf_dir: str):  # rows-only (metadata census)
+        # camera-metadata census over a jpeg catalog (APP1 TIFF-IFD parse,
+        # zero pixel decode); fixtures carry spliced EXIF segments
+        import numpy as _np
+
+        from moaray import exif as _exif
+        from moaray.jpeg import jpeg_encode as _jenc
+        from moaray.ops.multimodal import image_exif_census
+
+        arr = _np.tile(_np.arange(48, dtype=_np.uint8), (48, 1))
+        jb = _jenc(arr, quality=90)
+        rows = []
+        for k in range(12):
+            fields = {"make": f"Cam{k % 3}", "model": "MX",
+                      "orientation": 1 + (k % 8),
+                      "datetime": f"2024:01:{k + 1:02d} 00:00:00",
+                      "iso": 100 * (1 + k % 4)}
+            endian = "<" if k % 2 == 0 else ">"
+            rows.append({
+                "image_id": f"x{k:02d}",
+                "bytes": _exif.splice_app1(
+                    jb, _exif.build_exif_app1(fields, endian)),
+                "fmt": "jpeg",
+            })
+        rows.append({"image_id": "plain", "bytes": jb, "fmt": "jpeg"})
+        import ray.data as _rd
+
+        return image_exif_census(
+            _rd.from_items(rows), concurrency=(1, 2)
+        ).sort("image_id")
+
     def q_pca_embed(sf_dir: str):  # rows-only (eigendecomposition)
         # sample-fit PCA + distributed projection (broadcast components)
         from moaray.ops.ann import pca_embed
@@ -1641,6 +1672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_trained": q_doc_bpe_trained,
         "proximity_raster": q_proximity,
         "pca_embed": q_pca_embed,
+        "image_exif_census": q_image_exif_census,
     }
 
 

@@ -1231,3 +1231,75 @@ def video_metadata(videos_ds, *, concurrency=(1, 8), batch_size: int = 16,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class ImageExifCensus:
+    """Actor-pool stage: EXIF camera metadata per image WITHOUT pixel
+    decode (moaray.exif: JPEG marker walk -> APP1 TIFF-IFD parse) — the
+    provenance census an image corpus runs before dedup/filtering.
+    Non-JPEG rows and JPEGs without APP1 report has_exif=False."""
+
+    _COLS = ("make", "model", "orientation", "datetime",
+             "datetime_original", "exposure_s", "f_number", "iso",
+             "focal_mm")
+
+    def __init__(self, errors: str = "raise"):
+        self.errors = _check_errors(errors)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..exif import exif_probe
+
+        rows = {"image_id": [], "has_exif": []}
+        rows.update({c: [] for c in self._COLS})
+        for i in range(batch.num_rows):
+            fmt = batch["fmt"][i].as_py()
+            try:
+                info = ({"has_exif": False} if fmt not in ("jpeg", "jpg")
+                        else exif_probe(bytes(batch["bytes"][i].as_py())))
+            except NotImplementedError:
+                raise
+            except Exception as exc:
+                if self.errors != "skip":
+                    raise
+                _log_skip("image_exif", batch["image_id"][i].as_py(), exc)
+                continue
+            rows["image_id"].append(batch["image_id"][i].as_py())
+            rows["has_exif"].append(bool(info.get("has_exif")))
+            for c in self._COLS:
+                rows[c].append(info.get(c))
+        return pa.Table.from_pydict({
+            "image_id": pa.array(rows["image_id"], pa.string()),
+            "has_exif": pa.array(rows["has_exif"], pa.bool_()),
+            "make": pa.array(rows["make"], pa.string()),
+            "model": pa.array(rows["model"], pa.string()),
+            "orientation": pa.array(
+                [None if v is None else int(v)
+                 for v in rows["orientation"]], pa.int32()),
+            "datetime": pa.array(rows["datetime"], pa.string()),
+            "datetime_original": pa.array(rows["datetime_original"],
+                                          pa.string()),
+            "exposure_s": pa.array(
+                [None if v is None else float(v)
+                 for v in rows["exposure_s"]], pa.float64()),
+            "f_number": pa.array(
+                [None if v is None else float(v)
+                 for v in rows["f_number"]], pa.float64()),
+            "iso": pa.array(
+                [None if v is None else int(v)
+                 for v in rows["iso"]], pa.int32()),
+            "focal_mm": pa.array(
+                [None if v is None else float(v)
+                 for v in rows["focal_mm"]], pa.float64()),
+        })
+
+
+def image_exif_census(images_ds, *, concurrency=(1, 8),
+                      batch_size: int = 64, errors: str = "raise"):
+    return images_ds.map_batches(
+        ImageExifCensus,
+        fn_constructor_args=(errors,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1599,3 +1599,42 @@ def test_pca_sample_fit_and_project(ray_session):
     var = P.var(axis=0, ddof=1)
     assert (np.diff(var) <= 1e-9).all()
     assert np.allclose(var, np.sort(ev)[::-1][:4], rtol=1e-3)
+
+
+def test_image_exif_census(ray_session):
+    import pyarrow as _pa
+
+    from moaray import codecs, exif
+    from moaray.jpeg import jpeg_decode, jpeg_encode
+    from moaray.ops.multimodal import image_exif_census
+
+    arr = np.tile(np.arange(32, dtype=np.uint8), (32, 1))
+    jb = jpeg_encode(arr, quality=90)
+    fields = {"make": "MoaCam", "model": "MX-1", "orientation": 6,
+              "datetime": "2024:01:02 03:04:05",
+              "datetime_original": "2024:01:02 03:04:00",
+              "exposure_s": (1, 125), "f_number": (28, 10), "iso": 200,
+              "focal_mm": (35, 1), "pixel_x": 32, "pixel_y": 32}
+    rows = []
+    for endian, iid in (("<", "le"), (">", "be")):
+        jb2 = exif.splice_app1(jb, exif.build_exif_app1(fields, endian))
+        # APP1 must be transparent to the pixel decoder
+        assert np.array_equal(jpeg_decode(jb2), jpeg_decode(jb))
+        rows.append({"image_id": iid, "bytes": jb2, "fmt": "jpeg"})
+    rows.append({"image_id": "noexif", "bytes": jb, "fmt": "jpeg"})
+    rows.append({"image_id": "png",
+                 "bytes": codecs.png_encode(arr), "fmt": "png"})
+    ds = ray.data.from_items(rows)
+    out = {r["image_id"]: r
+           for r in image_exif_census(ds, concurrency=(1, 2)).take_all()}
+    for iid in ("le", "be"):
+        r = out[iid]
+        assert r["has_exif"] and r["make"] == "MoaCam"
+        assert r["model"] == "MX-1" and r["orientation"] == 6
+        assert r["datetime_original"] == "2024:01:02 03:04:00"
+        assert abs(r["exposure_s"] - 0.008) < 1e-12
+        assert abs(r["f_number"] - 2.8) < 1e-12
+        assert r["iso"] == 200 and r["focal_mm"] == 35.0
+    assert out["noexif"]["has_exif"] is False
+    assert out["png"]["has_exif"] is False
+    assert out["noexif"]["make"] is None
