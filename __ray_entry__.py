@@ -630,6 +630,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _images("grid"), _cfg("grid", join_strategy="cell_join")
         ).sort(["tile_id", "seq"])
 
+    def q_image_augment(sf_dir: str):  # rows-only (pixel transform)
+        # deterministic augmentation pass over the standard image fixtures
+        # (hash-of-id policies belong to the caller; this exercises the
+        # geometry + intensity kernels and catalog-schema round-trip)
+        from moaray.ops.multimodal import image_augment
+        from moaray.pipelines.mosaic import read_images
+
+        ds = read_images(_images("grid"),
+                         ["image_id", "bytes", "w", "h", "fmt"])
+        return image_augment(
+            ds, [("hflip",), ("crop", 0, 0, 48, 48),
+                 ("brightness", 5.0)],
+            concurrency=(1, 2),
+        ).select_columns(["image_id", "w", "h", "fmt"]).sort("image_id")
+
     def q_image_exif_census(sf_dir: str):  # rows-only (metadata census)
         # camera-metadata census over a jpeg catalog (APP1 TIFF-IFD parse,
         # zero pixel decode); fixtures carry spliced EXIF segments
@@ -1673,6 +1688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_raster": q_proximity,
         "pca_embed": q_pca_embed,
         "image_exif_census": q_image_exif_census,
+        "image_augment": q_image_augment,
     }
 
 

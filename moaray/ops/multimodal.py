@@ -1303,3 +1303,102 @@ def image_exif_census(images_ds, *, concurrency=(1, 8),
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class ImageAugment:
+    """Actor-pool stage: deterministic per-image augmentation — the
+    flip/rotate/crop/brightness pass a vision training pipeline runs.
+
+    ``ops`` is an ordered list applied left to right; supported:
+    ("hflip",), ("vflip",), ("rot90", k), ("crop", top, left, h, w),
+    ("brightness", delta), ("contrast", factor), ("gamma", g).
+    Intensity ops clip to the dtype range (uint8/uint16) and operate in
+    float64 internally. Output re-encodes with the input's own codec so
+    augmented rows are drop-in catalog rows (same schema).
+
+    Determinism: no RNG here — randomized policies belong to the CALLER
+    (derive op parameters from a hash of image_id so reruns and resumes
+    produce identical corpora; see the docstring of cap_per_key for the
+    same principle)."""
+
+    def __init__(self, ops, errors: str = "raise"):
+        self.ops = list(ops)
+        self.errors = _check_errors(errors)
+        for op in self.ops:
+            if op[0] not in ("hflip", "vflip", "rot90", "crop",
+                             "brightness", "contrast", "gamma"):
+                raise ValueError(f"unknown augment op {op[0]!r}")
+
+    def _apply(self, arr: np.ndarray) -> np.ndarray:
+        dtype = arr.dtype
+        info = (np.iinfo(dtype) if np.issubdtype(dtype, np.integer)
+                else None)
+        for op in self.ops:
+            kind = op[0]
+            if kind == "hflip":
+                arr = arr[:, ::-1]
+            elif kind == "vflip":
+                arr = arr[::-1]
+            elif kind == "rot90":
+                arr = np.rot90(arr, k=int(op[1]), axes=(0, 1))
+            elif kind == "crop":
+                top, left, h, w = (int(v) for v in op[1:])
+                arr = arr[top: top + h, left: left + w]
+            else:
+                x = arr.astype(np.float64)
+                if kind == "brightness":
+                    x = x + float(op[1])
+                elif kind == "contrast":
+                    mid = (info.max + 1) / 2.0 if info else x.mean()
+                    x = (x - mid) * float(op[1]) + mid
+                else:  # gamma on the normalized range
+                    top = float(info.max) if info else max(x.max(), 1e-9)
+                    x = ((x / top) ** float(op[1])) * top
+                if info:
+                    x = np.clip(np.rint(x), info.min, info.max)
+                arr = x.astype(dtype)
+        return np.ascontiguousarray(arr)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": []}
+        for i in range(batch.num_rows):
+            fmt = batch["fmt"][i].as_py()
+            try:
+                arr = codecs.decode(batch["bytes"][i].as_py(), fmt)
+                out = self._apply(arr)
+                enc_fmt = fmt if fmt != "jpeg" else "jpeg"
+                blob = codecs.encode(out, enc_fmt)
+            except NotImplementedError:
+                raise
+            except Exception as exc:
+                if self.errors != "skip":
+                    raise
+                _log_skip("image_augment", batch["image_id"][i].as_py(),
+                          exc)
+                continue
+            rows["image_id"].append(batch["image_id"][i].as_py())
+            rows["bytes"].append(blob)
+            rows["h"].append(out.shape[0])
+            rows["w"].append(out.shape[1])
+            rows["fmt"].append(enc_fmt)
+        return pa.table({
+            "image_id": pa.array(rows["image_id"], pa.string()),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "w": pa.array(rows["w"], pa.int32()),
+            "h": pa.array(rows["h"], pa.int32()),
+            "fmt": pa.array(rows["fmt"], pa.string()),
+        })
+
+
+def image_augment(images_ds, ops, *, concurrency=(1, 8),
+                  batch_size: int = 16, errors: str = "raise"):
+    """Augmented catalog rows (same schema) for a list of deterministic
+    ops — see ImageAugment."""
+    return images_ds.map_batches(
+        ImageAugment,
+        fn_constructor_args=(ops, errors),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1638,3 +1638,38 @@ def test_image_exif_census(ray_session):
     assert out["noexif"]["has_exif"] is False
     assert out["png"]["has_exif"] is False
     assert out["noexif"]["make"] is None
+
+
+def test_image_augment_geometry_and_intensity(ray_session):
+    from moaray import codecs
+    from moaray.ops.multimodal import image_augment
+
+    rng = np.random.default_rng(8)
+    arr = rng.integers(10, 240, (24, 32), dtype=np.uint16)
+    rows = [{"image_id": "a", "bytes": codecs.encode(arr, "png"),
+             "fmt": "png", "w": 32, "h": 24}]
+    ds = ray.data.from_items(rows)
+
+    def run(ops):
+        out = image_augment(ds, ops, concurrency=(1, 1)).take_all()[0]
+        return codecs.decode(out["bytes"], out["fmt"]), out
+
+    got, meta = run([("hflip",)])
+    assert np.array_equal(got, arr[:, ::-1])
+    got, _ = run([("vflip",), ("rot90", 1)])
+    assert np.array_equal(got, np.rot90(arr[::-1], 1))
+    got, meta = run([("crop", 2, 3, 10, 20)])
+    assert np.array_equal(got, arr[2:12, 3:23])
+    assert meta["h"] == 10 and meta["w"] == 20
+    # involution: double hflip is identity (lossless codec)
+    got, _ = run([("hflip",), ("hflip",)])
+    assert np.array_equal(got, arr)
+    # brightness shifts the mean by ~delta (no clipping in range)
+    got, _ = run([("brightness", 500.0)])
+    assert np.array_equal(got, arr + 500)
+    # contrast 1.0 and gamma 1.0 are identities
+    got, _ = run([("contrast", 1.0), ("gamma", 1.0)])
+    assert np.array_equal(got, arr)
+    # clipping respects dtype bounds
+    got, _ = run([("brightness", 1e6)])
+    assert (got == np.iinfo(np.uint16).max).all()
