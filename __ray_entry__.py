@@ -630,6 +630,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _images("grid"), _cfg("grid", join_strategy="cell_join")
         ).sort(["tile_id", "seq"])
 
+    def q_doc_bloom_filter(sf_dir: str):  # rows-only (sketch membership)
+        # Bloom build over doc texts + self-probe (all 'hits') and a
+        # disjoint probe (all 'misses' minus FP) — the scale path for
+        # membership pre-filters when the set can't broadcast as values
+        from moaray.ops.sketch import bloom_build, bloom_probe
+
+        docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+        bits, k = bloom_build(docs, "text", m_bits=1 << 17, k=5)
+        return bloom_probe(
+            _docs(sf_dir).select_columns(["doc_id", "text"]),
+            "text", bits, k, keep="hits",
+        ).select_columns(["doc_id"]).sort("doc_id")
+
     def q_image_augment(sf_dir: str):  # rows-only (pixel transform)
         # deterministic augmentation pass over the standard image fixtures
         # (hash-of-id policies belong to the caller; this exercises the
@@ -1689,6 +1702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embed": q_pca_embed,
         "image_exif_census": q_image_exif_census,
         "image_augment": q_image_augment,
+        "doc_bloom_filter": q_doc_bloom_filter,
     }
 
 

@@ -307,3 +307,94 @@ def grouped_quantile_sketch(
         .groupby("group")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: distributed build + broadcast probe
+
+
+def _bloom_hashes(values, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit indices via double hashing h1 + i*h2 (Kirsch-
+    Mitzenmacher); values may be a pyarrow string array or an int64
+    numpy array."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)) and pa.types.is_string(
+            values.type):
+        from .text import _fnv1a64_strings
+
+        base = _fnv1a64_strings(values).astype(np.uint64)
+    else:
+        if isinstance(values, (pa.Array, pa.ChunkedArray)):
+            values = values.to_numpy(zero_copy_only=False)
+        base = np.asarray(values).astype(np.uint64)
+    h1 = _hash64(base)
+    h2 = _hash64(base ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        idx = (h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)
+    return idx.astype(np.int64)
+
+
+def _bloom_set(bits: np.ndarray, idx: np.ndarray) -> None:
+    flat = idx.ravel()
+    np.bitwise_or.at(bits, flat >> 3,
+                     (1 << (flat & 7)).astype(np.uint8))
+
+
+def _bloom_test(bits: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    flat = idx.ravel()
+    hit = (bits[flat >> 3] >> (flat & 7).astype(np.uint8)) & 1
+    return hit.reshape(idx.shape).all(axis=1)
+
+
+def bloom_build(ds, value_col: str, m_bits: int = 1 << 20, k: int = 5):
+    """Distributed Bloom-filter build: each batch emits ONE packed
+    m_bits/8-byte partial, the driver ORs the partials — the bounded
+    "ship sketches, never values" shape (a 1M-bit filter is 128 KB per
+    block partial regardless of how many values the block held).
+
+    Returns (bits uint8[m_bits/8], k). The canonical use is membership
+    pre-filtering when the reference set is too big to broadcast as raw
+    values (e.g. benchmark n-grams for decontamination)."""
+    if m_bits % 8:
+        raise ValueError("m_bits must be a multiple of 8")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        col = batch[value_col]
+        if len(col):
+            _bloom_set(bits, _bloom_hashes(col.combine_chunks()
+                                           if isinstance(col, pa.ChunkedArray)
+                                           else col, m_bits, k))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    out = np.zeros(m_bits // 8, dtype=np.uint8)
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        out |= np.frombuffer(r["bits"], dtype=np.uint8)
+    return out, k
+
+
+def bloom_probe(ds, value_col: str, bits: np.ndarray, k: int,
+                keep: str = "hits"):
+    """Broadcast-probe stage: keep rows whose value is ('hits') or is NOT
+    ('misses') possibly-in-the-filter. No false negatives: 'misses' rows
+    are GUARANTEED absent from the build set (the safe side for
+    decontamination: drop every possible hit)."""
+    import ray
+
+    if keep not in ("hits", "misses"):
+        raise ValueError("keep must be 'hits' or 'misses'")
+    m_bits = len(bits) * 8
+    bits_ref = ray.put(np.asarray(bits, dtype=np.uint8))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)
+        col = batch[value_col]
+        if not len(col):
+            return batch
+        hit = _bloom_test(b, _bloom_hashes(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+            else col, m_bits, k))
+        mask = hit if keep == "hits" else ~hit
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(probe, batch_format="pyarrow")

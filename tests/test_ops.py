@@ -1673,3 +1673,40 @@ def test_image_augment_geometry_and_intensity(ray_session):
     # clipping respects dtype bounds
     got, _ = run([("brightness", 1e6)])
     assert (got == np.iinfo(np.uint16).max).all()
+
+
+def test_bloom_build_probe(ray_session):
+    from moaray.ops.sketch import bloom_build, bloom_probe
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"]).repartition(6)
+    bits, k = bloom_build(ds, "text", m_bits=1 << 17, k=5)
+    # no false negatives: every inserted text hits
+    hits = bloom_probe(
+        ray.data.read_parquet(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text"]),
+        "text", bits, k, keep="hits",
+    ).count()
+    assert hits == 500
+    # false positives on a disjoint probe set stay near theory
+    import pyarrow as _pa
+
+    probe_rows = [{"doc_id": i, "text": f"definitely-not-present-{i}"}
+                  for i in range(20000)]
+    fp = bloom_probe(ray.data.from_items(probe_rows), "text", bits, k,
+                     keep="hits").count()
+    n_distinct = 500  # <= inserted values
+    m, kk = float(1 << 17), 5
+    theory = (1 - np.exp(-kk * n_distinct / m)) ** kk
+    assert fp / 20000 <= max(theory * 50, 1e-3)
+    # 'misses' is the exact complement
+    miss = bloom_probe(ray.data.from_items(probe_rows), "text", bits, k,
+                       keep="misses").count()
+    assert fp + miss == 20000
+    # int64 columns work too
+    bits2, k2 = bloom_build(ds, "doc_id", m_bits=1 << 16, k=4)
+    assert bloom_probe(
+        ray.data.read_parquet(f"{SF}/documents.parquet",
+                              columns=["doc_id"]),
+        "doc_id", bits2, k2, keep="hits",
+    ).count() == 500
