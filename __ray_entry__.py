@@ -630,6 +630,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _images("grid"), _cfg("grid", join_strategy="cell_join")
         ).sort(["tile_id", "seq"])
 
+    def q_events_profile(sf_dir: str):  # rows-only (HLL estimates)
+        # per-column profiling census (nulls, min/max/mean, HLL distinct)
+        from moaray.ops.sketch import dataset_profile
+
+        return dataset_profile(
+            _rpc(f"{sf_dir}/events.parquet",
+                 ["event_id", "user_id", "event_type", "value"])
+        ).sort("column")
+
     def q_doc_bloom_filter(sf_dir: str):  # rows-only (sketch membership)
         # Bloom build over doc texts + self-probe (all 'hits') and a
         # disjoint probe (all 'misses' minus FP) — the scale path for
@@ -1703,6 +1712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_exif_census": q_image_exif_census,
         "image_augment": q_image_augment,
         "doc_bloom_filter": q_doc_bloom_filter,
+        "events_profile": q_events_profile,
     }
 
 

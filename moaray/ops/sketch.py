@@ -398,3 +398,108 @@ def bloom_probe(ds, value_col: str, bits: np.ndarray, k: int,
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def dataset_profile(ds, columns=None):
+    """Per-column profiling census — the data-quality pass a pipeline
+    runs before training on a new table: (column, dtype, n_rows, n_null,
+    distinct_est, min, max, mean) with numeric min/max/mean exact and
+    distinct counting via the HLL registers (fixed-size partials only
+    cross the shuffle).
+
+    Strings profile length stats for min/max/mean and hash into the HLL;
+    other non-numeric types profile null/distinct only.
+    """
+    import pyarrow.compute as pc
+
+    from .text import _fnv1a64_strings
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = columns or batch.column_names
+        out = {"column": [], "dtype": [], "n_rows": [], "n_null": [],
+               "regs": [], "vmin": [], "vmax": [], "vsum": [],
+               "vcount": []}
+        for name in cols:
+            col = batch[name]
+            arr = col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col
+            n = len(arr)
+            n_null = arr.null_count
+            t = arr.type
+            vmin = vmax = float("nan")
+            vsum = 0.0
+            vcount = 0
+            regs = np.zeros(_HLL_M, dtype=np.uint8)
+            valid = arr.drop_null()
+            if len(valid):
+                if pa.types.is_string(t):
+                    lens = pc.utf8_length(valid).to_numpy().astype(
+                        np.float64)
+                    vmin, vmax = float(lens.min()), float(lens.max())
+                    vsum, vcount = float(lens.sum()), len(lens)
+                    hashed = _fnv1a64_strings(valid)
+                    regs = _hll_registers(hashed)
+                elif (pa.types.is_integer(t) or pa.types.is_floating(t)
+                        or pa.types.is_timestamp(t)):
+                    if pa.types.is_timestamp(t):
+                        v = valid.cast(pa.int64()).to_numpy().astype(
+                            np.float64)
+                        hv = valid.cast(pa.int64()).to_numpy()
+                    else:
+                        v = valid.to_numpy(zero_copy_only=False).astype(
+                            np.float64)
+                        hv = v.astype(np.int64, copy=True)
+                    v = v[~np.isnan(v)]
+                    if len(v):
+                        vmin, vmax = float(v.min()), float(v.max())
+                        vsum, vcount = float(v.sum()), len(v)
+                        regs = _hll_registers(hv[~np.isnan(
+                            hv.astype(np.float64))].astype(np.int64))
+                # other types: null/row counts only
+            out["column"].append(name)
+            out["dtype"].append(str(t))
+            out["n_rows"].append(n)
+            out["n_null"].append(n_null)
+            out["regs"].append(regs.tobytes())
+            out["vmin"].append(vmin)
+            out["vmax"].append(vmax)
+            out["vsum"].append(vsum)
+            out["vcount"].append(vcount)
+        return pa.table({
+            "column": pa.array(out["column"], pa.string()),
+            "dtype": pa.array(out["dtype"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_null": pa.array(out["n_null"], pa.int64()),
+            "regs": pa.array(out["regs"], pa.binary()),
+            "vmin": pa.array(out["vmin"], pa.float64()),
+            "vmax": pa.array(out["vmax"], pa.float64()),
+            "vsum": pa.array(out["vsum"], pa.float64()),
+            "vcount": pa.array(out["vcount"], pa.int64()),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        regs = np.zeros(_HLL_M, dtype=np.uint8)
+        for r in group["regs"].to_pylist():
+            regs = np.maximum(regs, np.frombuffer(r, dtype=np.uint8))
+        import pyarrow.compute as pc2
+
+        vmin = group["vmin"].to_numpy()
+        vmax = group["vmax"].to_numpy()
+        vmin = vmin[~np.isnan(vmin)]
+        vmax = vmax[~np.isnan(vmax)]
+        vcount = int(pc2.sum(group["vcount"]).as_py() or 0)
+        vsum = float(pc2.sum(group["vsum"]).as_py() or 0.0)
+        any_dist = int(round(_hll_estimate(regs))) if regs.any() else 0
+        return pa.table({
+            "column": [group["column"][0].as_py()],
+            "dtype": [group["dtype"][0].as_py()],
+            "n_rows": [int(pc2.sum(group["n_rows"]).as_py())],
+            "n_null": [int(pc2.sum(group["n_null"]).as_py())],
+            "distinct_est": pa.array([any_dist], pa.int64()),
+            "min": [float(vmin.min()) if len(vmin) else None],
+            "max": [float(vmax.max()) if len(vmax) else None],
+            "mean": [round(vsum / vcount, 6) if vcount else None],
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "column").map_groups(merge, batch_format="pyarrow")

@@ -1710,3 +1710,29 @@ def test_bloom_build_probe(ray_session):
                               columns=["doc_id"]),
         "doc_id", bits2, k2, keep="hits",
     ).count() == 500
+
+
+def test_dataset_profile(ray_session):
+    import pyarrow.parquet as pq
+
+    from moaray.ops.sketch import dataset_profile
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet").repartition(5)
+    rows = {r["column"]: r for r in dataset_profile(ds).take_all()}
+    t = pq.read_table(f"{SF}/events.parquet")
+    assert set(rows) == set(t.schema.names)
+    ev = rows["value"]
+    v = t["value"].to_numpy()
+    assert ev["n_rows"] == len(t) and ev["n_null"] == 0
+    assert ev["min"] == float(v.min()) and ev["max"] == float(v.max())
+    assert abs(ev["mean"] - v.mean()) < 1e-4
+    # HLL distinct within 5% on user_id
+    uid = rows["user_id"]
+    true_d = len(np.unique(t["user_id"].to_numpy()))
+    assert abs(uid["distinct_est"] - true_d) <= max(3, 0.05 * true_d)
+    # string column: length stats + distinct
+    et = rows["event_type"]
+    lens = np.array([len(s) for s in t["event_type"].to_pylist()])
+    assert et["min"] == lens.min() and et["max"] == lens.max()
+    true_types = len(set(t["event_type"].to_pylist()))
+    assert abs(et["distinct_est"] - true_types) <= 1
