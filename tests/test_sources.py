@@ -192,3 +192,46 @@ def test_gif_bmp_file_ingest(ray_session, tmp_path):
         # each image's region equals its own channel plane exactly
         assert np.array_equal(band[:64, :64], imgs[0][:, :, b])
         assert np.array_equal(band[:64, 64:128], imgs[1][:, :, b])
+
+
+def test_read_documents_formats(ray_session, tmp_path):
+    """parquet / jsonl / jsonl.gz / csv document ingestion all produce the
+    same rows, and the text ops run identically on each."""
+    import gzip
+    import json
+
+    import pyarrow.parquet as pq
+
+    from moaray.ops.text import token_count_batch
+    from moaray.sources.docs import read_documents
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"]).slice(0, 50)
+    rows = t.to_pylist()
+
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    jgz = tmp_path / "docs.jsonl.gz"
+    with gzip.open(jgz, "wt") as f:
+        f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+    cs = tmp_path / "docs.csv"
+    import csv as _csv
+
+    with open(cs, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["doc_id", "text"])
+        w.writeheader()
+        w.writerows(rows)
+    pqd = tmp_path / "docs.parquet"
+    pq.write_table(t, pqd)
+
+    def counted(path):
+        ds = read_documents(str(path), columns=["doc_id", "text"])
+        out = ds.map_batches(token_count_batch,
+                             batch_format="pyarrow").take_all()
+        return sorted((r["doc_id"], r["n_tokens"]) for r in out)
+
+    base = counted(pqd)
+    assert len(base) == 50
+    assert counted(jl) == base
+    assert counted(jgz) == base
+    assert counted(cs) == base
