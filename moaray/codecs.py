@@ -99,6 +99,10 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         # png also accepts (h, w, 3|4) color arrays (shared-payload band
         # rows, same contract as color jpeg)
         return png_encode(arr)
+    if fmt == "qoi":
+        from .qoi import qoi_encode
+
+        return qoi_encode(arr)
     if arr.ndim != 2:
         raise ValueError(f"expected a 2-D array, got shape {arr.shape}")
     dname = arr.dtype.newbyteorder("=").name
@@ -147,6 +151,9 @@ def probe_header(buf: bytes) -> tuple[str, int, int]:
     if bytes(buf[:2]) == BMP_SIG:
         w, h = struct.unpack_from("<ii", buf, 18)
         return ("bmp", abs(h), w)
+    if bytes(buf[:4]) == b"qoif":
+        w, h = struct.unpack_from(">II", buf, 4)
+        return ("qoi", h, w)
     if bytes(buf[:2]) in (b"P5", b"P6"):
         arr_hw = pnm_decode(buf).shape[:2]
         return ("pnm", arr_hw[0], arr_hw[1])
@@ -166,7 +173,8 @@ def header_dtype(buf: bytes) -> np.dtype:
 
         # 8-bit baseline -> uint8; 12-bit extended sequential -> uint16
         return np.dtype("uint8" if jpeg_precision(buf) == 8 else "uint16")
-    if bytes(buf[:6]) in GIF_SIGS or bytes(buf[:2]) == BMP_SIG:
+    if bytes(buf[:6]) in GIF_SIGS or bytes(buf[:2]) == BMP_SIG \
+            or bytes(buf[:4]) == b"qoif":
         return np.dtype("uint8")
     if bytes(buf[:2]) in (b"P5", b"P6"):
         return pnm_decode(buf).dtype
@@ -196,6 +204,12 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
         if fmt is not None and fmt != "bmp":
             raise ValueError(f"fmt column says {fmt!r}, payload is BMP")
         return bmp_decode(buf)
+    if bytes(buf[:4]) == b"qoif":
+        if fmt is not None and fmt != "qoi":
+            raise ValueError(f"fmt column says {fmt!r}, payload is QOI")
+        from .qoi import qoi_decode
+
+        return qoi_decode(buf)
     if bytes(buf[:2]) in (b"P5", b"P6"):
         if fmt is not None and fmt != "pnm":
             raise ValueError(f"fmt column says {fmt!r}, payload is PGM/PPM")

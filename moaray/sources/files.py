@@ -32,7 +32,7 @@ import pyarrow as pa
 from .. import codecs
 
 IMG_EXTS = (".png", ".jpg", ".jpeg", ".mray", ".tif", ".tiff",
-            ".gif", ".bmp", ".pgm", ".ppm")
+            ".gif", ".bmp", ".pgm", ".ppm", ".qoi")
 
 
 def _world_file_for(path: str) -> str | None:
@@ -135,8 +135,10 @@ def read_image_files(src, crs: str | None = None, nullval: float = 0.0):
                     )
                 # color containers (gif/bmp/color png-jpg) carry one shared
                 # payload per band row, plane-sliced at decode
-                nb = (codecs.decode(buf).shape[2]
-                      if ext in (".gif", ".bmp", ".ppm") else 1)
+                nb = 1
+                if ext in (".gif", ".bmp", ".ppm", ".qoi"):
+                    shp = codecs.decode(buf).shape
+                    nb = shp[2] if len(shp) == 3 else 1
                 payloads = (fmt, [buf] * nb, dtype, h, w)
             fmt, blobs, dtype, h, w = payloads
             for b, blob in enumerate(blobs):

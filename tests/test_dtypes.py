@@ -224,3 +224,55 @@ def test_mixed_format_catalog_bit_exact(ray_session):
     res_raw = do_mosaic(images_path(LAYOUT, fmts=("raw16",)), cfg)
     g_raw = mosaic_array(res_raw.tiles_ds, res_raw.grid)
     assert np.array_equal(g_mix, g_raw)
+
+
+def test_qoi_roundtrips_and_spec_semantics():
+    from moaray.qoi import _hash, qoi_decode, qoi_encode
+
+    rng = np.random.RandomState(7)
+    g = (rng.rand(37, 53) * 255).astype(np.uint8)
+    blob = codecs.encode(g, "qoi")
+    assert codecs.probe_header(blob) == ("qoi", 37, 53)
+    assert codecs.header_dtype(blob) == np.dtype("uint8")
+    assert np.array_equal(codecs.decode(blob), g)
+    # RGB and RGBA
+    c = (rng.rand(24, 31, 3) * 255).astype(np.uint8)
+    assert np.array_equal(qoi_decode(qoi_encode(c)), c)
+    c4 = (rng.rand(9, 11, 4) * 255).astype(np.uint8)
+    assert np.array_equal(qoi_decode(qoi_encode(c4)), c4)
+    # run/diff/luma-heavy content compresses and round-trips
+    flat = np.zeros((8, 200, 3), dtype=np.uint8)
+    flat[:, 100:, 0] = np.arange(100, dtype=np.uint8)
+    blob2 = qoi_encode(flat)
+    assert len(blob2) < flat.size // 4
+    assert np.array_equal(qoi_decode(blob2), flat)
+    # hand-built op stream pins spec semantics independent of our encoder
+    import struct
+
+    s = b"qoif" + struct.pack(">IIBB", 2, 2, 3, 0)
+    s += bytes((0xFE, 10, 20, 30))            # RGB
+    s += bytes((0xC0,))                        # RUN 1
+    s += bytes((0x40 | (3 << 4) | (3 << 2) | 3,))  # DIFF +1,+1,+1
+    s += bytes((_hash(10, 20, 30, 255),))      # INDEX -> first color
+    s += b"\x00" * 7 + b"\x01"
+    exp = np.array([[[10, 20, 30], [10, 20, 30]],
+                    [[11, 21, 31], [10, 20, 30]]], dtype=np.uint8)
+    assert np.array_equal(qoi_decode(s), exp)
+
+
+def test_qoi_mosaic_bit_exact_vs_raw(ray_session):
+    cfg = MosaicConfig(blocksize=64)
+    res_q = do_mosaic(
+        images_path(LAYOUT, fmts=("qoi",), explicit_meta=True,
+                    dtype="uint8"),
+        cfg,
+    )
+    g_qoi = mosaic_array(res_q.tiles_ds, res_q.grid)
+    res_raw = do_mosaic(
+        images_path(LAYOUT, fmts=("raw16",), explicit_meta=True,
+                    dtype="uint8"),
+        cfg,
+    )
+    g_raw = mosaic_array(res_raw.tiles_ds, res_raw.grid)
+    assert g_qoi.dtype == np.dtype("uint8")
+    assert np.array_equal(g_qoi, g_raw)
