@@ -107,10 +107,24 @@ class ComputePhash:
     threshold at the median -> 64 bits. Per-actor state is the
     precomputed 32-point DCT basis (built once in __init__)."""
 
-    def __init__(self, errors: str = "raise"):
+    def __init__(self, errors: str = "raise", dihedral: bool = False):
         self.errors = _check_errors(errors)
+        # dihedral=True: hash all 8 flip/rotation orientations of the
+        # 32x32 thumbnail and take the MIN — an orientation-invariant
+        # fingerprint (rotated/mirrored re-uploads of the same image
+        # collide, which plain phash misses)
+        self.dihedral = dihedral
         n, k = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
         self.basis = np.cos(np.pi * (2 * n + 1) * k / 64.0)  # [n, k]
+
+    def _hash_small(self, small: np.ndarray) -> int:
+        coef = self.basis.T @ small @ self.basis
+        low = coef[:8, :8].reshape(-1)[1:]
+        bits = low > np.median(low)
+        val = 0
+        for b in bits:
+            val = (val << 1) | int(b)
+        return val - (1 << 64) if val >= (1 << 63) else val
 
     def _one(self, arr: np.ndarray) -> int:
         if arr.ndim == 3:  # luma of color payloads
@@ -130,13 +144,16 @@ class ComputePhash:
         area = np.outer(np.maximum(np.diff(re), 1),
                         np.maximum(np.diff(ce), 1))
         small = blk / area
-        coef = self.basis.T @ small @ self.basis  # 2D DCT-II (unnormalized)
-        low = coef[:8, :8].reshape(-1)[1:]  # drop DC
-        bits = low > np.median(low)
-        val = 0
-        for b in bits:
-            val = (val << 1) | int(b)
-        return val - (1 << 64) if val >= (1 << 63) else val  # int64 range
+        if not self.dihedral:
+            return self._hash_small(small)
+        variants = []
+        for k in range(4):
+            rot = np.rot90(small, k)
+            variants.append(self._hash_small(np.ascontiguousarray(rot)))
+            variants.append(
+                self._hash_small(np.ascontiguousarray(rot[:, ::-1]))
+            )
+        return min(variants)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, hashes = [], []
@@ -161,13 +178,15 @@ class ComputePhash:
 
 
 def compute_phash(images_ds, *, concurrency=(1, 8), batch_size: int = 16,
-                  errors: str = "raise"):
+                  errors: str = "raise", dihedral: bool = False):
     """64-bit perceptual hashes for an image catalog (columns image_id /
     bytes / fmt). Output schema matches the input-table contract's phash
-    column, so it composes directly with dedup.phash_neardup_pairs."""
+    column, so it composes directly with dedup.phash_neardup_pairs.
+    ``dihedral=True`` makes the hash flip/rotation-invariant (min over
+    the 8 thumbnail orientations)."""
     return images_ds.map_batches(
         ComputePhash,
-        fn_constructor_args=(errors,),
+        fn_constructor_args=(errors, dihedral),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

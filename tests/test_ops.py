@@ -1736,3 +1736,44 @@ def test_dataset_profile(ray_session):
     assert et["min"] == lens.min() and et["max"] == lens.max()
     true_types = len(set(t["event_type"].to_pylist()))
     assert abs(et["distinct_est"] - true_types) <= 1
+
+
+def test_compute_phash_dihedral_invariance(ray_session):
+    from moaray import codecs
+    from moaray.ops.multimodal import ComputePhash
+    import pyarrow as _pa
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 255, (64, 64), dtype=np.uint16)
+    # an asymmetric image (so plain phash differs across orientations)
+    base[:16, :40] = 10
+    variants = {
+        "orig": base,
+        "hflip": base[:, ::-1],
+        "vflip": base[::-1],
+        "rot90": np.rot90(base, 1),
+        "rot270_flip": np.rot90(base, 3)[:, ::-1],
+    }
+    tbl = _pa.table({
+        "image_id": _pa.array(list(variants), _pa.string()),
+        "bytes": _pa.array([codecs.encode(np.ascontiguousarray(v), "z16")
+                            for v in variants.values()], _pa.binary()),
+        "fmt": _pa.array(["z16"] * len(variants), _pa.string()),
+    })
+    plain = ComputePhash()(tbl)
+    dih = ComputePhash(dihedral=True)(tbl)
+    plain_h = plain["phash"].to_pylist()
+    dih_h = dih["phash"].to_pylist()
+    # dihedral: all orientations collide on one fingerprint
+    assert len(set(dih_h)) == 1
+    # plain phash misses at least one orientation pair
+    assert len(set(plain_h)) > 1
+    # a genuinely different image still separates under dihedral
+    other = rng.integers(0, 255, (64, 64), dtype=np.uint16)
+    t2 = _pa.table({
+        "image_id": _pa.array(["other"], _pa.string()),
+        "bytes": _pa.array([codecs.encode(other, "z16")], _pa.binary()),
+        "fmt": _pa.array(["z16"], _pa.string()),
+    })
+    oh = ComputePhash(dihedral=True)(t2)["phash"].to_pylist()[0]
+    assert oh != dih_h[0]
