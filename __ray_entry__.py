@@ -630,6 +630,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _images("grid"), _cfg("grid", join_strategy="cell_join")
         ).sort(["tile_id", "seq"])
 
+    def q_mosaic_maxval(sf_dir: str):  # rows-only (pixel op)
+        # maximum-value compositing (the classic max-NDVI EO composite)
+        res = do_mosaic(_images("hotspot"),
+                        _cfg("hotspot", merge="max", do_pyramids=False))
+        s = res.stats
+        return pa.table({
+            "min": [s["min"]], "max": [s["max"]],
+            "mean": [round(s["mean"], 6)],
+            "stddev": [round(s["stddev"], 6)], "count": [s["count"]],
+        })
+
     def q_events_profile(sf_dir: str):  # rows-only (HLL estimates)
         # per-column profiling census (nulls, min/max/mean, HLL distinct)
         from moaray.ops.sketch import dataset_profile
@@ -1713,6 +1724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_augment": q_image_augment,
         "doc_bloom_filter": q_doc_bloom_filter,
         "events_profile": q_events_profile,
+        "mosaic_maxval": q_mosaic_maxval,
     }
 
 

@@ -52,7 +52,8 @@ def get_cmdargs(argv=None):
     p.add_argument("--nullval", type=float, default=None,
                    help="null value override (default: first input's)")
     p.add_argument("--merge", default="last",
-                   choices=["last", "feather", "nearest", "mean", "median"],
+                   choices=["last", "feather", "nearest", "mean", "median",
+                            "max", "min"],
                    help="overlap merge kernel (default %(default)s)")
     p.add_argument("--feather-partials", action="store_true",
                    help="with --merge feather: persist per-tile num/den "

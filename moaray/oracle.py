@@ -201,6 +201,23 @@ def build_mosaic_mean(
     return _composite_finalize(np.where(has, mean, 0.0), has, grid)
 
 
+def build_mosaic_extreme(
+    grid: OutputGrid,
+    metas: list[ImageMeta],
+    arrays: dict[str, np.ndarray],
+    kind: str = "max",
+) -> np.ndarray:
+    """Per-pixel max/min across the contributing stack (maximum-value
+    compositing and its dual)."""
+    stack, has = _composite_stack(grid, metas, arrays)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        red = (np.nanmax if kind == "max" else np.nanmin)(stack, axis=0)
+    return _composite_finalize(np.where(has, red, 0.0), has, grid)
+
+
 def stats(mosaic: np.ndarray, nullval: float):
     """(min, max, mean, stddev, count) over non-null pixels, float64 math
     identical to StatsAccumulator (mosaic.py:746-794)."""

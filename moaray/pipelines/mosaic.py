@@ -116,8 +116,9 @@ class MosaicConfig:
     nullval: float | None = None
     # "last" (parity) | "feather" (edge-distance blend) | "nearest"
     # (per-pixel nearest-image-center — kNN overlap resolution) | "mean" |
-    # "median" (per-pixel stack composites — the temporal cloud-free
-    # composite; median has no salted path, see _merge_median)
+    # "median" | "max" | "min" (per-pixel stack composites — the temporal
+    # cloud-free composites incl. maximum-value compositing; median/max/min
+    # run single-level, see _merge_median/_merge_extreme)
     merge: str = "last"
     # Persist per-tile feather num/den float64 partials (zlib) as extra tile
     # columns so update_mosaic(merge="feather") can fold new images into the

@@ -315,6 +315,20 @@ def _merge_median(group: pa.Table, order: np.ndarray, canvas: np.ndarray,
     do_mosaic keeps median tiles single-level regardless of hot-tile
     counts. Even-depth pixels take the midpoint mean; integer outputs
     round via the same rint + null-bump rule as the feather blend."""
+    _merge_stack_reduce(group, order, canvas, nullval, encoded,
+                        np.nanmedian)
+
+
+def _merge_extreme(group: pa.Table, order: np.ndarray, canvas: np.ndarray,
+                   nullval, encoded: bool = False, kind: str = "max"):
+    """Per-pixel MAX/MIN across the stack — maximum-value compositing
+    (the classic max-NDVI EO composite) and its min dual. Order-free and
+    exact; same stack memory contract as _merge_median."""
+    _merge_stack_reduce(group, order, canvas, nullval, encoded,
+                        np.nanmax if kind == "max" else np.nanmin)
+
+
+def _merge_stack_reduce(group, order, canvas, nullval, encoded, reducer):
     views = _binary_views(group["pixels"], canvas.dtype, encoded)
     dst_top = group["dst_top"].to_numpy()
     dst_left = group["dst_left"].to_numpy()
@@ -333,10 +347,10 @@ def _merge_median(group: pa.Table, order: np.ndarray, canvas: np.ndarray,
     with _warnings.catch_warnings():
         # all-NaN pixel columns (no contribution) are expected
         _warnings.simplefilter("ignore", RuntimeWarning)
-        med = np.nanmedian(stack, axis=0)
+        med = reducer(stack, axis=0)
     has = ~np.isnan(med)
     # reuse the blend finalizer (rint + null-collision bump): den=1 where a
-    # median exists makes num/den the median itself
+    # value exists makes num/den the reduced value itself
     _blend_feather(np.where(has, med, 0.0), has.astype(np.float64),
                    canvas, nullval)
 
@@ -399,6 +413,9 @@ def make_assemble_fn(nullval: float, dtype: str, merge: str = "last",
             _merge_mean(group, order, canvas, nv, windows_encoded)
         elif merge == "median":
             _merge_median(group, order, canvas, nv, windows_encoded)
+        elif merge in ("max", "min"):
+            _merge_extreme(group, order, canvas, nv, windows_encoded,
+                           kind=merge)
         else:
             raise ValueError(f"unknown merge kernel {merge!r}")
         input_ids = [group["image_id"][int(i)].as_py() for i in order]

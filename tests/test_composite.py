@@ -107,3 +107,24 @@ def test_float32_nan_median_parity(ray_session):
     assert got.dtype == np.float32
     assert np.array_equal(np.isnan(got), np.isnan(truth))
     assert np.array_equal(got[~np.isnan(got)], truth[~np.isnan(truth)])
+
+
+def test_pair_overlap_max_min_exact(ray_session):
+    layout = Layout("pair_overlap", 2, 64)
+    grid, metas, arrays = _fixture(layout)
+    for kind in ("max", "min"):
+        truth = oracle.build_mosaic_extreme(grid, metas, arrays, kind)
+        _res, got = run_engine(layout, kind)
+        assert (got == truth).all(), kind
+    # max/min differ from each other in the overlap (per-image offsets)
+    tmax = oracle.build_mosaic_extreme(grid, metas, arrays, "max")
+    tmin = oracle.build_mosaic_extreme(grid, metas, arrays, "min")
+    assert (tmax != tmin).any()
+
+
+def test_hotspot_max_exact_single_level(ray_session):
+    layout = Layout("hotspot", 16, 64)
+    grid, metas, arrays = _fixture(layout)
+    truth = oracle.build_mosaic_extreme(grid, metas, arrays, "max")
+    _res, got = run_engine(layout, "max", salt_threshold=4)
+    assert (got == truth).all()
