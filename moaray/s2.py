@@ -268,18 +268,13 @@ def _bounds_for_cells(face, i, j, level: int):
     return lat_lo, lat_hi, lng_lo, lng_hi, full_lng
 
 
-def rect_coverings(lat_lo, lat_hi, lng_lo, lng_hi, level,
-                   max_total_cells=2_000_000):
-    """Coverings of MANY lat/lng rects at once (vectorized): returns
-    (rect_index, cell_id) arrays where each rect's covering is the set of
-    level-`level` cells that may intersect it (a conservative superset —
-    never misses an intersecting cell).
-
-    Level-synchronous BFS in (face, i, j) space over the joint frontier of
-    all rects — every iteration is a handful of O(frontier) vector ops, no
-    per-rect Python. `lng_lo > lng_hi` is NOT supported (split an
-    antimeridian-crossing query rect into two calls).
-    """
+def rect_coverings_bfs(lat_lo, lat_hi, lng_lo, lng_hi, level,
+                       max_total_cells=2_000_000):
+    """Reference coverer: level-synchronous BFS in (face, i, j) space over
+    the joint frontier of all rects, pruning on conservative padded
+    bounds. Correct for any rect; superseded as the default by the
+    analytic `rect_coverings` (kept for cross-checks and as the fallback
+    its property tests compare against)."""
     lat_lo = np.asarray(lat_lo, dtype=np.float64)
     lat_hi = np.asarray(lat_hi, dtype=np.float64)
     lng_lo = np.asarray(lng_lo, dtype=np.float64)
@@ -314,7 +309,183 @@ def rect_coverings(lat_lo, lat_hi, lng_lo, lng_hi, level,
     return ridx, cell_from_face_ij(face, i, j, level)
 
 
-def rect_covering(lat_lo, lat_hi, lng_lo, lng_hi, level, max_cells=4096):
+_D_EPS = 1e-9  # degrees clipped off the lune edge before tan()
+_ST_PAD = 1e-9  # st-units padding swallowing last-ulp projection noise
+
+
+def _tand(x):
+    return np.tan(np.radians(x))
+
+
+def _cosd(x):
+    return np.cos(np.radians(x))
+
+
+def _equatorial_boxes(lat_lo, lat_hi, lng_lo, lng_hi):
+    """Per-equatorial-face conservative (u, v) boxes of each rect's image.
+
+    With d = lng - face_center (in the face's lune): faces 0/1 have
+    (u, v) = (tan d, tan(lat) * sec d); faces 3/4 have the axes swapped
+    and the latitude coordinate negated: (u, v) = (-tan(lat) * sec d,
+    tan d) — a consequence of the canonical S2 face orientations.
+    Returns list of (face, ridx, u0, u1, v0, v1)."""
+    a0 = np.clip(lat_lo, -90.0 + _D_EPS, 90.0 - _D_EPS)
+    a1 = np.clip(lat_hi, -90.0 + _D_EPS, 90.0 - _D_EPS)
+    t0, t1 = _tand(a0), _tand(a1)
+    out = []
+    for face, c in ((0, 0.0), (1, 90.0), (3, 180.0), (4, -90.0)):
+        for k in (-360.0, 0.0, 360.0):
+            dl = lng_lo - c + k
+            dh = lng_hi - c + k
+            dl_c = np.maximum(dl, -90.0 + _D_EPS)
+            dh_c = np.minimum(dh, 90.0 - _D_EPS)
+            ok = dl_c <= dh_c
+            if not ok.any():
+                continue
+            g0 = _tand(dl_c)  # tan d range
+            g1 = _tand(dh_c)
+            # sec(d) extremes: nearest-to-0 and farthest-from-0 endpoints
+            d_near = np.where((dl_c <= 0.0) & (dh_c >= 0.0), 0.0,
+                              np.minimum(np.abs(dl_c), np.abs(dh_c)))
+            d_far = np.maximum(np.abs(dl_c), np.abs(dh_c))
+            cn, cf = _cosd(d_near), _cosd(d_far)
+            ws = np.stack([t0 / cn, t0 / cf, t1 / cn, t1 / cf])
+            w0 = ws.min(axis=0)  # tan(lat)*sec(d) range
+            w1 = ws.max(axis=0)
+            if face in (0, 1):
+                u0, u1, v0, v1 = g0, g1, w0, w1
+            else:  # faces 3/4: u = -tan(lat)*sec(d), v = tan d
+                u0, u1, v0, v1 = -w1, -w0, g0, g1
+            # clip to the face square; empty when fully outside
+            ok &= (u0 <= 1.0) & (u1 >= -1.0) & (v0 <= 1.0) & (v1 >= -1.0)
+            if not ok.any():
+                continue
+            idx = np.nonzero(ok)[0]
+            out.append((face, idx,
+                        np.clip(u0[idx], -1.0, 1.0),
+                        np.clip(u1[idx], -1.0, 1.0),
+                        np.clip(v0[idx], -1.0, 1.0),
+                        np.clip(v1[idx], -1.0, 1.0)))
+    return out
+
+
+def _polar_boxes(lat_lo, lat_hi, lng_lo, lng_hi):
+    """Conservative (u, v) boxes on the polar faces (2: north, 5: south):
+    the rect maps to an annular sector (u,v) = r * dir(theta)."""
+    out = []
+    for face in (2, 5):
+        if face == 2:
+            ok = lat_hi > 0.0
+            b0 = np.clip(lat_lo, 1e-7, 90.0)
+            b1 = np.clip(lat_hi, 1e-7, 90.0)
+        else:
+            ok = lat_lo < 0.0
+            b0 = np.clip(-lat_hi, 1e-7, 90.0)
+            b1 = np.clip(-lat_lo, 1e-7, 90.0)
+        if not ok.any():
+            continue
+        # r = cot(colat-free lat band); decreasing in |lat|
+        r_hi = _cosd(b0) / np.sin(np.radians(b0))
+        r_lo = _cosd(b1) / np.sin(np.radians(b1))
+        # candidate angles: interval ends + axis crossings inside it
+        cand = [lng_lo, lng_hi]
+        for ax in (-180.0, -90.0, 0.0, 90.0, 180.0):
+            inside = (lng_lo <= ax) & (ax <= lng_hi)
+            cand.append(np.where(inside, ax, np.nan))
+        th = np.stack(cand)  # (7, n)
+        ct, st_ = _cosd(th), np.sin(np.radians(th))
+        if face == 2:
+            ucomp = [-r_lo * ct, -r_hi * ct]
+            vcomp = [-r_lo * st_, -r_hi * st_]
+        else:
+            ucomp = [r_lo * st_, r_hi * st_]
+            vcomp = [r_lo * ct, r_hi * ct]
+        with np.errstate(invalid="ignore"):
+            u0 = np.nanmin(np.concatenate(ucomp), axis=0)
+            u1 = np.nanmax(np.concatenate(ucomp), axis=0)
+            v0 = np.nanmin(np.concatenate(vcomp), axis=0)
+            v1 = np.nanmax(np.concatenate(vcomp), axis=0)
+        ok &= (u0 <= 1.0) & (u1 >= -1.0) & (v0 <= 1.0) & (v1 >= -1.0)
+        if not ok.any():
+            continue
+        idx = np.nonzero(ok)[0]
+        out.append((face, idx,
+                    np.clip(u0[idx], -1.0, 1.0),
+                    np.clip(u1[idx], -1.0, 1.0),
+                    np.clip(v0[idx], -1.0, 1.0),
+                    np.clip(v1[idx], -1.0, 1.0)))
+    return out
+
+
+def rect_coverings(lat_lo, lat_hi, lng_lo, lng_hi, level,
+                   max_total_cells=50_000_000):
+    """Coverings of MANY lat/lng rects at once: (rect_index, cell_id)
+    arrays where each rect's covering is a conservative superset of the
+    level-`level` cells intersecting it.
+
+    Analytic: each rect's image on each cube face is bounded by an exact
+    (u, v) box (tan/sec interval arithmetic on the equatorial faces, an
+    annular sector on the polar faces), padded by an ulp guard in (s, t)
+    and expanded to the inclusive (i, j) cell range — O(faces) vector ops
+    per rect, no per-level BFS. `lng_lo > lng_hi` is NOT supported (split
+    antimeridian-crossing rects into two calls).
+    """
+    lat_lo = np.asarray(lat_lo, dtype=np.float64)
+    lat_hi = np.asarray(lat_hi, dtype=np.float64)
+    lng_lo = np.asarray(lng_lo, dtype=np.float64)
+    lng_hi = np.asarray(lng_hi, dtype=np.float64)
+    boxes = _equatorial_boxes(lat_lo, lat_hi, lng_lo, lng_hi)
+    boxes += _polar_boxes(lat_lo, lat_hi, lng_lo, lng_hi)
+    if not boxes:
+        return (np.zeros(0, dtype=np.int64),
+                np.zeros(0, dtype=np.uint64))
+    nmax = np.int64(1) << level
+    faces_l, ridx_l, i0_l, i1_l, j0_l, j1_l = [], [], [], [], [], []
+    for face, idx, u0, u1, v0, v1 in boxes:
+        s0 = np.clip(uv_to_st(u0) - _ST_PAD, 0.0, 1.0)
+        s1 = np.clip(uv_to_st(u1) + _ST_PAD, 0.0, 1.0)
+        t0 = np.clip(uv_to_st(v0) - _ST_PAD, 0.0, 1.0)
+        t1 = np.clip(uv_to_st(v1) + _ST_PAD, 0.0, 1.0)
+        faces_l.append(np.full(len(idx), face, dtype=np.int64))
+        ridx_l.append(idx.astype(np.int64))
+        i0_l.append(st_to_ij(s0, level))
+        i1_l.append(st_to_ij(s1, level))
+        j0_l.append(st_to_ij(t0, level))
+        j1_l.append(st_to_ij(t1, level))
+    face_a = np.concatenate(faces_l)
+    ridx_a = np.concatenate(ridx_l)
+    i0 = np.concatenate(i0_l)
+    i1 = np.concatenate(i1_l)
+    j0 = np.concatenate(j0_l)
+    j1 = np.concatenate(j1_l)
+    wi = i1 - i0 + 1
+    wj = j1 - j0 + 1
+    counts = wi * wj
+    total = int(counts.sum())
+    if total > max_total_cells:
+        raise ValueError(
+            f"joint covering needs {total} cells (> {max_total_cells}); "
+            "use a coarser level"
+        )
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    wj_r = np.repeat(wj, counts)
+    i = np.repeat(i0, counts) + local // wj_r
+    j = np.repeat(j0, counts) + local % wj_r
+    ridx = np.repeat(ridx_a, counts)
+    cells = cell_from_face_ij(np.repeat(face_a, counts), i, j, level)
+    # dedup (rect, cell): boundary clipping can emit a cell twice for one
+    # rect (adjacent lune strips), and the joins rely on set semantics
+    pair = np.empty((len(ridx), 2), dtype=np.uint64)
+    pair[:, 0] = ridx.astype(np.uint64)
+    pair[:, 1] = cells
+    uniq = np.unique(pair, axis=0)
+    del nmax
+    return uniq[:, 0].astype(np.int64), uniq[:, 1]
+
+
+def rect_covering(lat_lo, lat_hi, lng_lo, lng_hi, level,
+                  max_cells=1_000_000):
     """Covering of a single lat/lng rect (see rect_coverings)."""
     _, cells = rect_coverings(
         np.asarray([lat_lo]), np.asarray([lat_hi]),

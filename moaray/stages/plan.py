@@ -487,7 +487,10 @@ def _img_cells_batch_s2(batch: pa.Table, grid: OutputGrid,
     n = batch.num_rows
     gts = batch["gt"].to_pylist()
     rect = np.empty((n, 4))  # lat_lo, lat_hi, lng_lo, lng_hi
-    px_rects = np.empty((n, 4), dtype=np.int64)  # top, left, bottom, right
+    # keep the padded pixel rect in FLOAT like the planar path: the refine's
+    # reference point must lie inside the exact rect the covering was built
+    # from (int truncation here once lost boundary pairs at fine levels)
+    px_rects = np.empty((n, 4), dtype=np.float64)  # top, left, bottom, right
     for i in range(n):
         gt = gts[i]
         w = batch["w"][i].as_py()
@@ -515,8 +518,8 @@ def _img_cells_batch_s2(batch: pa.Table, grid: OutputGrid,
         "crs": batch["crs"].take(pa.array(ridx)),
         "dtype": batch["dtype"].take(pa.array(ridx)),
         "nullval": batch["nullval"].take(pa.array(ridx)),
-        "px_top": pa.array(px_rects[ridx, 0], pa.int64()),
-        "px_left": pa.array(px_rects[ridx, 1], pa.int64()),
+        "px_top": pa.array(px_rects[ridx, 0], pa.float64()),
+        "px_left": pa.array(px_rects[ridx, 1], pa.float64()),
     }
     gt_cols = np.asarray(gts, dtype=np.float64)
     for k in range(6):

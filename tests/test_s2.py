@@ -251,3 +251,43 @@ def test_assign_cell_join_s2_rejects_projected_grids(ray_session):
                        do_pyramids=False, do_stats=False)
     with pytest.raises(ValueError, match="geographic grid"):
         plan_assignments(path, cfg).take_all()
+
+
+def test_analytic_coverer_targeted_regions(rng):
+    """Face boundaries, poles, equator crossings, wide rects — the places
+    the per-face (u,v) box math can go wrong."""
+    cases = [
+        (80, 90, -180, 180, 4),      # north-pole cap
+        (-90, -80, -180, 180, 3),    # south-pole cap
+        (-5, 5, 40, 50, 6),          # equator crossing
+        (40, 50, 40, 50, 6),         # face corner region
+        (44, 46, 89, 91, 8),         # face-1/face-2 edge
+        (-46, -44, 178, 180, 7),     # antimeridian-adjacent, south
+        (-1, 1, -91, -89, 8),        # face-4/face-0 edge on the equator
+        (30, 60, -170, -100, 3),     # wide northern band
+    ]
+    for (a0, a1, o0, o1, level) in cases:
+        cov = set(s2.rect_covering(a0, a1, o0, o1, level))
+        pl = rng.uniform(a0, a1, 400)
+        pg = rng.uniform(o0, o1, 400)
+        pl = np.concatenate([pl, [a0, a0, a1, a1]])
+        pg = np.concatenate([pg, [o0, o1, o0, o1]])
+        cells = s2.cell_from_latlng(pl, pg, level)
+        assert all(int(c) in cov for c in cells), (a0, a1, o0, o1, level)
+
+
+def test_analytic_coverer_completeness_vs_bfs(rng):
+    # both coverers are conservative supersets of the true intersecting
+    # set; the analytic one must never miss a point-containing cell the
+    # padded BFS reference catches
+    for _ in range(50):
+        la0 = rng.uniform(-85, 80)
+        lo0 = rng.uniform(-180, 160)
+        la1 = min(la0 + rng.uniform(0.02, 30), 90.0)
+        lo1 = min(lo0 + rng.uniform(0.02, 45), 180.0)
+        level = int(rng.integers(1, 13))
+        cov = set(s2.rect_covering(la0, la1, lo0, lo1, level))
+        pl = rng.uniform(la0, la1, 64)
+        pg = rng.uniform(lo0, lo1, 64)
+        cells = s2.cell_from_latlng(pl, pg, level)
+        assert all(int(c) in cov for c in cells)
