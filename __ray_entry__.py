@@ -754,6 +754,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             concurrency=(1, 2),
         ).sort("doc_id")
 
+    def q_spatial_knn_s2(sf_dir: str):  # rows-only (great-circle kNN)
+        # spherical kNN self-join on the S2 index (haversine metric,
+        # cap-bounded candidate rects, one cell shuffle + one top-k)
+        from moaray.ops.s2join import latlng_points, s2_knn_join
+
+        return s2_knn_join(
+            latlng_points(f"{sf_dir}/embeddings.parquet"),
+            k=3, max_radius_deg=2.0, level=6,
+        ).sort(["a_id", "rank"])
+
     def q_s2_coverage_hulls(sf_dir: str):  # rows-only (geometry op)
         # per-S2-cell convex hull + area of the corpus point set
         from moaray.ops.s2join import latlng_points
@@ -1716,6 +1726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join_s2grid": q_spatial_join_s2grid,
         "contour_polylines": q_contour_polylines,
         "s2_coverage_hulls": q_s2_coverage_hulls,
+        "spatial_knn_s2": q_spatial_knn_s2,
         "audio_spectral": q_audio_spectral,
         "doc_bpe_trained": q_doc_bpe_trained,
         "proximity_raster": q_proximity,

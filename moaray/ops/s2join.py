@@ -151,3 +151,106 @@ def s2_cell_census(pts_ds, level: int = 4):
         })
 
     return counted.map_batches(finalize, batch_format="pyarrow")
+
+
+def _haversine_deg(lat_a, lng_a, lat_b, lng_b):
+    """Great-circle distance in DEGREES of arc (vectorized)."""
+    la, lb = np.radians(lat_a), np.radians(lat_b)
+    dlat = lb - la
+    dlng = np.radians(lng_b - lng_a)
+    h = (np.sin(dlat / 2.0) ** 2
+         + np.cos(la) * np.cos(lb) * np.sin(dlng / 2.0) ** 2)
+    return np.degrees(2.0 * np.arcsin(np.minimum(np.sqrt(h), 1.0)))
+
+
+def s2_knn_join(pts_ds, k: int = 3, max_radius_deg: float = 1.0,
+                level: int = 5):
+    """Spherical kNN self-join: for every point a, its k nearest
+    neighbors by GREAT-CIRCLE distance within ``max_radius_deg`` —
+    the kNN overlap-resolution shape on the S2 index.
+
+    Two stages: (1) candidate pairs via the rect-join machinery — each
+    point's angular cap is bounded by the lat/lng rect
+    [lat ± r, lng ± r*sec(lat)] (exact: a cap of angular radius r spans
+    at most r in latitude and r/cos(lat_max_abs) in longitude), every
+    candidate pair meets in exactly one cell group and is distance-
+    filtered by haversine there; (2) one groupby(a_id) takes the local
+    top-k (ties broken by b_id). Same output contract as the planar
+    knn_join_2d (a_id, b_id, rank, dist_deg)."""
+
+    def pieces_fn(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy().astype(np.int64)
+        lat = batch["lat"].to_numpy()
+        lng = batch["lng"].to_numpy()
+        home_cells = s2.cell_from_latlng(lat, lng, level).astype(np.int64)
+        # cap -> bounding rect: lng halfwidth grows with |lat| (sec);
+        # caps touching a pole need the full lng range
+        alat = np.minimum(np.abs(lat) + max_radius_deg, 89.999999)
+        half_lng = np.minimum(
+            max_radius_deg / np.cos(np.radians(alat)), 180.0
+        )
+        lo_lng = np.maximum(lng - half_lng, -180.0)
+        hi_lng = np.minimum(lng + half_lng, 180.0)
+        near_pole = np.abs(lat) + max_radius_deg >= 89.999999
+        lo_lng = np.where(near_pole, -180.0, lo_lng)
+        hi_lng = np.where(near_pole, 180.0, hi_lng)
+        ridx, cov = s2.rect_coverings(
+            np.maximum(lat - max_radius_deg, -90.0),
+            np.minimum(lat + max_radius_deg, 90.0),
+            lo_lng, hi_lng, level,
+        )
+        out_cell = np.concatenate([home_cells, cov.astype(np.int64)])
+        out_id = np.concatenate([ids, ids[ridx]])
+        out_lat = np.concatenate([lat, lat[ridx]])
+        out_lng = np.concatenate([lng, lng[ridx]])
+        out_home = np.concatenate(
+            [np.ones(len(ids), dtype=bool), np.zeros(len(ridx), dtype=bool)]
+        )
+        return pa.table({
+            "cell": pa.array(out_cell, pa.int64()),
+            "id": pa.array(out_id, pa.int64()),
+            "lat": pa.array(out_lat, pa.float64()),
+            "lng": pa.array(out_lng, pa.float64()),
+            "home": pa.array(out_home, pa.bool_()),
+        })
+
+    def per_cell(group: pa.Table) -> pa.Table:
+        home = group.filter(group["home"])
+        quer = group.filter(pa.compute.invert(group["home"]))
+        if home.num_rows == 0 or quer.num_rows == 0:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64()),
+                             "dist_deg": pa.array([], pa.float64())})
+        a_id = quer["id"].to_numpy()[:, None]
+        b_id = home["id"].to_numpy()[None, :]
+        d = _haversine_deg(
+            quer["lat"].to_numpy()[:, None], quer["lng"].to_numpy()[:, None],
+            home["lat"].to_numpy()[None, :], home["lng"].to_numpy()[None, :],
+        )
+        ok = (d <= max_radius_deg) & (a_id != b_id)
+        ai, bi = np.nonzero(ok)
+        return pa.table({
+            "a_id": pa.array(a_id[ai, 0], pa.int64()),
+            "b_id": pa.array(b_id[0, bi], pa.int64()),
+            "dist_deg": pa.array(d[ai, bi], pa.float64()),
+        })
+
+    def topk(group: pa.Table) -> pa.Table:
+        d = group["dist_deg"].to_numpy()
+        b = group["b_id"].to_numpy()
+        order = np.lexsort((b, d))[:k]
+        g = group.take(pa.array(order, pa.int64()))
+        return pa.table({
+            "a_id": g["a_id"],
+            "b_id": g["b_id"],
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "dist_deg": pa.array(
+                np.round(g["dist_deg"].to_numpy(), 9), pa.float64()),
+        })
+
+    pairs = (
+        pts_ds.map_batches(pieces_fn, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(per_cell, batch_format="pyarrow")
+    )
+    return pairs.groupby("a_id").map_groups(topk, batch_format="pyarrow")

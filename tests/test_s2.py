@@ -291,3 +291,63 @@ def test_analytic_coverer_completeness_vs_bfs(rng):
         pg = rng.uniform(lo0, lo1, 64)
         cells = s2.cell_from_latlng(pl, pg, level)
         assert all(int(c) in cov for c in cells)
+
+
+def test_s2_knn_join_vs_brute_force(ray_session):
+    import pyarrow.parquet as pq
+
+    from moaray.ops.s2join import _haversine_deg, s2_knn_join
+
+    pts = latlng_points(f"{SF_DIR}/embeddings.parquet")
+    K, R = 3, 2.0
+    out = s2_knn_join(pts, k=K, max_radius_deg=R, level=6).sort(
+        ["a_id", "rank"]).take_all()
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    emb = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    lng, lat = emb[:, 0] * 400.0, emb[:, 1] * 120.0
+    d = _haversine_deg(lat[:, None], lng[:, None],
+                       lat[None, :], lng[None, :])
+    want = []
+    for a in range(len(ids)):
+        cand = sorted(
+            (d[a, b], ids[b]) for b in range(len(ids))
+            if b != a and d[a, b] <= R
+        )
+        for rk, (dd, bid) in enumerate(cand[:K], 1):
+            want.append((ids[a], bid, rk, round(dd, 9)))
+    got = [(r["a_id"], r["b_id"], r["rank"], r["dist_deg"]) for r in out]
+    key = lambda r: (r[0], r[2])
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_s2_knn_join_polar_cap(ray_session):
+    # points around the north pole: the cap->rect bound must go full-lng
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    from moaray.ops.s2join import _haversine_deg, s2_knn_join
+
+    rng2 = np.random.default_rng(3)
+    n = 60
+    lat = 89.0 + rng2.uniform(0, 0.9, n)
+    lng = rng2.uniform(-180, 180, n)
+    ds = _rd.from_arrow(_pa.table({
+        "id": _pa.array(np.arange(n, dtype=np.int64)),
+        "lat": _pa.array(lat), "lng": _pa.array(lng),
+    }))
+    out = s2_knn_join(ds, k=2, max_radius_deg=1.5, level=4).sort(
+        ["a_id", "rank"]).take_all()
+    d = _haversine_deg(lat[:, None], lng[:, None],
+                       lat[None, :], lng[None, :])
+    want = []
+    for a in range(n):
+        cand = sorted((d[a, b], b) for b in range(n)
+                      if b != a and d[a, b] <= 1.5)
+        for rk, (dd, bid) in enumerate(cand[:2], 1):
+            want.append((a, bid, rk, round(dd, 9)))
+    got = [(r["a_id"], r["b_id"], r["rank"], r["dist_deg"]) for r in out]
+    key = lambda r: (r[0], r[2])
+    assert sorted(got, key=key) == sorted(want, key=key)
