@@ -189,16 +189,38 @@ def s2_knn_join(pts_ds, k: int = 3, max_radius_deg: float = 1.0,
         half_lng = np.minimum(
             max_radius_deg / np.cos(np.radians(alat)), 180.0
         )
-        lo_lng = np.maximum(lng - half_lng, -180.0)
-        hi_lng = np.minimum(lng + half_lng, 180.0)
         near_pole = np.abs(lat) + max_radius_deg >= 89.999999
-        lo_lng = np.where(near_pole, -180.0, lo_lng)
-        hi_lng = np.where(near_pole, 180.0, hi_lng)
-        ridx, cov = s2.rect_coverings(
-            np.maximum(lat - max_radius_deg, -90.0),
-            np.minimum(lat + max_radius_deg, 90.0),
-            lo_lng, hi_lng, level,
-        )
+        lo_raw = np.where(near_pole, -180.0, lng - half_lng)
+        hi_raw = np.where(near_pole, 180.0, lng + half_lng)
+        lat_lo = np.maximum(lat - max_radius_deg, -90.0)
+        lat_hi = np.minimum(lat + max_radius_deg, 90.0)
+        # antimeridian: a cap crossing ±180 covers as TWO rects (the
+        # haversine metric wraps; the rect clip must not lose neighbors)
+        parts = [(np.arange(len(ids)),
+                  np.maximum(lo_raw, -180.0), np.minimum(hi_raw, 180.0))]
+        west = np.nonzero(lo_raw < -180.0)[0]
+        if len(west):
+            parts.append((west, lo_raw[west] + 360.0,
+                          np.full(len(west), 180.0)))
+        east = np.nonzero(hi_raw > 180.0)[0]
+        if len(east):
+            parts.append((east, np.full(len(east), -180.0),
+                          hi_raw[east] - 360.0))
+        ridx_l, cov_l = [], []
+        for sub, lo, hi in parts:
+            ri, cv = s2.rect_coverings(lat_lo[sub], lat_hi[sub], lo, hi,
+                                       level)
+            ridx_l.append(sub[ri])
+            cov_l.append(cv)
+        ridx = np.concatenate(ridx_l)
+        cov = np.concatenate(cov_l)
+        # re-dedup across the split parts (a cell can appear in both)
+        pairk = np.empty((len(ridx), 2), dtype=np.uint64)
+        pairk[:, 0] = ridx.astype(np.uint64)
+        pairk[:, 1] = cov
+        uniqk = np.unique(pairk, axis=0)
+        ridx = uniqk[:, 0].astype(np.int64)
+        cov = uniqk[:, 1]
         out_cell = np.concatenate([home_cells, cov.astype(np.int64)])
         out_id = np.concatenate([ids, ids[ridx]])
         out_lat = np.concatenate([lat, lat[ridx]])

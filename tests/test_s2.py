@@ -351,3 +351,38 @@ def test_s2_knn_join_polar_cap(ray_session):
     got = [(r["a_id"], r["b_id"], r["rank"], r["dist_deg"]) for r in out]
     key = lambda r: (r[0], r[2])
     assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_s2_knn_join_antimeridian(ray_session):
+    # neighbors straddling +/-180: the cap must cover both sides
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    from moaray.ops.s2join import _haversine_deg, s2_knn_join
+
+    rng3 = np.random.default_rng(5)
+    n = 50
+    lat = rng3.uniform(-10, 10, n)
+    lng = np.where(rng3.random(n) < 0.5,
+                   rng3.uniform(179.0, 180.0, n),
+                   rng3.uniform(-180.0, -179.0, n))
+    ds = _rd.from_arrow(_pa.table({
+        "id": _pa.array(np.arange(n, dtype=np.int64)),
+        "lat": _pa.array(lat), "lng": _pa.array(lng),
+    }))
+    out = s2_knn_join(ds, k=2, max_radius_deg=1.5, level=6).take_all()
+    d = _haversine_deg(lat[:, None], lng[:, None],
+                       lat[None, :], lng[None, :])
+    want = []
+    for a in range(n):
+        cand = sorted((d[a, b], b) for b in range(n)
+                      if b != a and d[a, b] <= 1.5)
+        for rk, (dd, bid) in enumerate(cand[:2], 1):
+            want.append((a, bid, rk, round(dd, 9)))
+    got = [(r["a_id"], r["b_id"], r["rank"], r["dist_deg"]) for r in out]
+    key = lambda r: (r[0], r[2])
+    assert sorted(got, key=key) == sorted(want, key=key)
+    # the cross-seam pairs really exist in the fixture
+    east = lng > 0
+    cross = ((d <= 1.5) & east[:, None] & ~east[None, :]).sum()
+    assert cross > 0
