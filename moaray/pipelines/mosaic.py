@@ -117,8 +117,9 @@ class MosaicConfig:
     # "last" (parity) | "feather" (edge-distance blend) | "nearest"
     # (per-pixel nearest-image-center — kNN overlap resolution) | "mean" |
     # "median" | "max" | "min" (per-pixel stack composites — the temporal
-    # cloud-free composites incl. maximum-value compositing; median/max/min
-    # run single-level, see _merge_median/_merge_extreme)
+    # cloud-free composites incl. maximum-value compositing; max/min have
+    # a salted two-level path (extremes merge from disjoint partials),
+    # median stays single-level by design, see _merge_median)
     merge: str = "last"
     # Persist per-tile feather num/den float64 partials (zlib) as extra tile
     # columns so update_mosaic(merge="feather") can fold new images into the
@@ -587,6 +588,15 @@ def _do_mosaic_impl(
             windows, grid,
             window_codec=shuffle_codec, tile_codec=tile_codec,
             multiband=len(bands) > 1, uniform=True,
+        )
+    elif hot_tiles and cfg.merge in ("max", "min"):
+        from ..stages.assemble import assemble_tiles_salted_extreme
+
+        # per-pixel extremes ARE mergeable from disjoint partials
+        tiles = assemble_tiles_salted_extreme(
+            windows, grid, cfg.merge,
+            window_codec=shuffle_codec, tile_codec=tile_codec,
+            multiband=len(bands) > 1,
         )
     else:
         # merge == "median" lands here even with hot tiles BY DESIGN:

@@ -844,6 +844,134 @@ def assemble_tiles_salted_feather(
     return partials.groupby(k2).map_groups(final, batch_format="pyarrow")
 
 
+def make_extreme_partial_fn(grid: OutputGrid, window_codec: str | None,
+                            kind: str):
+    """map_groups fn: one (tile[, band, salt]) window group -> one
+    FEATHER_PARTIAL_SCHEMA row where ``num`` is the per-pixel running
+    max/min over the group's windows and ``den`` the has-contribution
+    mask — per-pixel extremes are order-free AND mergeable, so salting
+    needs no seq-contiguity (unlike last-non-null)."""
+    lineage_cap = LINEAGE_CAP
+    np_dtype = np.dtype(grid.dtype)
+    nv = (grid.nullval if _is_nan_null(grid.nullval)
+          else np_dtype.type(grid.nullval))
+    encoded = window_codec is not None
+    reduce2 = np.fmax if kind == "max" else np.fmin
+
+    def partial(group: pa.Table) -> pa.Table:
+        ysize = int(group["out_ysize"][0].as_py())
+        xsize = int(group["out_xsize"][0].as_py())
+        run = np.full((ysize, xsize), np.nan, dtype=np.float64)
+        views = _binary_views(group["pixels"], np_dtype, encoded)
+        dst_top = group["dst_top"].to_numpy()
+        dst_left = group["dst_left"].to_numpy()
+        win_h = group["win_h"].to_numpy()
+        win_w = group["win_w"].to_numpy()
+        for i in range(group.num_rows):
+            h, w = int(win_h[i]), int(win_w[i])
+            win = views[i].reshape(h, w)
+            sub = run[dst_top[i]: dst_top[i] + h,
+                      dst_left[i]: dst_left[i] + w]
+            mask = _nonnull_mask(win, nv)
+            # fmax/fmin ignore NaN: first contribution just lands
+            sub[mask] = reduce2(sub[mask], win.astype(np.float64)[mask])
+        has = ~np.isnan(run)
+        input_ids = group["image_id"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "tile_id": [group["tile_id"][0].as_py()],
+                "band": [group["band"][0].as_py()],
+                "salt": [group["salt"][0].as_py()],
+                "out_top": [group["out_top"][0].as_py()],
+                "out_left": [group["out_left"][0].as_py()],
+                "out_xsize": [xsize],
+                "out_ysize": [ysize],
+                "n_inputs": [len(input_ids)],
+                "input_ids": [_cap_lineage(sorted(input_ids), lineage_cap)],
+                "num": [_pack_partial(np.where(has, run, 0.0))],
+                "den": [_pack_partial(has.astype(np.float64))],
+            },
+            schema=FEATHER_PARTIAL_SCHEMA,
+        )
+
+    return partial
+
+
+def make_extreme_final_fn(grid: OutputGrid, tile_codec: str | None,
+                          kind: str):
+    """map_groups fn: merge the per-salt extreme partials (order-free
+    fmax/fmin) and finalize through the shared blend (den=1 where any
+    contribution makes num/den the extreme itself)."""
+    lineage_cap = LINEAGE_CAP
+    np_dtype = np.dtype(grid.dtype)
+    nv = (grid.nullval if _is_nan_null(grid.nullval)
+          else np_dtype.type(grid.nullval))
+    reduce2 = np.fmax if kind == "max" else np.fmin
+
+    def final(group: pa.Table) -> pa.Table:
+        ysize = int(group["out_ysize"][0].as_py())
+        xsize = int(group["out_xsize"][0].as_py())
+        run = np.full((ysize, xsize), np.nan, dtype=np.float64)
+        input_ids: list[str] = []
+        salts = group["salt"].to_numpy()
+        for i in np.argsort(salts, kind="stable"):
+            i = int(i)
+            val = _unpack_partial(group["num"][i].as_py(), ysize, xsize)
+            has = _unpack_partial(group["den"][i].as_py(), ysize, xsize) > 0
+            run = reduce2(run, np.where(has, val, np.nan))
+            input_ids.extend(group["input_ids"][i].as_py())
+        has_any = ~np.isnan(run)
+        canvas = np.empty((ysize, xsize), dtype=np_dtype)
+        _blend_feather(np.where(has_any, run, 0.0),
+                       has_any.astype(np.float64), canvas, nv)
+        nonnull, px_sum, px_ssq, px_min, px_max = _canvas_stats(canvas, nv)
+        payload, codec_tag = encode_payload(canvas, tile_codec)
+        n_in = int(pa.compute.sum(group["n_inputs"]).as_py() or 0)
+        return pa.Table.from_pydict(
+            {
+                "tile_id": [group["tile_id"][0].as_py()],
+                "band": [group["band"][0].as_py()],
+                "out_top": [group["out_top"][0].as_py()],
+                "out_left": [group["out_left"][0].as_py()],
+                "out_xsize": [xsize],
+                "out_ysize": [ysize],
+                "n_inputs": [n_in],
+                "input_ids": [_cap_lineage(input_ids, lineage_cap)],
+                "nonnull_count": [nonnull],
+                "px_sum": [px_sum],
+                "px_ssq": [px_ssq],
+                "px_min": [px_min],
+                "px_max": [px_max],
+                "pixels_codec": [codec_tag],
+                "pixels": [payload],
+            },
+            schema=TILE_SCHEMA,
+        )
+
+    return final
+
+
+def assemble_tiles_salted_extreme(
+    windows_ds: "ray.data.Dataset",
+    grid: OutputGrid,
+    kind: str,
+    window_codec: str | None = None,
+    tile_codec: str | None = None,
+    multiband: bool = True,
+) -> "ray.data.Dataset":
+    """Salted two-level MAX/MIN merge: per-pixel extremes are mergeable
+    from disjoint partials (unlike median), so hot tiles split across
+    salts exactly like feather/mean."""
+    partial = make_extreme_partial_fn(grid, window_codec, kind)
+    final = make_extreme_final_fn(grid, tile_codec, kind)
+    k1 = ["tile_id", "band", "salt"] if multiband else ["tile_id", "salt"]
+    k2 = ["tile_id", "band"] if multiband else "tile_id"
+    partials = windows_ds.groupby(k1).map_groups(
+        partial, batch_format="pyarrow"
+    )
+    return partials.groupby(k2).map_groups(final, batch_format="pyarrow")
+
+
 def empty_tiles_table(
     grid: OutputGrid,
     tile_ids: list[int],

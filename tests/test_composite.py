@@ -122,9 +122,16 @@ def test_pair_overlap_max_min_exact(ray_session):
     assert (tmax != tmin).any()
 
 
-def test_hotspot_max_exact_single_level(ray_session):
+def test_hotspot_max_salted_two_level_exact(ray_session):
+    """Per-pixel extremes ARE mergeable: the salted two-level path must be
+    bit-identical to both the single-level run and the oracle."""
     layout = Layout("hotspot", 16, 64)
     grid, metas, arrays = _fixture(layout)
     truth = oracle.build_mosaic_extreme(grid, metas, arrays, "max")
-    _res, got = run_engine(layout, "max", salt_threshold=4)
-    assert (got == truth).all()
+    _res, salted = run_engine(layout, "max", salt_threshold=4)
+    _res2, single = run_engine(layout, "max", salt_threshold=None)
+    assert (salted == truth).all()
+    assert (single == truth).all()
+    _res3, smin = run_engine(layout, "min", salt_threshold=4)
+    assert (smin == oracle.build_mosaic_extreme(grid, metas, arrays,
+                                                "min")).all()
