@@ -1362,6 +1362,12 @@ class ImageAugment:
                 arr = np.rot90(arr, k=int(op[1]), axes=(0, 1))
             elif kind == "crop":
                 top, left, h, w = (int(v) for v in op[1:])
+                if (top < 0 or left < 0 or h <= 0 or w <= 0
+                        or top + h > arr.shape[0]
+                        or left + w > arr.shape[1]):
+                    raise ValueError(
+                        f"crop {op[1:]} outside image {arr.shape[:2]}"
+                    )
                 arr = arr[top: top + h, left: left + w]
             else:
                 x = arr.astype(np.float64)

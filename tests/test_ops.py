@@ -1777,3 +1777,25 @@ def test_compute_phash_dihedral_invariance(ray_session):
     })
     oh = ComputePhash(dihedral=True)(t2)["phash"].to_pylist()[0]
     assert oh != dih_h[0]
+
+
+def test_image_augment_color_and_crop_bounds(ray_session):
+    from moaray import codecs
+    from moaray.ops.multimodal import image_augment
+
+    rng = np.random.default_rng(10)
+    rgb = rng.integers(0, 255, (20, 28, 3), dtype=np.uint8)
+    rows = [{"image_id": "c", "bytes": codecs.png_encode(rgb),
+             "fmt": "png", "w": 28, "h": 20}]
+    ds = ray.data.from_items(rows)
+    out = image_augment(ds, [("hflip",), ("crop", 2, 2, 10, 12)],
+                        concurrency=(1, 1)).take_all()[0]
+    got = codecs.decode(out["bytes"], out["fmt"])
+    assert np.array_equal(got, rgb[:, ::-1][2:12, 2:14])
+    assert out["h"] == 10 and out["w"] == 12
+    # out-of-bounds crop is a clear contract error, not a silent empty
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="outside image"):
+        image_augment(ds, [("crop", 0, 0, 64, 64)],
+                      concurrency=(1, 1)).take_all()
