@@ -301,7 +301,12 @@ def ms_adpcm_decode(data: bytes, n_channels: int,
         for k in range(spb - 2):
             code = nib[:, k * ch + c].astype(np.int64)
             signed = _ms_nibble_signed(code)
-            pred = (p1 * coef1 + p2 * coef2) // 256 + signed * d
+            # the format's reference divides with C truncation toward
+            # zero, not floor — floor is off by one for negative
+            # predictions (predictors 1/5/6 with negative coef2) and the
+            # error compounds through p1/p2 across the block.
+            t = p1 * coef1 + p2 * coef2
+            pred = np.sign(t) * (np.abs(t) // 256) + signed * d
             pred = np.clip(pred, -32768, 32767)
             out[:, k + 2, c] = pred.astype(np.int16)
             p2, p1 = p1, pred

@@ -1172,11 +1172,20 @@ def events_hopping_window(events_ds, size_s: int = 3600,
         raise ValueError("slide_s must divide size_s")
     nrep = size_s // slide_s
 
+    def _floor_div(arr, b: int):
+        # Arrow integer divide truncates toward zero; the oracle's // is
+        # floor — pre-epoch (negative) timestamps would land one window
+        # late. b > 0, so floor = trunc - (remainder < 0).
+        q = pc.divide(arr, pa.scalar(b, pa.int64()))
+        r = pc.subtract(arr, pc.multiply(q, pa.scalar(b, pa.int64())))
+        return pc.subtract(
+            q, pc.cast(pc.less(r, pa.scalar(0, pa.int64())), pa.int64())
+        )
+
     def partial(batch: pa.Table) -> pa.Table:
-        tsec = pc.divide(batch["ts"].cast(pa.int64()),
-                         pa.scalar(1_000_000, pa.int64()))
+        tsec = _floor_div(batch["ts"].cast(pa.int64()), 1_000_000)
         base = pc.multiply(
-            pc.divide(tsec, pa.scalar(slide_s, pa.int64())),
+            _floor_div(tsec, slide_s),
             pa.scalar(slide_s, pa.int64()),
         )
         cents = pc.cast(

@@ -442,19 +442,24 @@ def dataset_profile(ds, columns=None):
                 elif (pa.types.is_integer(t) or pa.types.is_floating(t)
                         or pa.types.is_timestamp(t)):
                     if pa.types.is_timestamp(t):
-                        v = valid.cast(pa.int64()).to_numpy().astype(
-                            np.float64)
                         hv = valid.cast(pa.int64()).to_numpy()
+                        v = hv.astype(np.float64)
+                    elif pa.types.is_integer(t):
+                        hv = valid.to_numpy(zero_copy_only=False).astype(
+                            np.int64)
+                        v = hv.astype(np.float64)
                     else:
                         v = valid.to_numpy(zero_copy_only=False).astype(
                             np.float64)
-                        hv = v.astype(np.int64, copy=True)
-                    v = v[~np.isnan(v)]
+                        # hash the float64 BIT PATTERN, not the truncated
+                        # integer part — truncation collides every value
+                        # sharing an integer part (and NaN -> INT64_MIN).
+                        v = v[~np.isnan(v)]
+                        hv = v.view(np.int64)
                     if len(v):
                         vmin, vmax = float(v.min()), float(v.max())
                         vsum, vcount = float(v.sum()), len(v)
-                        regs = _hll_registers(hv[~np.isnan(
-                            hv.astype(np.float64))].astype(np.int64))
+                        regs = _hll_registers(hv)
                 # other types: null/row counts only
             out["column"].append(name)
             out["dtype"].append(str(t))

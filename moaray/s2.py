@@ -387,6 +387,13 @@ def _polar_boxes(lat_lo, lat_hi, lng_lo, lng_hi):
         # r = cot(colat-free lat band); decreasing in |lat|
         r_hi = _cosd(b0) / np.sin(np.radians(b0))
         r_lo = _cosd(b1) / np.sin(np.radians(b1))
+        # the annulus [r_lo, r_hi] cannot touch the face square when even
+        # its NEAR edge lies beyond the square's circumscribed circle
+        # (radius sqrt(2)) — without this gate a wide-longitude rect far
+        # from the pole fans out to up to 4^level spurious polar cells.
+        ok &= r_lo <= np.sqrt(2.0)
+        if not ok.any():
+            continue
         # candidate angles: interval ends + axis crossings inside it
         cand = [lng_lo, lng_hi]
         for ax in (-180.0, -90.0, 0.0, 90.0, 180.0):

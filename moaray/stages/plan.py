@@ -589,9 +589,13 @@ def assign_cell_join_s2(
         x, y = apply_geotransform(gt, ref_left, ref_top)
         if math.isnan(x) or math.isnan(y):
             return -1
+        # cell_from_latlng returns uint64; the joined cell_id column is
+        # int64 (faces 4/5 set the top bit -> negative) — reinterpret as
+        # signed or the dedup comparison never matches and the join is
+        # silently empty for lon ~[-135,-45] and the south polar cap.
         return int(s2.cell_from_latlng(
             np.asarray([y]), np.asarray([x]), level
-        )[0])
+        )[0].astype(np.int64))
 
     img_cells = meta_ds.map_batches(
         lambda b: _img_cells_batch_s2(b, grid, level),

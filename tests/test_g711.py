@@ -209,6 +209,53 @@ def test_ms_adpcm_seed_samples_verbatim():
     assert y[0] == x[0] and y[1] == x[1]
 
 
+def _ms_block(pred_idx, delta, s1, s2, nibbles):
+    """Hand-build a mono MS ADPCM block (header + packed nibbles)."""
+    import struct
+    # mono header: predictor(1) delta(int16) sample1(int16) sample2(int16)
+    hdr = bytes([pred_idx]) + struct.pack("<hhh", delta, s1, s2)
+    payload = bytearray()
+    for k in range(0, len(nibbles), 2):
+        payload.append(((nibbles[k] & 0xF) << 4) | (nibbles[k + 1] & 0xF))
+    return hdr + bytes(payload)
+
+
+@pytest.mark.parametrize("pred_idx", [1, 5, 6])
+def test_ms_adpcm_truncating_division_negative_coef2(pred_idx):
+    """Predictors with negative coef2 make p1*coef1 + p2*coef2 go negative;
+    the spec's reference decoder truncates toward zero — floor division is
+    off by one and the error compounds through p1/p2 (round-4 advice).
+    Compare against a scalar reference decoder with explicit C semantics."""
+    coef1, coef2 = (int(g711.MSADPCM_COEFS[pred_idx, 0]),
+                    int(g711.MSADPCM_COEFS[pred_idx, 1]))
+    rng = np.random.default_rng(3)
+    nibbles = rng.integers(0, 16, size=98).tolist()
+    delta, s1, s2 = 64, -1200, 900
+    block = _ms_block(pred_idx, delta, s1, s2, nibbles)
+    got = g711.ms_adpcm_decode(block, 1, len(block))
+
+    # independent scalar reference: C truncation toward zero
+    ref = [s2, s1]
+    p1, p2, d = s1, s2, delta
+    for nib in nibbles:
+        signed = nib - 16 if nib >= 8 else nib
+        t = p1 * coef1 + p2 * coef2
+        pred = (abs(t) // 256) * (1 if t >= 0 else -1) + signed * d
+        pred = max(-32768, min(32767, pred))
+        ref.append(pred)
+        p2, p1 = p1, pred
+        d = max((int(g711.MSADPCM_ADAPT[nib]) * d) // 256, 16)
+    assert got.tolist() == ref
+    # and the floor-division variant must actually differ for this input,
+    # otherwise the test proves nothing
+    floor_third = ((s1 * coef1 + s2 * coef2) // 256
+                   + (nibbles[0] - 16 if nibbles[0] >= 8 else nibbles[0])
+                   * delta)
+    t0 = s1 * coef1 + s2 * coef2
+    if t0 < 0 and t0 % 256 != 0:
+        assert floor_third != ref[2]
+
+
 def test_wav_decode_ms_adpcm():
     x = _sig(8000)
     buf = wav_encode_compressed(x, 8000, codec="ms_adpcm")

@@ -1447,6 +1447,45 @@ def test_events_hopping_window(ray_session):
         events_hopping_window(ds, size_s=3600, slide_s=1000)
 
 
+def test_events_hopping_window_pre_epoch(ray_session):
+    """Negative (pre-1970) timestamps must bucket with FLOOR division like
+    the SQL oracle's // — Arrow's trunc-toward-zero would shift them one
+    window late (round-4 advice)."""
+    import datetime as _dt
+
+    from moaray.ops.relational import events_hopping_window
+
+    # timestamps straddling the epoch, including ones not on a boundary
+    micros = np.array([
+        -7_200_000_000,        # 1969-12-31 22:00:00 (on a window edge)
+        -5_399_000_001,        # 1969-12-31 22:30:00.999999 -ish, negative
+        -1,                    # 1969-12-31 23:59:59.999999
+        1,                     # 1970-01-01 00:00:00.000001
+        3_600_000_000,         # 1970-01-01 01:00:00
+    ], dtype=np.int64)
+    tbl = pa.table({
+        "ts": pa.array(micros, pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array(["a"] * len(micros), pa.string()),
+        "value": pa.array([1.0] * len(micros), pa.float64()),
+    })
+    rows = events_hopping_window(
+        ray.data.from_arrow(tbl), size_s=3600, slide_s=900).take_all()
+
+    from collections import defaultdict
+    exp = defaultdict(int)
+    for m in micros.tolist():
+        base = ((m // 1_000_000) // 900) * 900  # python // = floor
+        for i in range(4):
+            exp[base - i * 900] += 1
+    got = {}
+    for r in rows:
+        w = int(_dt.datetime.strptime(
+            r["window_start"], "%Y-%m-%d %H:%M:%S"
+        ).replace(tzinfo=_dt.timezone.utc).timestamp())
+        got[w] = r["n_events"]
+    assert got == dict(exp)
+
+
 def test_tfidf_topk_both_dispatch_paths(ray_session):
     from moaray.ops.text import tfidf_topk
 
@@ -1736,6 +1775,29 @@ def test_dataset_profile(ray_session):
     assert et["min"] == lens.min() and et["max"] == lens.max()
     true_types = len(set(t["event_type"].to_pylist()))
     assert abs(et["distinct_est"] - true_types) <= 1
+
+
+def test_dataset_profile_float_distinct_and_nan(ray_session):
+    """Floats must hash by bit pattern: a column uniform in [0,100) has
+    thousands of distinct values that all share ~100 integer parts
+    (round-4 advice: int-truncation hashing capped distinct_est ~200).
+    NaN rows count as data (not null) but are dropped from stats/HLL."""
+    import pyarrow as pa
+
+    from moaray.ops.sketch import dataset_profile
+
+    rng = np.random.default_rng(11)
+    vals = rng.uniform(0, 100, size=5000)
+    vals[::10] = np.nan  # 500 NaNs
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals, pa.float64())}))
+    row = {r["column"]: r for r in
+           dataset_profile(ds.repartition(4)).take_all()}["x"]
+    finite = vals[~np.isnan(vals)]
+    true_d = len(np.unique(finite))
+    assert abs(row["distinct_est"] - true_d) <= 0.06 * true_d
+    assert row["min"] == float(finite.min())
+    assert row["max"] == float(finite.max())
+    assert abs(row["mean"] - finite.mean()) < 1e-4
 
 
 def test_compute_phash_dihedral_invariance(ray_session):

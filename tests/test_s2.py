@@ -166,7 +166,7 @@ def test_s2_cell_census(ray_session):
     assert set(toks) == {s2.cell_token(c) for c in cells}
 
 
-def _geo_catalog(tmp_path, n=9, size=48):
+def _geo_catalog(tmp_path, n=9, size=48, lon0=150.0, lat0=-30.0):
     """Explicit-meta catalog of overlapping images in EPSG:4326 degrees."""
     import os
 
@@ -180,9 +180,9 @@ def _geo_catalog(tmp_path, n=9, size=48):
     rng = np.random.default_rng(7)
     for k in range(n):
         ramp = np.full((size, size), k + 1, dtype=np.uint16)
-        # scatter with overlap around (150E, 30S)
-        x0 = 150.0 + float(rng.uniform(0, 0.8))
-        y0 = -30.0 - float(rng.uniform(0, 0.8))
+        # scatter with overlap around (lon0, lat0)
+        x0 = lon0 + float(rng.uniform(0, 0.8))
+        y0 = lat0 - float(rng.uniform(0, 0.8))
         rows["image_id"].append(f"img{k:02d}")
         rows["bytes"].append(codecs.encode(ramp, "z16"))
         rows["w"].append(size)
@@ -239,6 +239,22 @@ def test_assign_cell_join_s2_matches_direct(ray_session, tmp_path):
     assert s2_fine == direct
 
 
+@pytest.mark.parametrize("lon0,lat0", [
+    (-90.0, 10.0),    # face 4: cell ids have the top bit set -> negative int64
+    (-60.0, -85.0),   # face 5 (south polar cap), also negative int64 ids
+])
+def test_assign_cell_join_s2_negative_faces(ray_session, tmp_path, lon0,
+                                            lat0):
+    """Faces 4/5 produce S2 ids with the top bit set; the joined int64
+    cell_id must compare equal to the uint64 ref cell (signed reinterpret)
+    or the refine dedup silently drops every pair (round-4 advice)."""
+    path = _geo_catalog(tmp_path, lon0=lon0, lat0=lat0)
+    direct = _plan_rows(path, "direct")
+    s2_rows = _plan_rows(path, "cell_join_s2")
+    assert len(direct) > 20
+    assert s2_rows == direct
+
+
 def test_assign_cell_join_s2_rejects_projected_grids(ray_session):
     from moaray import Layout, MosaicConfig
     from moaray.pipelines.mosaic import plan_assignments
@@ -274,6 +290,30 @@ def test_analytic_coverer_targeted_regions(rng):
         pg = np.concatenate([pg, [o0, o1, o0, o1]])
         cells = s2.cell_from_latlng(pl, pg, level)
         assert all(int(c) in cov for c in cells), (a0, a1, o0, o1, level)
+
+
+def test_polar_face_not_fanned_by_wide_equatorial_rect(rng):
+    """A rect far from the pole with a wide longitude span produces an
+    annular-sector bounding box; when the annulus's NEAR edge is beyond
+    sqrt(2) it cannot touch the polar face square — without the gate the
+    covering blew up with up to 4^level spurious polar cells (round-4
+    advice). Completeness must survive the pruning."""
+    level = 9
+    # lat band [5, 15]N, nearly full longitude span: r_lo = cot(15) ~ 3.7
+    cov = s2.rect_covering(5.0, 15.0, -179.0, 179.0, level)
+    faces = {int(c) >> 61 & 0x7 for c in np.asarray(cov, dtype=np.uint64)}
+    assert 2 not in faces and 5 not in faces
+    covs = set(
+        int(c) for c in np.asarray(cov, dtype=np.uint64).view(np.int64))
+    pl = rng.uniform(5.0, 15.0, 500)
+    pg = rng.uniform(-179.0, 179.0, 500)
+    cells = s2.cell_from_latlng(pl, pg, level).view(np.int64)
+    assert all(int(c) in covs for c in cells)
+    # a rect actually reaching toward the pole still covers polar cells
+    cov_hi = s2.rect_covering(60.0, 88.0, -179.0, 179.0, 5)
+    faces_hi = {int(c) >> 61 & 0x7
+                for c in np.asarray(cov_hi, dtype=np.uint64)}
+    assert 2 in faces_hi
 
 
 def test_analytic_coverer_completeness_vs_bfs(rng):
