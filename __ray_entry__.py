@@ -103,6 +103,72 @@ def _tiles_with_checksum(tiles_ds, dtype: str = "uint16"):
     return tiles_ds.map_batches(summarize, batch_format="pyarrow").sort("tile_id")
 
 
+def _checksum_catalog(sf_dir: str) -> str:
+    """Deterministic constant-value raster catalog derived from
+    ``embeddings.vec_id`` by pure INTEGER arithmetic, so the DuckDB oracle
+    can reproduce the mosaic bit-for-bit: 32 images of 48x48 px placed in a
+    256x256 domain (images 0/1 pinned to the corners so the union extent is
+    exact), value ((vec_id*37)%991)+1 — deliberately NOT monotonic in seq so
+    last-wins differs from max-wins — seq = vec_id. Per-pixel winner is
+    arg_max(val, seq); per-tile checksums follow in closed form
+    (round-4 verdict #1: make the mosaic core driver-gradable)."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from moaray import codecs
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+    )
+    vid = sorted(int(v) for v in t["vec_id"].to_pylist())[:32]
+    root = "/tmp/moaray_q_checksums_" + hashlib.md5(
+        repr(vid).encode()
+    ).hexdigest()[:12]
+    if os.path.isdir(root):
+        return root
+    size = 48
+    rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "gt",
+                            "crs", "nullval", "seq")}
+    for i, v in enumerate(vid):
+        top = 0 if i == 0 else (208 if i == 1 else (v * 7919) % 209)
+        lft = 0 if i == 0 else (208 if i == 1 else (v * 104729) % 209)
+        val = ((v * 37) % 991) + 1
+        img = np.full((size, size), val, dtype=np.uint16)
+        rows["image_id"].append(f"chk{v:06d}")
+        rows["bytes"].append(codecs.encode(img, "z16"))
+        rows["w"].append(size)
+        rows["h"].append(size)
+        rows["fmt"].append("z16")
+        # world == pixel frame: x = col, y = -row (1 px, y-down)
+        rows["gt"].append([float(lft), 1.0, 0.0, float(-top), 0.0, -1.0])
+        rows["crs"].append("EPSG:32756")
+        rows["nullval"].append(0.0)
+        rows["seq"].append(v)
+    import pyarrow.parquet as _pq
+
+    tbl = pa.table({
+        "image_id": pa.array(rows["image_id"], pa.string()),
+        "bytes": pa.array(rows["bytes"], pa.binary()),
+        "w": pa.array(rows["w"], pa.int32()),
+        "h": pa.array(rows["h"], pa.int32()),
+        "fmt": pa.array(rows["fmt"], pa.string()),
+        "gt": pa.array(rows["gt"], pa.list_(pa.float64(), 6)),
+        "crs": pa.array(rows["crs"], pa.string()),
+        "nullval": pa.array(rows["nullval"], pa.float64()),
+        "seq": pa.array(rows["seq"], pa.int64()),
+    })
+    tmp = root + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    _pq.write_table(tbl, os.path.join(tmp, "catalog.parquet"))
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        pass  # concurrent builder won the rename; contents are identical
+    return root
+
+
 def entry() -> Any:
     """Flagship: full mosaic (join + decode + assemble + stats) on the
     deterministic grid3x3 fixture; returns the tile table (pixels
@@ -122,6 +188,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from moaray.ops import ann, dedup, relational, text
     from moaray.ops.multimodal import image_features, image_resize
     from moaray.stages.knn_overlap import knn_overlap_resolution
+
+    def q_mosaic_checksums(sf_dir: str):
+        # the mosaic core, driver-gradable: full plan+decode+assemble run
+        # over the deterministic integer-placement catalog; per-tile
+        # nonnull/sum/min/max come from TILE_SCHEMA partials and the oracle
+        # recomputes them per-pixel with arg_max(val, seq)
+        import pyarrow.compute as pc
+
+        from moaray import MosaicConfig
+
+        res = do_mosaic(
+            _checksum_catalog(sf_dir),
+            MosaicConfig(blocksize=64, do_pyramids=False, do_stats=False),
+        )
+
+        def summar(batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.greater(batch["nonnull_count"], 0))
+            return pa.table({
+                "tile_id": b["tile_id"],
+                "nonnull_count": b["nonnull_count"],
+                "px_sum": pc.cast(b["px_sum"], pa.int64()),
+                "px_min": pc.cast(b["px_min"], pa.int64()),
+                "px_max": pc.cast(b["px_max"], pa.int64()),
+            })
+
+        return res.tiles_ds.map_batches(
+            summar, batch_format="pyarrow"
+        ).sort("tile_id")
 
     def q_mosaic_tiles(sf_dir: str):
         res = do_mosaic(_images("grid"), _cfg("grid"))
@@ -1648,6 +1742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf": q_doc_tfidf,
         "cap_per_source": q_cap_per_source,
         "events_rollup": q_events_rollup,
+        "mosaic_checksums": q_mosaic_checksums,
         # ---- rows-only (no SQL oracle by design) ----
         # The driver grades the FIRST 50 queries (round-2 verdict #1);
         # positions 30-50 are curated for family breadth — mosaic core,
@@ -2140,6 +2235,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(cents) AS BIGINT) / 100.0 AS sum_value
             FROM e GROUP BY ROLLUP(event_type, day)
             ORDER BY event_type, day
+        """,
+        # per-tile checksums of a REAL mosaic run (plan + decode +
+        # last-non-null merge + stats partials) over the deterministic
+        # integer-placement catalog _checksum_catalog derives from
+        # embeddings.vec_id; the oracle recomputes every pixel's winner
+        # with arg_max(val, seq) and folds per 64px tile (4x4 grid).
+        "mosaic_checksums": """
+            WITH imgs AS (
+              SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS i
+              FROM embeddings ORDER BY vec_id LIMIT 32
+            ), placed AS (
+              SELECT vec_id AS seq,
+                CASE WHEN i = 0 THEN 0 WHEN i = 1 THEN 208
+                     ELSE (vec_id * 7919) % 209 END AS top,
+                CASE WHEN i = 0 THEN 0 WHEN i = 1 THEN 208
+                     ELSE (vec_id * 104729) % 209 END AS lft,
+                ((vec_id * 37) % 991) + 1 AS val
+              FROM imgs
+            ), offs AS (
+              SELECT * FROM generate_series(0, 47) t(o)
+            ), pix AS (
+              SELECT top + ro.o AS r, lft + co.o AS c, val, seq
+              FROM placed, offs ro, offs co
+            ), winner AS (
+              SELECT r, c, arg_max(val, seq) AS v
+              FROM pix GROUP BY r, c
+            )
+            SELECT CAST((r // 64) * 4 + (c // 64) AS BIGINT) AS tile_id,
+                   CAST(count(*) AS BIGINT) AS nonnull_count,
+                   CAST(sum(v) AS BIGINT) AS px_sum,
+                   CAST(min(v) AS BIGINT) AS px_min,
+                   CAST(max(v) AS BIGINT) AS px_max
+            FROM winner GROUP BY 1 ORDER BY tile_id
         """,
         "cap_per_source": """
             SELECT source, doc_id,

@@ -346,18 +346,41 @@ def knn_ivf(
         cids = batch["vec_id"].to_numpy()
         cmat = _normalize(emb_matrix(batch["embedding"]))
         assign = np.argmax(cmat @ cents.T, axis=1)  # corpus -> centroid
-        probe_mask = np.zeros((len(q_ids), cents.shape[0]), dtype=bool)
+        # gather BEFORE multiply: group corpus rows by assigned cell and
+        # matmul each probing query block only against its cells' rows, so
+        # per-batch FLOPs scale with nprobe/n_centroids instead of corpus
+        # size (round-4 verdict: the unmasked full matmul made the index
+        # compute-equivalent to bruteforce).
+        ncells = cents.shape[0]
+        order = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order]
+        cells = np.arange(ncells)
+        starts = np.searchsorted(sorted_assign, cells, side="left")
+        ends = np.searchsorted(sorted_assign, cells, side="right")
+        cell_queries: list[list[int]] = [[] for _ in range(ncells)]
         for qi in range(len(q_ids)):
-            probe_mask[qi, prb[qi]] = True
-        pair_mask = probe_mask[:, assign]  # (query, corpus-row)
-        sims_full = q_mat @ cmat.T
+            for c in prb[qi]:
+                cell_queries[int(c)].append(qi)
+        cand_s: list[list[np.ndarray]] = [[] for _ in range(len(q_ids))]
+        cand_i: list[list[np.ndarray]] = [[] for _ in range(len(q_ids))]
+        for c in range(ncells):
+            qs = cell_queries[c]
+            if not qs or starts[c] == ends[c]:
+                continue
+            rows = order[starts[c]:ends[c]]
+            sims = q_mat[qs] @ cmat[rows].T
+            ids_c = cids[rows]
+            for j, qi in enumerate(qs):
+                cand_s[qi].append(sims[j])
+                cand_i[qi].append(ids_c)
         out_q, out_n, out_s = [], [], []
         for qi in range(len(q_ids)):
-            sel = pair_mask[qi]
-            if not sel.any():
+            if not cand_s[qi]:
                 continue
+            s = np.concatenate(cand_s[qi])
+            ii = np.concatenate(cand_i[qi])
             oq, on, os_ = _topk_rows(
-                q_ids[qi : qi + 1], sims_full[qi : qi + 1, sel], cids[sel], k
+                q_ids[qi : qi + 1], s[None, :], ii, k
             )
             out_q.extend(oq)
             out_n.extend(on)

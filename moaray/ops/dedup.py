@@ -23,6 +23,25 @@ import ray
 from .ann import emb_matrix
 
 
+def sig_matrix(col) -> np.ndarray:
+    """(n, num_perm) int64 from a fixed-size-list<int64> signature column
+    WITHOUT the to_pylist() Python-object detour (the emb_matrix pattern,
+    ann.py:24 — round-4 verdict #5)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.int64)
+    if pa.types.is_fixed_size_list(arr.type):
+        dim = arr.type.list_size
+    else:
+        widths = np.diff(arr.offsets.to_numpy())
+        if (widths != widths[0]).any():
+            return np.array(arr.to_pylist(), dtype=np.int64)
+        dim = int(widths[0])
+    vals = arr.flatten().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(vals, dtype=np.int64).reshape(n, dim)
+
+
 def _round_half_away(x: np.ndarray, ndigits: int) -> np.ndarray:
     """SQL round() semantics (np.round is half-even and can differ by one
     ulp-of-the-last-digit on exact rational boundaries like 1/32)."""
@@ -364,7 +383,7 @@ def minhash_lsh_pairs(
         candidate that the est_jaccard threshold re-checks)."""
         n = batch.num_rows
         ids = batch["doc_id"].to_numpy()
-        sig_mat = np.array(batch["sig"].to_pylist(), dtype=np.int64)
+        sig_mat = sig_matrix(batch["sig"])
         chunks = sig_mat.reshape(n, bands, rows_per_band).astype(np.uint64)
         h = np.full((n, bands), 0xCBF29CE484222325, dtype=np.uint64)
         with np.errstate(over="ignore"):
@@ -405,7 +424,7 @@ def minhash_lsh_pairs(
             # the packed single-key dedup assumes doc_id < 2^32 (4e9 docs);
             # re-key the corpus (dense ids) beyond that
             raise ValueError("minhash_lsh_pairs: doc_id must fit in uint32")
-        sig_mat = np.array(group["sig"].to_pylist(), dtype=np.int64)
+        sig_mat = sig_matrix(group["sig"])
         eq = (sig_mat[:, None, :] == sig_mat[None, :, :]).mean(axis=2)
         ia, ib = np.where(np.triu(eq >= threshold, k=1))
         a = np.minimum(ids[ia], ids[ib])
