@@ -390,6 +390,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _tiles_with_checksum(res.tiles_ds)
 
+    def q_mosaic_reproject_osgb(sf_dir: str):  # rows-only (non-SQL)
+        # datum-shift warp: WGS84 (EPSG:4326) catalog -> British National
+        # Grid (EPSG:27700: TM on Airy 1830 + OSGB36 Helmert through the
+        # geocentric pivot, moaray/geodesy.py) — the reference accepts any
+        # EPSG datum via osr/gdal.Warp (ref reproj.py:40-64)
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from moaray import codecs
+
+        root = "/tmp/moaray_q_osgb"
+        if not os.path.isdir(root):
+            os.makedirs(root, exist_ok=True)
+            size = 64
+            rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": [],
+                    "gt": [], "crs": [], "nullval": [], "seq": []}
+            for i in range(4):
+                ramp = np.tile(
+                    np.arange(size, dtype=np.uint16) + i, (size, 1)
+                )
+                ramp[:, 0] = 0
+                r, c = divmod(i, 2)
+                gt = [-2.10 + c * 0.08, 0.0014, 0.0,
+                      52.60 - r * 0.05, 0.0, -0.0009]
+                rows["image_id"].append(f"uk{i:04d}")
+                rows["bytes"].append(codecs.encode(ramp, "z16"))
+                rows["w"].append(size)
+                rows["h"].append(size)
+                rows["fmt"].append("z16")
+                rows["gt"].append(gt)
+                rows["crs"].append("EPSG:4326")
+                rows["nullval"].append(0.0)
+                rows["seq"].append(i)
+            tbl = pa.table(
+                {
+                    "image_id": pa.array(rows["image_id"], pa.string()),
+                    "bytes": pa.array(rows["bytes"], pa.binary()),
+                    "w": pa.array(rows["w"], pa.int32()),
+                    "h": pa.array(rows["h"], pa.int32()),
+                    "fmt": pa.array(rows["fmt"], pa.string()),
+                    "gt": pa.array(rows["gt"], pa.list_(pa.float64(), 6)),
+                    "crs": pa.array(rows["crs"], pa.string()),
+                    "nullval": pa.array(rows["nullval"], pa.float64()),
+                    "seq": pa.array(rows["seq"], pa.int64()),
+                }
+            )
+            pq.write_table(tbl, os.path.join(root, "p.parquet"))
+        from moaray import MosaicConfig, do_mosaic as _dm
+
+        res = _dm(
+            root,
+            MosaicConfig(
+                blocksize=32, out_crs="EPSG:27700",
+                out_xres=100.0, out_yres=100.0, resample="near",
+                do_pyramids=False, do_stats=False,
+            ),
+        )
+        return _tiles_with_checksum(res.tiles_ds)
+
     def q_mosaic_reproject_polar(sf_dir: str):  # rows-only (non-SQL)
         # polar warp: EPSG:4326 catalog near Svalbard -> the NSIDC
         # EPSG:3413 polar-stereographic grid (moaray/pstereo.py; third
@@ -1766,6 +1827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_tiles_feather": q_mosaic_tiles_feather,
         "mosaic_tiles_jpeg_rgb": q_mosaic_tiles_jpeg_rgb,
         "mosaic_reproject_lcc": q_mosaic_reproject_lcc,
+        "mosaic_reproject_osgb": q_mosaic_reproject_osgb,
         "mosaic_reproject_polar": q_mosaic_reproject_polar,
         "minhash_pairs": q_minhash_pairs,
         "minhash_dedup_corpus": q_minhash_dedup_corpus,

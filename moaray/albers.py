@@ -22,38 +22,48 @@ from __future__ import annotations
 
 import numpy as np
 
-from .lcc import _A, _E, _m
+from . import geodesy
+from .lcc import _E, _m
 
+_A = geodesy.WGS84.a
 _E2 = float(_E) ** 2
 
 
-def _q(phi: np.ndarray) -> np.ndarray:
+def _q(phi: np.ndarray, e: float = _E) -> np.ndarray:
     """Snyder 3-12: the equal-area latitude kernel q(phi)."""
     s = np.sin(phi)
-    return (1.0 - _E2) * (
-        s / (1.0 - _E2 * s * s)
-        - (1.0 / (2.0 * _E)) * np.log((1.0 - _E * s) / (1.0 + _E * s))
+    e2 = e * e
+    return (1.0 - e2) * (
+        s / (1.0 - e2 * s * s)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
     )
 
 
 class AlbersParams:
     __slots__ = ("lat1", "lat2", "lat0", "lon0", "fe", "fn",
-                 "n", "big_c", "rho0")
+                 "n", "big_c", "rho0", "datum", "a", "e", "e2")
 
     def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
-                 fe: float = 0.0, fn: float = 0.0):
+                 fe: float = 0.0, fn: float = 0.0,
+                 datum: "geodesy.Datum" = geodesy.WGS84_DATUM):
         self.lat1, self.lat2 = lat1, lat2
         self.lat0, self.lon0 = lat0, lon0
         self.fe, self.fn = fe, fn
+        self.datum = datum
+        self.a = datum.ellipsoid.a
+        self.e = datum.ellipsoid.e
+        self.e2 = datum.ellipsoid.e2
         p1, p2, p0 = np.deg2rad([lat1, lat2, lat0])
-        m1, m2 = float(_m(p1)), float(_m(p2))
-        q1, q2, q0 = float(_q(p1)), float(_q(p2)), float(_q(p0))
+        m1, m2 = float(_m(p1, self.e)), float(_m(p2, self.e))
+        q1 = float(_q(p1, self.e))
+        q2 = float(_q(p2, self.e))
+        q0 = float(_q(p0, self.e))
         if abs(lat1 - lat2) > 1e-12:
             self.n = (m1 * m1 - m2 * m2) / (q2 - q1)  # Snyder 14-14
         else:
             self.n = float(np.sin(p1))
         self.big_c = m1 * m1 + self.n * q1  # Snyder 14-13
-        self.rho0 = _A * np.sqrt(self.big_c - self.n * q0) / self.n
+        self.rho0 = self.a * np.sqrt(self.big_c - self.n * q0) / self.n
 
 
 def albers_forward(
@@ -65,7 +75,7 @@ def albers_forward(
     phi = np.deg2rad(np.asarray(lat_deg, dtype=np.float64))
     dlon = (np.asarray(lon_deg, dtype=np.float64) - p.lon0 + 180.0) % 360.0 - 180.0
     theta = p.n * np.deg2rad(dlon)
-    rho = _A * np.sqrt(np.maximum(p.big_c - p.n * _q(phi), 0.0)) / p.n
+    rho = p.a * np.sqrt(np.maximum(p.big_c - p.n * _q(phi, p.e), 0.0)) / p.n
     return (
         p.fe + rho * np.sin(theta),
         p.fn + p.rho0 - rho * np.cos(theta),
@@ -82,16 +92,16 @@ def albers_inverse(
     sign = 1.0 if p.n >= 0 else -1.0
     rho = sign * np.sqrt(x * x + y * y)
     theta = np.arctan2(sign * x, sign * y)
-    qp = (p.big_c - (rho * p.n / _A) ** 2) / p.n
+    qp = (p.big_c - (rho * p.n / p.a) ** 2) / p.n
     # spherical start, then Snyder 3-16 iteration
     phi = np.arcsin(np.clip(qp / 2.0, -1.0, 1.0))
     for _ in range(10):
         s = np.sin(phi)
-        den = 1.0 - _E2 * s * s
+        den = 1.0 - p.e2 * s * s
         corr = (den ** 2 / (2.0 * np.cos(phi))) * (
-            qp / (1.0 - _E2)
+            qp / (1.0 - p.e2)
             - s / den
-            + (1.0 / (2.0 * _E)) * np.log((1.0 - _E * s) / (1.0 + _E * s))
+            + (1.0 / (2.0 * p.e)) * np.log((1.0 - p.e * s) / (1.0 + p.e * s))
         )
         phi = phi + corr
     lat = np.rad2deg(phi)
@@ -101,20 +111,31 @@ def albers_inverse(
 
 
 _EPSG_ALBERS = {
-    5070: AlbersParams(29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
-    3577: AlbersParams(-18.0, -36.0, 0.0, 132.0, 0.0, 0.0),
+    # NAD83 / CONUS Albers and GDA94 / Australian Albers (both GRS80)
+    5070: AlbersParams(29.5, 45.5, 23.0, -96.0, 0.0, 0.0,
+                       geodesy.NAD83_DATUM),
+    3577: AlbersParams(-18.0, -36.0, 0.0, 132.0, 0.0, 0.0,
+                       geodesy.GDA94_DATUM),
 }
 
 
 def parse_albers(crs: str) -> AlbersParams | None:
     """AlbersParams for a recognized Albers CRS name, else None."""
     if crs.startswith("ALBERS:"):
-        parts = crs[len("ALBERS:"):].split(",")
-        if len(parts) not in (4, 6):
+        parts = [v.strip() for v in crs[len("ALBERS:"):].split(",")]
+        if len(parts) not in (4, 6, 7):
             raise ValueError(
-                f"bad ALBERS crs {crs!r}: need lat1,lat2,lat0,lon0[,fe,fn]"
+                f"bad ALBERS crs {crs!r}: need lat1,lat2,lat0,lon0"
+                "[,fe,fn[,DATUM]]"
             )
-        return AlbersParams(*[float(v) for v in parts])
+        datum = geodesy.WGS84_DATUM
+        if len(parts) == 7:
+            dname = parts[6].upper()
+            if dname not in geodesy.DATUMS:
+                raise ValueError(f"unknown datum {dname!r} in {crs!r}")
+            datum = geodesy.DATUMS[dname]
+            parts = parts[:6]
+        return AlbersParams(*[float(v) for v in parts], datum=datum)
     if crs.startswith("EPSG:") and crs[5:].isdigit():
         return _EPSG_ALBERS.get(int(crs[5:]))
     return None

@@ -31,46 +31,54 @@ from __future__ import annotations
 
 import numpy as np
 
-# WGS84 ellipsoid (shared with moaray/tmerc.py)
-_A = 6378137.0
-_F = 1.0 / 298.257223563
-_E = np.sqrt(_F * (2.0 - _F))  # first eccentricity
+from . import geodesy
+
+# WGS84 constants (module defaults, kept for existing callers)
+_A = geodesy.WGS84.a
+_E = geodesy.WGS84.e
 
 
-def _m(phi: np.ndarray) -> np.ndarray:
+def _m(phi: np.ndarray, e: float = _E) -> np.ndarray:
     """Snyder 14-15: cos(phi) / sqrt(1 - e^2 sin^2 phi)."""
     s = np.sin(phi)
-    return np.cos(phi) / np.sqrt(1.0 - (_E * s) ** 2)
+    return np.cos(phi) / np.sqrt(1.0 - (e * s) ** 2)
 
 
-def _t(phi: np.ndarray) -> np.ndarray:
+def _t(phi: np.ndarray, e: float = _E) -> np.ndarray:
     """Snyder 15-9: tan(pi/4 - phi/2) / ((1 - e sin phi)/(1 + e sin phi))^(e/2)."""
     s = np.sin(phi)
     return np.tan(np.pi / 4.0 - phi / 2.0) / (
-        (1.0 - _E * s) / (1.0 + _E * s)
-    ) ** (_E / 2.0)
+        (1.0 - e * s) / (1.0 + e * s)
+    ) ** (e / 2.0)
 
 
 class LccParams:
-    """Precomputed projection constants for one LCC-2SP definition."""
+    """Precomputed projection constants for one LCC-2SP definition (on the
+    datum's ellipsoid — Snyder's formulation is ellipsoid-generic)."""
 
     __slots__ = ("lat1", "lat2", "lat0", "lon0", "fe", "fn",
-                 "n", "big_f", "rho0")
+                 "n", "big_f", "rho0", "datum", "a", "e")
 
     def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
-                 fe: float = 0.0, fn: float = 0.0):
+                 fe: float = 0.0, fn: float = 0.0,
+                 datum: "geodesy.Datum" = geodesy.WGS84_DATUM):
         self.lat1, self.lat2 = lat1, lat2
         self.lat0, self.lon0 = lat0, lon0
         self.fe, self.fn = fe, fn
+        self.datum = datum
+        self.a = datum.ellipsoid.a
+        self.e = datum.ellipsoid.e
         p1, p2, p0 = np.deg2rad([lat1, lat2, lat0])
-        m1, m2 = float(_m(p1)), float(_m(p2))
-        t1, t2, t0 = float(_t(p1)), float(_t(p2)), float(_t(p0))
+        m1, m2 = float(_m(p1, self.e)), float(_m(p2, self.e))
+        t1 = float(_t(p1, self.e))
+        t2 = float(_t(p2, self.e))
+        t0 = float(_t(p0, self.e))
         if abs(lat1 - lat2) > 1e-12:
             self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
         else:  # 1SP degeneracy: cone tangent at lat1
             self.n = float(np.sin(p1))
         self.big_f = m1 / (self.n * t1 ** self.n)
-        self.rho0 = _A * self.big_f * t0 ** self.n
+        self.rho0 = self.a * self.big_f * t0 ** self.n
 
 
 def lcc_forward(
@@ -84,7 +92,7 @@ def lcc_forward(
     # (opposite the central meridian) doesn't flip theta's sign
     dlon = (np.asarray(lon_deg, dtype=np.float64) - p.lon0 + 180.0) % 360.0 - 180.0
     theta = p.n * np.deg2rad(dlon)
-    rho = _A * p.big_f * _t(phi) ** p.n
+    rho = p.a * p.big_f * _t(phi, p.e) ** p.n
     return (
         p.fe + rho * np.sin(theta),
         p.fn + p.rho0 - rho * np.cos(theta),
@@ -102,40 +110,54 @@ def lcc_inverse(
     rho = sign * np.sqrt(x * x + y * y)
     theta = np.arctan2(sign * x, sign * y)
     with np.errstate(divide="ignore"):
-        tp = (rho / (_A * p.big_f)) ** (1.0 / p.n)
+        tp = (rho / (p.a * p.big_f)) ** (1.0 / p.n)
     # phi = pi/2 - 2 atan(t' ((1 - e sin phi)/(1 + e sin phi))^(e/2)),
     # iterated from the spherical start (Snyder 7-9/3-5 trig series also
     # works; the fixed point converges quadratically in a few rounds)
     phi = np.pi / 2.0 - 2.0 * np.arctan(tp)
     for _ in range(8):
-        s = _E * np.sin(phi)
+        s = p.e * np.sin(phi)
         phi = np.pi / 2.0 - 2.0 * np.arctan(
-            tp * ((1.0 - s) / (1.0 + s)) ** (_E / 2.0)
+            tp * ((1.0 - s) / (1.0 + s)) ** (p.e / 2.0)
         )
     lat = np.rad2deg(phi)
     lon = p.lon0 + np.rad2deg(theta / p.n)
     return lat, lon
 
 
-# well-known EPSG LCC-2SP definitions on GRS80/WGS84-compatible datums
+# well-known EPSG LCC-2SP definitions (exact ellipsoid per datum; GRS80
+# differs from WGS84 only at the 0.1 mm level but we carry it exactly now
+# that the registry is parametric)
 _EPSG_LCC = {
-    # RGF93 / Lambert-93 (France national grid)
-    2154: LccParams(49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0),
+    # RGF93 / Lambert-93 (France national grid, ETRS89-compatible)
+    2154: LccParams(49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0,
+                    geodesy.ETRS89_DATUM),
     # NAD83 / Canada Atlas Lambert
-    3978: LccParams(49.0, 77.0, 49.0, -95.0, 0.0, 0.0),
+    3978: LccParams(49.0, 77.0, 49.0, -95.0, 0.0, 0.0,
+                    geodesy.NAD83_DATUM),
 }
 
 
 def parse_lcc(crs: str) -> LccParams | None:
-    """LccParams for a recognized LCC CRS name, else None."""
+    """LccParams for a recognized LCC CRS name, else None. The parametric
+    token is ``LCC:lat1,lat2,lat0,lon0[,fe,fn[,DATUM]]`` (datum names from
+    moaray/geodesy.py, default WGS84)."""
     if crs.startswith("LCC:"):
-        parts = crs[4:].split(",")
-        if len(parts) not in (4, 6):
+        parts = [v.strip() for v in crs[4:].split(",")]
+        if len(parts) not in (4, 6, 7):
             raise ValueError(
-                f"bad LCC crs {crs!r}: need lat1,lat2,lat0,lon0[,fe,fn]"
+                f"bad LCC crs {crs!r}: need lat1,lat2,lat0,lon0"
+                "[,fe,fn[,DATUM]]"
             )
+        datum = geodesy.WGS84_DATUM
+        if len(parts) == 7:
+            dname = parts[6].upper()
+            if dname not in geodesy.DATUMS:
+                raise ValueError(f"unknown datum {dname!r} in {crs!r}")
+            datum = geodesy.DATUMS[dname]
+            parts = parts[:6]
         vals = [float(v) for v in parts]
-        return LccParams(*vals)
+        return LccParams(*vals, datum=datum)
     if crs.startswith("EPSG:") and crs[5:].isdigit():
         return _EPSG_LCC.get(int(crs[5:]))
     return None

@@ -26,24 +26,37 @@ from __future__ import annotations
 
 import numpy as np
 
-from .lcc import _A, _E, _m, _t
+from . import geodesy
+from .lcc import _E, _m, _t
+
+_A = geodesy.WGS84.a
 
 # sqrt((1+e)^(1+e) (1-e)^(1-e)) — Snyder 21-39 denominator
 _C = np.sqrt((1.0 + _E) ** (1.0 + _E) * (1.0 - _E) ** (1.0 - _E))
 
 
 class PolarParams:
-    """Precomputed constants for one polar-stereographic definition."""
+    """Precomputed constants for one polar-stereographic definition (on
+    the datum's ellipsoid; Snyder's formulation is ellipsoid-generic)."""
 
-    __slots__ = ("south", "lat_ts", "lon0", "fe", "fn", "k0")
+    __slots__ = ("south", "lat_ts", "lon0", "fe", "fn", "k0",
+                 "datum", "a", "e", "c")
 
     def __init__(self, lat0: float, lat_ts: float, lon0: float,
-                 fe: float = 0.0, fn: float = 0.0, k0: float | None = None):
+                 fe: float = 0.0, fn: float = 0.0, k0: float | None = None,
+                 datum: "geodesy.Datum" = geodesy.WGS84_DATUM):
         if abs(lat0) != 90.0:
             raise ValueError(f"polar stereographic needs lat0=+-90, got {lat0}")
         self.south = lat0 < 0
         self.lat_ts, self.lon0 = lat_ts, lon0
         self.fe, self.fn = fe, fn
+        self.datum = datum
+        self.a = datum.ellipsoid.a
+        self.e = datum.ellipsoid.e
+        self.c = float(np.sqrt(
+            (1.0 + self.e) ** (1.0 + self.e)
+            * (1.0 - self.e) ** (1.0 - self.e)
+        ))
         if k0 is not None:
             self.k0 = k0  # Variant A (UPS)
         else:
@@ -53,7 +66,8 @@ class PolarParams:
             else:
                 p = np.deg2rad(ts)
                 # Variant B: rho = a m_F t / t_F == 2 a k0 t / C
-                self.k0 = float(_m(p)) * _C / (2.0 * float(_t(p)))
+                self.k0 = (float(_m(p, self.e)) * self.c
+                           / (2.0 * float(_t(p, self.e))))
 
 
 def ps_forward(
@@ -69,7 +83,7 @@ def ps_forward(
     lon = np.asarray(lon_deg, dtype=np.float64)
     phi = np.deg2rad(-lat if p.south else lat)
     dlam = np.deg2rad((lon - p.lon0 + 180.0) % 360.0 - 180.0)
-    rho = 2.0 * _A * p.k0 * _t(phi) / _C
+    rho = 2.0 * p.a * p.k0 * _t(phi, p.e) / p.c
     if p.south:
         return p.fe + rho * np.sin(dlam), p.fn + rho * np.cos(dlam)
     return p.fe + rho * np.sin(dlam), p.fn - rho * np.cos(dlam)
@@ -83,12 +97,12 @@ def ps_inverse(
     x = np.asarray(easting, dtype=np.float64) - p.fe
     y = np.asarray(northing, dtype=np.float64) - p.fn
     rho = np.sqrt(x * x + y * y)
-    tp = rho * _C / (2.0 * _A * p.k0)
+    tp = rho * p.c / (2.0 * p.a * p.k0)
     phi = np.pi / 2.0 - 2.0 * np.arctan(tp)
     for _ in range(8):
-        s = _E * np.sin(phi)
+        s = p.e * np.sin(phi)
         phi = np.pi / 2.0 - 2.0 * np.arctan(
-            tp * ((1.0 - s) / (1.0 + s)) ** (_E / 2.0)
+            tp * ((1.0 - s) / (1.0 + s)) ** (p.e / 2.0)
         )
     lam = np.arctan2(x, y) if p.south else np.arctan2(x, -y)
     lat = np.rad2deg(phi)
@@ -111,13 +125,21 @@ _EPSG_PS = {
 def parse_pstereo(crs: str) -> PolarParams | None:
     """PolarParams for a recognized polar-stereographic CRS, else None."""
     if crs.startswith("PSTEREO:"):
-        parts = crs[len("PSTEREO:"):].split(",")
-        if len(parts) not in (3, 5):
+        parts = [v.strip() for v in crs[len("PSTEREO:"):].split(",")]
+        if len(parts) not in (3, 5, 6):
             raise ValueError(
-                f"bad PSTEREO crs {crs!r}: need lat0,lat_ts,lon0[,fe,fn]"
+                f"bad PSTEREO crs {crs!r}: need lat0,lat_ts,lon0"
+                "[,fe,fn[,DATUM]]"
             )
+        datum = geodesy.WGS84_DATUM
+        if len(parts) == 6:
+            dname = parts[5].upper()
+            if dname not in geodesy.DATUMS:
+                raise ValueError(f"unknown datum {dname!r} in {crs!r}")
+            datum = geodesy.DATUMS[dname]
+            parts = parts[:5]
         vals = [float(v) for v in parts]
-        return PolarParams(*vals)
+        return PolarParams(*vals, datum=datum)
     if crs.startswith("EPSG:") and crs[5:].isdigit():
         return _EPSG_PS.get(int(crs[5:]))
     return None

@@ -623,9 +623,15 @@ def test_lcc_parametric_and_routing():
         parse_lcc("LCC:1,2,3")
     assert parse_lcc("EPSG:32756") is None  # UTM is not LCC
     # routing: 4326 <-> LCC, LCC <-> UTM chain through the geographic pivot
-    fn = point_transformer("EPSG:4326", "EPSG:2154")
+    # exact on the native datum (ETRS89 geographic -> Lambert-93, GRS80)
+    fn = point_transformer("EPSG:4258", "EPSG:2154")
     x, y = fn(np.array([3.0]), np.array([46.5]))
     assert abs(x[0] - 700000.0) < 1e-6 and abs(y[0] - 6600000.0) < 1e-6
+    # from WGS84 the ellipsoid change (WGS84 -> GRS80 through geocentric)
+    # moves the origin ~0.1 mm — correct geodesy, not a regression
+    fn = point_transformer("EPSG:4326", "EPSG:2154")
+    x, y = fn(np.array([3.0]), np.array([46.5]))
+    assert abs(x[0] - 700000.0) < 1e-3 and abs(y[0] - 6600000.0) < 1e-3
     back = point_transformer("EPSG:2154", "EPSG:4326")
     lo, la = back(x, y)
     assert abs(lo[0] - 3.0) < 1e-11 and abs(la[0] - 46.5) < 1e-11
@@ -892,9 +898,14 @@ def test_albers_routing():
         parse_albers("ALBERS:1,2,3")
     assert parse_albers("ALBERS:29.5,45.5,23,-96").fe == 0.0
     assert parse_albers("EPSG:32756") is None
-    fn = point_transformer("EPSG:4326", "EPSG:5070")
+    # exact on the native datum (NAD83 geographic -> CONUS Albers, GRS80)
+    fn = point_transformer("EPSG:4269", "EPSG:5070")
     x, y = fn(np.array([-96.0]), np.array([23.0]))
     assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    # from WGS84 the GRS80 ellipsoid change contributes ~0.1 mm
+    fn = point_transformer("EPSG:4326", "EPSG:5070")
+    x, y = fn(np.array([-96.0]), np.array([23.0]))
+    assert abs(x[0]) < 1e-3 and abs(y[0]) < 1e-3
     # chains across all four families
     assert point_transformer("EPSG:5070", "EPSG:32614") is not None
     assert point_transformer("EPSG:5070", "EPSG:3413") is not None
