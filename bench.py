@@ -434,31 +434,60 @@ def run_cluster_mosaic(n_nodes: int, cpus_per_node: int = 4) -> dict:
         cluster.shutdown()
 
 
-def main_cluster_scaling():
-    """2-node vs 8-node simulated clusters (4 cpus each): throughput at both
-    plus scaling efficiency over cluster SIZE."""
+def _probe_is_healthy(probe: dict) -> bool:
+    """The co-located 8-raylet sim is the most host-sensitive measurement
+    (BASELINE.md spread 0.18-1.01 on one commit); gate each repeat on the
+    probe so degraded-host samples are reported but never averaged in."""
+    return (probe.get("parallel_efficiency", 0.0) >= 0.70
+            and probe.get("fault_us_per_page", 1e9) <= 150.0
+            and probe.get("memcpy_gbps", 0.0) >= 5.0)
+
+
+def main_cluster_scaling(repeats: int = 3):
+    """2-node vs 8-node simulated clusters (4 cpus each): N repeats, each
+    probe-stamped; the headline value is the MEDIAN efficiency over
+    healthy-probe repeats (all repeats + probes are reported)."""
     lo_nodes, hi_nodes = 2, 8
-    r_lo = _subprocess_fn(f"run_cluster_mosaic({lo_nodes})")
-    r_hi = _subprocess_fn(f"run_cluster_mosaic({hi_nodes})")
-    eff = (r_hi["tiles_per_s"] / r_lo["tiles_per_s"]) / (hi_nodes / lo_nodes)
+    runs = []
+    for k in range(repeats):
+        probe = host_probe()
+        r_lo = _subprocess_fn(f"run_cluster_mosaic({lo_nodes})")
+        r_hi = _subprocess_fn(f"run_cluster_mosaic({hi_nodes})")
+        eff = (r_hi["tiles_per_s"] / r_lo["tiles_per_s"]) / (
+            hi_nodes / lo_nodes)
+        runs.append({
+            "efficiency": round(eff, 3),
+            "elapsed_low_s": round(r_lo["elapsed_s"], 3),
+            "elapsed_high_s": round(r_hi["elapsed_s"], 3),
+            "tiles_per_s_low": round(r_lo["tiles_per_s"], 3),
+            "tiles_per_s_high": round(r_hi["tiles_per_s"], 3),
+            "mpx_per_s_low": round(r_lo["mpx_per_s"], 3),
+            "mpx_per_s_high": round(r_hi["mpx_per_s"], 3),
+            "probe": probe,
+            "probe_healthy": _probe_is_healthy(probe),
+        })
+    healthy = [r for r in runs if r["probe_healthy"]] or runs
+    effs = sorted(r["efficiency"] for r in healthy)
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2.0, 3)
+    best = healthy[len(healthy) // 2]
     out = {
         "metric": "moaray_cluster_scaling_efficiency",
-        "value": round(eff, 3),
+        "value": median_eff,
         "unit": "ratio",
         "queries": {
-            f"mosaic_nodes{lo_nodes}": round(r_lo["elapsed_s"], 3),
-            f"mosaic_nodes{hi_nodes}": round(r_hi["elapsed_s"], 3),
+            f"mosaic_nodes{lo_nodes}": best["elapsed_low_s"],
+            f"mosaic_nodes{hi_nodes}": best["elapsed_high_s"],
         },
         "num_cpus": hi_nodes * 4,
         "cluster_scaling": {
             "nodes_low": lo_nodes,
             "nodes_high": hi_nodes,
             "cpus_per_node": 4,
-            "tiles_per_s_low": round(r_lo["tiles_per_s"], 3),
-            "tiles_per_s_high": round(r_hi["tiles_per_s"], 3),
-            "mpx_per_s_low": round(r_lo["mpx_per_s"], 3),
-            "mpx_per_s_high": round(r_hi["mpx_per_s"], 3),
-            "efficiency": round(eff, 3),
+            "repeats": repeats,
+            "healthy_repeats": len([r for r in runs if r["probe_healthy"]]),
+            "median_efficiency": median_eff,
+            "runs": runs,
         },
     }
     print(json.dumps(out))
@@ -521,6 +550,9 @@ if __name__ == "__main__":
     elif "--soak" in sys.argv:
         main_soak()
     elif "--cluster-scaling" in sys.argv:
-        main_cluster_scaling()
+        reps = 3
+        if "--repeats" in sys.argv:
+            reps = int(sys.argv[sys.argv.index("--repeats") + 1])
+        main_cluster_scaling(reps)
     else:
         main_bench()

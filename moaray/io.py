@@ -52,7 +52,19 @@ def resolve_filesystem(path: str):
     if "://" in path:
         from pyarrow import fs as pafs
 
-        return pafs.FileSystem.from_uri(path)
+        try:
+            return pafs.FileSystem.from_uri(path)
+        except pa.lib.ArrowInvalid:
+            # scheme pyarrow doesn't know natively (gs:// without the GCS
+            # build, az://, in-test doubles): route through fsspec's
+            # registry wrapped as a pyarrow filesystem — OutputFS and the
+            # catalog readers only use the generic pyarrow fs API, so any
+            # fsspec backend works (picklable into Ray read/write tasks).
+            import fsspec
+
+            scheme, rest = path.split("://", 1)
+            fs = fsspec.filesystem(scheme)
+            return pafs.PyFileSystem(pafs.FSSpecHandler(fs)), rest
     return None, path
 
 

@@ -86,7 +86,11 @@ class OutputFS:
     def join(self, *parts: str) -> str:
         if self.is_local:
             return os.path.join(*parts)
-        return "/".join(p.strip("/") for p in parts if p)
+        # keep the FIRST part's leading slash: fsspec-backed local/absolute
+        # roots need it, s3 roots ("bucket/prefix") never have one
+        first = parts[0].rstrip("/")
+        rest = [p.strip("/") for p in parts[1:] if p]
+        return "/".join([first] + rest)
 
     def normalize(self, path: str) -> str:
         """Canonical form for path comparisons (the winner tie-break):
@@ -100,7 +104,17 @@ class OutputFS:
     def makedirs(self, path: str) -> None:
         if self.is_local:
             os.makedirs(path, exist_ok=True)
-        # object stores have no directories; keys create their prefixes
+            return
+        # object stores have no directories — keys create their prefixes,
+        # and create_dir would write a zero-byte "dir/" marker object that
+        # then pollutes manifest listings. Generic pyarrow/fsspec backends
+        # DO need parents to exist before open_output_stream.
+        if self.fs.type_name in ("s3", "gcs", "abfs"):
+            return
+        try:
+            self.fs.create_dir(path, recursive=True)
+        except (OSError, NotImplementedError):
+            pass
 
     def isdir(self, path: str) -> bool:
         if self.is_local:

@@ -55,6 +55,41 @@ def test_kill_resume_converges(ray_session, tmp_path):
     assert r2["written"] == 0 and r2["skipped"] == 16
 
 
+def test_kill_resume_via_fsspec_scheme(ray_session, tmp_path):
+    """The same kill-resume contract through a SECOND URI scheme:
+    ``local://`` resolves via fsspec (io.py resolve_filesystem's generic
+    fallback) into a pyarrow PyFileSystem, driving OutputFS's REMOTE code
+    path (single-PUT open_output_stream commits, prefix-listing isdir) on
+    real disk — proving no s3-specific assumption leaks into the commit
+    logic (round-4 verdict #6)."""
+    from moaray.io import resolve_filesystem
+
+    fs, p = resolve_filesystem(f"local://{tmp_path}/q")
+    assert fs is not None and p == f"{tmp_path}/q"
+
+    out_uri = f"local://{tmp_path}/q"
+    out_disk = str(tmp_path / "q")
+    r = write_partitioned(_ds(), out_uri, key="doc_id", n_partitions=8)
+    assert r == {"written": 8, "skipped": 0, "rows": 4000,
+                 "n_partitions": 8}
+    # the objects landed on real disk (shared state across Ray workers,
+    # unlike an in-memory mock fs)
+    mans = sorted(glob.glob(f"{out_disk}/manifest/*.json"))
+    assert len(mans) == 8
+    for m in mans[::3][:3]:  # kill: lose 3 partitions
+        rec = json.loads(open(m).read())
+        path = rec["path"]
+        os.remove(path if os.path.isabs(path) else f"/{path}")
+        os.remove(m)
+    assert len(committed_buckets(out_uri)) == 5
+    r2 = write_partitioned(_ds(), out_uri, key="doc_id", n_partitions=8)
+    assert r2["written"] == 3 and r2["skipped"] == 5
+    back = read_partitioned(out_uri).to_pandas()
+    assert sorted(back["doc_id"].tolist()) == list(range(4000))
+    r3 = write_partitioned(_ds(), out_uri, key="doc_id", n_partitions=8)
+    assert r3["written"] == 0 and r3["skipped"] == 8
+
+
 def test_string_keys_and_torn_tmp_sweep(ray_session, tmp_path):
     out = str(tmp_path / "p")
     ds = ray.data.range(300).map_batches(

@@ -235,3 +235,50 @@ def test_read_documents_formats(ray_session, tmp_path):
     assert counted(jl) == base
     assert counted(jgz) == base
     assert counted(cs) == base
+
+
+def test_read_lance_dispatch(ray_session, tmp_path):
+    """Pin the .lance read path (round-4 verdict #7): with pylance
+    installed a .lance catalog round-trips; without it the dispatch must
+    raise the documented ImportError naming the missing wheel — the gap
+    is explicit, not latent."""
+    try:
+        import lance  # noqa: F401
+        have_lance = True
+    except ImportError:
+        have_lance = False
+
+    from moaray.pipelines.mosaic import read_images
+
+    if not have_lance:
+        with pytest.raises(ImportError, match="pylance"):
+            read_images(str(tmp_path / "cat.lance"), columns=["image_id"])
+        pytest.skip(
+            "pylance wheel not installed in this sandbox (SURVEY §10): "
+            ".lance ingest dispatch verified to fail loudly; parquet is "
+            "the tested fallback"
+        )
+    # with the wheel present: write a lance dataset and mosaic from it
+    import lance as _lance
+    import pyarrow as _pa
+
+    from moaray import codecs
+
+    size = 32
+    img = np.full((size, size), 7, dtype=np.uint16)
+    tbl = _pa.table({
+        "image_id": _pa.array(["a"], _pa.string()),
+        "bytes": _pa.array([codecs.encode(img, "z16")], _pa.binary()),
+        "w": _pa.array([size], _pa.int32()),
+        "h": _pa.array([size], _pa.int32()),
+        "fmt": _pa.array(["z16"], _pa.string()),
+        "gt": _pa.array([[0.0, 1.0, 0.0, 0.0, 0.0, -1.0]],
+                        _pa.list_(_pa.float64(), 6)),
+        "crs": _pa.array(["EPSG:32756"], _pa.string()),
+        "nullval": _pa.array([0.0], _pa.float64()),
+        "seq": _pa.array([0], _pa.int64()),
+    })
+    path = str(tmp_path / "cat.lance")
+    _lance.write_dataset(tbl, path)
+    ds = read_images(path, columns=["image_id", "w", "h"])
+    assert ds.count() == 1
