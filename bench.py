@@ -306,6 +306,88 @@ def run_ops_bench(sf_dir: str) -> dict:
     return timings
 
 
+def run_ann_scale(num_cpus: int, n_corpus: int = 200_000,
+                  n_queries: int = 2048) -> dict:
+    """IVF vs bruteforce at a corpus size where the index pays: the sf
+    embeddings tiled to ``n_corpus`` vectors with a deterministic
+    integer-hash perturbation (distinct ids, varied directions). Reports
+    both walls + recall of IVF against the bruteforce truth."""
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from moaray.ops import ann
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    base = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    reps = -(-n_corpus // base.shape[0])
+    big = np.tile(base, (reps, 1))[:n_corpus]
+    ids = np.arange(n_corpus, dtype=np.int64)
+    # deterministic per-row perturbation so tiled copies aren't identical
+    h = (ids * np.int64(2654435761) % np.int64(97)).astype(np.float64)
+    big = big + 0.01 * np.sin(h)[:, None] * np.cos(
+        np.arange(big.shape[1], dtype=np.float64))[None, :]
+    dim = big.shape[1]
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(big.astype(np.float32).ravel(), pa.float32()), dim),
+    })
+    corpus = ray.data.from_arrow(tbl).repartition(num_cpus * 2)
+    corpus = corpus.materialize()  # bench the SEARCH, not the synthesis
+    qids = ids[:n_queries]
+    qmat = big[:n_queries]
+
+    t0 = time.perf_counter()
+    bf = ann.knn_bruteforce(corpus, qids, qmat, k=5).take_all()
+    bf_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ivf = ann.knn_ivf(corpus, qids, qmat, k=5,
+                      n_centroids=64, nprobe=8).take_all()
+    ivf_s = time.perf_counter() - t0
+    truth = {}
+    for r in bf:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = tot = 0
+    for r in ivf:
+        tot += 1
+        hits += r["neighbor_id"] in truth.get(r["query_id"], set())
+    return {
+        "n_corpus": n_corpus,
+        "n_queries": n_queries,
+        "dim": dim,
+        "bruteforce_s": round(bf_s, 3),
+        "ivf_s": round(ivf_s, 3),
+        "speedup": round(bf_s / ivf_s, 3),
+        "ivf_recall": round(hits / max(tot, 1), 4),
+    }
+
+
+def main_ann_scale():
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True)
+    r = run_ann_scale(NUM_CPUS)
+    ray.shutdown()
+    out = {
+        "metric": "moaray_ann_scale_speedup",
+        "value": r["speedup"],
+        "unit": "ratio",
+        "queries": {"knn_bruteforce_200k": r["bruteforce_s"],
+                    "knn_ivf_200k": r["ivf_s"]},
+        "sf": sf_value(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "ann_scale": r,
+        "host": host_probe(),
+    }
+    print(json.dumps(out))
+
+
 def main_bench():
     import ray
 
@@ -547,6 +629,8 @@ def main_soak():
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
+    elif "--ann-scale" in sys.argv:
+        main_ann_scale()
     elif "--soak" in sys.argv:
         main_soak()
     elif "--cluster-scaling" in sys.argv:
