@@ -39,9 +39,10 @@ def get_cmdargs(argv=None):
                    help="reference-compat alias for --numcpus (the engine "
                         "parallelism knob is the Ray session CPU count)")
     p.add_argument("-d", "--driver", default="parquet",
-                   choices=["parquet", "GTiff"],
+                   choices=["parquet", "GTiff", "ENVI"],
                    help="output driver: 'parquet' = tile-sharded resumable "
-                        "sink at -o (the scale path); 'GTiff' = single "
+                        "sink at -o (the scale path); 'ENVI' = flat-binary "
+                        "pair (-o = data file, sibling .hdr); 'GTiff' = single "
                         "GeoTIFF FILE at -o (reference-compat; tiles spool "
                         "through a temp dir)")
     p.add_argument("--co", action="append", default=[],
@@ -222,7 +223,7 @@ def main_cmd(argv=None) -> int:
             tile_codec=tile_codec,
             on_decode_error=args.on_decode_error,
         )
-        single_file = args.driver == "GTiff"
+        single_file = args.driver in ("GTiff", "ENVI")
         out_dir = args.outdir
         if single_file:
             # reference-compat: -o names a single GeoTIFF FILE; the
@@ -243,7 +244,11 @@ def main_cmd(argv=None) -> int:
         # the reference writes every band into the one output file
         # (numBands, ref mosaic.py:604-660) — mirror that for multi-band
         exp_band = "all" if getattr(res.grid, "nbands", 1) > 1 else 0
-        if single_file:
+        if single_file and args.driver == "ENVI":
+            from .sinks.envi import export_envi
+
+            export_envi(res, args.outdir, band=exp_band)
+        elif single_file:
             from .sinks.gtiff import export_gtiff
 
             export_gtiff(res, args.outdir, band=exp_band, tiled=gtiff_tiled,

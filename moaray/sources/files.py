@@ -32,7 +32,7 @@ import pyarrow as pa
 from .. import codecs
 
 IMG_EXTS = (".png", ".jpg", ".jpeg", ".mray", ".tif", ".tiff",
-            ".gif", ".bmp", ".pgm", ".ppm", ".qoi")
+            ".gif", ".bmp", ".pgm", ".ppm", ".qoi", ".dat")
 
 
 def _world_file_for(path: str) -> str | None:
@@ -122,6 +122,24 @@ def read_image_files(src, crs: str | None = None, nullval: float = 0.0):
                     [codecs.encode(np.ascontiguousarray(p), "raw16")
                      for p in planes],
                     arr.dtype.name, planes.shape[1], planes.shape[2],
+                )
+            elif ext == ".dat":
+                # ENVI pair: the .hdr sidecar carries geotransform, CRS,
+                # nullval and dtype (sinks/envi.py writes these)
+                from ..sinks.envi import parse_envi_bytes
+
+                hdr_path = os.path.splitext(path)[0] + ".hdr"
+                arr, gt, e_nv, e_crs = parse_envi_bytes(
+                    buf, open(hdr_path).read())
+                if e_nv is not None:
+                    nv = e_nv
+                if e_crs:
+                    row_crs = e_crs
+                payloads = (
+                    "raw16",
+                    [codecs.encode(np.ascontiguousarray(p), "raw16")
+                     for p in arr],
+                    arr.dtype.name, arr.shape[1], arr.shape[2],
                 )
             else:
                 fmt, h, w = codecs.probe_header(buf)
