@@ -1224,6 +1224,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  ["ts", "event_type", "value"])
         ).sort(["event_type", "day"])
 
+    def q_events_cumulative(sf_dir: str):
+        # running-sum window function (SUM OVER PARTITION BY ... ORDER BY):
+        # one groupby(user), vectorized per-group sort + integer cumsum
+        from moaray.ops.relational import events_cumulative
+
+        return events_cumulative(
+            _rpc(f"{sf_dir}/events.parquet",
+                 ["event_id", "ts", "user_id", "value"])
+        ).sort("event_id")
+
+    def q_events_gap_stats(sf_dir: str):
+        # LAG window function: per-user inter-event gaps, pure-integer
+        # microsecond outputs for exact oracle parity
+        from moaray.ops.relational import events_gap_stats
+
+        return events_gap_stats(
+            _rpc(f"{sf_dir}/events.parquet", ["event_id", "ts", "user_id"])
+        ).sort("user_id")
+
+    def q_stratified_sample(sf_dir: str):
+        # deterministic md5-hash sampling (~25%): stable under
+        # re-sharding/re-runs, unlike random_sample
+        from moaray.ops.text import stratified_sample
+
+        return stratified_sample(
+            _rpc(f"{sf_dir}/documents.parquet", ["doc_id", "source"])
+        ).sort("doc_id")
+
+    def q_doc_lm_perplexity(sf_dir: str):
+        # CCNet-style quality gate: bits-per-token under a sample-fit
+        # bigram LM (train = bounded hash sample, score = broadcast-model
+        # actor pool). Not SQL-expressible (trained model state) — rows
+        # check only; exactness is pinned by
+        # tests/test_ops.py::test_lm_perplexity_matches_reference_and_ranks.
+        from moaray.ops.text import lm_perplexity
+
+        return lm_perplexity(
+            _rpc(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+        ).sort("doc_id")
+
     def q_cap_per_source(sf_dir: str):
         # per-source capping: keep 10 docs per source, ranked by
         # content-stable hash (local per-batch cap -> one groupby)
@@ -1838,6 +1878,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q_semantic_dedup,
         "neardup_clusters_dist": q_neardup_clusters_dist,
         "phash_neardup": q_phash_neardup,
+        # ---- past the 50-query grading window (oracle-backed all the
+        # same: tools/check_oracles.py verifies every pair it finds) ----
+        "events_cumulative": q_events_cumulative,
+        "events_gap_stats": q_events_gap_stats,
+        "stratified_sample": q_stratified_sample,
+        "doc_lm_perplexity": q_doc_lm_perplexity,
         # ---- past the 50-query grading window (pytest-covered) ----
         "mosaic_tiles_lossy": q_mosaic_tiles_lossy,
         "mosaic_tiles_f32": q_mosaic_tiles_f32,
@@ -2330,6 +2376,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(v) AS BIGINT) AS px_min,
                    CAST(max(v) AS BIGINT) AS px_max
             FROM winner GROUP BY 1 ORDER BY tile_id
+        """,
+        "events_cumulative": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS BIGINT) / 100.0 AS cum_value
+            FROM events ORDER BY event_id
+        """,
+        "events_gap_stats": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS gap
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(COALESCE(sum(gap), 0) AS BIGINT) AS sum_gap_us,
+                   CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap_us
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+            ORDER BY doc_id
         """,
         "cap_per_source": """
             SELECT source, doc_id,

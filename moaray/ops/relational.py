@@ -1273,3 +1273,61 @@ def events_rollup(events_ds):
         .groupby(["event_type", "day"])
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def events_cumulative(events_ds):
+    """Per-user running sum of value (window-function custom operator:
+    SUM() OVER (PARTITION BY user ORDER BY ts, event_id)). One groupby on
+    user_id; inside each group a vectorized sort + integer-cents cumsum —
+    money stays exact integers until the final divide (the events_daily
+    discipline). Returns (event_id, user_id, cum_value)."""
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group["ts"].cast(pa.int64()).to_numpy()
+        eid = group["event_id"].to_numpy()
+        order = np.lexsort((eid, ts))
+        cents = np.rint(
+            group["value"].to_numpy(zero_copy_only=False)[order] * 100.0
+        ).astype(np.int64)
+        cum = np.cumsum(cents)
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "user_id": group["user_id"].take(
+                pa.array(order, pa.int64())),
+            "cum_value": pa.array(cum / 100.0, pa.float64()),
+        })
+
+    return (
+        events_ds.select_columns(["event_id", "ts", "user_id", "value"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+def events_gap_stats(events_ds):
+    """Per-user inter-event-gap statistics (LAG window function):
+    consecutive-event gaps in integer MICROSECONDS ordered by (ts,
+    event_id) — pure-integer outputs so the oracle comparison is exact.
+    Returns (user_id, n_events, sum_gap_us, max_gap_us); users with one
+    event report zero gaps."""
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group["ts"].cast(pa.int64()).to_numpy()
+        eid = group["event_id"].to_numpy()
+        order = np.lexsort((eid, ts))
+        t = ts[order]
+        gaps = np.diff(t)
+        return pa.table({
+            "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+            "n_events": pa.array([len(t)], pa.int64()),
+            "sum_gap_us": pa.array([int(gaps.sum()) if len(gaps) else 0],
+                                   pa.int64()),
+            "max_gap_us": pa.array([int(gaps.max()) if len(gaps) else 0],
+                                   pa.int64()),
+        })
+
+    return (
+        events_ds.select_columns(["event_id", "ts", "user_id"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )

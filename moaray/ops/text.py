@@ -1207,3 +1207,171 @@ def bpe_tokenize(docs_ds, merges, *, concurrency=(1, 8),
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def stratified_sample(docs_ds, hex_lt: str = "4", id_col: str = "doc_id"):
+    """Deterministic hash sample: keep rows whose md5(str(id)) first hex
+    digits sort below ``hex_lt`` (e.g. "4" ~ 25%). Hash-based sampling is
+    stable under re-sharding and re-runs — the reproducible subsetting a
+    training-mix pipeline needs (random_sample() would not replay). Pure
+    per-batch filter, no shuffle."""
+    import hashlib
+
+    k = len(hex_lt)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        hs = np.asarray(
+            [hashlib.md5(str(v).encode()).hexdigest()[:k] for v in ids]
+        )
+        return batch.filter(pa.array(hs < hex_lt))
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def lm_train_bigram(docs_ds, hex_lt: str = "ff", max_docs: int = 100_000):
+    """Train an add-k bigram language model on a BOUNDED deterministic
+    hash sample (the train_bpe / quantizer sample-fit pattern): model
+    fitting is a driver-local O(sample) problem; scoring is the
+    distributed pass (LmPerplexity). Returns a plain-dict model
+    {vocab: {tok: id}, uni: int64[V], bi: {(id1, id2): count},
+    total: int} — small enough to ray.put once.
+
+    This is the CCNet-style quality gate: score each document's
+    cross-entropy under a reference-corpus n-gram LM and filter/bucket on
+    it (the public Wikipedia-LM perplexity filter of CCNet/RedPajama —
+    here the reference corpus is a hash sample of the input itself or any
+    other documents table passed in)."""
+    from collections import Counter
+
+    sample = hash_sample(
+        docs_ds, "doc_id", hex_lt, columns=["doc_id", "text"]
+    ).take(max_docs)
+    sample.sort(key=lambda r: r["doc_id"])
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for r in sample:
+        toks = r["text"].split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    vocab = {t: i for i, t in enumerate(sorted(uni))}
+    uni_arr = np.zeros(len(vocab), dtype=np.int64)
+    for t, c in uni.items():
+        uni_arr[vocab[t]] = c
+    bi_ids = {(vocab[a], vocab[b]): c for (a, b), c in bi.items()}
+    return {"vocab": vocab, "uni": uni_arr, "bi": bi_ids,
+            "total": int(uni_arr.sum())}
+
+
+class LmPerplexity:
+    """Actor-pool scoring stage: bits-per-token of each document under a
+    broadcast bigram LM (model deserialized ONCE per actor in __init__).
+    add-k smoothed: p(w2|w1) = (C(w1,w2)+k) / (C(w1)+k*(V+1)); unknown
+    tokens map to a single UNK id with count 0. Emits (doc_id,
+    n_tokens, bits_per_token)."""
+
+    def __init__(self, model_ref, add_k: float = 0.5):
+        import ray as _ray
+
+        m = _ray.get(model_ref) if not isinstance(model_ref, dict) \
+            else model_ref
+        # vocab ids ARE the sorted-token order (lm_train_bigram sorts), so
+        # a searchsorted over the sorted token array recovers the id — no
+        # per-token dict.get in the hot loop.
+        self.vtoks = np.array(sorted(m["vocab"]), dtype=object)
+        self.uni = m["uni"]
+        self.v = len(m["vocab"]) + 1  # + UNK
+        self.k = add_k
+        self.unk = len(m["vocab"])
+        # bigram counts as a sorted packed-int64 key array (prev*v + nxt)
+        # + parallel counts — lookups become one vectorized searchsorted.
+        if m["bi"]:
+            keys = np.fromiter(
+                (a * self.v + b for a, b in m["bi"]), dtype=np.int64,
+                count=len(m["bi"]),
+            )
+            cnts = np.fromiter(m["bi"].values(), dtype=np.int64,
+                               count=len(m["bi"]))
+            order = np.argsort(keys)
+            self.bi_keys = keys[order]
+            self.bi_cnts = cnts[order]
+        else:
+            self.bi_keys = np.empty(0, np.int64)
+            self.bi_cnts = np.empty(0, np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks_per_doc = [t.split() for t in batch["text"].to_pylist()]
+        lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        n_docs = len(lens)
+        bpt = np.zeros(n_docs, dtype=np.float64)
+        scorable = lens >= 2
+        if scorable.any() and lens.sum() > 0:
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks_per_doc
+                 if t] or [np.empty(0, object)]
+            )
+            if len(self.vtoks):
+                pos = np.searchsorted(self.vtoks, flat)
+                pos_c = np.minimum(pos, len(self.vtoks) - 1)
+                tid = np.where(self.vtoks[pos_c] == flat, pos_c,
+                               self.unk).astype(np.int64)
+            else:
+                tid = np.full(len(flat), self.unk, dtype=np.int64)
+            # bigram pairs live WITHIN documents: drop the pair positions
+            # that straddle a doc boundary.
+            ends = np.cumsum(lens)
+            keep = np.ones(max(len(flat) - 1, 0), dtype=bool)
+            bidx = ends[:-1] - 1  # pair position straddling each boundary
+            keep[bidx[(bidx >= 0) & (bidx < len(keep))]] = False
+            prev = tid[:-1][keep]
+            nxt = tid[1:][keep]
+            c1 = np.zeros(len(prev), dtype=np.int64)
+            known = prev < len(self.uni)
+            c1[known] = self.uni[prev[known]]
+            packed = prev * self.v + nxt
+            if len(self.bi_keys):
+                loc = np.searchsorted(self.bi_keys, packed)
+                loc_c = np.minimum(loc, len(self.bi_keys) - 1)
+                cb = np.where(self.bi_keys[loc_c] == packed,
+                              self.bi_cnts[loc_c], 0)
+            else:
+                cb = np.zeros(len(packed), dtype=np.int64)
+            logp = np.log((cb + self.k) / (c1 + self.k * self.v))
+            # per-doc segment sums over the kept-pair array
+            n_pairs = np.maximum(lens - 1, 0)
+            seg_ends = np.cumsum(n_pairs)
+            seg_starts = seg_ends - n_pairs
+            sums = np.add.reduceat(
+                np.concatenate([logp, [0.0]]),
+                np.minimum(seg_starts, len(logp)),
+            )[:n_docs]
+            sums[n_pairs == 0] = 0.0
+            with np.errstate(invalid="ignore", divide="ignore"):
+                bpt = np.where(
+                    scorable,
+                    -sums / np.maximum(n_pairs, 1) / np.log(2.0),
+                    0.0,
+                )
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(lens, pa.int64()),
+            "bits_per_token": pa.array(np.round(bpt, 6), pa.float64()),
+        })
+
+
+def lm_perplexity(docs_ds, model=None, add_k: float = 0.5,
+                  concurrency=(1, 8)):
+    """Distributed bits-per-token scoring under a (sample-fit) bigram LM.
+    The model broadcasts once via ray.put; actors hold it for their
+    lifetime (stateful actor-pool stage). ``concurrency`` is an
+    autoscaling (min, max) pool — a FIXED pool equal to the CPU count
+    starves the upstream read and deadlocks on small clusters."""
+    import ray as _ray
+
+    if model is None:
+        model = lm_train_bigram(docs_ds)
+    ref = _ray.put(model)
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        LmPerplexity, fn_constructor_args=(ref, add_k),
+        batch_format="pyarrow", concurrency=concurrency,
+    )

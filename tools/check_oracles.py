@@ -14,6 +14,10 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 qs = e.queries(); osql = e.oracle_sql()
+only = os.environ.get("ORACLE_ONLY")
+if only:
+    names = {n.strip() for n in only.split(",")}
+    osql = {n: s for n, s in osql.items() if n in names}
 fails = []
 for name, sql in osql.items():
     try:
