@@ -1252,6 +1252,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _rpc(f"{sf_dir}/documents.parquet", ["doc_id", "source"])
         ).sort("doc_id")
 
+    def q_dup_ngram_census(sf_dir: str):
+        # ExactSubstr census (Lee et al. 2107.06499): duplicated trigram
+        # counts; per-batch Counter combiner -> one groupby
+        from moaray.ops.dedup import ngram_census
+
+        return ngram_census(
+            _rpc(f"{sf_dir}/documents.parquet", ["text"]), n=3,
+        ).sort("ngram")
+
+    def q_doc_substring_trim(sf_dir: str):
+        # substring-level dedup: drop every token covered by a duplicated
+        # 5-gram (census broadcast -> actor-pool trim)
+        from moaray.ops.dedup import ngram_census, trim_duplicate_ngrams
+
+        docs = _rpc(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+        dup = ngram_census(docs, n=5)
+        return trim_duplicate_ngrams(docs, dup, n=5).select_columns(
+            ["doc_id", "text", "n_removed"]
+        ).sort("doc_id")
+
     def q_doc_lm_perplexity(sf_dir: str):
         # CCNet-style quality gate: bits-per-token under a sample-fit
         # bigram LM (train = bounded hash sample, score = broadcast-model
@@ -1883,6 +1903,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumulative": q_events_cumulative,
         "events_gap_stats": q_events_gap_stats,
         "stratified_sample": q_stratified_sample,
+        "dup_ngram_census": q_dup_ngram_census,
+        "doc_substring_trim": q_doc_substring_trim,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         # ---- past the 50-query grading window (pytest-covered) ----
         "mosaic_tiles_lossy": q_mosaic_tiles_lossy,
@@ -2402,6 +2424,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
             ORDER BY doc_id
+        """,
+        "dup_ngram_census": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+              FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+            )
+            SELECT g AS ngram,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM grams GROUP BY g HAVING count(*) >= 2 ORDER BY ngram
+        """,
+        "doc_substring_trim": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), pos AS (
+              SELECT doc_id, CAST(i AS BIGINT) i, t[i] tok, len(t) L,
+                     array_to_string(t[i:i+4], ' ') g
+              FROM toks, UNNEST(generate_series(1, len(t))) u(i)
+            ), dup AS (
+              SELECT g FROM (
+                SELECT array_to_string(t[i:i+4], ' ') g
+                FROM toks, UNNEST(generate_series(1, len(t)-4)) u(i))
+              GROUP BY g HAVING count(*) >= 2
+            ), starts AS (
+              SELECT doc_id, i FROM pos
+              WHERE i <= L-4 AND g IN (SELECT g FROM dup)
+            ), covered AS (
+              SELECT DISTINCT doc_id, i+k AS j
+              FROM starts, UNNEST(generate_series(0, 4)) v(k)
+            ), kept AS (
+              SELECT p.doc_id, p.i, p.tok FROM pos p
+              WHERE NOT EXISTS (SELECT 1 FROM covered c
+                                WHERE c.doc_id = p.doc_id AND c.j = p.i)
+            ), agg AS (
+              SELECT doc_id,
+                     array_to_string(list(tok ORDER BY i), ' ') txt,
+                     CAST(count(*) AS BIGINT) n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(a.txt, '') AS text,
+                   CAST(len(string_split(d.text, ' '))
+                        - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ORDER BY d.doc_id
         """,
         "cap_per_source": """
             SELECT source, doc_id,

@@ -1182,3 +1182,118 @@ def neardup_filter(docs_ds, pairs_ds, id_col: str = "doc_id",
         )
 
     return joined.map_batches(survivors, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-level dedup (duplicated n-gram census + span trim).
+# The ExactSubstr family of Lee et al., "Deduplicating Training Data Makes
+# Language Models Better" (arXiv:2107.06499): find token n-grams duplicated
+# across the corpus, then drop every covered token. The census is the
+# distributed half (combiner + one groupby); the duplicated-gram set is the
+# SMALL side (boilerplate) and broadcasts — use sketch.bloom_build when it
+# does not fit a broadcast.
+# ---------------------------------------------------------------------------
+
+
+def ngram_census(docs_ds, n: int = 8, min_count: int = 2,
+                 text_col: str = "text"):
+    """Corpus-wide duplicated whitespace-n-gram census: (ngram,
+    n_occurrences, n_docs) for every n-gram appearing ``min_count``+ times.
+
+    Scale shape: a per-batch Counter pre-aggregates (one row per DISTINCT
+    gram per batch crosses the shuffle, not one per occurrence); n_docs
+    partials are exact because one row == one whole document. One groupby
+    on the gram string folds the partials."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        occ: Counter = Counter()
+        docs: Counter = Counter()
+        for text in batch[text_col].to_pylist():
+            toks = text.split()
+            seen = set()
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i:i + n])
+                occ[g] += 1
+                seen.add(g)
+            docs.update(seen)
+        grams = list(occ)
+        return pa.table({
+            "ngram": pa.array(grams, pa.string()),
+            "occ": pa.array([occ[g] for g in grams], pa.int64()),
+            "docs": pa.array([docs[g] for g in grams], pa.int64()),
+        })
+
+    def final(batch: pa.Table) -> pa.Table:
+        occ = batch["sum(occ)"].cast(pa.int64())
+        keep = pa.compute.greater_equal(occ, min_count)
+        out = pa.table({
+            "ngram": batch["ngram"],
+            "n_occurrences": occ,
+            "n_docs": batch["sum(docs)"].cast(pa.int64()),
+        })
+        return out.filter(keep)
+
+    return (
+        docs_ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("occ"), Sum("docs"))
+        .map_batches(final, batch_format="pyarrow")
+    )
+
+
+class _TrimDuplicateNgrams:
+    """Actor-pool trim stage: the duplicated-gram set deserializes ONCE per
+    actor; each doc drops every token covered by any occurrence of any
+    duplicated n-gram (drop-all-occurrences variant — deterministic and
+    shuffle-free; keep-one-global-first would need a corpus-order anchor)."""
+
+    def __init__(self, grams_ref, n: int, text_col: str):
+        m = ray.get(grams_ref) if not isinstance(grams_ref, (set, frozenset,
+                                                             list)) \
+            else grams_ref
+        self.grams = frozenset(m)
+        self.n = n
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n, grams = self.n, self.grams
+        out_txt, out_rm = [], []
+        for text in batch[self.text_col].to_pylist():
+            toks = text.split()
+            covered = np.zeros(len(toks), dtype=bool)
+            for i in range(len(toks) - n + 1):
+                if " ".join(toks[i:i + n]) in grams:
+                    covered[i:i + n] = True
+            if covered.any():
+                kept = [t for t, c in zip(toks, covered) if not c]
+                out_txt.append(" ".join(kept))
+                out_rm.append(int(covered.sum()))
+            else:
+                out_txt.append(text)
+                out_rm.append(0)
+        cols = {name: batch[name] for name in batch.column_names
+                if name != self.text_col}
+        cols[self.text_col] = pa.array(out_txt, pa.string())
+        cols["n_removed"] = pa.array(out_rm, pa.int64())
+        return pa.table(cols)
+
+
+def trim_duplicate_ngrams(docs_ds, dup_ngrams, n: int = 8,
+                          text_col: str = "text", concurrency=(1, 8)):
+    """Drop every token covered by a duplicated n-gram occurrence.
+
+    ``dup_ngrams``: an iterable of gram strings, a Ray Dataset with an
+    ``ngram`` column (ngram_census output — collected here; its count>=2
+    filter makes it the small side), or a ray ObjectRef to either."""
+    if hasattr(dup_ngrams, "take_all"):  # a Dataset
+        dup_ngrams = [r["ngram"] for r in dup_ngrams.take_all()]
+    ref = ray.put(frozenset(dup_ngrams)) \
+        if not isinstance(dup_ngrams, ray.ObjectRef) else dup_ngrams
+    return docs_ds.map_batches(
+        _TrimDuplicateNgrams, fn_constructor_args=(ref, n, text_col),
+        batch_format="pyarrow", concurrency=concurrency,
+    )

@@ -1982,3 +1982,56 @@ def test_lm_perplexity_matches_reference_and_ranks(ray_session):
     gib_bpt = np.mean([r["bits_per_token"] for r in lm_perplexity(
         ray.data.from_arrow(gib), m2).take_all()])
     assert gib_bpt > nat_bpt + 0.5, (nat_bpt, gib_bpt)
+
+
+def test_ngram_census_and_substring_trim(ray_session):
+    """ExactSubstr primitives vs a pure-Python reference: census counts
+    every duplicated n-gram exactly; trim drops exactly the covered
+    tokens and passes non-text columns through."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from moaray.ops.dedup import ngram_census, trim_duplicate_ngrams
+
+    N = 4
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "source", "text"])
+    got = {r["ngram"]: (r["n_occurrences"], r["n_docs"])
+           for r in ngram_census(ds, n=N).take_all()}
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    occ: Counter = Counter()
+    ndocs: Counter = Counter()
+    for text in t["text"].to_pylist():
+        toks = text.split()
+        seen = set()
+        for i in range(len(toks) - N + 1):
+            g = " ".join(toks[i:i + N])
+            occ[g] += 1
+            seen.add(g)
+        ndocs.update(seen)
+    want = {g: (c, ndocs[g]) for g, c in occ.items() if c >= 2}
+    assert got == want and len(want) > 100
+
+    dup = set(want)
+    trimmed = {r["doc_id"]: (r["text"], r["n_removed"], r["source"])
+               for r in trim_duplicate_ngrams(ds, dup, n=N).take_all()}
+    srcs = dict(zip(
+        pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "source"])["doc_id"].to_pylist(),
+        pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "source"])["source"].to_pylist(),
+    ))
+    n_trimmed = 0
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = text.split()
+        cov = np.zeros(len(toks), dtype=bool)
+        for i in range(len(toks) - N + 1):
+            if " ".join(toks[i:i + N]) in dup:
+                cov[i:i + N] = True
+        keep = " ".join(tt for tt, c in zip(toks, cov) if not c)
+        assert trimmed[did] == (keep, int(cov.sum()), srcs[did]), did
+        n_trimmed += bool(cov.any())
+    assert n_trimmed > 10  # the fixture really exercises the trim
