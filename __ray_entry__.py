@@ -1252,6 +1252,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _rpc(f"{sf_dir}/documents.parquet", ["doc_id", "source"])
         ).sort("doc_id")
 
+    def q_doc_quality_classifier(sf_dir: str):
+        # distributed logistic regression: fit a quality classifier on the
+        # character-class metrics (label: alpha_ratio above the global
+        # median-ish 0.5 gate), then score every doc. Streaming partial-
+        # gradient passes; not SQL-expressible (iterative training) —
+        # pytest pins GD parity (test_lr_fit_matches_local_gd...).
+        import pyarrow.compute as _pc
+
+        from moaray.ops.text import quality_batch
+        from moaray.ops.train import lr_fit, lr_predict
+
+        def add_label(b: pa.Table) -> pa.Table:
+            # long-doc label + features scaled to O(1) so unnormalized GD
+            # converges (n_* counts are in the hundreds)
+            b = b.append_column(
+                "label",
+                _pc.cast(_pc.greater(b["n_chars"], 300), pa.float64()),
+            )
+            for c in ("n_alpha", "n_digit", "n_space"):
+                b = b.append_column(
+                    f"f_{c}",
+                    _pc.divide(_pc.cast(b[c], pa.float64()), 100.0),
+                )
+            return b
+
+        feats = _rpc(f"{sf_dir}/documents.parquet",
+                     ["doc_id", "text"]).map_batches(
+            quality_batch, batch_format="pyarrow"
+        ).map_batches(add_label, batch_format="pyarrow")
+        fcols = ["f_n_alpha", "f_n_digit", "f_n_space"]
+        model = lr_fit(feats, fcols, "label", lr=0.5, n_iters=25)
+        return lr_predict(feats, model, fcols).sort("doc_id")
+
+    def q_training_mix(sf_dir: str):
+        # training-mix construction: per-source deterministic keep rates
+        # (src0 100%, src1 50%, src2 25%, everything else 1/16)
+        from moaray.ops.text import mix_sample
+
+        return mix_sample(
+            _rpc(f"{sf_dir}/documents.parquet", ["doc_id", "source"]),
+            {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+            default_rate=1 / 16,
+        ).sort("doc_id")
+
     def q_dup_ngram_census(sf_dir: str):
         # ExactSubstr census (Lee et al. 2107.06499): duplicated trigram
         # counts; per-batch Counter combiner -> one groupby
@@ -1903,7 +1947,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumulative": q_events_cumulative,
         "events_gap_stats": q_events_gap_stats,
         "stratified_sample": q_stratified_sample,
+        "training_mix": q_training_mix,
         "dup_ngram_census": q_dup_ngram_census,
+        "doc_quality_classifier": q_doc_quality_classifier,
         "doc_substring_trim": q_doc_substring_trim,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         # ---- past the 50-query grading window (pytest-covered) ----
@@ -2423,6 +2469,15 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": """
             SELECT doc_id, source FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+            ORDER BY doc_id
+        """,
+        "training_mix": """
+            SELECT doc_id, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <=
+                  CASE source WHEN 'src0' THEN 'f'
+                              WHEN 'src1' THEN '7'
+                              WHEN 'src2' THEN '3'
+                              ELSE '0' END
             ORDER BY doc_id
         """,
         "dup_ngram_census": """

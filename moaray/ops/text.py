@@ -1375,3 +1375,36 @@ def lm_perplexity(docs_ds, model=None, add_k: float = 0.5,
         LmPerplexity, fn_constructor_args=(ref, add_k),
         batch_format="pyarrow", concurrency=concurrency,
     )
+
+
+def mix_sample(docs_ds, rates: dict, default_rate: float = 0.0,
+               id_col: str = "doc_id", source_col: str = "source"):
+    """Training-mix construction: keep each source at its own target rate
+    via the deterministic md5 predicate (source -> fraction in [0, 1]).
+    The sampling decision is a pure function of (id, rate), so the mix is
+    reproducible under re-sharding, resumable re-runs, and engine changes
+    — the property a 100-TB training-mix rebuild needs. Rates quantize to
+    1/16 steps (one hex digit) so the SQL oracle is the identical
+    substr(md5(id), 1, 1) comparison."""
+    import hashlib
+
+    hex_digits = "0123456789abcdef"
+    cut = {
+        s: hex_digits[min(int(round(r * 16)), 16) - 1]
+        if int(round(r * 16)) > 0 else ""
+        for s, r in rates.items()
+    }
+    default_cut = hex_digits[min(int(round(default_rate * 16)), 16) - 1] \
+        if int(round(default_rate * 16)) > 0 else ""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        srcs = batch[source_col].to_pylist()
+        mask = np.empty(len(ids), dtype=bool)
+        for i, (v, s) in enumerate(zip(ids, srcs)):
+            c = cut.get(s, default_cut)
+            mask[i] = bool(c) and \
+                hashlib.md5(str(v).encode()).hexdigest()[0] <= c
+        return batch.filter(pa.array(mask))
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")

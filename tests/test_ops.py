@@ -2035,3 +2035,75 @@ def test_ngram_census_and_substring_trim(ray_session):
         assert trimmed[did] == (keep, int(cov.sum()), srcs[did]), did
         n_trimmed += bool(cov.any())
     assert n_trimmed > 10  # the fixture really exercises the trim
+
+
+def test_mix_sample_rates_and_determinism(ray_session):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from moaray.ops.text import mix_sample
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "source"])
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    got = sorted(r["doc_id"] for r in
+                 mix_sample(ds, rates, default_rate=1 / 16).take_all())
+    got2 = sorted(r["doc_id"] for r in mix_sample(
+        ds.repartition(7), rates, default_rate=1 / 16).take_all())
+    assert got == got2  # stable under re-sharding
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "source"])
+    cuts = {"src0": "f", "src1": "7", "src2": "3"}
+    want = sorted(
+        did for did, s in zip(t["doc_id"].to_pylist(),
+                              t["source"].to_pylist())
+        if hashlib.md5(str(did).encode()).hexdigest()[0]
+        <= cuts.get(s, "0")
+    )
+    assert got == want
+    # src0 kept whole, everything kept at all
+    srcs = dict(zip(t["doc_id"].to_pylist(), t["source"].to_pylist()))
+    n_src0 = sum(1 for d in got if srcs[d] == "src0")
+    assert n_src0 == sum(1 for s in srcs.values() if s == "src0")
+
+
+def test_lr_fit_matches_local_gd_and_separates(ray_session):
+    """Distributed full-batch GD == a local numpy implementation run with
+    the same schedule (partial sums are the same math), and the fitted
+    model separates a known linear rule."""
+    from moaray.ops.train import lr_fit, lr_predict
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    x1 = rng.normal(size=n)
+    x2 = rng.normal(size=n)
+    y = (0.8 * x1 - 1.3 * x2 + 0.2 > 0).astype(np.float64)
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "f1": pa.array(x1, pa.float64()),
+        "f2": pa.array(x2, pa.float64()),
+        "label": pa.array(y, pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(8)
+    model = lr_fit(ds, ["f1", "f2"], "label", lr=1.0, n_iters=40)
+
+    # local reference with the identical schedule
+    X = np.column_stack([np.ones(n), x1, x2])
+    w = np.zeros(3)
+    for _ in range(40):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w = w - 1.0 * (X.T @ (p - y)) / n
+    assert np.allclose(model["w"], w, rtol=1e-6, atol=1e-9), (
+        model["w"], w)
+
+    scores = {r["doc_id"]: r["score"]
+              for r in lr_predict(ds, model, ["f1", "f2"]).take_all()}
+    pred = np.array([scores[i] > 0.5 for i in range(n)])
+    assert (pred == y.astype(bool)).mean() > 0.95
+    # direction matches the generating rule (up to scale)
+    g = np.array([0.8, -1.3])
+    west = np.array(model["w"][1:])
+    cos = g @ west / (np.linalg.norm(g) * np.linalg.norm(west))
+    assert cos > 0.99
