@@ -106,6 +106,41 @@ census = {r["split"]: r["n_docs"] for r in split_census(survivors).take_all()}
 print("split census:", census)
 assert sum(census.values()) == n_out
 
+# 5. SUBSTRING TRIM (ExactSubstr): drop tokens covered by corpus-wide
+# duplicated 5-grams — census is a combiner+groupby, the duplicated-gram
+# set is the small side and broadcasts to the trim actor pool.
+from moaray.ops.dedup import ngram_census, trim_duplicate_ngrams
+
+dup = ngram_census(survivors, n=5)
+trimmed = trim_duplicate_ngrams(survivors, dup, n=5).materialize()
+n_tok_removed = int(trimmed.sum("n_removed") or 0)
+print(f"substring trim: {n_tok_removed} duplicated-span tokens removed")
+
+# 6. LM QUALITY SCORE (CCNet-style): bits-per-token under a bigram LM fit
+# on a bounded hash sample, scored by a broadcast-model actor pool.
+from moaray.ops.text import lm_perplexity, mix_sample
+
+scored = lm_perplexity(trimmed)
+bpt = [r["bits_per_token"] for r in scored.take_all() if r["n_tokens"] > 1]
+print(f"lm perplexity: median bits/token "
+      f"{sorted(bpt)[len(bpt) // 2]:.2f} over {len(bpt)} docs")
+assert len(bpt) > 0
+
+# 7. TRAINING MIX: reproducible per-source keep rates (md5 predicate) —
+# the same doc survives the same way on any engine, shard count, or rerun.
+mixed = mix_sample(
+    trimmed.map_batches(
+        lambda b: b.append_column(
+            "source", pa.array(["src0"] * b.num_rows, pa.string())
+        ),
+        batch_format="pyarrow",
+    ),
+    {"src0": 0.5},
+)
+n_mix = mixed.count()
+print(f"training mix: {n_mix} docs at 50% source rate")
+assert 0 < n_mix < n_out
+
 shutil.rmtree(OUT, ignore_errors=True)
 m1 = write_partitioned(survivors, OUT, key="doc_id", n_partitions=16)
 m2 = write_partitioned(survivors, OUT, key="doc_id", n_partitions=16)
