@@ -18,6 +18,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from .ann import emb_matrix
@@ -1228,7 +1229,7 @@ def ngram_census(docs_ds, n: int = 8, min_count: int = 2,
 
     def final(batch: pa.Table) -> pa.Table:
         occ = batch["sum(occ)"].cast(pa.int64())
-        keep = pa.compute.greater_equal(occ, min_count)
+        keep = pc.greater_equal(occ, min_count)
         out = pa.table({
             "ngram": batch["ngram"],
             "n_occurrences": occ,
