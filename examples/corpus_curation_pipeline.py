@@ -147,5 +147,17 @@ m2 = write_partitioned(survivors, OUT, key="doc_id", n_partitions=16)
 print(f"sink: {m1['written']} buckets written, rerun rewrote {m2['written']}")
 assert m1["rows"] == n_out and m2["written"] == 0
 
+# 8. SHIP: WebDataset-style tar shards — the training-sample delivery
+# format (one sample = {key}.{col}.{ext} entries; committed manifests,
+# kill-resume rewrites only severed shards).
+from moaray.sinks.wds import read_wds_shards, write_wds_shards
+
+shutil.rmtree(OUT + "_wds", ignore_errors=True)
+w = write_wds_shards(mixed, OUT + "_wds", key="doc_id", n_shards=8)
+n_back = read_wds_shards(OUT + "_wds").count()
+print(f"wds: {w['written']} shards, {w['rows']} samples, "
+      f"{n_back} read back")
+assert n_back == w["rows"] == n_mix
+
 ray.shutdown()
 print("CORPUS CURATION PIPELINE OK")

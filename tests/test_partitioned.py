@@ -213,3 +213,72 @@ def test_geojsonl_contour_linestrings(tmp_path, ray_session):
                 assert f["properties"]["level"] == 30.5
                 n += 1
     assert n == stats["rows"]
+
+
+def test_wds_shards_roundtrip_determinism_resume(ray_session, tmp_path):
+    """WebDataset tar-shard sink: exact round-trip, deterministic shard
+    bytes, convention-compliant entry names, and kill-resume that rewrites
+    exactly the severed shard."""
+    import json
+    import tarfile
+    import zlib
+
+    import pyarrow as pa
+
+    from moaray.sinks.wds import (read_wds_shards, write_wds_shards)
+
+    src = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array([f"doc number {i}" for i in range(100)],
+                         pa.string()),
+        "payload": pa.array([bytes([i % 256, 255 - i % 256])
+                             for i in range(100)], pa.binary()),
+        "meta": pa.array([float(i) / 4 for i in range(100)], pa.float64()),
+    })
+    out = str(tmp_path / "wds")
+    m1 = write_wds_shards(ray.data.from_arrow(src), out, key="doc_id",
+                          n_shards=8)
+    assert m1["rows"] == 100 and m1["written"] == 8
+
+    got = sorted(read_wds_shards(out).take_all(),
+                 key=lambda r: r["doc_id"])
+    assert len(got) == 100
+    for i, r in enumerate(got):
+        assert r["doc_id"] == i
+        assert r["text"] == f"doc number {i}"
+        assert r["payload"] == bytes([i % 256, 255 - i % 256])
+        assert r["meta"] == float(i) / 4
+
+    # convention: entries named {key:012d}.{col}.{ext}, mtime 0, sorted
+    with tarfile.open(f"{out}/shard-00000.tar") as tf:
+        names = [m.name for m in tf.getmembers()]
+        assert all(m.mtime == 0 for m in tf.getmembers())
+        stems = [n.rsplit(".", 2) for n in names]
+        assert all(s[2] in ("txt", "bin", "json") for s in stems)
+        assert names == sorted(names)
+
+    # determinism: full rewrite produces byte-identical shards
+    crc_before = {
+        b: json.load(open(f"{out}/manifest/shard-{b:05d}.json"))["crc32"]
+        for b in range(8)
+    }
+    m2 = write_wds_shards(ray.data.from_arrow(src), out, key="doc_id",
+                          n_shards=8, resume=False)
+    assert m2["written"] == 8
+    for b in range(8):
+        blob = open(f"{out}/shard-{b:05d}.tar", "rb").read()
+        assert zlib.crc32(blob) == crc_before[b], b
+
+    # resume: rerun rewrites nothing; sever one shard -> exactly 1 rewrite
+    m3 = write_wds_shards(ray.data.from_arrow(src), out, key="doc_id",
+                          n_shards=8)
+    assert m3["written"] == 0 and m3["skipped"] == 8
+    import os
+    os.remove(f"{out}/shard-00003.tar")
+    os.remove(f"{out}/manifest/shard-00003.json")
+    m4 = write_wds_shards(ray.data.from_arrow(src), out, key="doc_id",
+                          n_shards=8)
+    assert m4["written"] == 1
+    again = sorted(read_wds_shards(out).take_all(),
+                   key=lambda r: r["doc_id"])
+    assert again == got
