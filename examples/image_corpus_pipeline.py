@@ -107,5 +107,53 @@ full, ovs, gt, nd = read_gtiff_full(f"{ROOT}/mosaic.tif")
 assert np.array_equal(full, arr)
 print(f"GeoTIFF: {os.path.getsize(f'{ROOT}/mosaic.tif')} bytes, "
       f"{len(ovs)} overview level(s), round-trip bit-exact")
+# ---- 6. mosaic tiles -> fixed-size training patches -> tar shards ----
+# The geospatial-to-training handoff: decode each committed tile payload,
+# cut 16x16 patches (clamp tiling so every pixel ships), and write
+# WebDataset-style shards a trainer can stream.
+from moaray.ops.multimodal import image_patches
+from moaray.sinks.wds import read_wds_shards, write_wds_shards
+from moaray.stages.assemble import decode_payload
+
+_dtype = res.grid.dtype
+
+
+def tiles_to_images(b: pa.Table) -> pa.Table:
+    from moaray import codecs as _codecs
+
+    ids, blobs = [], []
+    for i in range(b.num_rows):
+        a = decode_payload(
+            b["pixels"][i].as_py(), b["pixels_codec"][i].as_py(), _dtype
+        ).reshape(b["out_ysize"][i].as_py(), b["out_xsize"][i].as_py())
+        ids.append(f"tile{b['tile_id'][i].as_py():06d}")
+        blobs.append(_codecs.encode(a, "png"))
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "fmt": pa.array(["png"] * len(ids), pa.string()),
+    })
+
+
+patches = image_patches(
+    res.tiles_ds.map_batches(tiles_to_images, batch_format="pyarrow"),
+    16, 16, stride=16, pad="clamp", concurrency=(1, 4),
+).map_batches(
+    lambda b: b.append_column(
+        "sample_id",
+        pc.binary_join_element_wise(
+            b["image_id"], pc.cast(b["patch_id"], pa.string()), "/"
+        ),
+    ),
+    batch_format="pyarrow",
+)
+shutil.rmtree(f"{ROOT}/shards", ignore_errors=True)
+w = write_wds_shards(patches, f"{ROOT}/shards", key="sample_id",
+                     n_shards=8)
+n_back = read_wds_shards(f"{ROOT}/shards", key="sample_id").count()
+print(f"patch shards: {w['rows']} 16x16 patches in {w['written']} tars, "
+      f"{n_back} read back")
+assert n_back == w["rows"] > 0
+
 print("corpus pipeline OK")
 ray.shutdown()

@@ -1427,3 +1427,89 @@ def image_augment(images_ds, ops, *, concurrency=(1, 8),
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class ImagePatches:
+    """Actor-pool stage: fixed-size training patches from encoded images —
+    the flat_map a vision corpus runs before sharding (one image row ->
+    many patch rows; compose with sinks.wds.write_wds_shards to ship).
+
+    Grid: top-left anchored, ``stride``-stepped, row-major ``patch_id``.
+    ``pad="drop"`` keeps only patches fully inside the image;
+    ``pad="clamp"`` shifts the last row/column inward so every pixel is
+    covered (the standard inference-tiling convention). Patch payloads
+    re-encode with the input's own codec, so patch rows are drop-in
+    image rows (same schema + patch coords)."""
+
+    def __init__(self, patch_h: int, patch_w: int, stride: int | None = None,
+                 pad: str = "drop", errors: str = "raise"):
+        if pad not in ("drop", "clamp"):
+            raise ValueError(f"pad must be drop|clamp, got {pad!r}")
+        self.ph = int(patch_h)
+        self.pw = int(patch_w)
+        self.stride = int(stride) if stride else self.ph
+        self.pad = pad
+        self.errors = _check_errors(errors)
+
+    def _anchors(self, size: int, p: int) -> list:
+        if size < p:
+            return []
+        pos = list(range(0, size - p + 1, self.stride))
+        if self.pad == "clamp" and pos and pos[-1] != size - p:
+            pos.append(size - p)
+        return pos
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"image_id": [], "patch_id": [], "py": [], "px": [],
+                "bytes": [], "fmt": []}
+        for i in range(batch.num_rows):
+            fmt = batch["fmt"][i].as_py()
+            img_id = batch["image_id"][i].as_py()
+            try:
+                arr = codecs.decode(batch["bytes"][i].as_py(), fmt)
+                ys = self._anchors(arr.shape[0], self.ph)
+                xs = self._anchors(arr.shape[1], self.pw)
+                pid = 0
+                for y in ys:
+                    for x in xs:
+                        patch = np.ascontiguousarray(
+                            arr[y:y + self.ph, x:x + self.pw]
+                        )
+                        rows["image_id"].append(img_id)
+                        rows["patch_id"].append(pid)
+                        rows["py"].append(y)
+                        rows["px"].append(x)
+                        rows["bytes"].append(codecs.encode(patch, fmt))
+                        rows["fmt"].append(fmt)
+                        pid += 1
+            except NotImplementedError:
+                raise
+            except Exception as exc:
+                if self.errors != "skip":
+                    raise
+                _log_skip("image_patches", img_id, exc)
+                continue
+        return pa.table({
+            "image_id": pa.array(rows["image_id"], pa.string()),
+            "patch_id": pa.array(rows["patch_id"], pa.int64()),
+            "py": pa.array(rows["py"], pa.int32()),
+            "px": pa.array(rows["px"], pa.int32()),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "fmt": pa.array(rows["fmt"], pa.string()),
+            "h": pa.array([self.ph] * len(rows["px"]), pa.int32()),
+            "w": pa.array([self.pw] * len(rows["px"]), pa.int32()),
+        })
+
+
+def image_patches(images_ds, patch_h: int, patch_w: int, *,
+                  stride: int | None = None, pad: str = "drop",
+                  concurrency=(1, 8), errors: str = "raise"):
+    """Fixed-size patch extraction over encoded image rows (see
+    ImagePatches). Decode state lives per actor; batches stream."""
+    return images_ds.map_batches(
+        ImagePatches,
+        fn_constructor_args=(patch_h, patch_w, stride, pad, errors),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )

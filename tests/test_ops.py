@@ -2107,3 +2107,68 @@ def test_lr_fit_matches_local_gd_and_separates(ray_session):
     west = np.array(model["w"][1:])
     cos = g @ west / (np.linalg.norm(g) * np.linalg.norm(west))
     assert cos > 0.99
+
+
+def test_image_patches_grid_clamp_and_pixels(ray_session):
+    """Patch grid semantics (drop vs clamp), row-major ids, and exact
+    pixel equality vs numpy slicing, through a real PNG encode/decode."""
+    from moaray import codecs
+    from moaray.ops.multimodal import image_patches
+
+    rng = np.random.default_rng(3)
+    imgs = []
+    arrs = {}
+    for n, (h, w) in enumerate([(70, 90), (64, 64), (31, 40)]):
+        arr = rng.integers(0, 60000, size=(h, w), dtype=np.uint16)
+        arrs[f"img{n}"] = arr
+        imgs.append({"image_id": f"img{n}",
+                     "bytes": codecs.encode(arr, "png"), "fmt": "png",
+                     "h": h, "w": w})
+    ds = ray.data.from_items(imgs)
+
+    for pad in ("drop", "clamp"):
+        got = image_patches(ds, 32, 32, stride=32, pad=pad,
+                            concurrency=(1, 2)).take_all()
+        by_img = {}
+        for r in got:
+            by_img.setdefault(r["image_id"], []).append(r)
+        for img_id, arr in arrs.items():
+            hh, ww = arr.shape
+            ys = list(range(0, hh - 31, 32))
+            xs = list(range(0, ww - 31, 32))
+            if pad == "clamp":
+                if ys and ys[-1] != hh - 32:
+                    ys.append(hh - 32)
+                if xs and xs[-1] != ww - 32:
+                    xs.append(ww - 32)
+            if hh < 32 or ww < 32:
+                assert img_id not in by_img  # too small -> no patches
+                continue
+            ps = sorted(by_img[img_id], key=lambda r: r["patch_id"])
+            assert [(r["py"], r["px"]) for r in ps] == [
+                (y, x) for y in ys for x in xs]
+            assert [r["patch_id"] for r in ps] == list(range(len(ps)))
+            for r in ps:
+                dec = codecs.decode(r["bytes"], r["fmt"])
+                np.testing.assert_array_equal(
+                    dec, arrs[img_id][r["py"]:r["py"] + 32,
+                                      r["px"]:r["px"] + 32])
+
+    # composes with the WDS shard sink: unique key, full round-trip count
+    from moaray.sinks.wds import read_wds_shards, write_wds_shards
+    import pyarrow.compute as pc_
+    import shutil
+    patches = image_patches(ds, 32, 32, stride=32, pad="clamp",
+                            concurrency=(1, 2)).map_batches(
+        lambda b: b.append_column(
+            "sample_id",
+            pc_.binary_join_element_wise(
+                b["image_id"], pc_.cast(b["patch_id"], pa.string()), "/")
+        ),
+        batch_format="pyarrow",
+    )
+    shutil.rmtree("/tmp/wds_patches", ignore_errors=True)
+    m = write_wds_shards(patches, "/tmp/wds_patches", key="sample_id",
+                         n_shards=4)
+    assert m["rows"] == read_wds_shards(
+        "/tmp/wds_patches", key="sample_id").count() > 0
