@@ -1285,6 +1285,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         model = lr_fit(feats, fcols, "label", lr=0.5, n_iters=25)
         return lr_predict(feats, model, fcols).sort("doc_id")
 
+    def q_tokens_by_source(sf_dir: str):
+        # per-source token budget: per-batch arrow group_by combiner ->
+        # one small groupby
+        from moaray.ops.text import tokens_by_source
+
+        return tokens_by_source(
+            _rpc(f"{sf_dir}/documents.parquet", ["source", "text"])
+        ).sort("source")
+
     def q_training_mix(sf_dir: str):
         # training-mix construction: per-source deterministic keep rates
         # (src0 100%, src1 50%, src2 25%, everything else 1/16)
@@ -1948,6 +1957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_stats": q_events_gap_stats,
         "stratified_sample": q_stratified_sample,
         "training_mix": q_training_mix,
+        "tokens_by_source": q_tokens_by_source,
         "dup_ngram_census": q_dup_ngram_census,
         "doc_quality_classifier": q_doc_quality_classifier,
         "doc_substring_trim": q_doc_substring_trim,
@@ -2470,6 +2480,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
             ORDER BY doc_id
+        """,
+        "tokens_by_source": """
+            SELECT source,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source ORDER BY source
         """,
         "training_mix": """
             SELECT doc_id, source FROM documents

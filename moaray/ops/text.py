@@ -1408,3 +1408,35 @@ def mix_sample(docs_ds, rates: dict, default_rate: float = 0.0,
         return batch.filter(pa.array(mask))
 
     return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def tokens_by_source(docs_ds):
+    """Per-source corpus token budget (token sum + doc count) — the cost
+    accounting a training-mix decision starts from. Per-batch arrow
+    group_by pre-aggregates, so one row per (source, batch) crosses the
+    shuffle; the groupby folds partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(batch["text"], " "))
+        t = pa.table({
+            "source": batch["source"],
+            "n": pc.cast(n, pa.int64()),
+        })
+        g = t.group_by("source").aggregate([("n", "sum"), ("n", "count")])
+        return g.rename_columns(["source", "n_sum", "n_docs"])
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch["source"],
+            "n_tokens": batch["sum(n_sum)"].cast(pa.int64()),
+            "n_docs": batch["sum(n_docs)"].cast(pa.int64()),
+        })
+
+    return (
+        docs_ds.select_columns(["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_sum"), Sum("n_docs"))
+        .map_batches(final, batch_format="pyarrow")
+    )
