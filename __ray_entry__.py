@@ -1285,6 +1285,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         model = lr_fit(feats, fcols, "label", lr=0.5, n_iters=25)
         return lr_predict(feats, model, fcols).sort("doc_id")
 
+    def q_knn_classify(sf_dir: str):
+        # kNN-majority weak labeling over the embeddings table (corpus
+        # streams once; label lookup touches only the q*k neighbor ids)
+        emb = _emb(sf_dir)
+        qids, qmat = ann.load_queries(emb, n_queries=20)
+        return ann.knn_classify(
+            _emb(sf_dir), qids, qmat, k=5
+        ).sort("query_id")
+
     def q_tokens_by_source(sf_dir: str):
         # per-source token budget: per-batch arrow group_by combiner ->
         # one small groupby
@@ -1958,6 +1967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "training_mix": q_training_mix,
         "tokens_by_source": q_tokens_by_source,
+        "knn_classify": q_knn_classify,
         "dup_ngram_census": q_dup_ngram_census,
         "doc_quality_classifier": q_doc_quality_classifier,
         "doc_substring_trim": q_doc_substring_trim,
@@ -2480,6 +2490,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
             ORDER BY doc_id
+        """,
+        "knn_classify": """
+            WITH q AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20
+            ), sims AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     c.label,
+                     list_cosine_similarity(q.embedding, c.embedding)
+                         AS cosine
+              FROM q JOIN embeddings c ON c.vec_id != q.vec_id
+            ), ranked AS (
+              SELECT query_id, label,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC,
+                                                 neighbor_id ASC) AS rnk
+              FROM sims
+            ), votes AS (
+              SELECT query_id, label, count(*) AS n
+              FROM ranked WHERE rnk <= 5 GROUP BY 1, 2
+            ), best AS (
+              SELECT query_id, label, n,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY n DESC, label ASC) AS r
+              FROM votes
+            )
+            SELECT query_id, CAST(label AS BIGINT) AS pred_label,
+                   CAST(n AS BIGINT) AS votes
+            FROM best WHERE r = 1 ORDER BY query_id
         """,
         "tokens_by_source": """
             SELECT source,

@@ -834,3 +834,37 @@ def pca_embed(emb_ds_factory, k: int = 8, sample_limit: int = 65_536,
     mean, comps = pca_fit_sample(emb_ds_factory(), k,
                                  sample_limit=sample_limit, hex_lt=hex_lt)
     return pca_project(emb_ds_factory(), mean, comps)
+
+
+def knn_classify(emb_ds, query_ids, query_mat, k: int = 5,
+                 label_col: str = "label"):
+    """kNN-majority weak labeling: predict each query's label from its
+    top-k cosine neighbors' labels (majority; ties break to the SMALLEST
+    label for determinism). Returns (query_id, pred_label, votes).
+
+    Scale shape: the corpus never shuffles — knn_bruteforce streams it
+    once (broadcast queries, local top-k + tiny merge); the label lookup
+    then touches only the q×k neighbor ids via an expression-pushdown
+    scan, both sides bounded by the query count."""
+    pairs = knn_bruteforce(emb_ds, query_ids, query_mat, k=k).take_all()
+    need = sorted({r["neighbor_id"] for r in pairs})
+    if not need:
+        return ray.data.from_items([])
+    lab_rows = (
+        emb_ds.select_columns(["vec_id", label_col])
+        .filter(expr=f"vec_id in {list(need)}")
+        .take_all()
+    )
+    labels = {r["vec_id"]: r[label_col] for r in lab_rows}
+    votes: dict = {}
+    for r in pairs:
+        q = r["query_id"]
+        lab = labels[r["neighbor_id"]]
+        votes.setdefault(q, {}).setdefault(lab, 0)
+        votes[q][lab] += 1
+    out = []
+    for q in sorted(votes):
+        best = sorted(votes[q].items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out.append({"query_id": int(q), "pred_label": int(best[0]),
+                    "votes": int(best[1])})
+    return ray.data.from_items(out)

@@ -2172,3 +2172,32 @@ def test_image_patches_grid_clamp_and_pixels(ray_session):
                          n_shards=4)
     assert m["rows"] == read_wds_shards(
         "/tmp/wds_patches", key="sample_id").count() > 0
+
+
+def test_knn_classify_majority_and_tiebreak(ray_session):
+    """Constructed geometry: queries sit exactly on cluster axes; ties in
+    the vote break to the smallest label."""
+    from moaray.ops.ann import knn_classify
+
+    # 3 corpus points near +x (label 1), 3 near +y (label 2), in 2-D
+    pts = [
+        (100, [1.0, 0.00], 1), (101, [1.0, 0.01], 1), (102, [1.0, -0.01], 1),
+        (103, [0.00, 1.0], 2), (104, [0.01, 1.0], 2), (105, [-0.01, 1.0], 2),
+    ]
+    t = pa.table({
+        "vec_id": pa.array([p[0] for p in pts], pa.int64()),
+        "embedding": pa.array([p[1] for p in pts],
+                              pa.list_(pa.float32())),
+        "label": pa.array([p[2] for p in pts], pa.int32()),
+    })
+    ds = ray.data.from_arrow(t)
+    qids = np.array([0, 1], dtype=np.int64)
+    qmat = np.array([[1.0, 0.0], [0.0, 1.0]])
+    got = {r["query_id"]: (r["pred_label"], r["votes"])
+           for r in knn_classify(ds, qids, qmat, k=3).take_all()}
+    assert got == {0: (1, 3), 1: (2, 3)}
+
+    # k=6 -> 3 votes each; tie breaks to the smaller label (1)
+    got6 = {r["query_id"]: (r["pred_label"], r["votes"])
+            for r in knn_classify(ds, qids, qmat, k=6).take_all()}
+    assert got6 == {0: (1, 3), 1: (1, 3)}
