@@ -1285,6 +1285,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         model = lr_fit(feats, fcols, "label", lr=0.5, n_iters=25)
         return lr_predict(feats, model, fcols).sort("doc_id")
 
+    def q_doc_length_ntile(sf_dir: str):
+        # global NTILE(4) without a global sort: value-count offsets +
+        # bounded per-value rank groups
+        from moaray.ops.relational import ntile_by
+
+        return ntile_by(
+            _rpc(f"{sf_dir}/documents.parquet", ["doc_id", "n_chars"]),
+            "n_chars", "doc_id", 4,
+        ).sort("doc_id")
+
     def q_knn_classify(sf_dir: str):
         # kNN-majority weak labeling over the embeddings table (corpus
         # streams once; label lookup touches only the q*k neighbor ids)
@@ -1968,6 +1978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_mix": q_training_mix,
         "tokens_by_source": q_tokens_by_source,
         "knn_classify": q_knn_classify,
+        "doc_length_ntile": q_doc_length_ntile,
         "dup_ngram_census": q_dup_ngram_census,
         "doc_quality_classifier": q_doc_quality_classifier,
         "doc_substring_trim": q_doc_substring_trim,
@@ -2490,6 +2501,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
             ORDER BY doc_id
+        """,
+        "doc_length_ntile": """
+            SELECT doc_id, n_chars,
+                   CAST(ntile(4) OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS bucket
+            FROM documents ORDER BY doc_id
         """,
         "knn_classify": """
             WITH q AS (

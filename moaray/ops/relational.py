@@ -1331,3 +1331,57 @@ def events_gap_stats(events_ds):
         .groupby("user_id")
         .map_groups(per_user, batch_format="pyarrow")
     )
+
+
+def ntile_by(ds, order_col: str, id_col: str, n_buckets: int = 4):
+    """Global NTILE(n) OVER (ORDER BY order_col, id_col) WITHOUT a global
+    sort: pass 1 counts rows per distinct order value (tiny groupby —
+    bounded by the value cardinality, the documented assumption; use a
+    quantile sketch first for continuous columns), the driver folds
+    cumulative offsets, and pass 2 ranks each value's rows locally (sorted
+    by id) against the broadcast offsets. SQL NTILE semantics exactly:
+    bucket sizes differ by at most one, larger buckets first.
+
+    Returns (id_col, order_col, bucket)."""
+    counts = (
+        ds.select_columns([order_col])
+        .groupby(order_col)
+        .count()
+        .take_all()
+    )
+    counts.sort(key=lambda r: r[order_col])
+    total = sum(r["count()"] for r in counts)
+    offsets = {}
+    acc = 0
+    for r in counts:
+        offsets[r[order_col]] = acc
+        acc += r["count()"]
+    size_big = -(-total // n_buckets)  # ceil
+    n_big = total % n_buckets
+    if n_big == 0:
+        n_big = n_buckets  # all buckets equal (and "big")
+    big_span = n_big * size_big
+    size_small = total // n_buckets
+
+    def per_value(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        v = group[order_col][0].as_py()
+        rank0 = offsets[v] + np.arange(len(ids))  # 0-based global rank
+        bucket = np.where(
+            rank0 < big_span,
+            rank0 // size_big,
+            n_big + (rank0 - big_span) // max(size_small, 1),
+        ) + 1
+        return pa.table({
+            id_col: pa.array(ids[order]),
+            order_col: group[order_col].take(
+                pa.array(order, pa.int64())),
+            "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        ds.select_columns([id_col, order_col])
+        .groupby(order_col)
+        .map_groups(per_value, batch_format="pyarrow")
+    )

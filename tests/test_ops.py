@@ -2201,3 +2201,29 @@ def test_knn_classify_majority_and_tiebreak(ray_session):
     got6 = {r["query_id"]: (r["pred_label"], r["votes"])
             for r in knn_classify(ds, qids, qmat, k=6).take_all()}
     assert got6 == {0: (1, 3), 1: (1, 3)}
+
+
+def test_ntile_by_uneven_buckets_and_ties(ray_session):
+    """NTILE semantics on non-divisible totals (larger buckets first) and
+    duplicate order values (tie-break by id), vs DuckDB directly."""
+    import duckdb
+
+    from moaray.ops.relational import ntile_by
+
+    rng = np.random.default_rng(7)
+    n = 103  # 103 % 4 = 3 -> bucket sizes 26,26,26,25
+    vals = rng.integers(0, 9, size=n)  # heavy ties
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "n_chars": pa.array(vals, pa.int64()),
+    })
+    for nb in (4, 5, 7):
+        got = {r["doc_id"]: r["bucket"] for r in ntile_by(
+            ray.data.from_arrow(t), "n_chars", "doc_id", nb).take_all()}
+        con = duckdb.connect()
+        con.register("t", t)
+        want = dict(con.execute(
+            f"SELECT doc_id, ntile({nb}) OVER (ORDER BY n_chars, doc_id)"
+            " FROM t"
+        ).fetchall())
+        assert got == want, nb
