@@ -1285,6 +1285,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         model = lr_fit(feats, fcols, "label", lr=0.5, n_iters=25)
         return lr_predict(feats, model, fcols).sort("doc_id")
 
+    def q_events_outliers(sf_dir: str):
+        # per-type tail filter above the exact discrete 0.99-quantile
+        # (threshold is a data member -> bitwise-stable comparison)
+        from moaray.ops.relational import events_above_quantile
+
+        return events_above_quantile(
+            _rpc(f"{sf_dir}/events.parquet",
+                 ["event_id", "event_type", "value"]), p=0.99,
+        ).sort("event_id")
+
     def q_doc_length_ntile(sf_dir: str):
         # global NTILE(4) without a global sort: value-count offsets +
         # bounded per-value rank groups
@@ -1979,6 +1989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_by_source": q_tokens_by_source,
         "knn_classify": q_knn_classify,
         "doc_length_ntile": q_doc_length_ntile,
+        "events_outliers": q_events_outliers,
         "dup_ngram_census": q_dup_ngram_census,
         "doc_quality_classifier": q_doc_quality_classifier,
         "doc_substring_trim": q_doc_substring_trim,
@@ -2501,6 +2512,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
             ORDER BY doc_id
+        """,
+        "events_outliers": """
+            WITH thr AS (
+              SELECT event_type, quantile_disc(value, 0.99) AS t
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value
+            FROM events e JOIN thr USING (event_type)
+            WHERE e.value > thr.t ORDER BY e.event_id
         """,
         "doc_length_ntile": """
             SELECT doc_id, n_chars,

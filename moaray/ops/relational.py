@@ -1385,3 +1385,33 @@ def ntile_by(ds, order_col: str, id_col: str, n_buckets: int = 4):
         .groupby(order_col)
         .map_groups(per_value, batch_format="pyarrow")
     )
+
+
+def events_above_quantile(events_ds, p: float = 0.99):
+    """Per-type tail-outlier filter: events whose value strictly exceeds
+    the type's exact discrete p-quantile (quantile_disc — a member of the
+    data, so the threshold comparison is bitwise-stable and the oracle
+    hash-matches without float tolerance).
+
+    Two-pass, both scale-safe: pass 1 is exact_group_quantiles (one
+    shuffle on the bounded-cardinality type key, tiny driver collect of
+    one row per type); pass 2 broadcasts the thresholds in the stage
+    closure and filters each batch vectorized. Returns (event_id,
+    event_type, value)."""
+    thr_rows = exact_group_quantiles(
+        events_ds, "value", "event_type", qs=(p,)
+    ).take_all()
+    thr = {r["event_type"]: r["value"] for r in thr_rows}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        types = batch["event_type"].to_pylist()
+        t = np.array([thr[x] for x in types], dtype=np.float64)
+        mask = batch["value"].to_numpy(zero_copy_only=False) > t
+        return batch.filter(pa.array(mask))
+
+    return (
+        events_ds.select_columns(["event_id", "event_type", "value"])
+        .map_batches(keep, batch_format="pyarrow")
+    )
