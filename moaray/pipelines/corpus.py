@@ -17,8 +17,9 @@ generation 0; ``corpus_append`` folds a NEW batch of documents in:
    no-op (the update_mosaic applied_updates discipline,
    ref update.py:338-348).
 
-Readers take the union of all committed partitions; within one store a
-text hash appears exactly once across generations.
+Readers see only generations recorded as applied (and not superseded —
+see corpus_compact), making every mutation atomic at one JSON swap;
+within the visible store a text hash appears exactly once.
 """
 
 from __future__ import annotations
@@ -121,15 +122,20 @@ def _write_generation(ds, out_dir: str, gen: int, key: str,
 
 
 def read_corpus(out_dir: str):
-    """Union of all committed partitions across generations."""
+    """Union of the committed partitions of APPLIED, non-superseded
+    generations. Filtering on generations.json makes every mutation
+    atomic at the single JSON swap: a half-written append or compaction
+    is invisible until its generation id lands in ``applied``."""
     import ray
 
     ofs = OutputFS(out_dir)
+    gens = _committed_generations(ofs)
+    visible = set(gens["applied"]) - set(gens.get("superseded", []))
     paths = []
     for name in sorted(ofs.list_names(ofs.join(ofs.root, _MANIFEST_DIR))):
         if name.endswith(".json"):
             rec = ofs.read_json(ofs.join(ofs.root, _MANIFEST_DIR, name))
-            if "path" in rec:
+            if "path" in rec and rec.get("generation") in visible:
                 paths.append(rec["path"])
     if not paths:
         return ray.data.from_items([])
@@ -211,3 +217,45 @@ def corpus_append(new_docs_ds, out_dir: str, generation: int, *,
     gens["applied"] = sorted(set(gens["applied"]) | {generation})
     ofs.put_json(ofs.join(ofs.root, _GEN_FILE), gens)
     return {"generation": generation, **res, "skipped_applied": False}
+
+
+def corpus_compact(out_dir: str, generation: int, *,
+                   id_col: str = "doc_id", n_partitions: int = 16,
+                   gc: bool = False) -> dict:
+    """Fold every visible generation into ONE fresh generation — the
+    small-files compaction an append-heavy store accumulates toward.
+
+    Crash-safe by the read_corpus visibility rule: the compacted
+    generation's buckets commit first (invisible — not yet applied), then
+    a SINGLE generations.json swap marks it applied and supersedes the
+    old generations. A crash before the swap leaves the old view intact;
+    after it, readers see only the compacted set. ``gc=True`` deletes
+    superseded data+manifest files afterwards (safe post-swap)."""
+    if generation <= 0:
+        raise ValueError("generation must be a positive caller-chosen id")
+    ofs = OutputFS(out_dir)
+    gens = _committed_generations(ofs)
+    if generation in gens["applied"]:
+        return {"generation": generation, "rows": 0, "written": 0,
+                "skipped_applied": True}
+    old = sorted(set(gens["applied"]) - set(gens.get("superseded", [])))
+    res = _write_generation(read_corpus(out_dir), out_dir, generation,
+                            id_col, n_partitions)
+    gens["applied"] = sorted(set(gens["applied"]) | {generation})
+    gens["superseded"] = sorted(set(gens.get("superseded", [])) | set(old))
+    ofs.put_json(ofs.join(ofs.root, _GEN_FILE), gens)  # the atomic swap
+    if gc:
+        for name in list(ofs.list_names(ofs.join(ofs.root,
+                                                 _MANIFEST_DIR))):
+            if not name.endswith(".json"):
+                continue
+            p = ofs.join(ofs.root, _MANIFEST_DIR, name)
+            rec = ofs.read_json(p)
+            if rec.get("generation") in gens["superseded"]:
+                try:
+                    ofs.remove(rec["path"])
+                except OSError:
+                    pass
+                ofs.remove(p)
+    return {"generation": generation, **res, "skipped_applied": False,
+            "superseded": old}

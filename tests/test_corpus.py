@@ -107,3 +107,51 @@ def test_corpus_append_kill_resume(ray_session, tmp_path):
     assert r["written"] == 1  # only the severed bucket rewrites
     after = sorted(r["text"] for r in read_corpus(out).take_all())
     assert after == before
+
+
+def test_corpus_compact_atomic_swap_and_gc(ray_session, tmp_path):
+    import glob as _glob
+    import json
+
+    from moaray.pipelines.corpus import (corpus_append, corpus_compact,
+                                         corpus_init, read_corpus)
+
+    out = str(tmp_path / "corpus")
+    corpus_init(_docs(range(10), [f"base {i}" for i in range(10)]), out,
+                n_partitions=4)
+    for g in (1, 2, 3):
+        corpus_append(
+            _docs(range(g * 100, g * 100 + 5),
+                  [f"gen{g} doc {i}" for i in range(5)]),
+            out, generation=g, n_partitions=4,
+        )
+    before = sorted(r["text"] for r in read_corpus(out).take_all())
+    assert len(before) == 25
+    n_files_before = len(_glob.glob(f"{out}/part-*.parquet"))
+
+    r = corpus_compact(out, generation=9, n_partitions=4, gc=True)
+    assert r["superseded"] == [0, 1, 2, 3] and r["rows"] == 25
+    after = sorted(r["text"] for r in read_corpus(out).take_all())
+    assert after == before
+    # gc removed every superseded file; only gen-9 parts remain
+    remaining = _glob.glob(f"{out}/part-*.parquet")
+    assert all("part-g0009-" in p for p in remaining)
+    assert len(remaining) <= n_files_before
+
+    # compaction replay is a no-op; appends continue on the compacted view
+    assert corpus_compact(out, generation=9)["skipped_applied"]
+    corpus_append(_docs([999], ["post compact"]), out, generation=10,
+                  n_partitions=4)
+    assert read_corpus(out).count() == 26
+    # a duplicate of a pre-compaction text still dedups post-compaction
+    corpus_append(_docs([1000], ["base 3"]), out, generation=11,
+                  n_partitions=4)
+    assert read_corpus(out).count() == 26
+
+    # crash-safety shape: a generation with committed buckets but NO
+    # applied marker is invisible to readers
+    gens = json.load(open(f"{out}/generations.json"))
+    gens["applied"].remove(10)
+    json.dump(gens, open(f"{out}/generations.json", "w"))
+    texts = [r["text"] for r in read_corpus(out).take_all()]
+    assert "post compact" not in texts
