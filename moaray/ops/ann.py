@@ -319,6 +319,7 @@ def knn_ivf(
     nprobe: int = 4,
     kmeans_iters: int = 3,
     quantizer: str = "sample",
+    centroids: np.ndarray | None = None,
 ):
     """IVF-flat ANN: corpus vectors are assigned to their nearest coarse
     centroid; a query scans only its ``nprobe`` closest centroids' lists.
@@ -327,12 +328,16 @@ def knn_ivf(
     default (``kmeans_fit_sample``: one bounded read + local Lloyd) —
     ``quantizer="full"`` selects the distributed partial-sum k-means
     (``kmeans_fit``) when corpus-exact centroids matter more than the
-    ``kmeans_iters`` extra full passes. Centroids + per-query probe sets
-    broadcast once via ray.put; corpus embeddings never shuffle. Recall < 1
-    by design; ``knn_bruteforce`` is the baseline."""
+    ``kmeans_iters`` extra full passes, and ``centroids`` injects a
+    PERSISTED quantizer (save_ann_index/load_ann_index) so a 100-TB
+    corpus fits once and searches many times. Centroids + per-query probe
+    sets broadcast once via ray.put; corpus embeddings never shuffle.
+    Recall < 1 by design; ``knn_bruteforce`` is the baseline."""
     qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
-    if quantizer == "sample":
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    elif quantizer == "sample":
         cent = kmeans_fit_sample(emb_ds, n_centroids)
     else:
         cent = kmeans_fit(emb_ds, n_centroids, n_iters=kmeans_iters)
@@ -868,3 +873,38 @@ def knn_classify(emb_ds, query_ids, query_mat, k: int = 5,
         out.append({"query_id": int(q), "pred_label": int(best[0]),
                     "votes": int(best[1])})
     return ray.data.from_items(out)
+
+
+def save_ann_index(path: str, index: dict) -> None:
+    """Persist a fitted quantizer (float64 arrays keyed by name) so a
+    corpus-scale index fits ONCE and is reused across runs — local paths
+    or any OutputFS-supported scheme (s3://...). Format: one .npz blob
+    written through the committed-sink byte PUT."""
+    import io
+
+    from ..state.fsio import OutputFS
+
+    buf = io.BytesIO()
+    np.savez(buf, **{k: np.asarray(v) for k, v in index.items()})
+    ofs = OutputFS(path.rsplit("/", 1)[0] if "/" in path else ".")
+    name = path.rsplit("/", 1)[-1]
+    ofs.makedirs(ofs.root)
+    ofs.put_bytes(ofs.join(ofs.root, name), buf.getvalue())
+
+
+def load_ann_index(path: str) -> dict:
+    """Load a persisted quantizer (see save_ann_index)."""
+    import io
+
+    from ..state.fsio import OutputFS
+
+    ofs = OutputFS(path.rsplit("/", 1)[0] if "/" in path else ".")
+    name = path.rsplit("/", 1)[-1]
+    full = ofs.join(ofs.root, name)
+    if ofs.is_local:
+        raw = open(full, "rb").read()
+    else:
+        with ofs.fs.open_input_stream(full) as f:
+            raw = f.read()
+    with np.load(io.BytesIO(raw)) as z:
+        return {k: z[k] for k in z.files}

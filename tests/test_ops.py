@@ -2227,3 +2227,29 @@ def test_ntile_by_uneven_buckets_and_ties(ray_session):
             " FROM t"
         ).fetchall())
         assert got == want, nb
+
+
+def test_ann_index_persistence(ray_session, tmp_path):
+    """Fit once, save, load, search with the persisted quantizer: results
+    identical to the inline fit (the sample-fit is deterministic)."""
+    from moaray.ops.ann import (kmeans_fit_sample, knn_ivf, load_ann_index,
+                                load_queries, save_ann_index)
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    qids, qmat = load_queries(emb, n_queries=8)
+    cent = kmeans_fit_sample(emb, 16)
+    path = str(tmp_path / "idx" / "ivf.npz")
+    save_ann_index(path, {"centroids": cent})
+    idx = load_ann_index(path)
+    np.testing.assert_array_equal(idx["centroids"], cent)
+
+    a = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in knn_ivf(emb, qids, qmat, k=5,
+                         centroids=idx["centroids"]).take_all()
+    )
+    b = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in knn_ivf(emb, qids, qmat, k=5).take_all()
+    )
+    assert a == b and len(a) > 0
