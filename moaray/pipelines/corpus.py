@@ -259,3 +259,33 @@ def corpus_compact(out_dir: str, generation: int, *,
                 ofs.remove(p)
     return {"generation": generation, **res, "skipped_applied": False,
             "superseded": old}
+
+
+def corpus_stats(out_dir: str) -> dict:
+    """Store introspection from manifests alone (no data reads): per-
+    generation rows/bytes/buckets plus the visible totals."""
+    ofs = OutputFS(out_dir)
+    gens = _committed_generations(ofs)
+    visible = set(gens["applied"]) - set(gens.get("superseded", []))
+    per_gen: dict = {}
+    for name in sorted(ofs.list_names(ofs.join(ofs.root, _MANIFEST_DIR))):
+        if not name.endswith(".json"):
+            continue
+        rec = ofs.read_json(ofs.join(ofs.root, _MANIFEST_DIR, name))
+        g = rec.get("generation")
+        if g is None:
+            continue
+        d = per_gen.setdefault(g, {"rows": 0, "bytes": 0, "buckets": 0,
+                                   "visible": g in visible})
+        d["rows"] += rec.get("rows", 0)
+        d["bytes"] += rec.get("bytes", 0)
+        d["buckets"] += 1
+    return {
+        "generations": per_gen,
+        "applied": sorted(gens["applied"]),
+        "superseded": sorted(gens.get("superseded", [])),
+        "visible_rows": sum(d["rows"] for g, d in per_gen.items()
+                            if d["visible"]),
+        "visible_bytes": sum(d["bytes"] for g, d in per_gen.items()
+                             if d["visible"]),
+    }

@@ -148,6 +148,13 @@ def test_corpus_compact_atomic_swap_and_gc(ray_session, tmp_path):
                   n_partitions=4)
     assert read_corpus(out).count() == 26
 
+    # manifest-only introspection agrees with the data
+    from moaray.pipelines.corpus import corpus_stats
+    st = corpus_stats(out)
+    assert st["visible_rows"] == 26
+    assert st["superseded"] == [0, 1, 2, 3]
+    assert st["generations"][9]["visible"] is True
+
     # crash-safety shape: a generation with committed buckets but NO
     # applied marker is invisible to readers
     gens = json.load(open(f"{out}/generations.json"))
