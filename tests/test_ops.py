@@ -2253,3 +2253,39 @@ def test_ann_index_persistence(ray_session, tmp_path):
         for r in knn_ivf(emb, qids, qmat, k=5).take_all()
     )
     assert a == b and len(a) > 0
+
+
+def test_lm_perplexity_adversarial_shapes(ray_session):
+    """Vectorized scoring survives empty docs, 1-token docs, unk-only
+    docs, and batch boundaries (reduceat segment bookkeeping)."""
+    import math
+
+    from moaray.ops.text import lm_perplexity, lm_train_bigram
+
+    texts = ["", "solo", "a b", "zz qq", "the cat sat on the mat " * 5,
+             " ", "x", "a a a a a", "b", ""]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    model = lm_train_bigram(ds, hex_lt="ff")
+    got = {r["doc_id"]: (r["n_tokens"], r["bits_per_token"])
+           for r in lm_perplexity(ds, model,
+                                  concurrency=(1, 2)).take_all()}
+    vocab, uni, bi = model["vocab"], model["uni"], model["bi"]
+    v = len(vocab) + 1
+    k = 0.5
+    for did, text in enumerate(texts):
+        toks = text.split()
+        n, bpt = got[did]
+        assert n == len(toks)
+        if len(toks) < 2:
+            assert bpt == 0.0
+            continue
+        s = sum(
+            math.log((bi.get((vocab.get(a, -1), vocab.get(b, -1)), 0)
+                      + k)
+                     / ((uni[vocab[a]] if a in vocab else 0) + k * v))
+            for a, b in zip(toks, toks[1:])
+        )
+        want = -s / (len(toks) - 1) / math.log(2.0)
+        assert abs(bpt - round(want, 6)) < 1e-6, did
