@@ -91,3 +91,52 @@ def test_cli_polar_warp_with_geokey_export(ray_session, tmp_path):
     assert (arr != 0).sum() > 500
     with open(tif, "rb") as f:
         assert crs_from_geokeys(f.read()) == "EPSG:3413"
+
+
+def test_corpus_cli_lifecycle(ray_session, tmp_path, capsys):
+    """init -> append (jsonl input) -> stats -> compact --gc through the
+    corpus CLI; the CLI reuses the test session's Ray (owns_ray=False)."""
+    import glob
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from moaray.corpus_cli import main_cmd as corpus_cmd
+
+    docs = pa.table({
+        "doc_id": pa.array(range(12), pa.int64()),
+        "text": pa.array([f"doc {i % 10}" for i in range(12)],
+                         pa.string()),  # 2 internal dups
+    })
+    pq.write_table(docs, str(tmp_path / "docs.parquet"))
+    with open(tmp_path / "new.jsonl", "w") as f:
+        for i, t in [(100, "doc 3"), (101, "fresh one"),
+                     (102, "fresh two")]:
+            f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+    out = str(tmp_path / "store")
+
+    assert corpus_cmd(["init", out, "-i", str(tmp_path / "docs.parquet"),
+                       "-n", "4"]) == 0
+    r = _json.loads(capsys.readouterr().out.strip())
+    assert r["rows"] == 10
+
+    assert corpus_cmd(["append", out, "-i", str(tmp_path / "new.jsonl"),
+                       "-g", "1", "-n", "4"]) == 0
+    r = _json.loads(capsys.readouterr().out.strip())
+    assert r["rows"] == 2  # "doc 3" dedups against the store
+
+    assert corpus_cmd(["stats", out]) == 0
+    st = _json.loads(capsys.readouterr().out)
+    assert st["visible_rows"] == 12
+
+    assert corpus_cmd(["compact", out, "-g", "9", "-n", "4",
+                       "--gc"]) == 0
+    r = _json.loads(capsys.readouterr().out.strip())
+    assert r["rows"] == 12 and r["superseded"] == [0, 1]
+    assert all("part-g0009-" in p
+               for p in glob.glob(f"{out}/part-*.parquet"))
+
+    # missing required flags -> exit code 2
+    assert corpus_cmd(["append", out, "-i", "x.parquet"]) == 2
+    capsys.readouterr()
