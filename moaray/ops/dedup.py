@@ -1204,7 +1204,11 @@ def ngram_census(docs_ds, n: int = 8, min_count: int = 2,
     Scale shape: a per-batch Counter pre-aggregates (one row per DISTINCT
     gram per batch crosses the shuffle, not one per occurrence); n_docs
     partials are exact because one row == one whole document. One groupby
-    on the gram string folds the partials."""
+    on the gram string folds the partials. This is the EXACT census (gram
+    strings shuffle — oracle-able); at corpus scale prefer
+    text.dup_ngram_stats, the hash-sharded path (vectorized FNV-1a int64
+    keys, shard-keyed reduce) and feed trim_duplicate_ngrams only the
+    grams this census confirms."""
     from collections import Counter
 
     from ray.data.aggregate import Sum
