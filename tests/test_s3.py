@@ -353,3 +353,40 @@ def test_export_gtiff_to_s3(ray_session, s3_endpoint, s3_catalog, tmp_path):
     assert remote_copy.read_bytes() == local.read_bytes()
     arr, gt, nullval = read_gtiff(str(remote_copy))
     assert list(arr[0, 60:66]) == [60, 61, 62, 1, 2, 3]
+
+
+def test_wds_shards_over_s3(ray_session, s3_endpoint):
+    """The WebDataset tar-shard sink targets s3:// both directions:
+    write, sever one shard's manifest, rerun rewrites exactly it,
+    read_wds_shards round-trips from the store."""
+    import boto3
+    import pyarrow as pa
+    import ray
+
+    from moaray.sinks.wds import read_wds_shards, write_wds_shards
+
+    client = boto3.client("s3", endpoint_url=s3_endpoint,
+                          region_name="us-east-1")
+    client.create_bucket(Bucket="moaray-wds")
+    out = "s3://moaray-wds/shards"
+    src = pa.table({
+        "doc_id": pa.array(range(60), pa.int64()),
+        "text": pa.array([f"s3 doc {i}" for i in range(60)], pa.string()),
+        "payload": pa.array([bytes([i, i + 1]) for i in range(60)],
+                            pa.binary()),
+    })
+    m1 = write_wds_shards(ray.data.from_arrow(src), out, key="doc_id",
+                          n_shards=4)
+    assert m1["written"] == 4 and m1["rows"] == 60
+
+    client.delete_object(Bucket="moaray-wds",
+                         Key="shards/manifest/shard-00002.json")
+    m2 = write_wds_shards(ray.data.from_arrow(src), out, key="doc_id",
+                          n_shards=4)
+    assert m2["written"] == 1 and m2["skipped"] == 3
+
+    back = sorted(read_wds_shards(out).take_all(),
+                  key=lambda r: r["doc_id"])
+    assert len(back) == 60
+    assert back[7]["text"] == "s3 doc 7"
+    assert back[7]["payload"] == bytes([7, 8])
