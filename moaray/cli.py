@@ -91,6 +91,9 @@ def get_cmdargs(argv=None):
     proj.add_argument("--outprojwktfile", default=None,
                       help="reference-compat: file whose contents name the "
                            "output CRS")
+    proj.add_argument("--outprojwkt", default=None,
+                      help="reference-compat: inline WKT (or CRS name) "
+                           "string naming the output CRS")
     proj.add_argument("--xres", type=float, default=None,
                       help="output X pixel size (default: first input's)")
     proj.add_argument("--yres", type=float, default=None,
@@ -174,6 +177,8 @@ def main_cmd(argv=None) -> int:
         if out_crs is None and args.outprojwktfile is not None:
             with open(args.outprojwktfile) as f:
                 out_crs = f.read().strip()
+        if out_crs is None and args.outprojwkt is not None:
+            out_crs = args.outprojwkt.strip()
         # creation options (reference --co KEY=VALUE): COMPRESS toggles the
         # tile codec; anything else is accepted with a note (the parquet
         # sink has no GDAL creation-option surface)

@@ -198,7 +198,13 @@ def update_mosaic(
     pruned-column local read of the delta is the right cost model. A delta
     too large for the driver (>~10^6 rows) is no longer an "update" — run
     ``do_mosaic`` (which auto-dispatches to distributed planning above
-    ``driver_plan_limit``) over the concatenated catalog instead."""
+    ``driver_plan_limit``) over the concatenated catalog instead.
+
+    Deltas in a foreign CRS / resolution / alignment warp on read when
+    ``cfg.out_crs`` names the STORED grid CRS: the WarpSpec anchors at the
+    stored origin so warped inputs land on the committed lattice exactly;
+    committed pixels are never resampled (ref reproj.py:130-218 semantics
+    applied to the delta only)."""
     if cfg.merge not in ("last", "feather"):
         raise ValueError(
             f"update_mosaic supports 'last' and 'feather', got {cfg.merge!r}"
@@ -240,8 +246,32 @@ def update_mosaic(
         if "band" in tbl.schema.names
         else [0]
     )
+    # warp-on-read onto the STORED grid when requested: cfg.out_crs must
+    # name the committed CRS (an update cannot change it), and the WarpSpec
+    # anchors at the stored origin so every warped input lands on the
+    # committed lattice by construction (ref reproj.py:130-218 semantics,
+    # applied to the delta only — committed pixels are never resampled)
+    warp = None
+    if cfg.out_crs is not None:
+        if cfg.out_crs != grid.crs:
+            raise ValueError(
+                f"update out_crs {cfg.out_crs!r} != stored grid CRS "
+                f"{grid.crs!r}: an update folds into the committed grid — "
+                "to change CRS, rebuild with do_mosaic"
+            )
+        from ..stages.reproject import WarpSpec, warped_meta
+
+        warp = WarpSpec(
+            grid.crs,
+            grid.transform[1],
+            abs(grid.transform[5]),
+            cfg.resample,
+            anchor=(grid.transform[0], grid.transform[3]),
+        )
+        pairs = [(s, warped_meta(m, warp)) for s, m in pairs]
     # same homogeneity validation as a fresh mosaic (ref reproj.py:72-127):
-    # an update cannot warp, so inputs must already live on the stored grid
+    # without a warp, inputs must already live on the stored grid (with one,
+    # the anchored warped metas pass by construction)
     if cfg.validate_projections:
         from ..crs import ProjectionError
 
@@ -250,7 +280,8 @@ def update_mosaic(
             if m.crs != grid.crs:
                 raise ProjectionError(
                     f"update input {m.image_id}: CRS {m.crs} != stored grid "
-                    f"CRS {grid.crs} (updates cannot warp)"
+                    f"CRS {grid.crs} (set out_crs to the stored CRS to warp "
+                    "the delta on read)"
                 )
             if (
                 abs(m.transform[1] - grid.transform[1]) > tol
@@ -308,7 +339,7 @@ def update_mosaic(
     else:
         images_ds = read_images(images_path)
     new_windows = decode_windows(
-        images_ds, grid, cfg.layout, shuffle_codec=shuffle_codec
+        images_ds, grid, cfg.layout, shuffle_codec=shuffle_codec, warp=warp
     )
     if not has_seq_col:
         # layout-derived seq (= image index): shift after decode
@@ -580,7 +611,8 @@ def extend_mosaic(
     output at ``new_out_dir`` (grid.json + all tiles) whose pixels equal a
     full rebuild over the concatenated catalog (append order) — at the
     cost of one mosaic-sized copy instead of a full source re-decode.
-    ``merge="last"`` only, same CRS/resolution/alignment validation as
+    ``merge="last"`` only, same CRS/resolution/alignment validation (and
+    the same out_crs warp-on-read dispatch for off-grid deltas) as
     update_mosaic."""
     import pyarrow.parquet as _pq
 
@@ -603,6 +635,27 @@ def extend_mosaic(
     except Exception:
         tbl = _pq.read_table(_p, columns=cols, filesystem=_fs)
     pairs = metas_from_batch(tbl, cfg.layout)
+    # warp-on-read for the delta, anchored at the stored origin (same
+    # dispatch as update_mosaic): the union extent then snaps to whole
+    # stored-grid pixels because every warped meta is lattice-aligned
+    warp = None
+    if cfg.out_crs is not None:
+        if cfg.out_crs != grid.crs:
+            raise ValueError(
+                f"extend out_crs {cfg.out_crs!r} != stored grid CRS "
+                f"{grid.crs!r}: an extension keeps the committed CRS — "
+                "to change CRS, rebuild with do_mosaic"
+            )
+        from ..stages.reproject import WarpSpec, warped_meta
+
+        warp = WarpSpec(
+            grid.crs,
+            grid.transform[1],
+            abs(grid.transform[5]),
+            cfg.resample,
+            anchor=(grid.transform[0], grid.transform[3]),
+        )
+        pairs = [(s, warped_meta(m, warp)) for s, m in pairs]
     if cfg.validate_projections:
         from ..crs import ProjectionError
 
@@ -611,7 +664,8 @@ def extend_mosaic(
             if m.crs != grid.crs:
                 raise ProjectionError(
                     f"extend input {m.image_id}: CRS {m.crs} != stored grid "
-                    f"CRS {grid.crs} (extension cannot warp)"
+                    f"CRS {grid.crs} (set out_crs to the stored CRS to warp "
+                    "the delta on read)"
                 )
             if (
                 abs(m.transform[1] - grid.transform[1]) > tol
@@ -682,7 +736,8 @@ def extend_mosaic(
     else:
         images_ds = read_images(images_path)
     new_windows = decode_windows(
-        images_ds, new_grid, cfg.layout, shuffle_codec=shuffle_codec
+        images_ds, new_grid, cfg.layout, shuffle_codec=shuffle_codec,
+        warp=warp,
     )
     if not has_seq_col:
         def shift_window_seq(batch: pa.Table) -> pa.Table:

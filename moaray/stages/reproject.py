@@ -42,6 +42,12 @@ class WarpSpec:
     # through to gdal.Warp): near | bilinear | cubic | cubicspline |
     # lanczos | average | rms | mode | min | max | med | q1 | q3 | sum
     resample: str = "near"
+    # lattice anchor (x, y) the warped extent snaps RELATIVE to; None = the
+    # reference's alignGrid behaviour (multiples of res, anchored at 0).
+    # update_mosaic/extend_mosaic anchor at the STORED grid origin so
+    # warped inputs land on the committed lattice even when that origin is
+    # not itself a multiple of the resolution.
+    anchor: tuple[float, float] | None = None
 
 
 def snap_value(val: float, res: float, ceil: bool) -> float:
@@ -110,9 +116,11 @@ def warped_meta(meta: ImageMeta, spec: WarpSpec) -> ImageMeta:
     else:
         t = crs_mod.transform_affine(meta.crs, spec.dst_crs)
         x_min, x_max, y_min, y_max = reproj_corners(t, meta)
+    ax, ay = spec.anchor if spec.anchor is not None else (0.0, 0.0)
     x_min, x_max, y_min, y_max = align_grid(
-        x_min, x_max, y_min, y_max, xres, abs(yres)
+        x_min - ax, x_max - ax, y_min - ay, y_max - ay, xres, abs(yres)
     )
+    x_min, x_max, y_min, y_max = x_min + ax, x_max + ax, y_min + ay, y_max + ay
     ncols = max(1, int(round((x_max - x_min) / xres)))
     nrows = max(1, int(round((y_max - y_min) / abs(yres))))
     return ImageMeta(

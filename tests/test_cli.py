@@ -140,3 +140,32 @@ def test_corpus_cli_lifecycle(ray_session, tmp_path, capsys):
     # missing required flags -> exit code 2
     assert corpus_cmd(["append", out, "-i", "x.parquet"]) == 2
     capsys.readouterr()
+
+
+def test_cli_outprojwkt_inline(tmp_path):
+    """The reference trio's third member (ref mosaic.py:60-66 outprojwkt):
+    an INLINE CRS/WKT string, equivalent to --outprojcrs."""
+    import numpy as np
+
+    from moaray.pipelines.mosaic import mosaic_array
+    from moaray.state.manifest import load_grid_meta, read_committed_tiles
+
+    path = images_path(Layout("grid3x3", 9, 64))
+    out_a = tmp_path / "out_a"
+    out_b = tmp_path / "out_b"
+    for flag, out in (("--outprojcrs", out_a), ("--outprojwkt", out_b)):
+        rc = main_cmd([
+            "-i", path, "-o", str(out),
+            "--layout", "grid3x3,9,64", "--blocksize", "64",
+            flag, "AFFINE:0,2,0,0,0,2",
+            "--resamplemethod", "near", "--nopyramids",
+        ])
+        assert rc == 0
+    grid_a, _, _ = load_grid_meta(str(out_a))
+    grid_b, _, _ = load_grid_meta(str(out_b))
+    assert grid_a.transform == grid_b.transform
+    assert (grid_a.ncols, grid_a.nrows) == (grid_b.ncols, grid_b.nrows)
+    assert grid_a.crs == grid_b.crs
+    a = mosaic_array(read_committed_tiles(str(out_a)), grid_a)
+    b = mosaic_array(read_committed_tiles(str(out_b)), grid_b)
+    assert np.array_equal(a, b)

@@ -203,7 +203,7 @@ def test_update_rejects_crs_mismatch(ray_session, tmp_path):
     row = row.append_column("nullval", pa.array([0.0], pa.float64()))
     row = row.append_column("seq", pa.array([0], pa.int64()))
     pq.write_table(row, os.path.join(bad, "p.parquet"))
-    with pytest.raises(ProjectionError, match="cannot warp"):
+    with pytest.raises(ProjectionError, match="set out_crs"):
         update_mosaic(bad, cfg, out)
 
 
@@ -627,3 +627,101 @@ def test_update_delta_size_guard():
     cfg = MosaicConfig(layout=layout, blocksize=64, driver_plan_limit=3)
     with pytest.raises(ValueError, match="rebuild, not an update"):
         update_mosaic(images_path(layout), cfg, "/tmp/never_exists_out")
+
+
+def test_update_with_warp_equals_rebuild(ray_session, tmp_path):
+    """Warp-on-read deltas (closes the 'updates cannot warp' restriction):
+    the stored grid is native-CRS; the delta lives in a scaled CRS
+    (AFFINE:0,2). With out_crs == the stored CRS the delta warps onto the
+    committed lattice (WarpSpec anchored at the stored origin); within the
+    stored extent the result equals a full warp rebuild over the
+    concatenated catalog (append order), bit-exact."""
+    import pyarrow as pa
+
+    from moaray.crs import ProjectionError
+
+    lay = Layout("mixed_crs", 3, 64)
+    tbl = gen_images_table(lay)
+    base = str(tmp_path / "base")
+    upd = str(tmp_path / "upd")
+    full = str(tmp_path / "full")
+    for d in (base, upd, full):
+        os.makedirs(d)
+    pq.write_table(tbl.take(pa.array([0])), os.path.join(base, "p.parquet"))
+    pq.write_table(tbl.take(pa.array([1, 2])), os.path.join(upd, "p.parquet"))
+    pq.write_table(tbl, os.path.join(full, "p.parquet"))
+
+    out = str(tmp_path / "out")
+    cfg = MosaicConfig(layout=lay, blocksize=64, do_pyramids=False)
+    res_base = do_mosaic(base, cfg, out_dir=out)
+    # materialize the base pixels NOW — tiles_ds is a lazy view of out_dir
+    # and would re-read the post-update winning generations
+    base_arr = mosaic_array(res_base.tiles_ds, res_base.grid)
+
+    # without a warp the heterogeneous delta must still fail validation
+    with pytest.raises(ProjectionError, match="warp"):
+        update_mosaic(upd, cfg, out)
+    # and out_crs may only name the STORED CRS
+    bad = MosaicConfig(layout=lay, blocksize=64, do_pyramids=False,
+                       out_crs="AFFINE:0,1,0,0,0,1")
+    with pytest.raises(ValueError, match="stored grid CRS"):
+        update_mosaic(upd, bad, out)
+
+    wcfg = MosaicConfig(layout=lay, blocksize=64, do_pyramids=False,
+                        out_crs=res_base.grid.crs)
+    res = update_mosaic(upd, wcfg, out)
+    got = mosaic_array(res.tiles_ds, res.grid)
+
+    # oracle: full rebuild with the same warp at the stored resolution;
+    # the update only sees the stored extent, so crop the rebuild to it
+    rcfg = MosaicConfig(layout=lay, blocksize=64, do_pyramids=False,
+                        out_crs=res_base.grid.crs,
+                        out_xres=10.0, out_yres=10.0)
+    rres = do_mosaic(full, rcfg, out_dir=str(tmp_path / "rebuild"))
+    rall = mosaic_array(rres.tiles_ds, rres.grid)
+    assert rres.grid.transform[0] == res.grid.transform[0]
+    assert rres.grid.transform[3] == res.grid.transform[3]
+    crop = rall[: res.grid.nrows, : res.grid.ncols]
+    assert got.shape == crop.shape
+    assert np.array_equal(got, crop)
+    # the warped delta really landed inside the stored extent
+    assert np.any(got != base_arr)
+
+
+def test_extend_with_warp_equals_rebuild(ray_session, tmp_path):
+    """Grid growth with a warped delta: the union extent comes from the
+    anchored warped metas, committed pixels migrate, and the whole output
+    equals a full warp rebuild (same grid, same pixels)."""
+    import pyarrow as pa
+
+    from moaray.pipelines.update import extend_mosaic
+
+    lay = Layout("mixed_crs", 3, 64)
+    tbl = gen_images_table(lay)
+    base = str(tmp_path / "base")
+    ext = str(tmp_path / "ext")
+    full = str(tmp_path / "full")
+    for d in (base, ext, full):
+        os.makedirs(d)
+    pq.write_table(tbl.take(pa.array([0])), os.path.join(base, "p.parquet"))
+    pq.write_table(tbl.take(pa.array([1, 2])), os.path.join(ext, "p.parquet"))
+    pq.write_table(tbl, os.path.join(full, "p.parquet"))
+
+    out = str(tmp_path / "out")
+    new_out = str(tmp_path / "out2")
+    cfg = MosaicConfig(layout=lay, blocksize=64, do_pyramids=False)
+    res_base = do_mosaic(base, cfg, out_dir=out)
+
+    wcfg = MosaicConfig(layout=lay, blocksize=64, do_pyramids=False,
+                        out_crs=res_base.grid.crs)
+    res = extend_mosaic(ext, wcfg, out, new_out)
+
+    rcfg = MosaicConfig(layout=lay, blocksize=64, do_pyramids=False,
+                        out_crs=res_base.grid.crs,
+                        out_xres=10.0, out_yres=10.0)
+    rres = do_mosaic(full, rcfg, out_dir=str(tmp_path / "rebuild"))
+    assert res.grid.transform == rres.grid.transform
+    assert (res.grid.ncols, res.grid.nrows) == (rres.grid.ncols, rres.grid.nrows)
+    got = mosaic_array(res.tiles_ds, res.grid)
+    truth = mosaic_array(rres.tiles_ds, rres.grid)
+    assert np.array_equal(got, truth)
