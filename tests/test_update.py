@@ -725,3 +725,43 @@ def test_extend_with_warp_equals_rebuild(ray_session, tmp_path):
     got = mosaic_array(res.tiles_ds, res.grid)
     truth = mosaic_array(rres.tiles_ds, rres.grid)
     assert np.array_equal(got, truth)
+
+
+def test_feather_update_with_warp(ray_session, tmp_path):
+    """Warped delta through the feather kernel: base persists num/den
+    partials; the scaled-CRS delta warps on read and folds into the
+    weighted sums. Truth = full feather rebuild with the same warp,
+    within one code value (float-sum reassociation bound)."""
+    import pyarrow as pa
+
+    lay = Layout("mixed_crs", 3, 64)
+    tbl = gen_images_table(lay)
+    base = str(tmp_path / "base")
+    upd = str(tmp_path / "upd")
+    full = str(tmp_path / "full")
+    for d in (base, upd, full):
+        os.makedirs(d)
+    pq.write_table(tbl.take(pa.array([0])), os.path.join(base, "p.parquet"))
+    pq.write_table(tbl.take(pa.array([1, 2])), os.path.join(upd, "p.parquet"))
+    pq.write_table(tbl, os.path.join(full, "p.parquet"))
+
+    out = str(tmp_path / "out")
+    cfg = MosaicConfig(layout=lay, blocksize=64, merge="feather",
+                       feather_partials=True, do_pyramids=False)
+    res_base = do_mosaic(base, cfg, out_dir=out)
+
+    wcfg = MosaicConfig(layout=lay, blocksize=64, merge="feather",
+                        feather_partials=True, do_pyramids=False,
+                        out_crs=res_base.grid.crs)
+    res = update_mosaic(upd, wcfg, out)
+    got = mosaic_array(res.tiles_ds, res.grid)
+
+    rcfg = MosaicConfig(layout=lay, blocksize=64, merge="feather",
+                        do_pyramids=False, out_crs=res_base.grid.crs,
+                        out_xres=10.0, out_yres=10.0)
+    rres = do_mosaic(full, rcfg, out_dir=str(tmp_path / "rebuild"))
+    rall = mosaic_array(rres.tiles_ds, rres.grid)
+    crop = rall[: res.grid.nrows, : res.grid.ncols]
+    assert got.shape == crop.shape
+    diff = np.abs(got.astype(np.int64) - crop.astype(np.int64))
+    assert diff.max() <= 1
