@@ -194,10 +194,24 @@ def corpus_append(new_docs_ds, out_dir: str, generation: int, *,
     if need:
         import ray
 
+        # broadcast the candidate set once and probe it with an Arrow
+        # is_in kernel per store block — a full-overlap append (every
+        # incoming doc already stored) keeps this linear in the store's
+        # hash column, where an `expr="text_hash in [...]"` string would
+        # grow with the candidate count
+        need_arr = pa.array(need, pa.string())
+        need_ref = ray.put(need_arr)
+
+        def hits_only(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            mask = _pc.is_in(batch["text_hash"], value_set=ray.get(need_ref))
+            return batch.filter(mask)
+
         seen = frozenset(
             r["text_hash"]
-            for r in store_hashes.filter(
-                expr=f"text_hash in {need}"
+            for r in store_hashes.map_batches(
+                hits_only, batch_format="pyarrow"
             ).take_all()
         )
         seen_ref = ray.put(seen)
