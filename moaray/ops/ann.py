@@ -21,25 +21,35 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
 
-def emb_matrix(col) -> np.ndarray:
-    """(n, dim) float64 from a list<float> column WITHOUT the
-    to_pylist() Python-object detour: the Arrow child values buffer views
-    straight into numpy. Falls back for ragged lists (never the case for
-    embedding columns, but correctness first)."""
+def _list_matrix(col, dtype) -> np.ndarray:
+    """(n, dim) ndarray from a list-typed column WITHOUT the to_pylist()
+    Python-object detour: the Arrow child values buffer views straight
+    into numpy. Falls back for ragged lists (never the case for embedding
+    or code columns, but correctness first)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     n = len(arr)
     if n == 0:
-        return np.empty((0, 0), dtype=np.float64)
+        return np.empty((0, 0), dtype=dtype)
     if pa.types.is_fixed_size_list(arr.type):
         dim = arr.type.list_size
     else:
         widths = np.diff(arr.offsets.to_numpy())
         if (widths != widths[0]).any():
-            return np.array(arr.to_pylist(), dtype=np.float64)
+            return np.array(arr.to_pylist(), dtype=dtype)
         dim = int(widths[0])
     # flatten() honors slices/offsets for both list types
     vals = arr.flatten().to_numpy(zero_copy_only=False)
-    return np.ascontiguousarray(vals, dtype=np.float64).reshape(n, dim)
+    return np.ascontiguousarray(vals, dtype=dtype).reshape(n, dim)
+
+
+def emb_matrix(col) -> np.ndarray:
+    """(n, dim) float64 view of a list<float> embedding column."""
+    return _list_matrix(col, np.float64)
+
+
+def code_matrix(col) -> np.ndarray:
+    """(n, m) int64 view of a fixed-size-list<int32> PQ-code column."""
+    return _list_matrix(col, np.int64)
 
 
 def _topk_rows(qids, sims, cand_ids, k, exclude_self=True):
@@ -520,7 +530,9 @@ def pq_encode(emb_ds, codebooks: np.ndarray):
         return pa.table(
             {
                 "vec_id": batch["vec_id"],
-                "codes": pa.array(codes.tolist(), pa.list_(pa.int32(), m)),
+                "codes": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.ravel()), m
+                ),
             }
         )
 
@@ -570,20 +582,18 @@ def knn_pq(
     def local_topk(batch: pa.Table) -> pa.Table:
         q_ids, tabs = ray.get(ref)
         cids = batch["vec_id"].to_numpy()
-        codes = np.array(batch["codes"].to_pylist(), dtype=np.int64)
+        codes = code_matrix(batch["codes"])
         n = codes.shape[0]
-        out_q, out_n, out_s = [], [], []
-        for qi in range(len(q_ids)):
-            # ADC: sum of per-subspace table lookups = approx L2²; on unit
-            # vectors cosine ≈ 1 - L2²/2
-            d2 = tabs[qi][np.arange(m)[None, :], codes].sum(axis=1)
-            sim = 1.0 - d2 / 2.0
-            oq, on, os_ = _topk_rows(
-                q_ids[qi : qi + 1], sim[None, :], cids, k
-            )
-            out_q.extend(oq)
-            out_n.extend(on)
-            out_s.extend(os_)
+        # ADC for ALL queries at once: one (nq, n) gather per subspace
+        # (m gathers total) instead of a per-query Python loop — the sum
+        # of per-subspace table lookups approximates L2²; on unit vectors
+        # cosine ≈ 1 - L2²/2. Same (nq, n) footprint as knn_bruteforce's
+        # sims matrix.
+        d2 = np.zeros((len(q_ids), n))
+        for j in range(m):
+            d2 += tabs[:, j, :][:, codes[:, j]]
+        sim = 1.0 - d2 / 2.0
+        out_q, out_n, out_s = _topk_rows(q_ids, sim, cids, k)
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
