@@ -1366,6 +1366,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _rpc(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
         ).sort("doc_id")
 
+    def q_winnow_fp(sf_dir: str):
+        # Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03, the
+        # MOSS algorithm): codepoint 16-gram polynomial hashes mod 2^31-1,
+        # rightmost-min per window of 12 — bit-identical to the DuckDB
+        # window-function oracle. Pure map stage, no shuffle.
+        from moaray.ops.dedup import winnow_fingerprints
+
+        return winnow_fingerprints(
+            _rpc(f"{sf_dir}/documents.parquet", ["doc_id", "text"]),
+            k=16, w=12,
+        ).sort(["doc_id", "pos"])
+
+    def q_winnow_pairs(sf_dir: str):
+        # doc pairs sharing >= 2 distinct winnowed fingerprints (bucket
+        # groupby on fp_hash + packed-pair count; max_bucket=0 = exact
+        # mode so the unguarded SQL self-join is the oracle)
+        from moaray.ops.dedup import winnow_pairs
+
+        return winnow_pairs(
+            _rpc(f"{sf_dir}/documents.parquet", ["doc_id", "text"]),
+            k=16, w=12, min_shared=2, max_bucket=0,
+        ).sort(["doc_a", "doc_b"])
+
     def q_cap_per_source(sf_dir: str):
         # per-source capping: keep 10 docs per source, ranked by
         # content-stable hash (local per-batch cap -> one groupby)
@@ -1994,6 +2017,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_classifier": q_doc_quality_classifier,
         "doc_substring_trim": q_doc_substring_trim,
         "doc_lm_perplexity": q_doc_lm_perplexity,
+        "winnow_fp": q_winnow_fp,
+        "winnow_pairs": q_winnow_pairs,
         # ---- past the 50-query grading window (pytest-covered) ----
         "mosaic_tiles_lossy": q_mosaic_tiles_lossy,
         "mosaic_tiles_f32": q_mosaic_tiles_f32,
@@ -2583,6 +2608,89 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_occurrences,
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM grams GROUP BY g HAVING count(*) >= 2 ORDER BY ngram
+        """,
+        # winnowing (SIGMOD'03): per-position codepoint 16-gram hashes
+        # (integer polynomial mod 2^31-1 — exact in BIGINT), window min
+        # with rightmost tie via arg_min over a composite key (hval scaled
+        # past the position range, minus i)
+        "winnow_fp": """
+            WITH grams AS (
+              SELECT d.doc_id, t.i,
+                     SUM(unicode(substring(d.text, CAST(t.i + p.j AS INT), 1))
+                         * p.pw) % 2147483647 AS hval
+              FROM (SELECT doc_id, text,
+                           unnest(range(1, length(text) - 16 + 2)) AS i
+                    FROM documents) t
+              JOIN documents d USING (doc_id)
+              JOIN (VALUES (0, 1079017218::BIGINT),(1, 330081243::BIGINT),
+                    (2, 1346595130::BIGINT),(3, 1150007217::BIGINT),
+                    (4, 1090750511::BIGINT),(5, 1775709275::BIGINT),
+                    (6, 483199522::BIGINT),(7, 1213495441::BIGINT),
+                    (8, 623063367::BIGINT),(9, 336663071::BIGINT),
+                    (10, 168429323::BIGINT),(11, 67503107::BIGINT),
+                    (12, 16974593::BIGINT),(13, 66049::BIGINT),
+                    (14, 257::BIGINT),(15, 1::BIGINT)) p(j, pw) ON true
+              GROUP BY d.doc_id, t.i
+            ),
+            stats AS (SELECT doc_id, max(i) AS mi FROM grams GROUP BY doc_id),
+            sel AS (
+              SELECT g.doc_id, g.i,
+                     arg_min(g.i, g.hval * 4294967296 - g.i)
+                       OVER (PARTITION BY g.doc_id ORDER BY g.i
+                             ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS pos
+              FROM grams g
+            ),
+            picked AS (
+              SELECT DISTINCT s.doc_id, s.pos
+              FROM sel s JOIN stats st USING (doc_id)
+              WHERE s.i >= least(12, st.mi)
+            )
+            SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos, g.hval AS fp_hash
+            FROM picked p JOIN grams g ON g.doc_id = p.doc_id AND g.i = p.pos
+            ORDER BY p.doc_id, p.pos
+        """,
+        "winnow_pairs": """
+            WITH grams AS (
+              SELECT d.doc_id, t.i,
+                     SUM(unicode(substring(d.text, CAST(t.i + p.j AS INT), 1))
+                         * p.pw) % 2147483647 AS hval
+              FROM (SELECT doc_id, text,
+                           unnest(range(1, length(text) - 16 + 2)) AS i
+                    FROM documents) t
+              JOIN documents d USING (doc_id)
+              JOIN (VALUES (0, 1079017218::BIGINT),(1, 330081243::BIGINT),
+                    (2, 1346595130::BIGINT),(3, 1150007217::BIGINT),
+                    (4, 1090750511::BIGINT),(5, 1775709275::BIGINT),
+                    (6, 483199522::BIGINT),(7, 1213495441::BIGINT),
+                    (8, 623063367::BIGINT),(9, 336663071::BIGINT),
+                    (10, 168429323::BIGINT),(11, 67503107::BIGINT),
+                    (12, 16974593::BIGINT),(13, 66049::BIGINT),
+                    (14, 257::BIGINT),(15, 1::BIGINT)) p(j, pw) ON true
+              GROUP BY d.doc_id, t.i
+            ),
+            stats AS (SELECT doc_id, max(i) AS mi FROM grams GROUP BY doc_id),
+            sel AS (
+              SELECT g.doc_id, g.i,
+                     arg_min(g.i, g.hval * 4294967296 - g.i)
+                       OVER (PARTITION BY g.doc_id ORDER BY g.i
+                             ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS pos
+              FROM grams g
+            ),
+            picked AS (
+              SELECT DISTINCT s.doc_id, s.pos
+              FROM sel s JOIN stats st USING (doc_id)
+              WHERE s.i >= least(12, st.mi)
+            ),
+            fp AS (
+              SELECT DISTINCT p.doc_id, g.hval
+              FROM picked p
+              JOIN grams g ON g.doc_id = p.doc_id AND g.i = p.pos
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM fp a JOIN fp b ON a.hval = b.hval AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY doc_a, doc_b
         """,
         "doc_substring_trim": """
             WITH toks AS (
