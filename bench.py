@@ -303,6 +303,12 @@ def run_ops_bench(sf_dir: str) -> dict:
         ).count()
 
     timed("s2_join", s2join)
+    timed(
+        "winnow_pairs",
+        lambda: dedup.winnow_pairs(
+            _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ).count(),
+    )
     return timings
 
 
