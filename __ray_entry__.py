@@ -1389,6 +1389,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=16, w=12, min_shared=2, max_bucket=0,
         ).sort(["doc_a", "doc_b"])
 
+    def q_events_pivot(sf_dir: str):
+        # per-user event-type activity matrix (SUM(CASE ...) pivot);
+        # per-batch combiner + bounded user-partition groupby
+        from moaray.ops.relational import events_pivot
+
+        return events_pivot(
+            _rpc(f"{sf_dir}/events.parquet", ["user_id", "event_type"])
+        ).sort("user_id")
+
+    def q_cohort_retention(sf_dir: str):
+        # daily purchase cohorts: first-purchase day + next-day return
+        # (distinct (user, day) rows -> bounded user-partition groupby)
+        from moaray.ops.relational import cohort_retention
+
+        return cohort_retention(
+            _rpc(f"{sf_dir}/events.parquet",
+                 ["user_id", "ts", "event_type"]),
+            unit="day", event_type="purchase",
+        ).sort("cohort_wk")
+
+    def q_token_cooc(sf_dir: str):
+        # distinct-token co-occurrence counts (PMI input); vectorized
+        # dictionary-encode + rank-sorted pair expansion, FNV-partition count
+        from moaray.ops.text import token_cooccurrence
+
+        return token_cooccurrence(
+            _rpc(f"{sf_dir}/documents.parquet", ["doc_id", "text"]),
+            min_count=2,
+        ).sort(["tok_a", "tok_b"])
+
+    def q_semantic_dedup_seeded(sf_dir: str):
+        # SemDeDup graded EXACTLY: injected seed centroids (the vec_id < 8
+        # embeddings) + the order-free keep-first prune make the whole run
+        # SQL-expressible; the kmeans-fit greedy path stays parity-tested
+        import numpy as np
+
+        from moaray.ops.dedup import semantic_dedup
+
+        emb = _rpc(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
+        seeds = sorted(
+            emb.filter(expr="vec_id < 8").take_all(),
+            key=lambda r: r["vec_id"],
+        )
+        cent = np.array([r["embedding"] for r in seeds], dtype=np.float64)
+        return semantic_dedup(
+            emb, threshold=0.35, centroids=cent, greedy=False
+        ).sort("vec_id")
+
     def q_cap_per_source(sf_dir: str):
         # per-source capping: keep 10 docs per source, ranked by
         # content-stable hash (local per-batch cap -> one groupby)
@@ -2019,6 +2067,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
+        "events_pivot": q_events_pivot,
+        "cohort_retention": q_cohort_retention,
+        "token_cooc": q_token_cooc,
+        "semantic_dedup_seeded": q_semantic_dedup_seeded,
         # ---- past the 50-query grading window (pytest-covered) ----
         "mosaic_tiles_lossy": q_mosaic_tiles_lossy,
         "mosaic_tiles_f32": q_mosaic_tiles_f32,
@@ -2691,6 +2743,75 @@ def oracle_sql() -> dict[str, str]:
             FROM fp a JOIN fp b ON a.hval = b.hval AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY doc_a, doc_b
+        """,
+        "events_pivot": """
+            SELECT user_id,
+              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+              CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+              CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+              CAST(SUM(CASE WHEN event_type IN
+                ('click','error','purchase','signup','view')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_total
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "cohort_retention": """
+            WITH uw AS (
+              SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS wk
+              FROM events WHERE event_type = 'purchase'
+            ),
+            f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw
+                  GROUP BY user_id),
+            r AS (
+              SELECT f.user_id, f.cohort_wk,
+                     MAX(CASE WHEN uw.wk = f.cohort_wk + 1
+                         THEN 1 ELSE 0 END) AS ret
+              FROM f JOIN uw ON uw.user_id = f.user_id GROUP BY 1, 2
+            )
+            SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(ret) AS BIGINT) AS n_retained
+            FROM r GROUP BY cohort_wk ORDER BY cohort_wk
+        """,
+        "token_cooc": """
+            WITH d AS (
+              SELECT doc_id, list_distinct(list_filter(
+                       string_split(text, ' '), x -> x <> '')) AS toks
+              FROM documents
+            ),
+            t AS (
+              SELECT doc_id, unnest(toks) AS tok FROM d
+              WHERE len(toks) <= 512
+            ),
+            p AS (
+              SELECT a.tok AS ta, b.tok AS tb
+              FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+            )
+            SELECT ta AS tok_a, tb AS tok_b,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2
+        """,
+        "semantic_dedup_seeded": """
+            WITH c AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                     embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id < 8
+            ),
+            a AS (
+              SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+                (SELECT c.cid FROM c
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.v)
+                   DESC, c.cid
+                 LIMIT 1) AS cluster_id
+              FROM embeddings e
+            )
+            SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id,
+              CAST(CASE WHEN EXISTS (
+                SELECT 1 FROM a b
+                WHERE b.cluster_id = a.cluster_id AND b.vec_id < a.vec_id
+                  AND list_cosine_similarity(a.v, b.v) >= 0.35)
+              THEN 0 ELSE 1 END AS BIGINT) AS kept
+            FROM a ORDER BY vec_id
         """,
         "doc_substring_trim": """
             WITH toks AS (

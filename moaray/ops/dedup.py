@@ -1036,6 +1036,8 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    centroids=None,
+    greedy: bool = True,
 ):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then prune cosine near-duplicates WITHIN each
@@ -1056,13 +1058,22 @@ def semantic_dedup(
        bounded unit of quadratic work by construction).
 
     Output: (id, cluster_id, kept) for every input row; kept == 1 are
-    the survivors a training pipeline retains. Not SQL-expressible (the
-    k-means partition) — parity-tested against a single-cluster global
-    greedy oracle and by the survivor/neighbor invariants.
+    the survivors a training pipeline retains. The default (k-means fit
+    + greedy prune) is not SQL-expressible — parity-tested against a
+    single-cluster global greedy oracle and by the survivor/neighbor
+    invariants. ``centroids`` injects a fixed (k, dim) float64 centroid
+    matrix instead of the k-means fit (same contract as knn_ivf), and
+    ``greedy=False`` switches the prune to the order-free
+    drop-if-ANY-smaller-id-neighbor rule (neardup_filter's keep-first
+    policy) — that configuration IS SQL-expressible, so the driver's
+    DuckDB oracle grades it end-to-end (query semantic_dedup_seeded).
     """
     from .ann import _normalize, kmeans_fit_sample
 
-    cent = kmeans_fit_sample(emb_ds, n_clusters)
+    if centroids is None:
+        cent = kmeans_fit_sample(emb_ds, n_clusters)
+    else:
+        cent = _normalize(np.asarray(centroids, dtype=np.float64))
     ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -1091,13 +1102,19 @@ def semantic_dedup(
         )[order]
         sims = mat @ mat.T
         n = len(ids)
-        kept_mask = np.zeros(n, dtype=bool)
-        kept_idx: list[int] = []
-        for i in range(n):
-            row = sims[i]
-            if not kept_idx or row[kept_idx].max() < threshold:
-                kept_mask[i] = True
-                kept_idx.append(i)
+        if not greedy:
+            # order-free keep-first: drop iff ANY smaller-id in-cluster
+            # neighbor is >= threshold (kept or not) — one triu reduction,
+            # and exactly the EXISTS anti-join the DuckDB oracle runs
+            kept_mask = ~np.triu(sims >= threshold, k=1).any(axis=0)
+        else:
+            kept_mask = np.zeros(n, dtype=bool)
+            kept_idx: list[int] = []
+            for i in range(n):
+                row = sims[i]
+                if not kept_idx or row[kept_idx].max() < threshold:
+                    kept_mask[i] = True
+                    kept_idx.append(i)
         out = np.zeros(n, dtype=np.int64)
         out[order] = kept_mask.astype(np.int64)
         return pa.table(

@@ -1415,3 +1415,183 @@ def events_above_quantile(events_ds, p: float = 0.99):
         events_ds.select_columns(["event_id", "event_type", "value"])
         .map_batches(keep, batch_format="pyarrow")
     )
+
+
+def events_pivot(
+    events_ds,
+    types=("click", "error", "purchase", "signup", "view"),
+    n_partitions: int = 256,
+):
+    """Per-user event-type pivot: one row per user with an ``n_<type>``
+    count column per listed type plus ``n_total`` (the classic
+    wide-activity-matrix feature table; SUM(CASE ...) in SQL).
+
+    Scale shape: a per-batch combiner collapses raw events to
+    (user, type, cnt) partials BEFORE the shuffle, and the final combine
+    groups on ``user_id % n_partitions`` — a bounded partition key — with
+    the per-user pivot built vectorized (sort + reduceat + scatter) inside
+    each group. Grouping on raw user_id would pay one Python call per
+    user (the per-key overhead that made winnow_pairs 4x slower; see
+    ops/dedup.py winnow_pairs).
+    """
+    types = tuple(types)
+    tcount = len(types)
+    type_arr = pa.array(types, pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tix = pc.index_in(batch["event_type"], value_set=type_arr)
+        mask = pc.is_valid(tix)
+        uid = pc.filter(batch["user_id"], mask).to_numpy()
+        ti = pc.filter(tix, mask).to_numpy(zero_copy_only=False).astype(np.int64)
+        key = uid * np.int64(tcount) + ti
+        ukey, cnt = np.unique(key, return_counts=True)
+        uu = ukey // np.int64(tcount)
+        return pa.table(
+            {
+                "user_id": pa.array(uu, pa.int64()),
+                "tix": pa.array(ukey - uu * np.int64(tcount), pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "part": pa.array(uu % np.int64(n_partitions), pa.int64()),
+            }
+        )
+
+    partials = events_ds.select_columns(["user_id", "event_type"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def pivot(group: pa.Table) -> pa.Table:
+        cols = {
+            "user_id": pa.array([], pa.int64()),
+            **{f"n_{t}": pa.array([], pa.int64()) for t in types},
+            "n_total": pa.array([], pa.int64()),
+        }
+        if group.num_rows == 0:
+            return pa.table(cols)
+        uid = group["user_id"].to_numpy()
+        tix = group["tix"].to_numpy()
+        cnt = group["cnt"].to_numpy()
+        key = uid * np.int64(tcount) + tix
+        order = np.argsort(key, kind="stable")
+        key, cnt = key[order], cnt[order]
+        change = np.nonzero(np.diff(key))[0] + 1
+        starts = np.concatenate(([0], change))
+        tot = np.add.reduceat(cnt, starts)
+        ukey = key[starts]
+        users = np.unique(ukey // np.int64(tcount))
+        mat = np.zeros((users.size, tcount), dtype=np.int64)
+        rix = np.searchsorted(users, ukey // np.int64(tcount))
+        mat[rix, ukey % np.int64(tcount)] = tot
+        out = {"user_id": pa.array(users, pa.int64())}
+        for j, t in enumerate(types):
+            out[f"n_{t}"] = pa.array(mat[:, j], pa.int64())
+        out["n_total"] = pa.array(mat.sum(axis=1), pa.int64())
+        return pa.table(out)
+
+    return partials.groupby("part").map_groups(pivot, batch_format="pyarrow")
+
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+def cohort_retention(
+    events_ds,
+    unit: str = "week",
+    event_type: str | None = None,
+    n_partitions: int = 256,
+):
+    """Cohort retention: users are cohorted by the epoch-period (``unit``
+    = "week" or "day") of their FIRST qualifying event; a cohort member
+    is retained iff they have any qualifying event in the immediately
+    following period. ``event_type`` restricts which events qualify
+    (None = all). Returns one row per cohort_wk:
+    (cohort_wk, n_users, n_retained).
+
+    Scale shape: per-batch distinct (user, period) rows (numpy floor
+    division — trunc would misplace pre-epoch periods), one shuffle on
+    the bounded ``user_id % n_partitions`` key with the per-user
+    min-period + next-period-membership test fully vectorized inside
+    each group (packed (user, period) keys, searchsorted membership),
+    then a tiny groupby over the handful of distinct cohort periods.
+    """
+    if n_partitions < 1:
+        raise ValueError("cohort_retention: n_partitions must be >= 1")
+    unit_us = {"week": _WEEK_US, "day": 86400 * 1_000_000}[unit]
+
+    def user_weeks(batch: pa.Table) -> pa.Table:
+        if event_type is not None:
+            batch = batch.filter(
+                pc.equal(batch["event_type"], pa.scalar(event_type))
+            )
+        us = batch["ts"].cast(pa.int64()).to_numpy()
+        wk = us // np.int64(unit_us)  # numpy int // floors (oracle parity)
+        uid = batch["user_id"].to_numpy()
+        if wk.size and (wk.min() < 0 or wk.max() >= (1 << 20)):
+            raise ValueError("cohort_retention: week index out of packed range")
+        key = np.unique((uid.astype(np.int64) << np.int64(20)) | wk)
+        uu = key >> np.int64(20)
+        return pa.table(
+            {
+                "uw": pa.array(key, pa.int64()),
+                "part": pa.array(uu % np.int64(n_partitions), pa.int64()),
+            }
+        )
+
+    cols = ["user_id", "ts"] + ([] if event_type is None else ["event_type"])
+    uw = events_ds.select_columns(cols).map_batches(
+        user_weeks, batch_format="pyarrow"
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_wk": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+                "n_retained": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        key = np.unique(group["uw"].to_numpy())  # sorted (user, week)
+        uid = key >> np.int64(20)
+        starts = np.concatenate(([0], np.nonzero(np.diff(uid))[0] + 1))
+        first = key[starts]  # per-user smallest week (sorted order)
+        cohort = first & np.int64((1 << 20) - 1)
+        retained = np.zeros(first.size, dtype=np.int64)
+        probe = first + 1  # same user, cohort week + 1
+        pos = np.searchsorted(key, probe)
+        hit = pos < key.size
+        retained[hit] = (key[pos[hit]] == probe[hit]).astype(np.int64)
+        order = np.argsort(cohort, kind="stable")
+        cohort, retained = cohort[order], retained[order]
+        cstarts = np.concatenate(([0], np.nonzero(np.diff(cohort))[0] + 1))
+        return pa.table(
+            {
+                "cohort_wk": pa.array(cohort[cstarts], pa.int64()),
+                "n_users": pa.array(
+                    np.diff(np.concatenate((cstarts, [cohort.size]))).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+                "n_retained": pa.array(
+                    np.add.reduceat(retained, cstarts), pa.int64()
+                ),
+            }
+        )
+
+    per_part = uw.groupby("part").map_groups(per_user, batch_format="pyarrow")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_wk": batch["cohort_wk"],
+                "n_users": batch["sum(n_users)"].cast(pa.int64()),
+                "n_retained": batch["sum(n_retained)"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        per_part.groupby("cohort_wk")
+        .sum(["n_users", "n_retained"])
+        .map_batches(rename, batch_format="pyarrow")
+    )

