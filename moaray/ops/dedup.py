@@ -74,21 +74,38 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
         g = t.group_by("text_hash").aggregate([(id_col, "min")])
         return g.rename_columns(["text_hash", id_col])
 
+    from .text import _fnv1a64_strings
+
+    n_partitions = 256
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = _fnv1a64_strings(batch["text_hash"].combine_chunks()) % np.int64(
+            n_partitions
+        )
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
     hashed = docs_ds.select_columns([id_col, text_col]).map_batches(
         hash_batch, batch_format="pyarrow"
-    )
+    ).map_batches(add_part, batch_format="pyarrow")
 
-    def first_per_group(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy()
+    def min_per_hash(group: pa.Table) -> pa.Table:
+        # grouping on raw text_hash pays one Python call per DISTINCT TEXT
+        # (corpus cardinality); the bounded FNV partition key makes a few
+        # hundred calls and Arrow's C++ hash-aggregate does the per-hash min
+        g = (
+            group.select(["text_hash", id_col])
+            .group_by("text_hash")
+            .aggregate([(id_col, "min")])
+        )
         return pa.table(
             {
-                id_col: pa.array([int(ids.min())], pa.int64()),
-                "text_hash": pa.array([group["text_hash"][0].as_py()], pa.string()),
+                id_col: g[f"{id_col}_min"].cast(pa.int64()),
+                "text_hash": g["text_hash"],
             }
         )
 
-    return hashed.groupby("text_hash").map_groups(
-        first_per_group, batch_format="pyarrow"
+    return hashed.groupby("part").map_groups(
+        min_per_hash, batch_format="pyarrow"
     )
 
 
@@ -411,46 +428,77 @@ def minhash_lsh_pairs(
 
     buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
 
+    # candidate generation and pair dedup both group on BOUNDED partition
+    # keys: grouping on the raw bucket (resp. pair_key) pays one Python
+    # call per bucket / per pair — the per-key overhead that made
+    # winnow_pairs 4x slower. Inside each partition group one lexsort
+    # orders every bucket's rows and est_jaccard evaluates over ALL
+    # candidate pairs in a single signature gather — no per-bucket matmul.
+    n_partitions = 512
+
     def candidates(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2:
-            return pa.table(
-                {"pair_key": pa.array([], pa.int64()),
-                 "doc_a": pa.array([], pa.int64()),
-                 "doc_b": pa.array([], pa.int64()),
-                 "est_jaccard": pa.array([], pa.float64())}
-            )
+        empty = pa.table(
+            {"pair_key": pa.array([], pa.int64()),
+             "doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "est_jaccard": pa.array([], pa.float64()),
+             "part2": pa.array([], pa.int64())}
+        )
+        if group.num_rows < 2:
+            return empty
         ids = group["doc_id"].to_numpy()
         if ids.max() >= (1 << 32):
             # the packed single-key dedup assumes doc_id < 2^32 (4e9 docs);
             # re-key the corpus (dense ids) beyond that
             raise ValueError("minhash_lsh_pairs: doc_id must fit in uint32")
-        sig_mat = sig_matrix(group["sig"])
-        eq = (sig_mat[:, None, :] == sig_mat[None, :, :]).mean(axis=2)
-        ia, ib = np.where(np.triu(eq >= threshold, k=1))
-        a = np.minimum(ids[ia], ids[ib])
-        b = np.maximum(ids[ia], ids[ib])
+        bucket = group["bucket"].to_numpy()
+        order = np.lexsort((ids, bucket))
+        ids, bucket = ids[order], bucket[order]
+        sig_mat = sig_matrix(group["sig"])[order]
+        starts = np.concatenate(([0], np.nonzero(np.diff(bucket))[0] + 1))
+        counts = np.diff(np.concatenate((starts, [bucket.size])))
+        ga, gb = _pair_index_expansion(counts)
+        if ga.size == 0:
+            return empty
+        est = (sig_mat[ga] == sig_mat[gb]).mean(axis=1)
+        keep = est >= threshold
+        if not keep.any():
+            return empty
+        ga, gb, est = ga[keep], gb[keep], est[keep]
+        a, b = ids[ga], ids[gb]  # in-bucket id order gives a <= b
+        pk = (a << 32) | b
         return pa.table(
             {
                 # packed single-key pair id for the one-key dedup shuffle
-                "pair_key": pa.array((a << 32) | b, pa.int64()),
+                "pair_key": pa.array(pk, pa.int64()),
                 "doc_a": pa.array(a, pa.int64()),
                 "doc_b": pa.array(b, pa.int64()),
-                "est_jaccard": pa.array(np.round(eq[ia, ib], 4), pa.float64()),
+                "est_jaccard": pa.array(np.round(est, 4), pa.float64()),
+                "part2": pa.array(pk % np.int64(n_partitions), pa.int64()),
             }
         )
 
-    cand = buckets.groupby("bucket").map_groups(
-        candidates, batch_format="pyarrow"
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["bucket"].to_numpy() % np.int64(n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    cand = (
+        buckets.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(candidates, batch_format="pyarrow")
     )
 
-    def dedup_pair(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        # one representative per pair (est_jaccard is a pair property —
+        # identical in every bucket the pair met in)
+        pk = group["pair_key"].to_numpy()
+        _, ix = np.unique(pk, return_index=True)
+        return group.select(["doc_a", "doc_b", "est_jaccard"]).take(
+            pa.array(ix, pa.int64())
+        )
 
-    return (
-        cand.groupby("pair_key")
-        .map_groups(dedup_pair, batch_format="pyarrow")
-        .drop_columns(["pair_key"])
+    return cand.groupby("part2").map_groups(
+        dedup_pairs, batch_format="pyarrow"
     )
 
 
@@ -514,44 +562,74 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
 
     bands_ds = sims.map_batches(to_bands, batch_format="pyarrow")
 
+    # bounded-partition grouping on both shuffles (see minhash_lsh_pairs):
+    # one lexsort orders every (band, value) bucket's rows, the XOR +
+    # popcount evaluates over ALL candidate pairs in one vectorized pass
+    # (unpackbits on the pair-expanded xor), and pair dedup is a np.unique
+    # per partition group instead of one Python call per pair.
+    n_partitions = 512
+
     def candidates(group: pa.Table) -> pa.Table:
-        n = group.num_rows
         empty = pa.table(
             {"pair_key": pa.array([], pa.int64()),
              "doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-             "hamming": pa.array([], pa.int32())}
+             "hamming": pa.array([], pa.int32()),
+             "part2": pa.array([], pa.int64())}
         )
-        if n < 2:
+        if group.num_rows < 2:
             return empty
         ids = group["doc_id"].to_numpy()
-        h = group["simhash"].to_numpy().astype(np.uint64)
-        x = h[:, None] ^ h[None, :]
-        ham = np.zeros_like(x, dtype=np.int32)
-        for shift in range(64):
-            ham += ((x >> np.uint64(shift)) & np.uint64(1)).astype(np.int32)
-        ia, ib = np.where(np.triu(ham <= 3, k=1) & (ids[:, None] != ids[None, :]))
-        if len(ia) == 0:
-            return empty
         if ids.max() >= (1 << 32):
             raise ValueError("simhash_pairs: doc_id must fit in uint32")
-        a = np.minimum(ids[ia], ids[ib])
-        b = np.maximum(ids[ia], ids[ib])
+        bkey = group["bkey"].to_numpy()
+        order = np.lexsort((ids, bkey))
+        ids, bkey = ids[order], bkey[order]
+        h = group["simhash"].to_numpy().astype(np.uint64)[order]
+        starts = np.concatenate(([0], np.nonzero(np.diff(bkey))[0] + 1))
+        counts = np.diff(np.concatenate((starts, [bkey.size])))
+        ga, gb = _pair_index_expansion(counts)
+        if ga.size == 0:
+            return empty
+        x = h[ga] ^ h[gb]
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
+            axis=1
+        ).astype(np.int32)
+        keep = (ham <= max_hamming) & (ids[ga] != ids[gb])
+        if not keep.any():
+            return empty
+        ga, gb, ham = ga[keep], gb[keep], ham[keep]
+        a, b = ids[ga], ids[gb]  # in-bucket id order gives a <= b
+        pk = (a << 32) | b
         return pa.table(
             {
-                "pair_key": pa.array((a << 32) | b, pa.int64()),
+                "pair_key": pa.array(pk, pa.int64()),
                 "doc_a": pa.array(a, pa.int64()),
                 "doc_b": pa.array(b, pa.int64()),
-                "hamming": pa.array(ham[ia, ib], pa.int32()),
+                "hamming": pa.array(ham, pa.int32()),
+                "part2": pa.array(pk % np.int64(n_partitions), pa.int64()),
             }
         )
 
-    cand = bands_ds.groupby("bkey").map_groups(
-        candidates, batch_format="pyarrow"
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["bkey"].to_numpy() % np.int64(n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    cand = (
+        bands_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(candidates, batch_format="pyarrow")
     )
-    return (
-        cand.groupby("pair_key")
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .drop_columns(["pair_key"])
+
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        # hamming is a pair property — identical in every shared band
+        pk = group["pair_key"].to_numpy()
+        _, ix = np.unique(pk, return_index=True)
+        return group.select(["doc_a", "doc_b", "hamming"]).take(
+            pa.array(ix, pa.int64())
+        )
+
+    return cand.groupby("part2").map_groups(
+        dedup_pairs, batch_format="pyarrow"
     )
 
 
@@ -708,11 +786,14 @@ def embedding_neardup_lsh_pairs(
         to_buckets, batch_format="pyarrow"
     )
 
+    pair_partitions = 512
+
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         empty = pa.table(
             {"pair_key": pa.array([], pa.int64()),
              "vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
-             "cosine": pa.array([], pa.float64())}
+             "cosine": pa.array([], pa.float64()),
+             "part2": pa.array([], pa.int64())}
         )
         if group.num_rows < 2:
             return empty
@@ -730,22 +811,36 @@ def embedding_neardup_lsh_pairs(
             )
         a = np.minimum(ids[ia], ids[ib])
         b = np.maximum(ids[ia], ids[ib])
+        pk = (a << 32) | b
         return pa.table(
             {
-                "pair_key": pa.array((a << 32) | b, pa.int64()),
+                "pair_key": pa.array(pk, pa.int64()),
                 "vec_a": pa.array(a, pa.int64()),
                 "vec_b": pa.array(b, pa.int64()),
                 "cosine": pa.array(np.round(sims[ia, ib], 4), pa.float64()),
+                "part2": pa.array(
+                    pk % np.int64(pair_partitions), pa.int64()
+                ),
             }
         )
 
+    # tkey cardinality is BOUNDED (n_tables << n_bits), so per-bucket
+    # map_groups is fine here; the pair dedup is not (one Python call per
+    # pair) — partition it and np.unique inside each group (cosine is a
+    # pair property, identical in every table the pair met in)
     cand = buckets.groupby("tkey").map_groups(
         pairs_in_bucket, batch_format="pyarrow"
     )
-    return (
-        cand.groupby("pair_key")
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .drop_columns(["pair_key"])
+
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        pk = group["pair_key"].to_numpy()
+        _, ix = np.unique(pk, return_index=True)
+        return group.select(["vec_a", "vec_b", "cosine"]).take(
+            pa.array(ix, pa.int64())
+        )
+
+    return cand.groupby("part2").map_groups(
+        dedup_pairs, batch_format="pyarrow"
     )
 
 
@@ -813,32 +908,60 @@ def neardup_clusters_distributed(
     import ray
     from ray.data.aggregate import Count, Sum
 
+    n_partitions = 256
+
     def symmetrize(batch: pa.Table) -> pa.Table:
         a = batch[a_col].to_numpy()
         b = batch[b_col].to_numpy()
+        u = np.concatenate([a, b])
         return pa.table(
             {
-                "u": pa.array(np.concatenate([a, b]), pa.int64()),
+                "u": pa.array(u, pa.int64()),
                 "v": pa.array(np.concatenate([b, a]), pa.int64()),
+                "part": pa.array(u % np.int64(n_partitions), pa.int64()),
             }
         )
 
     def star(large: bool):
+        # one vectorized pass over a bounded NODE-PARTITION group (per-node
+        # grouping pays one Python call per graph node — the winnow_pairs
+        # per-key overhead): lexsort orders every node's neighbor list,
+        # per-node minima come from the group boundaries, and both star
+        # rewrites are mask + repeat expressions
         def per_group(group: pa.Table) -> pa.Table:
-            u = int(group["u"][0].as_py())
-            nbrs = np.unique(group["v"].to_numpy())
-            m = int(min(u, int(nbrs.min())))
+            empty = pa.table(
+                {a_col: pa.array([], pa.int64()),
+                 b_col: pa.array([], pa.int64())}
+            )
+            if group.num_rows == 0:
+                return empty
+            u = group["u"].to_numpy()
+            v = group["v"].to_numpy()
+            order = np.lexsort((v, u))
+            u, v = u[order], v[order]
+            # drop duplicate (u, v) edges
+            fresh = np.ones(u.size, dtype=bool)
+            fresh[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+            u, v = u[fresh], v[fresh]
+            starts = np.concatenate(([0], np.nonzero(np.diff(u))[0] + 1))
+            counts = np.diff(np.concatenate((starts, [u.size])))
+            uu = u[starts]
+            m = np.minimum(uu, v[starts])  # v ascending within node
+            m_rep = np.repeat(m, counts)
+            u_rep = np.repeat(uu, counts)
             if large:
-                vs = nbrs[nbrs > u]
+                keep = (v > u_rep) & (v != m_rep)
+                roots, nodes = m_rep[keep], v[keep]
             else:
-                vs = np.concatenate([nbrs[nbrs < u], [u]])
-            vs = vs[vs != m]
+                keep = (v < u_rep) & (v != m_rep)
+                # plus one (m, u) row per node with u != m
+                self_keep = uu != m
+                roots = np.concatenate([m_rep[keep], m[self_keep]])
+                nodes = np.concatenate([v[keep], uu[self_keep]])
             return pa.table(
                 {
-                    a_col: pa.array(
-                        np.full(len(vs), m, dtype=np.int64), pa.int64()
-                    ),
-                    b_col: pa.array(vs.astype(np.int64), pa.int64()),
+                    a_col: pa.array(roots, pa.int64()),
+                    b_col: pa.array(nodes, pa.int64()),
                 }
             )
 
@@ -868,12 +991,12 @@ def neardup_clusters_distributed(
     for it in range(max_iters):
         edges = (
             edges.map_batches(symmetrize, batch_format="pyarrow")
-            .groupby("u")
+            .groupby("part")
             .map_groups(star(large=True), batch_format="pyarrow")
         )
         edges = (
             edges.map_batches(symmetrize, batch_format="pyarrow")
-            .groupby("u")
+            .groupby("part")
             .map_groups(star(large=False), batch_format="pyarrow")
         ).materialize()
         sig = signature(edges)
@@ -886,30 +1009,43 @@ def neardup_clusters_distributed(
     def to_labels(batch: pa.Table) -> pa.Table:
         roots = batch[a_col].to_numpy()
         nodes = batch[b_col].to_numpy()
+        doc = np.concatenate([nodes, roots])
         return pa.table(
             {
-                "doc_id": pa.array(
-                    np.concatenate([nodes, roots]), pa.int64()
-                ),
+                "doc_id": pa.array(doc, pa.int64()),
                 "cand": pa.array(
                     np.concatenate([roots, roots]), pa.int64()
+                ),
+                "part": pa.array(
+                    doc % np.int64(n_partitions), pa.int64()
                 ),
             }
         )
 
     def min_label(group: pa.Table) -> pa.Table:
+        # per-node min inside a bounded node partition (one lexsort),
+        # not one Python call per node
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "cluster_id": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0:
+            return empty
+        doc = group["doc_id"].to_numpy()
+        cand = group["cand"].to_numpy()
+        order = np.lexsort((cand, doc))
+        doc, cand = doc[order], cand[order]
+        starts = np.concatenate(([0], np.nonzero(np.diff(doc))[0] + 1))
         return pa.table(
             {
-                "doc_id": pa.array([group["doc_id"][0].as_py()], pa.int64()),
-                "cluster_id": pa.array(
-                    [int(group["cand"].to_numpy().min())], pa.int64()
-                ),
+                "doc_id": pa.array(doc[starts], pa.int64()),
+                "cluster_id": pa.array(cand[starts], pa.int64()),
             }
         )
 
     return (
         edges.map_batches(to_labels, batch_format="pyarrow")
-        .groupby("doc_id")
+        .groupby("part")
         .map_groups(min_label, batch_format="pyarrow")
     )
 
@@ -985,48 +1121,75 @@ def phash_neardup_pairs(images_ds, max_hamming: int = 3):
         to_bands, batch_format="pyarrow"
     )
 
+    # bounded-partition grouping on both shuffles (see minhash_lsh_pairs):
+    # bkey cardinality is 4 x 2^16, per-bkey map_groups pays one Python
+    # call per populated band value and the pair dedup one per pair
+    n_partitions = 512
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["bkey"].to_numpy() % np.int64(n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
     def candidates(group: pa.Table) -> pa.Table:
-        n = group.num_rows
         empty = pa.table(
             {"pair_key": pa.array([], pa.string()),
              "image_a": pa.array([], pa.string()),
              "image_b": pa.array([], pa.string()),
-             "hamming": pa.array([], pa.int32())}
+             "hamming": pa.array([], pa.int32()),
+             "part2": pa.array([], pa.int64())}
         )
-        if n < 2:
+        if group.num_rows < 2:
             return empty
         ids = np.array(group["image_id"].to_pylist())
-        h = group["phash"].to_numpy().astype(np.uint64)
-        x = h[:, None] ^ h[None, :]
-        ham = np.zeros_like(x, dtype=np.int32)
-        for shift in range(64):
-            ham += ((x >> np.uint64(shift)) & np.uint64(1)).astype(np.int32)
-        ia, ib = np.where(
-            np.triu(ham <= max_hamming, k=1) & (ids[:, None] != ids[None, :])
-        )
-        if len(ia) == 0:
+        bkey = group["bkey"].to_numpy()
+        order = np.lexsort((ids, bkey))
+        ids, bkey = ids[order], bkey[order]
+        h = group["phash"].to_numpy().astype(np.uint64)[order]
+        starts = np.concatenate(([0], np.nonzero(np.diff(bkey))[0] + 1))
+        counts = np.diff(np.concatenate((starts, [bkey.size])))
+        ga, gb = _pair_index_expansion(counts)
+        if ga.size == 0:
             return empty
-        lo = ids[ia] < ids[ib]  # np.minimum has no unicode loop
-        a = np.where(lo, ids[ia], ids[ib])
-        b = np.where(lo, ids[ib], ids[ia])
+        x = h[ga] ^ h[gb]
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
+            axis=1
+        ).astype(np.int32)
+        keep = (ham <= max_hamming) & (ids[ga] != ids[gb])
+        if not keep.any():
+            return empty
+        ga, gb, ham = ga[keep], gb[keep], ham[keep]
+        a = pa.array(ids[ga], pa.string())  # in-bucket id order: a <= b
+        b = pa.array(ids[gb], pa.string())
+        pair = pc.binary_join_element_wise(a, b, pa.scalar("|"))
+        from .text import _fnv1a64_strings
+
+        part2 = _fnv1a64_strings(pair) % np.int64(n_partitions)
         return pa.table(
             {
                 # string ids: the pair key is the joined pair itself
-                "pair_key": pa.array([f"{x}|{y}" for x, y in zip(a, b)],
-                                     pa.string()),
-                "image_a": pa.array(a, pa.string()),
-                "image_b": pa.array(b, pa.string()),
-                "hamming": pa.array(ham[ia, ib], pa.int32()),
+                "pair_key": pair,
+                "image_a": a,
+                "image_b": b,
+                "hamming": pa.array(ham, pa.int32()),
+                "part2": pa.array(part2, pa.int64()),
             }
         )
 
-    cand = bands_ds.groupby("bkey").map_groups(
-        candidates, batch_format="pyarrow"
+    cand = (
+        bands_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(candidates, batch_format="pyarrow")
     )
-    return (
-        cand.groupby("pair_key")
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .drop_columns(["pair_key"])
+
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        pk = np.array(group["pair_key"].to_pylist())
+        _, ix = np.unique(pk, return_index=True)
+        return group.select(["image_a", "image_b", "hamming"]).take(
+            pa.array(ix, pa.int64())
+        )
+
+    return cand.groupby("part2").map_groups(
+        dedup_pairs, batch_format="pyarrow"
     )
 
 
@@ -1228,8 +1391,6 @@ def ngram_census(docs_ds, n: int = 8, min_count: int = 2,
     grams this census confirms."""
     from collections import Counter
 
-    from ray.data.aggregate import Sum
-
     def partial(batch: pa.Table) -> pa.Table:
         occ: Counter = Counter()
         docs: Counter = Counter()
@@ -1248,22 +1409,40 @@ def ngram_census(docs_ds, n: int = 8, min_count: int = 2,
             "docs": pa.array([docs[g] for g in grams], pa.int64()),
         })
 
-    def final(batch: pa.Table) -> pa.Table:
-        occ = batch["sum(occ)"].cast(pa.int64())
+    # Ray's per-key sort-aggregate pays one Python call per distinct gram
+    # (corpus cardinality) — group on a bounded FNV partition of the gram
+    # instead and fold with Arrow's C++ hash-aggregate inside each group
+    from .text import _fnv1a64_strings
+
+    n_partitions = 256
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = _fnv1a64_strings(
+            batch["ngram"].combine_chunks()
+        ) % np.int64(n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["ngram", "occ", "docs"])
+            .group_by("ngram")
+            .aggregate([("occ", "sum"), ("docs", "sum")])
+        )
+        occ = g["occ_sum"].cast(pa.int64())
         keep = pc.greater_equal(occ, min_count)
         out = pa.table({
-            "ngram": batch["ngram"],
+            "ngram": g["ngram"],
             "n_occurrences": occ,
-            "n_docs": batch["sum(docs)"].cast(pa.int64()),
+            "n_docs": g["docs_sum"].cast(pa.int64()),
         })
         return out.filter(keep)
 
     return (
         docs_ds.select_columns([text_col])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("ngram")
-        .aggregate(Sum("occ"), Sum("docs"))
-        .map_batches(final, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(final, batch_format="pyarrow")
     )
 
 
@@ -1406,21 +1585,18 @@ def winnow_fingerprints(docs_ds, k: int = 16, w: int = 12):
     )
 
 
-def _pairs_from_sorted_groups(
-    docs: np.ndarray, counts: np.ndarray
-) -> np.ndarray:
-    """Packed ``(a << 32) | b`` pair keys for every unordered within-group
-    pair, fully vectorized. ``docs`` is the concatenation of per-group doc
-    ids, strictly ascending WITHIN each group; ``counts`` the group sizes.
-    Element j of a group pairs with each of its local predecessors, so a<b
-    falls out of the within-group ordering for free.
-    """
-    n = docs.size
+def _pair_index_expansion(counts: np.ndarray):
+    """(a_idx, b_idx) global index arrays for every unordered within-group
+    pair, fully vectorized, given contiguous group sizes. Element j of a
+    group pairs with each of its local predecessors, so when rows are
+    sorted ascending within each group, a_idx's key <= b_idx's key for
+    free."""
+    n = int(counts.sum())
     offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
     local = np.arange(n, dtype=np.int64) - np.repeat(offsets, counts)
     total = int(local.sum())
     if total == 0:
-        return np.empty(0, np.int64)
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     b_idx = np.repeat(np.arange(n, dtype=np.int64), local)
     run_off = np.concatenate(([0], np.cumsum(local)))[:-1]
     a_idx = (
@@ -1428,6 +1604,18 @@ def _pairs_from_sorted_groups(
         - np.repeat(run_off, local)
         + np.repeat(np.repeat(offsets, counts), local)
     )
+    return a_idx, b_idx
+
+
+def _pairs_from_sorted_groups(
+    docs: np.ndarray, counts: np.ndarray
+) -> np.ndarray:
+    """Packed ``(a << 32) | b`` pair keys for every unordered within-group
+    pair. ``docs`` is the concatenation of per-group doc ids, strictly
+    ascending WITHIN each group; ``counts`` the group sizes."""
+    a_idx, b_idx = _pair_index_expansion(counts)
+    if a_idx.size == 0:
+        return np.empty(0, np.int64)
     return (docs[a_idx].astype(np.int64) << np.int64(32)) | docs[
         b_idx
     ].astype(np.int64)

@@ -494,18 +494,39 @@ def segment_nation_stats(customer_ds):
     )
 
 
-def sessionize(events_ds, gap_minutes: int = 30):
+def sessionize(events_ds, gap_minutes: int = 30, n_partitions: int = 256):
     """Gap-based session windows per user (the streaming-window custom
-    operator class): events shuffle once by user_id, each group sorts
-    locally by (ts, event_id) and splits where the gap to the previous
-    event exceeds ``gap_minutes``. Emits one row per session.
+    operator class): events shuffle ONCE on the bounded
+    ``user_id % n_partitions`` key; inside each partition group one
+    lexsort puts every user's events in (ts, event_id) order and session
+    boundaries / stats fall out of vectorized diff + reduceat — no
+    per-user Python call (grouping on raw user_id pays one call per user,
+    the per-key overhead that made winnow_pairs 4x slower), no per-session
+    loop. Emits one row per session.
 
-    Scales because sessions are user-local: the shuffle key is the natural
-    partitioning key and group size is bounded by per-user activity (salt a
-    pathological power user by day before this op if needed)."""
+    Scales because sessions are user-local: group size is bounded by
+    n_partitions sizing (salt a pathological power user by day before
+    this op if needed)."""
     gap_us = np.int64(gap_minutes * 60 * 1_000_000)
 
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["user_id"].to_numpy() % np.int64(n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
     def sessions(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "session_id": pa.array([], pa.int64()),
+                "session_start": pa.array([], pa.string()),
+                "session_end": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        uid = group["user_id"].to_numpy()
         ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         eid = group["event_id"].to_numpy()
         # exact integer cents, half-away rounding like SQL round()
@@ -514,42 +535,51 @@ def sessionize(events_ds, gap_minutes: int = 30):
         val = np.where(
             v100 >= 0, np.floor(v100 + 0.5), np.ceil(v100 - 0.5)
         ).astype(np.int64)
-        order = np.lexsort((eid, ts))
-        ts, eid, val = ts[order], eid[order], val[order]
-        new_session = np.ones(len(ts), dtype=bool)
-        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sess = np.cumsum(new_session)  # 1-based session index
-        uid = group["user_id"][0].as_py()
-        rows = {"user_id": [], "session_id": [], "session_start": [],
-                "session_end": [], "n_events": [], "sum_value": []}
-        for s in range(1, sess[-1] + 1):
-            m = sess == s
-            rows["user_id"].append(uid)
-            rows["session_id"].append(int(s))
-            rows["session_start"].append(
-                np.datetime64(int(ts[m].min()), "us").item()
-                .strftime("%Y-%m-%d %H:%M:%S")
-            )
-            rows["session_end"].append(
-                np.datetime64(int(ts[m].max()), "us").item()
-                .strftime("%Y-%m-%d %H:%M:%S")
-            )
-            rows["n_events"].append(int(m.sum()))
-            rows["sum_value"].append(int(val[m].sum()) / 100.0)
-        return pa.Table.from_pydict(
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, val = uid[order], ts[order], val[order]
+        # a session break at every user change or over-gap step
+        brk = np.ones(len(ts), dtype=bool)
+        brk[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        starts = np.nonzero(brk)[0]
+        ends = np.concatenate((starts[1:], [len(ts)])) - 1
+        su = uid[starts]
+        # 1-based per-user session index: segment ordinal minus the
+        # ordinal of the user's first segment
+        ustarts = np.concatenate(([0], np.nonzero(np.diff(su))[0] + 1))
+        ucounts = np.diff(np.concatenate((ustarts, [su.size])))
+        sess_id = (
+            np.arange(su.size, dtype=np.int64)
+            - np.repeat(ustarts, ucounts)
+            + 1
+        )
+        # ts sorted within user -> session start/end are the edge rows
+        fmt = np.char.replace(
+            np.datetime_as_string(
+                ts.astype("datetime64[us]").astype("datetime64[s]"),
+                unit="s",
+            ),
+            "T",
+            " ",
+        )
+        return pa.table(
             {
-                "user_id": pa.array(rows["user_id"], pa.int64()),
-                "session_id": pa.array(rows["session_id"], pa.int64()),
-                "session_start": pa.array(rows["session_start"], pa.string()),
-                "session_end": pa.array(rows["session_end"], pa.string()),
-                "n_events": pa.array(rows["n_events"], pa.int64()),
-                "sum_value": pa.array(rows["sum_value"], pa.float64()),
+                "user_id": pa.array(su, pa.int64()),
+                "session_id": pa.array(sess_id, pa.int64()),
+                "session_start": pa.array(fmt[starts], pa.string()),
+                "session_end": pa.array(fmt[ends], pa.string()),
+                "n_events": pa.array(
+                    (ends - starts + 1).astype(np.int64), pa.int64()
+                ),
+                "sum_value": pa.array(
+                    np.add.reduceat(val, starts) / 100.0, pa.float64()
+                ),
             }
         )
 
     return (
         events_ds.select_columns(["user_id", "event_id", "ts", "value"])
-        .groupby("user_id")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
         .map_groups(sessions, batch_format="pyarrow")
     )
 
@@ -676,25 +706,51 @@ def range_join_events(events_ds, window_minutes: int = 60,
     )
 
 
-def top_orders_per_customer(orders_ds, n: int = 2):
+def top_orders_per_customer(orders_ds, n: int = 2, n_partitions: int = 256):
     """Ranked-window operator: the top-n orders per customer by price
     (ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY price DESC, key)).
-    One shuffle on the partition key; ranking is group-local."""
+    One shuffle on the bounded ``custkey % n_partitions`` key (per-custkey
+    grouping pays one Python call per customer — the winnow_pairs per-key
+    overhead); one lexsort per partition group ranks every customer's
+    orders at once."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["o_custkey"].to_numpy() % np.int64(n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int64()))
 
     def ranked(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_totalprice": pa.array([], pa.float64()),
+                "rn": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        cust = group["o_custkey"].to_numpy()
         keys = group["o_orderkey"].to_numpy()
         prices = group["o_totalprice"].to_numpy()
-        order = np.lexsort((keys, -prices))[:n]
-        out = group.select(["o_custkey", "o_orderkey", "o_totalprice"]).take(
-            pa.array(order, pa.int64())
+        order = np.lexsort((keys, -prices, cust))
+        scust = cust[order]
+        starts = np.concatenate(([0], np.nonzero(np.diff(scust))[0] + 1))
+        counts = np.diff(np.concatenate((starts, [scust.size])))
+        rn = (
+            np.arange(scust.size, dtype=np.int64)
+            - np.repeat(starts, counts)
+            + 1
         )
-        return out.append_column(
-            "rn", pa.array(np.arange(1, len(order) + 1), pa.int64())
-        )
+        keep = rn <= n
+        out = group.select(
+            ["o_custkey", "o_orderkey", "o_totalprice"]
+        ).take(pa.array(order[keep], pa.int64()))
+        return out.append_column("rn", pa.array(rn[keep], pa.int64()))
 
     return (
         orders_ds.select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
-        .groupby("o_custkey")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
         .map_groups(ranked, batch_format="pyarrow")
     )
 

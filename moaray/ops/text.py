@@ -1019,21 +1019,54 @@ def tfidf_topk(docs_ds, k: int = 3, broadcast_limit: int = 2_000_000):
 
         scored = joined.map_batches(score_joined, batch_format="pyarrow")
 
+    # per-doc top-k on a BOUNDED doc-partition key: grouping on raw doc_id
+    # pays one Python call per document (the per-key overhead that made
+    # winnow_pairs 4x slower); one lexsort per partition group ranks every
+    # doc's terms at once
+    n_partitions = 256
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["doc_id"].to_numpy() % np.int64(n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
     def topk(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+            "rn": pa.array([], pa.int64()),
+        })
+        if group.num_rows == 0:
+            return empty
         terms = np.asarray(group["term"].to_pylist())
         raw = group["score_raw"].to_numpy()
-        order = np.lexsort((terms, -raw))[:k]
-        g = group.take(pa.array(order, pa.int64()))
+        doc = group["doc_id"].to_numpy()
+        order = np.lexsort((terms, -raw, doc))
+        sdoc = doc[order]
+        starts = np.concatenate(([0], np.nonzero(np.diff(sdoc))[0] + 1))
+        counts = np.diff(np.concatenate((starts, [sdoc.size])))
+        rn = (
+            np.arange(sdoc.size, dtype=np.int64)
+            - np.repeat(starts, counts)
+            + 1
+        )
+        keep = rn <= k
+        g = group.take(pa.array(order[keep], pa.int64()))
         score6 = np.floor(g["score_raw"].to_numpy() * 1e6 + 0.5) / 1e6
         return pa.table({
             "doc_id": g["doc_id"],
             "term": g["term"],
             "tf": g["tf"],
             "score": pa.array(score6, pa.float64()),
-            "rn": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "rn": pa.array(rn[keep], pa.int64()),
         })
 
-    return scored.groupby("doc_id").map_groups(topk, batch_format="pyarrow")
+    return (
+        scored.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topk, batch_format="pyarrow")
+    )
 
 
 def cap_per_key(docs_ds, key_col: str = "source", id_col: str = "doc_id",
