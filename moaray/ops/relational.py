@@ -773,28 +773,60 @@ def exact_distinct(ds, value_col: str, group_col: str):
         )
         return t.group_by(["group", "value"]).aggregate([])
 
-    def count_partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by("group").aggregate([("value", "count")])
-        return g.rename_columns(["group", "n_distinct"])
+    # both shuffles group on bounded FNV partitions (a raw
+    # (group, value) groupby pays one Python call per DISTINCT PAIR);
+    # global distinct + per-group partial counts fold with Arrow's C++
+    # hash-aggregate inside each partition group
+    from ..ops.text import _fnv1a64_strings
 
-    def final(group: pa.Table) -> pa.Table:
+    n_partitions = 256
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch["group"], batch["value"], pa.scalar("\x1f")
+        )
+        part = _fnv1a64_strings(key.combine_chunks()) % np.int64(
+            n_partitions
+        )
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def distinct_count_partial(group: pa.Table) -> pa.Table:
+        # every copy of a (group, value) pair lands in this partition, so
+        # the local distinct IS the global distinct for these pairs
+        g = (
+            group.select(["group", "value"])
+            .group_by(["group", "value"])
+            .aggregate([])
+            .group_by("group")
+            .aggregate([("value", "count")])
+        )
+        out = g.rename_columns(["group", "n_distinct"])
+        part2 = _fnv1a64_strings(
+            out["group"].combine_chunks()
+        ) % np.int64(n_partitions)
+        return out.append_column("part2", pa.array(part2, pa.int64()))
+
+    def final_fold(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["group", "n_distinct"])
+            .group_by("group")
+            .aggregate([("n_distinct", "sum")])
+        )
         return pa.table(
             {
-                "group": [group["group"][0].as_py()],
-                "n_distinct": pa.array(
-                    [int(pc.sum(group["n_distinct"]).as_py())], pa.int64()
-                ),
+                "group": g["group"],
+                "n_distinct": g["n_distinct_sum"].cast(pa.int64()),
             }
         )
 
     return (
         ds.select_columns([group_col, value_col])
         .map_batches(local_distinct, batch_format="pyarrow")
-        .groupby(["group", "value"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .map_batches(count_partial, batch_format="pyarrow")
-        .groupby("group")
-        .map_groups(final, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(distinct_count_partial, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(final_fold, batch_format="pyarrow")
     )
 
 
@@ -839,12 +871,26 @@ def exact_top_counts(ds, value_col: str, k: int = 10):
         g = t.group_by("value").aggregate([("value", "count")])
         return g.rename_columns(["value", "n"])
 
-    def merge_count(group: pa.Table) -> pa.Table:
+    # per-value grouping pays one Python call per DISTINCT value (user
+    # cardinality); bounded FNV partitions + Arrow C++ hash-aggregate
+    n_partitions = 256
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        from .text import _fnv1a64_strings
+
+        part = _fnv1a64_strings(
+            batch["value"].combine_chunks()
+        ) % np.int64(n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def merge_counts(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["value", "n"])
+            .group_by("value")
+            .aggregate([("n", "sum")])
+        )
         return pa.table(
-            {
-                "value": [group["value"][0].as_py()],
-                "n": pa.array([int(pc.sum(group["n"]).as_py())], pa.int64()),
-            }
+            {"value": g["value"], "n": g["n_sum"].cast(pa.int64())}
         )
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -873,8 +919,9 @@ def exact_top_counts(ds, value_col: str, k: int = 10):
     counts = (
         ds.select_columns([value_col])
         .map_batches(local_count, batch_format="pyarrow")
-        .groupby("value")
-        .map_groups(merge_count, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge_counts, batch_format="pyarrow")
     )
     partial = counts.map_batches(local_topk, batch_format="pyarrow")
     return (
@@ -1174,23 +1221,49 @@ def event_funnel(events_ds, steps=("view", "click", "purchase")):
     groupby.
     """
     step_list = list(steps)
+    n_partitions = 256
 
-    def per_user(group: pa.Table) -> pa.Table:
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["user_id"].to_numpy() % np.int64(n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def per_users(group: pa.Table) -> pa.Table:
+        # vectorized over EVERY user in a bounded partition group (per-user
+        # grouping pays one Python call per user): the per-step "first
+        # qualifying event after the previous step" is a masked
+        # minimum.reduceat per user; a user that misses a step carries +inf
+        # forward, so later steps auto-fail — the short loop is over the
+        # handful of funnel steps, never over users or events
+        if group.num_rows == 0:
+            return pa.table({
+                "step": pa.array([], pa.string()),
+                "one": pa.array([], pa.int64()),
+            })
+        uid = group["user_id"].to_numpy()
         ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         et = np.asarray(group["event_type"].to_pylist())
-        reached = []
-        t_prev = None
+        order = np.argsort(uid, kind="stable")
+        uid, ts, et = uid[order], ts[order], et[order]
+        starts = np.concatenate(([0], np.nonzero(np.diff(uid))[0] + 1))
+        counts = np.diff(np.concatenate((starts, [uid.size])))
+        inf = np.iinfo(np.int64).max
+        # int64 carry: a user that misses a step gets t_prev = +inf, so
+        # ts > t_prev can never hold again (exact — no float µs epochs)
+        t_prev = np.full(starts.size, np.iinfo(np.int64).min)
+        out_steps, out_n = [], []
         for i, step in enumerate(step_list):
-            mask = et == step
-            if t_prev is not None:
-                mask &= ts > t_prev
-            if not mask.any():
+            mask = (et == step) & (ts > np.repeat(t_prev, counts))
+            tt = np.where(mask, ts, inf)
+            m = np.minimum.reduceat(tt, starts)
+            n = int((m < inf).sum())
+            if n == 0:
                 break
-            t_prev = ts[mask].min()
-            reached.append(f"step{i + 1}_{step}")
+            out_steps.append(f"step{i + 1}_{step}")
+            out_n.append(n)
+            t_prev = m
         return pa.table({
-            "step": pa.array(reached, pa.string()),
-            "one": pa.array([1] * len(reached), pa.int64()),
+            "step": pa.array(out_steps, pa.string()),
+            "one": pa.array(out_n, pa.int64()),
         })
 
     def count_step(group: pa.Table) -> pa.Table:
@@ -1202,9 +1275,10 @@ def event_funnel(events_ds, steps=("view", "click", "purchase")):
 
     return (
         events_ds.select_columns(["user_id", "ts", "event_type"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
-        .groupby("step")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_users, batch_format="pyarrow")
+        .groupby("step")  # bounded: one key per funnel step
         .map_groups(count_step, batch_format="pyarrow")
     )
 
@@ -1338,25 +1412,46 @@ def events_cumulative(events_ds):
     money stays exact integers until the final divide (the events_daily
     discipline). Returns (event_id, user_id, cum_value)."""
 
-    def per_user(group: pa.Table) -> pa.Table:
+    n_partitions = 256
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["user_id"].to_numpy() % np.int64(n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def per_users(group: pa.Table) -> pa.Table:
+        # segmented cumsum over a bounded user-partition group (per-user
+        # grouping pays one Python call per user): one lexsort, one global
+        # cumsum, per-user rebase via the segment's first element
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "cum_value": pa.array([], pa.float64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        uid = group["user_id"].to_numpy()
         ts = group["ts"].cast(pa.int64()).to_numpy()
         eid = group["event_id"].to_numpy()
-        order = np.lexsort((eid, ts))
+        order = np.lexsort((eid, ts, uid))
+        uid, eid = uid[order], eid[order]
         cents = np.rint(
             group["value"].to_numpy(zero_copy_only=False)[order] * 100.0
         ).astype(np.int64)
         cum = np.cumsum(cents)
+        starts = np.concatenate(([0], np.nonzero(np.diff(uid))[0] + 1))
+        counts = np.diff(np.concatenate((starts, [uid.size])))
+        base = np.repeat(cum[starts] - cents[starts], counts)
         return pa.table({
-            "event_id": pa.array(eid[order], pa.int64()),
-            "user_id": group["user_id"].take(
-                pa.array(order, pa.int64())),
-            "cum_value": pa.array(cum / 100.0, pa.float64()),
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "cum_value": pa.array((cum - base) / 100.0, pa.float64()),
         })
 
     return (
         events_ds.select_columns(["event_id", "ts", "user_id", "value"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_users, batch_format="pyarrow")
     )
 
 
@@ -1367,25 +1462,56 @@ def events_gap_stats(events_ds):
     Returns (user_id, n_events, sum_gap_us, max_gap_us); users with one
     event report zero gaps."""
 
-    def per_user(group: pa.Table) -> pa.Table:
+    n_partitions = 256
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["user_id"].to_numpy() % np.int64(n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def per_users(group: pa.Table) -> pa.Table:
+        # vectorized over a bounded user-partition group: sum of
+        # consecutive gaps telescopes to last-first per user; max gap is a
+        # maximum.reduceat over the diff array with the cross-user
+        # boundary diffs masked out (single-event users overwrite to 0)
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "sum_gap_us": pa.array([], pa.int64()),
+            "max_gap_us": pa.array([], pa.int64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        uid = group["user_id"].to_numpy()
         ts = group["ts"].cast(pa.int64()).to_numpy()
         eid = group["event_id"].to_numpy()
-        order = np.lexsort((eid, ts))
-        t = ts[order]
-        gaps = np.diff(t)
+        order = np.lexsort((eid, ts, uid))
+        uid, t = uid[order], ts[order]
+        starts = np.concatenate(([0], np.nonzero(np.diff(uid))[0] + 1))
+        counts = np.diff(np.concatenate((starts, [uid.size])))
+        ends = starts + counts - 1
+        sum_gap = t[ends] - t[starts]
+        max_gap = np.zeros(starts.size, dtype=np.int64)
+        d = np.diff(t)
+        if d.size:
+            d = d.copy()
+            d[starts[1:] - 1] = np.iinfo(np.int64).min  # mask boundaries
+            m = np.maximum.reduceat(
+                d, np.minimum(starts, d.size - 1)
+            )
+            multi = counts > 1
+            max_gap[multi] = m[multi]
         return pa.table({
-            "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
-            "n_events": pa.array([len(t)], pa.int64()),
-            "sum_gap_us": pa.array([int(gaps.sum()) if len(gaps) else 0],
-                                   pa.int64()),
-            "max_gap_us": pa.array([int(gaps.max()) if len(gaps) else 0],
-                                   pa.int64()),
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+            "sum_gap_us": pa.array(sum_gap.astype(np.int64), pa.int64()),
+            "max_gap_us": pa.array(max_gap, pa.int64()),
         })
 
     return (
         events_ds.select_columns(["event_id", "ts", "user_id"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_users, batch_format="pyarrow")
     )
 
 

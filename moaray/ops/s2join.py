@@ -91,34 +91,62 @@ def s2_rect_join(pts_ds, half_lat: float, half_lng: float, level: int = 5):
     the half_lat x half_lng rect centered on point a (a != b), distributed
     via one S2-cell groupby shuffle."""
 
-    def per_cell(group: pa.Table) -> pa.Table:
-        home = group.filter(group["home"])
-        rect = group.filter(pa.compute.invert(group["home"]))
-        if home.num_rows == 0 or rect.num_rows == 0:
-            return pa.table({"a_id": pa.array([], pa.int64()),
-                             "b_id": pa.array([], pa.int64())})
-        a_id = rect["id"].to_numpy()[:, None]
-        a_lat = rect["lat"].to_numpy()[:, None]
-        a_lng = rect["lng"].to_numpy()[:, None]
-        b_id = home["id"].to_numpy()[None, :]
-        b_lat = home["lat"].to_numpy()[None, :]
-        b_lng = home["lng"].to_numpy()[None, :]
+    # cells group on a BOUNDED partition key (per-cell map_groups pays one
+    # Python call per populated cell); the rect predicate evaluates over
+    # ALL cells' rect-side x home-side candidate pairs in one vectorized
+    # pair-index expansion
+    n_partitions = 512
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["cell"].to_numpy() % np.int64(n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def per_cells(group: pa.Table) -> pa.Table:
+        from .dedup import _pair_index_expansion
+
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64())})
+        if group.num_rows < 2:
+            return empty
+        cell = group["cell"].to_numpy()
+        order = np.argsort(cell, kind="stable")
+        cell = cell[order]
+        ids = group["id"].to_numpy()[order]
+        lat = group["lat"].to_numpy()[order]
+        lng = group["lng"].to_numpy()[order]
+        home = group["home"].to_numpy(zero_copy_only=False)[order]
+        starts = np.concatenate(([0], np.nonzero(np.diff(cell))[0] + 1))
+        counts = np.diff(np.concatenate((starts, [cell.size])))
+        ga, gb = _pair_index_expansion(counts)
+        if ga.size == 0:
+            return empty
+        keep = home[ga] ^ home[gb]  # rect-side x home-side only
+        if not keep.any():
+            return empty
+        ga, gb = ga[keep], gb[keep]
+        # orient: a = the rect (query) piece, b = the home point
+        flip = home[ga]
+        ai = np.where(flip, gb, ga)
+        bi = np.where(flip, ga, gb)
         ok = (
-            (np.abs(a_lat - b_lat) <= half_lat)
-            & (np.abs(a_lng - b_lng) <= half_lng)
-            & (a_id != b_id)
+            (np.abs(lat[ai] - lat[bi]) <= half_lat)
+            & (np.abs(lng[ai] - lng[bi]) <= half_lng)
+            & (ids[ai] != ids[bi])
         )
-        ai, bi = np.nonzero(ok)
         return pa.table({
-            "a_id": pa.array(a_id[ai, 0], pa.int64()),
-            "b_id": pa.array(b_id[0, bi], pa.int64()),
+            "a_id": pa.array(ids[ai[ok]], pa.int64()),
+            "b_id": pa.array(ids[bi[ok]], pa.int64()),
         })
 
     pieces = pts_ds.map_batches(
         _home_and_rect_pieces(level, half_lat, half_lng),
         batch_format="pyarrow",
     )
-    return pieces.groupby("cell").map_groups(per_cell, batch_format="pyarrow")
+    return (
+        pieces.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_cells, batch_format="pyarrow")
+    )
 
 
 def s2_cell_census(pts_ds, level: int = 4):
@@ -236,43 +264,91 @@ def s2_knn_join(pts_ds, k: int = 3, max_radius_deg: float = 1.0,
             "home": pa.array(out_home, pa.bool_()),
         })
 
-    def per_cell(group: pa.Table) -> pa.Table:
-        home = group.filter(group["home"])
-        quer = group.filter(pa.compute.invert(group["home"]))
-        if home.num_rows == 0 or quer.num_rows == 0:
-            return pa.table({"a_id": pa.array([], pa.int64()),
-                             "b_id": pa.array([], pa.int64()),
-                             "dist_deg": pa.array([], pa.float64())})
-        a_id = quer["id"].to_numpy()[:, None]
-        b_id = home["id"].to_numpy()[None, :]
-        d = _haversine_deg(
-            quer["lat"].to_numpy()[:, None], quer["lng"].to_numpy()[:, None],
-            home["lat"].to_numpy()[None, :], home["lng"].to_numpy()[None, :],
-        )
-        ok = (d <= max_radius_deg) & (a_id != b_id)
-        ai, bi = np.nonzero(ok)
+    # same bounded-partition discipline as s2_rect_join / knn_join_2d:
+    # vectorized pair expansion across cells, then a partitioned per-point
+    # top-k (per-cell / per-point map_groups pays one Python call per key)
+    n_partitions = 512
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["cell"].to_numpy() % np.int64(n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def per_cells(group: pa.Table) -> pa.Table:
+        from .dedup import _pair_index_expansion
+
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64()),
+                          "dist_deg": pa.array([], pa.float64())})
+        if group.num_rows < 2:
+            return empty
+        cell = group["cell"].to_numpy()
+        order = np.argsort(cell, kind="stable")
+        cell = cell[order]
+        ids = group["id"].to_numpy()[order]
+        lat = group["lat"].to_numpy()[order]
+        lng = group["lng"].to_numpy()[order]
+        home = group["home"].to_numpy(zero_copy_only=False)[order]
+        starts = np.concatenate(([0], np.nonzero(np.diff(cell))[0] + 1))
+        counts = np.diff(np.concatenate((starts, [cell.size])))
+        ga, gb = _pair_index_expansion(counts)
+        if ga.size == 0:
+            return empty
+        keep = home[ga] ^ home[gb]  # query-cap piece x home point only
+        if not keep.any():
+            return empty
+        ga, gb = ga[keep], gb[keep]
+        flip = home[ga]
+        ai = np.where(flip, gb, ga)
+        bi = np.where(flip, ga, gb)
+        d = _haversine_deg(lat[ai], lng[ai], lat[bi], lng[bi])
+        ok = (d <= max_radius_deg) & (ids[ai] != ids[bi])
         return pa.table({
-            "a_id": pa.array(a_id[ai, 0], pa.int64()),
-            "b_id": pa.array(b_id[0, bi], pa.int64()),
-            "dist_deg": pa.array(d[ai, bi], pa.float64()),
+            "a_id": pa.array(ids[ai[ok]], pa.int64()),
+            "b_id": pa.array(ids[bi[ok]], pa.int64()),
+            "dist_deg": pa.array(d[ok], pa.float64()),
         })
 
+    def add_part_a(batch: pa.Table) -> pa.Table:
+        part = batch["a_id"].to_numpy() % np.int64(n_partitions)
+        return batch.append_column("part2", pa.array(part, pa.int64()))
+
     def topk(group: pa.Table) -> pa.Table:
-        d = group["dist_deg"].to_numpy()
+        empty = pa.table({
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "dist_deg": pa.array([], pa.float64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        a = group["a_id"].to_numpy()
         b = group["b_id"].to_numpy()
-        order = np.lexsort((b, d))[:k]
-        g = group.take(pa.array(order, pa.int64()))
+        d = group["dist_deg"].to_numpy()
+        order = np.lexsort((b, d, a))
+        a, b, d = a[order], b[order], d[order]
+        starts = np.concatenate(([0], np.nonzero(np.diff(a))[0] + 1))
+        cnts = np.diff(np.concatenate((starts, [a.size])))
+        rank = (
+            np.arange(a.size, dtype=np.int64)
+            - np.repeat(starts, cnts)
+            + 1
+        )
+        kee = rank <= k
         return pa.table({
-            "a_id": g["a_id"],
-            "b_id": g["b_id"],
-            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
-            "dist_deg": pa.array(
-                np.round(g["dist_deg"].to_numpy(), 9), pa.float64()),
+            "a_id": pa.array(a[kee], pa.int64()),
+            "b_id": pa.array(b[kee], pa.int64()),
+            "rank": pa.array(rank[kee], pa.int64()),
+            "dist_deg": pa.array(np.round(d[kee], 9), pa.float64()),
         })
 
     pairs = (
         pts_ds.map_batches(pieces_fn, batch_format="pyarrow")
-        .groupby("cell")
-        .map_groups(per_cell, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_cells, batch_format="pyarrow")
     )
-    return pairs.groupby("a_id").map_groups(topk, batch_format="pyarrow")
+    return (
+        pairs.map_batches(add_part_a, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(topk, batch_format="pyarrow")
+    )

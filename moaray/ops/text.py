@@ -295,10 +295,26 @@ def word_freq(docs_ds, k: int = 50):
             "n": pa.array(counts, pa.int64()),
         })
 
-    def merge_word(group: pa.Table) -> pa.Table:
+    # per-word grouping pays one Python call per VOCABULARY entry; group
+    # on a bounded FNV partition of the word and fold with Arrow's C++
+    # hash-aggregate inside each group
+    n_partitions = 256
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = _fnv1a64_strings(
+            batch["word"].combine_chunks()
+        ) % np.int64(n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def merge_words(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["word", "n"])
+            .group_by("word")
+            .aggregate([("n", "sum")])
+        )
         return pa.table({
-            "word": [group["word"][0].as_py()],
-            "n": [int(pc.sum(group["n"]).as_py())],
+            "word": g["word"],
+            "n": g["n_sum"].cast(pa.int64()),
         })
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -310,8 +326,9 @@ def word_freq(docs_ds, k: int = 50):
     counts = (
         docs_ds.select_columns(["text"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .map_groups(merge_word, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge_words, batch_format="pyarrow")
     )
     return (
         counts.map_batches(local_topk, batch_format="pyarrow")
@@ -971,7 +988,34 @@ def tfidf_topk(docs_ds, k: int = 3, broadcast_limit: int = 2_000_000):
     ).materialize()
     n_docs = docs_ds.count()
 
-    df_ds = tf_ds.groupby("term").count().materialize()
+    # document frequency per term — Ray's groupby().count() pays one
+    # Python call per VOCABULARY entry; bounded FNV term partitions +
+    # Arrow C++ hash-aggregate instead (same ("term", "count()") schema)
+    df_parts = 256
+
+    def df_part(batch: pa.Table) -> pa.Table:
+        part = _fnv1a64_strings(
+            batch["term"].combine_chunks()
+        ) % np.int64(df_parts)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def df_fold(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["term"])
+            .group_by("term")
+            .aggregate([("term", "count")])
+        )
+        return pa.table({
+            "term": g["term"],
+            "count()": g["term_count"].cast(pa.int64()),
+        })
+
+    df_ds = (
+        tf_ds.map_batches(df_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(df_fold, batch_format="pyarrow")
+        .materialize()
+    )
     vocab = df_ds.count()
 
     def idf_of(df_arr: np.ndarray) -> np.ndarray:
@@ -1103,21 +1147,48 @@ def cap_per_key(docs_ds, key_col: str = "source", id_col: str = "doc_id",
             "h": pa.array(hs[sel], pa.string()),
         })
 
+    # the final cap groups on a bounded FNV partition of the key (per-key
+    # grouping pays one Python call per source/domain — unbounded for web
+    # crawls) and ranks EVERY key's rows with one lexsort per group
+    n_partitions = 256
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = _fnv1a64_strings(
+            batch[key_col].combine_chunks()
+        ) % np.int64(n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
     def final_cap(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key_col: pa.array([], pa.string()),
+            id_col: pa.array([], pa.int64()),
+            "rk": pa.array([], pa.int64()),
+        })
+        if group.num_rows == 0:
+            return empty
         ids = group[id_col].to_numpy(zero_copy_only=False)
         hs = np.asarray(group["h"].to_pylist())
-        order = np.lexsort((ids, hs))[:n]
-        g = group.take(pa.array(order, pa.int64()))
+        keys = np.asarray(group[key_col].to_pylist())
+        order = np.lexsort((ids, hs, keys))
+        ksort = keys[order]
+        starts = np.concatenate(
+            ([0], np.nonzero(ksort[1:] != ksort[:-1])[0] + 1)
+        )
+        runs = np.concatenate((starts[1:], [len(ksort)])) - starts
+        rk = np.arange(len(ksort), dtype=np.int64) - np.repeat(starts, runs)
+        keep = rk < n
+        g = group.take(pa.array(order[keep], pa.int64()))
         return pa.table({
             key_col: g[key_col],
             id_col: g[id_col],
-            "rk": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "rk": pa.array(rk[keep] + 1, pa.int64()),
         })
 
     return (
         docs_ds.select_columns([key_col, id_col])
         .map_batches(local_cap, batch_format="pyarrow")
-        .groupby(key_col)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
         .map_groups(final_cap, batch_format="pyarrow")
     )
 

@@ -417,56 +417,68 @@ def distance_join_2d(pts_ds, radius: float, emit_both: bool = False):
     (O(1) duplication).
     """
     r2 = float(radius) * float(radius)
+    # cells group on a BOUNDED partition key (per-cell map_groups pays one
+    # Python call per populated cell — unbounded at fine grids); the exact
+    # refine runs over ALL cells' candidate pairs in one vectorized pass
+    # (pair-index expansion + home/ghost masks instead of per-cell outer
+    # products)
+    n_partitions = 512
 
-    def per_cell(group: pa.Table) -> pa.Table:
-        ids = group["id"].to_numpy().astype(np.int64)
-        x = group["x"].to_numpy()
-        y = group["y"].to_numpy()
-        home = group["home"].to_numpy(zero_copy_only=False)
-        hi = np.flatnonzero(home)
-        a_ids, b_ids, d2s = [], [], []
-        if hi.size >= 2:
-            # home x home, unordered once
-            hx, hy, hid = x[hi], y[hi], ids[hi]
-            d2 = (hx[:, None] - hx[None, :]) ** 2 \
-                + (hy[:, None] - hy[None, :]) ** 2
-            ii, jj = np.nonzero((d2 <= r2) & (hid[:, None] < hid[None, :]))
-            a_ids.append(hid[ii])
-            b_ids.append(hid[jj])
-            d2s.append(d2[ii, jj])
-        gi = np.flatnonzero(~home)
-        if hi.size and gi.size:
-            gx, gy, gid = x[gi], y[gi], ids[gi]
-            hx, hy, hid = x[hi], y[hi], ids[hi]
-            d2 = (hx[:, None] - gx[None, :]) ** 2 \
-                + (hy[:, None] - gy[None, :]) ** 2
-            ii, jj = np.nonzero(d2 <= r2)
-            pa_, pb = hid[ii], gid[jj]
-            lo = np.minimum(pa_, pb)
-            hi_ = np.maximum(pa_, pb)
-            a_ids.append(lo)
-            b_ids.append(hi_)
-            d2s.append(d2[ii, jj])
-        if a_ids:
-            a = np.concatenate(a_ids)
-            b = np.concatenate(b_ids)
-            d = np.concatenate(d2s)
-        else:
-            a = b = np.empty(0, dtype=np.int64)
-            d = np.empty(0, dtype=np.float64)
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["cell"].to_numpy() % np.int64(n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def per_cells(group: pa.Table) -> pa.Table:
+        from ..ops.dedup import _pair_index_expansion
+
+        empty = pa.table({
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "d2": pa.array([], pa.float64()),
+        })
+        if group.num_rows < 2:
+            return empty
+        cell = group["cell"].to_numpy()
+        order = np.argsort(cell, kind="stable")
+        cell = cell[order]
+        ids = group["id"].to_numpy().astype(np.int64)[order]
+        x = group["x"].to_numpy()[order]
+        y = group["y"].to_numpy()[order]
+        home = group["home"].to_numpy(zero_copy_only=False)[order]
+        starts = np.concatenate(([0], np.nonzero(np.diff(cell))[0] + 1))
+        counts = np.diff(np.concatenate((starts, [cell.size])))
+        ga, gb = _pair_index_expansion(counts)
+        if ga.size == 0:
+            return empty
+        ha, hb = home[ga], home[gb]
+        # home x home pairs count once with a < b; home x ghost pairs are
+        # unique per group by the half-neighborhood construction; ghost x
+        # ghost pairs belong to another cell
+        keep = (ha & hb & (ids[ga] != ids[gb])) | (ha ^ hb)
+        if not keep.any():
+            return empty
+        ga, gb = ga[keep], gb[keep]
+        d2 = (x[ga] - x[gb]) ** 2 + (y[ga] - y[gb]) ** 2
+        near = d2 <= r2
+        if not near.any():
+            return empty
+        ga, gb, d2 = ga[near], gb[near], d2[near]
+        a = np.minimum(ids[ga], ids[gb])
+        b = np.maximum(ids[ga], ids[gb])
         if emit_both:
             a, b = np.concatenate([a, b]), np.concatenate([b, a])
-            d = np.concatenate([d, d])
+            d2 = np.concatenate([d2, d2])
         return pa.table({
             "a_id": pa.array(a, pa.int64()),
             "b_id": pa.array(b, pa.int64()),
-            "d2": pa.array(d, pa.float64()),
+            "d2": pa.array(d2, pa.float64()),
         })
 
     return (
         pts_ds.map_batches(_cell_pieces(radius), batch_format="pyarrow")
-        .groupby("cell")
-        .map_groups(per_cell, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_cells, batch_format="pyarrow")
     )
 
 
@@ -481,23 +493,51 @@ def knn_join_2d(pts_ds, k: int, max_radius: float):
     """
     pairs = distance_join_2d(pts_ds, max_radius, emit_both=True)
 
+    # per-point grouping pays one Python call per POINT; bounded partition
+    # + one lexsort ranks every point's neighbors at once
+    n_partitions = 512
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = batch["a_id"].to_numpy() % np.int64(n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
     def topk(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "d2r": pa.array([], pa.float64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        a = group["a_id"].to_numpy().astype(np.int64)
         b = group["b_id"].to_numpy().astype(np.int64)
         d2 = group["d2"].to_numpy()
-        order = np.lexsort((b, d2))[:k]
-        n = len(order)
+        order = np.lexsort((b, d2, a))
+        a, b, d2 = a[order], b[order], d2[order]
+        starts = np.concatenate(([0], np.nonzero(np.diff(a))[0] + 1))
+        counts = np.diff(np.concatenate((starts, [a.size])))
+        rank = (
+            np.arange(a.size, dtype=np.int64)
+            - np.repeat(starts, counts)
+            + 1
+        )
+        keep = rank <= k
         # half-away rounding to mirror SQL round() (CLAUDE.md float rule)
-        d2r = pc.round(pa.array(d2[order], pa.float64()), 8,
+        d2r = pc.round(pa.array(d2[keep], pa.float64()), 8,
                        round_mode="half_towards_infinity")
         return pa.table({
-            "a_id": pa.array(
-                [group["a_id"][0].as_py()] * n, pa.int64()),
-            "b_id": pa.array(b[order], pa.int64()),
-            "rank": pa.array(np.arange(1, n + 1), pa.int64()),
+            "a_id": pa.array(a[keep], pa.int64()),
+            "b_id": pa.array(b[keep], pa.int64()),
+            "rank": pa.array(rank[keep], pa.int64()),
             "d2r": d2r,
         })
 
-    return pairs.groupby("a_id").map_groups(topk, batch_format="pyarrow")
+    return (
+        pairs.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topk, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
