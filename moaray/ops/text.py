@@ -1518,8 +1518,10 @@ def tokens_by_source(docs_ds):
     """Per-source corpus token budget (token sum + doc count) — the cost
     accounting a training-mix decision starts from. Per-batch arrow
     group_by pre-aggregates, so one row per (source, batch) crosses the
-    shuffle; the groupby folds partials."""
-    from ray.data.aggregate import Sum
+    shuffle; a bounded FNV source partition folds partials with Arrow's
+    C++ hash-aggregate (a raw per-source groupby pays one Python call per
+    source — unbounded for web-domain sources)."""
+    n_partitions = 256
 
     def partial(batch: pa.Table) -> pa.Table:
         n = pc.list_value_length(pc.split_pattern(batch["text"], " "))
@@ -1528,21 +1530,29 @@ def tokens_by_source(docs_ds):
             "n": pc.cast(n, pa.int64()),
         })
         g = t.group_by("source").aggregate([("n", "sum"), ("n", "count")])
-        return g.rename_columns(["source", "n_sum", "n_docs"])
+        g = g.rename_columns(["source", "n_sum", "n_docs"])
+        part = _fnv1a64_strings(
+            g["source"].combine_chunks()
+        ) % np.int64(n_partitions)
+        return g.append_column("part", pa.array(part, pa.int64()))
 
-    def final(batch: pa.Table) -> pa.Table:
+    def final(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["source", "n_sum", "n_docs"])
+            .group_by("source")
+            .aggregate([("n_sum", "sum"), ("n_docs", "sum")])
+        )
         return pa.table({
-            "source": batch["source"],
-            "n_tokens": batch["sum(n_sum)"].cast(pa.int64()),
-            "n_docs": batch["sum(n_docs)"].cast(pa.int64()),
+            "source": g["source"],
+            "n_tokens": g["n_sum_sum"].cast(pa.int64()),
+            "n_docs": g["n_docs_sum"].cast(pa.int64()),
         })
 
     return (
         docs_ds.select_columns(["source", "text"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("source")
-        .aggregate(Sum("n_sum"), Sum("n_docs"))
-        .map_batches(final, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(final, batch_format="pyarrow")
     )
 
 
