@@ -44,20 +44,42 @@ def _with_hash(batch: pa.Table, text_col: str) -> pa.Table:
     return batch.append_column("text_hash", pa.array(hashes, pa.string()))
 
 
-def _dedup_new_batch(docs_ds, text_col: str, id_col: str):
+def _dedup_new_batch(docs_ds, text_col: str, id_col: str,
+                     n_partitions: int = 256):
     """Exact min-id-per-hash dedup of the incoming batch, keeping full
-    rows: hash per batch, one groupby(text_hash), first row by id."""
+    rows. Groups on a bounded FNV partition of the hash (a raw per-hash
+    groupby pays one Python call per DISTINCT TEXT — see ops/dedup.py
+    exact_dedup) and takes each hash's min-id row with one lexsort per
+    partition group."""
+    from ..ops.text import _fnv1a64_strings
 
-    def per_hash(group: pa.Table) -> pa.Table:
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = _fnv1a64_strings(
+            batch["text_hash"].combine_chunks()
+        ) % np.int64(n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def min_rows(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.drop_columns(["part"])
+        h = np.asarray(group["text_hash"].to_pylist())
         ids = group[id_col].to_numpy()
-        return group.take(pa.array([int(np.argmin(ids))], pa.int64()))
+        order = np.lexsort((ids, h))
+        hs = h[order]
+        starts = np.concatenate(
+            ([0], np.nonzero(hs[1:] != hs[:-1])[0] + 1)
+        )
+        return group.drop_columns(["part"]).take(
+            pa.array(order[starts], pa.int64())
+        )
 
     return (
         docs_ds.map_batches(
             lambda b: _with_hash(b, text_col), batch_format="pyarrow"
         )
-        .groupby("text_hash")
-        .map_groups(per_hash, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(min_rows, batch_format="pyarrow")
     )
 
 
