@@ -584,6 +584,35 @@ def sessionize(events_ds, gap_minutes: int = 30, n_partitions: int = 256):
     )
 
 
+def _rights_before(r_uid, r_ts, l_uid, l_bound, inclusive: bool):
+    """For each left row, the number of right rows of the SAME user with
+    ts < bound (or <= when ``inclusive``), fully vectorized: one merged
+    lexsort sweep with the tie tag ordering rights before lefts (<=) or
+    after (<). Right arrays must be sorted by (uid, ts)."""
+    n_r, n_l = r_uid.size, l_uid.size
+    uid_m = np.concatenate([r_uid, l_uid])
+    ts_m = np.concatenate([r_ts, l_bound])
+    right_tag = np.int8(0) if inclusive else np.int8(1)
+    tag = np.concatenate([
+        np.full(n_r, right_tag, np.int8),
+        np.full(n_l, np.int8(1) - right_tag, np.int8),
+    ])
+    is_right_src = np.concatenate([
+        np.ones(n_r, bool), np.zeros(n_l, bool)
+    ])
+    order = np.lexsort((tag, ts_m, uid_m))
+    is_r = is_right_src[order]
+    cnt = np.cumsum(is_r)
+    uid_s = uid_m[order]
+    ustart = np.concatenate(([0], np.nonzero(np.diff(uid_s))[0] + 1))
+    ucnt = np.diff(np.concatenate((ustart, [uid_s.size])))
+    base = np.repeat(cnt[ustart] - is_r[ustart], ucnt)
+    within = cnt - base  # rights at-or-before this merged position, per user
+    out = np.empty(n_l, np.int64)
+    out[order[~is_r] - n_r] = within[~is_r]
+    return out
+
+
 def asof_join_events(events_ds, left_type: str = "purchase",
                      right_type: str = "view"):
     """AS-OF JOIN (the temporal custom operator Ray Data lacks natively):
@@ -597,13 +626,29 @@ def asof_join_events(events_ds, left_type: str = "purchase",
     rows are first deduped to one per (user, ts) (max value) so ties are
     deterministic on both the Ray and SQL sides."""
 
+    n_partitions = 256
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        # prune to the two participating types at the scan side
+        et = np.asarray(batch["event_type"].to_pylist())
+        keep = (et == left_type) | (et == right_type)
+        batch = batch.filter(pa.array(keep))
+        part = batch["user_id"].to_numpy() % np.int64(n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def _fmt_ts(us: np.ndarray) -> np.ndarray:
+        return np.char.replace(
+            np.datetime_as_string(
+                us.astype("datetime64[us]").astype("datetime64[s]"),
+                unit="s",
+            ),
+            "T", " ",
+        )
+
     def asof(group: pa.Table) -> pa.Table:
-        types = group["event_type"].to_pylist()
-        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        eid = group["event_id"].to_numpy()
-        val = group["value"].to_numpy()
-        is_l = np.array([t == left_type for t in types], bool)
-        is_r = np.array([t == right_type for t in types], bool)
+        # vectorized over EVERY user in a bounded partition group: one
+        # merged (uid, ts) sweep finds each left row's newest right row
+        # (per-user grouping pays one Python call per user)
         empty = pa.table({
             "event_id": pa.array([], pa.int64()),
             "user_id": pa.array([], pa.int64()),
@@ -611,43 +656,42 @@ def asof_join_events(events_ds, left_type: str = "purchase",
             "view_ts": pa.array([], pa.string()),
             "view_value": pa.array([], pa.float64()),
         })
+        if group.num_rows == 0:
+            return empty
+        uid = group["user_id"].to_numpy()
+        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = group["event_id"].to_numpy()
+        val = group["value"].to_numpy()
+        et = np.asarray(group["event_type"].to_pylist())
+        is_l = et == left_type
+        is_r = et == right_type
         if not is_l.any() or not is_r.any():
             return empty
-        # dedupe right side to one row per ts: keep max value (ties
-        # deterministic both sides)
-        rts, rval = ts[is_r], val[is_r]
-        order = np.lexsort((rval, rts))
-        rts, rval = rts[order], rval[order]
-        keep = np.ones(len(rts), bool)
-        keep[:-1] = rts[1:] != rts[:-1]  # last (max-value) row per ts wins
-        rts, rval = rts[keep], rval[keep]
-        lts, lid = ts[is_l], eid[is_l]
-        pos = np.searchsorted(rts, lts, side="right") - 1
-        hit = pos >= 0
+        # dedupe right side to one row per (user, ts): max value wins
+        # (ties deterministic both sides); lexsort leaves (uid, ts) order
+        r_uid, r_ts, r_val = uid[is_r], ts[is_r], val[is_r]
+        order = np.lexsort((r_val, r_ts, r_uid))
+        r_uid, r_ts, r_val = r_uid[order], r_ts[order], r_val[order]
+        keep = np.ones(r_ts.size, bool)
+        keep[:-1] = (r_ts[1:] != r_ts[:-1]) | (r_uid[1:] != r_uid[:-1])
+        r_uid, r_ts, r_val = r_uid[keep], r_ts[keep], r_val[keep]
+        l_uid, l_ts, l_id = uid[is_l], ts[is_l], eid[is_l]
+        cnt = _rights_before(r_uid, r_ts, l_uid, l_ts, inclusive=True)
+        hit = cnt > 0
         if not hit.any():
             return empty
-        lts, lid, pos = lts[hit], lid[hit], pos[hit]
-        order = np.argsort(lid, kind="stable")
-        lts, lid, pos = lts[order], lid[order], pos[order]
+        l_uid, l_ts, l_id, cnt = l_uid[hit], l_ts[hit], l_id[hit], cnt[hit]
+        pos = np.searchsorted(r_uid, l_uid, side="left") + cnt - 1
         cents = np.where(
-            rval[pos] * 100.0 >= 0,
-            np.floor(rval[pos] * 100.0 + 0.5),
-            np.ceil(rval[pos] * 100.0 - 0.5),
+            r_val[pos] * 100.0 >= 0,
+            np.floor(r_val[pos] * 100.0 + 0.5),
+            np.ceil(r_val[pos] * 100.0 - 0.5),
         ).astype(np.int64)
-        fmt = "%Y-%m-%d %H:%M:%S"
         return pa.table({
-            "event_id": pa.array(lid, pa.int64()),
-            "user_id": pa.array(
-                [group["user_id"][0].as_py()] * len(lid), pa.int64()
-            ),
-            "event_ts": pa.array(
-                [np.datetime64(int(t), "us").item().strftime(fmt)
-                 for t in lts], pa.string()
-            ),
-            "view_ts": pa.array(
-                [np.datetime64(int(t), "us").item().strftime(fmt)
-                 for t in rts[pos]], pa.string()
-            ),
+            "event_id": pa.array(l_id, pa.int64()),
+            "user_id": pa.array(l_uid, pa.int64()),
+            "event_ts": pa.array(_fmt_ts(l_ts), pa.string()),
+            "view_ts": pa.array(_fmt_ts(r_ts[pos]), pa.string()),
             "view_value": pa.array(cents / 100.0, pa.float64()),
         })
 
@@ -655,7 +699,8 @@ def asof_join_events(events_ds, left_type: str = "purchase",
         events_ds.select_columns(
             ["user_id", "event_id", "ts", "event_type", "value"]
         )
-        .groupby("user_id")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
         .map_groups(asof, batch_format="pyarrow")
     )
 
@@ -670,38 +715,62 @@ def range_join_events(events_ds, window_minutes: int = 60,
     searchsorted slice of the right side, so work is O(n log n + pairs)
     — never the unwindowed cross product."""
     win_us = np.int64(window_minutes * 60 * 1_000_000)
+    n_partitions = 256
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist())
+        keep = (et == left_type) | (et == right_type)
+        batch = batch.filter(pa.array(keep))
+        part = batch["user_id"].to_numpy() % np.int64(n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int64()))
 
     def pairs(group: pa.Table) -> pa.Table:
-        types = group["event_type"].to_pylist()
+        # vectorized over every user in a bounded partition group: two
+        # merged sweeps bound each left row's right-slice, a repeat/cumsum
+        # expansion emits the pairs — no per-user call, no per-left loop
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "left_event_id": pa.array([], pa.int64()),
+            "right_event_id": pa.array([], pa.int64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        uid = group["user_id"].to_numpy()
         ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         eid = group["event_id"].to_numpy()
-        is_l = np.array([t == left_type for t in types], bool)
-        is_r = np.array([t == right_type for t in types], bool)
-        out_l, out_r = [], []
-        if is_l.any() and is_r.any():
-            rts, rid = ts[is_r], eid[is_r]
-            order = np.argsort(rts, kind="stable")
-            rts, rid = rts[order], rid[order]
-            lo = np.searchsorted(rts, ts[is_l] - win_us, side="left")
-            hi = np.searchsorted(rts, ts[is_l], side="left")
-            for li, (a, b) in zip(eid[is_l], zip(lo, hi)):
-                if b > a:
-                    out_l.extend([int(li)] * (b - a))
-                    out_r.extend(int(r) for r in rid[a:b])
-        uid = group["user_id"][0].as_py()
-        if out_l:
-            la, ra = np.array(out_l, np.int64), np.array(out_r, np.int64)
-            order = np.lexsort((ra, la))
-            out_l, out_r = la[order].tolist(), ra[order].tolist()
+        et = np.asarray(group["event_type"].to_pylist())
+        is_l = et == left_type
+        is_r = et == right_type
+        if not is_l.any() or not is_r.any():
+            return empty
+        r_uid, r_ts, r_id = uid[is_r], ts[is_r], eid[is_r]
+        order = np.lexsort((r_id, r_ts, r_uid))
+        r_uid, r_ts, r_id = r_uid[order], r_ts[order], r_id[order]
+        l_uid, l_ts, l_id = uid[is_l], ts[is_l], eid[is_l]
+        hi = _rights_before(r_uid, r_ts, l_uid, l_ts, inclusive=False)
+        lo = _rights_before(r_uid, r_ts, l_uid, l_ts - win_us,
+                            inclusive=False)
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        rstart = np.searchsorted(r_uid, l_uid, side="left")
+        off = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        ridx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(off, counts)
+            + np.repeat(rstart + lo, counts)
+        )
         return pa.table({
-            "user_id": pa.array([uid] * len(out_l), pa.int64()),
-            "left_event_id": pa.array(out_l, pa.int64()),
-            "right_event_id": pa.array(out_r, pa.int64()),
+            "user_id": pa.array(np.repeat(l_uid, counts), pa.int64()),
+            "left_event_id": pa.array(np.repeat(l_id, counts), pa.int64()),
+            "right_event_id": pa.array(r_id[ridx], pa.int64()),
         })
 
     return (
         events_ds.select_columns(["user_id", "event_id", "ts", "event_type"])
-        .groupby("user_id")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
         .map_groups(pairs, batch_format="pyarrow")
     )
 
