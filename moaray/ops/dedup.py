@@ -543,20 +543,17 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
         h = batch["simhash"].to_numpy().astype(np.uint64)
-        out = {"bkey": [], "doc_id": [], "simhash": []}
-        for band in range(4):
-            vals = (h >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-            # (band, value) packed into ONE groupby key — single-key sort
-            out["bkey"].extend(
-                ((np.int64(band) << 16) | vals.astype(np.int64)).tolist()
-            )
-            out["doc_id"].extend(ids.tolist())
-            out["simhash"].extend(h.astype(np.int64).tolist())
-        return pa.Table.from_pydict(
+        bands = np.arange(4, dtype=np.uint64)[:, None]
+        vals = (h[None, :] >> (bands * np.uint64(16))) & np.uint64(0xFFFF)
+        # (band, value) packed into ONE groupby key — single-key sort
+        bkey = (bands.astype(np.int64) << 16) | vals.astype(np.int64)
+        return pa.table(
             {
-                "bkey": pa.array(out["bkey"], pa.int64()),
-                "doc_id": pa.array(out["doc_id"], pa.int64()),
-                "simhash": pa.array(out["simhash"], pa.int64()),
+                "bkey": pa.array(bkey.reshape(-1), pa.int64()),
+                "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
+                "simhash": pa.array(
+                    np.tile(h.astype(np.int64), 4), pa.int64()
+                ),
             }
         )
 
@@ -1099,21 +1096,19 @@ def phash_neardup_pairs(images_ds, max_hamming: int = 3):
     cost of a fingerprint-column scan."""
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        ids = batch["image_id"].to_pylist()
+        n = batch.num_rows
         h = batch["phash"].to_numpy().astype(np.uint64)
-        out = {"bkey": [], "image_id": [], "phash": []}
-        for band in range(4):
-            vals = (h >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-            out["bkey"].extend(
-                ((np.int64(band) << 16) | vals.astype(np.int64)).tolist()
-            )
-            out["image_id"].extend(ids)
-            out["phash"].extend(h.astype(np.int64).tolist())
-        return pa.Table.from_pydict(
+        bands = np.arange(4, dtype=np.uint64)[:, None]
+        vals = (h[None, :] >> (bands * np.uint64(16))) & np.uint64(0xFFFF)
+        bkey = (bands.astype(np.int64) << 16) | vals.astype(np.int64)
+        rep = pa.array(np.tile(np.arange(n), 4))
+        return pa.table(
             {
-                "bkey": pa.array(out["bkey"], pa.int64()),
-                "image_id": pa.array(out["image_id"], pa.string()),
-                "phash": pa.array(out["phash"], pa.int64()),
+                "bkey": pa.array(bkey.reshape(-1), pa.int64()),
+                "image_id": batch["image_id"].take(rep),
+                "phash": pa.array(
+                    np.tile(h.astype(np.int64), 4), pa.int64()
+                ),
             }
         )
 
