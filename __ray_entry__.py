@@ -1419,6 +1419,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             min_count=2,
         ).sort(["tok_a", "tok_b"])
 
+    def q_token_pmi(sf_dir: str):
+        # PMI over doc co-occurrence: exact integer ln-ratios, one libm
+        # call per distinct quotient (doc_tfidf discipline)
+        from moaray.ops.text import token_pmi
+
+        return token_pmi(
+            _rpc(f"{sf_dir}/documents.parquet", ["doc_id", "text"]),
+            min_count=2,
+        ).sort(["tok_a", "tok_b"])
+
     def q_semantic_dedup_seeded(sf_dir: str):
         # SemDeDup graded EXACTLY: injected seed centroids (the vec_id < 8
         # embeddings) + the order-free keep-first prune make the whole run
@@ -2070,6 +2080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": q_events_pivot,
         "cohort_retention": q_cohort_retention,
         "token_cooc": q_token_cooc,
+        "token_pmi": q_token_pmi,
         "semantic_dedup_seeded": q_semantic_dedup_seeded,
         # ---- past the 50-query grading window (pytest-covered) ----
         "mosaic_tiles_lossy": q_mosaic_tiles_lossy,
@@ -2790,6 +2801,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT ta AS tok_a, tb AS tok_b,
                    CAST(COUNT(*) AS BIGINT) AS cnt
             FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2
+        """,
+        "token_pmi": """
+            WITH d AS (
+              SELECT doc_id, list_distinct(list_filter(
+                       string_split(text, ' '), x -> x <> '')) AS toks
+              FROM documents
+            ),
+            g AS (SELECT doc_id, toks FROM d WHERE len(toks) <= 512),
+            t AS (SELECT doc_id, unnest(toks) AS tok FROM g),
+            df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM t
+                   GROUP BY tok),
+            n AS (SELECT COUNT(*) AS n_docs FROM g),
+            p AS (
+              SELECT a.tok AS ta, b.tok AS tb
+              FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+            ),
+            c AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT c.ta AS tok_a, c.tb AS tok_b, c.cnt,
+                   ROUND(LN((c.cnt * n.n_docs)::DOUBLE
+                            / (da.df * db.df)::DOUBLE), 6) AS pmi
+            FROM c CROSS JOIN n
+            JOIN df da ON da.tok = c.ta
+            JOIN df db ON db.tok = c.tb
+            ORDER BY tok_a, tok_b
         """,
         "semantic_dedup_seeded": """
             WITH c AS (

@@ -1676,3 +1676,163 @@ def token_cooccurrence(
     return partials.groupby("part").map_groups(
         final_count, batch_format="pyarrow"
     )
+
+
+def token_pmi(
+    docs_ds,
+    min_count: int = 2,
+    max_doc_tokens: int = 512,
+    n_partitions: int = 256,
+    broadcast_limit: int = 2_000_000,
+):
+    """Pointwise mutual information over document co-occurrence:
+    pmi(a, b) = ln( cnt_ab * N / (df_a * df_b) ) for every pair
+    :func:`token_cooccurrence` keeps — the association-mining pass behind
+    collocation extraction and phrase detection.
+
+    The ln argument is an exact integer ratio evaluated with the same
+    float64 division on both sides, one math.log per DISTINCT quotient
+    (libm-identical to DuckDB's ln — the doc_tfidf discipline), rounded
+    like SQL round(x, 6). Document frequencies come from one extra
+    vectorized pass (FNV token partitions + Arrow C++ hash-aggregate) and
+    broadcast sorted via ray.put; ``broadcast_limit`` guards the vocab
+    size (swap in the tfidf join dispatch beyond it).
+    """
+    import math
+
+    import ray
+
+    pairs = token_cooccurrence(
+        docs_ds, min_count=min_count, max_doc_tokens=max_doc_tokens,
+        n_partitions=n_partitions,
+    )
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        # the "" sentinel row carries this batch's guard-passing doc count
+        # (zero-token docs pass the guard but appear in no token row — the
+        # SQL N counts them); "" can never be a real token (filtered)
+        def with_sentinel(tok_np, cc, n_guard):
+            tok = pa.array(
+                np.concatenate((np.array([""], dtype=tok_np.dtype)
+                                if tok_np.size else np.array([""]),
+                                tok_np)),
+                pa.string(),
+            )
+            df = pa.array(
+                np.concatenate(([0], cc)).astype(np.int64), pa.int64()
+            )
+            nd = np.zeros(len(tok), np.int64)
+            nd[0] = n_guard
+            part = _fnv1a64_strings(tok) % np.int64(n_partitions)
+            return pa.table({
+                "tok": tok,
+                "df": df,
+                "n_docs": pa.array(nd, pa.int64()),
+                "part": pa.array(part, pa.int64()),
+            })
+
+        toks = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy().astype(np.int64)
+        keep = pc.not_equal(flat, pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        )
+        flat, parent = flat.filter(pa.array(keep)), parent[keep]
+        if len(flat) == 0:
+            return with_sentinel(
+                np.array([], dtype=np.str_), np.array([], np.int64),
+                batch.num_rows,
+            )
+        enc = flat.combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        dic = np.asarray(enc.dictionary.to_pylist(), dtype=np.str_)
+        key = np.unique(parent * np.int64(dic.size) + codes)
+        kdoc = key // np.int64(dic.size)
+        starts = np.concatenate(([0], np.nonzero(np.diff(kdoc))[0] + 1))
+        counts = np.diff(np.concatenate((starts, [kdoc.size])))
+        ok = counts <= max_doc_tokens  # same guard as the pair pass
+        n_guard = int(ok.sum()) + (batch.num_rows - starts.size)
+        total = int(counts[ok].sum())
+        if total == 0:
+            return with_sentinel(
+                np.array([], dtype=np.str_), np.array([], np.int64),
+                n_guard,
+            )
+        off = np.concatenate(([0], np.cumsum(counts[ok])))[:-1]
+        sel = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(off, counts[ok])
+            + np.repeat(starts[ok], counts[ok])
+        )
+        kept_codes = key[sel] % np.int64(dic.size)
+        uc, cc = np.unique(kept_codes, return_counts=True)
+        return with_sentinel(dic[uc], cc, n_guard)
+
+    def df_fold(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["tok", "df", "n_docs"])
+            .group_by("tok")
+            .aggregate([("df", "sum"), ("n_docs", "sum")])
+        )
+        return pa.table({
+            "tok": g["tok"],
+            "df": g["df_sum"].cast(pa.int64()),
+            "n_docs": g["n_docs_sum"].cast(pa.int64()),
+        })
+
+    df_ds = (
+        docs_ds.select_columns(["text"])
+        .map_batches(df_partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(df_fold, batch_format="pyarrow")
+        .materialize()
+    )
+    vocab = df_ds.count()
+    if vocab > broadcast_limit:
+        raise NotImplementedError(
+            "token_pmi: vocabulary exceeds broadcast_limit — wire the "
+            "tfidf join dispatch for this corpus"
+        )
+    blocks = [t for t in ray.get(df_ds.to_arrow_refs()) if t.num_rows > 0]
+    df_tbl = pa.concat_tables(blocks).combine_chunks()
+    n_docs = int(df_tbl["n_docs"].to_numpy().sum())
+    real = pc.greater(df_tbl["df"], 0)  # drop the "" n_docs sentinel
+    df_tbl = df_tbl.filter(real)
+    toks = np.asarray(df_tbl["tok"].to_pylist())
+    order = np.argsort(toks)
+    toks_ref = ray.put(toks[order])
+    df_ref = ray.put(df_tbl["df"].to_numpy().astype(np.int64)[order])
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "tok_a": pa.array([], pa.string()),
+                "tok_b": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "pmi": pa.array([], pa.float64()),
+            })
+        t_sorted = ray.get(toks_ref)
+        df = ray.get(df_ref)
+        ta = np.asarray(batch["tok_a"].to_pylist())
+        tb = np.asarray(batch["tok_b"].to_pylist())
+        cnt = batch["cnt"].to_numpy()
+        da = df[np.searchsorted(t_sorted, ta)]
+        db = df[np.searchsorted(t_sorted, tb)]
+        q = (cnt * np.int64(n_docs)).astype(np.float64) / (
+            da * db
+        ).astype(np.float64)
+        uq, inv = np.unique(q, return_inverse=True)
+        lnv = np.array([math.log(x) for x in uq])  # one libm call per
+        # DISTINCT quotient (exact integer ratio — matches DuckDB ln)
+        pmi = pc.round(
+            pa.array(lnv[inv], pa.float64()), 6,
+            round_mode="half_towards_infinity",
+        )
+        return pa.table({
+            "tok_a": batch["tok_a"],
+            "tok_b": batch["tok_b"],
+            "cnt": batch["cnt"],
+            "pmi": pmi,
+        })
+
+    return pairs.map_batches(score, batch_format="pyarrow")

@@ -242,3 +242,41 @@ def test_semantic_dedup_orderfree_vs_greedy_rule():
     )
     assert greedy == [1, 0, 1]
     assert orderfree == [1, 0, 0]
+
+
+def test_token_pmi_matches_reference():
+    import math
+
+    from moaray.ops.text import token_pmi
+
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"w{i}" for i in range(25)])
+    texts = [
+        " ".join(vocab[rng.integers(0, 25, rng.integers(2, 10))])
+        for _ in range(300)
+    ]
+    texts.append("")  # zero-token doc: counts toward N, no pairs
+    texts.append(" ".join(f"x{i}" for i in range(30)))  # over guard: skipped
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    got = token_pmi(ds, min_count=3, max_doc_tokens=12).to_pandas()
+
+    from collections import Counter
+
+    df, cooc = Counter(), Counter()
+    n_docs = 0
+    for t in texts:
+        toks = sorted({w for w in t.split(" ") if w})
+        if len(toks) > 12:
+            continue
+        n_docs += 1
+        df.update(toks)
+        from itertools import combinations
+        cooc.update(combinations(toks, 2))
+    assert n_docs == 301  # the empty doc counts, the over-guard one doesn't
+    ref = {
+        k: round(math.log(v * n_docs / (df[k[0]] * df[k[1]])), 6)
+        for k, v in cooc.items() if v >= 3
+    }
+    assert len(got) == len(ref)
+    for r in got.itertuples():
+        assert abs(ref[(r.tok_a, r.tok_b)] - r.pmi) < 1e-12
