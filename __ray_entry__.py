@@ -1419,6 +1419,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             min_count=2,
         ).sort(["tok_a", "tok_b"])
 
+    def q_customers_no_big_order(sf_dir: str):
+        # ANTI JOIN (NOT EXISTS): customers with no order above 450k;
+        # size-aware broadcast-vs-hash-join dispatch (anti_join_keys)
+        from moaray.ops.relational import anti_join_keys
+
+        cust = _rpc(f"{sf_dir}/customer.parquet",
+                    ["c_custkey", "c_name", "c_mktsegment"])
+        big = _rpc(f"{sf_dir}/orders.parquet",
+                   ["o_custkey", "o_totalprice"]).filter(
+            expr="o_totalprice > 450000.0")
+        return anti_join_keys(
+            cust, big, "c_custkey", "o_custkey"
+        ).sort("c_custkey")
+
     def q_token_pmi(sf_dir: str):
         # PMI over doc co-occurrence: exact integer ln-ratios, one libm
         # call per distinct quotient (doc_tfidf discipline)
@@ -2081,6 +2095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "token_cooc": q_token_cooc,
         "token_pmi": q_token_pmi,
+        "customers_no_big_order": q_customers_no_big_order,
         "semantic_dedup_seeded": q_semantic_dedup_seeded,
         # ---- past the 50-query grading window (pytest-covered) ----
         "mosaic_tiles_lossy": q_mosaic_tiles_lossy,
@@ -2801,6 +2816,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT ta AS tok_a, tb AS tok_b,
                    CAST(COUNT(*) AS BIGINT) AS cnt
             FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2
+        """,
+        "customers_no_big_order": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 450000.0)
+            ORDER BY c_custkey
         """,
         "token_pmi": """
             WITH d AS (

@@ -1846,3 +1846,85 @@ def cohort_retention(
         .sum(["n_users", "n_retained"])
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+def anti_join_keys(left_ds, keys_ds, left_key: str, key_col: str,
+                   broadcast_limit: int = 5_000_000,
+                   num_partitions: int | None = None):
+    """Generic ANTI JOIN: rows of ``left_ds`` whose ``left_key`` appears
+    NOWHERE in ``keys_ds[key_col]`` (SQL NOT EXISTS). Size-aware dispatch,
+    the neardup_filter discipline:
+
+    - probe side <= ``broadcast_limit`` distinct keys: ship the distinct
+      sorted int64 keys ONCE via ray.put; each left batch drops matches
+      with one vectorized np.searchsorted — the left side never shuffles.
+    - above the limit: Ray's distributed left_outer hash join against the
+      distinct-key table (partitions capped to CPU slots — Ray's hash
+      join stalls when partitions far exceed them, CLAUDE.md), keeping
+      rows whose join marker is null.
+    """
+    import ray
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch[key_col].to_numpy())
+        return pa.table({
+            key_col: pa.array(u, pa.int64()),
+            "part": pa.array(u % np.int64(256), pa.int64()),
+        })
+
+    def key_fold(group: pa.Table) -> pa.Table:
+        u = np.unique(group[key_col].to_numpy())
+        return pa.table({key_col: pa.array(u, pa.int64())})
+
+    distinct = (
+        keys_ds.select_columns([key_col])
+        .map_batches(key_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(key_fold, batch_format="pyarrow")
+        .materialize()
+    )
+    n_keys = distinct.count()
+
+    if n_keys <= broadcast_limit:
+        blocks = [t for t in ray.get(distinct.to_arrow_refs())
+                  if t.num_rows > 0]
+        keys = (
+            np.sort(
+                np.concatenate([t[key_col].to_numpy() for t in blocks])
+            )
+            if blocks else np.empty(0, np.int64)
+        )
+        ref = ray.put(keys)
+
+        def drop_matches(batch: pa.Table) -> pa.Table:
+            k = ray.get(ref)
+            ids = batch[left_key].to_numpy()
+            if k.size == 0:
+                return batch
+            pos = np.clip(np.searchsorted(k, ids), 0, k.size - 1)
+            return batch.filter(pa.array(k[pos] != ids))
+
+        return left_ds.map_batches(drop_matches, batch_format="pyarrow")
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    nparts = num_partitions or max(2, min(16, cpus))
+    marked = distinct.map_batches(
+        lambda t: t.append_column(
+            "__hit", pa.array(np.ones(t.num_rows, np.int8), pa.int8())
+        ),
+        batch_format="pyarrow",
+    )
+    joined = left_ds.join(
+        marked, join_type="left_outer", num_partitions=nparts,
+        on=(left_key,), right_on=(key_col,),
+    )
+
+    def keep_misses(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pc.is_null(batch["__hit"]))
+        drop = [c for c in ("__hit", key_col) if c in out.column_names]
+        return out.drop_columns(drop)
+
+    return joined.map_batches(keep_misses, batch_format="pyarrow")

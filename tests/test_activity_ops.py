@@ -280,3 +280,26 @@ def test_token_pmi_matches_reference():
     assert len(got) == len(ref)
     for r in got.itertuples():
         assert abs(ref[(r.tok_a, r.tok_b)] - r.pmi) < 1e-12
+
+
+def test_anti_join_keys_paths_agree():
+    from moaray.ops.relational import anti_join_keys
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "v": pa.array(list("abcdef"), pa.string()),
+    }))
+    keys = rd.from_arrow(pa.table({
+        "kk": pa.array([2, 2, 4, 9], pa.int64()),
+    }))
+    bc = (anti_join_keys(left, keys, "k", "kk")
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    jn = (anti_join_keys(left, keys, "k", "kk", broadcast_limit=0)
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    assert bc["k"].tolist() == [1, 3, 5, 6]
+    assert jn[["k", "v"]].equals(bc[["k", "v"]])
+    # empty probe side keeps everything
+    none = anti_join_keys(
+        left, keys.filter(expr="kk > 100"), "k", "kk"
+    ).to_pandas()
+    assert sorted(none["k"].tolist()) == [1, 2, 3, 4, 5, 6]
