@@ -1419,6 +1419,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             min_count=2,
         ).sort(["tok_a", "tok_b"])
 
+    def q_bigram_phrases(sf_dir: str):
+        # word2vec phrase detection: adjacent-bigram collocation scores
+        # (integer ln-ratios, one libm call per distinct quotient)
+        from moaray.ops.text import bigram_phrases
+
+        return bigram_phrases(
+            _rpc(f"{sf_dir}/documents.parquet", ["doc_id", "text"]),
+            min_count=3,
+        ).sort(["tok_a", "tok_b"])
+
     def q_customers_no_big_order(sf_dir: str):
         # ANTI JOIN (NOT EXISTS): customers with no order above 450k;
         # size-aware broadcast-vs-hash-join dispatch (anti_join_keys)
@@ -2095,6 +2105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "token_cooc": q_token_cooc,
         "token_pmi": q_token_pmi,
+        "bigram_phrases": q_bigram_phrases,
         "customers_no_big_order": q_customers_no_big_order,
         "semantic_dedup_seeded": q_semantic_dedup_seeded,
         # ---- past the 50-query grading window (pytest-covered) ----
@@ -2816,6 +2827,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT ta AS tok_a, tb AS tok_b,
                    CAST(COUNT(*) AS BIGINT) AS cnt
             FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2
+        """,
+        "bigram_phrases": """
+            WITH d AS (
+              SELECT list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            bg AS (SELECT t[i] AS a, t[i+1] AS b
+                   FROM d, unnest(range(1, len(t))) AS r(i)),
+            u AS (SELECT unnest(t) AS tok FROM d),
+            uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM u
+                   GROUP BY tok),
+            tt AS (SELECT COUNT(*) AS total FROM u),
+            c AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+            SELECT c.a AS tok_a, c.b AS tok_b, c.cnt,
+                   ROUND(LN((c.cnt * tt.total)::DOUBLE
+                            / (ua.n * ub.n)::DOUBLE), 6) AS score
+            FROM c CROSS JOIN tt
+            JOIN uc ua ON ua.tok = c.a
+            JOIN uc ub ON ub.tok = c.b
+            ORDER BY tok_a, tok_b
         """,
         "customers_no_big_order": """
             SELECT c_custkey, c_name, c_mktsegment

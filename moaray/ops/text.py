@@ -1836,3 +1836,157 @@ def token_pmi(
         })
 
     return pairs.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_phrases(
+    docs_ds,
+    min_count: int = 2,
+    n_partitions: int = 256,
+    broadcast_limit: int = 2_000_000,
+):
+    """Adjacent-bigram collocation scores (the word2vec phrase-detection
+    pass, Mikolov et al. 2013): for every ordered bigram (a, b) adjacent in
+    a document at least ``min_count`` times,
+    score = ln( cnt_ab * T / (cnt_a * cnt_b) ) with T the corpus token
+    count — high scores mark "new_york"-style phrases worth merging before
+    tokenizer training.
+
+    Same exactness discipline as :func:`token_pmi`: integer ratios, one
+    libm ln per distinct quotient, SQL-style round to 6. Bigrams and
+    unigrams both count through per-batch Arrow value_counts partials +
+    bounded FNV partition folds; unigram totals broadcast via ray.put
+    (``broadcast_limit`` guards the vocab).
+    """
+    import math
+
+    import ray
+
+    sep = "\x1f"
+
+    def uni_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "tok": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "part": pa.array([], pa.int64()),
+        })
+        flat = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        if len(flat) == 0:
+            return empty
+        vc = pc.value_counts(flat.combine_chunks())
+        tok = vc.field("values")
+        part = _fnv1a64_strings(tok) % np.int64(n_partitions)
+        return pa.table({
+            "tok": tok,
+            "n": vc.field("counts").cast(pa.int64()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    def uni_fold(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["tok", "n"])
+            .group_by("tok")
+            .aggregate([("n", "sum")])
+        )
+        return pa.table({"tok": g["tok"], "n": g["n_sum"].cast(pa.int64())})
+
+    uni_ds = (
+        docs_ds.select_columns(["text"])
+        .map_batches(uni_partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(uni_fold, batch_format="pyarrow")
+        .materialize()
+    )
+    if uni_ds.count() > broadcast_limit:
+        raise NotImplementedError(
+            "bigram_phrases: vocabulary exceeds broadcast_limit — wire the "
+            "tfidf join dispatch for this corpus"
+        )
+    blocks = [t for t in ray.get(uni_ds.to_arrow_refs()) if t.num_rows > 0]
+    uni_tbl = pa.concat_tables(blocks).combine_chunks()
+    toks = np.asarray(uni_tbl["tok"].to_pylist())
+    order = np.argsort(toks)
+    counts_sorted = uni_tbl["n"].to_numpy().astype(np.int64)[order]
+    total_tokens = int(counts_sorted.sum())
+    toks_ref = ray.put(toks[order])
+    cnt_ref = ray.put(counts_sorted)
+
+    def bigram_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "bg": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "part": pa.array([], pa.int64()),
+        })
+        toks_l = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(toks_l)
+        parent = pc.list_parent_indices(toks_l).to_numpy().astype(np.int64)
+        keep = pc.not_equal(flat, pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        )
+        flat, parent = flat.filter(pa.array(keep)), parent[keep]
+        if len(flat) < 2:
+            return empty
+        flat = flat.combine_chunks()
+        adj = parent[1:] == parent[:-1]
+        if not adj.any():
+            return empty
+        ia = np.nonzero(adj)[0]
+        a = flat.take(pa.array(ia, pa.int64()))
+        b = flat.take(pa.array(ia + 1, pa.int64()))
+        bg = pc.binary_join_element_wise(a, b, pa.scalar(sep))
+        vc = pc.value_counts(bg)
+        vals = vc.field("values")
+        part = _fnv1a64_strings(vals) % np.int64(n_partitions)
+        return pa.table({
+            "bg": vals,
+            "cnt": vc.field("counts").cast(pa.int64()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    def bigram_fold(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "tok_a": pa.array([], pa.string()),
+            "tok_b": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        enc = group["bg"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        tot = np.zeros(len(enc.dictionary), np.int64)
+        np.add.at(tot, codes, group["cnt"].to_numpy())
+        keep = tot >= min_count
+        if not keep.any():
+            return empty
+        kept = pa.array(np.nonzero(keep)[0], pa.int64())
+        split = pc.split_pattern(enc.dictionary.take(kept), sep)
+        ta = pc.list_element(split, 0)
+        tb = pc.list_element(split, 1)
+        t_sorted = ray.get(toks_ref)
+        cnt_map = ray.get(cnt_ref)
+        ca = cnt_map[np.searchsorted(t_sorted, np.asarray(ta.to_pylist()))]
+        cb = cnt_map[np.searchsorted(t_sorted, np.asarray(tb.to_pylist()))]
+        c_ab = tot[keep.nonzero()[0]]
+        q = (c_ab * np.int64(total_tokens)).astype(np.float64) / (
+            ca * cb
+        ).astype(np.float64)
+        uq, inv = np.unique(q, return_inverse=True)
+        lnv = np.array([math.log(x) for x in uq])
+        score = pc.round(
+            pa.array(lnv[inv], pa.float64()), 6,
+            round_mode="half_towards_infinity",
+        )
+        return pa.table({
+            "tok_a": ta,
+            "tok_b": tb,
+            "cnt": pa.array(c_ab, pa.int64()),
+            "score": score,
+        })
+
+    return (
+        docs_ds.select_columns(["text"])
+        .map_batches(bigram_partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bigram_fold, batch_format="pyarrow")
+    )

@@ -303,3 +303,36 @@ def test_anti_join_keys_paths_agree():
         left, keys.filter(expr="kk > 100"), "k", "kk"
     ).to_pandas()
     assert sorted(none["k"].tolist()) == [1, 2, 3, 4, 5, 6]
+
+
+def test_bigram_phrases_matches_reference():
+    import math
+    from collections import Counter
+
+    from moaray.ops.text import bigram_phrases
+
+    texts = [
+        "new york is big",
+        "new york new york",
+        "big apple new  york",   # double space: empties filtered first
+        "",
+        "york new",
+    ]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    got = (bigram_phrases(ds, min_count=2, n_partitions=4)
+           .to_pandas().sort_values(["tok_a", "tok_b"])
+           .reset_index(drop=True))
+    uni, bg = Counter(), Counter()
+    for t in texts:
+        toks = [w for w in t.split(" ") if w]
+        uni.update(toks)
+        bg.update(zip(toks, toks[1:]))
+    total = sum(uni.values())
+    ref = {
+        k: (v, round(math.log(v * total / (uni[k[0]] * uni[k[1]])), 6))
+        for k, v in bg.items() if v >= 2
+    }
+    assert ("new", "york") in ref and len(got) == len(ref)
+    for r in got.itertuples():
+        cnt, score = ref[(r.tok_a, r.tok_b)]
+        assert r.cnt == cnt and abs(r.score - score) < 1e-12
