@@ -1419,6 +1419,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             min_count=2,
         ).sort(["tok_a", "tok_b"])
 
+    def q_cohort_matrix(sf_dir: str):
+        # full retention triangle (cohort x day-offset active counts)
+        from moaray.ops.relational import cohort_retention_matrix
+
+        return cohort_retention_matrix(
+            _rpc(f"{sf_dir}/events.parquet",
+                 ["user_id", "ts", "event_type"]),
+            unit="day", event_type="purchase", max_offset=7,
+        ).sort(["cohort_wk", "offset"])
+
     def q_bigram_phrases(sf_dir: str):
         # word2vec phrase detection: adjacent-bigram collocation scores
         # (integer ln-ratios, one libm call per distinct quotient)
@@ -2105,6 +2115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "token_cooc": q_token_cooc,
         "token_pmi": q_token_pmi,
+        "cohort_matrix": q_cohort_matrix,
         "bigram_phrases": q_bigram_phrases,
         "customers_no_big_order": q_customers_no_big_order,
         "semantic_dedup_seeded": q_semantic_dedup_seeded,
@@ -2827,6 +2838,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT ta AS tok_a, tb AS tok_b,
                    CAST(COUNT(*) AS BIGINT) AS cnt
             FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2
+        """,
+        "cohort_matrix": """
+            WITH uw AS (
+              SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS wk
+              FROM events WHERE event_type = 'purchase'
+            ),
+            f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw
+                  GROUP BY user_id),
+            a AS (
+              SELECT DISTINCT f.user_id, f.cohort_wk,
+                     uw.wk - f.cohort_wk AS o
+              FROM f JOIN uw USING (user_id)
+              WHERE uw.wk - f.cohort_wk BETWEEN 0 AND 7
+            )
+            SELECT cohort_wk, o AS "offset",
+                   CAST(COUNT(*) AS BIGINT) AS n_active
+            FROM a GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "bigram_phrases": """
             WITH d AS (

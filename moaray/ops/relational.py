@@ -1928,3 +1928,92 @@ def anti_join_keys(left_ds, keys_ds, left_key: str, key_col: str,
         return out.drop_columns(drop)
 
     return joined.map_batches(keep_misses, batch_format="pyarrow")
+
+
+def cohort_retention_matrix(
+    events_ds,
+    unit: str = "day",
+    event_type: str | None = None,
+    max_offset: int = 7,
+    n_partitions: int = 256,
+):
+    """The full retention triangle: for each cohort (period of a user's
+    FIRST qualifying event) and offset 0..max_offset, how many cohort
+    members were active in cohort+offset. Offset 0 is the cohort size by
+    construction. Returns (cohort_wk, offset, n_active).
+
+    Same machinery as cohort_retention: distinct (user, period) packed
+    keys, bounded user partitions, per-user offsets fully vectorized
+    (first-period broadcast via repeat), partial (cohort, offset) counts
+    per group, one tiny final groupby over the bounded cohort x offset
+    lattice."""
+    if max_offset < 0:
+        raise ValueError("cohort_retention_matrix: max_offset must be >= 0")
+    unit_us = {"week": _WEEK_US, "day": 86400 * 1_000_000}[unit]
+
+    def user_weeks(batch: pa.Table) -> pa.Table:
+        if event_type is not None:
+            batch = batch.filter(
+                pc.equal(batch["event_type"], pa.scalar(event_type))
+            )
+        us = batch["ts"].cast(pa.int64()).to_numpy()
+        wk = us // np.int64(unit_us)
+        uid = batch["user_id"].to_numpy()
+        if wk.size and (wk.min() < 0 or wk.max() >= (1 << 20)):
+            raise ValueError(
+                "cohort_retention_matrix: period index out of packed range"
+            )
+        key = np.unique((uid.astype(np.int64) << np.int64(20)) | wk)
+        uu = key >> np.int64(20)
+        return pa.table(
+            {
+                "uw": pa.array(key, pa.int64()),
+                "part": pa.array(uu % np.int64(n_partitions), pa.int64()),
+            }
+        )
+
+    cols = ["user_id", "ts"] + ([] if event_type is None else ["event_type"])
+    uw = events_ds.select_columns(cols).map_batches(
+        user_weeks, batch_format="pyarrow"
+    )
+
+    def per_users(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "cohort_wk": pa.array([], pa.int64()),
+            "offset": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        key = np.unique(group["uw"].to_numpy())
+        uid = key >> np.int64(20)
+        wk = key & np.int64((1 << 20) - 1)
+        starts = np.concatenate(([0], np.nonzero(np.diff(uid))[0] + 1))
+        counts = np.diff(np.concatenate((starts, [uid.size])))
+        cohort = np.repeat(wk[starts], counts)  # per-row first period
+        off = wk - cohort
+        keep = off <= max_offset  # off >= 0 by sortedness
+        pairs = (cohort[keep] << np.int64(20)) | off[keep]
+        up, cnt = np.unique(pairs, return_counts=True)
+        return pa.table({
+            "cohort_wk": pa.array(up >> np.int64(20), pa.int64()),
+            "offset": pa.array(up & np.int64((1 << 20) - 1), pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    per_part = uw.groupby("part").map_groups(
+        per_users, batch_format="pyarrow"
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_wk": batch["cohort_wk"],
+            "offset": batch["offset"],
+            "n_active": batch["sum(n)"].cast(pa.int64()),
+        })
+
+    return (
+        per_part.groupby(["cohort_wk", "offset"])  # bounded lattice
+        .sum("n")
+        .map_batches(rename, batch_format="pyarrow")
+    )

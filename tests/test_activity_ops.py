@@ -336,3 +336,29 @@ def test_bigram_phrases_matches_reference():
     for r in got.itertuples():
         cnt, score = ref[(r.tok_a, r.tok_b)]
         assert r.cnt == cnt and abs(r.score - score) < 1e-12
+
+
+def test_cohort_retention_matrix_edges():
+    from moaray.ops.relational import cohort_retention_matrix
+
+    day = 86400
+    rows = [
+        (1, 0, "purchase"), (1, day, "purchase"), (1, 3 * day, "purchase"),
+        (2, 10, "purchase"),                       # only offset 0
+        (3, day, "purchase"), (3, 20 * day, "purchase"),  # 19 > max_offset
+    ]
+    ds = _events_table(
+        [(u, np.datetime64(s, "s").astype("datetime64[us]"), t)
+         for u, s, t in rows]
+    )
+    got = (
+        cohort_retention_matrix(ds, unit="day", event_type="purchase",
+                                max_offset=7, n_partitions=4)
+        .to_pandas().sort_values(["cohort_wk", "offset"])
+        .reset_index(drop=True)
+    )
+    assert got.to_dict("list") == {
+        "cohort_wk": [0, 0, 0, 1],
+        "offset": [0, 1, 3, 0],
+        "n_active": [2, 1, 1, 1],
+    }
