@@ -632,11 +632,103 @@ def main_soak():
     print(json.dumps(out))
 
 
+
+
+OPS_SCALE_EVENTS = int(os.environ.get("MOARAY_OPS_SCALE_EVENTS", "2000000"))
+OPS_SCALE_USERS = int(os.environ.get("MOARAY_OPS_SCALE_USERS", "200000"))
+
+
+def run_ops_scale(num_cpus: int) -> dict:
+    """Key-cardinality stress for the bounded-partition groupby ops:
+    2M synthetic events over 200k users (~130x the sf0.1 user count, the
+    cardinality regime where a per-key map_groups would make 200k Python
+    calls per stage). Deterministic synthesis — no external data."""
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from moaray.ops.relational import (
+        cohort_retention_matrix,
+        events_cumulative,
+        sessionize,
+        top_orders_per_customer,
+    )
+
+    rng = np.random.default_rng(42)
+    n, users = OPS_SCALE_EVENTS, OPS_SCALE_USERS
+    uid = rng.integers(0, users, n)
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + rng.integers(0, 30 * 86400 * 1_000_000, n)
+    events = rd.from_arrow(pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(uid, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(
+            np.array(["view", "click", "purchase"])[
+                rng.integers(0, 3, n)
+            ], pa.string()),
+        "value": pa.array(
+            np.round(rng.uniform(0, 500, n), 2), pa.float64()),
+    })).materialize()
+    orders = rd.from_arrow(pa.table({
+        "o_custkey": pa.array(uid, pa.int64()),
+        "o_orderkey": pa.array(np.arange(n), pa.int64()),
+        "o_totalprice": pa.array(
+            np.round(rng.uniform(0, 500000, n), 2), pa.float64()),
+    })).materialize()
+
+    timings = {}
+
+    def timed(name, fn, expect_rows=None):
+        t0 = time.monotonic()
+        rows = fn().count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        timings[name + "_rows"] = rows
+        if expect_rows is not None:
+            assert rows == expect_rows, (name, rows, expect_rows)
+
+    timed("sessionize_200k_users", lambda: sessionize(events))
+    timed("events_cumulative_200k_users",
+          lambda: events_cumulative(events), expect_rows=n)
+    timed("cohort_matrix_200k_users",
+          lambda: cohort_retention_matrix(
+              events, unit="day", event_type="purchase", max_offset=7))
+    timed("top_orders_200k_custkeys",
+          lambda: top_orders_per_customer(orders))
+    return timings
+
+
+def main_ops_scale():
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True)
+    r = run_ops_scale(NUM_CPUS)
+    ray.shutdown()
+    total = round(sum(v for k, v in r.items() if not k.endswith("_rows")), 3)
+    out = {
+        "metric": "moaray_ops_scale_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: v for k, v in r.items() if not k.endswith("_rows")},
+        "n_events": OPS_SCALE_EVENTS,
+        "n_users": OPS_SCALE_USERS,
+        "num_cpus": NUM_CPUS,
+        "ops_scale": r,
+        "host": host_probe(),
+    }
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
     elif "--ann-scale" in sys.argv:
         main_ann_scale()
+    elif "--ops-scale" in sys.argv:
+        main_ops_scale()
     elif "--soak" in sys.argv:
         main_soak()
     elif "--cluster-scaling" in sys.argv:
