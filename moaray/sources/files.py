@@ -32,7 +32,7 @@ import pyarrow as pa
 from .. import codecs
 
 IMG_EXTS = (".png", ".jpg", ".jpeg", ".mray", ".tif", ".tiff",
-            ".gif", ".bmp", ".pgm", ".ppm", ".qoi", ".dat")
+            ".gif", ".bmp", ".pgm", ".ppm", ".qoi", ".dat", ".img")
 
 
 def _world_file_for(path: str) -> str | None:
@@ -122,6 +122,23 @@ def read_image_files(src, crs: str | None = None, nullval: float = 0.0):
                     [codecs.encode(np.ascontiguousarray(p), "raw16")
                      for p in planes],
                     arr.dtype.name, planes.shape[1], planes.shape[2],
+                )
+            elif ext == ".img":
+                # Erdas Imagine HFA: self-contained (dictionary-driven
+                # reader, sinks/hfa.py) — geotransform from Eprj_MapInfo,
+                # nodata from Eimg_NonInitializedValue, CRS from proName
+                from ..sinks.hfa import parse_hfa_bytes
+
+                arr, gt, h_nv, h_crs = parse_hfa_bytes(buf)
+                if h_nv is not None:
+                    nv = h_nv
+                if h_crs:
+                    row_crs = h_crs
+                payloads = (
+                    "raw16",
+                    [codecs.encode(np.ascontiguousarray(p), "raw16")
+                     for p in arr],
+                    arr.dtype.name, arr.shape[1], arr.shape[2],
                 )
             elif ext == ".dat":
                 # ENVI pair: the .hdr sidecar carries geotransform, CRS,
