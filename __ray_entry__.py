@@ -1314,6 +1314,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _emb(sf_dir), qids, qmat, k=5
         ).sort("query_id")
 
+    def q_hard_negatives(sf_dir: str):
+        # contrastive hard-negative mining: per query, top-k most
+        # cosine-similar vectors of a DIFFERENT label (same
+        # partial/combiner shuffle shape as knn_topk; integer-only
+        # output so the oracle compares bitwise)
+        emb = _emb(sf_dir)
+        qids, qmat, qlabels = ann.load_queries(
+            emb, n_queries=10, with_labels=True)
+        return ann.knn_hard_negatives(
+            emb, qids, qmat, qlabels, k=5
+        ).sort(["query_id", "rank"])
+
+    def q_epoch_shuffle(sf_dir: str):
+        # deterministic training-epoch shuffle: md5(id:epoch) keys,
+        # bounded shard partitions, vectorized within-shard ranking —
+        # no RNG state, resumable by construction
+        from moaray.ops.text import epoch_shuffle
+
+        return epoch_shuffle(
+            _rpc(f"{sf_dir}/documents.parquet", ["doc_id"]),
+            epoch=7, n_shards=8,
+        ).sort(["shard", "pos"])
+
     def q_tokens_by_source(sf_dir: str):
         # per-source token budget: per-batch arrow group_by combiner ->
         # one small groupby
@@ -2174,6 +2197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bloom_filter": q_doc_bloom_filter,
         "events_profile": q_events_profile,
         "mosaic_maxval": q_mosaic_maxval,
+        "hard_negatives": q_hard_negatives,
+        "epoch_shuffle": q_epoch_shuffle,
     }
 
 
@@ -3205,5 +3230,43 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN g USING (doc_id)
             LEFT JOIN df USING (gram)
             GROUP BY d.doc_id
+        """,
+        "hard_negatives": """
+            WITH q AS (
+              SELECT vec_id, embedding, label FROM embeddings
+              WHERE vec_id < 10
+            ), sims AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding, c.embedding)
+                         AS cosine
+              FROM q JOIN embeddings c
+                ON c.vec_id != q.vec_id AND c.label != q.label
+            ), ranked AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC,
+                                                 neighbor_id ASC) AS rank
+              FROM sims
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank
+        """,
+        "epoch_shuffle": """
+            WITH k AS (
+              SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR) || ':7') AS skey
+              FROM documents
+            ), s AS (
+              SELECT doc_id, skey,
+                     CAST(('0x' || substr(skey, 1, 8))::UBIGINT % 8
+                          AS BIGINT) AS shard
+              FROM k
+            )
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                                           ORDER BY skey, doc_id)
+                        AS BIGINT) AS pos
+            FROM s ORDER BY shard, pos
         """,
     }

@@ -429,19 +429,96 @@ def knn_ivf(
     return partial.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
 
 
-def load_queries(emb_ds, n_queries: int = 10):
+def load_queries(emb_ds, n_queries: int = 10, with_labels: bool = False):
     """First n vec_ids as the query set (deterministic, tiny driver read).
     Expression filter (not a per-row Python fn) so the predicate pushes into
-    the vectorized scan."""
+    the vectorized scan.  ``with_labels=True`` additionally returns the
+    query rows' ``label`` column (for contrastive mining)."""
+    cols = ["vec_id", "embedding"] + (["label"] if with_labels else [])
     rows = (
-        emb_ds.select_columns(["vec_id", "embedding"])
+        emb_ds.select_columns(cols)
         .filter(expr=f"vec_id < {int(n_queries)}")
         .take_all()
     )
     rows.sort(key=lambda r: r["vec_id"])
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    if with_labels:
+        labels = np.array([r["label"] for r in rows], dtype=np.int64)
+        return ids, mat, labels
     return ids, mat
+
+
+def knn_hard_negatives(
+    emb_ds,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    query_labels: np.ndarray,
+    k: int = 5,
+):
+    """Contrastive hard-negative mining: per query, the top-k most
+    cosine-similar corpus vectors whose ``label`` DIFFERS from the
+    query's (the negatives a contrastive image/caption trainer wants —
+    near the anchor in embedding space but of another class).
+
+    Same partial/combiner shape as knn_bruteforce: query matrix +
+    labels broadcast once via ray.put, one (queries x batch) matmul per
+    corpus batch, the label mask applied BEFORE the local top-k so
+    same-label rows never enter the shuffle; a tiny groupby(query_id)
+    merges k-row partials.  Returns (query_id, neighbor_id, rank) —
+    integer-only output so the DuckDB oracle compares bitwise.
+    """
+    qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qlabels = np.asarray(query_labels, dtype=np.int64)
+    ref = ray.put((qids, qmat, qlabels))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat, q_labels = ray.get(ref)
+        cids = batch["vec_id"].to_numpy()
+        clabels = batch["label"].to_numpy().astype(np.int64)
+        cmat = _normalize(emb_matrix(batch["embedding"]))
+        sims = q_mat @ cmat.T
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            mask = (clabels != q_labels[qi]) & (cids != qid)
+            ids = cids[mask]
+            if len(ids) == 0:
+                continue
+            s = sims[qi][mask]
+            kk = min(k, len(ids))
+            order = np.lexsort((ids, -s))[:kk]
+            out_q.extend([qid] * kk)
+            out_n.extend(ids[order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partial = emb_ds.select_columns(
+        ["vec_id", "embedding", "label"]
+    ).map_batches(local_topk, batch_format="pyarrow")
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        ids = group["neighbor_id"].to_numpy()
+        sims = group["cosine"].to_numpy()
+        order = np.lexsort((ids, -sims))[:k]
+        n = len(order)
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    [group["query_id"][0].as_py()] * n, pa.int64()),
+                "neighbor_id": pa.array(ids[order], pa.int64()),
+                "rank": pa.array(np.arange(1, n + 1), pa.int64()),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(
+        merge_topk, batch_format="pyarrow")
 
 
 def pq_fit_codebooks(

@@ -1990,3 +1990,60 @@ def bigram_phrases(
         .groupby("part")
         .map_groups(bigram_fold, batch_format="pyarrow")
     )
+
+
+def epoch_shuffle(docs_ds, epoch: int, n_shards: int = 8,
+                  id_col: str = "doc_id"):
+    """Deterministic global training-epoch shuffle WITHOUT random state:
+    every row's shuffle key is ``md5(f"{id}:{epoch}")``; its shard is the
+    key's first 8 hex chars mod ``n_shards``; its position is the key's
+    rank within the shard. Changing ``epoch`` reshuffles the whole
+    corpus; re-running any subset reproduces the identical order (the
+    resumability property a multi-epoch training loader needs — no RNG
+    to checkpoint, no seed to thread through retries).
+
+    Scale shape: no global sort. The shard id is a BOUNDED partition key
+    (n_shards is the trainer's reader parallelism, not data-dependent),
+    so the one shuffle is a bounded groupby and the within-shard ranking
+    is one vectorized lexsort per group — each shard is 1/n_shards of
+    the corpus, the natural unit a loader streams anyway. Returns
+    (id_col, shard, pos); pos is 1-based to match SQL row_number().
+    """
+    import hashlib
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        hs = [hashlib.md5(f"{v}:{epoch}".encode()).hexdigest()
+              for v in ids]
+        shard = np.array([int(h[:8], 16) for h in hs],
+                         dtype=np.int64) % np.int64(n_shards)
+        return pa.table({
+            id_col: batch[id_col],
+            "shard": pa.array(shard, pa.int64()),
+            "skey": pa.array(hs, pa.string()),
+        })
+
+    def rank_shard(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "shard": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+            })
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        keys = np.asarray(group["skey"].to_pylist())
+        order = np.lexsort((ids, keys))     # md5 asc, id tie-break
+        pos = np.empty(len(order), dtype=np.int64)
+        pos[order] = np.arange(1, len(order) + 1)
+        return pa.table({
+            id_col: group[id_col],
+            "shard": group["shard"],
+            "pos": pa.array(pos, pa.int64()),
+        })
+
+    return (
+        docs_ds.select_columns([id_col])
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(rank_shard, batch_format="pyarrow")
+    )

@@ -2289,3 +2289,68 @@ def test_lm_perplexity_adversarial_shapes(ray_session):
         )
         want = -s / (len(toks) - 1) / math.log(2.0)
         assert abs(bpt - round(want, 6)) < 1e-6, did
+
+
+def test_knn_hard_negatives_label_mask(ray_session):
+    """Constructed geometry: the nearest SAME-label points must be
+    skipped — each query's negatives are the closest points of the
+    OTHER label, even when same-label points are strictly closer."""
+    from moaray.ops.ann import knn_hard_negatives
+
+    pts = [
+        # label-1 cluster hugging +x, label-2 cluster rotated toward +x
+        (100, [1.0, 0.00], 1), (101, [1.0, 0.01], 1),
+        (102, [0.9, 0.30], 2), (103, [0.8, 0.50], 2),
+        (104, [0.0, 1.00], 2),
+    ]
+    t = pa.table({
+        "vec_id": pa.array([p[0] for p in pts], pa.int64()),
+        "embedding": pa.array([p[1] for p in pts], pa.list_(pa.float32())),
+        "label": pa.array([p[2] for p in pts], pa.int32()),
+    })
+    ds = ray.data.from_arrow(t)
+    qids = np.array([0], dtype=np.int64)
+    qmat = np.array([[1.0, 0.0]])
+    got = [(r["neighbor_id"], r["rank"]) for r in
+           knn_hard_negatives(ds, qids, qmat, np.array([1]), k=2)
+           .sort("rank").take_all()]
+    # 100/101 (label 1) are nearest but masked; 102 then 103 win
+    assert got == [(102, 1), (103, 2)]
+    # flipping the query label masks the other cluster instead
+    got2 = [r["neighbor_id"] for r in
+            knn_hard_negatives(ds, qids, qmat, np.array([2]), k=2)
+            .sort("rank").take_all()]
+    assert got2 == [100, 101]
+
+
+def test_epoch_shuffle_deterministic_and_complete(ray_session):
+    """Every row lands in exactly one (shard, pos) slot; positions are
+    1..len(shard) dense; the mapping is a pure function of (id, epoch) —
+    re-running reproduces it, changing the epoch changes it."""
+    import hashlib
+
+    from moaray.ops.text import epoch_shuffle
+
+    ids = list(range(200))
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    rows = epoch_shuffle(ds, epoch=7, n_shards=4).take_all()
+    assert sorted(r["doc_id"] for r in rows) == ids
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append((r["pos"], r["doc_id"]))
+    assert set(by_shard) <= set(range(4))
+    for shard, members in by_shard.items():
+        poss = sorted(p for p, _ in members)
+        assert poss == list(range(1, len(members) + 1)), shard
+        # within-shard order IS md5-key order (the SQL row_number contract)
+        want = sorted(members,
+                      key=lambda m: (hashlib.md5(f"{m[1]}:7".encode())
+                                     .hexdigest(), m[1]))
+        assert [d for _, d in sorted(members)] == [d for _, d in want]
+    # pure function of (id, epoch)
+    again = {(r["doc_id"]): (r["shard"], r["pos"])
+             for r in epoch_shuffle(ds, epoch=7, n_shards=4).take_all()}
+    assert again == {r["doc_id"]: (r["shard"], r["pos"]) for r in rows}
+    other = {r["doc_id"]: (r["shard"], r["pos"])
+             for r in epoch_shuffle(ds, epoch=8, n_shards=4).take_all()}
+    assert other != again
