@@ -147,7 +147,17 @@ m2 = write_partitioned(survivors, OUT, key="doc_id", n_partitions=16)
 print(f"sink: {m1['written']} buckets written, rerun rewrote {m2['written']}")
 assert m1["rows"] == n_out and m2["written"] == 0
 
-# 8. SHIP: WebDataset-style tar shards — the training-sample delivery
+# 8. EPOCH SHUFFLE: seedless deterministic global order for the first
+# training epoch — md5(id:epoch) keys, bounded shard partitions, no RNG
+# state to checkpoint, no global sort (each shard ranks independently).
+from moaray.ops.text import epoch_shuffle
+
+order = epoch_shuffle(mixed, epoch=1, n_shards=8)
+n_ord = order.count()
+print(f"epoch shuffle: {n_ord} docs across 8 shards, epoch 1")
+assert n_ord == n_mix
+
+# 9. SHIP: WebDataset-style tar shards — the training-sample delivery
 # format (one sample = {key}.{col}.{ext} entries; committed manifests,
 # kill-resume rewrites only severed shards).
 from moaray.sinks.wds import read_wds_shards, write_wds_shards
