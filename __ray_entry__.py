@@ -1659,6 +1659,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _rpc(f"{sf_dir}/part.parquet")
         ).sort("p_brand")
 
+    def q_pareto_frontier(sf_dir: str):
+        return relational.pareto_frontier(
+            _rpc(f"{sf_dir}/part.parquet"),
+            x_col="p_size",
+            y_col="p_retailprice",
+            keep_cols=["p_partkey"],
+        ).sort("p_partkey")
+
     def q_supplier_region_stats(sf_dir: str):
         return relational.supplier_region_stats(
             _rpc(f"{sf_dir}/supplier.parquet"),
@@ -2199,6 +2207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_maxval": q_mosaic_maxval,
         "hard_negatives": q_hard_negatives,
         "epoch_shuffle": q_epoch_shuffle,
+        "pareto_frontier": q_pareto_frontier,
     }
 
 
@@ -3268,5 +3277,17 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY skey, doc_id)
                         AS BIGINT) AS pos
             FROM s ORDER BY shard, pos
+        """,
+        "pareto_frontier": """
+            SELECT p_partkey, p_size, p_retailprice
+            FROM part p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part q
+              WHERE q.p_size >= p.p_size
+                AND q.p_retailprice >= p.p_retailprice
+                AND (q.p_size > p.p_size
+                     OR q.p_retailprice > p.p_retailprice)
+            )
+            ORDER BY p_partkey
         """,
     }

@@ -2017,3 +2017,75 @@ def cohort_retention_matrix(
         .sum("n")
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+def _frontier_mask_2d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D Pareto frontier (maximize both axes).
+
+    Row p is dominated iff some q has (x_q >= x_p, y_q >= y_p) with at
+    least one strict. Vectorized O(n log n): sort by (x desc, y desc);
+    within an x-tie group only the group's max-y rows survive, and a row
+    survives earlier groups only if its y strictly exceeds every y seen
+    at strictly larger x (prefix max over group heads).
+    """
+    n = x.size
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    head = np.empty(n, dtype=bool)
+    head[0] = True
+    head[1:] = xs[1:] != xs[:-1]
+    gid = np.cumsum(head) - 1
+    gmax = ys[head]  # y sorted desc within group -> head is the group max
+    prev = np.concatenate(([np.int64(np.iinfo(np.int64).min)]
+                           if ys.dtype.kind in "iu" else [-np.inf],
+                           np.maximum.accumulate(gmax)[:-1]))
+    keep_sorted = (ys == gmax[gid]) & (ys > prev[gid])
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = keep_sorted
+    return mask
+
+
+def pareto_frontier(ds, x_col: str, y_col: str, keep_cols=None):
+    """Skyline: rows not dominated on (x_col, y_col), both maximized.
+    Ties that are equal on BOTH axes all survive (neither dominates).
+
+    Distributed shape — local-prune + merge: every batch emits only its
+    own frontier (O(distinct x) rows, tiny), and one final pass takes the
+    frontier of the union. Correct because dominance is transitive: a row
+    dominated globally is dominated by some row that is itself on its
+    batch's local frontier, so pruning non-frontier rows early never
+    removes a witness. At 100 TB the shuffle carries only the per-block
+    frontiers — the raw table never moves.
+
+    Nulls on either axis are excluded up front (SQL comparison semantics:
+    a NULL row neither dominates nor lands on the frontier).
+    """
+    cols = list(dict.fromkeys([*(keep_cols or []), x_col, y_col]))
+
+    def local(batch: pa.Table) -> pa.Table:
+        batch = batch.select(cols).filter(
+            pc.and_(pc.is_valid(batch[x_col]), pc.is_valid(batch[y_col]))
+        )
+        if batch.num_rows == 0:
+            return batch.append_column("_k", pa.array([], pa.int32()))
+        mask = _frontier_mask_2d(
+            batch[x_col].to_numpy(), batch[y_col].to_numpy()
+        )
+        out = batch.filter(pa.array(mask))
+        return out.append_column(
+            "_k", pa.array(np.zeros(out.num_rows, dtype=np.int32))
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        mask = _frontier_mask_2d(
+            group[x_col].to_numpy(), group[y_col].to_numpy()
+        )
+        return group.filter(pa.array(mask)).drop_columns("_k")
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("_k")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -362,3 +362,49 @@ def test_cohort_retention_matrix_edges():
         "offset": [0, 1, 3, 0],
         "n_active": [2, 1, 1, 1],
     }
+
+
+def test_pareto_frontier_matches_bruteforce():
+    """Distributed local-prune + merge skyline == O(n^2) brute force,
+    across many blocks so the merge pass actually merges."""
+    from moaray.ops.relational import pareto_frontier
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    x = rng.integers(0, 40, n).astype(np.int32)
+    y = np.round(rng.uniform(0.0, 100.0, n), 2)
+    # plant an exact 2-axis tie pair: both must survive
+    x[100] = x[200] = 39
+    y[100] = y[200] = float(np.max(y)) + 1.0
+    ds = rd.from_arrow(
+        pa.table({
+            "id": pa.array(ids),
+            "sx": pa.array(x, pa.int32()),
+            "sy": pa.array(y, pa.float64()),
+        })
+    ).repartition(17)
+
+    got = (
+        pareto_frontier(ds, "sx", "sy", keep_cols=["id"])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+
+    dominated = np.zeros(n, dtype=bool)
+    for i in range(n):
+        dom = (x >= x[i]) & (y >= y[i]) & ((x > x[i]) | (y > y[i]))
+        dom[i] = False
+        dominated[i] = dom.any()
+    want = ids[~dominated]
+    assert got["id"].to_numpy().tolist() == want.tolist()
+    assert {100, 200} <= set(got["id"])
+    # null rows on either axis never reach the frontier
+    ds2 = rd.from_arrow(
+        pa.table({
+            "id": pa.array([0, 1, 2], pa.int64()),
+            "sx": pa.array([None, 5, 4], pa.int32()),
+            "sy": pa.array([9.0, None, 1.0], pa.float64()),
+        })
+    )
+    got2 = pareto_frontier(ds2, "sx", "sy", keep_cols=["id"]).to_pandas()
+    assert got2["id"].tolist() == [2]
