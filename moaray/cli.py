@@ -39,13 +39,16 @@ def get_cmdargs(argv=None):
                    help="reference-compat alias for --numcpus (the engine "
                         "parallelism knob is the Ray session CPU count)")
     p.add_argument("-d", "--driver", default="parquet",
-                   choices=["parquet", "GTiff", "ENVI", "HFA"],
+                   choices=["parquet", "GTiff", "ENVI", "HFA", "KEA"],
                    help="output driver: 'parquet' = tile-sharded resumable "
                         "sink at -o (the scale path); 'ENVI' = flat-binary "
                         "pair (-o = data file, sibling .hdr); 'HFA' = single "
                         "Erdas Imagine .img FILE at -o (blocked, from-scratch "
-                        "writer); 'GTiff' = single GeoTIFF FILE at -o "
-                        "(reference-compat; tiles spool through a temp dir)")
+                        "writer); 'KEA' = single .kea FILE at -o (the "
+                        "reference's default test driver; from-scratch "
+                        "minimal-HDF5 container); 'GTiff' = single GeoTIFF "
+                        "FILE at -o (reference-compat; tiles spool through "
+                        "a temp dir)")
     p.add_argument("--co", action="append", default=[],
                    help="creation option, reference-style KEY=VALUE; "
                         "COMPRESS=NONE disables the z16 tile codec, "
@@ -229,7 +232,7 @@ def main_cmd(argv=None) -> int:
             tile_codec=tile_codec,
             on_decode_error=args.on_decode_error,
         )
-        single_file = args.driver in ("GTiff", "ENVI", "HFA")
+        single_file = args.driver in ("GTiff", "ENVI", "HFA", "KEA")
         out_dir = args.outdir
         if single_file:
             # reference-compat: -o names a single GeoTIFF FILE; the
@@ -258,6 +261,10 @@ def main_cmd(argv=None) -> int:
             from .sinks.hfa import export_hfa
 
             export_hfa(res, args.outdir, band=exp_band)
+        elif single_file and args.driver == "KEA":
+            from .sinks.kea import export_kea
+
+            export_kea(res, args.outdir, band=exp_band)
         elif single_file:
             from .sinks.gtiff import export_gtiff
 

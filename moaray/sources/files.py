@@ -32,7 +32,8 @@ import pyarrow as pa
 from .. import codecs
 
 IMG_EXTS = (".png", ".jpg", ".jpeg", ".mray", ".tif", ".tiff",
-            ".gif", ".bmp", ".pgm", ".ppm", ".qoi", ".dat", ".img")
+            ".gif", ".bmp", ".pgm", ".ppm", ".qoi", ".dat", ".img",
+            ".kea")
 
 
 def _world_file_for(path: str) -> str | None:
@@ -134,6 +135,23 @@ def read_image_files(src, crs: str | None = None, nullval: float = 0.0):
                     nv = h_nv
                 if h_crs:
                     row_crs = h_crs
+                payloads = (
+                    "raw16",
+                    [codecs.encode(np.ascontiguousarray(p), "raw16")
+                     for p in arr],
+                    arr.dtype.name, arr.shape[1], arr.shape[2],
+                )
+            elif ext == ".kea":
+                # KEA (.kea): self-contained minimal-HDF5 raster
+                # (sinks/kea.py) — geotransform from /HEADER TL/RES/ROT,
+                # nodata from BANDn/NO_DATA_VAL, CRS from /HEADER/WKT
+                from ..sinks.kea import parse_kea_bytes
+
+                arr, gt, k_nv, k_crs = parse_kea_bytes(buf)
+                if k_nv is not None:
+                    nv = k_nv
+                if k_crs:
+                    row_crs = k_crs
                 payloads = (
                     "raw16",
                     [codecs.encode(np.ascontiguousarray(p), "raw16")
