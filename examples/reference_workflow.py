@@ -58,6 +58,16 @@ export_gtiff(res, tif)
 arr, gt, nodata = read_gtiff(tif)
 print("GeoTIFF:", arr.shape, "transform:", gt[:2], "nodata:", nodata)
 
+# 4b. KEA — the reference's own test suite writes KEA (ref tests.py:15);
+#     moaray carries it on a from-scratch minimal-HDF5 container.
+from moaray.sinks.kea import export_kea, read_kea  # noqa: E402
+
+kea = os.path.join(out_dir, "mosaic.kea")
+export_kea(res, kea)
+karr, kgt, knodata, kcrs = read_kea(kea)
+assert (karr == arr).all()
+print("KEA:", karr.shape, "crs:", kcrs, "(bit-equal to the GeoTIFF)")
+
 # 5. A killed run resumes from the committed tile set:
 res2 = do_mosaic(catalog, cfg, out_dir=out_dir, resume=True)
 print("resume skipped:", res2.skipped_tiles, "of", res2.grid.num_tiles, "keys")
