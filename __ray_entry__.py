@@ -1667,6 +1667,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             keep_cols=["p_partkey"],
         ).sort("p_partkey")
 
+    def q_graph_pagerank(sf_dir: str):
+        from moaray.ops.graph import pagerank, supplier_customer_edges
+
+        edges = supplier_customer_edges(
+            _rpc(f"{sf_dir}/lineitem.parquet"),
+            f"{sf_dir}/orders.parquet",
+        )
+        return pagerank(edges, n_iters=3).sort("node")
+
     def q_supplier_region_stats(sf_dir: str):
         return relational.supplier_region_stats(
             _rpc(f"{sf_dir}/supplier.parquet"),
@@ -2208,6 +2217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": q_hard_negatives,
         "epoch_shuffle": q_epoch_shuffle,
         "pareto_frontier": q_pareto_frontier,
+        "graph_pagerank": q_graph_pagerank,
     }
 
 
@@ -3289,5 +3299,53 @@ def oracle_sql() -> dict[str, str]:
                      OR q.p_retailprice > p.p_retailprice)
             )
             ORDER BY p_partkey
+        """,
+        # integer-exact PageRank: unrolled 3-iteration CTE chain mirrors
+        # ops/graph.py's recurrence bitwise (all-integer floor divisions;
+        # SUM(BIGINT) is HUGEINT in DuckDB so (850000*s)//1000000 cannot
+        # overflow — the Ray side uses the equivalent split form)
+        "graph_pagerank": """
+            WITH e0 AS (
+              SELECT DISTINCT l_suppkey * 2 + 1 AS src,
+                              o_custkey * 2 AS dst
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            ), nodes AS (
+              SELECT src AS node FROM e0 UNION SELECT dst FROM e0
+            ), deg AS (
+              SELECT src, COUNT(*) AS d FROM e0 GROUP BY src
+            ), r0 AS (
+              SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+            ), s1 AS (
+              SELECT e.dst AS node, SUM(r0.r // deg.d) AS s
+              FROM e0 e JOIN r0 ON r0.node = e.src
+                        JOIN deg ON deg.src = e.src
+              GROUP BY e.dst
+            ), r1 AS (
+              SELECT n.node, CAST(150000
+                     + (850000 * COALESCE(s1.s, 0)) // 1000000
+                     AS BIGINT) AS r
+              FROM nodes n LEFT JOIN s1 USING (node)
+            ), s2 AS (
+              SELECT e.dst AS node, SUM(r1.r // deg.d) AS s
+              FROM e0 e JOIN r1 ON r1.node = e.src
+                        JOIN deg ON deg.src = e.src
+              GROUP BY e.dst
+            ), r2 AS (
+              SELECT n.node, CAST(150000
+                     + (850000 * COALESCE(s2.s, 0)) // 1000000
+                     AS BIGINT) AS r
+              FROM nodes n LEFT JOIN s2 USING (node)
+            ), s3 AS (
+              SELECT e.dst AS node, SUM(r2.r // deg.d) AS s
+              FROM e0 e JOIN r2 ON r2.node = e.src
+                        JOIN deg ON deg.src = e.src
+              GROUP BY e.dst
+            ), r3 AS (
+              SELECT n.node, CAST(150000
+                     + (850000 * COALESCE(s3.s, 0)) // 1000000
+                     AS BIGINT) AS r
+              FROM nodes n LEFT JOIN s3 USING (node)
+            )
+            SELECT node, r AS rank_scaled FROM r3 ORDER BY node
         """,
     }

@@ -408,3 +408,40 @@ def test_pareto_frontier_matches_bruteforce():
     )
     got2 = pareto_frontier(ds2, "sx", "sy", keep_cols=["id"]).to_pandas()
     assert got2["id"].tolist() == [2]
+
+
+def test_pagerank_matches_scalar_reference():
+    """Distributed integer-exact PageRank == exact Python-int recurrence
+    (independent scalar reference, never the engine), incl. duplicate
+    edges (deduped), dangling nodes, and sink-only nodes."""
+    from moaray.ops.graph import DAMPING, SCALE, pagerank
+
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 80, 600).astype(np.int64)
+    dst = rng.integers(0, 80, 600).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # duplicate every edge once: dedup must make this a no-op
+    src = np.concatenate([src, src])
+    dst = np.concatenate([dst, dst])
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(9)
+    got = {r["node"]: r["rank_scaled"]
+           for r in pagerank(ds, n_iters=3).take_all()}
+
+    edges = sorted(set(zip(src.tolist(), dst.tolist())))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    deg: dict[int, int] = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    r = {n: SCALE for n in nodes}
+    for _ in range(3):
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[v] += r[u] // deg[u]
+        r = {n: (SCALE - DAMPING) + (DAMPING * s[n]) // SCALE
+             for n in nodes}
+    assert got == r
+    # a pure sink (in-edges only) keeps collecting; a pure source decays
+    # to the teleport floor by iteration 2
+    sinks = [n for n in nodes if n not in deg]
+    assert all(got[n] >= SCALE - DAMPING for n in sinks)
