@@ -43,9 +43,19 @@ _KEA_DTYPE = {
 _KEA_TO_NP = {v: k for k, v in _KEA_DTYPE.items()}
 
 
-def export_kea(res, path: str, band=0, blocksize: int = 256) -> None:
+def export_kea(res, path: str, band=0, blocksize: int = 256,
+               min_overview_size: int = 256) -> None:
     """MosaicResult -> single-file ``.kea``, streamed in blocksize-row
-    stripes.  ``band="all"`` writes BAND1..BANDn; an int selects one."""
+    stripes.  ``band="all"`` writes BAND1..BANDn; an int selects one.
+
+    Overviews follow the reference rule (levels 2**i while the long axis
+    divided by 2**i stays >= min_overview_size; each level is the exact
+    lvl//2-offset stride — ref mosaic.py:646-658, tests.py:162-167) and
+    land as ``BANDn/OVERVIEWS/OVERVIEW<k>`` chunked datasets.  Overview
+    canvases are buffered whole during the stream — levels start at 4 so
+    the bound is sum(1/lvl^2) < 1/12 of one band.  Band statistics are
+    written as STATISTICS_* string datasets under ``BANDn/METADATA``
+    (the GDAL metadata shape, like the GeoTIFF driver)."""
     from ..pipelines.mosaic import iter_band_slabs
 
     grid = res.grid
@@ -73,6 +83,13 @@ def export_kea(res, path: str, band=0, blocksize: int = 256) -> None:
     nullval = grid.nullval
     fill = nullval if nullval is not None else 0
     fill_is_nan = nullval is not None and np.isnan(nullval)
+
+    levels, i = [], 2
+    while max(grid.nrows, grid.ncols) // (2 ** i) >= min_overview_size:
+        levels.append(2 ** i)
+        i += 1
+    ov_dims = [(len(range(lvl // 2, grid.nrows, lvl)),
+                len(range(lvl // 2, grid.ncols, lvl))) for lvl in levels]
 
     t = grid.transform
     with open(path, "wb") as f:
@@ -108,11 +125,27 @@ def export_kea(res, path: str, band=0, blocksize: int = 256) -> None:
                                np.array([nullval]).astype(np_dtype))
             w.add_group(f"{g}/METADATA")
             w.add_group(f"{g}/OVERVIEWS")
+            for li, (orr, occ) in enumerate(ov_dims):
+                w.create_chunked(f"{g}/OVERVIEWS/OVERVIEW{li}",
+                                 (orr, occ), np_dtype, (bs, bs))
+            by_band = getattr(res, "stats_by_band", None)
+            st = (by_band.get(bands[i]) if by_band
+                  else getattr(res, "stats", None))
+            if st:
+                for key in ("min", "max", "mean", "stddev", "count"):
+                    if key in st and st[key] is not None:
+                        w.create_array(
+                            f"{g}/METADATA/STATISTICS_{key.upper()}",
+                            str(st[key]))
 
         # ---- stream pixel chunks: one stripe per (band, chunk-row) ----
         order = {b: i for i, b in enumerate(bands)}
         stripe = np.full((bs, nbx * bs), fill, dtype=np_dtype)
         cur: tuple[int, int] | None = None  # (band_idx, stripe_idx)
+        ov_canvas = {
+            (bi, li): np.full(ov_dims[li], fill, dtype=np_dtype)
+            for bi in range(len(bands)) for li in range(len(levels))
+        }
 
         def is_fill(block: np.ndarray) -> bool:
             if nullval is None:
@@ -131,6 +164,17 @@ def export_kea(res, path: str, band=0, blocksize: int = 256) -> None:
                 if not is_fill(block):
                     w.write_chunk(f"BAND{bi + 1}/DATA", (s * bs, c * bs),
                                   block)
+            # scatter this stripe's strided rows into the overview canvases
+            lo, hi = s * bs, min(s * bs + bs, grid.nrows)
+            for li, lvl in enumerate(levels):
+                off = lvl // 2
+                first = off if lo <= off else off + (-(-(lo - off) // lvl)) * lvl
+                if first >= hi:
+                    continue
+                rows = np.arange(first, hi, lvl)
+                cv = ov_canvas[(bi, li)]
+                cv[(rows - off) // lvl] = \
+                    stripe[rows - lo, off::lvl][:, :cv.shape[1]]
             stripe.fill(fill)
             cur = None
 
@@ -150,6 +194,16 @@ def export_kea(res, path: str, band=0, blocksize: int = 256) -> None:
                 if r0 + n == bs:
                     flush()
         flush()
+        for (bi, li), cv in ov_canvas.items():
+            for r in range(0, cv.shape[0], bs):
+                for c in range(0, cv.shape[1], bs):
+                    block = np.full((bs, bs), fill, dtype=np_dtype)
+                    sub = cv[r:r + bs, c:c + bs]
+                    block[:sub.shape[0], :sub.shape[1]] = sub
+                    if not is_fill(block):
+                        w.write_chunk(
+                            f"BAND{bi + 1}/OVERVIEWS/OVERVIEW{li}",
+                            (r, c), block)
         w.close()
 
 
@@ -194,6 +248,33 @@ def parse_kea_bytes(buf: bytes):
                     f"BAND{i + 1} DATATYPE {want} != stored {arr.dtype}")
         planes.append(arr)
     return np.stack(planes), gt, nullval, crs
+
+
+def read_kea_full(path: str, band: int = 1):
+    """``.kea`` file -> (band array, [overview arrays], geotransform,
+    nullval, crs, stats dict) — mirrors read_gtiff_full's shape, plus the
+    STATISTICS_* metadata strings."""
+    from ..hdf5 import h5_open
+
+    buf = open(path, "rb").read()
+    arr, gt, nullval, crs = parse_kea_bytes(buf)
+    h5 = h5_open(buf)
+    bg = h5[f"BAND{band}"]
+    fillv = nullval if nullval is not None else 0
+    ovs = []
+    if "OVERVIEWS" in bg:
+        og = bg["OVERVIEWS"]
+        for li in range(len(og.keys())):
+            ovs.append(og[f"OVERVIEW{li}"].read(fill=fillv))
+    stats = {}
+    if "METADATA" in bg:
+        mg = bg["METADATA"]
+        for k in mg.keys():
+            if k.startswith("STATISTICS_"):
+                stats[k[len("STATISTICS_"):].lower()] = \
+                    mg[k].read_scalar()
+    plane = arr[band - 1] if arr.ndim == 3 else arr
+    return plane, ovs, gt, nullval, crs, stats
 
 
 def read_kea(path: str):

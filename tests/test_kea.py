@@ -259,3 +259,27 @@ def test_parse_kea_requires_header_group():
     w.close()
     with pytest.raises(ValueError, match="HEADER"):
         parse_kea_bytes(f.getvalue())
+
+
+def test_kea_overviews_and_stats_metadata(ray_session, tmp_path):
+    """OVERVIEW<k> datasets equal the exact strided oracle (lvl//2 offset,
+    reference rule) and STATISTICS_* metadata round-trips."""
+    from moaray import oracle
+    from moaray.sinks.kea import read_kea_full
+
+    layout = Layout("grid3x3", 9, 64)
+    path = images_path(layout)
+    res = do_mosaic(path, MosaicConfig(layout=layout, blocksize=64,
+                                       do_pyramids=False))
+    truth = mosaic_array(res.tiles_ds, res.grid)
+    out = str(tmp_path / "ov.kea")
+    export_kea(res, out, blocksize=32, min_overview_size=16)
+    plane, ovs, gt, nullval, crs, stats = read_kea_full(out)
+    assert np.array_equal(plane, truth)
+    assert len(ovs) >= 2  # 188px long axis, min 16 -> levels 4 and 8
+    for li, ov in enumerate(ovs):
+        lvl = 2 ** (li + 2)
+        assert np.array_equal(ov, oracle.overview(truth, lvl)), lvl
+    assert float(stats["min"]) == res.stats["min"]
+    assert float(stats["max"]) == res.stats["max"]
+    assert int(float(stats["count"])) == res.stats["count"]
