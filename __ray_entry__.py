@@ -1676,6 +1676,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pagerank(edges, n_iters=3).sort("node")
 
+    def q_triangle_count(sf_dir: str):
+        from moaray.ops.graph import copurchase_edges, triangle_count
+
+        edges = copurchase_edges(_rpc(f"{sf_dir}/lineitem.parquet"))
+        return triangle_count(edges)
+
     def q_supplier_region_stats(sf_dir: str):
         return relational.supplier_region_stats(
             _rpc(f"{sf_dir}/supplier.parquet"),
@@ -2218,6 +2224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": q_epoch_shuffle,
         "pareto_frontier": q_pareto_frontier,
         "graph_pagerank": q_graph_pagerank,
+        "triangle_count": q_triangle_count,
     }
 
 
@@ -3347,5 +3354,40 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes n LEFT JOIN s3 USING (node)
             )
             SELECT node, r AS rank_scaled FROM r3 ORDER BY node
+        """,
+        # degree-oriented triangle counting: orient each undirected edge
+        # from the (degree, id)-smaller endpoint; triangles = oriented
+        # 3-way join a->b, b->c, a->c; wedges = sum C(outdeg, 2)
+        "triangle_count": """
+            WITH und AS (
+              SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+              FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_suppkey < l2.l_suppkey
+            ), deg AS (
+              SELECT node, COUNT(*) AS d FROM (
+                SELECT a AS node FROM und
+                UNION ALL SELECT b FROM und
+              ) GROUP BY node
+            ), ord AS (
+              SELECT CASE WHEN (da.d, u.a) < (db.d, u.b)
+                          THEN u.a ELSE u.b END AS src,
+                     CASE WHEN (da.d, u.a) < (db.d, u.b)
+                          THEN u.b ELSE u.a END AS dst
+              FROM und u JOIN deg da ON da.node = u.a
+                         JOIN deg db ON db.node = u.b
+            ), tri AS (
+              SELECT COUNT(*) AS t
+              FROM ord e1 JOIN ord e2 ON e2.src = e1.dst
+                          JOIN ord e3 ON e3.src = e1.src
+                                     AND e3.dst = e2.dst
+            ), wed AS (
+              SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+                     AS w
+              FROM (SELECT src, COUNT(*) AS c FROM ord GROUP BY src)
+            )
+            SELECT CAST(tri.t AS BIGINT) AS n_triangles,
+                   wed.w AS n_wedges
+            FROM tri, wed
         """,
     }

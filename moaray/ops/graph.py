@@ -201,3 +201,166 @@ def pagerank(edges_ds, n_iters: int = 3, n_partitions: int = 256):
         "node": pa.array(nodes, pa.int64()),
         "rank_scaled": pa.array(ranks, pa.int64()),
     }))
+
+
+def copurchase_edges(lineitem_ds, n_partitions: int = 256):
+    """Undirected supplier-supplier edges (src < dst): two suppliers are
+    connected iff they appear in the same order.  Per-order pair counts
+    are bounded by lines-per-order, so the expansion is linear-ish; the
+    groupby key is a bounded orderkey partition with the per-order work
+    vectorized (the CLAUDE.md bounded-partition discipline)."""
+    from .dedup import _pair_index_expansion
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy()
+        return pa.table({
+            "ok": pa.array(ok, pa.int64()),
+            "sk": pa.array(batch["l_suppkey"].to_numpy(), pa.int64()),
+            "part": pa.array((ok % n_partitions).astype(np.int32)),
+        })
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ok = group["ok"].to_numpy()
+        sk = group["sk"].to_numpy()
+        order = np.lexsort((sk, ok))
+        ok, sk = ok[order], sk[order]
+        keep = np.empty(len(ok), dtype=bool)   # distinct (order, supplier)
+        keep[0] = True
+        keep[1:] = (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])
+        ok, sk = ok[keep], sk[keep]
+        heads = np.empty(len(ok), dtype=bool)
+        heads[0] = True
+        heads[1:] = ok[1:] != ok[:-1]
+        counts = np.diff(np.concatenate(
+            (np.nonzero(heads)[0], [len(ok)])))
+        a_idx, b_idx = _pair_index_expansion(counts)
+        # within-order suppliers ascend, so sk[a_idx] < sk[b_idx] strictly
+        return pa.table({"src": pa.array(sk[a_idx], pa.int64()),
+                         "dst": pa.array(sk[b_idx], pa.int64())})
+
+    return (lineitem_ds.select_columns(["l_orderkey", "l_suppkey"])
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(pairs, batch_format="pyarrow"))
+
+
+def triangle_count(edges_ds, n_partitions: int = 256):
+    """Exact triangle + wedge counts over an undirected simple graph
+    given as (src, dst) rows (self-loops dropped, duplicates deduped).
+
+    The classic degree-oriented algorithm: orient every edge from the
+    (degree, id)-smaller endpoint, emit each source's out-neighbor pairs
+    as wedges (out-degree is bounded ~sqrt(m) under this orientation),
+    and count the wedges whose closing oriented edge exists — one
+    key-partitioned shuffle where each wedge and its candidate edge meet
+    in the same group.  Nodes are re-encoded as orientation RANKS so the
+    packed (lo<<32)|hi keys are safe for any int64 node ids.
+
+    Returns a 1-row Dataset {n_triangles, n_wedges} — bitwise-matchable
+    by the oracle's oriented 3-way self-join.
+    """
+    import ray
+    import ray.data as rd
+
+    def norm(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy()
+        d = batch["dst"].to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"src": pa.array(np.minimum(s, d), pa.int64()),
+                         "dst": pa.array(np.maximum(s, d), pa.int64())})
+
+    und = _dedup_edges(edges_ds.map_batches(norm, batch_format="pyarrow"),
+                       n_partitions).materialize()
+
+    # degree over both endpoints -> (deg, id)-orientation ranks
+    def both_ends(batch: pa.Table) -> pa.Table:
+        k = np.concatenate([batch["src"].to_numpy(),
+                            batch["dst"].to_numpy()])
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "one": pa.array(np.ones(len(k), np.int64))})
+
+    nodes, deg = _collect_keyed_int_sums(
+        und.map_batches(both_ends, batch_format="pyarrow"),
+        "k", "one", n_partitions)
+    rank_order = np.lexsort((nodes, deg))   # (deg, id) ascending
+    rank = np.empty(len(nodes), dtype=np.int64)
+    rank[rank_order] = np.arange(len(nodes), dtype=np.int64)
+    ref = ray.put((nodes, rank))
+
+    def oriented_keys(batch: pa.Table) -> pa.Table:
+        snodes, srank = ray.get(ref)
+        ra = srank[np.searchsorted(snodes, batch["src"].to_numpy())]
+        rb = srank[np.searchsorted(snodes, batch["dst"].to_numpy())]
+        lo = np.minimum(ra, rb)
+        hi = np.maximum(ra, rb)
+        key = (lo << np.int64(32)) | hi
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "kind": pa.array(np.zeros(len(key), np.int8)),
+            "part": pa.array((key % n_partitions).astype(np.int32)),
+        })
+
+    edge_keys = und.map_batches(oriented_keys, batch_format="pyarrow")
+
+    def wedges(group: pa.Table) -> pa.Table:
+        from .dedup import _pair_index_expansion
+
+        snodes, srank = ray.get(ref)
+        ra = srank[np.searchsorted(snodes, group["src"].to_numpy())]
+        rb = srank[np.searchsorted(snodes, group["dst"].to_numpy())]
+        lo = np.minimum(ra, rb)
+        hi = np.maximum(ra, rb)
+        order = np.lexsort((hi, lo))
+        lo, hi = lo[order], hi[order]
+        heads = np.empty(len(lo), dtype=bool)
+        if len(lo) == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int8()),
+                             "part": pa.array([], pa.int32())})
+        heads[0] = True
+        heads[1:] = lo[1:] != lo[:-1]
+        counts = np.diff(np.concatenate((np.nonzero(heads)[0], [len(lo)])))
+        a_idx, b_idx = _pair_index_expansion(counts)
+        # out-neighbors ascend within each source, so hi[a] < hi[b]
+        key = (hi[a_idx] << np.int64(32)) | hi[b_idx]
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "kind": pa.array(np.ones(len(key), np.int8)),
+            "part": pa.array((key % n_partitions).astype(np.int32)),
+        })
+
+    def add_src_part(batch: pa.Table) -> pa.Table:
+        snodes, srank = ray.get(ref)
+        ra = srank[np.searchsorted(snodes, batch["src"].to_numpy())]
+        rb = srank[np.searchsorted(snodes, batch["dst"].to_numpy())]
+        lo = np.minimum(ra, rb)
+        return batch.append_column(
+            "part", pa.array((lo % n_partitions).astype(np.int32)))
+
+    wedge_keys = (und.map_batches(add_src_part, batch_format="pyarrow")
+                  .groupby("part")
+                  .map_groups(wedges, batch_format="pyarrow"))
+
+    def close_count(group: pa.Table) -> pa.Table:
+        key = group["key"].to_numpy()
+        kind = group["kind"].to_numpy()
+        ek = np.sort(key[kind == 0])
+        wk = key[kind == 1]
+        pos = np.searchsorted(ek, wk)
+        pos_c = np.clip(pos, 0, max(len(ek) - 1, 0))
+        hit = (ek[pos_c] == wk) if len(ek) else np.zeros(len(wk), bool)
+        return pa.table({
+            "n_triangles": pa.array([int(hit.sum())], pa.int64()),
+            "n_wedges": pa.array([len(wk)], pa.int64()),
+        })
+
+    parts = (edge_keys.union(wedge_keys)
+             .groupby("part").map_groups(close_count,
+                                         batch_format="pyarrow")
+             .take_all())
+    return rd.from_arrow(pa.table({
+        "n_triangles": pa.array(
+            [sum(r["n_triangles"] for r in parts)], pa.int64()),
+        "n_wedges": pa.array(
+            [sum(r["n_wedges"] for r in parts)], pa.int64()),
+    }))

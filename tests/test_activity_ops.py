@@ -445,3 +445,35 @@ def test_pagerank_matches_scalar_reference():
     # to the teleport floor by iteration 2
     sinks = [n for n in nodes if n not in deg]
     assert all(got[n] >= SCALE - DAMPING for n in sinks)
+
+
+def test_triangle_count_matches_bruteforce():
+    """Degree-oriented wedge-join triangle count == O(n^3) brute force,
+    incl. duplicate and self-loop edges and rank-vs-id divergence (node
+    ids far above the rank range)."""
+    import itertools
+
+    from moaray.ops.graph import triangle_count
+
+    rng = np.random.default_rng(23)
+    ids = rng.choice(10_000_000, size=50, replace=False).astype(np.int64)
+    src = ids[rng.integers(0, 50, 400)]
+    dst = ids[rng.integers(0, 50, 400)]
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(7)
+    row = triangle_count(ds).take_all()[0]
+
+    E = {(min(a, b), max(a, b))
+         for a, b in zip(src.tolist(), dst.tolist()) if a != b}
+    adj: dict[int, set] = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(1 for a, b, c in itertools.combinations(sorted(adj), 3)
+              if b in adj[a] and c in adj[a] and c in adj[b])
+    deg = {v: len(adj[v]) for v in adj}
+    out: dict[int, int] = {}
+    for a, b in E:
+        u = a if (deg[a], a) < (deg[b], b) else b
+        out[u] = out.get(u, 0) + 1
+    assert row["n_triangles"] == tri
+    assert row["n_wedges"] == sum(c * (c - 1) // 2 for c in out.values())
