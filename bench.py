@@ -309,6 +309,24 @@ def run_ops_bench(sf_dir: str) -> dict:
             _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         ).count(),
     )
+
+    from moaray.ops import graph
+
+    timed(
+        "graph_pagerank",
+        lambda: graph.pagerank(graph.supplier_customer_edges(
+            _rpc(f"{sf_dir}/lineitem.parquet",
+                 columns=["l_orderkey", "l_suppkey"]),
+            f"{sf_dir}/orders.parquet",
+        ), n_iters=3).count(),
+    )
+    timed(
+        "triangle_count",
+        lambda: graph.triangle_count(graph.copurchase_edges(
+            _rpc(f"{sf_dir}/lineitem.parquet",
+                 columns=["l_orderkey", "l_suppkey"])
+        )).count(),
+    )
     return timings
 
 

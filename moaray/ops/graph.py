@@ -243,17 +243,25 @@ def copurchase_edges(lineitem_ds, n_partitions: int = 256):
             .groupby("part").map_groups(pairs, batch_format="pyarrow"))
 
 
-def triangle_count(edges_ds, n_partitions: int = 256):
+def triangle_count(edges_ds, n_partitions: int = 256,
+                   broadcast_limit: int = 5_000_000):
     """Exact triangle + wedge counts over an undirected simple graph
     given as (src, dst) rows (self-loops dropped, duplicates deduped).
 
     The classic degree-oriented algorithm: orient every edge from the
     (degree, id)-smaller endpoint, emit each source's out-neighbor pairs
     as wedges (out-degree is bounded ~sqrt(m) under this orientation),
-    and count the wedges whose closing oriented edge exists — one
-    key-partitioned shuffle where each wedge and its candidate edge meet
-    in the same group.  Nodes are re-encoded as orientation RANKS so the
-    packed (lo<<32)|hi keys are safe for any int64 node ids.
+    and count the wedges whose closing oriented edge exists.  Nodes are
+    re-encoded as orientation RANKS so the packed (lo<<32)|hi keys are
+    safe for any int64 node ids.  Two closing strategies, identical
+    results (pytest-asserted):
+
+    - edge count <= ``broadcast_limit``: the sorted packed edge-key array
+      ships ONCE via ray.put (8 bytes/edge) and each wedge group closes
+      locally with searchsorted — wedges (the big side: sum C(outdeg,2))
+      never shuffle (bench sf0.1: 4.6 s -> shuffle-free).
+    - above the limit: wedge and edge keys meet in one key-partitioned
+      shuffle (each candidate pair lands in exactly one group).
 
     Returns a 1-row Dataset {n_triangles, n_wedges} — bitwise-matchable
     by the oracle's oriented 3-way self-join.
@@ -302,7 +310,7 @@ def triangle_count(edges_ds, n_partitions: int = 256):
 
     edge_keys = und.map_batches(oriented_keys, batch_format="pyarrow")
 
-    def wedges(group: pa.Table) -> pa.Table:
+    def wedge_key_array(group: pa.Table) -> np.ndarray:
         from .dedup import _pair_index_expansion
 
         snodes, srank = ray.get(ref)
@@ -312,22 +320,15 @@ def triangle_count(edges_ds, n_partitions: int = 256):
         hi = np.maximum(ra, rb)
         order = np.lexsort((hi, lo))
         lo, hi = lo[order], hi[order]
-        heads = np.empty(len(lo), dtype=bool)
         if len(lo) == 0:
-            return pa.table({"key": pa.array([], pa.int64()),
-                             "kind": pa.array([], pa.int8()),
-                             "part": pa.array([], pa.int32())})
+            return np.empty(0, np.int64)
+        heads = np.empty(len(lo), dtype=bool)
         heads[0] = True
         heads[1:] = lo[1:] != lo[:-1]
         counts = np.diff(np.concatenate((np.nonzero(heads)[0], [len(lo)])))
         a_idx, b_idx = _pair_index_expansion(counts)
         # out-neighbors ascend within each source, so hi[a] < hi[b]
-        key = (hi[a_idx] << np.int64(32)) | hi[b_idx]
-        return pa.table({
-            "key": pa.array(key, pa.int64()),
-            "kind": pa.array(np.ones(len(key), np.int8)),
-            "part": pa.array((key % n_partitions).astype(np.int32)),
-        })
+        return (hi[a_idx] << np.int64(32)) | hi[b_idx]
 
     def add_src_part(batch: pa.Table) -> pa.Table:
         snodes, srank = ray.get(ref)
@@ -337,30 +338,63 @@ def triangle_count(edges_ds, n_partitions: int = 256):
         return batch.append_column(
             "part", pa.array((lo % n_partitions).astype(np.int32)))
 
-    wedge_keys = (und.map_batches(add_src_part, batch_format="pyarrow")
-                  .groupby("part")
-                  .map_groups(wedges, batch_format="pyarrow"))
-
-    def close_count(group: pa.Table) -> pa.Table:
-        key = group["key"].to_numpy()
-        kind = group["kind"].to_numpy()
-        ek = np.sort(key[kind == 0])
-        wk = key[kind == 1]
-        pos = np.searchsorted(ek, wk)
-        pos_c = np.clip(pos, 0, max(len(ek) - 1, 0))
-        hit = (ek[pos_c] == wk) if len(ek) else np.zeros(len(wk), bool)
+    def count_table(n_tri: int, n_wed: int) -> pa.Table:
         return pa.table({
-            "n_triangles": pa.array([int(hit.sum())], pa.int64()),
-            "n_wedges": pa.array([len(wk)], pa.int64()),
+            "n_triangles": pa.array([n_tri], pa.int64()),
+            "n_wedges": pa.array([n_wed], pa.int64()),
         })
 
-    parts = (edge_keys.union(wedge_keys)
-             .groupby("part").map_groups(close_count,
-                                         batch_format="pyarrow")
-             .take_all())
-    return rd.from_arrow(pa.table({
-        "n_triangles": pa.array(
-            [sum(r["n_triangles"] for r in parts)], pa.int64()),
-        "n_wedges": pa.array(
-            [sum(r["n_wedges"] for r in parts)], pa.int64()),
-    }))
+    if und.count() <= broadcast_limit:
+        # broadcast close: ship the sorted edge-key array once; wedges
+        # (the sum-C(d,2) big side) never leave their source group
+        blocks = [b for b in ray.get(edge_keys.to_arrow_refs())
+                  if b.num_rows]
+        ek = (np.sort(np.concatenate(
+            [b.column("key").to_numpy() for b in blocks]))
+            if blocks else np.empty(0, np.int64))
+        ek_ref = ray.put(ek)
+
+        def close_local(group: pa.Table) -> pa.Table:
+            wk = wedge_key_array(group)
+            sek = ray.get(ek_ref)
+            if len(sek) == 0 or len(wk) == 0:
+                return count_table(0, len(wk))
+            pos = np.clip(np.searchsorted(sek, wk), 0, len(sek) - 1)
+            return count_table(int((sek[pos] == wk).sum()), len(wk))
+
+        parts = (und.map_batches(add_src_part, batch_format="pyarrow")
+                 .groupby("part")
+                 .map_groups(close_local, batch_format="pyarrow")
+                 .take_all())
+    else:
+        def wedges(group: pa.Table) -> pa.Table:
+            key = wedge_key_array(group)
+            return pa.table({
+                "key": pa.array(key, pa.int64()),
+                "kind": pa.array(np.ones(len(key), np.int8)),
+                "part": pa.array((key % n_partitions).astype(np.int32)),
+            })
+
+        wedge_keys = (und.map_batches(add_src_part,
+                                      batch_format="pyarrow")
+                      .groupby("part")
+                      .map_groups(wedges, batch_format="pyarrow"))
+
+        def close_count(group: pa.Table) -> pa.Table:
+            key = group["key"].to_numpy()
+            kind = group["kind"].to_numpy()
+            ek = np.sort(key[kind == 0])
+            wk = key[kind == 1]
+            if len(ek) == 0 or len(wk) == 0:
+                return count_table(0, len(wk))
+            pos = np.clip(np.searchsorted(ek, wk), 0, len(ek) - 1)
+            return count_table(int((ek[pos] == wk).sum()), len(wk))
+
+        parts = (edge_keys.union(wedge_keys)
+                 .groupby("part").map_groups(close_count,
+                                             batch_format="pyarrow")
+                 .take_all())
+
+    return rd.from_arrow(count_table(
+        sum(r["n_triangles"] for r in parts),
+        sum(r["n_wedges"] for r in parts)))

@@ -477,3 +477,18 @@ def test_triangle_count_matches_bruteforce():
         out[u] = out.get(u, 0) + 1
     assert row["n_triangles"] == tri
     assert row["n_wedges"] == sum(c * (c - 1) // 2 for c in out.values())
+
+
+def test_triangle_count_paths_agree():
+    """Broadcast-close and shuffle-close strategies are bit-identical
+    (broadcast_limit=0 forces the shuffle path)."""
+    from moaray.ops.graph import triangle_count
+
+    rng = np.random.default_rng(29)
+    src = rng.integers(0, 30, 250).astype(np.int64)
+    dst = rng.integers(0, 30, 250).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    a = triangle_count(ds).take_all()[0]
+    b = triangle_count(ds, broadcast_limit=0).take_all()[0]
+    assert dict(a) == dict(b)
+    assert a["n_triangles"] > 0
